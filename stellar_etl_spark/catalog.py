@@ -1,0 +1,60 @@
+"""Table catalog over the parquet datasets.
+
+The driver's synthetic tables (TESTDATA.md) are the generic relational
+workload; stellar entity tables (FIXTURES.md) are produced by
+``transforms/``.  All reads go through here so partition pruning / predicate
+pushdown behavior is uniform and testable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+SYNTHETIC_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions that should always be broadcast in joins against facts.
+BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Plain parquet scan — Catalyst will push filters and
+    prune columns into this scan; callers must not cache-and-mutate.
+
+    The synthetic tables carry INT64 TIMESTAMP(NANOS) columns, which Spark 4
+    only reads with ``nanosAsLong``; we therefore treat timestamps as long
+    epoch-nanos end-to-end (tz-free, and ``ts div 1000`` equals DuckDB's
+    ``epoch_us`` exactly)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def ns(ts: str) -> int:
+    """Naive-UTC timestamp string → epoch nanoseconds (for filter literals
+    against nanos-as-long columns)."""
+    import datetime as _dt
+
+    dt = _dt.datetime.fromisoformat(ts).replace(tzinfo=_dt.timezone.utc)
+    return int(dt.timestamp()) * 1_000_000_000
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in SYNTHETIC_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every synthetic table as a temp view for spark.sql use."""
+    for name in SYNTHETIC_TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,194 @@
+"""Deduplication operators for large-scale document corpora.
+
+Beyond-reference surface (BASELINE.json north star): exact dedup, MinHash+LSH
+near-dup, SimHash, and n-gram Jaccard verification — all as shuffle-conscious
+DataFrame programs:
+
+  - every hash primitive is ``md5`` / hex-fold — JVM built-ins, codegen'd,
+    and reproducible in ANSI SQL (the DuckDB oracle runs the same recipe);
+  - LSH banding turns the quadratic all-pairs problem into an equi-join on
+    (band_id, band_key): at 100 TB that is one shuffle keyed by band hash,
+    with AQE skew-splitting hot buckets; no driver-side state anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content hash: keep the lowest id per md5(text).
+
+    One hash-aggregate shuffle on the digest (map-side combinable);
+    survivors join back by id, broadcast-friendly when the survivor set
+    is small relative to the corpus.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(F.min(F.col(id_col)).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def tokenize_words(text: Column) -> Column:
+    """Whitespace tokenization — single-space split, matching the oracle's
+    ``string_split(text, ' ')``."""
+    return F.split(text, " ")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of ``text`` (empty array if < n words)."""
+    words = tokenize_words(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return F.array_distinct(
+        F.when(F.size(words) >= n, grams).otherwise(F.slice(words, 1, 0))
+    )
+
+
+def minhash_signature(shingle_col: Column, num_perm: int = 8) -> Column:
+    """MinHash signature: permutation *p* is the md5 family ``md5('p|'+s)``;
+    the signature element is the lexicographic min digest.  A valid minwise
+    family — equality probability per element ≈ Jaccard similarity."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"{p}|"), s)))
+            )
+            for p in range(num_perm)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash_sig",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Band the signature and emit candidate pairs sharing any band bucket.
+
+    Scale shape: explode to (bands × docs) rows, equi-join on band key.
+    The join is the only shuffle; band keys are md5 digests so the key space
+    is uniform unless documents genuinely collide.
+    """
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(b),
+                            *[
+                                F.element_at(F.col(sig_col), b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact n-gram Jaccard verification.
+
+    Returns (id_a, id_b, jaccard) for pairs with Jaccard ≥ threshold.
+    Jaccard is exact set overlap of distinct shingles — an integer ratio, so
+    bit-identical across engines.
+    """
+    with_sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), n).alias("shingle_set")
+    ).withColumn("minhash_sig", minhash_signature(F.col("shingle_set"), num_perm))
+
+    cands = minhash_lsh_candidates(
+        with_sh, id_col, "minhash_sig", bands, rows_per_band
+    )
+    a = with_sh.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("sh_a"))
+    b = with_sh.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def _hex15_to_long(hex_col: Column) -> Column:
+    """First 15 hex chars of a digest → 60-bit long (overflow-free under
+    ANSI mode, reproducible as a hex fold in the oracle)."""
+    return F.conv(F.substring(hex_col, 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """SimHash over word tokens with term-frequency votes.
+
+    Each token occurrence votes ±1 per bit of its 60-bit md5-derived hash;
+    the fingerprint keeps the top ``bits`` bit positions.  Two shuffles:
+    explode+aggregate by (doc, bit), then reassemble by doc — both hash
+    aggregates with partial combine.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(tokenize_words(F.col(text_col))).alias("word")
+    ).withColumn("h", _hex15_to_long(F.md5(F.col("word"))))
+    votes = (
+        words.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+            F.col("h"),
+        )
+        .withColumn(
+            "vote",
+            F.when(
+                F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        .groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("tally"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("tally") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )

@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference surface: brute-force cosine top-k as the exactness baseline,
+plus an IVF-style coarse-quantized variant as the 100 TB scale path.
+
+All vector math is a left-to-right double fold (``aggregate`` over
+``zip_with``) — deterministic accumulation order, so the DuckDB oracle's
+``list_reduce`` reproduces it bit-for-bit before the final rounding guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Ordered-fold dot product: deterministic, engine-portable."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k for the given query ids.
+
+    The query side is a pruned scan (few rows) and is broadcast; the corpus
+    side streams — one broadcast-nested-loop over the corpus partitioning,
+    no corpus shuffle.  Rank window partitions by query (bounded cardinality).
+    """
+    qids = query_ids or [0, 1, 2]
+    corpus = embeddings.select(
+        F.col(id_col).alias("nbr_id"), _as_double(F.col(vec_col)).alias("nbr_vec")
+    )
+    queries = embeddings.where(F.col(id_col).isin(qids)).select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .where(F.col("query_id") != F.col("nbr_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), round_digits).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("nbr_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "cosine_sim")
+    )
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-label mean vector in long form (label, dim, centroid_val).
+
+    posexplode + hash aggregate — partial-combine friendly; the long form
+    avoids array reassembly (and is what the oracle compares)."""
+    return (
+        embeddings.select(
+            F.col(label_col),
+            F.posexplode(_as_double(F.col(vec_col))).alias("dim", "val"),
+        )
+        .groupBy(label_col, "dim")
+        .agg(F.round(F.avg("val"), round_digits).alias("centroid_val"))
+    )
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus by its
+    ``label`` partitions (stand-in for trained centroids), probe the
+    ``nprobe`` nearest partitions per query, exact-rank within them.
+
+    Scale path: the corpus is re-partitioned once by cell id; each query
+    touches nprobe/ncells of the data instead of all of it.
+    """
+    qids = query_ids or [0, 1, 2]
+    cent = label_centroids(embeddings, label_col, vec_col)
+    cent_vec = cent.groupBy(label_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("dim"), F.col("centroid_val")))
+        ).alias("pairs")
+    ).select(
+        F.col(label_col).alias("cell"),
+        F.transform("pairs", lambda p: p["centroid_val"]).alias("cell_vec"),
+    )
+    queries = embeddings.where(F.col(id_col).isin(qids)).select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cell_sim"), F.asc("cell")
+    )
+    probes = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(cent_vec))
+        .select(
+            "query_id",
+            "q_vec",
+            "cell",
+            cosine(F.col("q_vec"), F.col("cell_vec")).alias("cell_sim"),
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .where(F.col("probe_rank") <= nprobe)
+        .select("query_id", "q_vec", "cell")
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(label_col).alias("cell"),
+        _as_double(F.col(vec_col)).alias("nbr_vec"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("nbr_id"))
+    return (
+        probes.join(corpus, "cell")
+        .where(F.col("query_id") != F.col("nbr_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 6).alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "cosine_sim")
+    )

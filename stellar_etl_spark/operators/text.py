@@ -1,0 +1,103 @@
+"""Text analysis operators for training-data pipelines.
+
+Language-ID (stopword-marker heuristic), quality scoring, token counting and
+document fingerprinting — all pure column expressions (no UDFs), each with an
+ANSI-SQL twin for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stellar_etl_spark.operators.dedup import shingles, tokenize_words
+
+# Marker stopwords per language for the n-gram/stopword heuristic.  Order is
+# the deterministic tie-break (first wins on equal scores).
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "of", "and", "to"]),
+    ("es", ["el", "la", "de", "que", "y"]),
+    ("fr", ["le", "la", "et", "les", "des"]),
+    ("de", ["der", "die", "und", "das", "ein"]),
+    ("zh", ["de5", "shi4", "le5", "zai4", "he2"]),
+]
+
+
+def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("words", tokenize_words(F.col(text_col)))
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token statistics (whitespace tokenization)."""
+    words = tokenize_words(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars_measured"),
+        F.size(words).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
+    )
+
+
+def _marker_count(words: Column, markers: list[str]) -> Column:
+    return F.size(F.filter(words, lambda w: w.isin(markers)))
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic quality heuristics: length band, lexical diversity,
+    stopword ratio.  Integer-ratio arithmetic → engine-portable doubles."""
+    words = tokenize_words(F.col(text_col))
+    n_tok = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    stop = _marker_count(words, LANG_MARKERS[0][1])
+    diversity = n_distinct.cast("double") / n_tok.cast("double")
+    stop_ratio = stop.cast("double") / n_tok.cast("double")
+    length_ok = (n_tok >= 10) & (n_tok <= 1000)
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(diversity, 6).alias("lexical_diversity"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        (
+            F.when(length_ok, F.lit(1)).otherwise(F.lit(0))
+            + F.when(diversity >= 0.3, F.lit(1)).otherwise(F.lit(0))
+            + F.when(stop_ratio >= 0.01, F.lit(1)).otherwise(F.lit(0))
+        ).alias("quality_score"),
+    )
+
+
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stopword-marker language ID with deterministic tie-break (marker list
+    order), 'und' when no marker hits."""
+    words = tokenize_words(F.col(text_col))
+    scored = df.select(
+        F.col(id_col),
+        *[
+            _marker_count(words, markers).alias(f"score_{lang}")
+            for lang, markers in LANG_MARKERS
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang, _ in LANG_MARKERS])
+    pred: Column = F.lit("und")
+    for lang, _ in reversed(LANG_MARKERS):
+        pred = F.when((best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang)).otherwise(
+            pred
+        )
+    return scored.select(F.col(id_col), pred.alias("lang_pred"), best.alias("lang_score"))
+
+
+def doc_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Content fingerprints: whole-text md5 plus the min-shingle digest
+    (the first MinHash permutation — stable under small reorderings)."""
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("content_md5"),
+        F.array_min(
+            F.transform(shingles(F.col(text_col), n), lambda s: F.md5(s))
+        ).alias("min_shingle_md5"),
+    )

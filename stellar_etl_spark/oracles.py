@@ -1,0 +1,326 @@
+"""DuckDB oracle SQL — the ANSI twin of every entry in ``queries.QUERIES``.
+
+Each statement reproduces the Spark query's exact arithmetic recipe
+(decimal-exact aggregation, epoch-us timestamps, md5-family hashing,
+left-fold float accumulation) so the driver's value-hash compare matches
+bit-for-bit.  Tables are pre-registered views: region nation customer
+supplier part orders lineitem events documents embeddings.
+"""
+
+_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,4)) * "
+    "(CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))"
+)
+
+ORACLES: dict[str, str] = {
+    # ------------------------------------------------------------------
+    "tpch_q1_pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE), 3) AS sum_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE), 3) AS sum_base_price,
+  ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 3) AS sum_disc_price,
+  ROUND(CAST(SUM({_DISC_PRICE} * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DOUBLE), 3) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "tpch_q3_top_orders": f"""
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_day,
+  ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 3) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+    "tpch_q4_order_priority": """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48
+)
+GROUP BY o_orderpriority
+""",
+    "tpch_q5_region_revenue": f"""
+SELECT r_name, n_name,
+  ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 3) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY r_name, n_name
+""",
+    "tpch_q6_revenue_forecast": """
+SELECT
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE), 3) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+    "supplier_nation_revenue": f"""
+SELECT n_name, s_name,
+  ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 3) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, s_name
+""",
+    "top_customers_per_nation": """
+WITH ranked AS (
+  SELECT n_name, c_name, c_acctbal,
+    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name, rnk, c_name, c_acctbal FROM ranked WHERE rnk <= 3
+""",
+    "props_json_agg": """
+SELECT event_type,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""",
+    # ------------------------------------------------------------------
+    "toid_pack_roundtrip": """
+WITH t AS (
+  SELECT l_orderkey, l_linenumber,
+    (l_orderkey << 32) | ((CAST(l_linenumber AS BIGINT) & 1048575) << 12) | (l_suppkey & 4095) AS toid
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, toid,
+  toid >> 32 AS dec_ledger,
+  (toid >> 12) & 1048575 AS dec_tx,
+  toid & 4095 AS dec_op,
+  toid | (CAST(1 AS BIGINT) << 62) AS synthetic_offer_id,
+  (toid | (CAST(1 AS BIGINT) << 62)) >> 62 AS offer_id_type
+FROM t
+""",
+    "ledger_close_agg": """
+SELECT user_id,
+  COUNT(*) AS attempted_tx_count,
+  COUNT(CASE WHEN event_type <> 'error' THEN 1 END) AS successful_tx_count,
+  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS failed_tx_count,
+  CAST(SUM(CASE WHEN event_type IN ('purchase','click','view') THEN 1 ELSE 0 END) AS BIGINT) AS operation_count,
+  CAST(COUNT(*) AS VARCHAR) AS tx_set_operation_count,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(10,4))) AS DOUBLE), 3) AS total_value
+FROM events GROUP BY user_id
+""",
+    "change_compaction": """
+WITH ch AS (
+  SELECT event_id // 250 AS batch_id,
+    CAST(user_id AS VARCHAR) AS ledger_key,
+    CASE WHEN event_type = 'signup' THEN 0
+         WHEN event_type = 'error' THEN 2
+         ELSE 1 END AS change_type,
+    event_id, event_type, value
+  FROM events
+), agg AS (
+  SELECT batch_id, ledger_key,
+    max_by(event_id, event_id) AS last_event_id,
+    max_by(event_type, event_id) AS last_event_type,
+    max_by(value, event_id) AS last_value,
+    min_by(change_type, event_id) AS first_ct,
+    max_by(change_type, event_id) AS last_ct
+  FROM ch GROUP BY batch_id, ledger_key
+)
+SELECT batch_id, ledger_key, last_event_id, last_event_type, last_value,
+  CASE WHEN first_ct = 0 THEN 0 ELSE last_ct END AS effective_change_type,
+  (last_ct = 2) AS deleted
+FROM agg
+WHERE NOT (first_ct = 0 AND last_ct = 2)
+""",
+    "batch_windows_5min": """
+SELECT epoch_us(ts) // 300000000 AS bucket_id, event_type,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(10,4))) AS DOUBLE), 3) AS total_value
+FROM events GROUP BY 1, 2
+""",
+    "first_sighting_dedup": """
+WITH r AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id AS first_event_id, ts_us AS first_ts_us
+FROM r WHERE rn = 1
+""",
+    "time_to_sequence_range": """
+SELECT MIN(event_id) AS start_seq, MAX(event_id) AS end_seq, COUNT(*) AS n_ledgers
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+  AND event_id >= 2
+""",
+    # ------------------------------------------------------------------
+    "word_explode_counts": """
+SELECT word, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+""",
+    "token_stats": """
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_measured,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+FROM documents
+""",
+    "text_quality_score": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+s AS (
+  SELECT doc_id,
+    len(words) AS n_tokens,
+    len(list_distinct(words)) AS n_distinct,
+    len(list_filter(words, w -> list_contains(['the','a','of','and','to'], w))) AS stop
+  FROM t
+)
+SELECT doc_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  ROUND(CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS lexical_diversity,
+  ROUND(CAST(stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+  CAST(
+    (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1 ELSE 0 END)
+    + (CASE WHEN CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.3 THEN 1 ELSE 0 END)
+    + (CASE WHEN CAST(stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.01 THEN 1 ELSE 0 END)
+  AS BIGINT) AS quality_score
+FROM s
+""",
+    "language_id": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+s AS (
+  SELECT doc_id,
+    len(list_filter(words, w -> list_contains(['the','a','of','and','to'], w))) AS score_en,
+    len(list_filter(words, w -> list_contains(['el','la','de','que','y'], w))) AS score_es,
+    len(list_filter(words, w -> list_contains(['le','la','et','les','des'], w))) AS score_fr,
+    len(list_filter(words, w -> list_contains(['der','die','und','das','ein'], w))) AS score_de,
+    len(list_filter(words, w -> list_contains(['de5','shi4','le5','zai4','he2'], w))) AS score_zh
+  FROM t
+), b AS (
+  SELECT *, greatest(score_en, score_es, score_fr, score_de, score_zh) AS best FROM s
+)
+SELECT doc_id,
+  CASE WHEN best > 0 AND score_en = best THEN 'en'
+       WHEN best > 0 AND score_es = best THEN 'es'
+       WHEN best > 0 AND score_fr = best THEN 'fr'
+       WHEN best > 0 AND score_de = best THEN 'de'
+       WHEN best > 0 AND score_zh = best THEN 'zh'
+       ELSE 'und' END AS lang_pred,
+  CAST(best AS BIGINT) AS lang_score
+FROM b
+""",
+    "doc_fingerprint": """
+WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+s AS (
+  SELECT doc_id, text,
+    CASE WHEN len(words) >= 3
+      THEN list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                          FOR i IN generate_series(1, len(words) - 2)])
+      ELSE [] END AS sh
+  FROM w
+)
+SELECT doc_id, md5(text) AS content_md5,
+  list_min([md5(x) FOR x IN sh]) AS min_shingle_md5
+FROM s
+""",
+    "exact_dedup": """
+SELECT md5(text) AS content_md5, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+FROM documents GROUP BY md5(text)
+""",
+    "minhash_near_dup": """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3
+      THEN list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                          FOR i IN generate_series(1, len(words) - 2)])
+      ELSE [] END AS shingle_set
+  FROM docs
+),
+sig AS (
+  SELECT doc_id, shingle_set,
+    [list_min([md5(CAST(p AS VARCHAR) || '|' || s) FOR s IN shingle_set])
+     FOR p IN generate_series(0, 7)] AS ms
+  FROM sh WHERE len(shingle_set) > 0
+),
+banded AS (
+  SELECT doc_id, b AS band_id,
+    md5(concat_ws('|', b, ms[2*b + 1], ms[2*b + 2])) AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) AS bands(b)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b,
+  CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
+    / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE) AS jaccard
+FROM cand
+JOIN sh a ON a.doc_id = id_a
+JOIN sh b ON b.doc_id = id_b
+WHERE CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
+    / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE) >= 0.5
+""",
+    "simhash_fingerprint": """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+    list_reduce(
+      [strpos('0123456789abcdef', c) - 1 FOR c IN string_split(substr(md5(word), 1, 15), '')],
+      (a, b) -> a * 16 + b) AS h
+  FROM words
+),
+votes AS (
+  SELECT doc_id, bit,
+    SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+  FROM hashed, (SELECT unnest(generate_series(0, 15)) AS bit) AS bits(bit)
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN tally > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+""",
+    "knn_cosine_bruteforce": """
+WITH base AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id IN (0, 1, 2, 3, 4)),
+scored AS (
+  SELECT q.query_id, b.vec_id AS nbr_id,
+    ROUND(
+      list_reduce([qv[i] * v[i] FOR i IN generate_series(1, 64)], (a, b) -> a + b)
+      / (sqrt(list_reduce([qv[i] * qv[i] FOR i IN generate_series(1, 64)], (a, b) -> a + b))
+         * sqrt(list_reduce([v[i] * v[i] FOR i IN generate_series(1, 64)], (a, b) -> a + b))),
+      6) AS cosine_sim
+  FROM q, base b WHERE b.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, nbr_id, cosine_sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, nbr_id) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk, nbr_id, cosine_sim FROM ranked WHERE rnk <= 5
+""",
+    "embedding_label_centroids": """
+SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+  ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_val
+FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) AS dims(i)
+GROUP BY label, i
+""",
+}

@@ -1,0 +1,453 @@
+"""The engine's query registry — every entry here is exported through
+``__spark_entry__.queries()`` and hash-checked against a DuckDB oracle
+(``stellar_etl_spark.oracles``) by the driver.
+
+Cross-engine determinism rules used throughout (see tools/check_correctness.py):
+  - money/value aggregation happens in DECIMAL (exact, order-independent),
+    cast to DOUBLE only at the edge;
+  - timestamps are epoch-nanos longs (catalog.table) — ``ts div 1000`` is
+    DuckDB's ``epoch_us`` bit-for-bit;
+  - every float that survives non-exact arithmetic (cosines, averages of
+    doubles) is rounded to 6 digits on both sides;
+  - every computed column is aliased identically in Spark and SQL.
+
+Scale notes are on each query: what shuffles, what broadcasts, what would
+change at 100 TB (mostly: nothing — that's the point).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stellar_etl_spark.catalog import ns, table
+from stellar_etl_spark.functions.toid import (
+    decode_offer_id_type,
+    encode_offer_id,
+    toid,
+    toid_ledger,
+    toid_op,
+    toid_tx,
+)
+from stellar_etl_spark.operators.compaction import compact_changes
+from stellar_etl_spark.operators.dedup import exact_dedup, near_dup_pairs, simhash
+from stellar_etl_spark.operators.ranges import ledger_range_for_times
+from stellar_etl_spark.operators.similarity import (
+    cosine_topk,
+    label_centroids,
+    lsh_bucket_topk,
+)
+from stellar_etl_spark.operators.text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+
+
+def _dec(col, p: int = 12, s: int = 4):
+    return F.col(col).cast(f"decimal({p},{s})") if isinstance(col, str) else col.cast(
+        f"decimal({p},{s})"
+    )
+
+
+def _ntz(s: str):
+    """Timezone-free timestamp literal for TIMESTAMP_NTZ columns
+    (orders/lineitem are µs-precision parquet → NTZ under Spark 4 defaults;
+    events is ns-precision → long via nanosAsLong, handled with ns())."""
+    return F.lit(s + " 00:00:00").cast("timestamp_ntz")
+
+
+def _one():
+    # lazy: F.lit needs an active session (module may be imported before one)
+    return F.lit(1).cast("decimal(6,4)")
+
+
+def _dsum(expr):
+    # Decimal sums are exact in both engines, but DuckDB's int128-decimal →
+    # double cast can differ from Spark's by 1 ULP; round(3) absorbs it.
+    return F.round(F.sum(expr).cast("double"), 3)
+
+
+# --------------------------------------------------------------------------
+# Relational analytics (TPC-H-shaped; exercises scan/filter/join/agg/window)
+# --------------------------------------------------------------------------
+
+
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary. One scan → hash aggregate; the shipdate filter and the
+    column pruning both reach the parquet scan (verified via explain)."""
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= _ntz("2000-09-02")
+    )
+    disc_price = _dec("l_extendedprice") * (_one() - _dec("l_discount", 6, 4))
+    charge = disc_price * (_one() + _dec("l_tax", 6, 4))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(_dec("l_quantity")).alias("sum_qty"),
+        _dsum(_dec("l_extendedprice")).alias("sum_base_price"),
+        _dsum(disc_price).alias("sum_disc_price"),
+        _dsum(charge).alias("sum_charge"),
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_price"
+        ),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority style join: customer (dim, broadcast) ⨝ orders ⨝
+    lineitem, then top-10 by exact-decimal revenue."""
+    cust = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < _ntz("1998-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > _ntz("1998-01-01")
+    )
+    revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount", 6, 4))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(_dsum(revenue).alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_day"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semi-join: orders having any heavy lineitem. Left-semi keeps
+    the build side small; no row duplication, no distinct needed."""
+    orders = table(spark, sf_dir, "orders")
+    heavy = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 48)
+    return (
+        orders.join(heavy, orders.o_orderkey == heavy.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact lineitem ⨝ orders, then dim chain customer→nation→
+    region all broadcast — a single shuffle on the fact join key."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ntz("1996-01-01"))
+        & (F.col("o_orderdate") < _ntz("1998-01-01"))
+    )
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount", 6, 4))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(_dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def tpch_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar aggregate with a tight range predicate — everything pushes to
+    the scan; at 100 TB this reads only matching row groups."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ntz("1997-01-01"))
+        & (F.col("l_shipdate") < _ntz("1998-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        _dsum(_dec("l_extendedprice") * _dec("l_discount", 6, 4)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount", 6, 4))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "s_name")
+        .agg(_dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking partitioned by nation — bounded partitions, safe at any
+    scale (no global sort)."""
+    from pyspark.sql.window import Window
+
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("n_name", "rnk", "c_name", "c_acctbal")
+    )
+
+
+def props_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured details column (the reference's OperationDetails JSON
+    pattern, schema.go:137): extract + aggregate."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Stellar-semantics operators over the synthetic workload
+# --------------------------------------------------------------------------
+
+
+def toid_pack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOID pack/unpack + synthetic offer id as pure bit expressions
+    (toid/main.go:130-171, synt_offer_id.go:28-42)."""
+    li = table(spark, sf_dir, "lineitem")
+    packed = toid(
+        F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_suppkey").bitwiseAND(F.lit(4095))
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        packed.alias("toid"),
+        toid_ledger(packed).alias("dec_ledger"),
+        toid_tx(packed).alias("dec_tx"),
+        toid_op(packed).alias("dec_op"),
+        encode_offer_id(packed, toid_type=True).alias("synthetic_offer_id"),
+        decode_offer_id_type(encode_offer_id(packed, toid_type=True)).alias(
+            "offer_id_type"
+        ),
+    )
+
+
+def ledger_close_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extractCounts semantics (transform/ledger.go:120-153): per-group tx
+    counts with successful/failed split and the string-typed total quirk
+    (ledger.go:151)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("attempted_tx_count"),
+        F.count(F.when(F.col("event_type") != "error", 1)).alias("successful_tx_count"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("failed_tx_count"),
+        F.sum(
+            F.when(F.col("event_type").isin("purchase", "click", "view"), 1).otherwise(0)
+        ).alias("operation_count"),
+        F.count(F.lit(1)).cast("string").alias("tx_set_operation_count"),
+        _dsum(_dec("value", 10, 4)).alias("total_value"),
+    )
+
+
+def change_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChangeCompactor semantics (input/changes.go:104-151) applied to the
+    events stream: signup=create, error=remove, else update; 250-event
+    batches; last state per (batch, user) with create/remove annihilation."""
+    ev = table(spark, sf_dir, "events")
+    changes = ev.select(
+        F.expr("event_id div 250").alias("batch_id"),
+        F.col("user_id").cast("string").alias("ledger_key"),
+        F.col("event_id").alias("ledger_sequence"),
+        F.lit(0).alias("change_index"),
+        F.when(F.col("event_type") == "signup", 0)
+        .when(F.col("event_type") == "error", 2)
+        .otherwise(1)
+        .alias("change_type"),
+        F.col("event_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    out = compact_changes(changes)
+    return out.select(
+        "batch_id",
+        "ledger_key",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("effective_change_type"),
+        F.col("deleted"),
+    )
+
+
+def batch_windows_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute batch windows (the reference's 64-ledger ≈ 5 min
+    batch cadence, utils/main.go:269) as epoch-bucket aggregation."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.expr("(ts div 1000) div 300000000")
+    return ev.groupBy(
+        bucket.alias("bucket_id"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        _dsum(_dec("value", 10, 4)).alias("total_value"),
+    )
+
+
+def first_sighting_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """history_assets first-sighting dedup semantics (transform/asset.go:
+    downstream dedup): earliest record per key via min-struct hash aggregate
+    (no window sort — map-side combinable)."""
+    ev = table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.struct(F.col("ts"), F.col("event_id"))).alias("f")
+    )
+    return first.select(
+        "user_id",
+        "event_type",
+        F.col("f.event_id").alias("first_event_id"),
+        F.expr("f.ts div 1000").alias("first_ts_us"),
+    )
+
+
+def time_to_sequence_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetLedgerRange semantics (input/ledger_range.go:32-68): smallest id
+    range covering a time window; answered from min/max statistics."""
+    ev = table(spark, sf_dir, "events").withColumnRenamed("event_id", "sequence")
+    return ledger_range_for_times(
+        ev, ns("2024-01-10"), ns("2024-01-20"), seq_col="sequence", time_col="ts"
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis / dedup / similarity (training-data pipeline operators)
+# --------------------------------------------------------------------------
+
+
+def word_explode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N fan-out (the reference's tx→operations explode pattern,
+    input/operations.go:58-70) over document tokens."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("doc_id"), F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = token_stats(table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_chars_measured").cast("long").alias("n_chars_measured"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+    )
+
+
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = quality_score(table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "lexical_diversity",
+        "stopword_ratio",
+        F.col("quality_score").cast("long").alias("quality_score"),
+    )
+
+
+def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = language_id(table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "lang_pred", F.col("lang_score").cast("long").alias("lang_score")
+    )
+
+
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprint(table(spark, sf_dir, "documents"))
+
+
+def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH(4 bands × 2 rows) candidates, exact Jaccard ≥ 0.5
+    verification. The LSH band join is the only corpus-wide shuffle."""
+    return near_dup_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        num_perm=8,
+        bands=4,
+        rows_per_band=2,
+        threshold=0.5,
+    )
+
+
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(table(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
+
+
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(
+        table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
+    ).select("query_id", F.col("rank").cast("long").alias("rnk"), "nbr_id", "cosine_sim")
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = label_centroids(table(spark, sf_dir, "embeddings"))
+    return out.select(
+        "label", F.col("dim").cast("long").alias("dim"), "centroid_val"
+    )
+
+
+def ivf_knn_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via coarse partitions — the 100 TB scale path
+    (probes nprobe/ncells of the corpus). No SQL oracle: approximation
+    quality, not SQL semantics, is the contract (rows-only check)."""
+    return lsh_bucket_topk(
+        table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5, nprobe=3
+    ).select("query_id", F.col("rank").cast("long").alias("rnk"), "nbr_id", "cosine_sim")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
+    "tpch_q3_top_orders": tpch_q3_top_orders,
+    "tpch_q4_order_priority": tpch_q4_order_priority,
+    "tpch_q5_region_revenue": tpch_q5_region_revenue,
+    "tpch_q6_revenue_forecast": tpch_q6_revenue_forecast,
+    "supplier_nation_revenue": supplier_nation_revenue,
+    "top_customers_per_nation": top_customers_per_nation,
+    "props_json_agg": props_json_agg,
+    "toid_pack_roundtrip": toid_pack_roundtrip,
+    "ledger_close_agg": ledger_close_agg,
+    "change_compaction": change_compaction,
+    "batch_windows_5min": batch_windows_5min,
+    "first_sighting_dedup": first_sighting_dedup,
+    "time_to_sequence_range": time_to_sequence_range,
+    "word_explode_counts": word_explode_counts,
+    "token_stats": token_stats_q,
+    "text_quality_score": text_quality_q,
+    "language_id": language_id_q,
+    "doc_fingerprint": doc_fingerprint_q,
+    "exact_dedup": exact_dedup_q,
+    "minhash_near_dup": minhash_near_dup,
+    "simhash_fingerprint": simhash_fingerprint,
+    "knn_cosine_bruteforce": knn_cosine_bruteforce,
+    "embedding_label_centroids": embedding_label_centroids,
+    "ivf_knn_approx": ivf_knn_approx,
+}

@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for this engine.
+
+Scale stance: these settings are chosen so the same logical plans survive a
+1000-executor / 100 TB deployment — AQE handles runtime coalescing and skew
+joins, broadcast threshold keeps dimension joins shuffle-free, and Arrow makes
+the few pandas-UDF paths batch-vectorized.  Locally we run on ``local[N]``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults mirror the driver environment (local[32], 128 GiB single JVM).
+_DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "stellar-etl-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    - AQE on: runtime partition coalescing + skew-join splitting, so a plan
+      sized for sf0.1 locally re-sizes itself on a real cluster.
+    - Broadcast threshold 64 MB: TPC-H-style dims (region/nation/supplier/
+      part/customer) broadcast instead of shuffling the fact table.
+    - Arrow on: pandas-UDF paths (XDR decode, embedding kernels) move data in
+      columnar batches, not pickled rows.
+    """
+    cpus = cpus or _DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if SparkSession.getActiveSession() is None:
+        builder = builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
