@@ -1,0 +1,89 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the "noop" sink (full computation, no
+write cost, nothing materialized on the driver). Session startup is excluded;
+a warm-up query primes the JVM/codegen so numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders",
+    "tpch_q4_order_priority",
+    "tpch_q5_region_revenue",
+    "tpch_q6_revenue_forecast",
+    "supplier_nation_revenue",
+    "top_customers_per_nation",
+    "props_json_agg",
+    "toid_pack_roundtrip",
+    "ledger_close_agg",
+    "change_compaction",
+    "batch_windows_5min",
+    "first_sighting_dedup",
+    "word_explode_counts",
+    "token_stats",
+    "text_quality_score",
+    "language_id",
+    "doc_fingerprint",
+    "exact_dedup",
+    "minhash_near_dup",
+    "simhash_fingerprint",
+    "knn_cosine_bruteforce",
+    "embedding_label_centroids",
+    "ivf_knn_approx",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from stellar_etl_spark.queries import QUERIES
+    from stellar_etl_spark.session import get_spark
+
+    spark = get_spark("stellar-etl-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    run("tpch_q5_region_revenue")  # warm-up: JVM + codegen + parquet footers
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        times[name] = run(name)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -128,9 +128,15 @@ def near_dup_pairs(
     Jaccard is exact set overlap of distinct shingles — an integer ratio, so
     bit-identical across engines.
     """
+    from pyspark import StorageLevel
+
     with_sh = df.select(
         F.col(id_col), shingles(F.col(text_col), n).alias("shingle_set")
     ).withColumn("minhash_sig", minhash_signature(F.col("shingle_set"), num_perm))
+    # The signature subtree feeds 4 branches (both sides of the LSH self-join
+    # and both sides of the verify join); persist so shingling+md5 runs once.
+    # MEMORY_AND_DISK: spills instead of OOM at 100 TB-scale partitions.
+    with_sh = with_sh.persist(StorageLevel.MEMORY_AND_DISK)
 
     cands = minhash_lsh_candidates(
         with_sh, id_col, "minhash_sig", bands, rows_per_band
