@@ -10,7 +10,10 @@ from pyspark.sql import functions as F
 
 
 def _c(x) -> Column:
-    return x if isinstance(x, Column) else F.lit(x)
+    # standard PySpark convention: str → column name, else literal
+    if isinstance(x, Column):
+        return x
+    return F.col(x) if isinstance(x, str) else F.lit(x)
 
 
 def stroops_to_real(col) -> Column:

@@ -1,0 +1,192 @@
+"""Unit tests for the operator layer: change compaction (ChangeCompactor
+semantics, internal/input/changes.go:104-151), dedup family, text analysis,
+similarity search, and range lookup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stellar_etl_spark.operators.compaction import (
+    CREATED,
+    REMOVED,
+    UPDATED,
+    compact_changes,
+)
+from stellar_etl_spark.operators.dedup import (
+    exact_dedup,
+    near_dup_pairs,
+    simhash,
+)
+from stellar_etl_spark.operators.ranges import ledger_range_for_times
+from stellar_etl_spark.operators.similarity import cosine_topk, label_centroids
+from stellar_etl_spark.operators.text import language_id, quality_score, token_stats
+
+CHANGE_SCHEMA = (
+    "batch_id long, ledger_key string, ledger_sequence long, change_index long, "
+    "change_type int, payload string"
+)
+
+
+def _compact(spark, rows):
+    return {
+        r.ledger_key: r
+        for r in compact_changes(
+            spark.createDataFrame(rows, CHANGE_SCHEMA)
+        ).collect()
+    }
+
+
+class TestCompaction:
+    def test_last_state_wins(self, spark):
+        rows = [
+            (0, "k1", 10, 0, UPDATED, "v1"),
+            (0, "k1", 11, 0, UPDATED, "v2"),
+            (0, "k1", 11, 1, UPDATED, "v3"),
+        ]
+        out = _compact(spark, rows)
+        assert out["k1"].payload == "v3"
+        assert out["k1"].effective_change_type == UPDATED
+        assert not out["k1"].deleted
+
+    def test_create_then_update_stays_create(self, spark):
+        rows = [
+            (0, "k1", 10, 0, CREATED, "v1"),
+            (0, "k1", 11, 0, UPDATED, "v2"),
+        ]
+        out = _compact(spark, rows)
+        assert out["k1"].payload == "v2"
+        assert out["k1"].effective_change_type == CREATED
+
+    def test_create_then_remove_annihilates(self, spark):
+        rows = [
+            (0, "k1", 10, 0, CREATED, "v1"),
+            (0, "k1", 11, 0, REMOVED, "v1"),
+            (0, "k2", 10, 0, UPDATED, "w1"),
+        ]
+        out = _compact(spark, rows)
+        assert "k1" not in out
+        assert set(out) == {"k2"}
+
+    def test_update_then_remove_surfaces_deleted(self, spark):
+        rows = [
+            (0, "k1", 10, 0, UPDATED, "v1"),
+            (0, "k1", 11, 0, REMOVED, "v1"),
+        ]
+        out = _compact(spark, rows)
+        assert out["k1"].deleted
+        assert out["k1"].effective_change_type == REMOVED
+
+    def test_batches_independent(self, spark):
+        rows = [
+            (0, "k1", 10, 0, CREATED, "v1"),
+            (1, "k1", 100, 0, REMOVED, "v1"),  # different batch: no annihilation
+        ]
+        df = compact_changes(spark.createDataFrame(rows, CHANGE_SCHEMA))
+        got = {(r.batch_id, r.ledger_key): r for r in df.collect()}
+        assert (0, "k1") in got and (1, "k1") in got
+        assert got[(1, "k1")].deleted
+
+
+DOCS_SCHEMA = "doc_id long, text string"
+
+
+class TestDedup:
+    def test_exact_dedup_keeps_lowest_id(self, spark):
+        df = spark.createDataFrame(
+            [(3, "same text"), (1, "same text"), (2, "other text")], DOCS_SCHEMA
+        )
+        out = {r.doc_id: r.dup_count for r in exact_dedup(df, "doc_id", "text").collect()}
+        assert out == {1: 2, 2: 1}
+
+    def test_near_dup_finds_identical_and_skips_disjoint(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        df = spark.createDataFrame(
+            [
+                (1, base),
+                (2, base),  # identical → jaccard 1.0
+                (3, "completely different words about spark engines and planners"),
+            ],
+            DOCS_SCHEMA,
+        )
+        pairs = near_dup_pairs(df, "doc_id", "text", threshold=0.5).collect()
+        assert [(p.id_a, p.id_b, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
+
+    def test_simhash_identical_docs_equal_fingerprints(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zeta eta theta iota")],
+            DOCS_SCHEMA,
+        )
+        out = {r.doc_id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+        assert out[1] == out[2]
+        assert out[1] != out[3]
+
+
+class TestText:
+    def test_token_stats(self, spark):
+        df = spark.createDataFrame([(1, "a b b c")], DOCS_SCHEMA)
+        r = token_stats(df).collect()[0]
+        assert (r.n_chars_measured, r.n_tokens, r.n_distinct_tokens) == (7, 4, 3)
+
+    def test_language_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat and the dog"),
+                (2, "el perro y la casa de que y el gato"),
+                (3, "xyzzy plugh"),
+            ],
+            DOCS_SCHEMA,
+        )
+        out = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+        assert out == {1: "en", 2: "es", 3: "und"}
+
+    def test_quality_score_bounds(self, spark):
+        good = "the " + " ".join(f"word{i}" for i in range(30))
+        df = spark.createDataFrame([(1, good), (2, "tiny")], DOCS_SCHEMA)
+        out = {r.doc_id: r for r in quality_score(df).collect()}
+        assert out[1].quality_score == 3
+        assert out[2].quality_score <= 1
+
+
+EMB_SCHEMA = "vec_id long, label string, embedding array<double>"
+
+
+class TestSimilarity:
+    def test_cosine_topk_orders_by_similarity(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "a", [1.0, 0.0]),
+                (1, "a", [1.0, 0.01]),   # nearly parallel to 0
+                (2, "a", [0.0, 1.0]),    # orthogonal to 0
+                (3, "a", [-1.0, 0.0]),   # opposite to 0
+            ],
+            EMB_SCHEMA,
+        )
+        out = cosine_topk(df, query_ids=[0], k=3).collect()
+        assert [r.nbr_id for r in out] == [1, 2, 3]
+        assert out[0].cosine_sim > 0.99
+        assert out[1].cosine_sim == 0.0
+        assert out[2].cosine_sim == -1.0
+
+    def test_label_centroids(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a", [1.0, 3.0]), (1, "a", [3.0, 5.0]), (2, "b", [10.0, 0.0])],
+            EMB_SCHEMA,
+        )
+        out = {(r.label, r.dim): r.centroid_val for r in label_centroids(df).collect()}
+        assert out == {("a", 0): 2.0, ("a", 1): 4.0, ("b", 0): 10.0, ("b", 1): 0.0}
+
+
+class TestRanges:
+    def test_smallest_covering_range(self, spark):
+        rows = [(i, 1000 + 5 * i) for i in range(1, 20)]  # seq, closed_at
+        df = spark.createDataFrame(rows, "sequence long, closed_at long")
+        r = ledger_range_for_times(df, 1012, 1041, time_col="closed_at").collect()[0]
+        # seq 3 closes at 1015 (first ≥ 1012), seq 8 closes at 1040 (last ≤ 1041)
+        assert (r.start_seq, r.end_seq) == (3, 8)
+
+    def test_genesis_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0), (2, 10), (3, 15)], "sequence long, closed_at long"
+        )
+        r = ledger_range_for_times(df, 0, 100, time_col="closed_at").collect()[0]
+        assert r.start_seq == 2
