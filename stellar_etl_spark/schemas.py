@@ -1,0 +1,168 @@
+"""Explicit schema registry (no inference anywhere — the reference's schemas
+are code-defined Go structs, internal/transform/schema.go:13-657).
+
+DDL strings double as documentation of the FIXTURES.md input shapes; output
+schemas are implied by each transform's select list.  Widening conventions
+follow the reference's parquet twins (schema_parquet.go): uint32 → long,
+timestamps at µs/ms precision, big ints as strings.
+"""
+
+from __future__ import annotations
+
+# Asset triple used everywhere (asset.go:72-77): id = farmhash64(code+issuer+type)
+ASSET_DDL = "struct<asset_type:string, asset_code:string, asset_issuer:string>"
+
+LEDGERS_DDL = f"""
+    sequence long, ledger_hash string, previous_ledger_hash string,
+    ledger_header string, closed_at timestamp, total_coins long, fee_pool long,
+    base_fee long, base_reserve long, max_tx_set_size long, protocol_version long,
+    soroban_fee_write_1kb long, total_byte_size_of_bucket_list long,
+    node_id string, signature string
+"""
+
+TRANSACTIONS_DDL = """
+    ledger_sequence long, tx_index int, transaction_hash string,
+    source_account string, source_muxed string, account_sequence long,
+    max_fee long, fee_charged long, successful boolean, operation_count int,
+    memo_type string, memo string,
+    time_bounds_min long, time_bounds_max long,
+    ledger_bounds_min long, ledger_bounds_max long,
+    min_account_sequence long, min_sequence_age long, min_sequence_ledger_gap long,
+    extra_signers array<string>,
+    is_fee_bump boolean, fee_account string, inner_transaction_hash string,
+    new_max_fee long,
+    has_soroban boolean, resource_fee long, soroban_resources_instructions long,
+    soroban_resources_read_bytes long, soroban_resources_write_bytes long,
+    fee_refund long,
+    result_code string,
+    tx_envelope string, tx_result string, tx_meta string, tx_fee_meta string
+"""
+
+# Sparse per-type body struct (operation.go:584-1173 details switch); claim
+# atoms + changes ride along for trades/sponsorship (trade.go:21-162).
+OPERATIONS_DDL = f"""
+    ledger_sequence long, tx_index int, op_index int, type int,
+    source_account string, source_muxed string, tx_successful boolean,
+    result_code string, trace_code string,
+    body struct<
+        from:string, to:string, asset:{ASSET_DDL}, amount:long,
+        starting_balance:long, account:string,
+        offer_id:long, selling:{ASSET_DDL}, buying:{ASSET_DDL},
+        price_n:int, price_d:int,
+        send_asset:{ASSET_DDL}, send_max:long, dest_asset:{ASSET_DDL},
+        dest_amount:long, path:array<{ASSET_DDL}>,
+        line:{ASSET_DDL}, limit:long, trustor:string, authorize:boolean,
+        set_flags:array<int>, clear_flags:array<int>,
+        master_weight:int, low_threshold:int, med_threshold:int,
+        high_threshold:int, home_domain:string,
+        signer_key:string, signer_weight:int,
+        data_name:string, data_value:string, bump_to:long,
+        balance_id:string, claimants:array<struct<destination:string, predicate:string>>,
+        sponsored_id:string,
+        pool_id:string, max_amount_a:long, max_amount_b:long,
+        min_amount_a:long, min_amount_b:long, shares:long,
+        min_price_n:int, min_price_d:int, max_price_n:int, max_price_d:int,
+        fn_type:string, contract_id:string, args:array<string>, extend_to:long
+    >,
+    claim_atoms array<struct<
+        atom_type:string, seller_id:string, offer_id:long, pool_id:string,
+        asset_sold:{ASSET_DDL}, amount_sold:long,
+        asset_bought:{ASSET_DDL}, amount_bought:long
+    >>,
+    changes array<struct<
+        change_type:int,
+        pre:struct<offer_id:long, price_n:int, price_d:int, pool_fee:int,
+                   sponsor:string, account_id:string>,
+        post:struct<offer_id:long, price_n:int, price_d:int, pool_fee:int,
+                    sponsor:string, account_id:string>
+    >>
+"""
+
+_SIGNER_DDL = "array<struct<key:string, weight:int, sponsor:string>>"
+_LIAB_DDL = "struct<buying:long, selling:long>"
+
+CHANGES_DDL = f"""
+    ledger_sequence long, closed_at timestamp, entry_type string,
+    change_type int, change_index int, ledger_key string,
+    last_modified_ledger long, sponsor string,
+    pre struct<
+        account_id:string, balance:long, seq_num:long, num_subentries:int,
+        flags:int, home_domain:string, thresholds:array<int>,
+        signers:{_SIGNER_DDL}, liabilities:{_LIAB_DDL},
+        num_sponsored:int, num_sponsoring:int,
+        asset:{ASSET_DDL}, limit:long, pool_id:string,
+        seller_id:string, offer_id:long, selling:{ASSET_DDL}, buying:{ASSET_DDL},
+        amount:long, price_n:int, price_d:int,
+        fee:int, trustline_count:long, total_shares:long,
+        asset_a:{ASSET_DDL}, reserve_a:long, asset_b:{ASSET_DDL}, reserve_b:long,
+        balance_id:string, claimants:array<struct<destination:string, predicate:string>>,
+        contract_id:string, key_type:string, durability:string,
+        key_xdr:string, val_xdr:string,
+        code_hash:string, n_instructions:long, n_functions:long, n_globals:long,
+        n_data_segment_bytes:long,
+        key_hash:string, live_until_seq:long
+    >,
+    post struct<
+        account_id:string, balance:long, seq_num:long, num_subentries:int,
+        flags:int, home_domain:string, thresholds:array<int>,
+        signers:{_SIGNER_DDL}, liabilities:{_LIAB_DDL},
+        num_sponsored:int, num_sponsoring:int,
+        asset:{ASSET_DDL}, limit:long, pool_id:string,
+        seller_id:string, offer_id:long, selling:{ASSET_DDL}, buying:{ASSET_DDL},
+        amount:long, price_n:int, price_d:int,
+        fee:int, trustline_count:long, total_shares:long,
+        asset_a:{ASSET_DDL}, reserve_a:long, asset_b:{ASSET_DDL}, reserve_b:long,
+        balance_id:string, claimants:array<struct<destination:string, predicate:string>>,
+        contract_id:string, key_type:string, durability:string,
+        key_xdr:string, val_xdr:string,
+        code_hash:string, n_instructions:long, n_functions:long, n_globals:long,
+        n_data_segment_bytes:long,
+        key_hash:string, live_until_seq:long
+    >
+"""
+
+CONTRACT_EVENTS_DDL = """
+    ledger_sequence long, tx_index int, transaction_hash string,
+    tx_successful boolean, in_successful_contract_call boolean,
+    contract_id string, event_type string,
+    topics array<string>, data string,
+    sac_kind string, sac_from string, sac_to string, sac_amount long,
+    sac_asset string
+"""
+
+# Operation type strings (operation.go:103-166).
+OPERATION_TYPE_NAMES = {
+    0: "create_account",
+    1: "payment",
+    2: "path_payment_strict_receive",
+    3: "manage_sell_offer",
+    4: "create_passive_sell_offer",
+    5: "set_options",
+    6: "change_trust",
+    7: "allow_trust",
+    8: "account_merge",
+    9: "inflation",
+    10: "manage_data",
+    11: "bump_sequence",
+    12: "manage_buy_offer",
+    13: "path_payment_strict_send",
+    14: "create_claimable_balance",
+    15: "claim_claimable_balance",
+    16: "begin_sponsoring_future_reserves",
+    17: "end_sponsoring_future_reserves",
+    18: "revoke_sponsorship",
+    19: "clawback",
+    20: "clawback_claimable_balance",
+    21: "set_trust_line_flags",
+    22: "liquidity_pool_deposit",
+    23: "liquidity_pool_withdraw",
+    24: "invoke_host_function",
+    25: "extend_footprint_ttl",
+    26: "restore_footprint",
+}
+
+# The five trade-capable operation types (input/trades.go:89-104).
+TRADE_OP_TYPES = (2, 3, 4, 12, 13)
+
+# Payment-ish ops scanned for the assets table (input/assets.go:42).
+ASSET_OP_TYPES = (1, 3)

@@ -1,0 +1,309 @@
+"""State-entity family over ledger-entry changes (reference: internal/
+transform/{account,account_signer,trustline,offer,liquidity_pool,
+claimable_balance,contract_code,ttl}.go).
+
+Shared shape: ``extract_entry_from_change`` (utils/main.go:836-845) picks
+post for created/updated/state and pre for removed (deleted=true); each
+entity projection is then a narrow select over the typed entry struct.
+All functions expect the change rows ALREADY routed by entry_type
+(groupBy(entry_type) routing, cmd/export_ledger_entry_changes.go:116-259)
+and typically pre-compacted by operators.compaction.compact_changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stellar_etl_spark.functions.hashes import asset_id
+from stellar_etl_spark.functions.scalars import price_to_float, stroops_to_real
+
+REMOVED = 2
+
+
+def extract_entry_from_change(changes: DataFrame) -> DataFrame:
+    """Add ``entry`` (pre for removed, else post) and ``deleted`` columns
+    (utils/main.go:836-845)."""
+    return changes.withColumn(
+        "entry",
+        F.when(F.col("change_type") == REMOVED, F.col("pre")).otherwise(F.col("post")),
+    ).withColumn("deleted", F.col("change_type") == REMOVED)
+
+
+def _common(changes: DataFrame) -> list[Column]:
+    return [
+        F.col("ledger_sequence"),
+        F.col("closed_at"),
+        F.col("last_modified_ledger"),
+        F.col("ledger_key").alias("ledger_entry_key"),
+        F.col("sponsor"),
+        F.col("deleted"),
+    ]
+
+
+def _aid(asset: Column) -> Column:
+    return asset_id(
+        F.coalesce(asset["asset_code"], F.lit("")),
+        F.coalesce(asset["asset_issuer"], F.lit("")),
+        asset["asset_type"],
+    )
+
+
+def transform_account(changes: DataFrame) -> DataFrame:
+    """accounts table (account.go:13-112): balances and liabilities to real
+    units, thresholds unpacked from the 4-byte vector (account.go:72-75)."""
+    e = extract_entry_from_change(changes)
+    entry = F.col("entry")
+    return e.select(
+        entry["account_id"].alias("account_id"),
+        stroops_to_real(entry["balance"]).alias("balance"),
+        entry["seq_num"].alias("sequence_number"),
+        entry["num_subentries"].alias("num_subentries"),
+        entry["num_sponsored"].alias("num_sponsored"),
+        entry["num_sponsoring"].alias("num_sponsoring"),
+        entry["flags"].alias("flags"),
+        entry["home_domain"].alias("home_domain"),
+        F.element_at(entry["thresholds"], 1).alias("master_weight"),
+        F.element_at(entry["thresholds"], 2).alias("threshold_low"),
+        F.element_at(entry["thresholds"], 3).alias("threshold_medium"),
+        F.element_at(entry["thresholds"], 4).alias("threshold_high"),
+        stroops_to_real(F.coalesce(entry["liabilities"]["buying"], F.lit(0))).alias(
+            "buying_liabilities"
+        ),
+        stroops_to_real(F.coalesce(entry["liabilities"]["selling"], F.lit(0))).alias(
+            "selling_liabilities"
+        ),
+        *_common(e),
+    )
+
+
+def transform_signers(changes: DataFrame) -> DataFrame:
+    """account_signers fan-out (account_signer.go:14-55): explode the signer
+    array — previously sorted by weight (line 53) — keeping per-signer
+    sponsors.  ``sort_array`` on (weight, key) keeps deterministic order."""
+    e = extract_entry_from_change(changes)
+    sorted_signers = F.expr(
+        "array_sort(entry.signers, (l, r) -> "
+        "CASE WHEN l.weight < r.weight THEN -1 WHEN l.weight > r.weight THEN 1 "
+        "WHEN l.key < r.key THEN -1 WHEN l.key > r.key THEN 1 ELSE 0 END)"
+    )
+    return e.select(
+        F.col("entry")["account_id"].alias("account_id"),
+        F.posexplode(sorted_signers).alias("signer_order", "s"),
+        *_common(e),
+    ).select(
+        "account_id",
+        F.col("s")["key"].alias("signer"),
+        F.col("s")["weight"].alias("weight"),
+        F.col("s")["sponsor"].alias("signer_sponsor"),
+        "signer_order",
+        "ledger_sequence",
+        "closed_at",
+        "last_modified_ledger",
+        "ledger_entry_key",
+        "sponsor",
+        "deleted",
+    )
+
+
+def transform_trustline(changes: DataFrame) -> DataFrame:
+    """trust_lines (trustline.go:18-91): pool-share branch when pool_id is
+    set (lines 43-55); the asset id hashes the RAW type string — the
+    reference's quirk (trustline.go:57) — which our fixture asset_type
+    already is."""
+    e = extract_entry_from_change(changes)
+    entry = F.col("entry")
+    is_pool = entry["pool_id"].isNotNull()
+    return e.select(
+        entry["account_id"].alias("account_id"),
+        F.when(is_pool, F.lit("pool_share"))
+        .otherwise(entry["asset"]["asset_type"])
+        .alias("asset_type"),
+        F.when(~is_pool, entry["asset"]["asset_code"]).alias("asset_code"),
+        F.when(~is_pool, entry["asset"]["asset_issuer"]).alias("asset_issuer"),
+        F.when(~is_pool, _aid(entry["asset"])).alias("asset_id"),
+        entry["pool_id"].alias("liquidity_pool_id"),
+        stroops_to_real(entry["balance"]).alias("balance"),
+        stroops_to_real(entry["limit"]).alias("trust_line_limit"),
+        entry["flags"].alias("flags"),
+        stroops_to_real(F.coalesce(entry["liabilities"]["buying"], F.lit(0))).alias(
+            "buying_liabilities"
+        ),
+        stroops_to_real(F.coalesce(entry["liabilities"]["selling"], F.lit(0))).alias(
+            "selling_liabilities"
+        ),
+        *_common(e),
+    )
+
+
+def transform_offer(changes: DataFrame) -> DataFrame:
+    """offers (offer.go:13-103): price as float AND kept rational
+    (offer.go:49-66)."""
+    e = extract_entry_from_change(changes)
+    entry = F.col("entry")
+    return e.select(
+        entry["seller_id"].alias("seller_id"),
+        entry["offer_id"].alias("offer_id"),
+        entry["selling"]["asset_type"].alias("selling_asset_type"),
+        _aid(entry["selling"]).alias("selling_asset_id"),
+        entry["buying"]["asset_type"].alias("buying_asset_type"),
+        _aid(entry["buying"]).alias("buying_asset_id"),
+        stroops_to_real(entry["amount"]).alias("amount"),
+        entry["price_n"].alias("price_n"),
+        entry["price_d"].alias("price_d"),
+        price_to_float(entry["price_n"], entry["price_d"]).alias("price"),
+        entry["flags"].alias("flags"),
+        *_common(e),
+    )
+
+
+def transform_pool(changes: DataFrame) -> DataFrame:
+    """liquidity_pools (liquidity_pool.go:13-90): constant-product pools,
+    reserves to real units."""
+    e = extract_entry_from_change(changes)
+    entry = F.col("entry")
+    return e.select(
+        entry["pool_id"].alias("liquidity_pool_id"),
+        F.lit("constant_product").alias("type"),
+        entry["fee"].alias("fee"),
+        entry["trustline_count"].alias("trustline_count"),
+        stroops_to_real(entry["total_shares"]).alias("pool_share_count"),
+        entry["asset_a"]["asset_type"].alias("asset_a_type"),
+        _aid(entry["asset_a"]).alias("asset_a_id"),
+        stroops_to_real(entry["reserve_a"]).alias("asset_a_amount"),
+        entry["asset_b"]["asset_type"].alias("asset_b_type"),
+        _aid(entry["asset_b"]).alias("asset_b_id"),
+        stroops_to_real(entry["reserve_b"]).alias("asset_b_amount"),
+        *_common(e),
+    )
+
+
+def transform_claimable_balance(changes: DataFrame) -> DataFrame:
+    """claimable_balances (claimable_balance.go:24-77): claimants kept as a
+    nested array (schema.go:150,167-170)."""
+    e = extract_entry_from_change(changes)
+    entry = F.col("entry")
+    return e.select(
+        entry["balance_id"].alias("balance_id"),
+        entry["claimants"].alias("claimants"),
+        entry["asset"]["asset_type"].alias("asset_type"),
+        entry["asset"]["asset_code"].alias("asset_code"),
+        entry["asset"]["asset_issuer"].alias("asset_issuer"),
+        _aid(entry["asset"]).alias("asset_id"),
+        stroops_to_real(entry["amount"]).alias("asset_amount"),
+        entry["flags"].alias("flags"),
+        *_common(e),
+    )
+
+
+def transform_contract_code(changes: DataFrame) -> DataFrame:
+    """soroban_contract_code (contract_code.go:12-101) with wasm cost inputs
+    from ext V1 (lines 65-77)."""
+    e = extract_entry_from_change(changes)
+    entry = F.col("entry")
+    return e.select(
+        entry["code_hash"].alias("contract_code_hash"),
+        entry["n_instructions"].alias("n_instructions"),
+        entry["n_functions"].alias("n_functions"),
+        entry["n_globals"].alias("n_globals"),
+        entry["n_data_segment_bytes"].alias("n_data_segment_bytes"),
+        *_common(e),
+    )
+
+
+def transform_contract_data(changes: DataFrame) -> DataFrame:
+    """soroban_contract_data (contract_data.go:49-158): nonce-keyed entries
+    are dropped (lines 60-63); key/val ride as base64 XDR strings."""
+    e = extract_entry_from_change(changes)
+    entry = F.col("entry")
+    return e.where(
+        F.coalesce(entry["key_type"], F.lit(""))
+        != "ScValTypeScvLedgerKeyNonce"
+    ).select(
+        entry["contract_id"].alias("contract_id"),
+        entry["key_type"].alias("contract_key_type"),
+        entry["durability"].alias("contract_durability"),
+        entry["key_xdr"].alias("key_xdr"),
+        entry["val_xdr"].alias("val_xdr"),
+        *_common(e),
+    )
+
+
+def transform_ttl(changes: DataFrame) -> DataFrame:
+    """ttls (ttl.go:12-49) — trivial map."""
+    e = extract_entry_from_change(changes)
+    entry = F.col("entry")
+    return e.select(
+        entry["key_hash"].alias("key_hash"),
+        entry["live_until_seq"].alias("live_until_ledger_seq"),
+        *_common(e),
+    )
+
+
+_SIGNERLESS_FIELDS = (
+    "account_id balance seq_num num_subentries flags home_domain thresholds "
+    "liabilities num_sponsored num_sponsoring"
+).split()
+
+
+def _signerless(side: str) -> Column:
+    return F.struct(*[F.col(side)[f].alias(f) for f in _SIGNERLESS_FIELDS])
+
+
+def account_changed_except_signers(changes: DataFrame) -> DataFrame:
+    """Filter account changes to those that differ OUTSIDE the signer list
+    (cmd/export_ledger_entry_changes.go:123) — a struct comparison excluding
+    signer fields; null-safe so created/removed rows always pass."""
+    return changes.where(
+        (F.col("pre").isNull())
+        | (F.col("post").isNull())
+        | ~_signerless("pre").eqNullSafe(_signerless("post"))
+    )
+
+
+def account_signers_changed(changes: DataFrame) -> DataFrame:
+    """Filter to changes whose signer maps differ (utils/main.go:1031-1098);
+    sorted arrays make the comparison order-insensitive."""
+    sort = (
+        "array_sort({side}.signers, (l, r) -> "
+        "CASE WHEN l.key < r.key THEN -1 WHEN l.key > r.key THEN 1 ELSE 0 END)"
+    )
+    pre_s = F.expr(sort.format(side="pre"))
+    post_s = F.expr(sort.format(side="post"))
+    return changes.where(
+        (F.col("pre").isNull() & F.col("post")["signers"].isNotNull())
+        | (F.col("post").isNull() & F.col("pre")["signers"].isNotNull())
+        | ~pre_s.eqNullSafe(post_s)
+    )
+
+
+def route_changes(changes: DataFrame) -> dict[str, DataFrame]:
+    """Per-entity-type routing (export_ledger_entry_changes.go:116-259):
+    one filtered view per entity — Catalyst collapses each into a pruned
+    scan of the shared change log."""
+    routes = {
+        "accounts": transform_account,
+        "account_signers": transform_signers,
+        "trustlines": transform_trustline,
+        "offers": transform_offer,
+        "liquidity_pools": transform_pool,
+        "claimable_balances": transform_claimable_balance,
+        "contract_code": transform_contract_code,
+        "contract_data": transform_contract_data,
+        "ttls": transform_ttl,
+    }
+    type_of = {
+        "accounts": "account",
+        "account_signers": "account",
+        "trustlines": "trustline",
+        "offers": "offer",
+        "liquidity_pools": "liquidity_pool",
+        "claimable_balances": "claimable_balance",
+        "contract_code": "contract_code",
+        "contract_data": "contract_data",
+        "ttls": "ttl",
+    }
+    return {
+        name: fn(changes.where(F.col("entry_type") == type_of[name]))
+        for name, fn in routes.items()
+    }

@@ -1,0 +1,126 @@
+"""history_transactions projection (reference: internal/transform/
+transaction.go:20-275): memo switch, time/ledger-bounds interval strings,
+fee-bump fields, Soroban fee decomposition, pre-protocol-21 fee-bump fix.
+
+Everything is a single narrow select over the tx row joined (broadcast) to
+its ledger header for closed_at/protocol — no fan-out, no wide shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stellar_etl_spark.functions.scalars import interval_string
+from stellar_etl_spark.functions.toid import toid
+
+
+def transform_transaction(
+    transactions: DataFrame, ledgers: DataFrame, strict: bool = False
+) -> DataFrame:
+    """One output row per transaction.
+
+    - id = TOID(ledger, tx_index, 0) (toid/main.go:130-157)
+    - memo switch (transaction.go:74-89): memo_type 'none' clears the memo
+    - time bounds ``[min,max)``; max==0 → unbounded; max<min errors
+      (transaction.go:93-111)
+    - fee-bump surface: new_max_fee / fee_account / inner hash
+      (transaction.go:254-272)
+    - Soroban: for protocol<21 fee-bump+soroban txs the reported fee_charged
+      compensates the core bug by recomputing resource_fee − refund
+      (transaction.go:185-190)
+    """
+    hdr = ledgers.select(
+        F.col("sequence").alias("_seq"),
+        F.col("closed_at").alias("_closed_at"),
+        F.col("protocol_version").alias("_protocol"),
+    )
+
+    bad_bounds = (
+        F.col("time_bounds_max").isNotNull()
+        & (F.col("time_bounds_max") != 0)
+        & (F.col("time_bounds_max") < F.col("time_bounds_min"))
+    )
+
+    tx = transactions.withColumn(
+        "_bad_bounds",
+        F.when(
+            bad_bounds & F.lit(strict),
+            F.raise_error(F.lit("max time bound < min (transaction.go:93-104)")),
+        ).otherwise(bad_bounds),
+    ).where(~F.col("_bad_bounds"))
+
+    soroban_fix = (
+        (F.col("_protocol") < 21)
+        & F.col("is_fee_bump")
+        & F.col("has_soroban")
+    )
+
+    return tx.join(F.broadcast(hdr), tx.ledger_sequence == hdr._seq, "inner").select(
+        toid(F.col("ledger_sequence"), F.col("tx_index"), 0).alias("id"),
+        F.col("transaction_hash"),
+        F.col("ledger_sequence"),
+        F.col("tx_index").alias("application_order"),
+        F.col("source_account").alias("account"),
+        F.col("source_muxed").alias("account_muxed"),
+        F.col("account_sequence"),
+        F.col("max_fee"),
+        F.when(soroban_fix, F.col("resource_fee") - F.col("fee_refund"))
+        .otherwise(F.col("fee_charged"))
+        .alias("fee_charged"),
+        F.col("successful"),
+        F.col("operation_count"),
+        F.col("_closed_at").alias("closed_at"),
+        F.col("memo_type"),
+        F.when(F.col("memo_type") == "none", F.lit(None).cast("string"))
+        .otherwise(F.col("memo"))
+        .alias("memo"),
+        F.when(
+            F.col("time_bounds_min").isNotNull(),
+            interval_string(F.col("time_bounds_min"), F.col("time_bounds_max")),
+        ).alias("time_bounds"),
+        F.when(
+            F.col("ledger_bounds_min").isNotNull(),
+            interval_string(F.col("ledger_bounds_min"), F.col("ledger_bounds_max")),
+        ).alias("ledger_bounds"),
+        F.col("min_account_sequence"),
+        F.col("min_sequence_age"),
+        F.col("min_sequence_ledger_gap"),
+        F.col("extra_signers"),
+        F.col("is_fee_bump").alias("inner_transaction_present"),
+        F.when(F.col("is_fee_bump"), F.col("inner_transaction_hash")).alias(
+            "inner_transaction_hash"
+        ),
+        F.when(F.col("is_fee_bump"), F.col("fee_account")).alias("fee_account"),
+        F.when(F.col("is_fee_bump"), F.col("new_max_fee")).alias("new_max_fee"),
+        F.col("has_soroban").alias("soroban"),
+        F.when(F.col("has_soroban"), F.col("resource_fee")).alias("resource_fee"),
+        F.when(F.col("has_soroban"), F.col("soroban_resources_instructions")).alias(
+            "soroban_resources_instructions"
+        ),
+        F.when(F.col("has_soroban"), F.col("soroban_resources_read_bytes")).alias(
+            "soroban_resources_read_bytes"
+        ),
+        F.when(F.col("has_soroban"), F.col("soroban_resources_write_bytes")).alias(
+            "soroban_resources_write_bytes"
+        ),
+        F.col("result_code"),
+        F.col("tx_envelope"),
+        F.col("tx_result"),
+        F.col("tx_meta"),
+        F.col("tx_fee_meta"),
+    )
+
+
+def transform_ledger_transaction(transactions: DataFrame) -> DataFrame:
+    """Raw-XDR passthrough table (ledger_transaction.go:13-58) — narrow
+    projection, no decode of operations (column pruning does the work)."""
+    return transactions.select(
+        F.col("ledger_sequence"),
+        F.col("tx_index").alias("application_order"),
+        F.col("transaction_hash"),
+        F.col("tx_envelope"),
+        F.col("tx_result"),
+        F.col("tx_meta"),
+        F.col("tx_fee_meta"),
+    )

@@ -1,0 +1,394 @@
+"""Hand-built fixture rows for the stellar transforms, mirroring the
+reference's table-driven test style (internal/transform/*_test.go with shared
+values in test_variables_test.go).  Deterministic, tiny, schema-exact
+(FIXTURES.md shapes via stellar_etl_spark.schemas DDL)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from stellar_etl_spark.schemas import (
+    CHANGES_DDL,
+    CONTRACT_EVENTS_DDL,
+    LEDGERS_DDL,
+    OPERATIONS_DDL,
+    TRANSACTIONS_DDL,
+)
+
+EPOCH = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+ACCOUNT_A = "GAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+ACCOUNT_B = "GBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBB"
+ACCOUNT_C = "GCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCC"
+
+NATIVE = ("native", None, None)
+USD = ("credit_alphanum4", "USD", ACCOUNT_B)
+EUR = ("credit_alphanum4", "EUR", ACCOUNT_C)
+
+
+def _ledger(seq, protocol=20, total_coins=10**12, fee_pool=100):
+    return (
+        seq,
+        f"{seq:064x}",
+        f"{seq - 1:064x}",
+        "aGVhZGVy",  # b64("header")
+        EPOCH + dt.timedelta(seconds=5 * (seq - 2)),
+        total_coins,
+        fee_pool,
+        100,
+        5_000_000,
+        1000,
+        protocol,
+        0,
+        0,
+        ACCOUNT_A,
+        "c2ln",
+    )
+
+
+def ledgers_df(spark):
+    rows = [
+        _ledger(2),
+        _ledger(3),
+        _ledger(4, protocol=19),  # pre-21 for the fee-bump fix branch
+        _ledger(5, total_coins=-1),  # invalid: dropped / strict-error
+    ]
+    return spark.createDataFrame(rows, LEDGERS_DDL)
+
+
+def _tx(seq, idx, successful=True, op_count=1, **kw):
+    base = dict(
+        ledger_sequence=seq,
+        tx_index=idx,
+        transaction_hash=f"{seq:04x}{idx:060x}",
+        source_account=ACCOUNT_A,
+        source_muxed=None,
+        account_sequence=100 + idx,
+        max_fee=1000,
+        fee_charged=100,
+        successful=successful,
+        operation_count=op_count,
+        memo_type="none",
+        memo=None,
+        time_bounds_min=None,
+        time_bounds_max=None,
+        ledger_bounds_min=None,
+        ledger_bounds_max=None,
+        min_account_sequence=None,
+        min_sequence_age=None,
+        min_sequence_ledger_gap=None,
+        extra_signers=[],
+        is_fee_bump=False,
+        fee_account=None,
+        inner_transaction_hash=None,
+        new_max_fee=None,
+        has_soroban=False,
+        resource_fee=None,
+        soroban_resources_instructions=None,
+        soroban_resources_read_bytes=None,
+        soroban_resources_write_bytes=None,
+        fee_refund=None,
+        result_code="TransactionResultCodeTxSuccess",
+        tx_envelope="ZW52",
+        tx_result="cmVz",
+        tx_meta="bWV0YQ==",
+        tx_fee_meta="ZmVl",
+    )
+    base.update(kw)
+    return base
+
+
+def transactions_df(spark):
+    rows = [
+        _tx(2, 1, memo_type="text", memo="hello"),
+        _tx(2, 2, successful=False, op_count=2),
+        _tx(2, 3, time_bounds_min=10, time_bounds_max=0),  # unbounded max
+        _tx(3, 1, time_bounds_min=5, time_bounds_max=50, ledger_bounds_min=2,
+            ledger_bounds_max=9),
+        _tx(3, 2, memo_type="none", memo="SHOULD_BE_CLEARED"),
+        _tx(3, 3, time_bounds_min=90, time_bounds_max=10),  # invalid bounds
+        # protocol<21 fee-bump + soroban: fee recompute (transaction.go:185-190)
+        _tx(4, 1, is_fee_bump=True, fee_account=ACCOUNT_B,
+            inner_transaction_hash="ab" * 32, new_max_fee=5000,
+            has_soroban=True, resource_fee=900, fee_refund=150,
+            soroban_resources_instructions=7, soroban_resources_read_bytes=11,
+            soroban_resources_write_bytes=13, fee_charged=999),
+    ]
+    return spark.createDataFrame(rows, TRANSACTIONS_DDL)
+
+
+def _body(**kw):
+    """Sparse body struct — unset fields become None."""
+    fields = dict.fromkeys(
+        (
+            "from_",
+            "to",
+            "asset",
+            "amount",
+            "starting_balance",
+            "account",
+            "offer_id",
+            "selling",
+            "buying",
+            "price_n",
+            "price_d",
+            "send_asset",
+            "send_max",
+            "dest_asset",
+            "dest_amount",
+            "path",
+            "line",
+            "limit",
+            "trustor",
+            "authorize",
+            "set_flags",
+            "clear_flags",
+            "master_weight",
+            "low_threshold",
+            "med_threshold",
+            "high_threshold",
+            "home_domain",
+            "signer_key",
+            "signer_weight",
+            "data_name",
+            "data_value",
+            "bump_to",
+            "balance_id",
+            "claimants",
+            "sponsored_id",
+            "pool_id",
+            "max_amount_a",
+            "max_amount_b",
+            "min_amount_a",
+            "min_amount_b",
+            "shares",
+            "min_price_n",
+            "min_price_d",
+            "max_price_n",
+            "max_price_d",
+            "fn_type",
+            "contract_id",
+            "args",
+            "extend_to",
+        )
+    )
+    fields.update(kw)
+    fields["from"] = fields.pop("from_")
+    # struct field order must match OPERATIONS_DDL's body declaration
+    order = (
+        "from to asset amount starting_balance account offer_id selling buying "
+        "price_n price_d send_asset send_max dest_asset dest_amount path line "
+        "limit trustor authorize set_flags clear_flags master_weight "
+        "low_threshold med_threshold high_threshold home_domain signer_key "
+        "signer_weight data_name data_value bump_to balance_id claimants "
+        "sponsored_id pool_id max_amount_a max_amount_b min_amount_a "
+        "min_amount_b shares min_price_n min_price_d max_price_n max_price_d "
+        "fn_type contract_id args extend_to"
+    ).split()
+    return tuple(fields[k] for k in order)
+
+
+def _op(seq, tx, op, type_, body, successful=True, source=None, atoms=None,
+        changes=None):
+    return (
+        seq,
+        tx,
+        op,
+        type_,
+        source,
+        None,
+        successful,
+        "OperationResultCodeOpInner",
+        "success",
+        body,
+        atoms or [],
+        changes or [],
+    )
+
+
+def _change(change_type, pre_offer=None, post_sponsor=None, pool_fee=None):
+    pre = (
+        (pre_offer[0], pre_offer[1], pre_offer[2], pool_fee, None, None)
+        if pre_offer
+        else ((None, None, None, pool_fee, None, None) if pool_fee else None)
+    )
+    post = (None, None, None, None, post_sponsor, None) if post_sponsor else None
+    return (change_type, pre, post)
+
+
+def operations_df(spark):
+    rows = [
+        # payment A→B of 15 USD (type 1)
+        _op(2, 1, 0, 1, _body(from_=ACCOUNT_A, to=ACCOUNT_B, asset=USD,
+                              amount=150_000_000)),
+        # payment native, op-level source override
+        _op(2, 1, 1, 1, _body(from_=ACCOUNT_C, to=ACCOUNT_A, asset=NATIVE,
+                              amount=5_000_000), source=ACCOUNT_C),
+        # create_account (type 0)
+        _op(2, 3, 0, 0, _body(account=ACCOUNT_C, starting_balance=20_000_000)),
+        # manage_sell_offer (type 3) with a trade: two claim atoms, one 0/0
+        _op(
+            3, 1, 0, 3,
+            _body(offer_id=77, selling=USD, buying=NATIVE, price_n=1, price_d=2,
+                  amount=100_000_000),
+            atoms=[
+                ("offer", ACCOUNT_B, 42, None, USD, 60_000_000, NATIVE, 30_000_000),
+                ("offer", ACCOUNT_B, 42, None, USD, 0, NATIVE, 0),  # skipped
+            ],
+            changes=[_change(1, pre_offer=(42, 1, 2)),
+                     _change(1, post_sponsor=ACCOUNT_C)],
+        ),
+        # path_payment_strict_send (type 13) LP trade
+        _op(
+            3, 2, 0, 13,
+            _body(from_=ACCOUNT_A, to=ACCOUNT_B, send_asset=USD,
+                  send_max=10_000_000, dest_asset=NATIVE, dest_amount=9_000_000,
+                  asset=NATIVE, amount=9_000_000),
+            atoms=[("lp", None, None, "POOL1", USD, 10_000_000, NATIVE, 9_000_000)],
+            changes=[_change(1, pool_fee=30)],
+        ),
+        # change_trust create (type 6)
+        _op(3, 1, 1, 6, _body(line=EUR, limit=500_000_000)),
+        # change_trust remove
+        _op(3, 1, 2, 6, _body(line=EUR, limit=0)),
+        # set_options: thresholds + signer add (type 5)
+        _op(3, 2, 1, 5, _body(master_weight=1, low_threshold=1, med_threshold=2,
+                              high_threshold=3, signer_key=ACCOUNT_B,
+                              signer_weight=10)),
+        # account_merge (type 8)
+        _op(4, 1, 0, 8, _body(to=ACCOUNT_B, amount=70_000_000)),
+        # manage_data create (type 10)
+        _op(4, 1, 1, 10, _body(data_name="k", data_value="djE=")),
+        # bump_sequence (type 11)
+        _op(4, 1, 2, 11, _body(bump_to=999)),
+        # create_claimable_balance with 2 claimants (type 14)
+        _op(4, 1, 3, 14, _body(balance_id="00bal", amount=30_000_000,
+                               claimants=[(ACCOUNT_B, "{}"), (ACCOUNT_C, "{}")])),
+        # trade op on FAILED tx — must emit no trades/effects
+        _op(
+            3, 3, 0, 3,
+            _body(offer_id=90, selling=USD, buying=NATIVE, price_n=1, price_d=1,
+                  amount=1),
+            successful=False,
+            atoms=[("offer", ACCOUNT_B, 90, None, USD, 1, NATIVE, 1)],
+        ),
+    ]
+    return spark.createDataFrame(rows, OPERATIONS_DDL)
+
+
+_ENTRY_FIELDS = (
+    "account_id balance seq_num num_subentries flags home_domain thresholds "
+    "signers liabilities num_sponsored num_sponsoring asset limit pool_id "
+    "seller_id offer_id selling buying amount price_n price_d fee "
+    "trustline_count total_shares asset_a reserve_a asset_b reserve_b "
+    "balance_id claimants contract_id key_type durability key_xdr val_xdr "
+    "code_hash n_instructions n_functions n_globals n_data_segment_bytes "
+    "key_hash live_until_seq"
+).split()
+
+
+def _entry(**kw):
+    fields = dict.fromkeys(_ENTRY_FIELDS)
+    fields.update(kw)
+    return tuple(fields[k] for k in _ENTRY_FIELDS)
+
+
+def _chrow(seq, entry_type, change_type, idx, key, pre=None, post=None,
+           sponsor=None):
+    return (
+        seq,
+        EPOCH + dt.timedelta(seconds=5 * (seq - 2)),
+        entry_type,
+        change_type,
+        idx,
+        key,
+        seq,
+        sponsor,
+        pre,
+        post,
+    )
+
+
+ACCOUNT_ENTRY = _entry(
+    account_id=ACCOUNT_A,
+    balance=250_000_000,
+    seq_num=12345,
+    num_subentries=2,
+    flags=1,
+    home_domain="example.com",
+    thresholds=[1, 0, 2, 3],
+    signers=[(ACCOUNT_B, 20, None), (ACCOUNT_C, 5, ACCOUNT_B)],
+    liabilities=(10_000_000, 5_000_000),
+    num_sponsored=0,
+    num_sponsoring=1,
+)
+
+
+def changes_df(spark):
+    rows = [
+        # account updated (signers present, sorted check)
+        _chrow(2, "account", 1, 0, "acctA", post=ACCOUNT_ENTRY),
+        # account removed → pre + deleted
+        _chrow(3, "account", 2, 0, "acctB",
+               pre=_entry(account_id=ACCOUNT_B, balance=1_000_000, seq_num=1,
+                          num_subentries=0, flags=0, thresholds=[1, 0, 0, 0],
+                          signers=[], liabilities=(0, 0))),
+        # trustline with asset
+        _chrow(2, "trustline", 0, 1, "tlA",
+               post=_entry(account_id=ACCOUNT_A, asset=USD, balance=70_000_000,
+                           limit=1_000_000_000, flags=1, liabilities=(0, 0))),
+        # pool-share trustline (pool_id set)
+        _chrow(2, "trustline", 1, 2, "tlB",
+               post=_entry(account_id=ACCOUNT_B, pool_id="POOL1",
+                           balance=30_000_000, limit=900_000_000, flags=1,
+                           liabilities=(0, 0))),
+        # offer
+        _chrow(3, "offer", 0, 0, "off1",
+               post=_entry(seller_id=ACCOUNT_B, offer_id=42, selling=USD,
+                           buying=NATIVE, amount=80_000_000, price_n=1,
+                           price_d=4, flags=0)),
+        # liquidity pool
+        _chrow(3, "liquidity_pool", 1, 1, "lp1",
+               post=_entry(pool_id="POOL1", fee=30, trustline_count=2,
+                           total_shares=50_000_000, asset_a=USD,
+                           reserve_a=100_000_000, asset_b=NATIVE,
+                           reserve_b=200_000_000)),
+        # claimable balance
+        _chrow(3, "claimable_balance", 0, 2, "cb1",
+               post=_entry(balance_id="00bal", asset=USD, amount=30_000_000,
+                           claimants=[(ACCOUNT_B, "{}")], flags=0)),
+        # contract data (one nonce row that must be dropped)
+        _chrow(4, "contract_data", 0, 0, "cd1",
+               post=_entry(contract_id="C1", key_type="ScValTypeScvSymbol",
+                           durability="persistent", key_xdr="a2V5",
+                           val_xdr="dmFs")),
+        _chrow(4, "contract_data", 0, 1, "cd2",
+               post=_entry(contract_id="C1",
+                           key_type="ScValTypeScvLedgerKeyNonce",
+                           durability="temporary", key_xdr="bm9uY2U=",
+                           val_xdr="MA==")),
+        # contract code
+        _chrow(4, "contract_code", 0, 2, "cc1",
+               post=_entry(code_hash="ff" * 32, n_instructions=100,
+                           n_functions=5, n_globals=2,
+                           n_data_segment_bytes=64)),
+        # ttl
+        _chrow(4, "ttl", 1, 3, "ttl1",
+               post=_entry(key_hash="aa" * 32, live_until_seq=999)),
+    ]
+    return spark.createDataFrame(rows, CHANGES_DDL)
+
+
+def contract_events_df(spark):
+    rows = [
+        (5, 1, "e1" * 32, True, True, "CCONTRACT1", "contract",
+         ["dG9waWMx"], "ZGF0YQ==", "transfer", ACCOUNT_A, ACCOUNT_B,
+         40_000_000, "USD:GB"),
+        (5, 1, "e1" * 32, True, True, "CCONTRACT1", "diagnostic",
+         ["ZGlhZw=="], "eA==", None, None, None, None, None),
+        (5, 2, "e2" * 32, True, True, "CCONTRACT1", "contract",
+         ["bWludA=="], "eQ==", "mint", None, ACCOUNT_C, 10_000_000, "USD:GB"),
+        (5, 3, "e3" * 32, False, False, "CCONTRACT1", "contract",
+         ["YnVybg=="], "eg==", "burn", ACCOUNT_A, None, 5_000_000, "USD:GB"),
+    ]
+    return spark.createDataFrame(rows, CONTRACT_EVENTS_DDL)

@@ -1,0 +1,380 @@
+"""Table-driven tests for the stellar transforms (reference test model:
+internal/transform/*_test.go — hand-built inputs, exact expected fields)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+import fixtures as fx
+from stellar_etl_spark.functions.hashes import farmhash_fingerprint64, fnv64a
+from stellar_etl_spark.transforms import (
+    transform_account,
+    transform_asset,
+    transform_claimable_balance,
+    transform_contract_code,
+    transform_contract_events,
+    transform_effects,
+    transform_ledger,
+    transform_offer,
+    transform_offer_normalized,
+    transform_operation,
+    transform_pool,
+    transform_signers,
+    transform_token_transfer,
+    transform_trade,
+    transform_transaction,
+    transform_trustline,
+    transform_ttl,
+)
+from stellar_etl_spark.transforms.changes import (
+    account_changed_except_signers,
+    account_signers_changed,
+    route_changes,
+    transform_contract_data,
+)
+from stellar_etl_spark.transforms.transaction import transform_ledger_transaction
+
+USD_ID = farmhash_fingerprint64("USD" + fx.ACCOUNT_B + "credit_alphanum4")
+NATIVE_ID = -5706705804583548011
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    return {
+        "ledgers": fx.ledgers_df(spark),
+        "transactions": fx.transactions_df(spark),
+        "operations": fx.operations_df(spark),
+        "changes": fx.changes_df(spark),
+        "contract_events": fx.contract_events_df(spark),
+    }
+
+
+class TestLedger:
+    def test_counts_and_ids(self, data):
+        out = {
+            r.sequence: r
+            for r in transform_ledger(data["ledgers"], data["transactions"]).collect()
+        }
+        # invalid ledger 5 dropped (negative total_coins)
+        assert set(out) == {2, 3, 4}
+        l2 = out[2]
+        assert l2.id == 2 << 32
+        # ledger 2: tx1 ok(1 op), tx2 failed(2 ops), tx3 ok(1 op)
+        assert l2.successful_transaction_count == 2
+        assert l2.failed_transaction_count == 1
+        assert l2.transaction_count == 2
+        assert l2.operation_count == 2  # successful txs only
+        assert l2.tx_set_operation_count == "4"  # ALL ops, as string
+        assert isinstance(l2.tx_set_operation_count, str)
+
+    def test_strict_raises(self, data, spark):
+        with pytest.raises(Exception, match="negative"):
+            transform_ledger(data["ledgers"], data["transactions"], strict=True).collect()
+
+
+class TestTransaction:
+    def test_projection(self, data):
+        out = {
+            (r.ledger_sequence, r.application_order): r
+            for r in transform_transaction(
+                data["transactions"], data["ledgers"]
+            ).collect()
+        }
+        # invalid bounds row (3,3) dropped
+        assert (3, 3) not in out
+        t = out[(2, 1)]
+        assert t.id == (2 << 32) | (1 << 12)
+        assert t.memo == "hello" and t.memo_type == "text"
+        # memo cleared for type none
+        assert out[(3, 2)].memo is None
+        # unbounded max: [10,)
+        assert out[(2, 3)].time_bounds == "[10,)"
+        assert out[(3, 1)].time_bounds == "[5,50)"
+        assert out[(3, 1)].ledger_bounds == "[2,9)"
+
+    def test_pre_p21_feebump_soroban_fix(self, data):
+        out = {
+            (r.ledger_sequence, r.application_order): r
+            for r in transform_transaction(
+                data["transactions"], data["ledgers"]
+            ).collect()
+        }
+        fb = out[(4, 1)]
+        # protocol 19 < 21: fee recomputed as resource_fee - refund, not 999
+        assert fb.fee_charged == 900 - 150
+        assert fb.fee_account == fx.ACCOUNT_B
+        assert fb.new_max_fee == 5000
+        assert fb.resource_fee == 900
+
+    def test_ledger_transaction_passthrough(self, data):
+        row = transform_ledger_transaction(data["transactions"]).collect()[0]
+        assert row.tx_envelope == "ZW52" and row.tx_meta == "bWV0YQ=="
+
+
+class TestOperation:
+    def test_ids_types_details(self, data):
+        out = {
+            r.id: r
+            for r in transform_operation(
+                data["operations"], data["transactions"]
+            ).collect()
+        }
+        pay_id = (2 << 32) | (1 << 12) | 1  # op_index 0 → +1 offset
+        p = out[pay_id]
+        assert p.type_string == "payment"
+        assert p.transaction_id == (2 << 32) | (1 << 12)
+        d = json.loads(p.details_json)
+        assert d["amount"] == 15.0
+        assert d["asset_asset_id"] == USD_ID
+        assert d["to"] == fx.ACCOUNT_B
+        # default source = tx source; override respected
+        assert p.source_account == fx.ACCOUNT_A
+        assert out[pay_id + 1].source_account == fx.ACCOUNT_C
+        # native asset id constant
+        d2 = json.loads(out[pay_id + 1].details_json)
+        assert d2["asset_asset_id"] == NATIVE_ID
+        assert "asset_asset_code" not in d2  # native has no code/issuer
+
+    def test_sponsor_from_changes(self, data):
+        out = {
+            r.id: r
+            for r in transform_operation(
+                data["operations"], data["transactions"]
+            ).collect()
+        }
+        mso = out[(3 << 32) | (1 << 12) | 1]
+        assert mso.sponsor == fx.ACCOUNT_C
+        assert json.loads(mso.details_json)["price"] == 0.5
+
+
+class TestTrade:
+    def test_atoms(self, data):
+        trades = transform_trade(data["operations"], data["ledgers"]).collect()
+        # 2 valid atoms total: the 0/0 atom skipped, failed-tx op gated out
+        assert len(trades) == 2
+        offer = next(t for t in trades if not t.selling_liquidity_pool)
+        assert offer.selling_account_address == fx.ACCOUNT_B
+        assert offer.selling_asset_id == USD_ID
+        assert offer.buying_asset_id == NATIVE_ID
+        assert offer.selling_amount == 6.0 and offer.buying_amount == 3.0
+        # price from matching pre-change of offer 42
+        assert (offer.price_n, offer.price_d) == (1, 2)
+        assert offer.selling_offer_id == 42
+        # synthetic buying offer id: TOID-typed bit 62
+        op_id = (3 << 32) | (1 << 12) | 1
+        assert offer.buying_offer_id == op_id | (1 << 62)
+
+    def test_lp_trade(self, data):
+        trades = transform_trade(data["operations"], data["ledgers"]).collect()
+        lp = next(t for t in trades if t.selling_liquidity_pool)
+        assert lp.liquidity_pool_id == "POOL1"
+        assert lp.liquidity_pool_fee == 30
+        assert lp.selling_account_address is None
+        # LP price = bought/sold amounts (trade.go:85-114)
+        assert (lp.price_n, lp.price_d) == (9_000_000, 10_000_000)
+
+
+class TestAsset:
+    def test_sightings_and_first(self, data):
+        s = transform_asset(data["operations"]).collect()
+        # 3 payments (2 ok + none failed payment) + 2 manage_sell_offer
+        assert {r.asset_id for r in s} >= {USD_ID, NATIVE_ID}
+        first = transform_asset(data["operations"], first_sighting=True)
+        rows = {r.asset_id: r for r in first.collect()}
+        assert len(rows) == len({r.asset_id for r in s})
+        assert rows[USD_ID].asset_code == "USD"
+
+
+class TestChangesFamily:
+    def test_account(self, data):
+        out = {r.account_id: r for r in transform_account(
+            data["changes"].where("entry_type = 'account'")).collect()}
+        a = out[fx.ACCOUNT_A]
+        assert a.balance == 25.0
+        assert (a.master_weight, a.threshold_low, a.threshold_medium,
+                a.threshold_high) == (1, 0, 2, 3)
+        assert a.buying_liabilities == 1.0 and a.selling_liabilities == 0.5
+        assert not a.deleted
+        # removed account comes from pre with deleted=true
+        assert out[fx.ACCOUNT_B].deleted
+
+    def test_signers_sorted_by_weight(self, data):
+        rows = transform_signers(
+            data["changes"].where("entry_type = 'account' and change_type = 1")
+        ).collect()
+        assert [(r.signer, r.weight) for r in rows] == [
+            (fx.ACCOUNT_C, 5),
+            (fx.ACCOUNT_B, 20),
+        ]
+        assert rows[0].signer_sponsor == fx.ACCOUNT_B
+
+    def test_trustline_pool_share_branch(self, data):
+        out = {r.account_id: r for r in transform_trustline(
+            data["changes"].where("entry_type = 'trustline'")).collect()}
+        usd = out[fx.ACCOUNT_A]
+        assert usd.asset_type == "credit_alphanum4" and usd.asset_id == USD_ID
+        assert usd.balance == 7.0 and usd.trust_line_limit == 100.0
+        pool = out[fx.ACCOUNT_B]
+        assert pool.asset_type == "pool_share"
+        assert pool.asset_id is None and pool.liquidity_pool_id == "POOL1"
+
+    def test_offer_pool_cb_ttl_code(self, data):
+        offer = transform_offer(
+            data["changes"].where("entry_type = 'offer'")).collect()[0]
+        assert offer.price == 0.25 and offer.amount == 8.0
+        pool = transform_pool(
+            data["changes"].where("entry_type = 'liquidity_pool'")).collect()[0]
+        assert pool.asset_a_amount == 10.0 and pool.asset_b_id == NATIVE_ID
+        cb = transform_claimable_balance(
+            data["changes"].where("entry_type = 'claimable_balance'")).collect()[0]
+        assert cb.asset_amount == 3.0 and cb.claimants[0].destination == fx.ACCOUNT_B
+        ttl = transform_ttl(
+            data["changes"].where("entry_type = 'ttl'")).collect()[0]
+        assert ttl.live_until_ledger_seq == 999
+        code = transform_contract_code(
+            data["changes"].where("entry_type = 'contract_code'")).collect()[0]
+        assert code.n_instructions == 100
+
+    def test_contract_data_nonce_filter(self, data):
+        rows = transform_contract_data(
+            data["changes"].where("entry_type = 'contract_data'")).collect()
+        assert len(rows) == 1
+        assert rows[0].contract_key_type == "ScValTypeScvSymbol"
+
+    def test_route_covers_all_entities(self, data):
+        routed = route_changes(data["changes"])
+        assert set(routed) == {
+            "accounts", "account_signers", "trustlines", "offers",
+            "liquidity_pools", "claimable_balances", "contract_code",
+            "contract_data", "ttls",
+        }
+        for df in routed.values():
+            assert df.count() >= 1
+
+    def test_signer_change_filters(self, spark):
+        from stellar_etl_spark.schemas import CHANGES_DDL
+
+        entry_sig = lambda signers: fx._entry(  # noqa: E731
+            account_id=fx.ACCOUNT_A, balance=100, seq_num=1, num_subentries=0,
+            flags=0, thresholds=[1, 0, 0, 0], signers=signers,
+            liabilities=(0, 0))
+        rows = [
+            # signer-only change: same account fields, different signers
+            fx._chrow(2, "account", 1, 0, "k1",
+                      pre=entry_sig([(fx.ACCOUNT_B, 1, None)]),
+                      post=entry_sig([(fx.ACCOUNT_B, 2, None)])),
+            # balance change, signers identical
+            (lambda p: fx._chrow(2, "account", 1, 1, "k2", pre=p,
+                                 post=fx._entry(
+                                     account_id=fx.ACCOUNT_A, balance=999,
+                                     seq_num=1, num_subentries=0, flags=0,
+                                     thresholds=[1, 0, 0, 0],
+                                     signers=[(fx.ACCOUNT_B, 1, None)],
+                                     liabilities=(0, 0))))(
+                entry_sig([(fx.ACCOUNT_B, 1, None)])),
+        ]
+        df = spark.createDataFrame(rows, CHANGES_DDL)
+        keys = lambda d: {r.ledger_key for r in d.collect()}  # noqa: E731
+        assert keys(account_signers_changed(df)) == {"k1"}
+        assert keys(account_changed_except_signers(df)) == {"k2"}
+
+
+class TestEffects:
+    def _by_op(self, data):
+        rows = transform_effects(data["operations"], data["transactions"]).collect()
+        by_op: dict[int, list] = {}
+        for r in rows:
+            by_op.setdefault(r.operation_id, []).append(r)
+        for v in by_op.values():
+            v.sort(key=lambda r: r["index"])
+        return by_op
+
+    def test_payment_effects(self, data):
+        by_op = self._by_op(data)
+        pay = by_op[(2 << 32) | (1 << 12) | 1]
+        assert [e.type_string for e in pay] == ["account_credited", "account_debited"]
+        assert pay[0].address == fx.ACCOUNT_B
+        assert pay[0].id == f"{(2 << 32) | (1 << 12) | 1}-0"
+        assert json.loads(pay[0].details_json)["amount"] == 15.0
+
+    def test_create_account_effects(self, data):
+        by_op = self._by_op(data)
+        ca = by_op[(2 << 32) | (3 << 12) | 1]
+        assert [e.type_string for e in ca] == [
+            "account_created", "account_debited", "signer_created",
+        ]
+        assert json.loads(ca[0].details_json)["starting_balance"] == 2.0
+
+    def test_trustline_and_claimable_effects(self, data):
+        by_op = self._by_op(data)
+        created = by_op[(3 << 32) | (1 << 12) | 2]
+        removed = by_op[(3 << 32) | (1 << 12) | 3]
+        assert created[0].type_string == "trustline_created"
+        assert removed[0].type_string == "trustline_removed"
+        cb = by_op[(4 << 32) | (1 << 12) | 4]
+        assert [e.type_string for e in cb] == [
+            "claimable_balance_created",
+            "claimable_balance_claimant_created",
+            "claimable_balance_claimant_created",
+        ]
+        assert cb[1].address == fx.ACCOUNT_B and cb[2].address == fx.ACCOUNT_C
+
+    def test_set_options_composite(self, data):
+        by_op = self._by_op(data)
+        so = by_op[(3 << 32) | (2 << 12) | 2]
+        assert [e.type_string for e in so] == [
+            "account_thresholds_updated", "signer_created",
+        ]
+
+    def test_failed_tx_emits_nothing(self, data):
+        by_op = self._by_op(data)
+        assert (3 << 32) | (3 << 12) | 1 not in by_op
+
+
+class TestStarSchema:
+    def test_offer_normalized(self, spark, data):
+        from pyspark.sql import functions as F
+
+        offers = (
+            data["changes"]
+            .where("entry_type = 'offer'")
+            .select(
+                "ledger_sequence",
+                F.col("post.seller_id").alias("seller_id"),
+                F.col("post.offer_id").alias("offer_id"),
+                F.col("post.selling").alias("selling"),
+                F.col("post.buying").alias("buying"),
+                F.col("post.amount").alias("amount"),
+                F.col("post.price_n").alias("price_n"),
+                F.col("post.price_d").alias("price_d"),
+            )
+        )
+        star = transform_offer_normalized(offers)
+        markets = star["dim_markets"].collect()
+        assert len(markets) == 1
+        # sorted pair: "USD:GB..." vs "native:" — lexicographic order
+        pair = sorted([f"USD:{fx.ACCOUNT_B}", "native:"])
+        assert markets[0].market_id == fnv64a(f"{pair[0]}/{pair[1]}")
+        accounts = star["dim_accounts"].collect()
+        assert accounts[0].account_id == fnv64a(fx.ACCOUNT_B)
+        assert star["fact_offer_events"].count() == 1
+
+
+class TestContractEvents:
+    def test_diagnostic_filtered(self, data):
+        rows = transform_contract_events(data["contract_events"]).collect()
+        assert all(r.type_string == "contract" for r in rows)
+        assert len(rows) == 3
+
+    def test_token_transfer_classification(self, data):
+        rows = {r.event_type: r for r in
+                transform_token_transfer(data["contract_events"]).collect()}
+        # burn row is on a failed call → excluded
+        assert set(rows) == {"transfer", "mint"}
+        t = rows["transfer"]
+        assert t["from"] == fx.ACCOUNT_A and t.to == fx.ACCOUNT_B
+        assert t.amount == 4.0 and t.amount_raw == "40000000"
+        m = rows["mint"]
+        assert m["from"] is None and m.to == fx.ACCOUNT_C
