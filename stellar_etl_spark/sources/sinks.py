@@ -1,0 +1,77 @@
+"""Export sinks (reference: cmd/command_utils.go).
+
+- JSONL writer (``ExportEntry``, command_utils.go:55-87) with ``--extra-fields``
+  literals
+- Parquet writer (``WriteParquet``, command_utils.go:162-180) — the widening
+  conversions live in the transforms' schemas, not here
+- batch naming ``{start}-{end}-{type}`` (command_utils.go:105-111) as
+  partitioned output directories
+- transform stats (``PrintTransformStats``, command_utils.go:90-103)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _with_extras(df: DataFrame, extra_fields: dict[str, object] | None) -> DataFrame:
+    for k, v in (extra_fields or {}).items():
+        df = df.withColumn(k, F.lit(v))
+    return df
+
+
+def export_jsonl(
+    df: DataFrame, path: str, extra_fields: dict[str, object] | None = None
+) -> None:
+    """Newline-delimited JSON, one object per row.  ignoreNullFields=False
+    matches the reference's explicit nulls (command_utils.go:56-66 keeps
+    int64-safe values; Spark writes longs as JSON numbers losslessly)."""
+    _with_extras(df, extra_fields).write.mode("overwrite").option(
+        "ignoreNullFields", "false"
+    ).json(path)
+
+
+def export_parquet(
+    df: DataFrame, path: str, extra_fields: dict[str, object] | None = None
+) -> None:
+    _with_extras(df, extra_fields).write.mode("overwrite").parquet(path)
+
+
+def batch_dir_name(start: int, end: int, entity: str) -> str:
+    """"{start}-{end}-{type}" batch naming (command_utils.go:105-111 uses
+    the closed range end = last ledger in batch)."""
+    return f"{start}-{end}-{entity}"
+
+
+def export_batches(
+    df: DataFrame,
+    out_dir: str,
+    entity: str,
+    batch_col: str = "batch_id",
+    fmt: str = "json",
+) -> None:
+    """One output directory per batch id, all written in ONE distributed job
+    via ``partitionBy`` (no driver-side loop over batches)."""
+    writer = (
+        df.withColumn("_batch", F.col(batch_col))
+        .write.mode("overwrite")
+        .partitionBy("_batch")
+    )
+    path = os.path.join(out_dir, entity)
+    writer.json(path) if fmt == "json" else writer.parquet(path)
+
+
+def transform_stats(attempted: DataFrame, successful: DataFrame) -> dict[str, int]:
+    """attempted/successful/failed counts (command_utils.go:90-103); two
+    cheap count jobs — at scale these are metadata-only when the DataFrames
+    are cached or parquet-backed."""
+    n_att = attempted.count()
+    n_ok = successful.count()
+    return {
+        "attempted": n_att,
+        "successful": n_ok,
+        "failed": n_att - n_ok,
+    }
