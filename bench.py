@@ -42,6 +42,13 @@ BENCH_QUERIES = [
     "knn_cosine_bruteforce",
     "embedding_label_centroids",
     "ivf_knn_approx",
+    "rollup_revenue",
+    "dormant_customers",
+    "media_byte_features",
+    "media_frame_sample",
+    "bpe_token_stats",
+    "rolling_fingerprint",
+    "embedding_near_dup",
 ]
 
 

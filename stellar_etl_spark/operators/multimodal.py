@@ -1,0 +1,127 @@
+"""Multimodal (binary) column operators for training-data pipelines.
+
+Pattern: media ride as opaque ``binary`` payloads with a typed metadata
+struct; per-item compute (decode / feature-extract / resize / frame-sample)
+runs as Arrow-batched pandas iterators over ``mapInPandas`` — the same shape
+used for XDR decode in sources.bronze.  The actual image/audio codecs are NOT
+in this container, so the codec step is a clearly-marked stub
+(``decode_image``/``decode_audio`` raise NotImplementedError unless the lib
+is importable); everything Spark-side — schema, batching, partitioning, the
+1→N frame fan-out — is real and tested with deterministic byte-level
+features.
+
+Scale shape: all operators are per-row/narrow (no shuffle); frame sampling
+fans out via ``posexplode`` exactly like the reference's tx→operations
+explode (input/operations.go:58-70).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FRAME_BYTES = 64
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, payload binary, "
+    "meta struct<n_bytes:long, checksum_md5:string, source:string>"
+)
+
+
+def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents → media table: payload = utf-8 bytes of the text (the
+    deterministic stand-in for an image/audio blob), typed metadata struct."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        F.col("doc_id"),
+        F.lit("application/octet-stream").alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+            F.md5(payload).alias("checksum_md5"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(media: DataFrame):
+    """Image decode → height/width/channels + pixel tensor.  STUB: requires
+    an imaging library not present in this environment."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "image decode requires PIL/pillow (not available in this "
+            "container); the binary plumbing path is media_byte_features / "
+            "frame_sample"
+        ) from exc
+    raise NotImplementedError("wire PIL.Image.open over mapInPandas batches")
+
+
+def decode_audio(media: DataFrame):
+    """Audio decode → sample rate / waveform.  STUB (no codec lib here)."""
+    raise NotImplementedError(
+        "audio decode requires soundfile/librosa (not available); use "
+        "media_byte_features for the tested plumbing path"
+    )
+
+
+def media_byte_features(media: DataFrame) -> DataFrame:
+    """Deterministic per-payload byte features via mapInPandas — the
+    feature-extraction slot where a real model/codec would plug in.
+
+    Features: n_bytes, first_byte, byte_sum (mod 2^31-1), checksum_md5.
+    Arrow moves the binary column in batches; the loop is per-payload numpy,
+    not per-byte Python.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "doc_id long, n_bytes long, first_byte long, byte_sum long, "
+        "checksum_md5 string"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            arrs = [np.frombuffer(p, dtype=np.uint8) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(a) for a in arrs],
+                    "first_byte": [int(a[0]) if len(a) else None for a in arrs],
+                    "byte_sum": [
+                        int(a.sum(dtype=np.int64)) % 2147483647 for a in arrs
+                    ],
+                    "checksum_md5": [hashlib.md5(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(extract, schema=out_schema)
+
+
+def frame_sample(
+    media: DataFrame, frame_bytes: int = FRAME_BYTES, every_nth: int = 1
+) -> DataFrame:
+    """Fixed-size frame sampling over the payload: 1→N fan-out to
+    (doc_id, frame_idx, frame_md5) keeping every ``every_nth`` frame.
+
+    Pure column expressions: ``sequence`` + ``transform`` + ``posexplode`` —
+    JVM-side, no UDF, partition-parallel at any corpus size.
+    """
+    n_frames = F.ceil(F.octet_length("payload") / F.lit(frame_bytes)).cast("int")
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.md5(
+            F.substring(F.col("payload"), i * frame_bytes + 1, F.lit(frame_bytes))
+        ),
+    )
+    return (
+        media.select("doc_id", F.posexplode(frames).alias("frame_idx", "frame_md5"))
+        .where((F.col("frame_idx") % every_nth) == 0)
+    )

@@ -162,3 +162,41 @@ def lsh_bucket_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "nbr_id", "cosine_sim")
     )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    threshold: float = 0.99,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by the coarse cell
+    (label) — the standard scale recipe: candidates only form inside a
+    cell, so the self-join shuffles each cell once instead of computing
+    the corpus cross product.  At 100 TB the cell id comes from a coarse
+    quantizer (see lsh_bucket_topk); the join shape is identical."""
+    base = embeddings.select(
+        F.col(label_col).alias("cell"),
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    a = base.select(
+        F.col("cell"), F.col(id_col).alias("id_a"), F.col("v").alias("va")
+    )
+    b = base.select(
+        F.col("cell"), F.col(id_col).alias("id_b"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), round_digits).alias(
+                "cosine_sim"
+            ),
+        )
+        .where(F.col("cosine_sim") >= F.lit(threshold))
+    )

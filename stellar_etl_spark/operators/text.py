@@ -101,3 +101,45 @@ def doc_fingerprint(
             F.transform(shingles(F.col(text_col), n), lambda s: F.md5(s))
         ).alias("min_shingle_md5"),
     )
+
+
+BPE_PATTERN = r"(\w+|[^\w\s])"
+
+
+def bpe_token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """BPE-ish subword-boundary tokenization: words and punctuation become
+    separate tokens (the GPT-2-style pre-tokenizer regex, simplified to an
+    engine-portable class).  ``regexp_extract_all`` is JVM-side; identical
+    semantics in DuckDB's RE2."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 1)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe_tokens"),
+        F.size(F.filter(toks, lambda t: ~t.rlike("^\\w+$"))).alias("n_punct_tokens"),
+    )
+
+
+ROLLING_MOD = 2147483647  # 2^31-1; keeps the fold overflow-free under ANSI
+
+
+def rolling_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Polynomial rolling hash h = (h*31 + byte) mod (2^31-1) over the text —
+    a deterministic left fold (``aggregate``), the classic Rabin-Karp
+    document fingerprint.  Pure column expressions, order-defined on both
+    engines."""
+    codes = F.transform(F.split(F.col(text_col), ""), lambda c: F.ascii(c))
+    fold = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % ROLLING_MOD,
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        fold.alias("rolling_hash"),
+    )

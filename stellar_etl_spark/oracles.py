@@ -323,4 +323,83 @@ SELECT label, CAST(i - 1 AS BIGINT) AS dim,
 FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) AS dims(i)
 GROUP BY label, i
 """,
+    "rollup_revenue": f"""
+SELECT r_name, n_name,
+  ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 3) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    "dormant_customers": """
+SELECT n_name, COUNT(*) AS n_dormant,
+  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 3) AS dormant_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY n_name
+""",
+    # ASCII corpus (verified in tests): byte ops over encode(text) equal the
+    # char-level recipe below bit-for-bit.
+    "media_byte_features": """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(ascii(text) AS BIGINT) AS first_byte,
+  CAST(list_reduce(
+    list_append(list_transform(split(text, ''), c -> ascii(c)), 0),
+    (acc, x) -> acc + x) % 2147483647 AS BIGINT) AS byte_sum,
+  md5(text) AS checksum_md5
+FROM documents
+""",
+    "media_frame_sample": """
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+  md5(substring(text, CAST(i AS BIGINT) * 64 + 1, 64)) AS frame_md5
+FROM documents,
+  LATERAL (SELECT unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS i) f
+WHERE i % 2 = 0
+""",
+    "bpe_token_stats": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\w+|[^\w\s]') AS ts FROM documents
+)
+SELECT doc_id,
+  CAST(len(ts) AS INT) AS n_bpe_tokens,
+  CAST(len(list_distinct(ts)) AS INT) AS n_distinct_bpe_tokens,
+  CAST(len(list_filter(ts, t -> NOT regexp_matches(t, '^\w+$'))) AS INT)
+    AS n_punct_tokens
+FROM toks
+""",
+    "rolling_fingerprint": """
+SELECT doc_id,
+  CAST(length(text) AS INT) AS n_chars,
+  CAST(list_reduce(
+    list_append(list_transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)), 0),
+    (acc, x) -> CASE WHEN x = 0 THEN acc ELSE (acc * 31 + x) % 2147483647 END
+  ) AS BIGINT) AS rolling_hash
+FROM documents
+""",
+    "embedding_near_dup": """
+WITH base AS (
+  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(
+    list_reduce([a.v[i] * b.v[i] FOR i IN generate_series(1, 64)], (x, y) -> x + y)
+    / (sqrt(list_reduce([a.v[i] * a.v[i] FOR i IN generate_series(1, 64)], (x, y) -> x + y))
+       * sqrt(list_reduce([b.v[i] * b.v[i] FOR i IN generate_series(1, 64)], (x, y) -> x + y))),
+    6) AS cosine_sim
+FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(
+    list_reduce([a.v[i] * b.v[i] FOR i IN generate_series(1, 64)], (x, y) -> x + y)
+    / (sqrt(list_reduce([a.v[i] * a.v[i] FOR i IN generate_series(1, 64)], (x, y) -> x + y))
+       * sqrt(list_reduce([b.v[i] * b.v[i] FOR i IN generate_series(1, 64)], (x, y) -> x + y))),
+    6) >= 0.42
+""",
 }

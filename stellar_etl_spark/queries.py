@@ -39,10 +39,13 @@ from stellar_etl_spark.operators.similarity import (
     label_centroids,
     lsh_bucket_topk,
 )
+from stellar_etl_spark.operators.similarity import embedding_near_dup_pairs
 from stellar_etl_spark.operators.text import (
+    bpe_token_stats,
     doc_fingerprint,
     language_id,
     quality_score,
+    rolling_fingerprint,
     token_stats,
 )
 
@@ -424,6 +427,77 @@ def ivf_knn_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", F.col("rank").cast("long").alias("rnk"), "nbr_id", "cosine_sim")
 
 
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (region → nation → grand total) — Spark's native
+    ROLLUP; partial aggregation keeps the extra grouping sets cheap."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount", 6, 4))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(_dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join: customers with no orders since 1998,
+    counted per nation. Anti-join build side is the filtered orders scan."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    recent = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= _ntz("1998-01-01")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_dormant"),
+            _dsum(_dec("c_acctbal", 12, 2)).alias("dormant_balance"),
+        )
+    )
+
+
+def media_byte_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload + Arrow-batched pandas feature
+    extraction (operators/multimodal.py) — the mapInPandas slot where a real
+    codec/model plugs in."""
+    from stellar_etl_spark.operators.multimodal import attach_media, media_byte_features
+
+    media = attach_media(table(spark, sf_dir, "documents"))
+    return media_byte_features(media)
+
+
+def media_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary frame sampling 1→N fan-out: every 2nd 64-byte frame per doc."""
+    from stellar_etl_spark.operators.multimodal import attach_media, frame_sample
+
+    media = attach_media(table(spark, sf_dir, "documents"))
+    return frame_sample(media, frame_bytes=64, every_nth=2)
+
+
+def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_token_stats(table(spark, sf_dir, "documents"))
+
+
+def rolling_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_fingerprint(table(spark, sf_dir, "documents"))
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by coarse cell (label)."""
+    return embedding_near_dup_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=0.42
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "tpch_q3_top_orders": tpch_q3_top_orders,
@@ -450,4 +524,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine_bruteforce": knn_cosine_bruteforce,
     "embedding_label_centroids": embedding_label_centroids,
     "ivf_knn_approx": ivf_knn_approx,
+    "rollup_revenue": rollup_revenue,
+    "dormant_customers": dormant_customers,
+    "media_byte_features": media_byte_features_q,
+    "media_frame_sample": media_frame_sample_q,
+    "bpe_token_stats": bpe_token_stats_q,
+    "rolling_fingerprint": rolling_fingerprint_q,
+    "embedding_near_dup": embedding_near_dup,
 }
