@@ -51,11 +51,17 @@ def cosine_topk(
     no corpus shuffle.  Rank window partitions by query (bounded cardinality).
     """
     qids = query_ids or [0, 1, 2]
+    # norms are precomputed once per row, not once per pair — the dot product
+    # is then the only per-pair fold
     corpus = embeddings.select(
         F.col(id_col).alias("nbr_id"), _as_double(F.col(vec_col)).alias("nbr_vec")
-    )
-    queries = embeddings.where(F.col(id_col).isin(qids)).select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    ).withColumn("nbr_norm", norm(F.col("nbr_vec")))
+    queries = (
+        embeddings.where(F.col(id_col).isin(qids))
+        .select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+        )
+        .withColumn("q_norm", norm(F.col("q_vec")))
     )
     scored = (
         F.broadcast(queries)
@@ -64,9 +70,11 @@ def cosine_topk(
         .select(
             "query_id",
             "nbr_id",
-            F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), round_digits).alias(
-                "cosine_sim"
-            ),
+            F.round(
+                dot(F.col("q_vec"), F.col("nbr_vec"))
+                / (F.col("q_norm") * F.col("nbr_norm")),
+                round_digits,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -125,8 +133,12 @@ def lsh_bucket_topk(
         F.col(label_col).alias("cell"),
         F.transform("pairs", lambda p: p["centroid_val"]).alias("cell_vec"),
     )
-    queries = embeddings.where(F.col(id_col).isin(qids)).select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    queries = (
+        embeddings.where(F.col(id_col).isin(qids))
+        .select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+        )
+        .withColumn("q_norm", norm(F.col("q_vec")))
     )
     probe_w = Window.partitionBy("query_id").orderBy(
         F.desc("cell_sim"), F.asc("cell")
@@ -137,18 +149,19 @@ def lsh_bucket_topk(
         .select(
             "query_id",
             "q_vec",
+            "q_norm",
             "cell",
             cosine(F.col("q_vec"), F.col("cell_vec")).alias("cell_sim"),
         )
         .withColumn("probe_rank", F.row_number().over(probe_w))
         .where(F.col("probe_rank") <= nprobe)
-        .select("query_id", "q_vec", "cell")
+        .select("query_id", "q_vec", "q_norm", "cell")
     )
     corpus = embeddings.select(
         F.col(id_col).alias("nbr_id"),
         F.col(label_col).alias("cell"),
         _as_double(F.col(vec_col)).alias("nbr_vec"),
-    )
+    ).withColumn("nbr_norm", norm(F.col("nbr_vec")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("nbr_id"))
     return (
         probes.join(corpus, "cell")
@@ -156,7 +169,11 @@ def lsh_bucket_topk(
         .select(
             "query_id",
             "nbr_id",
-            F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("nbr_vec"))
+                / (F.col("q_norm") * F.col("nbr_norm")),
+                6,
+            ).alias("cosine_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -181,12 +198,14 @@ def embedding_near_dup_pairs(
         F.col(label_col).alias("cell"),
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("v"),
-    )
+    ).withColumn("n", norm(F.col("v")))  # once per row, not per pair
     a = base.select(
-        F.col("cell"), F.col(id_col).alias("id_a"), F.col("v").alias("va")
+        F.col("cell"), F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"),
     )
     b = base.select(
-        F.col("cell"), F.col(id_col).alias("id_b"), F.col("v").alias("vb")
+        F.col("cell"), F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
     )
     return (
         a.join(b, "cell")
@@ -194,9 +213,10 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), round_digits).alias(
-                "cosine_sim"
-            ),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                round_digits,
+            ).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= F.lit(threshold))
     )
