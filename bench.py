@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "bpe_token_stats",
     "rolling_fingerprint",
     "embedding_near_dup",
+    "deterministic_sample",
+    "corpus_stats_by_source",
 ]
 
 

@@ -402,4 +402,19 @@ WHERE ROUND(
        * sqrt(list_reduce([b.v[i] * b.v[i] FOR i IN generate_series(1, 64)], (x, y) -> x + y))),
     6) >= 0.42
 """,
+    "deterministic_sample": """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE (('0x' || substring(md5(text), 1, 8))::BIGINT % 100) < 10
+""",
+    "corpus_stats_by_source": """
+SELECT source,
+  COUNT(*) AS n_docs,
+  SUM(n_chars) AS total_chars,
+  ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+  ROUND(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+  COUNT(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY source
+""",
 }

@@ -498,6 +498,30 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based deterministic 10% sample — reproducible across runs,
+    engines, and partitionings (unlike rand()-based sampling); the standard
+    trick for stable training-data splits."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    return docs.where(bucket < 10).select("doc_id", "source", "n_chars")
+
+
+def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile: doc counts, char volume, exact interpolated
+    median/p90 of doc length — one hash-aggregate shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "tpch_q3_top_orders": tpch_q3_top_orders,
@@ -531,4 +555,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_stats": bpe_token_stats_q,
     "rolling_fingerprint": rolling_fingerprint_q,
     "embedding_near_dup": embedding_near_dup,
+    "deterministic_sample": deterministic_sample,
+    "corpus_stats_by_source": corpus_stats_by_source,
 }
