@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "deterministic_sample",
     "corpus_stats_by_source",
+    "running_state_snapshots",
 ]
 
 

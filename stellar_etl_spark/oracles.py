@@ -417,4 +417,33 @@ SELECT source,
 FROM documents
 GROUP BY source
 """,
+    "running_state_snapshots": """
+WITH ch AS (
+  SELECT CAST(user_id AS VARCHAR) AS k,
+    event_id,
+    event_id // 250 AS snap,
+    CASE WHEN event_type = 'error' THEN 2 ELSE 1 END AS ct,
+    value
+  FROM events
+),
+last_per AS (
+  SELECT k, snap, event_id, ct, value,
+    row_number() OVER (PARTITION BY k, snap ORDER BY event_id DESC) AS rn
+  FROM ch
+),
+states AS (
+  SELECT k, snap, event_id, ct, value,
+    lead(snap) OVER (PARTITION BY k ORDER BY snap) AS next_snap
+  FROM last_per WHERE rn = 1
+),
+m AS (SELECT max(snap) AS max_snap FROM ch),
+covered AS (
+  SELECT k, event_id, ct, value,
+    unnest(range(snap, coalesce(next_snap, max_snap + 1))) AS snapshot_id
+  FROM states, m
+)
+SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id, k AS user_id,
+  event_id AS last_event_id, value AS last_value
+FROM covered WHERE ct <> 2
+""",
 }

@@ -498,6 +498,30 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def running_state_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StreamOrderbooks semantics (input/orderbooks.go:194-237) on the events
+    stream: cumulative last-state-per-user at every 250-event snapshot
+    boundary, removals (errors) masking prior state until the user reappears."""
+    from stellar_etl_spark.operators.state import running_snapshots
+
+    ev = table(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("user_id").cast("string").alias("ledger_key"),
+        F.col("event_id").alias("ledger_sequence"),
+        F.lit(0).alias("change_index"),
+        F.when(F.col("event_type") == "error", 2).otherwise(1).alias("change_type"),
+        F.col("event_id"),
+        F.col("value"),
+    )
+    out = running_snapshots(changes, snapshot_every=250)
+    return out.select(
+        "snapshot_id",
+        F.col("ledger_key").alias("user_id"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-based deterministic 10% sample — reproducible across runs,
     engines, and partitionings (unlike rand()-based sampling); the standard
@@ -557,4 +581,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": embedding_near_dup,
     "deterministic_sample": deterministic_sample,
     "corpus_stats_by_source": corpus_stats_by_source,
+    "running_state_snapshots": running_state_snapshots,
 }

@@ -190,3 +190,56 @@ class TestRanges:
         )
         r = ledger_range_for_times(df, 0, 100, time_col="closed_at").collect()[0]
         assert r.start_seq == 2
+
+
+class TestRunningSnapshots:
+    SCHEMA = (
+        "ledger_key string, ledger_sequence long, change_index long, "
+        "change_type int, value string"
+    )
+
+    def _run(self, spark, rows, every=10):
+        from stellar_etl_spark.operators.state import running_snapshots
+
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = running_snapshots(df, snapshot_every=every)
+        return {(r.snapshot_id, r.ledger_key): r for r in out.collect()}
+
+    def test_carry_forward_across_gaps(self, spark):
+        rows = [
+            ("k1", 5, 0, 1, "a"),    # snap 0
+            ("k1", 35, 0, 1, "b"),   # snap 3
+            ("k2", 25, 0, 1, "x"),   # snap 2 (also sets max snap 3 horizon)
+        ]
+        out = self._run(spark, rows)
+        # k1 state "a" fills snaps 0..2, "b" at 3
+        assert out[(0, "k1")].value == "a"
+        assert out[(1, "k1")].value == "a"
+        assert out[(2, "k1")].value == "a"
+        assert out[(3, "k1")].value == "b"
+        # k2 appears at 2 and carries to 3
+        assert (1, "k2") not in out
+        assert out[(3, "k2")].value == "x"
+
+    def test_removal_masks_until_reappearance(self, spark):
+        rows = [
+            ("k1", 5, 0, 1, "a"),    # snap 0: alive
+            ("k1", 15, 0, 2, "a"),   # snap 1: removed
+            ("k1", 45, 0, 1, "c"),   # snap 4: back
+            ("k2", 55, 0, 1, "z"),   # extends horizon to snap 5
+        ]
+        out = self._run(spark, rows)
+        assert out[(0, "k1")].value == "a"
+        for s in (1, 2, 3):
+            assert (s, "k1") not in out
+        assert out[(4, "k1")].value == "c"
+        assert out[(5, "k1")].value == "c"
+
+    def test_last_change_within_snapshot_wins(self, spark):
+        rows = [
+            ("k1", 5, 0, 1, "a"),
+            ("k1", 5, 1, 1, "b"),   # same seq, later change index
+            ("k1", 9, 0, 1, "c"),
+        ]
+        out = self._run(spark, rows)
+        assert out[(0, "k1")].value == "c"
