@@ -146,3 +146,50 @@ class TestStreaming:
         for k in b_rows:
             assert s_rows[k].effective_change_type == b_rows[k].effective_change_type
             assert s_rows[k].deleted == b_rows[k].deleted
+
+
+class TestStatefulStreaming:
+    def test_running_state_across_microbatches(self, spark, tmp_path):
+        import time
+
+        from stellar_etl_spark.streaming.stateful import stream_running_state
+
+        ddl = (
+            "ledger_key string, ledger_sequence long, change_index long, "
+            "change_type int, payload string"
+        )
+        src = str(tmp_path / "landing")
+        # two files → with maxFilesPerTrigger=1, two sequential micro-batches
+        spark.createDataFrame(
+            [("k1", 10, 0, 1, "a"), ("k2", 11, 0, 1, "x")], ddl
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        spark.createDataFrame(
+            [("k1", 20, 0, 1, "b"), ("k2", 21, 0, 2, "x")], ddl
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = stream_running_state(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("running_state")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        time.sleep(0.5)
+
+        rows = spark.sql(
+            "SELECT * FROM running_state ORDER BY ledger_sequence"
+        ).collect()
+        # state carried across micro-batches: latest per key wins
+        last = {}
+        for r in rows:
+            last[r.ledger_key] = r
+        assert last["k1"].payload == "b" and not last["k1"].deleted
+        assert last["k2"].deleted  # removed in the second batch
