@@ -45,6 +45,10 @@ EFFECT_TYPES = {
     "data_removed": 41,
     "data_updated": 42,
     "sequence_bumped": 43,
+    "trade": 33,
+    "liquidity_pool_deposited": 90,
+    "liquidity_pool_withdrew": 91,
+    "liquidity_pool_trade": 92,
 }
 
 
@@ -89,6 +93,71 @@ def transform_effects(operations: DataFrame, transactions: DataFrame) -> DataFra
     )
     empty = F.array().cast(
         "array<struct<type_string:string,type:int,address:string,details_json:string>>"
+    )
+
+    # trade effects from claim atoms (effects.go addTradeEffects): one effect
+    # for each side of every non-zero atom; LP counter-parties get the LP
+    # variant.  flatten(transform(...)) keeps the fan-out JVM-side.
+    live_atoms = F.filter(
+        F.coalesce(
+            F.col("claim_atoms"),
+            F.array().cast(operations.schema["claim_atoms"].dataType),
+        ),
+        lambda a: (a["amount_sold"] != 0) | (a["amount_bought"] != 0),
+    )
+
+    def _atom_details(a, sold_first: bool):
+        give, got = (a["asset_sold"], a["asset_bought"])
+        give_amt, got_amt = (a["amount_sold"], a["amount_bought"])
+        if not sold_first:
+            give, got, give_amt, got_amt = got, give, got_amt, give_amt
+        return _j(
+            offer_id=a["offer_id"],
+            sold_asset_type=give["asset_type"],
+            sold_asset_code=give["asset_code"],
+            sold_amount=stroops_to_real(give_amt),
+            bought_asset_type=got["asset_type"],
+            bought_asset_code=got["asset_code"],
+            bought_amount=stroops_to_real(got_amt),
+            liquidity_pool_id=a["pool_id"],
+        )
+
+    trade_effects = F.flatten(
+        F.transform(
+            live_atoms,
+            lambda a: F.array(
+                # buyer side: the op source bought what the atom sold
+                F.struct(
+                    F.when(a["atom_type"] == "lp", F.lit("liquidity_pool_trade"))
+                    .otherwise(F.lit("trade"))
+                    .alias("type_string"),
+                    F.when(
+                        a["atom_type"] == "lp",
+                        F.lit(EFFECT_TYPES["liquidity_pool_trade"]),
+                    )
+                    .otherwise(F.lit(EFFECT_TYPES["trade"]))
+                    .cast("int")
+                    .alias("type"),
+                    source.alias("address"),
+                    _atom_details(a, sold_first=False).alias("details_json"),
+                ),
+                # seller side: the resting offer's owner (or the pool)
+                F.struct(
+                    F.when(a["atom_type"] == "lp", F.lit("liquidity_pool_trade"))
+                    .otherwise(F.lit("trade"))
+                    .alias("type_string"),
+                    F.when(
+                        a["atom_type"] == "lp",
+                        F.lit(EFFECT_TYPES["liquidity_pool_trade"]),
+                    )
+                    .otherwise(F.lit(EFFECT_TYPES["trade"]))
+                    .cast("int")
+                    .alias("type"),
+                    F.coalesce(a["seller_id"], a["pool_id"]).alias("address"),
+                    _atom_details(a, sold_first=True).alias("details_json"),
+                ),
+            ),
+        )
     )
 
     effects_array = (
@@ -301,7 +370,51 @@ def transform_effects(operations: DataFrame, transactions: DataFrame) -> DataFra
                 _effect("account_credited", source, asset_json),
             ),
         )
+        # begin_sponsoring_future_reserves → sponsorship created
+        .when(
+            t == 16,
+            F.array(
+                _effect(
+                    "account_sponsorship_created",
+                    body["sponsored_id"],
+                    _j(sponsor=source),
+                )
+            ),
+        )
+        # liquidity pool deposit / withdraw
+        .when(
+            t == 22,
+            F.array(
+                _effect(
+                    "liquidity_pool_deposited",
+                    source,
+                    _j(
+                        liquidity_pool_id=body["pool_id"],
+                        shares_received=stroops_to_real(body["shares"]),
+                    ),
+                )
+            ),
+        )
+        .when(
+            t == 23,
+            F.array(
+                _effect(
+                    "liquidity_pool_withdrew",
+                    source,
+                    _j(
+                        liquidity_pool_id=body["pool_id"],
+                        shares_redeemed=stroops_to_real(body["shares"]),
+                    ),
+                )
+            ),
+        )
         .otherwise(empty)
+    )
+
+    # trade-capable ops append one effect pair per live claim atom
+    effects_array = F.concat(
+        effects_array,
+        F.when(t.isin(2, 3, 4, 12, 13), trade_effects).otherwise(empty),
     )
 
     op_id = toid(F.col("ledger_sequence"), F.col("tx_index"), F.col("op_index") + 1)

@@ -378,3 +378,44 @@ class TestContractEvents:
         assert t.amount == 4.0 and t.amount_raw == "40000000"
         m = rows["mint"]
         assert m["from"] is None and m.to == fx.ACCOUNT_C
+
+
+class TestTradeAndPoolEffects:
+    def _by_op(self, data):
+        rows = transform_effects(data["operations"], data["transactions"]).collect()
+        by_op: dict[int, list] = {}
+        for r in rows:
+            by_op.setdefault(r.operation_id, []).append(r)
+        for v in by_op.values():
+            v.sort(key=lambda r: r["index"])
+        return by_op
+
+    def test_offer_trade_effect_pair(self, data):
+        by_op = self._by_op(data)
+        mso = by_op[(3 << 32) | (1 << 12) | 1]  # manage_sell_offer with 1 live atom
+        assert [e.type_string for e in mso] == ["trade", "trade"]
+        buyer, seller = mso
+        assert buyer.address == fx.ACCOUNT_A  # op (tx) source
+        assert seller.address == fx.ACCOUNT_B  # resting offer owner
+        bd = json.loads(buyer.details_json)
+        sd = json.loads(seller.details_json)
+        # buyer bought what the atom sold and vice versa
+        assert bd["bought_asset_code"] == "USD" and bd["sold_asset_type"] == "native"
+        assert sd["sold_asset_code"] == "USD" and sd["bought_asset_type"] == "native"
+        assert sd["sold_amount"] == 6.0 and sd["bought_amount"] == 3.0
+        assert bd["offer_id"] == 42
+
+    def test_lp_trade_effect(self, data):
+        by_op = self._by_op(data)
+        # path_payment_strict_send: payment effects first, then LP trade pair
+        pps = by_op[(3 << 32) | (2 << 12) | 1]
+        kinds = [e.type_string for e in pps]
+        assert kinds == [
+            "account_credited", "account_debited",
+            "liquidity_pool_trade", "liquidity_pool_trade",
+        ]
+        assert pps[3].address == "POOL1"
+
+    def test_failed_trade_op_no_effects(self, data):
+        by_op = self._by_op(data)
+        assert (3 << 32) | (3 << 12) | 1 not in by_op
