@@ -402,6 +402,53 @@ WHERE ROUND(
        * sqrt(list_reduce([b.v[i] * b.v[i] FOR i IN generate_series(1, 64)], (x, y) -> x + y))),
     6) >= 0.42
 """,
+    # IVF probe selection is deterministic (exact per-label centroids, ties
+    # broken by cell id), so the "approximate" path still has an exact twin.
+    "ivf_knn_approx": """
+WITH base AS (
+  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+),
+cent AS (
+  SELECT label, i, ROUND(AVG(v[i]), 6) AS cv
+  FROM base, (SELECT unnest(generate_series(1, 64)) AS i) dims(i)
+  GROUP BY label, i
+),
+cent_vec AS (
+  SELECT label AS cell, list(cv ORDER BY i) AS cvec FROM cent GROUP BY label
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv,
+    sqrt(list_reduce([v[i] * v[i] FOR i IN generate_series(1, 64)], (a, b) -> a + b)) AS qn
+  FROM base WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+cell_scored AS (
+  SELECT q.query_id, q.qv, q.qn, c.cell,
+    list_reduce([qv[i] * cvec[i] FOR i IN generate_series(1, 64)], (a, b) -> a + b)
+    / (qn * sqrt(list_reduce([cvec[i] * cvec[i] FOR i IN generate_series(1, 64)], (a, b) -> a + b)))
+      AS cell_sim
+  FROM q, cent_vec c
+),
+probes AS (
+  SELECT query_id, qv, qn, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cell_sim DESC, cell) AS pr
+    FROM cell_scored
+  ) WHERE pr <= 3
+),
+scored AS (
+  SELECT p.query_id, b.vec_id AS nbr_id,
+    ROUND(
+      list_reduce([qv[i] * b.v[i] FOR i IN generate_series(1, 64)], (a, b) -> a + b)
+      / (qn * sqrt(list_reduce([b.v[i] * b.v[i] FOR i IN generate_series(1, 64)], (a, b) -> a + b))),
+      6) AS cosine_sim
+  FROM probes p JOIN base b ON b.label = p.cell
+  WHERE b.vec_id <> p.query_id
+)
+SELECT query_id, rnk, nbr_id, cosine_sim FROM (
+  SELECT query_id, nbr_id, cosine_sim,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, nbr_id) AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+""",
     "deterministic_sample": """
 SELECT doc_id, source, n_chars
 FROM documents

@@ -129,7 +129,7 @@ def export_orderbooks(offers, out_dir, fmt="parquet") -> dict[str, DataFrame]:
 # The 9 per-entity export-type flags (utils/main.go:278-288, default all).
 DEFAULT_EXPORT_TYPES = (
     "accounts account_signers trustlines offers liquidity_pools "
-    "claimable_balances contract_code contract_data ttls"
+    "claimable_balances contract_code contract_data config_settings ttls"
 ).split()
 
 

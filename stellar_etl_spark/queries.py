@@ -420,8 +420,8 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivf_knn_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via coarse partitions — the 100 TB scale path
-    (probes nprobe/ncells of the corpus). No SQL oracle: approximation
-    quality, not SQL semantics, is the contract (rows-only check)."""
+    (probes nprobe/ncells of the corpus). Deterministic end to end (exact
+    centroids, tie-broken probe ranking), so it still has an exact oracle."""
     return lsh_bucket_topk(
         table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5, nprobe=3
     ).select("query_id", F.col("rank").cast("long").alias("rnk"), "nbr_id", "cosine_sim")

@@ -100,7 +100,10 @@ CHANGES_DDL = f"""
         key_xdr:string, val_xdr:string,
         code_hash:string, n_instructions:long, n_functions:long, n_globals:long,
         n_data_segment_bytes:long,
-        key_hash:string, live_until_seq:long
+        key_hash:string, live_until_seq:long,
+        config_setting_id:int, contract_max_size_bytes:long,
+        ledger_max_instructions:long, tx_max_instructions:long,
+        fee_rate_per_instructions_increment:long, bucket_list_target_size_bytes:long
     >,
     post struct<
         account_id:string, balance:long, seq_num:long, num_subentries:int,
@@ -117,7 +120,10 @@ CHANGES_DDL = f"""
         key_xdr:string, val_xdr:string,
         code_hash:string, n_instructions:long, n_functions:long, n_globals:long,
         n_data_segment_bytes:long,
-        key_hash:string, live_until_seq:long
+        key_hash:string, live_until_seq:long,
+        config_setting_id:int, contract_max_size_bytes:long,
+        ledger_max_instructions:long, tx_max_instructions:long,
+        fee_rate_per_instructions_increment:long, bucket_list_target_size_bytes:long
     >
 """
 

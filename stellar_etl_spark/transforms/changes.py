@@ -229,6 +229,27 @@ def transform_contract_data(changes: DataFrame) -> DataFrame:
     )
 
 
+def transform_config_setting(changes: DataFrame) -> DataFrame:
+    """config_settings (config_setting.go:13): network-parameter snapshot —
+    a representative subset of the ~45 scalar params (full set extends this
+    select the same way)."""
+    e = extract_entry_from_change(changes)
+    entry = F.col("entry")
+    return e.select(
+        entry["config_setting_id"].alias("config_setting_id"),
+        entry["contract_max_size_bytes"].alias("contract_max_size_bytes"),
+        entry["ledger_max_instructions"].alias("ledger_max_instructions"),
+        entry["tx_max_instructions"].alias("tx_max_instructions"),
+        entry["fee_rate_per_instructions_increment"].alias(
+            "fee_rate_per_instructions_increment"
+        ),
+        entry["bucket_list_target_size_bytes"].alias(
+            "bucket_list_target_size_bytes"
+        ),
+        *_common(e),
+    )
+
+
 def transform_ttl(changes: DataFrame) -> DataFrame:
     """ttls (ttl.go:12-49) — trivial map."""
     e = extract_entry_from_change(changes)
@@ -290,6 +311,7 @@ def route_changes(changes: DataFrame) -> dict[str, DataFrame]:
         "claimable_balances": transform_claimable_balance,
         "contract_code": transform_contract_code,
         "contract_data": transform_contract_data,
+        "config_settings": transform_config_setting,
         "ttls": transform_ttl,
     }
     type_of = {
@@ -301,6 +323,7 @@ def route_changes(changes: DataFrame) -> dict[str, DataFrame]:
         "claimable_balances": "claimable_balance",
         "contract_code": "contract_code",
         "contract_data": "contract_data",
+        "config_settings": "config_setting",
         "ttls": "ttl",
     }
     return {

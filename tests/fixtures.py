@@ -283,7 +283,9 @@ _ENTRY_FIELDS = (
     "trustline_count total_shares asset_a reserve_a asset_b reserve_b "
     "balance_id claimants contract_id key_type durability key_xdr val_xdr "
     "code_hash n_instructions n_functions n_globals n_data_segment_bytes "
-    "key_hash live_until_seq"
+    "key_hash live_until_seq config_setting_id contract_max_size_bytes "
+    "ledger_max_instructions tx_max_instructions "
+    "fee_rate_per_instructions_increment bucket_list_target_size_bytes"
 ).split()
 
 
@@ -375,6 +377,13 @@ def changes_df(spark):
         # ttl
         _chrow(4, "ttl", 1, 3, "ttl1",
                post=_entry(key_hash="aa" * 32, live_until_seq=999)),
+        # config setting (network parameter update)
+        _chrow(4, "config_setting", 1, 4, "cfg1",
+               post=_entry(config_setting_id=0, contract_max_size_bytes=65536,
+                           ledger_max_instructions=500_000_000,
+                           tx_max_instructions=100_000_000,
+                           fee_rate_per_instructions_increment=25,
+                           bucket_list_target_size_bytes=14_000_000_000)),
     ]
     return spark.createDataFrame(rows, CHANGES_DDL)
 

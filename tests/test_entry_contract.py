@@ -10,7 +10,7 @@ from stellar_etl_spark.oracles import ORACLES
 from stellar_etl_spark.queries import QUERIES
 
 # Queries intentionally without a SQL oracle (rows-only driver check).
-WEAK_OK = {"ivf_knn_approx"}
+WEAK_OK: set[str] = set()
 
 
 def test_registry_oracle_alignment():

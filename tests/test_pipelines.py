@@ -60,7 +60,8 @@ class TestPipelines:
         )
         assert set(out) == set(
             "accounts account_signers trustlines offers liquidity_pools "
-            "claimable_balances contract_code contract_data ttls".split()
+            "claimable_balances contract_code contract_data config_settings "
+            "ttls".split()
         )
         accounts = _read_jsonl(str(tmp_path / "accounts" / "part-*"))
         assert {a["account_id"] for a in accounts} == {fx.ACCOUNT_A, fx.ACCOUNT_B}

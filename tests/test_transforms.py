@@ -243,12 +243,20 @@ class TestChangesFamily:
         assert len(rows) == 1
         assert rows[0].contract_key_type == "ScValTypeScvSymbol"
 
+    def test_config_setting(self, data):
+        from stellar_etl_spark.transforms.changes import transform_config_setting
+
+        row = transform_config_setting(
+            data["changes"].where("entry_type = 'config_setting'")).collect()[0]
+        assert row.ledger_max_instructions == 500_000_000
+        assert row.fee_rate_per_instructions_increment == 25
+
     def test_route_covers_all_entities(self, data):
         routed = route_changes(data["changes"])
         assert set(routed) == {
             "accounts", "account_signers", "trustlines", "offers",
             "liquidity_pools", "claimable_balances", "contract_code",
-            "contract_data", "ttls",
+            "contract_data", "config_settings", "ttls",
         }
         for df in routed.values():
             assert df.count() >= 1
