@@ -48,14 +48,26 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+MINHASH_PRIME = 2147483647  # 2^31-1: (2p+1)*h + b stays far below int64
+
+
 def minhash_signature(shingle_col: Column, num_perm: int = 8) -> Column:
-    """MinHash signature: permutation *p* is the md5 family ``md5('p|'+s)``;
-    the signature element is the lexicographic min digest.  A valid minwise
-    family — equality probability per element ≈ Jaccard similarity."""
+    """MinHash signature: ONE md5 per shingle → 31-bit base hash, then the
+    classic affine permutation family ``(a_p·h + b_p) mod P`` per element —
+    8× fewer digest computations than an md5-per-permutation recipe, all
+    integer arithmetic inside codegen.  Equality probability per element
+    ≈ Jaccard similarity (minwise family)."""
+    base = F.transform(
+        shingle_col, lambda s: _hex15_to_long(F.md5(s)) % MINHASH_PRIME
+    )
     return F.array(
         *[
             F.array_min(
-                F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"{p}|"), s)))
+                F.transform(
+                    base,
+                    lambda h: ((2 * p + 1) * h + 98765 * p + 12345)
+                    % MINHASH_PRIME,
+                )
             )
             for p in range(num_perm)
         ]

@@ -252,7 +252,10 @@ sh AS (
 ),
 sig AS (
   SELECT doc_id, shingle_set,
-    [list_min([md5(CAST(p AS VARCHAR) || '|' || s) FOR s IN shingle_set])
+    [list_min([
+       ((2*p + 1) * (('0x' || substring(md5(s), 1, 15))::BIGINT % 2147483647)
+        + 98765*p + 12345) % 2147483647
+       FOR s IN shingle_set])
      FOR p IN generate_series(0, 7)] AS ms
   FROM sh WHERE len(shingle_set) > 0
 ),
