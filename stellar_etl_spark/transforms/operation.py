@@ -47,6 +47,21 @@ def _asset_cols(asset: Column, prefix: str) -> list[Column]:
     ]
 
 
+# Account/trustline authorization flags (operation.go:555-582, 2024-2078).
+FLAG_NAMES = {
+    1: "auth_required",
+    2: "auth_revocable",
+    4: "auth_immutable",
+    8: "auth_clawback_enabled",
+}
+
+
+def flag_strings(flags_col: Column) -> Column:
+    """int flag array → canonical flag-name array (order by bit value)."""
+    mapping = F.create_map(*[F.lit(x) for kv in FLAG_NAMES.items() for x in kv])
+    return F.transform(F.array_sort(flags_col), lambda f: mapping[f])
+
+
 def transform_operation(operations: DataFrame, transactions: DataFrame) -> DataFrame:
     """One output row per operation.
 
@@ -112,6 +127,14 @@ def transform_operation(operations: DataFrame, transactions: DataFrame) -> DataF
         F.when(body["limit"].isNotNull(), stroops_to_real(body["limit"])).alias(
             "limit"
         ),
+        body["set_flags"].alias("set_flags"),
+        F.when(
+            body["set_flags"].isNotNull(), flag_strings(body["set_flags"])
+        ).alias("set_flags_s"),
+        body["clear_flags"].alias("clear_flags"),
+        F.when(
+            body["clear_flags"].isNotNull(), flag_strings(body["clear_flags"])
+        ).alias("clear_flags_s"),
         body["master_weight"].alias("master_key_weight"),
         body["low_threshold"].alias("low_threshold"),
         body["med_threshold"].alias("med_threshold"),

@@ -251,10 +251,11 @@ def operations_df(spark):
         _op(3, 1, 1, 6, _body(line=EUR, limit=500_000_000)),
         # change_trust remove
         _op(3, 1, 2, 6, _body(line=EUR, limit=0)),
-        # set_options: thresholds + signer add (type 5)
+        # set_options: thresholds + signer add + flags (type 5)
         _op(3, 2, 1, 5, _body(master_weight=1, low_threshold=1, med_threshold=2,
                               high_threshold=3, signer_key=ACCOUNT_B,
-                              signer_weight=10)),
+                              signer_weight=10, set_flags=[2, 1],
+                              clear_flags=[8])),
         # account_merge (type 8)
         _op(4, 1, 0, 8, _body(to=ACCOUNT_B, amount=70_000_000)),
         # manage_data create (type 10)

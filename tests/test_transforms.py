@@ -148,6 +148,18 @@ class TestOperation:
         assert mso.sponsor == fx.ACCOUNT_C
         assert json.loads(mso.details_json)["price"] == 0.5
 
+    def test_flag_decoding(self, data):
+        out = {
+            r.id: r
+            for r in transform_operation(
+                data["operations"], data["transactions"]
+            ).collect()
+        }
+        so = json.loads(out[(3 << 32) | (2 << 12) | 2].details_json)
+        # sorted by bit value, mapped to canonical names (operation.go:555-582)
+        assert so["set_flags_s"] == ["auth_required", "auth_revocable"]
+        assert so["clear_flags_s"] == ["auth_clawback_enabled"]
+
 
 class TestTrade:
     def test_atoms(self, data):
