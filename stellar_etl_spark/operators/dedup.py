@@ -51,20 +51,14 @@ def shingles(text: Column, n: int = 3) -> Column:
 MINHASH_PRIME = 2147483647  # 2^31-1: (2p+1)*h + b stays far below int64
 
 
-def minhash_signature(shingle_col: Column, num_perm: int = 8) -> Column:
-    """MinHash signature: ONE md5 per shingle → 31-bit base hash, then the
-    classic affine permutation family ``(a_p·h + b_p) mod P`` per element —
-    8× fewer digest computations than an md5-per-permutation recipe, all
-    integer arithmetic inside codegen.  Equality probability per element
-    ≈ Jaccard similarity (minwise family)."""
-    base = F.transform(
-        shingle_col, lambda s: _hex15_to_long(F.md5(s)) % MINHASH_PRIME
-    )
+def minhash_from_hashes(hash_col: Column, num_perm: int = 8) -> Column:
+    """Affine permutation family ``(a_p·h + b_p) mod P`` over precomputed
+    31-bit base hashes; min per permutation = the signature element."""
     return F.array(
         *[
             F.array_min(
                 F.transform(
-                    base,
+                    hash_col,
                     lambda h: ((2 * p + 1) * h + 98765 * p + 12345)
                     % MINHASH_PRIME,
                 )
@@ -72,6 +66,18 @@ def minhash_signature(shingle_col: Column, num_perm: int = 8) -> Column:
             for p in range(num_perm)
         ]
     )
+
+
+def minhash_signature(shingle_col: Column, num_perm: int = 8) -> Column:
+    """MinHash signature: ONE md5 per shingle → 31-bit base hash, then the
+    classic affine permutation family per element — 8× fewer digest
+    computations than an md5-per-permutation recipe, all integer arithmetic
+    inside codegen.  Equality probability per element ≈ Jaccard similarity
+    (minwise family)."""
+    base = F.transform(
+        shingle_col, lambda s: _hex15_to_long(F.md5(s)) % MINHASH_PRIME
+    )
+    return minhash_from_hashes(base, num_perm)
 
 
 def minhash_lsh_candidates(
@@ -142,9 +148,27 @@ def near_dup_pairs(
     """
     from pyspark import StorageLevel
 
-    with_sh = df.select(
-        F.col(id_col), shingles(F.col(text_col), n).alias("shingle_set")
-    ).withColumn("minhash_sig", minhash_signature(F.col("shingle_set"), num_perm))
+    from stellar_etl_spark.operators.util import fan_out_small
+
+    df = fan_out_small(df)
+
+    # base hashes as their own projection: the 8 permutation transforms then
+    # reference a column instead of inlining the md5 subtree 8× (smaller
+    # codegen, one digest pass)
+    with_sh = (
+        df.select(F.col(id_col), shingles(F.col(text_col), n).alias("shingle_set"))
+        .withColumn(
+            "_base_hashes",
+            F.transform(
+                F.col("shingle_set"),
+                lambda s: _hex15_to_long(F.md5(s)) % MINHASH_PRIME,
+            ),
+        )
+        .withColumn(
+            "minhash_sig", minhash_from_hashes(F.col("_base_hashes"), num_perm)
+        )
+        .drop("_base_hashes")
+    )
     # The signature subtree feeds 4 branches (both sides of the LSH self-join
     # and both sides of the verify join); persist so shingling+md5 runs once.
     # MEMORY_AND_DISK: spills instead of OOM at 100 TB-scale partitions.
@@ -186,7 +210,9 @@ def simhash(
     explode+aggregate by (doc, bit), then reassemble by doc — both hash
     aggregates with partial combine.
     """
-    words = df.select(
+    from stellar_etl_spark.operators.util import fan_out_small
+
+    words = fan_out_small(df).select(
         F.col(id_col), F.explode(tokenize_words(F.col(text_col))).alias("word")
     ).withColumn("h", _hex15_to_long(F.md5(F.col("word"))))
     votes = (

@@ -102,6 +102,9 @@ def media_byte_features(media: DataFrame) -> DataFrame:
                 }
             )
 
+    # no fan_out_small here: the per-payload work is cheap relative to
+    # Python-worker startup, so a small input is better served by one
+    # Arrow stream than by spinning up defaultParallelism workers
     return media.select("doc_id", "payload").mapInPandas(extract, schema=out_schema)
 
 

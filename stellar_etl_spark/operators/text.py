@@ -94,6 +94,9 @@ def doc_fingerprint(
 ) -> DataFrame:
     """Content fingerprints: whole-text md5 plus the min-shingle digest
     (the first MinHash permutation — stable under small reorderings)."""
+    from stellar_etl_spark.operators.util import fan_out_small
+
+    df = fan_out_small(df)
     return df.select(
         F.col(id_col),
         F.md5(F.col(text_col)).alias("content_md5"),
