@@ -23,6 +23,13 @@ BENCH_QUERIES = [
     "tpch_q4_order_priority",
     "tpch_q5_region_revenue",
     "tpch_q6_revenue_forecast",
+    "tpch_q7_nation_volume",
+    "tpch_q11_important_stock",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_supplier_cnt",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q22_global_sales_opportunity",
     "supplier_nation_revenue",
     "top_customers_per_nation",
     "props_json_agg",

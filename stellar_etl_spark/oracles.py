@@ -326,6 +326,94 @@ SELECT label, CAST(i - 1 AS BIGINT) AS dim,
 FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) AS dims(i)
 GROUP BY label, i
 """,
+    "tpch_q7_nation_volume": f"""
+SELECT supp_nation, cust_nation, l_year,
+  ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 3) AS revenue,
+  COUNT(*) AS n_items
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    EXTRACT(year FROM l_shipdate) AS l_year, l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    "tpch_q11_important_stock": """
+WITH pv AS (
+  SELECT l_partkey,
+    ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE), 3) AS part_value
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (
+  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) * 0.0005 AS threshold
+  FROM lineitem
+)
+SELECT l_partkey, part_value FROM pv, tot WHERE part_value > threshold
+""",
+    "tpch_q14_promo_revenue": f"""
+SELECT
+  ROUND(
+    CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_DISC_PRICE}
+             ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE) * 100.0
+    / CAST(SUM({_DISC_PRICE}) AS DOUBLE), 6) AS promo_revenue_pct,
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+""",
+    "tpch_q16_supplier_cnt": """
+SELECT p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (9, 14, 23, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_type, p_size
+""",
+    "tpch_q18_large_orders": """
+WITH big AS (
+  SELECT l_orderkey,
+    ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE), 3) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE), 3) > 270
+)
+SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_day,
+  total_qty
+FROM orders
+JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+    "tpch_q19_disjunctive": f"""
+SELECT
+  ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 3) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#15' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#19' AND l_quantity BETWEEN 20 AND 30)
+""",
+    "tpch_q22_global_sales_opportunity": """
+WITH ab AS (
+  SELECT AVG(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE)) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode,
+  COUNT(*) AS numcust,
+  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 3) AS totacctbal
+FROM customer, ab
+WHERE c_acctbal > avg_bal
+  AND CAST(c_nationkey % 5 AS INT) IN (1, 2, 3)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
+GROUP BY CAST(c_nationkey % 5 AS INT)
+""",
     "rollup_revenue": f"""
 SELECT r_name, n_name,
   ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 3) AS revenue,

@@ -427,6 +427,158 @@ def ivf_knn_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", F.col("rank").cast("long").alias("rnk"), "nbr_id", "cosine_sim")
 
 
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-nation shipping volume by year: fact join + broadcast dims with a
+    cross-pair predicate, grouped by year."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ntz("1996-01-01"))
+        & (F.col("l_shipdate") < _ntz("1998-01-01"))
+    )
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount", 6, 4))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery HAVING: suppliers×parts whose value exceeds a fraction
+    of the global total — the total is a broadcast 1-row cross join, never a
+    driver-side collect."""
+    li = table(spark, sf_dir, "lineitem")
+    value = _dec("l_extendedprice") * _dec("l_quantity")
+    per_part = li.groupBy("l_partkey").agg(_dsum(value).alias("part_value"))
+    total = li.agg((F.sum(value).cast("double") * 0.0005).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation ratio (CASE inside SUM) — one scan, one
+    scalar result."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ntz("1997-01-01"))
+        & (F.col("l_shipdate") < _ntz("1997-07-01"))
+    )
+    part = table(spark, sf_dir, "part")
+    revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount", 6, 4))
+    promo = F.when(F.col("p_type").startswith("PROMO"), revenue).otherwise(
+        F.lit(0).cast("decimal(12,4)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.sum(promo).cast("double") * 100.0 / F.sum(revenue).cast("double"),
+                6,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN + COUNT(DISTINCT): part demographics excluding flagged
+    suppliers (anti join), distinct-agg after."""
+    part = table(spark, sf_dir, "part").where(F.col("p_size").isin(9, 14, 23, 45))
+    li = table(spark, sf_dir, "lineitem")
+    bad_supp = table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery with HAVING: customers with any order above a quantity
+    total — aggregate → semi join → enrich."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum(_dec("l_quantity")).alias("total_qty"))
+        .where(F.col("total_qty") > 270)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_day"),
+            "total_qty",
+        )
+    )
+
+
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-clause predicate (the OR-of-ANDs Catalyst must keep
+    push-downable via CNF extraction)."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount", 6, 4))
+    cond = (
+        ((F.col("p_brand") == "Brand#15") & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#19") & (F.col("l_quantity").between(20, 30)))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(_dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS + scalar-subquery filter: wealthy customers with
+    no orders, grouped by country-code prefix."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= _ntz("1998-06-01")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg(_dec("c_acctbal", 12, 2).cast("double")).alias("avg_bal")
+    )
+    cc = (F.col("c_nationkey") % 5).cast("int")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where((F.col("c_acctbal") > F.col("avg_bal")) & cc.isin(1, 2, 3))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(cc.alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(_dec("c_acctbal", 12, 2)).alias("totacctbal"),
+        )
+    )
+
+
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (region → nation → grand total) — Spark's native
     ROLLUP; partial aggregation keeps the extra grouping sets cheap."""
@@ -552,6 +704,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q4_order_priority": tpch_q4_order_priority,
     "tpch_q5_region_revenue": tpch_q5_region_revenue,
     "tpch_q6_revenue_forecast": tpch_q6_revenue_forecast,
+    "tpch_q7_nation_volume": tpch_q7_nation_volume,
+    "tpch_q11_important_stock": tpch_q11_important_stock,
+    "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
+    "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
+    "tpch_q18_large_orders": tpch_q18_large_orders,
+    "tpch_q19_disjunctive": tpch_q19_disjunctive,
+    "tpch_q22_global_sales_opportunity": tpch_q22_global_sales_opportunity,
     "supplier_nation_revenue": supplier_nation_revenue,
     "top_customers_per_nation": top_customers_per_nation,
     "props_json_agg": props_json_agg,
