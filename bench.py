@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "deterministic_sample",
     "corpus_stats_by_source",
     "running_state_snapshots",
+    "training_data_pipeline",
 ]
 
 

@@ -540,6 +540,28 @@ SELECT query_id, rnk, nbr_id, cosine_sim FROM (
   FROM scored
 ) WHERE rnk <= 5
 """,
+    "training_data_pipeline": """
+WITH q AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+    (CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
+    + (CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) >= 0.3 THEN 1 ELSE 0 END)
+    + (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+            w -> list_contains(['the','a','of','and','to'], w))) AS DOUBLE)
+            / len(string_split(text, ' ')) >= 0.01 THEN 1 ELSE 0 END) AS score
+  FROM documents
+),
+survivors AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  SUM(n_chars) AS total_chars
+FROM documents
+JOIN q USING (doc_id)
+WHERE score >= 2 AND doc_id IN (SELECT doc_id FROM survivors)
+GROUP BY lang
+""",
     "deterministic_sample": """
 SELECT doc_id, source, n_chars
 FROM documents

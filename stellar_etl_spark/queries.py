@@ -698,6 +698,24 @@ def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning recipe a training corpus actually runs: quality
+    gate → exact-dedup survivors (lowest id per content hash) → per-language
+    corpus profile.  One semi join + two hash aggregates; every stage is the
+    same operator exposed individually elsewhere in the registry."""
+    docs = table(spark, sf_dir, "documents")
+    q = quality_score(docs).where(F.col("quality_score") >= 2).select(
+        "doc_id", "n_tokens"
+    )
+    survivors = exact_dedup(docs, "doc_id", "text").select("doc_id")
+    kept = docs.join(survivors, "doc_id", "left_semi").join(q, "doc_id")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "tpch_q3_top_orders": tpch_q3_top_orders,
@@ -741,4 +759,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "deterministic_sample": deterministic_sample,
     "corpus_stats_by_source": corpus_stats_by_source,
     "running_state_snapshots": running_state_snapshots,
+    "training_data_pipeline": training_data_pipeline,
 }
