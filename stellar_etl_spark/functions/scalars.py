@@ -46,3 +46,23 @@ def interval_string(lo, hi) -> Column:
 def price_to_float(n, d) -> Column:
     """Rational price N/D → double (operation.go:409-421, offer.go:63-66)."""
     return _c(n).cast("double") / _c(d).cast("double")
+
+
+_TWO_63 = 9223372036854775808  # 2^63
+_TWO_64_DEC = "18446744073709551616"  # 2^64 as a decimal literal
+
+
+def i128_to_string(hi, lo) -> Column:
+    """Signed 128-bit integer from (hi, lo) 64-bit parts → decimal string
+    (contract_data.go:366-378 assembles SAC balances this way; the reference
+    keeps them as Go big.Int rendered to string, schema.go:519).
+
+    value = hi * 2^64 + uint64(lo), computed in Decimal(38,0) — exact for
+    the full i128 range of practical SAC amounts (|v| < 10^38)."""
+    hi_d = _c(hi).cast("decimal(38,0)")
+    lo_raw = _c(lo).cast("decimal(38,0)")
+    # reinterpret lo's signed long as unsigned
+    lo_u = F.when(_c(lo) < 0, lo_raw + F.lit(_TWO_64_DEC).cast("decimal(38,0)")).otherwise(
+        lo_raw
+    )
+    return (hi_d * F.lit(_TWO_64_DEC).cast("decimal(38,0)") + lo_u).cast("string")

@@ -169,3 +169,27 @@ class TestScalars:
     def test_price_to_float(self, spark):
         df = spark.createDataFrame([(1, 4)], "n long, d long")
         assert df.select(price_to_float("n", "d").alias("x")).collect()[0].x == 0.25
+
+
+class TestI128:
+    CASES = [
+        (0, 0, "0"),
+        (0, 1, "1"),
+        (0, -1, str((1 << 64) - 1)),          # lo reinterpreted unsigned
+        (1, 0, str(1 << 64)),
+        (-1, -1, "-1"),                        # all-ones pattern = -1
+        (-1, 0, str(-(1 << 64))),
+        (5, 123, str(5 * (1 << 64) + 123)),
+    ]
+
+    def test_i128_assembly(self, spark):
+        from stellar_etl_spark.functions.scalars import i128_to_string
+
+        df = spark.createDataFrame(
+            [(h, l) for h, l, _ in self.CASES], "hi long, lo long"
+        )
+        got = [
+            r.v
+            for r in df.select(i128_to_string("hi", "lo").alias("v")).collect()
+        ]
+        assert got == [e for _, _, e in self.CASES]
