@@ -41,6 +41,8 @@ EFFECT_TYPES = {
     "claimable_balance_claimant_created": 51,
     "claimable_balance_claimed": 52,
     "account_sponsorship_created": 60,
+    "account_sponsorship_updated": 61,
+    "account_sponsorship_removed": 62,
     "data_created": 40,
     "data_removed": 41,
     "data_updated": 42,
@@ -415,6 +417,52 @@ def transform_effects(operations: DataFrame, transactions: DataFrame) -> DataFra
     effects_array = F.concat(
         effects_array,
         F.when(t.isin(2, 3, 4, 12, 13), trade_effects).otherwise(empty),
+    )
+
+    # change-driven sponsorship state machine (effects.go:225-368): each of
+    # the op's entry changes emits created/updated/removed when the sponsor
+    # transitions — pure array transform over the co-indexed change list.
+    chg = F.coalesce(
+        F.col("changes"), F.array().cast(operations.schema["changes"].dataType)
+    )
+
+    def _sponsorship(c):
+        pre_s, post_s = c["pre"]["sponsor"], c["post"]["sponsor"]
+        holder = F.coalesce(c["post"]["account_id"], c["pre"]["account_id"], source)
+        return (
+            F.when(
+                pre_s.isNull() & post_s.isNotNull(),
+                F.array(
+                    _effect(
+                        "account_sponsorship_created", holder, _j(sponsor=post_s)
+                    )
+                ),
+            )
+            .when(
+                pre_s.isNotNull() & post_s.isNotNull() & (pre_s != post_s),
+                F.array(
+                    _effect(
+                        "account_sponsorship_updated",
+                        holder,
+                        _j(former_sponsor=pre_s, new_sponsor=post_s),
+                    )
+                ),
+            )
+            .when(
+                pre_s.isNotNull() & post_s.isNull(),
+                F.array(
+                    _effect(
+                        "account_sponsorship_removed",
+                        holder,
+                        _j(former_sponsor=pre_s),
+                    )
+                ),
+            )
+            .otherwise(empty)
+        )
+
+    effects_array = F.concat(
+        effects_array, F.flatten(F.transform(chg, _sponsorship))
     )
 
     op_id = toid(F.col("ledger_sequence"), F.col("tx_index"), F.col("op_index") + 1)

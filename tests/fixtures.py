@@ -206,13 +206,17 @@ def _op(seq, tx, op, type_, body, successful=True, source=None, atoms=None,
     )
 
 
-def _change(change_type, pre_offer=None, post_sponsor=None, pool_fee=None):
-    pre = (
-        (pre_offer[0], pre_offer[1], pre_offer[2], pool_fee, None, None)
-        if pre_offer
-        else ((None, None, None, pool_fee, None, None) if pool_fee else None)
+def _change(change_type, pre_offer=None, post_sponsor=None, pool_fee=None,
+            pre_sponsor=None, account=None):
+    pre = None
+    if pre_offer or pool_fee or pre_sponsor:
+        po = pre_offer or (None, None, None)
+        pre = (po[0], po[1], po[2], pool_fee, pre_sponsor, account)
+    post = (
+        (None, None, None, None, post_sponsor, account)
+        if post_sponsor
+        else None
     )
-    post = (None, None, None, None, post_sponsor, None) if post_sponsor else None
     return (change_type, pre, post)
 
 
@@ -265,6 +269,11 @@ def operations_df(spark):
         # create_claimable_balance with 2 claimants (type 14)
         _op(4, 1, 3, 14, _body(balance_id="00bal", amount=30_000_000,
                                claimants=[(ACCOUNT_B, "{}"), (ACCOUNT_C, "{}")])),
+        # revoke_sponsorship (type 18): changes drive updated + removed
+        _op(4, 2, 0, 18, _body(sponsored_id=ACCOUNT_C),
+            changes=[_change(1, pre_sponsor=ACCOUNT_B, post_sponsor=ACCOUNT_C,
+                             account=ACCOUNT_A),
+                     _change(1, pre_sponsor=ACCOUNT_C, account=ACCOUNT_B)]),
         # trade op on FAILED tx — must emit no trades/effects
         _op(
             3, 3, 0, 3,

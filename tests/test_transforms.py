@@ -413,8 +413,11 @@ class TestTradeAndPoolEffects:
     def test_offer_trade_effect_pair(self, data):
         by_op = self._by_op(data)
         mso = by_op[(3 << 32) | (1 << 12) | 1]  # manage_sell_offer with 1 live atom
-        assert [e.type_string for e in mso] == ["trade", "trade"]
-        buyer, seller = mso
+        # trade pair + the change-driven sponsorship effect (post sponsor set)
+        assert [e.type_string for e in mso] == [
+            "trade", "trade", "account_sponsorship_created",
+        ]
+        buyer, seller = mso[0], mso[1]
         assert buyer.address == fx.ACCOUNT_A  # op (tx) source
         assert seller.address == fx.ACCOUNT_B  # resting offer owner
         bd = json.loads(buyer.details_json)
@@ -439,3 +442,16 @@ class TestTradeAndPoolEffects:
     def test_failed_trade_op_no_effects(self, data):
         by_op = self._by_op(data)
         assert (3 << 32) | (3 << 12) | 1 not in by_op
+
+    def test_sponsorship_state_machine(self, data):
+        by_op = self._by_op(data)
+        rs = by_op[(4 << 32) | (2 << 12) | 1]  # revoke_sponsorship op
+        assert [e.type_string for e in rs] == [
+            "account_sponsorship_updated", "account_sponsorship_removed",
+        ]
+        upd, rem = rs
+        assert upd.address == fx.ACCOUNT_A
+        d = json.loads(upd.details_json)
+        assert d == {"former_sponsor": fx.ACCOUNT_B, "new_sponsor": fx.ACCOUNT_C}
+        assert rem.address == fx.ACCOUNT_B
+        assert json.loads(rem.details_json) == {"former_sponsor": fx.ACCOUNT_C}
