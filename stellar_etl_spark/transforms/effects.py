@@ -353,15 +353,22 @@ def transform_effects(operations: DataFrame, transactions: DataFrame) -> DataFra
                 ),
             ),
         )
-        # claim_claimable_balance → claimed + credited
+        # claim_claimable_balance → claimed + credited (effects.go claimant
+        # receives the held asset)
         .when(
             t == 15,
-            F.array(
-                _effect(
-                    "claimable_balance_claimed",
-                    source,
-                    _j(balance_id=body["balance_id"]),
+            F.concat(
+                F.array(
+                    _effect(
+                        "claimable_balance_claimed",
+                        source,
+                        _j(balance_id=body["balance_id"]),
+                    )
                 ),
+                F.when(
+                    body["amount"].isNotNull(),
+                    F.array(_effect("account_credited", source, asset_json)),
+                ).otherwise(empty),
             ),
         )
         # clawback → debited(from) + credited(issuer=source)

@@ -152,6 +152,8 @@ def transform_operation(operations: DataFrame, transactions: DataFrame) -> DataF
         body["shares"].alias("shares"),
         body["fn_type"].alias("function"),
         body["contract_id"].alias("contract_id"),
+        # host-fn args ride as serialized ScVal strings (operation.go:2247-2273)
+        body["args"].alias("parameters"),
         body["extend_to"].alias("extend_to"),
     )
 
