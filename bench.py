@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "corpus_stats_by_source",
     "running_state_snapshots",
     "training_data_pipeline",
+    "sessionize_events",
+    # near_dup_clusters is registry-only: iterative CC is inherently
+    # multi-job and would dominate the single-pass headline timing
 ]
 
 

@@ -236,3 +236,64 @@ def simhash(
             .otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    max_iterations: int = 15,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    near-dup pair graph, labeled by the component's minimum doc id — the
+    grouping a dedup pipeline actually keeps one survivor per.
+
+    Iterative min-label propagation (the standard distributed CC algorithm):
+    each round joins labels across edges and keeps the per-node minimum;
+    terminates at fixpoint (component diameter rounds, typically 2-3 for
+    near-dup clusters).  Each round is one shuffle join + one aggregate —
+    no driver-side graph state, scales with the edge list.
+    """
+    edges = near_dup_pairs(
+        df, id_col, text_col, n, num_perm, bands, rows_per_band, threshold
+    ).select("id_a", "id_b")
+    adj = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    adj = adj.persist()
+
+    labels = (
+        adj.select(F.col("src").alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        )
+    )
+    for _ in range(max_iterations):
+        labels = labels.persist()
+        nbr = adj.join(labels, adj.dst == labels.node).select(
+            F.col("src").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .union(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        old = labels
+        labels = new_labels
+        old.unpersist()
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )

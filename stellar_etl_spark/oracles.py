@@ -540,6 +540,80 @@ SELECT query_id, rnk, nbr_id, cosine_sim FROM (
   FROM scored
 ) WHERE rnk <= 5
 """,
+    # connected components via recursive transitive closure — min reachable
+    # node id per node equals the iterative min-label fixpoint on the Spark
+    # side.
+    "near_dup_clusters": """
+WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3
+      THEN list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                          FOR i IN generate_series(1, len(words) - 2)])
+      ELSE [] END AS shingle_set
+  FROM docs
+),
+sig AS (
+  SELECT doc_id, shingle_set,
+    [list_min([
+       ((2*p + 1) * (('0x' || substring(md5(s), 1, 15))::BIGINT % 2147483647)
+        + 98765*p + 12345) % 2147483647
+       FOR s IN shingle_set])
+     FOR p IN generate_series(0, 7)] AS ms
+  FROM sh WHERE len(shingle_set) > 0
+),
+banded AS (
+  SELECT doc_id, b AS band_id,
+    md5(concat_ws('|', b, ms[2*b + 1], ms[2*b + 2])) AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) AS bands(b)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+edges AS (
+  SELECT id_a, id_b FROM cand
+  JOIN sh a ON a.doc_id = id_a
+  JOIN sh b ON b.doc_id = id_b
+  WHERE CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE) >= 0.5
+),
+und AS (
+  SELECT id_a AS s, id_b AS d FROM edges
+  UNION ALL SELECT id_b, id_a FROM edges
+),
+reach(node, label) AS (
+  SELECT DISTINCT s, s FROM und
+  UNION
+  SELECT u.s, r.label FROM und u JOIN reach r ON u.d = r.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+""",
+    "sessionize_events": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+gaps AS (
+  SELECT user_id, event_id, ts_us,
+    CASE WHEN lag(ts_us) OVER w IS NULL
+           OR ts_us - lag(ts_us) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM gaps
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+  MIN(ts_us) AS session_start_us,
+  MAX(ts_us) AS session_end_us,
+  MAX(ts_us) - MIN(ts_us) AS duration_us,
+  COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_idx
+""",
     "training_data_pipeline": """
 WITH q AS (
   SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,

@@ -706,6 +706,28 @@ def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified near-dup graph (iterative
+    min-label propagation) — the cluster grouping a dedup pipeline keeps one
+    survivor per."""
+    from stellar_etl_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(
+        table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min) over the events stream — data-driven
+    windows next to the reference's fixed 64-ledger batches."""
+    from stellar_etl_spark.operators.sessionize import session_stats
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    return session_stats(ev)
+
+
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed cleaning recipe a training corpus actually runs: quality
     gate → exact-dedup survivors (lowest id per content hash) → per-language
@@ -768,4 +790,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats_by_source": corpus_stats_by_source,
     "running_state_snapshots": running_state_snapshots,
     "training_data_pipeline": training_data_pipeline,
+    "sessionize_events": sessionize_events,
+    "near_dup_clusters": near_dup_clusters,
 }

@@ -243,3 +243,27 @@ class TestRunningSnapshots:
         ]
         out = self._run(spark, rows)
         assert out[(0, "k1")].value == "c"
+
+
+class TestDedupClusters:
+    def test_chain_forms_one_cluster(self, spark):
+        from stellar_etl_spark.operators.dedup import dedup_clusters
+
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        variant = base + " extra"
+        df = spark.createDataFrame(
+            [
+                (1, base),
+                (2, base),          # 1-2 identical
+                (3, variant),
+                (4, variant),       # 3-4 identical; 2-3 near (shared shingles)
+                (9, "entirely different content about query engines and planners"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r.cluster_id
+            for r in dedup_clusters(df, "doc_id", "text", threshold=0.5).collect()
+        }
+        # chain 1-2-3-4 collapses to min id 1; doc 9 has no near-dups at all
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1}
