@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "running_state_snapshots",
     "training_data_pipeline",
     "sessionize_events",
+    "clean_text",
+    "weekly_retention",
     # near_dup_clusters is registry-only: iterative CC is inherently
     # multi-job and would dominate the single-pass headline timing
 ]

@@ -146,3 +146,28 @@ def rolling_fingerprint(
         F.length(F.col(text_col)).alias("n_chars"),
         fold.alias("rolling_hash"),
     )
+
+
+URL_PATTERN = r"https?://\S+|www\.\S+"
+
+
+def clean_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Canonical text normalization before dedup/tokenization: strip URLs,
+    collapse whitespace, trim, lowercase — all JVM regexp/string builtins,
+    identical semantics in the oracle's RE2."""
+    cleaned = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col(text_col), URL_PATTERN, " "),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(cleaned).alias("clean_len"),
+        F.md5(cleaned).alias("clean_md5"),
+    )

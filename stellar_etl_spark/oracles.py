@@ -540,6 +540,24 @@ SELECT query_id, rnk, nbr_id, cosine_sim FROM (
   FROM scored
 ) WHERE rnk <= 5
 """,
+    "clean_text": r"""
+SELECT doc_id,
+  CAST(length(lower(trim(regexp_replace(
+    regexp_replace(text, 'https?://\S+|www\.\S+', ' ', 'g'),
+    '\s+', ' ', 'g')))) AS INT) AS clean_len,
+  md5(lower(trim(regexp_replace(
+    regexp_replace(text, 'https?://\S+|www\.\S+', ' ', 'g'),
+    '\s+', ' ', 'g')))) AS clean_md5
+FROM documents
+""",
+    "weekly_retention": """
+WITH w AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+)
+SELECT a.wk, COUNT(*) AS n_active, COUNT(b.user_id) AS n_retained
+FROM w a LEFT JOIN w b ON a.user_id = b.user_id AND b.wk = a.wk + 1
+GROUP BY a.wk
+""",
     # connected components via recursive transitive closure — min reachable
     # node id per node equals the iterative min-label fixpoint on the Spark
     # side.

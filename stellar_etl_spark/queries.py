@@ -706,6 +706,38 @@ def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clean_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (URL strip, whitespace collapse, lowercase) — the
+    cleaning step that precedes dedup in a corpus pipeline."""
+    from stellar_etl_spark.operators.text import clean_text
+
+    return clean_text(table(spark, sf_dir, "documents"))
+
+
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users active in week N who return in week N+1 —
+    a self-join on the compacted (user, week) activity set, counted per
+    week. The activity set is tiny relative to raw events (pre-aggregation
+    before the join, the scale-safe order)."""
+    ev = table(spark, sf_dir, "events")
+    weekly = ev.select(
+        F.col("user_id"), F.expr("(ts div 1000) div 604800000000").alias("wk")
+    ).distinct()
+    nxt = weekly.select(
+        F.col("user_id").alias("u2"), (F.col("wk") - 1).alias("wk2")
+    )
+    return (
+        weekly.join(
+            nxt, (weekly.user_id == nxt.u2) & (weekly.wk == nxt.wk2), "left"
+        )
+        .groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.count(F.col("u2")).alias("n_retained"),
+        )
+    )
+
+
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the verified near-dup graph (iterative
     min-label propagation) — the cluster grouping a dedup pipeline keeps one
@@ -792,4 +824,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_data_pipeline": training_data_pipeline,
     "sessionize_events": sessionize_events,
     "near_dup_clusters": near_dup_clusters,
+    "clean_text": clean_text_q,
+    "weekly_retention": weekly_retention,
 }
