@@ -267,3 +267,30 @@ class TestDedupClusters:
         }
         # chain 1-2-3-4 collapses to min id 1; doc 9 has no near-dups at all
         assert out == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+class TestSaltedJoin:
+    def test_equals_plain_join_on_skewed_data(self, spark):
+        from stellar_etl_spark.operators.skew import salted_join
+
+        # 90% of fact rows share one hot key
+        facts = spark.createDataFrame(
+            [(1 if i < 900 else i % 50, i) for i in range(1000)],
+            "k long, payload long",
+        )
+        dims = spark.createDataFrame(
+            [(i, f"dim{i}") for i in range(50)], "k long, attr string"
+        )
+        plain = facts.join(dims, "k").groupBy("k", "attr").count()
+        salted = salted_join(facts, dims, "k").groupBy("k", "attr").count()
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        )
+
+    def test_left_join_preserves_unmatched(self, spark):
+        from stellar_etl_spark.operators.skew import salted_join
+
+        facts = spark.createDataFrame([(1, 10), (99, 20)], "k long, v long")
+        dims = spark.createDataFrame([(1, "a")], "k long, attr string")
+        rows = {r.k: r.attr for r in salted_join(facts, dims, "k", how="left").collect()}
+        assert rows == {1: "a", 99: None}
