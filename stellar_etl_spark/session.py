@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep catalog-table artifacts (bucketed tables) out of the repo cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/stellar-etl-warehouse"),
+        )
     )
     if SparkSession.getActiveSession() is None:
         builder = builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))

@@ -193,3 +193,44 @@ class TestStatefulStreaming:
             last[r.ledger_key] = r
         assert last["k1"].payload == "b" and not last["k1"].deleted
         assert last["k2"].deleted  # removed in the second batch
+
+
+class TestBucketedLayout:
+    def test_bucketed_join_has_no_shuffle(self, spark, sf_dir):
+        import contextlib
+        import io
+
+        from stellar_etl_spark.sources.bucketed import (
+            co_located_join,
+            write_bucketed,
+        )
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        ).withColumnRenamed("l_orderkey", "orderkey")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        ).withColumnRenamed("o_orderkey", "orderkey")
+
+        write_bucketed(li, "t_lineitem_b", "orderkey", n_buckets=8)
+        write_bucketed(orders, "t_orders_b", "orderkey", n_buckets=8)
+        # disable auto-broadcast so the bucketed SMJ path is what's planned
+        # (at real fact×fact scale neither side would broadcast anyway)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = co_located_join(spark, "t_lineitem_b", "t_orders_b", "orderkey")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            # co-located: SMJ over bucket files, zero shuffles
+            assert "SortMergeJoin" in plan
+            assert "Exchange (" not in plan
+            # and the join is actually correct
+            assert joined.count() == li.join(orders, "orderkey").count()
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+            spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+            spark.sql("DROP TABLE IF EXISTS t_orders_b")
