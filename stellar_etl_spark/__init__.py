@@ -9,9 +9,12 @@ Architecture (Spark-first, not a port):
   - ``operators``  : reusable DataFrame operators (compaction, dedup,
                      similarity, text analysis, range lookup, multimodal)
   - ``transforms`` : stellar entity transforms (ledger, tx, op, trade, ...)
-  - ``sources``    : readers/sinks (parquet, jsonl, binary ledger files)
-  - ``streaming``  : structured-streaming micro-batch pipelines
+  - ``sources``    : readers/sinks (parquet, jsonl, binary ledger files,
+                     bucketed layouts)
+  - ``plans``      : the reference's export commands as end-to-end pipelines
+  - ``streaming``  : micro-batch + stateful structured-streaming pipelines
   - ``queries``    : the query registry exported through __spark_entry__
+  - ``oracles``    : DuckDB ANSI-SQL twins for the correctness gate
 """
 
 __version__ = "0.1.0"
