@@ -38,6 +38,22 @@ TRANSACTIONS_DDL = """
     tx_envelope string, tx_result string, tx_meta string, tx_fee_meta string
 """
 
+# Per-op ledger-entry change view (ingest.Change pre/post pairs scoped to one
+# operation).  Sparse across entry types: offer fields feed the trade price
+# scan (trade.go:281-304), sponsor/account/asset/data/balance/pool/signers
+# feed the change-driven effect builders (effects.go:225-399), key_hash the
+# footprint effects (effects.go:1432-1513).
+_OP_CHANGE_ENTRY_DDL = f"""struct<
+    offer_id:long, price_n:int, price_d:int, pool_fee:int,
+    sponsor:string, account_id:string,
+    asset:{ASSET_DDL}, amount:long, data_name:string, balance_id:string,
+    pool_id:string, asset_a:{ASSET_DDL}, asset_b:{ASSET_DDL},
+    reserve_a:long, reserve_b:long, total_shares:long, trustline_count:long,
+    key_hash:string,
+    claimants:array<struct<destination:string, predicate:string>>,
+    signers:array<struct<key:string, weight:int, sponsor:string>>
+>"""
+
 # Sparse per-type body struct (operation.go:584-1173 details switch); claim
 # atoms + changes ride along for trades/sponsorship (trade.go:21-162).
 OPERATIONS_DDL = f"""
@@ -62,7 +78,9 @@ OPERATIONS_DDL = f"""
         pool_id:string, max_amount_a:long, max_amount_b:long,
         min_amount_a:long, min_amount_b:long, shares:long,
         min_price_n:int, min_price_d:int, max_price_n:int, max_price_d:int,
-        fn_type:string, contract_id:string, args:array<string>, extend_to:long
+        fn_type:string, contract_id:string, args:array<string>, extend_to:long,
+        inflation_dest:string,
+        payouts:array<struct<destination:string, amount:long>>
     >,
     claim_atoms array<struct<
         atom_type:string, seller_id:string, offer_id:long, pool_id:string,
@@ -71,10 +89,9 @@ OPERATIONS_DDL = f"""
     >>,
     changes array<struct<
         change_type:int,
-        pre:struct<offer_id:long, price_n:int, price_d:int, pool_fee:int,
-                   sponsor:string, account_id:string>,
-        post:struct<offer_id:long, price_n:int, price_d:int, pool_fee:int,
-                    sponsor:string, account_id:string>
+        entry_type:string,
+        pre:{_OP_CHANGE_ENTRY_DDL},
+        post:{_OP_CHANGE_ENTRY_DDL}
     >>
 """
 

@@ -16,7 +16,7 @@ from stellar_etl_spark.transforms.changes import (
     transform_ttl,
 )
 from stellar_etl_spark.transforms.contract_events import transform_contract_events
-from stellar_etl_spark.transforms.effects import transform_effects
+from stellar_etl_spark.transforms.effects import transform_effects, transform_sac_effects
 from stellar_etl_spark.transforms.ledger import transform_ledger
 from stellar_etl_spark.transforms.offer_normalized import transform_offer_normalized
 from stellar_etl_spark.transforms.operation import transform_operation
@@ -33,6 +33,7 @@ __all__ = [
     "transform_contract_code",
     "transform_contract_events",
     "transform_effects",
+    "transform_sac_effects",
     "transform_ledger",
     "transform_offer",
     "transform_offer_normalized",

@@ -6,11 +6,21 @@ effects.go:73-135), then ``posexplode`` — the 1→N pattern without any
 row-at-a-time code.  Effect id = "{operation_id}-{index}" (effects.go:162);
 index is the emission position within the op.
 
-Covered builders (the high-frequency classic set): create_account, payment,
-path payments (as payment effects), account_merge, change_trust,
-allow_trust/set_trust_line_flags, set_options signer effects, manage_data,
-bump_sequence, create/claim claimable balance, clawback, inflation.
-Soroban/SAC event effects live in transforms.token_transfer.
+Emission order mirrors the reference exactly:
+  1. per-op-type builder (effects.go:73-135) — payments, trust, options,
+     merges, claimable balances, clawbacks, pools, footprints, inflation;
+  2. trade effects from claim atoms (addIngestTradeEffects, effects.go:965);
+  3. per entry change: sponsorship effects for the account / trustline /
+     data / claimable_balance families (sponsoringEffectsTable,
+     effects.go:197-368) then signer-sponsorship diffs (effects.go:225-285);
+  4. per entry change: liquidity-pool created/removed (effects.go:370-399).
+
+Change-driven builders (trustline created/updated/removed, signer diffs,
+sponsorship transitions, LP lifecycle) are pure array expressions over the
+op's co-indexed ``changes`` list — no shuffle, no Python in the hot path.
+SAC/Soroban event effects (contract_credited/debited etc., effects.go:
+1319-1430) have a different input grain (contract events, not operations)
+and live in :func:`transform_sac_effects`.
 """
 
 from __future__ import annotations
@@ -21,7 +31,7 @@ from pyspark.sql import functions as F
 from stellar_etl_spark.functions.scalars import stroops_to_real
 from stellar_etl_spark.functions.toid import toid
 
-# Effect type ids/strings (schema.go:372-481 enum subset).
+# Effect type ids/strings (schema.go:372-481 enum — complete).
 EFFECT_TYPES = {
     "account_created": 0,
     "account_removed": 1,
@@ -30,6 +40,7 @@ EFFECT_TYPES = {
     "account_thresholds_updated": 4,
     "account_home_domain_updated": 5,
     "account_flags_updated": 6,
+    "account_inflation_destination_updated": 7,
     "signer_created": 10,
     "signer_removed": 11,
     "signer_updated": 12,
@@ -37,21 +48,48 @@ EFFECT_TYPES = {
     "trustline_removed": 21,
     "trustline_updated": 22,
     "trustline_flags_updated": 26,
+    "offer_created": 30,
+    "offer_removed": 31,
+    "offer_updated": 32,
+    "trade": 33,
+    "data_created": 40,
+    "data_removed": 41,
+    "data_updated": 42,
+    "sequence_bumped": 43,
     "claimable_balance_created": 50,
     "claimable_balance_claimant_created": 51,
     "claimable_balance_claimed": 52,
     "account_sponsorship_created": 60,
     "account_sponsorship_updated": 61,
     "account_sponsorship_removed": 62,
-    "data_created": 40,
-    "data_removed": 41,
-    "data_updated": 42,
-    "sequence_bumped": 43,
-    "trade": 33,
+    "trustline_sponsorship_created": 63,
+    "trustline_sponsorship_updated": 64,
+    "trustline_sponsorship_removed": 65,
+    "data_sponsorship_created": 66,
+    "data_sponsorship_updated": 67,
+    "data_sponsorship_removed": 68,
+    "claimable_balance_sponsorship_created": 69,
+    "claimable_balance_sponsorship_updated": 70,
+    "claimable_balance_sponsorship_removed": 71,
+    "signer_sponsorship_created": 72,
+    "signer_sponsorship_updated": 73,
+    "signer_sponsorship_removed": 74,
+    "claimable_balance_clawed_back": 80,
     "liquidity_pool_deposited": 90,
     "liquidity_pool_withdrew": 91,
     "liquidity_pool_trade": 92,
+    "liquidity_pool_created": 93,
+    "liquidity_pool_removed": 94,
+    "liquidity_pool_revoked": 95,
+    "contract_credited": 96,
+    "contract_debited": 97,
+    "extend_footprint_ttl": 98,
+    "restore_footprint": 99,
 }
+
+_EFFECT_STRUCT_DDL = (
+    "array<struct<type_string:string,type:int,address:string,details_json:string>>"
+)
 
 
 def _effect(kind: str, address: Column, details: Column) -> Column:
@@ -63,9 +101,33 @@ def _effect(kind: str, address: Column, details: Column) -> Column:
     )
 
 
+def _type_id(kind_col: Column) -> Column:
+    pairs = []
+    for k, v in EFFECT_TYPES.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    return F.element_at(F.create_map(*pairs), kind_col).cast("int")
+
+
+def _effect_dyn(kind_col: Column, address: Column, details: Column) -> Column:
+    """Effect struct whose type is itself a column (change-driven builders)."""
+    return F.struct(
+        kind_col.alias("type_string"),
+        _type_id(kind_col).alias("type"),
+        address.alias("address"),
+        details.alias("details_json"),
+    )
+
+
 def _j(**kv) -> Column:
     return F.to_json(
         F.struct(*[v.alias(k) for k, v in kv.items()]), {"ignoreNullFields": "true"}
+    )
+
+
+def _canonical(asset: Column) -> Column:
+    """Asset.StringCanonical(): "native" or "CODE:ISSUER"."""
+    return F.when(asset["asset_type"] == "native", F.lit("native")).otherwise(
+        F.concat_ws(":", asset["asset_code"], asset["asset_issuer"])
     )
 
 
@@ -93,13 +155,16 @@ def transform_effects(operations: DataFrame, transactions: DataFrame) -> DataFra
         asset_issuer=body["asset"]["asset_issuer"],
         amount=amount,
     )
-    empty = F.array().cast(
-        "array<struct<type_string:string,type:int,address:string,details_json:string>>"
+    empty = F.array().cast(_EFFECT_STRUCT_DDL)
+    chg = F.coalesce(
+        F.col("changes"), F.array().cast(operations.schema["changes"].dataType)
     )
 
-    # trade effects from claim atoms (effects.go addTradeEffects): one effect
-    # for each side of every non-zero atom; LP counter-parties get the LP
-    # variant.  flatten(transform(...)) keeps the fan-out JVM-side.
+    def _entry(c):
+        """Post-preferred entry view (ExtractEntryFromChange pattern)."""
+        return F.coalesce(c["post"], c["pre"])
+
+    # ---- trade effects from claim atoms (effects.go:965-1031) -------------
     live_atoms = F.filter(
         F.coalesce(
             F.col("claim_atoms"),
@@ -124,47 +189,323 @@ def transform_effects(operations: DataFrame, transactions: DataFrame) -> DataFra
             liquidity_pool_id=a["pool_id"],
         )
 
+    def _trade_kind(a):
+        return (
+            F.when(a["atom_type"] == "lp", F.lit("liquidity_pool_trade"))
+            .otherwise(F.lit("trade"))
+        )
+
     trade_effects = F.flatten(
         F.transform(
             live_atoms,
             lambda a: F.array(
                 # buyer side: the op source bought what the atom sold
-                F.struct(
-                    F.when(a["atom_type"] == "lp", F.lit("liquidity_pool_trade"))
-                    .otherwise(F.lit("trade"))
-                    .alias("type_string"),
-                    F.when(
-                        a["atom_type"] == "lp",
-                        F.lit(EFFECT_TYPES["liquidity_pool_trade"]),
-                    )
-                    .otherwise(F.lit(EFFECT_TYPES["trade"]))
-                    .cast("int")
-                    .alias("type"),
-                    source.alias("address"),
-                    _atom_details(a, sold_first=False).alias("details_json"),
+                _effect_dyn(
+                    _trade_kind(a), source, _atom_details(a, sold_first=False)
                 ),
                 # seller side: the resting offer's owner (or the pool)
-                F.struct(
-                    F.when(a["atom_type"] == "lp", F.lit("liquidity_pool_trade"))
-                    .otherwise(F.lit("trade"))
-                    .alias("type_string"),
-                    F.when(
-                        a["atom_type"] == "lp",
-                        F.lit(EFFECT_TYPES["liquidity_pool_trade"]),
-                    )
-                    .otherwise(F.lit(EFFECT_TYPES["trade"]))
-                    .cast("int")
-                    .alias("type"),
-                    F.coalesce(a["seller_id"], a["pool_id"]).alias("address"),
-                    _atom_details(a, sold_first=True).alias("details_json"),
+                _effect_dyn(
+                    _trade_kind(a),
+                    F.coalesce(a["seller_id"], a["pool_id"]),
+                    _atom_details(a, sold_first=True),
                 ),
             ),
         )
     )
 
+    # ---- set_options helpers (effects.go:520-635) -------------------------
+    set_flags = F.coalesce(body["set_flags"], F.array().cast("array<int>"))
+    clear_flags = F.coalesce(body["clear_flags"], F.array().cast("array<int>"))
+
+    def _flag_detail(bit: int):
+        return (
+            F.when(F.array_contains(set_flags, bit), F.lit(True))
+            .when(F.array_contains(clear_flags, bit), F.lit(False))
+        )
+
+    flags_details = _j(
+        auth_required_flag=_flag_detail(1),
+        auth_revocable_flag=_flag_detail(2),
+        auth_immutable_flag=_flag_detail(4),
+        auth_clawback_enabled_flag=_flag_detail(8),
+    )
+    any_known_flag = F.exists(
+        F.array_union(set_flags, clear_flags), lambda b: b.isin(1, 2, 4, 8)
+    )
+
+    # signer diffs from account changes (SignerSummary diff, effects.go:569-634);
+    # falls back to the op body's signer field when the fixture/source carries
+    # no account signer lists.
+    def _signer_map(signers):
+        return F.map_from_entries(
+            F.transform(
+                F.coalesce(
+                    signers,
+                    F.array().cast(
+                        "array<struct<key:string,weight:int,sponsor:string>>"
+                    ),
+                ),
+                lambda s: F.struct(s["key"], s["weight"]),
+            )
+        )
+
+    def _signer_diff(c):
+        before, after = _signer_map(c["pre"]["signers"]), _signer_map(c["post"]["signers"])
+        before_keys = F.array_sort(F.map_keys(before))
+        after_keys = F.array_sort(F.map_keys(after))
+        removed_updated = F.flatten(
+            F.transform(
+                before_keys,
+                lambda k: F.when(
+                    F.try_element_at(after, k).isNull(),
+                    F.array(_effect("signer_removed", source, _j(public_key=k))),
+                )
+                .when(
+                    F.try_element_at(after, k) != F.try_element_at(before, k),
+                    F.array(
+                        _effect(
+                            "signer_updated",
+                            source,
+                            _j(public_key=k, weight=F.try_element_at(after, k)),
+                        )
+                    ),
+                )
+                .otherwise(empty),
+            )
+        )
+        created = F.flatten(
+            F.transform(
+                after_keys,
+                lambda k: F.when(
+                    F.try_element_at(before, k).isNull(),
+                    F.array(
+                        _effect(
+                            "signer_created",
+                            source,
+                            _j(public_key=k, weight=F.try_element_at(after, k)),
+                        )
+                    ),
+                ).otherwise(empty),
+            )
+        )
+        return F.concat(removed_updated, created)
+
+    acct_signer_changes = F.filter(
+        chg,
+        lambda c: (c["entry_type"] == "account")
+        & c["pre"].isNotNull()
+        & c["post"].isNotNull()
+        & (c["pre"]["signers"].isNotNull() | c["post"]["signers"].isNotNull()),
+    )
+    change_driven_signers = F.flatten(F.transform(acct_signer_changes, _signer_diff))
+    body_fallback_signers = (
+        F.when(
+            body["signer_key"].isNotNull() & (body["signer_weight"] > 0),
+            F.array(
+                _effect(
+                    "signer_created",
+                    source,
+                    _j(public_key=body["signer_key"], weight=body["signer_weight"]),
+                )
+            ),
+        )
+        .when(
+            body["signer_key"].isNotNull() & (body["signer_weight"] == 0),
+            F.array(_effect("signer_removed", source, _j(public_key=body["signer_key"]))),
+        )
+        .otherwise(empty)
+    )
+    signer_effects = F.when(
+        F.size(acct_signer_changes) > 0, change_driven_signers
+    ).otherwise(body_fallback_signers)
+
+    # ---- change_trust: change-driven created/updated/removed --------------
+    # (effects.go:637-696; first trustline change whose pool-ness matches the
+    # op line wins; an op with changes but no matching trustline change emits
+    # nothing — the account-trusts-itself regression, effects_test.go:2029).
+    line_is_pool = F.coalesce(
+        body["line"]["asset_type"] == "pool_share", F.lit(False)
+    )
+
+    def _tl_is_pool(c):
+        e = _entry(c)
+        return e["pool_id"].isNotNull() | F.coalesce(
+            e["asset"]["asset_type"] == "pool_share", F.lit(False)
+        )
+
+    tl_matches = F.filter(
+        chg,
+        lambda c: (c["entry_type"] == "trustline")
+        & (_tl_is_pool(c) == line_is_pool),
+    )
+    first_tl = F.try_element_at(tl_matches, F.lit(1))
+    tl_verb = (
+        F.when(first_tl["pre"].isNull(), F.lit("trustline_created"))
+        .when(first_tl["post"].isNull(), F.lit("trustline_removed"))
+        .otherwise(F.lit("trustline_updated"))
+    )
+    tl_details = F.when(
+        line_is_pool,
+        _j(
+            limit=stroops_to_real(body["limit"]),
+            asset_type=F.lit("liquidity_pool_shares"),
+            liquidity_pool_id=body["pool_id"],
+        ),
+    ).otherwise(
+        _j(
+            limit=stroops_to_real(body["limit"]),
+            asset_type=body["line"]["asset_type"],
+            asset_code=body["line"]["asset_code"],
+            asset_issuer=body["line"]["asset_issuer"],
+        )
+    )
+    change_trust_driven = F.when(
+        first_tl.isNotNull(),
+        F.array(_effect_dyn(tl_verb, source, tl_details)),
+    ).otherwise(empty)
+    # legacy limit heuristic when the source carries no change list at all
+    change_trust_legacy = (
+        F.when(
+            body["limit"] > 0,
+            F.array(
+                _effect(
+                    "trustline_created",
+                    source,
+                    _j(
+                        asset_type=body["line"]["asset_type"],
+                        asset_code=body["line"]["asset_code"],
+                        asset_issuer=body["line"]["asset_issuer"],
+                        limit=stroops_to_real(body["limit"]),
+                    ),
+                )
+            ),
+        )
+        .when(
+            body["limit"] == 0,
+            F.array(
+                _effect(
+                    "trustline_removed",
+                    source,
+                    _j(
+                        asset_type=body["line"]["asset_type"],
+                        asset_code=body["line"]["asset_code"],
+                        asset_issuer=body["line"]["asset_issuer"],
+                    ),
+                )
+            ),
+        )
+        .otherwise(empty)
+    )
+    change_trust_effects = F.when(F.size(chg) == 0, change_trust_legacy).otherwise(
+        change_trust_driven
+    )
+
+    # ---- liquidity-pool revocation (effects.go:1142-1266, simplified) -----
+    # allow_trust / set_trust_line_flags revoking pool-share trustlines create
+    # claimable balances for the redeemed reserves; emit CB-created effects
+    # then liquidity_pool_revoked with the revoked reserves.
+    cb_created_changes = F.filter(
+        chg,
+        lambda c: (c["entry_type"] == "claimable_balance")
+        & c["pre"].isNull()
+        & c["post"].isNotNull(),
+    )
+    lp_pre_change = F.try_element_at(
+        F.filter(
+            chg,
+            lambda c: (c["entry_type"] == "liquidity_pool") & c["pre"].isNotNull(),
+        ),
+        F.lit(1),
+    )
+
+    def _cb_created_effects(c):
+        p = c["post"]
+        return F.concat(
+            F.array(
+                _effect(
+                    "claimable_balance_created",
+                    source,
+                    _j(
+                        balance_id=p["balance_id"],
+                        asset=_canonical(p["asset"]),
+                        amount=stroops_to_real(p["amount"]),
+                    ),
+                )
+            ),
+            F.transform(
+                F.coalesce(
+                    p["claimants"],
+                    F.array().cast(
+                        "array<struct<destination:string,predicate:string>>"
+                    ),
+                ),
+                lambda cl: _effect(
+                    "claimable_balance_claimant_created",
+                    cl["destination"],
+                    _j(
+                        balance_id=p["balance_id"],
+                        asset=_canonical(p["asset"]),
+                        amount=stroops_to_real(p["amount"]),
+                    ),
+                ),
+            ),
+        )
+
+    lp_revoked_effects = F.when(
+        (F.size(cb_created_changes) > 0) & lp_pre_change.isNotNull(),
+        F.concat(
+            F.flatten(F.transform(cb_created_changes, _cb_created_effects)),
+            F.array(
+                _effect(
+                    "liquidity_pool_revoked",
+                    source,
+                    _j(
+                        liquidity_pool_id=lp_pre_change["pre"]["pool_id"],
+                        shares_revoked=stroops_to_real(
+                            lp_pre_change["pre"]["total_shares"]
+                            - F.coalesce(
+                                lp_pre_change["post"]["total_shares"], F.lit(0)
+                            )
+                        ),
+                        reserves_revoked=F.transform(
+                            cb_created_changes,
+                            lambda c: F.struct(
+                                _canonical(c["post"]["asset"]).alias("asset"),
+                                stroops_to_real(c["post"]["amount"]).alias("amount"),
+                                c["post"]["balance_id"].alias(
+                                    "claimable_balance_id"
+                                ),
+                            ),
+                        ),
+                    ),
+                )
+            ),
+        ),
+    ).otherwise(empty)
+
+    # ---- clawback_claimable_balance credited side (effects.go:1057-1089) --
+    first_removed_cb = F.try_element_at(
+        F.filter(
+            chg,
+            lambda c: (c["entry_type"] == "claimable_balance")
+            & c["post"].isNull()
+            & c["pre"].isNotNull(),
+        ),
+        F.lit(1),
+    )
+
+    # ---- footprint ops: affected ttl entries (effects.go:1432-1513) -------
+    ttl_entries = F.transform(
+        F.filter(
+            chg,
+            lambda c: (c["entry_type"] == "ttl") & c["post"].isNotNull(),
+        ),
+        lambda c: c["post"]["key_hash"],
+    )
+
     effects_array = (
         # create_account → account_created + account_debited + signer_created
-        # (effects.go addAccountCreatedEffects)
+        # (effects.go:401-427)
         F.when(
             t == 0,
             F.array(
@@ -188,7 +529,7 @@ def transform_effects(operations: DataFrame, transactions: DataFrame) -> DataFra
                 ),
             ),
         )
-        # payment / path payments → credited + debited
+        # payment / path payments → credited + debited (effects.go:429-489)
         .when(
             t.isin(1, 2, 13),
             F.array(
@@ -196,7 +537,7 @@ def transform_effects(operations: DataFrame, transactions: DataFrame) -> DataFra
                 _effect("account_debited", F.coalesce(body["from"], source), asset_json),
             ),
         )
-        # account_merge → removed + credited(dest) + debited(src)
+        # account_merge → debited(src) + credited(dest) + removed (effects.go:730-743)
         .when(
             t == 8,
             F.array(
@@ -213,53 +554,42 @@ def transform_effects(operations: DataFrame, transactions: DataFrame) -> DataFra
                 _effect("account_removed", source, _j(account=source)),
             ),
         )
-        # change_trust → trustline created (limit>0) or removed (limit==0)
-        .when(
-            (t == 6) & (body["limit"] > 0),
-            F.array(
-                _effect(
-                    "trustline_created",
-                    source,
-                    _j(
-                        asset_type=body["line"]["asset_type"],
-                        asset_code=body["line"]["asset_code"],
-                        asset_issuer=body["line"]["asset_issuer"],
-                        limit=stroops_to_real(body["limit"]),
-                    ),
-                )
-            ),
-        )
-        .when(
-            (t == 6) & (body["limit"] == 0),
-            F.array(
-                _effect(
-                    "trustline_removed",
-                    source,
-                    _j(
-                        asset_type=body["line"]["asset_type"],
-                        asset_code=body["line"]["asset_code"],
-                        asset_issuer=body["line"]["asset_issuer"],
-                    ),
-                )
-            ),
-        )
+        # change_trust → created/updated/removed (effects.go:637-696)
+        .when(t == 6, change_trust_effects)
         # allow_trust / set_trust_line_flags → trustline_flags_updated
+        # + LP revocation effects (effects.go:697-729, 1091-1096)
         .when(
             t.isin(7, 21),
-            F.array(
-                _effect(
-                    "trustline_flags_updated",
-                    body["trustor"],
-                    _j(trustor=body["trustor"], authorized=body["authorize"]),
-                )
+            F.concat(
+                F.array(
+                    _effect(
+                        "trustline_flags_updated",
+                        body["trustor"],
+                        _j(trustor=body["trustor"], authorized=body["authorize"]),
+                    )
+                ),
+                lp_revoked_effects,
             ),
         )
-        # set_options → thresholds / home domain / signer effects
+        # set_options → home domain / thresholds / flags / inflation dest /
+        # signer effects, in reference order (effects.go:520-635)
         .when(
             t == 5,
             F.concat(
                 F.when(
-                    body["low_threshold"].isNotNull(),
+                    body["home_domain"].isNotNull(),
+                    F.array(
+                        _effect(
+                            "account_home_domain_updated",
+                            source,
+                            _j(home_domain=body["home_domain"]),
+                        )
+                    ),
+                ).otherwise(empty),
+                F.when(
+                    body["low_threshold"].isNotNull()
+                    | body["med_threshold"].isNotNull()
+                    | body["high_threshold"].isNotNull(),
                     F.array(
                         _effect(
                             "account_thresholds_updated",
@@ -273,42 +603,43 @@ def transform_effects(operations: DataFrame, transactions: DataFrame) -> DataFra
                     ),
                 ).otherwise(empty),
                 F.when(
-                    body["home_domain"].isNotNull(),
+                    any_known_flag,
+                    F.array(_effect("account_flags_updated", source, flags_details)),
+                ).otherwise(empty),
+                F.when(
+                    body["inflation_dest"].isNotNull(),
                     F.array(
                         _effect(
-                            "account_home_domain_updated",
+                            "account_inflation_destination_updated",
                             source,
-                            _j(home_domain=body["home_domain"]),
+                            _j(inflation_destination=body["inflation_dest"]),
                         )
                     ),
                 ).otherwise(empty),
-                F.when(
-                    body["signer_key"].isNotNull() & (body["signer_weight"] > 0),
-                    F.array(
-                        _effect(
-                            "signer_created",
-                            source,
-                            _j(
-                                public_key=body["signer_key"],
-                                weight=body["signer_weight"],
-                            ),
-                        )
-                    ),
-                )
-                .when(
-                    body["signer_key"].isNotNull() & (body["signer_weight"] == 0),
-                    F.array(
-                        _effect(
-                            "signer_removed",
-                            source,
-                            _j(public_key=body["signer_key"]),
-                        )
-                    ),
-                )
-                .otherwise(empty),
+                signer_effects,
             ),
         )
-        # manage_data → data created/removed/updated
+        # inflation → one account_credited per payout (effects.go:745-755)
+        .when(
+            t == 9,
+            F.transform(
+                F.coalesce(
+                    body["payouts"],
+                    F.array().cast(
+                        "array<struct<destination:string,amount:long>>"
+                    ),
+                ),
+                lambda p: _effect(
+                    "account_credited",
+                    p["destination"],
+                    _j(
+                        amount=stroops_to_real(p["amount"]),
+                        asset_type=F.lit("native"),
+                    ),
+                ),
+            ),
+        )
+        # manage_data → data created/removed/updated (effects.go:757-797)
         .when(
             (t == 10) & body["data_value"].isNotNull(),
             F.array(
@@ -323,7 +654,7 @@ def transform_effects(operations: DataFrame, transactions: DataFrame) -> DataFra
             (t == 10) & body["data_value"].isNull(),
             F.array(_effect("data_removed", source, _j(name=body["data_name"]))),
         )
-        # bump_sequence → sequence_bumped
+        # bump_sequence → sequence_bumped (effects.go:798-832)
         .when(
             t == 11,
             F.array(
@@ -333,6 +664,7 @@ def transform_effects(operations: DataFrame, transactions: DataFrame) -> DataFra
             ),
         )
         # create_claimable_balance → created + one claimant effect per claimant
+        # (effects.go:833-905)
         .when(
             t == 14,
             F.concat(
@@ -353,8 +685,8 @@ def transform_effects(operations: DataFrame, transactions: DataFrame) -> DataFra
                 ),
             ),
         )
-        # claim_claimable_balance → claimed + credited (effects.go claimant
-        # receives the held asset)
+        # claim_claimable_balance → claimed{balance_id, asset, amount} +
+        # account_credited (effects.go:906-964)
         .when(
             t == 15,
             F.concat(
@@ -362,7 +694,13 @@ def transform_effects(operations: DataFrame, transactions: DataFrame) -> DataFra
                     _effect(
                         "claimable_balance_claimed",
                         source,
-                        _j(balance_id=body["balance_id"]),
+                        _j(
+                            amount=amount,
+                            balance_id=body["balance_id"],
+                            asset=F.when(
+                                body["asset"].isNotNull(), _canonical(body["asset"])
+                            ),
+                        ),
                     )
                 ),
                 F.when(
@@ -371,26 +709,53 @@ def transform_effects(operations: DataFrame, transactions: DataFrame) -> DataFra
                 ).otherwise(empty),
             ),
         )
-        # clawback → debited(from) + credited(issuer=source)
+        # clawback → credited(issuer=source) THEN debited(from)
+        # (effects.go:1033-1055 order)
         .when(
             t == 19,
             F.array(
-                _effect("account_debited", body["from"], asset_json),
                 _effect("account_credited", source, asset_json),
+                _effect("account_debited", body["from"], asset_json),
             ),
         )
-        # begin_sponsoring_future_reserves → sponsorship created
+        # clawback_claimable_balance → clawed_back + credited from the removed
+        # CB entry (effects.go:1057-1089)
         .when(
-            t == 16,
-            F.array(
-                _effect(
-                    "account_sponsorship_created",
-                    body["sponsored_id"],
-                    _j(sponsor=source),
-                )
+            t == 20,
+            F.concat(
+                F.array(
+                    _effect(
+                        "claimable_balance_clawed_back",
+                        source,
+                        _j(balance_id=body["balance_id"]),
+                    )
+                ),
+                F.when(
+                    first_removed_cb.isNotNull(),
+                    F.array(
+                        _effect(
+                            "account_credited",
+                            source,
+                            _j(
+                                amount=stroops_to_real(
+                                    first_removed_cb["pre"]["amount"]
+                                ),
+                                asset_type=first_removed_cb["pre"]["asset"][
+                                    "asset_type"
+                                ],
+                                asset_code=first_removed_cb["pre"]["asset"][
+                                    "asset_code"
+                                ],
+                                asset_issuer=first_removed_cb["pre"]["asset"][
+                                    "asset_issuer"
+                                ],
+                            ),
+                        )
+                    ),
+                ).otherwise(empty),
             ),
         )
-        # liquidity pool deposit / withdraw
+        # liquidity pool deposit / withdraw (effects.go:1268-1318)
         .when(
             t == 22,
             F.array(
@@ -417,6 +782,25 @@ def transform_effects(operations: DataFrame, transactions: DataFrame) -> DataFra
                 )
             ),
         )
+        # extend_footprint_ttl / restore_footprint (effects.go:1432-1513)
+        .when(
+            t == 25,
+            F.array(
+                _effect(
+                    "extend_footprint_ttl",
+                    source,
+                    _j(entries=ttl_entries, extend_to=body["extend_to"]),
+                )
+            ),
+        )
+        .when(
+            t == 26,
+            F.array(
+                _effect("restore_footprint", source, _j(entries=ttl_entries))
+            ),
+        )
+        # begin/end/revoke sponsoring, manage offers, invoke host fn: direct
+        # effects come only from changes / atoms / events (effects.go:105-107)
         .otherwise(empty)
     )
 
@@ -426,42 +810,210 @@ def transform_effects(operations: DataFrame, transactions: DataFrame) -> DataFra
         F.when(t.isin(2, 3, 4, 12, 13), trade_effects).otherwise(empty),
     )
 
-    # change-driven sponsorship state machine (effects.go:225-368): each of
-    # the op's entry changes emits created/updated/removed when the sponsor
-    # transitions — pure array transform over the co-indexed change list.
-    chg = F.coalesce(
-        F.col("changes"), F.array().cast(operations.schema["changes"].dataType)
-    )
-
-    def _sponsorship(c):
+    # ---- change-driven sponsorship state machine (effects.go:197-368) -----
+    # per entry change: entry-family sponsorship transition, then per-signer
+    # sponsorship diffs (account entries only) — mirrors the reference's
+    # per-change loop ordering (effects.go:145-150).
+    def _entry_sponsorship(c):
+        fam = F.coalesce(c["entry_type"], F.lit("account"))
         pre_s, post_s = c["pre"]["sponsor"], c["post"]["sponsor"]
-        holder = F.coalesce(c["post"]["account_id"], c["pre"]["account_id"], source)
-        return (
+        e = _entry(c)
+        holder = F.when(
+            fam.isin("account", "trustline"),
+            F.coalesce(e["account_id"], source),
+        ).otherwise(source)
+        is_pool_tl = e["pool_id"].isNotNull() | F.coalesce(
+            e["asset"]["asset_type"] == "pool_share", F.lit(False)
+        )
+        tl_asset = F.when(
+            (fam == "trustline") & ~is_pool_tl, _canonical(e["asset"])
+        )
+        tl_asset_type = F.when(
+            (fam == "trustline") & is_pool_tl, F.lit("liquidity_pool")
+        )
+        tl_pool = F.when((fam == "trustline") & is_pool_tl, e["pool_id"])
+        dname = F.when(fam == "data", e["data_name"])
+        bid = F.when(fam == "claimable_balance", e["balance_id"])
+
+        def _kind(verb):
+            return F.concat(fam, F.lit("_sponsorship_"), F.lit(verb))
+
+        return F.when(
+            ~fam.isin("account", "trustline", "data", "claimable_balance"),
+            empty,
+        ).otherwise(
             F.when(
                 pre_s.isNull() & post_s.isNotNull(),
                 F.array(
-                    _effect(
-                        "account_sponsorship_created", holder, _j(sponsor=post_s)
+                    _effect_dyn(
+                        _kind("created"),
+                        holder,
+                        _j(
+                            sponsor=post_s,
+                            asset=tl_asset,
+                            asset_type=tl_asset_type,
+                            liquidity_pool_id=tl_pool,
+                            data_name=dname,
+                            balance_id=bid,
+                        ),
                     )
                 ),
             )
             .when(
                 pre_s.isNotNull() & post_s.isNotNull() & (pre_s != post_s),
                 F.array(
-                    _effect(
-                        "account_sponsorship_updated",
+                    _effect_dyn(
+                        _kind("updated"),
                         holder,
-                        _j(former_sponsor=pre_s, new_sponsor=post_s),
+                        _j(
+                            former_sponsor=pre_s,
+                            new_sponsor=post_s,
+                            asset=tl_asset,
+                            asset_type=tl_asset_type,
+                            liquidity_pool_id=tl_pool,
+                            data_name=dname,
+                            balance_id=bid,
+                        ),
                     )
                 ),
             )
             .when(
                 pre_s.isNotNull() & post_s.isNull(),
                 F.array(
-                    _effect(
-                        "account_sponsorship_removed",
+                    _effect_dyn(
+                        _kind("removed"),
                         holder,
-                        _j(former_sponsor=pre_s),
+                        _j(
+                            former_sponsor=pre_s,
+                            asset=tl_asset,
+                            asset_type=tl_asset_type,
+                            liquidity_pool_id=tl_pool,
+                            data_name=dname,
+                            balance_id=bid,
+                        ),
+                    )
+                ),
+            )
+            .otherwise(empty)
+        )
+
+    def _sponsor_map(signers):
+        return F.map_from_entries(
+            F.transform(
+                F.filter(
+                    F.coalesce(
+                        signers,
+                        F.array().cast(
+                            "array<struct<key:string,weight:int,sponsor:string>>"
+                        ),
+                    ),
+                    lambda s: s["sponsor"].isNotNull(),
+                ),
+                lambda s: F.struct(s["key"], s["sponsor"]),
+            )
+        )
+
+    def _signer_sponsorship(c):
+        """Per-signer sponsor diffs on account entries (effects.go:225-285)."""
+        pre_m = _sponsor_map(c["pre"]["signers"])
+        post_m = _sponsor_map(c["post"]["signers"])
+        all_keys = F.array_sort(
+            F.array_union(F.map_keys(pre_m), F.map_keys(post_m))
+        )
+        holder = F.coalesce(
+            c["post"]["account_id"], c["pre"]["account_id"], source
+        )
+        return F.when(c["entry_type"] != "account", empty).otherwise(
+            F.flatten(
+                F.transform(
+                    all_keys,
+                    lambda k: F.when(
+                        F.try_element_at(pre_m, k).isNull(),
+                        F.array(
+                            _effect(
+                                "signer_sponsorship_created",
+                                holder,
+                                _j(sponsor=F.try_element_at(post_m, k), signer=k),
+                            )
+                        ),
+                    )
+                    .when(
+                        F.try_element_at(post_m, k).isNull(),
+                        F.array(
+                            _effect(
+                                "signer_sponsorship_removed",
+                                holder,
+                                _j(
+                                    former_sponsor=F.try_element_at(pre_m, k),
+                                    signer=k,
+                                ),
+                            )
+                        ),
+                    )
+                    .when(
+                        F.try_element_at(pre_m, k) != F.try_element_at(post_m, k),
+                        F.array(
+                            _effect(
+                                "signer_sponsorship_updated",
+                                holder,
+                                _j(
+                                    former_sponsor=F.try_element_at(pre_m, k),
+                                    new_sponsor=F.try_element_at(post_m, k),
+                                    signer=k,
+                                ),
+                            )
+                        ),
+                    )
+                    .otherwise(empty),
+                )
+            )
+        )
+
+    effects_array = F.concat(
+        effects_array,
+        F.flatten(
+            F.transform(
+                chg,
+                lambda c: F.concat(_entry_sponsorship(c), _signer_sponsorship(c)),
+            )
+        ),
+    )
+
+    # ---- liquidity-pool entry lifecycle (effects.go:370-399) --------------
+    def _lp_entry_effects(c):
+        lp_created_details = _j(
+            liquidity_pool=F.struct(
+                c["post"]["pool_id"].alias("id"),
+                c["post"]["pool_fee"].alias("fee_bp"),
+                F.lit("constant_product").alias("type"),
+                c["post"]["trustline_count"].alias("total_trustlines"),
+                stroops_to_real(c["post"]["total_shares"]).alias("total_shares"),
+                F.array(
+                    F.struct(
+                        _canonical(c["post"]["asset_a"]).alias("asset"),
+                        stroops_to_real(c["post"]["reserve_a"]).alias("amount"),
+                    ),
+                    F.struct(
+                        _canonical(c["post"]["asset_b"]).alias("asset"),
+                        stroops_to_real(c["post"]["reserve_b"]).alias("amount"),
+                    ),
+                ).alias("reserves"),
+            )
+        )
+        return F.when(c["entry_type"] != "liquidity_pool", empty).otherwise(
+            F.when(
+                c["pre"].isNull() & c["post"].isNotNull(),
+                F.array(
+                    _effect("liquidity_pool_created", source, lp_created_details)
+                ),
+            )
+            .when(
+                c["pre"].isNotNull() & c["post"].isNull(),
+                F.array(
+                    _effect(
+                        "liquidity_pool_removed",
+                        source,
+                        _j(liquidity_pool_id=c["pre"]["pool_id"]),
                     )
                 ),
             )
@@ -469,7 +1021,7 @@ def transform_effects(operations: DataFrame, transactions: DataFrame) -> DataFra
         )
 
     effects_array = F.concat(
-        effects_array, F.flatten(F.transform(chg, _sponsorship))
+        effects_array, F.flatten(F.transform(chg, _lp_entry_effects))
     )
 
     op_id = toid(F.col("ledger_sequence"), F.col("tx_index"), F.col("op_index") + 1)
@@ -480,6 +1032,113 @@ def transform_effects(operations: DataFrame, transactions: DataFrame) -> DataFra
         F.posexplode(effects_array).alias("index", "e"),
     )
     return exploded.select(
+        F.concat_ws("-", F.col("operation_id"), F.col("index")).alias("id"),
+        F.col("operation_id"),
+        F.col("index"),
+        F.col("e")["type"].alias("type"),
+        F.col("e")["type_string"].alias("type_string"),
+        F.col("e")["address"].alias("address"),
+        F.col("e")["details_json"].alias("details_json"),
+        F.col("ledger_sequence"),
+        F.col("operation_type"),
+    )
+
+
+def transform_sac_effects(
+    contract_events: DataFrame, transactions: DataFrame
+) -> DataFrame:
+    """Account/contract credited/debited effects from SAC events
+    (addInvokeHostFunctionEffects, effects.go:1319-1430).
+
+    Input grain is the contract-events table (one row per SAC-classified
+    event); output is union-compatible with :func:`transform_effects`.
+    Transfers debit ``from`` and credit ``to``; mints credit, burns and
+    clawbacks debit.  A G-address gets account_credited/debited; any other
+    address is a contract — the effect lands on the op source with a
+    ``contract`` detail, exactly like the reference.  Effect indexes number
+    SAC effects within their transaction in event order (the reference
+    interleaves them with op-level effects; we document the offset instead
+    of re-deriving it, since the grains differ).
+    """
+    tx_src = transactions.select(
+        F.col("ledger_sequence").alias("_ls"),
+        F.col("tx_index").alias("_ti"),
+        F.col("source_account").alias("_tx_source"),
+    )
+    ev = (
+        contract_events.where(
+            F.col("sac_kind").isNotNull()
+            & F.col("tx_successful")
+            & F.col("in_successful_contract_call")
+        )
+        .join(
+            tx_src,
+            (contract_events.ledger_sequence == tx_src._ls)
+            & (contract_events.tx_index == tx_src._ti),
+            "left",
+        )
+    )
+
+    source = F.col("_tx_source")
+    kind = F.col("sac_kind")
+    amt = stroops_to_real(F.col("sac_amount"))
+
+    def _is_account(addr):
+        return addr.startswith("G")
+
+    def _side(addr, credit: bool):
+        effect_kind = F.when(
+            _is_account(addr),
+            F.lit("account_credited" if credit else "account_debited"),
+        ).otherwise(F.lit("contract_credited" if credit else "contract_debited"))
+        address = F.when(_is_account(addr), addr).otherwise(source)
+        details = F.to_json(
+            F.struct(
+                F.col("sac_asset").alias("asset"),
+                kind.alias("contract_event_type"),
+                amt.alias("amount"),
+                F.when(~_is_account(addr), addr).alias("contract"),
+            ),
+            {"ignoreNullFields": "true"},
+        )
+        return F.struct(
+            effect_kind.alias("type_string"),
+            _type_id(effect_kind).alias("type"),
+            address.alias("address"),
+            details.alias("details_json"),
+        )
+
+    debit_addr = F.col("sac_from")
+    credit_addr = F.col("sac_to")
+    effects = (
+        F.when(
+            kind == "transfer",
+            F.array(_side(debit_addr, False), _side(credit_addr, True)),
+        )
+        .when(kind == "mint", F.array(_side(credit_addr, True)))
+        .when(kind.isin("burn", "clawback"), F.array(_side(debit_addr, False)))
+        .otherwise(F.array().cast(_EFFECT_STRUCT_DDL))
+    )
+
+    # deterministic per-tx event order for effect indexes
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("ledger_sequence", "tx_index").orderBy(
+        "contract_id", "sac_kind", "sac_from", "sac_to", "sac_amount"
+    )
+    op_id = toid(F.col("ledger_sequence"), F.col("tx_index"), F.lit(1))
+    indexed = (
+        ev.withColumn("_ev_idx", F.row_number().over(w) - 1)
+        .select(
+            op_id.alias("operation_id"),
+            F.col("ledger_sequence"),
+            F.lit(24).alias("operation_type"),
+            F.col("_ev_idx"),
+            F.posexplode(effects).alias("side_idx", "e"),
+        )
+        .withColumn("index", F.col("_ev_idx") * 2 + F.col("side_idx"))
+    )
+    return indexed.select(
         F.concat_ws("-", F.col("operation_id"), F.col("index")).alias("id"),
         F.col("operation_id"),
         F.col("index"),

@@ -118,74 +118,14 @@ def transactions_df(spark):
 
 
 def _body(**kw):
-    """Sparse body struct — unset fields become None."""
-    fields = dict.fromkeys(
-        (
-            "from_",
-            "to",
-            "asset",
-            "amount",
-            "starting_balance",
-            "account",
-            "offer_id",
-            "selling",
-            "buying",
-            "price_n",
-            "price_d",
-            "send_asset",
-            "send_max",
-            "dest_asset",
-            "dest_amount",
-            "path",
-            "line",
-            "limit",
-            "trustor",
-            "authorize",
-            "set_flags",
-            "clear_flags",
-            "master_weight",
-            "low_threshold",
-            "med_threshold",
-            "high_threshold",
-            "home_domain",
-            "signer_key",
-            "signer_weight",
-            "data_name",
-            "data_value",
-            "bump_to",
-            "balance_id",
-            "claimants",
-            "sponsored_id",
-            "pool_id",
-            "max_amount_a",
-            "max_amount_b",
-            "min_amount_a",
-            "min_amount_b",
-            "shares",
-            "min_price_n",
-            "min_price_d",
-            "max_price_n",
-            "max_price_d",
-            "fn_type",
-            "contract_id",
-            "args",
-            "extend_to",
-        )
-    )
-    fields.update(kw)
-    fields["from"] = fields.pop("from_")
-    # struct field order must match OPERATIONS_DDL's body declaration
-    order = (
-        "from to asset amount starting_balance account offer_id selling buying "
-        "price_n price_d send_asset send_max dest_asset dest_amount path line "
-        "limit trustor authorize set_flags clear_flags master_weight "
-        "low_threshold med_threshold high_threshold home_domain signer_key "
-        "signer_weight data_name data_value bump_to balance_id claimants "
-        "sponsored_id pool_id max_amount_a max_amount_b min_amount_a "
-        "min_amount_b shares min_price_n min_price_d max_price_n max_price_d "
-        "fn_type contract_id args extend_to"
-    ).split()
-    return tuple(fields[k] for k in order)
+    """Sparse body struct as a name-keyed dict (unset fields → null).
+
+    createDataFrame maps dict keys to struct field names, so fixture rows no
+    longer depend on the DDL's field order.
+    """
+    if "from_" in kw:
+        kw["from"] = kw.pop("from_")
+    return kw
 
 
 def _op(seq, tx, op, type_, body, successful=True, source=None, atoms=None,
@@ -207,17 +147,31 @@ def _op(seq, tx, op, type_, body, successful=True, source=None, atoms=None,
 
 
 def _change(change_type, pre_offer=None, post_sponsor=None, pool_fee=None,
-            pre_sponsor=None, account=None):
-    pre = None
-    if pre_offer or pool_fee or pre_sponsor:
+            pre_sponsor=None, account=None, entry_type=None, pre=None,
+            post=None):
+    """Per-op ledger-entry change.  Legacy kwargs cover the offer-price /
+    sponsor cases; `entry_type`/`pre`/`post` dicts express the full
+    change-driven effect surface (effects.go:225-399)."""
+    if pre is None and (pre_offer or pool_fee or pre_sponsor):
         po = pre_offer or (None, None, None)
-        pre = (po[0], po[1], po[2], pool_fee, pre_sponsor, account)
-    post = (
-        (None, None, None, None, post_sponsor, account)
-        if post_sponsor
-        else None
-    )
-    return (change_type, pre, post)
+        pre = {"offer_id": po[0], "price_n": po[1], "price_d": po[2],
+               "pool_fee": pool_fee, "sponsor": pre_sponsor,
+               "account_id": account}
+    if post is None:
+        if post_sponsor:
+            post = {"sponsor": post_sponsor, "account_id": account}
+        elif pool_fee is not None:
+            # LP trade updates the pool entry — pre AND post exist, so the
+            # change must not read as a liquidity_pool_removed transition
+            post = {"pool_fee": pool_fee}
+    if entry_type is None:
+        if pre_offer:
+            entry_type = "offer"
+        elif pool_fee is not None:
+            entry_type = "liquidity_pool"
+        else:
+            entry_type = "account"
+    return (change_type, entry_type, pre, post)
 
 
 def operations_df(spark):
@@ -396,6 +350,110 @@ def changes_df(spark):
                            bucket_list_target_size_bytes=14_000_000_000)),
     ]
     return spark.createDataFrame(rows, CHANGES_DDL)
+
+
+def effects_extended_ops_df(spark):
+    """Ops exercising the change/result-driven effect families
+    (effects.go:197-399, 520-760, 1033-1513): inflation payouts, signer
+    diffs + signer sponsorship, change-driven trustlines, LP lifecycle and
+    revocation, clawbacks, claims, footprints, per-entry sponsorship."""
+    rows = [
+        # inflation (type 9): one credited per payout
+        _op(6, 1, 0, 9, _body(payouts=[(ACCOUNT_B, 10_000_000),
+                                       (ACCOUNT_C, 5_000_000)]),
+            source=ACCOUNT_A),
+        # set_options (type 5): home domain + inflation dest + change-driven
+        # signer diff (A removed, B reweighted, C added) + B's sponsor dropped
+        _op(6, 2, 0, 5, _body(home_domain="ex.com", inflation_dest=ACCOUNT_B),
+            source=ACCOUNT_A,
+            changes=[_change(
+                1, entry_type="account",
+                pre={"account_id": ACCOUNT_A,
+                     "signers": [
+                         {"key": ACCOUNT_A, "weight": 1, "sponsor": None},
+                         {"key": ACCOUNT_B, "weight": 5, "sponsor": ACCOUNT_C},
+                     ]},
+                post={"account_id": ACCOUNT_A,
+                      "signers": [
+                          {"key": ACCOUNT_B, "weight": 7, "sponsor": None},
+                          {"key": ACCOUNT_C, "weight": 2, "sponsor": None},
+                      ]},
+            )]),
+        # change_trust pool share (type 6): trustline created via change +
+        # liquidity_pool_created entry effect
+        _op(6, 3, 0, 6,
+            _body(line=("pool_share", None, None), pool_id="PL1",
+                  limit=1_000_000_000),
+            source=ACCOUNT_A,
+            changes=[
+                _change(0, entry_type="trustline",
+                        post={"account_id": ACCOUNT_A, "pool_id": "PL1"}),
+                _change(0, entry_type="liquidity_pool",
+                        post={"pool_id": "PL1", "pool_fee": 30,
+                              "trustline_count": 1, "total_shares": 0,
+                              "asset_a": USD, "reserve_a": 0,
+                              "asset_b": NATIVE, "reserve_b": 0}),
+            ]),
+        # change_trust account-trusts-itself regression: changes exist but no
+        # trustline entry → no effects (effects_test.go:2029)
+        _op(6, 4, 0, 6, _body(line=EUR, limit=5_000_000), source=ACCOUNT_A,
+            changes=[_change(1, entry_type="account",
+                             pre={"account_id": ACCOUNT_A},
+                             post={"account_id": ACCOUNT_A})]),
+        # claim_claimable_balance (type 15)
+        _op(6, 5, 0, 15, _body(balance_id="cb1", asset=USD,
+                               amount=30_000_000), source=ACCOUNT_B),
+        # clawback (type 19): credited(source) THEN debited(from)
+        _op(6, 6, 0, 19, _body(from_=ACCOUNT_C, asset=USD, amount=20_000_000),
+            source=ACCOUNT_B),
+        # clawback_claimable_balance (type 20) + removed CB change
+        _op(6, 7, 0, 20, _body(balance_id="cb2"), source=ACCOUNT_B,
+            changes=[_change(2, entry_type="claimable_balance",
+                             pre={"balance_id": "cb2", "asset": USD,
+                                  "amount": 25_000_000})]),
+        # allow_trust revoking a pool-share trustline (type 7): CB created for
+        # the redeemed reserve + liquidity_pool_revoked
+        _op(6, 8, 0, 7, _body(trustor=ACCOUNT_C, authorize=False),
+            source=ACCOUNT_B,
+            changes=[
+                _change(0, entry_type="claimable_balance",
+                        post={"balance_id": "cblp", "asset": USD,
+                              "amount": 40_000_000,
+                              "claimants": [(ACCOUNT_C, "{}")]}),
+                _change(1, entry_type="liquidity_pool",
+                        pre={"pool_id": "PL9", "total_shares": 1_000_000_000},
+                        post={"pool_id": "PL9", "total_shares": 0}),
+            ]),
+        # liquidity_pool_withdraw (type 23) draining the pool → LP removed
+        _op(6, 9, 0, 23, _body(pool_id="PL9", shares=1_000_000_000),
+            source=ACCOUNT_A,
+            changes=[_change(2, entry_type="liquidity_pool",
+                             pre={"pool_id": "PL9",
+                                  "total_shares": 1_000_000_000})]),
+        # revoke_sponsorship (type 18): per-entry sponsorship families
+        _op(6, 10, 0, 18, _body(), source=ACCOUNT_A,
+            changes=[
+                _change(1, entry_type="trustline",
+                        pre={"account_id": ACCOUNT_B, "asset": USD,
+                             "sponsor": ACCOUNT_B},
+                        post={"account_id": ACCOUNT_B, "asset": USD,
+                              "sponsor": ACCOUNT_C}),
+                _change(1, entry_type="data",
+                        pre={"data_name": "cfg", "sponsor": ACCOUNT_C},
+                        post={"data_name": "cfg"}),
+                _change(1, entry_type="claimable_balance",
+                        pre={"balance_id": "cb9"},
+                        post={"balance_id": "cb9", "sponsor": ACCOUNT_B}),
+            ]),
+        # extend_footprint_ttl (type 25) over two ttl entries
+        _op(6, 11, 0, 25, _body(extend_to=500), source=ACCOUNT_A,
+            changes=[_change(1, entry_type="ttl", post={"key_hash": "kh1"}),
+                     _change(1, entry_type="ttl", post={"key_hash": "kh2"})]),
+        # restore_footprint (type 26)
+        _op(6, 12, 0, 26, _body(), source=ACCOUNT_A,
+            changes=[_change(1, entry_type="ttl", post={"key_hash": "kh3"})]),
+    ]
+    return spark.createDataFrame(rows, OPERATIONS_DDL)
 
 
 def contract_events_df(spark):

@@ -344,9 +344,19 @@ class TestEffects:
     def test_set_options_composite(self, data):
         by_op = self._by_op(data)
         so = by_op[(3 << 32) | (2 << 12) | 2]
+        # reference order: home domain, thresholds, flags, inflation dest,
+        # signers (effects.go:520-635)
         assert [e.type_string for e in so] == [
-            "account_thresholds_updated", "signer_created",
+            "account_thresholds_updated", "account_flags_updated",
+            "signer_created",
         ]
+        # set_flags=[2,1] → required+revocable true; clear_flags=[8] → clawback false
+        flags = json.loads(so[1].details_json)
+        assert flags == {
+            "auth_required_flag": True,
+            "auth_revocable_flag": True,
+            "auth_clawback_enabled_flag": False,
+        }
 
     def test_failed_tx_emits_nothing(self, data):
         by_op = self._by_op(data)
@@ -455,3 +465,233 @@ class TestTradeAndPoolEffects:
         assert d == {"former_sponsor": fx.ACCOUNT_B, "new_sponsor": fx.ACCOUNT_C}
         assert rem.address == fx.ACCOUNT_B
         assert json.loads(rem.details_json) == {"former_sponsor": fx.ACCOUNT_C}
+
+
+class TestExtendedEffects:
+    """Change/result-driven effect families (effects.go:197-399, 520-760,
+    1033-1513): the breadth milestone of SURVEY §7.2 step 7."""
+
+    @pytest.fixture(scope="class")
+    def by_op(self, spark, data):
+        rows = transform_effects(
+            fx.effects_extended_ops_df(spark), data["transactions"]
+        ).collect()
+        out: dict[int, list] = {}
+        for r in rows:
+            out.setdefault(r.operation_id, []).append(r)
+        for v in out.values():
+            v.sort(key=lambda r: r["index"])
+        return out
+
+    @staticmethod
+    def _id(tx, op=0):
+        return (6 << 32) | (tx << 12) | (op + 1)
+
+    def test_inflation_payouts(self, by_op):
+        infl = by_op[self._id(1)]
+        assert [e.type_string for e in infl] == [
+            "account_credited", "account_credited",
+        ]
+        assert infl[0].address == fx.ACCOUNT_B
+        assert json.loads(infl[0].details_json) == {
+            "amount": 1.0, "asset_type": "native",
+        }
+
+    def test_set_options_full(self, by_op):
+        so = by_op[self._id(2)]
+        assert [e.type_string for e in so] == [
+            "account_home_domain_updated",
+            "account_inflation_destination_updated",
+            "signer_removed", "signer_updated", "signer_created",
+            "signer_sponsorship_removed",
+        ]
+        assert json.loads(so[1].details_json) == {
+            "inflation_destination": fx.ACCOUNT_B,
+        }
+        # A removed, B reweighted to 7, C added at 2 (sorted key order)
+        assert json.loads(so[2].details_json) == {"public_key": fx.ACCOUNT_A}
+        assert json.loads(so[3].details_json) == {
+            "public_key": fx.ACCOUNT_B, "weight": 7,
+        }
+        assert json.loads(so[4].details_json) == {
+            "public_key": fx.ACCOUNT_C, "weight": 2,
+        }
+        assert json.loads(so[5].details_json) == {
+            "former_sponsor": fx.ACCOUNT_C, "signer": fx.ACCOUNT_B,
+        }
+
+    def test_change_trust_pool_share_and_lp_created(self, by_op):
+        ct = by_op[self._id(3)]
+        assert [e.type_string for e in ct] == [
+            "trustline_created", "liquidity_pool_created",
+        ]
+        d = json.loads(ct[0].details_json)
+        assert d["liquidity_pool_id"] == "PL1"
+        assert d["asset_type"] == "liquidity_pool_shares"
+        lp = json.loads(ct[1].details_json)["liquidity_pool"]
+        assert lp["id"] == "PL1" and lp["fee_bp"] == 30
+        assert lp["reserves"][0]["asset"] == f"USD:{fx.ACCOUNT_B}"
+
+    def test_account_trusts_itself_no_effects(self, by_op):
+        assert self._id(4) not in by_op
+
+    def test_claim_claimable_balance(self, by_op):
+        cl = by_op[self._id(5)]
+        assert [e.type_string for e in cl] == [
+            "claimable_balance_claimed", "account_credited",
+        ]
+        d = json.loads(cl[0].details_json)
+        assert d == {
+            "amount": 3.0, "balance_id": "cb1", "asset": f"USD:{fx.ACCOUNT_B}",
+        }
+
+    def test_clawback_order(self, by_op):
+        cb = by_op[self._id(6)]
+        # reference order: credited(source) then debited(from)
+        assert [(e.type_string, e.address) for e in cb] == [
+            ("account_credited", fx.ACCOUNT_B),
+            ("account_debited", fx.ACCOUNT_C),
+        ]
+
+    def test_clawback_claimable_balance(self, by_op):
+        cb = by_op[self._id(7)]
+        assert [e.type_string for e in cb] == [
+            "claimable_balance_clawed_back", "account_credited",
+        ]
+        assert json.loads(cb[0].details_json) == {"balance_id": "cb2"}
+        d = json.loads(cb[1].details_json)
+        assert d["amount"] == 2.5 and d["asset_code"] == "USD"
+
+    def test_lp_revocation(self, by_op):
+        rv = by_op[self._id(8)]
+        assert [e.type_string for e in rv] == [
+            "trustline_flags_updated",
+            "claimable_balance_created",
+            "claimable_balance_claimant_created",
+            "liquidity_pool_revoked",
+        ]
+        assert rv[2].address == fx.ACCOUNT_C
+        d = json.loads(rv[3].details_json)
+        assert d["liquidity_pool_id"] == "PL9"
+        assert d["shares_revoked"] == 100.0
+        assert d["reserves_revoked"] == [{
+            "asset": f"USD:{fx.ACCOUNT_B}", "amount": 4.0,
+            "claimable_balance_id": "cblp",
+        }]
+
+    def test_lp_removed(self, by_op):
+        wd = by_op[self._id(9)]
+        assert [e.type_string for e in wd] == [
+            "liquidity_pool_withdrew", "liquidity_pool_removed",
+        ]
+        assert json.loads(wd[1].details_json) == {"liquidity_pool_id": "PL9"}
+
+    def test_per_entry_sponsorship_families(self, by_op):
+        rs = by_op[self._id(10)]
+        assert [e.type_string for e in rs] == [
+            "trustline_sponsorship_updated",
+            "data_sponsorship_removed",
+            "claimable_balance_sponsorship_created",
+        ]
+        tl = json.loads(rs[0].details_json)
+        assert tl == {
+            "former_sponsor": fx.ACCOUNT_B, "new_sponsor": fx.ACCOUNT_C,
+            "asset": f"USD:{fx.ACCOUNT_B}",
+        }
+        assert rs[0].address == fx.ACCOUNT_B
+        assert json.loads(rs[1].details_json) == {
+            "former_sponsor": fx.ACCOUNT_C, "data_name": "cfg",
+        }
+        assert json.loads(rs[2].details_json) == {
+            "sponsor": fx.ACCOUNT_B, "balance_id": "cb9",
+        }
+
+    def test_footprint_effects(self, by_op):
+        ext = by_op[self._id(11)]
+        assert ext[0].type_string == "extend_footprint_ttl"
+        assert json.loads(ext[0].details_json) == {
+            "entries": ["kh1", "kh2"], "extend_to": 500,
+        }
+        rst = by_op[self._id(12)]
+        assert rst[0].type_string == "restore_footprint"
+        assert json.loads(rst[0].details_json) == {"entries": ["kh3"]}
+
+    def test_type_ids_match_enum(self, by_op):
+        from stellar_etl_spark.transforms.effects import EFFECT_TYPES
+
+        for effects in by_op.values():
+            for e in effects:
+                assert e.type == EFFECT_TYPES[e.type_string]
+
+
+class TestEffectExhaustiveness:
+    """Every op type emits effects or is documented change/event-driven —
+    mirrors TestEffectsCoversAllOperationTypes (effects_test.go:27-83)."""
+
+    # direct effects come only from changes (16-18), claim atoms (3/4/12),
+    # or Soroban events (24) — effects.go:105-107 and addManage*OfferEffects
+    CHANGE_OR_EVENT_DRIVEN = {3, 4, 12, 16, 17, 18, 24}
+
+    MINIMAL_BODIES = {
+        0: dict(account=fx.ACCOUNT_B, starting_balance=1),
+        1: dict(from_=fx.ACCOUNT_A, to=fx.ACCOUNT_B, asset=fx.USD, amount=1),
+        2: dict(from_=fx.ACCOUNT_A, to=fx.ACCOUNT_B, asset=fx.USD, amount=1),
+        5: dict(home_domain="x"),
+        6: dict(line=fx.EUR, limit=1),
+        7: dict(trustor=fx.ACCOUNT_C, authorize=True),
+        8: dict(to=fx.ACCOUNT_B, amount=1),
+        9: dict(payouts=[(fx.ACCOUNT_B, 1)]),
+        10: dict(data_name="k", data_value="dg=="),
+        11: dict(bump_to=1),
+        13: dict(from_=fx.ACCOUNT_A, to=fx.ACCOUNT_B, asset=fx.USD, amount=1),
+        14: dict(balance_id="b", amount=1, claimants=[]),
+        15: dict(balance_id="b", asset=fx.USD, amount=1),
+        19: dict(from_=fx.ACCOUNT_C, asset=fx.USD, amount=1),
+        20: dict(balance_id="b"),
+        21: dict(trustor=fx.ACCOUNT_C, authorize=False),
+        22: dict(pool_id="p", shares=1),
+        23: dict(pool_id="p", shares=1),
+        25: dict(extend_to=1),
+        26: dict(),
+    }
+
+    def test_every_type_emits_or_documented(self, spark, data):
+        from fixtures import _body, _op
+        from stellar_etl_spark.schemas import OPERATION_TYPE_NAMES, OPERATIONS_DDL
+
+        rows = [
+            _op(7, tx + 1, 0, t, _body(**self.MINIMAL_BODIES.get(t, {})),
+                source=fx.ACCOUNT_A)
+            for tx, t in enumerate(sorted(OPERATION_TYPE_NAMES))
+        ]
+        ops = spark.createDataFrame(rows, OPERATIONS_DDL)
+        out = transform_effects(ops, data["transactions"]).collect()
+        emitted_op_types = {r.operation_type for r in out}
+        for t in OPERATION_TYPE_NAMES:
+            if t in self.CHANGE_OR_EVENT_DRIVEN:
+                continue
+            assert t in emitted_op_types, (
+                f"op type {t} ({OPERATION_TYPE_NAMES[t]}) emitted no effects"
+            )
+
+
+class TestSacEffects:
+    def test_sac_event_effects(self, spark, data):
+        from stellar_etl_spark.transforms import transform_sac_effects
+
+        rows = transform_sac_effects(
+            data["contract_events"], data["transactions"]
+        ).collect()
+        kinds = sorted((r.type_string, r.address) for r in rows)
+        # transfer → debited(A) + credited(B); mint → credited(C);
+        # burn is on a failed call → excluded
+        assert kinds == sorted([
+            ("account_debited", fx.ACCOUNT_A),
+            ("account_credited", fx.ACCOUNT_B),
+            ("account_credited", fx.ACCOUNT_C),
+        ])
+        transfer = [r for r in rows if r.address == fx.ACCOUNT_A][0]
+        d = json.loads(transfer.details_json)
+        assert d["contract_event_type"] == "transfer" and d["amount"] == 4.0
+        for r in rows:
+            assert r.id == f"{r.operation_id}-{r['index']}"
