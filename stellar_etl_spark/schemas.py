@@ -80,7 +80,15 @@ OPERATIONS_DDL = f"""
         min_price_n:int, min_price_d:int, max_price_n:int, max_price_d:int,
         fn_type:string, contract_id:string, args:array<string>, extend_to:long,
         inflation_dest:string,
-        payouts:array<struct<destination:string, amount:long>>
+        payouts:array<struct<destination:string, amount:long>>,
+        dest_min:long, source_amount:long,
+        revoke:struct<
+            entry_type:string, account_id:string, claimable_balance_id:string,
+            data_account_id:string, data_name:string, offer_id:long,
+            trustline_account_id:string, trustline_asset:{ASSET_DDL},
+            trustline_pool_id:string, pool_id:string,
+            signer_account_id:string, signer_key:string
+        >
     >,
     claim_atoms array<struct<
         atom_type:string, seller_id:string, offer_id:long, pool_id:string,

@@ -47,7 +47,7 @@ def _asset_cols(asset: Column, prefix: str) -> list[Column]:
     ]
 
 
-# Account/trustline authorization flags (operation.go:555-582, 2024-2078).
+# Account authorization flags (operation.go:555-582).
 FLAG_NAMES = {
     1: "auth_required",
     2: "auth_revocable",
@@ -55,11 +55,26 @@ FLAG_NAMES = {
     8: "auth_clawback_enabled",
 }
 
+# Trustline flags use different names (addTrustLineFlagToDetails,
+# operation.go:442-466).
+TRUSTLINE_FLAG_NAMES = {
+    1: "authorized",
+    2: "authorized_to_maintain_liabilities",
+    4: "clawback_enabled",
+}
 
-def flag_strings(flags_col: Column) -> Column:
+
+def flag_strings(flags_col: Column, names: dict[int, str] = FLAG_NAMES) -> Column:
     """int flag array → canonical flag-name array (order by bit value)."""
-    mapping = F.create_map(*[F.lit(x) for kv in FLAG_NAMES.items() for x in kv])
+    mapping = F.create_map(*[F.lit(x) for kv in names.items() for x in kv])
     return F.transform(F.array_sort(flags_col), lambda f: mapping[f])
+
+
+def _amount_string(col: Column) -> Column:
+    """amount.String() twin: stroops → fixed 7-dp decimal string."""
+    return (
+        col.cast("decimal(20,0)") / F.lit(10_000_000).cast("decimal(8,0)")
+    ).cast("decimal(20,7)").cast("string")
 
 
 def transform_operation(operations: DataFrame, transactions: DataFrame) -> DataFrame:
@@ -79,10 +94,37 @@ def transform_operation(operations: DataFrame, transactions: DataFrame) -> DataF
         F.col("transaction_hash").alias("_tx_hash"),
     )
 
+    # in-tx back-scan for end_sponsoring_future_reserves: the matching
+    # begin op's source (findInitatingBeginSponsoringOp, operation.go:533-553).
+    # Begin ops are rare, so the aggregate is tiny; the join key matches the
+    # tx join, so AQE coalesces both into one co-partitioned exchange.
+    begin_ops = (
+        operations.where(F.col("type") == 16)
+        .groupBy("ledger_sequence", "tx_index")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("op_index").alias("op_index"),
+                        F.col("body")["sponsored_id"].alias("sponsored_id"),
+                        F.col("source_account").alias("source_account"),
+                    )
+                )
+            ).alias("_begins")
+        )
+        .withColumnRenamed("ledger_sequence", "_bls")
+        .withColumnRenamed("tx_index", "_bti")
+    )
+
     ops = operations.join(
         tx_src,
         (operations.ledger_sequence == tx_src._ls)
         & (operations.tx_index == tx_src._ti),
+        "left",
+    ).join(
+        begin_ops,
+        (operations.ledger_sequence == begin_ops._bls)
+        & (operations.tx_index == begin_ops._bti),
         "left",
     )
 
@@ -91,6 +133,78 @@ def transform_operation(operations: DataFrame, transactions: DataFrame) -> DataF
         F.col("changes"), lambda c: c["post"]["sponsor"].isNotNull()
     )
     sponsor = F.try_element_at(sponsoring, F.lit(-1))["post"]["sponsor"]
+
+    op_source = F.coalesce(F.col("source_account"), F.col("_tx_source"))
+
+    # realized LP deposit/withdraw amounts from the op's liquidity-pool change
+    # delta (getLiquidityPoolAndProductDelta, operation.go:238-285)
+    lp_change = F.try_element_at(
+        F.filter(
+            F.col("changes"),
+            lambda c: c["entry_type"] == "liquidity_pool",
+        ),
+        F.lit(1),
+    )
+
+    def _lp_delta_cols() -> list[Column]:
+        post, pre = lp_change["post"], lp_change["pre"]
+
+        def _delta(field):
+            return F.coalesce(post[field], F.lit(0)) - F.coalesce(
+                pre[field], F.lit(0)
+            )
+
+        lp_asset = F.coalesce(post["asset_a"], pre["asset_a"])
+        lp_asset_b = F.coalesce(post["asset_b"], pre["asset_b"])
+        is_deposit, is_withdraw = F.col("type") == 22, F.col("type") == 23
+        has_lp = lp_change.isNotNull() & F.col("tx_successful")
+        return [
+            F.when((is_deposit | is_withdraw) & has_lp, lp_asset["asset_type"]).alias(
+                "reserve_a_asset_type"
+            ),
+            F.when((is_deposit | is_withdraw) & has_lp, lp_asset["asset_code"]).alias(
+                "reserve_a_asset_code"
+            ),
+            F.when(
+                (is_deposit | is_withdraw) & has_lp, lp_asset_b["asset_type"]
+            ).alias("reserve_b_asset_type"),
+            F.when(
+                (is_deposit | is_withdraw) & has_lp, lp_asset_b["asset_code"]
+            ).alias("reserve_b_asset_code"),
+            F.when(
+                is_deposit & has_lp, stroops_to_real(_delta("reserve_a"))
+            ).alias("reserve_a_deposit_amount"),
+            F.when(
+                is_deposit & has_lp, stroops_to_real(_delta("reserve_b"))
+            ).alias("reserve_b_deposit_amount"),
+            F.when(
+                is_deposit & has_lp, stroops_to_real(_delta("total_shares"))
+            ).alias("shares_received"),
+            F.when(
+                is_withdraw & has_lp, stroops_to_real(-_delta("reserve_a"))
+            ).alias("reserve_a_withdraw_amount"),
+            F.when(
+                is_withdraw & has_lp, stroops_to_real(-_delta("reserve_b"))
+            ).alias("reserve_b_withdraw_amount"),
+        ]
+    matching_begin = F.try_element_at(
+        F.filter(
+            F.coalesce(
+                F.col("_begins"),
+                F.array().cast(
+                    "array<struct<op_index:int,sponsored_id:string,"
+                    "source_account:string>>"
+                ),
+            ),
+            lambda b: (b["op_index"] < F.col("op_index"))
+            & (b["sponsored_id"] == op_source),
+        ),
+        F.lit(-1),
+    )
+    begin_sponsor = F.when(
+        (F.col("type") == 17) & matching_begin.isNotNull(),
+        F.coalesce(matching_begin["source_account"], F.col("_tx_source")),
+    )
 
     details = F.struct(
         body["from"].alias("from"),
@@ -119,9 +233,31 @@ def transform_operation(operations: DataFrame, transactions: DataFrame) -> DataF
         F.when(body["send_max"].isNotNull(), stroops_to_real(body["send_max"])).alias(
             "source_max"
         ),
+        # path-payment result amounts (operation.go:620-700): strict-receive
+        # fills source_amount from the result, strict-send fills amount;
+        # destination_min is an amount.String() string
         F.when(
-            body["dest_amount"].isNotNull(), stroops_to_real(body["dest_amount"])
-        ).alias("destination_amount"),
+            body["source_amount"].isNotNull(), stroops_to_real(body["source_amount"])
+        ).alias("source_amount"),
+        F.when(
+            body["dest_min"].isNotNull(), _amount_string(body["dest_min"])
+        ).alias("destination_min"),
+        # transformPath (operation.go:423-440): list of asset detail maps
+        F.when(
+            F.size(body["path"]) > 0,
+            F.transform(
+                body["path"],
+                lambda a: F.struct(
+                    F.when(a["asset_type"] != "native", a["asset_code"]).alias(
+                        "asset_code"
+                    ),
+                    F.when(a["asset_type"] != "native", a["asset_issuer"]).alias(
+                        "asset_issuer"
+                    ),
+                    a["asset_type"].alias("asset_type"),
+                ),
+            ),
+        ).alias("path"),
         body["trustor"].alias("trustor"),
         body["authorize"].alias("authorize"),
         F.when(body["limit"].isNotNull(), stroops_to_real(body["limit"])).alias(
@@ -129,12 +265,21 @@ def transform_operation(operations: DataFrame, transactions: DataFrame) -> DataF
         ),
         body["set_flags"].alias("set_flags"),
         F.when(
-            body["set_flags"].isNotNull(), flag_strings(body["set_flags"])
+            body["set_flags"].isNotNull(),
+            F.when(
+                F.col("type") == 21,
+                flag_strings(body["set_flags"], TRUSTLINE_FLAG_NAMES),
+            ).otherwise(flag_strings(body["set_flags"])),
         ).alias("set_flags_s"),
         body["clear_flags"].alias("clear_flags"),
         F.when(
-            body["clear_flags"].isNotNull(), flag_strings(body["clear_flags"])
+            body["clear_flags"].isNotNull(),
+            F.when(
+                F.col("type") == 21,
+                flag_strings(body["clear_flags"], TRUSTLINE_FLAG_NAMES),
+            ).otherwise(flag_strings(body["clear_flags"])),
         ).alias("clear_flags_s"),
+        body["inflation_dest"].alias("inflation_dest"),
         body["master_weight"].alias("master_key_weight"),
         body["low_threshold"].alias("low_threshold"),
         body["med_threshold"].alias("med_threshold"),
@@ -148,8 +293,70 @@ def transform_operation(operations: DataFrame, transactions: DataFrame) -> DataF
         body["balance_id"].alias("balance_id"),
         body["claimants"].alias("claimants"),
         body["sponsored_id"].alias("sponsored_id"),
-        body["pool_id"].alias("liquidity_pool_id"),
+        begin_sponsor.alias("begin_sponsor"),
+        # revoke_sponsorship ledger-key variants (operation.go:912-921 +
+        # addLedgerKeyToDetails 468-508) — one family of keys per entry kind
+        body["revoke"]["account_id"].alias("account_id"),
+        body["revoke"]["claimable_balance_id"].alias("claimable_balance_id"),
+        body["revoke"]["data_account_id"].alias("data_account_id"),
+        body["revoke"]["data_name"].alias("revoke_data_name"),
+        body["revoke"]["offer_id"].alias("revoke_offer_id"),
+        body["revoke"]["trustline_account_id"].alias("trustline_account_id"),
+        F.when(
+            body["revoke"]["trustline_asset"].isNotNull(),
+            F.when(
+                body["revoke"]["trustline_asset"]["asset_type"] == "native",
+                F.lit("native"),
+            ).otherwise(
+                F.concat_ws(
+                    ":",
+                    body["revoke"]["trustline_asset"]["asset_code"],
+                    body["revoke"]["trustline_asset"]["asset_issuer"],
+                )
+            ),
+        ).alias("trustline_asset"),
+        body["revoke"]["trustline_pool_id"].alias("trustline_liquidity_pool_id"),
+        body["revoke"]["signer_account_id"].alias("signer_account_id"),
+        body["revoke"]["signer_key"].alias("revoke_signer_key"),
+        F.coalesce(body["pool_id"], body["revoke"]["pool_id"]).alias(
+            "liquidity_pool_id"
+        ),
         body["shares"].alias("shares"),
+        # liquidity-pool deposit/withdraw details (operation.go:957-1095):
+        # bounds from the op body, realized amounts from the LP change delta
+        F.when(
+            body["max_amount_a"].isNotNull(), stroops_to_real(body["max_amount_a"])
+        ).alias("reserve_a_max_amount"),
+        F.when(
+            body["max_amount_b"].isNotNull(), stroops_to_real(body["max_amount_b"])
+        ).alias("reserve_b_max_amount"),
+        F.when(
+            body["min_amount_a"].isNotNull(), stroops_to_real(body["min_amount_a"])
+        ).alias("reserve_a_min_amount"),
+        F.when(
+            body["min_amount_b"].isNotNull(), stroops_to_real(body["min_amount_b"])
+        ).alias("reserve_b_min_amount"),
+        F.when(
+            body["min_price_n"].isNotNull(),
+            price_to_float(body["min_price_n"], body["min_price_d"]),
+        ).alias("min_price"),
+        F.when(
+            body["min_price_n"].isNotNull(),
+            F.struct(
+                body["min_price_n"].alias("n"), body["min_price_d"].alias("d")
+            ),
+        ).alias("min_price_r"),
+        F.when(
+            body["max_price_n"].isNotNull(),
+            price_to_float(body["max_price_n"], body["max_price_d"]),
+        ).alias("max_price"),
+        F.when(
+            body["max_price_n"].isNotNull(),
+            F.struct(
+                body["max_price_n"].alias("n"), body["max_price_d"].alias("d")
+            ),
+        ).alias("max_price_r"),
+        *_lp_delta_cols(),
         body["fn_type"].alias("function"),
         body["contract_id"].alias("contract_id"),
         # host-fn args ride as serialized ScVal strings (operation.go:2247-2273)

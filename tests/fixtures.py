@@ -456,6 +456,57 @@ def effects_extended_ops_df(spark):
     return spark.createDataFrame(rows, OPERATIONS_DDL)
 
 
+def operation_details_ops_df(spark):
+    """Ops exercising the per-type details surface (operation.go:584-1173):
+    revoke-sponsorship ledger-key variants, LP deposit deltas, the
+    end-sponsoring back-scan, path serialization, trustline flag names."""
+    rows = [
+        # revoke_sponsorship over a trustline ledger key
+        _op(8, 1, 0, 18,
+            _body(revoke={"entry_type": "trustline",
+                          "trustline_account_id": ACCOUNT_B,
+                          "trustline_asset": USD}),
+            source=ACCOUNT_A),
+        # revoke_sponsorship of a signer
+        _op(8, 1, 1, 18,
+            _body(revoke={"entry_type": "signer",
+                          "signer_account_id": ACCOUNT_A,
+                          "signer_key": ACCOUNT_B}),
+            source=ACCOUNT_A),
+        # begin_sponsoring (op 0) then end_sponsoring by the sponsored account
+        # (op 1) — the back-scan resolves begin_sponsor (operation.go:533-553)
+        _op(8, 2, 0, 16, _body(sponsored_id=ACCOUNT_C), source=ACCOUNT_B),
+        _op(8, 2, 1, 17, _body(), source=ACCOUNT_C),
+        # liquidity_pool_deposit with a realized LP delta
+        _op(8, 3, 0, 22,
+            _body(pool_id="PLD", max_amount_a=150_000_000,
+                  max_amount_b=300_000_000, min_price_n=1, min_price_d=2,
+                  max_price_n=2, max_price_d=1),
+            source=ACCOUNT_A,
+            changes=[_change(
+                1, entry_type="liquidity_pool",
+                pre={"pool_id": "PLD", "asset_a": USD, "asset_b": NATIVE,
+                     "reserve_a": 100_000_000, "reserve_b": 200_000_000,
+                     "total_shares": 50_000_000},
+                post={"pool_id": "PLD", "asset_a": USD, "asset_b": NATIVE,
+                      "reserve_a": 200_000_000, "reserve_b": 400_000_000,
+                      "total_shares": 100_000_000},
+            )]),
+        # path_payment_strict_send with a conversion path + result amounts
+        _op(8, 4, 0, 13,
+            _body(from_=ACCOUNT_A, to=ACCOUNT_B, send_asset=USD,
+                  source_amount=10_000_000, dest_asset=NATIVE,
+                  amount=9_000_000, dest_min=8_000_000, path=[EUR, NATIVE]),
+            source=ACCOUNT_A),
+        # set_trust_line_flags uses trustline flag names
+        _op(8, 5, 0, 21,
+            _body(trustor=ACCOUNT_C, asset=USD, set_flags=[1],
+                  clear_flags=[4]),
+            source=ACCOUNT_A),
+    ]
+    return spark.createDataFrame(rows, OPERATIONS_DDL)
+
+
 def contract_events_df(spark):
     rows = [
         (5, 1, "e1" * 32, True, True, "CCONTRACT1", "contract",

@@ -161,6 +161,73 @@ class TestOperation:
         assert so["clear_flags_s"] == ["auth_clawback_enabled"]
 
 
+class TestOperationDetailMaps:
+    """Per-type details coverage (operation.go:584-1173): revoke ledger-key
+    variants, LP deposit deltas, end-sponsoring back-scan, paths, trustline
+    flag names."""
+
+    @pytest.fixture(scope="class")
+    def out(self, spark, data):
+        return {
+            r.id: json.loads(r.details_json)
+            for r in transform_operation(
+                fx.operation_details_ops_df(spark), data["transactions"]
+            ).collect()
+        }
+
+    @staticmethod
+    def _id(tx, op=0):
+        return (8 << 32) | (tx << 12) | (op + 1)
+
+    def test_revoke_trustline_variant(self, out):
+        d = out[self._id(1, 0)]
+        assert d["trustline_account_id"] == fx.ACCOUNT_B
+        assert d["trustline_asset"] == f"USD:{fx.ACCOUNT_B}"
+        assert "signer_account_id" not in d
+
+    def test_revoke_signer_variant(self, out):
+        d = out[self._id(1, 1)]
+        assert d["signer_account_id"] == fx.ACCOUNT_A
+        assert d["revoke_signer_key"] == fx.ACCOUNT_B
+        assert "trustline_account_id" not in d
+
+    def test_end_sponsoring_back_scan(self, out):
+        # the begin op (index 0, source B) sponsored C; C's end op resolves it
+        assert out[self._id(2, 1)]["begin_sponsor"] == fx.ACCOUNT_B
+        # the begin op itself carries only sponsored_id
+        assert out[self._id(2, 0)]["sponsored_id"] == fx.ACCOUNT_C
+        assert "begin_sponsor" not in out[self._id(2, 0)]
+
+    def test_lp_deposit_delta(self, out):
+        d = out[self._id(3)]
+        assert d["liquidity_pool_id"] == "PLD"
+        assert d["reserve_a_max_amount"] == 15.0
+        assert d["reserve_b_max_amount"] == 30.0
+        assert d["min_price"] == 0.5 and d["max_price"] == 2.0
+        assert d["min_price_r"] == {"n": 1, "d": 2}
+        # realized amounts from the LP change delta
+        assert d["reserve_a_deposit_amount"] == 10.0
+        assert d["reserve_b_deposit_amount"] == 20.0
+        assert d["shares_received"] == 5.0
+        assert d["reserve_a_asset_code"] == "USD"
+        assert d["reserve_b_asset_type"] == "native"
+
+    def test_path_payment_details(self, out):
+        d = out[self._id(4)]
+        assert d["source_amount"] == 1.0
+        assert d["destination_min"] == "0.8000000"
+        assert d["path"] == [
+            {"asset_code": "EUR", "asset_issuer": fx.ACCOUNT_C,
+             "asset_type": "credit_alphanum4"},
+            {"asset_type": "native"},
+        ]
+
+    def test_trustline_flag_names(self, out):
+        d = out[self._id(5)]
+        assert d["set_flags_s"] == ["authorized"]
+        assert d["clear_flags_s"] == ["clawback_enabled"]
+
+
 class TestTrade:
     def test_atoms(self, data):
         trades = transform_trade(data["operations"], data["ledgers"]).collect()
