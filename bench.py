@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "sessionize_events",
     "clean_text",
     "weekly_retention",
+    "time_to_sequence_range",
     # near_dup_clusters is registry-only: iterative CC is inherently
     # multi-job and would dominate the single-pass headline timing
 ]

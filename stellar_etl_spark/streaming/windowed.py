@@ -1,0 +1,84 @@
+"""Watermarked event-time windowing for unbounded event streams.
+
+Beyond-reference surface: the reference's streaming mode is strictly
+sequential ledger batches with no event-time semantics (SURVEY.md §2.8), but
+an analytics engine ingesting event streams at scale needs late-data
+handling.  These operators are the Structured-Streaming-native pattern:
+``withWatermark`` bounds state, event-time windows finalize exactly once in
+append mode, and late events merge into open windows (or drop once the
+watermark passes) without any custom state code.
+
+Each operator is a pure DataFrame→DataFrame function that works identically
+on a batch DataFrame (watermark is a no-op there), so batch twins double as
+correctness oracles — same pattern as streaming/micro_batch.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def watermarked_window_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("event_type",),
+    watermark: str = "10 minutes",
+    window_duration: str = "5 minutes",
+    slide: str | None = None,
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Tumbling (or sliding) event-time window aggregation with a watermark.
+
+    In append-mode streaming a window row is emitted exactly once — when the
+    watermark passes its end — so downstream sinks get finalized, immutable
+    aggregates.  Late events within the watermark merge into their (still
+    open) window; events later than the watermark are dropped by the engine.
+    State is bounded: windows older than the watermark are evicted.
+
+    The aggregation is a plain groupBy, so in batch mode Catalyst gives the
+    usual partial-aggregate (map-side combine) plan; in streaming it becomes
+    a stateful aggregation keyed by (window, keys) — shuffle on exactly those
+    keys, nothing else.
+    """
+    window = (
+        F.window(ts_col, window_duration, slide)
+        if slide
+        else F.window(ts_col, window_duration)
+    )
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("total_value"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(window.alias("window"), *[F.col(k) for k in key_cols])
+        .agg(*aggs)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *[F.col(k) for k in key_cols],
+            F.col("n_events"),
+            *([F.col("total_value")] if value_col is not None else []),
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    key_cols: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once event ingestion: drop re-deliveries of the same key that
+    arrive within the watermark interval.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key only
+    until the watermark passes its event time — bounded state, unlike a
+    global ``dropDuplicates`` whose streaming state grows forever.  This is
+    the at-least-once→exactly-once adapter in front of every append sink.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

@@ -234,3 +234,150 @@ class TestBucketedLayout:
             )
             spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
             spark.sql("DROP TABLE IF EXISTS t_orders_b")
+
+
+class TestWatermarkedWindows:
+    """Event-time windows + watermark late-data semantics
+    (streaming/windowed.py): late-but-in-watermark events merge, too-late
+    events drop, windows emit exactly once when the watermark passes."""
+
+    DDL = "event_id long, ts timestamp, event_type string, value double"
+
+    @staticmethod
+    def _t(hh, mm, ss=0):
+        import datetime as dt
+
+        return dt.datetime(2024, 1, 1, hh, mm, ss)
+
+    def _land(self, spark, landing, rows):
+        spark.createDataFrame(rows, self.DDL).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    def _run(self, spark, landing, out, ckpt):
+        from stellar_etl_spark.streaming.windowed import watermarked_window_agg
+
+        stream = spark.readStream.schema(self.DDL).parquet(landing)
+        q = (
+            watermarked_window_agg(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def test_late_data_semantics(self, spark, tmp_path):
+        landing = str(tmp_path / "landing")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        t = self._t
+
+        # batch 1: two open 5-min windows; watermark ends at 09:56
+        self._land(spark, landing, [
+            (1, t(10, 0, 30), "a", 1.0),
+            (2, t(10, 4, 0), "a", 2.0),
+            (3, t(10, 6, 0), "b", 3.0),
+        ])
+        self._run(spark, landing, out, ckpt)
+        import os
+
+        emitted = (
+            spark.read.schema(
+                "window_start timestamp, window_end timestamp, "
+                "event_type string, n_events long, total_value double"
+            ).parquet(out).collect()
+            if any(f.endswith(".parquet") for f in os.listdir(out))
+            else []
+        )
+        assert emitted == []  # nothing finalized yet
+
+        # batch 2: a late-but-within-watermark event merges into the open
+        # 10:00 window; 10:30 advances the watermark to 10:20 → both early
+        # windows finalize and emit exactly once
+        self._land(spark, landing, [
+            (4, t(10, 2, 30), "a", 10.0),   # late, within watermark
+            (5, t(10, 30, 0), "b", 1.0),    # advances watermark
+        ])
+        self._run(spark, landing, out, ckpt)
+        rows = {
+            (r.window_start, r.event_type): r
+            for r in spark.read.parquet(out).collect()
+        }
+        assert set(rows) == {(t(10, 0), "a"), (t(10, 5), "b")}
+        w1 = rows[(t(10, 0), "a")]
+        assert w1.n_events == 3 and w1.total_value == 13.0  # late e4 merged
+        assert rows[(t(10, 5), "b")].n_events == 1
+
+        # batch 3: an event behind the 10:20 watermark is dropped; the 10:30
+        # window stays open (watermark 10:21 < 10:35) → nothing new emits
+        self._land(spark, landing, [
+            (6, t(10, 3, 0), "a", 99.0),    # too late → dropped
+            (7, t(10, 31, 0), "b", 1.0),
+        ])
+        self._run(spark, landing, out, ckpt)
+        final = spark.read.parquet(out).collect()
+        assert len(final) == 2  # unchanged: no re-emit, no late merge
+        assert {r.n_events for r in final} == {3, 1}
+
+    def test_batch_twin_parity(self, spark):
+        """The same operator on a batch DataFrame is the oracle for the
+        streamed, finalized windows."""
+        from stellar_etl_spark.streaming.windowed import watermarked_window_agg
+
+        t = self._t
+        batch = spark.createDataFrame(
+            [
+                (1, t(10, 0, 30), "a", 1.0),
+                (2, t(10, 4, 0), "a", 2.0),
+                (4, t(10, 2, 30), "a", 10.0),
+                (3, t(10, 6, 0), "b", 3.0),
+            ],
+            self.DDL,
+        )
+        rows = {
+            (r.window_start, r.event_type): (r.n_events, r.total_value)
+            for r in watermarked_window_agg(batch).collect()
+        }
+        assert rows[(t(10, 0), "a")] == (3, 13.0)
+        assert rows[(t(10, 5), "b")] == (1, 3.0)
+
+    def test_dedup_within_watermark(self, spark, tmp_path):
+        from stellar_etl_spark.streaming.windowed import dedup_within_watermark
+
+        landing = str(tmp_path / "landing")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        t = self._t
+
+        def run():
+            stream = spark.readStream.schema(self.DDL).parquet(landing)
+            q = (
+                dedup_within_watermark(stream)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        # in-batch duplicate collapses
+        self._land(spark, landing, [
+            (1, t(10, 0, 0), "a", 1.0),
+            (1, t(10, 0, 10), "a", 1.0),
+            (2, t(10, 1, 0), "a", 1.0),
+        ])
+        run()
+        assert sorted(r.event_id for r in spark.read.parquet(out).collect()) == [1, 2]
+
+        # cross-batch re-delivery within the watermark drops; new id passes
+        self._land(spark, landing, [
+            (1, t(10, 2, 0), "a", 1.0),
+            (3, t(10, 3, 0), "a", 1.0),
+        ])
+        run()
+        assert sorted(r.event_id for r in spark.read.parquet(out).collect()) == [1, 2, 3]
