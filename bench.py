@@ -30,6 +30,13 @@ BENCH_QUERIES = [
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive",
     "tpch_q22_global_sales_opportunity",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q21_waiting_supplier",
     "supplier_nation_revenue",
     "top_customers_per_nation",
     "props_json_agg",

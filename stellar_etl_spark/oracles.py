@@ -414,6 +414,107 @@ WHERE c_acctbal > avg_bal
     AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
 GROUP BY CAST(c_nationkey % 5 AS INT)
 """,
+    "tpch_q8_market_share": f"""
+SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+  ROUND(
+    CAST(SUM(CASE WHEN n_name = 'NATION_7' THEN {_DISC_PRICE}
+             ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE)
+    / CAST(SUM({_DISC_PRICE}) AS DOUBLE), 6) AS mkt_share,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'ECONOMY'
+GROUP BY EXTRACT(year FROM o_orderdate)
+""",
+    "tpch_q9_product_profit": f"""
+SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+  ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 3) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+""",
+    "tpch_q10_returned_items": f"""
+SELECT c_custkey, c_name, n_name AS nation,
+  ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 3) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+HAVING ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 3) > 3000
+""",
+    "tpch_q13_order_distribution": """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+    AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+""",
+    "tpch_q15_top_supplier": f"""
+WITH per_supp AS (
+  SELECT l_suppkey, SUM({_DISC_PRICE}) AS rev_exact
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+  ROUND(CAST(rev_exact AS DOUBLE), 3) AS total_revenue
+FROM per_supp
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_exact = (SELECT MAX(rev_exact) FROM per_supp)
+""",
+    "tpch_q17_small_quantity": """
+WITH li_parts AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand IN ('Brand#15', 'Brand#23')
+), avg_qty AS (
+  SELECT l_partkey AS ak,
+    AVG(CAST(CAST(l_quantity AS DECIMAL(12,4)) AS DOUBLE)) * 0.2
+      AS qty_threshold
+  FROM li_parts GROUP BY l_partkey
+)
+SELECT
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / 7.0, 3)
+    AS avg_yearly,
+  COUNT(*) AS n_items
+FROM li_parts JOIN avg_qty ON l_partkey = ak
+WHERE l_quantity < qty_threshold
+""",
+    "tpch_q21_waiting_supplier": """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+    (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey,
+    COUNT(DISTINCT l_suppkey) AS n_supp,
+    COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp,
+    MAX(CASE WHEN late THEN l_suppkey END) AS late_supp
+  FROM lo GROUP BY l_orderkey
+)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM per_order
+JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp > 1 AND n_late_supp = 1
+GROUP BY s_suppkey, s_name
+""",
     "rollup_revenue": f"""
 SELECT r_name, n_name,
   ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 3) AS revenue,

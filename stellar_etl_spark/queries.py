@@ -579,6 +579,178 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share by year (q8 shape, adapted to the slim schema):
+    conditional-sum ratio over a star join — all dims broadcast, the only
+    shuffle is the final tiny year-grouped aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    part = table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount", 6, 4))
+    zero = F.lit(0).cast("decimal(12,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("n_name") == "NATION_7", revenue).otherwise(zero)
+                ).cast("double")
+                / F.sum(revenue).cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by supplier nation and year (q9 shape, no partsupp in the
+    schema): LIKE-filtered part dim broadcast, orders joined only for the
+    year — nothing here widens at 100 TB except the fact scan."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    part = table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    profit = _dec("l_extendedprice") * (_one() - _dec("l_discount", 6, 4))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_dsum(profit).alias("sum_profit"))
+    )
+
+
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue lost to returns per customer (q10 shape): date-windowed orders
+    × returned lineitems, grouped by customer; the deterministic HAVING
+    threshold replaces q10's top-20 (no unstable double-ordered LIMIT)."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ntz("1997-01-01"))
+        & (F.col("o_orderdate") < _ntz("1998-01-01"))
+    )
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount", 6, 4))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(_dsum(revenue).alias("revenue"))
+        .where(F.col("revenue") > 3000)
+    )
+
+
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count histogram (q13 shape): filtered LEFT join so
+    zero-order customers survive, two-level aggregation — the classic
+    count-of-counts, still two cheap shuffles at any scale."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier(s) by windowed revenue (q15 shape): aggregate → join on
+    the exact-decimal max — ties-safe across engines because the comparison
+    happens before any double cast."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ntz("1997-01-01"))
+        & (F.col("l_shipdate") < _ntz("1997-07-01"))
+    )
+    supp = table(spark, sf_dir, "supplier")
+    revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount", 6, 4))
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(revenue).alias("_rev_exact")
+    )
+    max_rev = per_supp.agg(F.max("_rev_exact").alias("_max_rev"))
+    return (
+        per_supp.crossJoin(F.broadcast(max_rev))
+        .where(F.col("_rev_exact") == F.col("_max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_rev_exact").cast("double"), 3).alias("total_revenue"),
+        )
+    )
+
+
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity order revenue (q17 shape): the correlated per-part AVG
+    subquery becomes aggregate-then-join — map-side combinable, no window
+    sort, broadcast both the part dim and the tiny per-part averages."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#15", "Brand#23")
+    )
+    li_parts = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_qty = li_parts.groupBy(F.col("p_partkey").alias("_ak")).agg(
+        (F.avg(_dec("l_quantity").cast("double")) * 0.2).alias("qty_threshold")
+    )
+    return (
+        li_parts.join(F.broadcast(avg_qty), F.col("p_partkey") == F.col("_ak"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 3
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sole-late supplier per multi-supplier order (q21 shape, 'late' =
+    shipped >60 days after order date on finalized orders).  The classic
+    EXISTS/NOT-EXISTS double self-join collapses into ONE per-order
+    aggregate + semi join back — linear, skew-free, no O(n²) self-join."""
+    orders = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
+            "_n_late_supp"
+        ),
+        F.max(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_late_supp"),
+    )
+    culprits = per_order.where(
+        (F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1)
+    )
+    return (
+        culprits.join(F.broadcast(supp), F.col("_late_supp") == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (region → nation → grand total) — Spark's native
     ROLLUP; partial aggregation keeps the extra grouping sets cheap."""
@@ -791,6 +963,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q18_large_orders": tpch_q18_large_orders,
     "tpch_q19_disjunctive": tpch_q19_disjunctive,
     "tpch_q22_global_sales_opportunity": tpch_q22_global_sales_opportunity,
+    "tpch_q8_market_share": tpch_q8_market_share,
+    "tpch_q9_product_profit": tpch_q9_product_profit,
+    "tpch_q10_returned_items": tpch_q10_returned_items,
+    "tpch_q13_order_distribution": tpch_q13_order_distribution,
+    "tpch_q15_top_supplier": tpch_q15_top_supplier,
+    "tpch_q17_small_quantity": tpch_q17_small_quantity,
+    "tpch_q21_waiting_supplier": tpch_q21_waiting_supplier,
     "supplier_nation_revenue": supplier_nation_revenue,
     "top_customers_per_nation": top_customers_per_nation,
     "props_json_agg": props_json_agg,
