@@ -72,7 +72,11 @@ BENCH_QUERIES = [
     "weekly_retention",
     "time_to_sequence_range",
     # near_dup_clusters is registry-only: iterative CC is inherently
-    # multi-job and would dominate the single-pass headline timing
+    # multi-job and would dominate the single-pass headline timing.
+    # ngram_jaccard_near_dup is registry-only too: exact all-pairs Jaccard is
+    # candidate-heavy on this shared-vocabulary corpus (minhash_near_dup IS
+    # the benchmark scale path for Jaccard dedup; the exact PPJoin variant
+    # exists for loss-free verification workloads)
 ]
 
 

@@ -297,3 +297,96 @@ def dedup_clusters(
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup via prefix filtering (PPJoin-lite).
+
+    The LSH-free, loss-free member of the dedup family.  Candidate rule:
+    order each doc's shingles rarest-first (global frequency, then shingle —
+    a deterministic total order) and keep the first
+    ``|S| - ceil(t·|S|) + 1`` as its *prefix*; any pair with
+    Jaccard ≥ t MUST share a prefix shingle (pigeonhole on the overlap
+    bound), so joining on prefix shingles is candidate-complete — unlike
+    LSH there are no false negatives.  A size-compatibility bound
+    (``|A| ≤ |B|/t``) prunes survivors before exact verification.
+
+    Scale shape: everything is explode → count → equi-join — no cross or
+    range join.  The frequency pass is one extra linear aggregation; the
+    prefix join shuffles only prefix rows (≈ half the shingle volume), keyed
+    by shingle so rare shingles (the common case in a large corpus) collide
+    almost never.  Exact verification touches only surviving pairs.
+
+    Returns (id_a, id_b, jaccard), jaccard an exact integer ratio —
+    bit-identical across engines.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    from stellar_etl_spark.operators.util import fan_out_small
+
+    sh = (
+        fan_out_small(df)
+        .select(F.col(id_col), shingles(F.col(text_col), n).alias("shingle_set"))
+        .where(F.size("shingle_set") > 0)
+    )
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+
+    ex = sh.select(
+        F.col(id_col),
+        F.size("shingle_set").alias("_n"),
+        F.explode("shingle_set").alias("_s"),
+    )
+    freq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_c"))
+    # prefix length |S| - ceil(t|S|) + 1; t=0.5 → n//2 + 1 in pure integers
+    prefix_len = (
+        F.col("_n")
+        - F.ceil(F.lit(threshold) * F.col("_n")).cast("long")
+        + F.lit(1)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy("_c", "_s")
+    )
+    prefix = (
+        ex.join(freq, "_s")
+        .withColumn("_rn", rn)
+        .where(F.col("_rn") <= prefix_len)
+        .select(F.col(id_col), F.col("_s"), F.col("_n"))
+    )
+    l, r = prefix.alias("l"), prefix.alias("r")
+    inv_t = 1.0 / threshold
+    cands = (
+        l.join(
+            r,
+            (F.col("l._s") == F.col("r._s"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            & (F.col("l._n") <= F.col("r._n") * inv_t)
+            & (F.col("r._n") <= F.col("l._n") * inv_t),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )

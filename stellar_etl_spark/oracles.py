@@ -278,6 +278,46 @@ JOIN sh b ON b.doc_id = id_b
 WHERE CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
     / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE) >= 0.5
 """,
+    "ngram_jaccard_near_dup": """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3
+      THEN list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                          FOR i IN generate_series(1, len(words) - 2)])
+      ELSE [] END AS shingle_set
+  FROM docs
+),
+sized AS (SELECT doc_id, shingle_set FROM sh WHERE len(shingle_set) > 0),
+ex AS (SELECT doc_id, len(shingle_set) AS n, unnest(shingle_set) AS s
+       FROM sized),
+freq AS (SELECT s, COUNT(*) AS c FROM ex GROUP BY s),
+ranked AS (
+  SELECT doc_id, s, n,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c, s) AS rn
+  FROM ex JOIN freq USING (s)
+),
+prefix AS (
+  SELECT doc_id, s, n FROM ranked
+  WHERE rn <= n - CAST(CEIL(0.5 * n) AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM prefix l JOIN prefix r
+    ON l.s = r.s AND l.doc_id < r.doc_id
+   AND l.n <= r.n * 2.0 AND r.n <= l.n * 2.0
+)
+SELECT id_a, id_b,
+  CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
+    / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE)
+    AS jaccard
+FROM cand
+JOIN sized a ON a.doc_id = id_a
+JOIN sized b ON b.doc_id = id_b
+WHERE CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
+    / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE)
+    >= 0.5
+""",
     "simhash_fingerprint": """
 WITH words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents

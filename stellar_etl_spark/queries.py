@@ -32,7 +32,12 @@ from stellar_etl_spark.functions.toid import (
     toid_tx,
 )
 from stellar_etl_spark.operators.compaction import compact_changes
-from stellar_etl_spark.operators.dedup import exact_dedup, near_dup_pairs, simhash
+from stellar_etl_spark.operators.dedup import (
+    exact_dedup,
+    near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
 from stellar_etl_spark.operators.ranges import ledger_range_for_times
 from stellar_etl_spark.operators.similarity import (
     cosine_topk,
@@ -397,6 +402,16 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_perm=8,
         bands=4,
         rows_per_band=2,
+        threshold=0.5,
+    )
+
+
+def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (loss-free) n-gram Jaccard near-dup: PPJoin-style rarest-first
+    prefix filtering — candidate-complete, no LSH false negatives — then
+    exact set Jaccard ≥ 0.5 on survivors."""
+    return ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", n=3,
         threshold=0.5,
     )
 
@@ -986,6 +1001,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": doc_fingerprint_q,
     "exact_dedup": exact_dedup_q,
     "minhash_near_dup": minhash_near_dup,
+    "ngram_jaccard_near_dup": ngram_jaccard_near_dup,
     "simhash_fingerprint": simhash_fingerprint,
     "knn_cosine_bruteforce": knn_cosine_bruteforce,
     "embedding_label_centroids": embedding_label_centroids,

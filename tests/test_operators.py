@@ -111,6 +111,41 @@ class TestDedup:
         pairs = near_dup_pairs(df, "doc_id", "text", threshold=0.5).collect()
         assert [(p.id_a, p.id_b, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
 
+    def test_ngram_jaccard_prefix_filter_is_candidate_complete(self, spark):
+        """Prefix filtering must find every pair a brute-force O(n²) scan
+        finds — exactness is the operator's contract (vs MinHash-LSH)."""
+        import itertools
+
+        from stellar_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "the quick brown fox jumps over the lazy dog today"),
+            (4, "pack my box with five dozen brown liquor jugs now"),
+            (5, "sphinx of black quartz judge my vow and more words"),
+            (6, "the quick brown fox jumps over a lazy dog today"),
+        ]
+        df = spark.createDataFrame(docs, DOCS_SCHEMA)
+        got = {
+            (p.id_a, p.id_b): p.jaccard
+            for p in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+        }
+
+        def sh(text, n=3):
+            w = text.split()
+            return set(" ".join(w[i : i + n]) for i in range(len(w) - n + 1))
+
+        brute = {}
+        for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+            a, b = sh(ta), sh(tb)
+            j = len(a & b) / len(a | b)
+            if j >= 0.5:
+                brute[(ia, ib)] = j
+        assert got == brute
+        assert (1, 3) in got and got[(1, 3)] == 1.0  # identical docs
+        assert all(ia != 4 and ib != 4 for ia, ib in got)  # disjoint doc
+
     def test_simhash_identical_docs_equal_fingerprints(self, spark):
         df = spark.createDataFrame(
             [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zeta eta theta iota")],
