@@ -71,12 +71,16 @@ BENCH_QUERIES = [
     "clean_text",
     "weekly_retention",
     "time_to_sequence_range",
+    "asof_attribution",
     # near_dup_clusters is registry-only: iterative CC is inherently
     # multi-job and would dominate the single-pass headline timing.
     # ngram_jaccard_near_dup is registry-only too: exact all-pairs Jaccard is
     # candidate-heavy on this shared-vocabulary corpus (minhash_near_dup IS
     # the benchmark scale path for Jaccard dedup; the exact PPJoin variant
-    # exists for loss-free verification workloads)
+    # exists for loss-free verification workloads).
+    # simhash_near_dup is registry-only for the same reason: 16-bit
+    # fingerprints on this shared-vocabulary corpus put ~9% of all pairs
+    # within Hamming 2, so output volume (not the operator) dominates
 ]
 
 

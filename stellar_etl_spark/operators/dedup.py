@@ -238,6 +238,73 @@ def simhash(
     )
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_distance``.
+
+    LSH by pigeonhole: split the fingerprint into ``max_distance + 1``
+    disjoint bit bands — any pair within distance d differs in at most d
+    bands, so it must agree EXACTLY on at least one band.  Joining on
+    (band index, band value) is therefore candidate-complete; survivors get
+    an exact popcount check.  Same shape as MinHash banding: explode →
+    equi-join → verify, no cross join anywhere.  At corpus scale raise
+    ``bits`` (e.g. 64) so band values stay selective; band count tracks the
+    distance budget, not the corpus.
+    """
+    fp = simhash(df, id_col, text_col, bits).persist()
+    n_bands = max_distance + 1
+    width = bits // n_bands
+    bands = []
+    start = 0
+    for i in range(n_bands):
+        w = width + (1 if i < bits % n_bands else 0)
+        bands.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(f"shiftright(simhash, {start})")
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("val"),
+            )
+        )
+        start += w
+    banded = fp.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, "b.band", "b.val")
+    cands = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"))
+    b = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= F.lit(max_distance))
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     id_col: str,

@@ -318,6 +318,43 @@ WHERE CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
     / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE)
     >= 0.5
 """,
+    "asof_attribution": """
+SELECT p.event_id AS purchase_id, p.user_id,
+  epoch_us(p.ts) AS purchase_us,
+  t.event_id AS touch_id, t.event_type AS touch_type,
+  epoch_us(t.ts) AS touch_us,
+  epoch_us(p.ts) - epoch_us(t.ts) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type IN ('click', 'view')) t
+  ON p.user_id = t.user_id AND p.ts >= t.ts
+""",
+    "simhash_near_dup": """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+    list_reduce(
+      [strpos('0123456789abcdef', c) - 1 FOR c IN string_split(substr(md5(word), 1, 15), '')],
+      (a, b) -> a * 16 + b) AS h
+  FROM words
+),
+votes AS (
+  SELECT doc_id, bit,
+    SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+  FROM hashed, (SELECT unnest(generate_series(0, 15)) AS bit) AS bits(bit)
+  GROUP BY doc_id, bit
+),
+fp AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN tally > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+""",
     "simhash_fingerprint": """
 WITH words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents

@@ -936,6 +936,46 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase joined to the user's most recent
+    click/view at-or-before it — a cross-table as-of join, the general form of
+    the reference's last-matching-pre-change reverse scan (trade.go:281-304).
+    One shuffle on user_id (union + window), no range join."""
+    from stellar_etl_spark.operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    j = asof_join(
+        purchases, touches, on="user_id", left_ts="ts", right_ts="ts",
+        right_prefix="touch_",
+    )
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.expr("ts div 1000").alias("purchase_us"),
+        F.col("touch_event_id").alias("touch_id"),
+        F.col("touch_event_type").alias("touch_type"),
+        F.expr("touch_ts div 1000").alias("touch_us"),
+        F.expr("ts div 1000 - touch_ts div 1000").alias("lag_us"),
+    )
+
+
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance ≤ 2 on 16-bit fingerprints via
+    pigeonhole bit-band LSH (candidate-complete) + exact popcount verify."""
+    from stellar_etl_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        bits=16, max_distance=2,
+    )
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min) over the events stream — data-driven
     windows next to the reference's fixed 64-ledger batches."""
@@ -1003,6 +1043,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dup": minhash_near_dup,
     "ngram_jaccard_near_dup": ngram_jaccard_near_dup,
     "simhash_fingerprint": simhash_fingerprint,
+    "simhash_near_dup": simhash_near_dup,
+    "asof_attribution": asof_attribution,
     "knn_cosine_bruteforce": knn_cosine_bruteforce,
     "embedding_label_centroids": embedding_label_centroids,
     "ivf_knn_approx": ivf_knn_approx,

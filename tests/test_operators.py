@@ -304,6 +304,133 @@ class TestDedupClusters:
         assert out == {1: 1, 2: 1, 3: 1, 4: 1}
 
 
+class TestAsofJoin:
+    LEFT = "k string, lts long, lval string"
+    RIGHT = "k string, rts long, rval string"
+
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [("a", 10, "L1"), ("a", 20, "L2"), ("a", 5, "L0"), ("b", 10, "L3")],
+            self.LEFT,
+        )
+        right = spark.createDataFrame(
+            [("a", 8, "R1"), ("a", 10, "R2"), ("a", 15, "R3"), ("c", 1, "R4")],
+            self.RIGHT,
+        )
+        return left, right
+
+    def test_backward_picks_latest_at_or_before(self, spark):
+        from stellar_etl_spark.operators.asof import asof_join
+
+        left, right = self._frames(spark)
+        got = {
+            r.lval: (r.right_rts, r.right_rval)
+            for r in asof_join(
+                left, right, on="k", left_ts="lts", right_ts="rts"
+            ).collect()
+        }
+        # equal ts matches (L1@10 -> R2@10); no earlier right -> NULLs
+        assert got == {
+            "L0": (None, None),
+            "L1": (10, "R2"),
+            "L2": (15, "R3"),
+            "L3": (None, None),
+        }
+
+    def test_forward_picks_earliest_at_or_after(self, spark):
+        from stellar_etl_spark.operators.asof import asof_join
+
+        left, right = self._frames(spark)
+        got = {
+            r.lval: (r.right_rts, r.right_rval)
+            for r in asof_join(
+                left, right, on="k", left_ts="lts", right_ts="rts",
+                direction="forward",
+            ).collect()
+        }
+        assert got == {
+            "L0": (8, "R1"),
+            "L1": (10, "R2"),
+            "L2": (None, None),
+            "L3": (None, None),
+        }
+
+    def test_tolerance_nulls_far_matches(self, spark):
+        from stellar_etl_spark.operators.asof import asof_join
+
+        left, right = self._frames(spark)
+        got = {
+            r.lval: r.right_rval
+            for r in asof_join(
+                left, right, on="k", left_ts="lts", right_ts="rts", tolerance=3
+            ).collect()
+        }
+        # L2@20 matched R3@15: gap 5 > 3 -> nulled out
+        assert got == {"L0": None, "L1": "R2", "L2": None, "L3": None}
+
+
+class TestSimhashNearDup:
+    def test_identical_docs_distance_zero(self, spark):
+        from stellar_etl_spark.operators.dedup import simhash_near_dup_pairs
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "alpha beta gamma delta epsilon"),
+                (3, "totally different words entirely here unrelated"),
+            ],
+            DOCS_SCHEMA,
+        )
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_near_dup_pairs(
+                df, "doc_id", "text", bits=16, max_distance=2
+            ).collect()
+        }
+        assert got.get((1, 2)) == 0
+
+    def test_banding_is_candidate_complete(self, spark):
+        """Every pair within the Hamming budget must survive banding — the
+        pigeonhole guarantee, checked against an all-pairs popcount."""
+        import itertools
+
+        from stellar_etl_spark.operators.dedup import (
+            simhash,
+            simhash_near_dup_pairs,
+        )
+
+        docs = [
+            (i, t)
+            for i, t in enumerate(
+                [
+                    "the quick brown fox jumps over the lazy dog",
+                    "the quick brown fox jumps over the lazy cat",
+                    "the quick brown fox leaps over the lazy dog",
+                    "pack my box with five dozen liquor jugs",
+                    "sphinx of black quartz judge my vow",
+                    "the quick brown wolf jumps over the lazy dog",
+                ]
+            )
+        ]
+        df = spark.createDataFrame(docs, DOCS_SCHEMA)
+        fps = {
+            r.doc_id: r.simhash
+            for r in simhash(df, "doc_id", "text", bits=16).collect()
+        }
+        brute = {
+            (a, b): bin(fps[a] ^ fps[b]).count("1")
+            for a, b in itertools.combinations(sorted(fps), 2)
+            if bin(fps[a] ^ fps[b]).count("1") <= 2
+        }
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_near_dup_pairs(
+                df, "doc_id", "text", bits=16, max_distance=2
+            ).collect()
+        }
+        assert got == brute
+
+
 class TestSaltedJoin:
     def test_equals_plain_join_on_skewed_data(self, spark):
         from stellar_etl_spark.operators.skew import salted_join
