@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "weekly_retention",
     "time_to_sequence_range",
     "asof_attribution",
+    "errors_in_sessions",
+    "active_sessions_per_window",
     # near_dup_clusters is registry-only: iterative CC is inherently
     # multi-job and would dominate the single-pass headline timing.
     # ngram_jaccard_near_dup is registry-only too: exact all-pairs Jaccard is

@@ -318,6 +318,69 @@ WHERE CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
     / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE)
     >= 0.5
 """,
+    "errors_in_sessions": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type <> 'error'
+),
+gaps AS (
+  SELECT user_id, event_id, ts_us,
+    CASE WHEN lag(ts_us) OVER w IS NULL
+           OR ts_us - lag(ts_us) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM gaps
+),
+s AS (
+  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+    MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
+  FROM sess GROUP BY user_id, session_idx
+),
+err AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'error'
+)
+SELECT s.user_id, s.session_idx, s.session_start_us, s.session_end_us,
+  COUNT(err.ts_us) AS n_errors
+FROM s LEFT JOIN err
+  ON err.user_id = s.user_id
+ AND err.ts_us >= s.session_start_us AND err.ts_us <= s.session_end_us
+GROUP BY s.user_id, s.session_idx, s.session_start_us, s.session_end_us
+""",
+    "active_sessions_per_window": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+gaps AS (
+  SELECT user_id, event_id, ts_us,
+    CASE WHEN lag(ts_us) OVER w IS NULL
+           OR ts_us - lag(ts_us) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM gaps
+),
+s AS (
+  SELECT user_id, session_idx,
+    MIN(ts_us) AS a, MAX(ts_us) AS b
+  FROM sess GROUP BY user_id, session_idx
+),
+w AS (
+  SELECT unnest(generate_series(a // 300000000, b // 300000000)) AS window_idx
+  FROM s
+)
+SELECT window_idx, window_idx * 300000000 AS window_start_us,
+  COUNT(*) AS n_active
+FROM w GROUP BY window_idx
+""",
     "asof_attribution": """
 SELECT p.event_id AS purchase_id, p.user_id,
   epoch_us(p.ts) AS purchase_us,

@@ -936,6 +936,58 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def errors_in_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: count error events landing inside each
+    user session (sessions built from non-error events).  Bucket-decomposed
+    equi-join — no broadcast-nested-loop range join anywhere."""
+    from stellar_etl_spark.operators.intervals import point_in_interval_join
+    from stellar_etl_spark.operators.sessionize import session_stats
+
+    ev = table(spark, sf_dir, "events")
+    base = ev.where(F.col("event_type") != "error").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    sessions = session_stats(base).select(
+        "user_id", "session_idx", "session_start_us", "session_end_us"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    matched = point_in_interval_join(
+        errors,
+        sessions,
+        point_ts="ts_us",
+        start_col="session_start_us",
+        end_col="session_end_us",
+        bucket_us=3_600_000_000,
+        keys=["user_id"],
+    )
+    counts = matched.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_errors")
+    )
+    return sessions.join(counts, ["user_id", "session_idx"], "left").select(
+        "user_id",
+        "session_idx",
+        "session_start_us",
+        "session_end_us",
+        F.coalesce(F.col("n_errors"), F.lit(0).cast("long")).alias("n_errors"),
+    )
+
+
+def active_sessions_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session concurrency profile: number of sessions overlapping each 5-min
+    window — interval flattening by bucket explode + one count aggregate."""
+    from stellar_etl_spark.operators.intervals import interval_overlap_count
+    from stellar_etl_spark.operators.sessionize import session_stats
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    return interval_overlap_count(
+        session_stats(ev), "session_start_us", "session_end_us", 300_000_000
+    )
+
+
 def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: each purchase joined to the user's most recent
     click/view at-or-before it — a cross-table as-of join, the general form of
@@ -1045,6 +1097,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_fingerprint": simhash_fingerprint,
     "simhash_near_dup": simhash_near_dup,
     "asof_attribution": asof_attribution,
+    "errors_in_sessions": errors_in_sessions,
+    "active_sessions_per_window": active_sessions_per_window,
     "knn_cosine_bruteforce": knn_cosine_bruteforce,
     "embedding_label_centroids": embedding_label_centroids,
     "ivf_knn_approx": ivf_knn_approx,

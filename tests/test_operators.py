@@ -369,6 +369,61 @@ class TestAsofJoin:
         assert got == {"L0": None, "L1": "R2", "L2": None, "L3": None}
 
 
+class TestIntervalJoin:
+    IVALS = "k string, iid long, a long, b long"
+    PTS = "k string, pid long, ts long"
+
+    def test_point_in_interval_with_key(self, spark):
+        from stellar_etl_spark.operators.intervals import point_in_interval_join
+
+        ivals = spark.createDataFrame(
+            [("u", 1, 100, 200), ("u", 2, 150, 160), ("v", 3, 100, 200)],
+            self.IVALS,
+        )
+        pts = spark.createDataFrame(
+            [("u", 10, 155), ("u", 11, 100), ("u", 12, 201), ("v", 13, 155),
+             ("w", 14, 155)],
+            self.PTS,
+        )
+        got = sorted(
+            (r.iid, r.pid)
+            for r in point_in_interval_join(
+                pts, ivals, "ts", "a", "b", bucket_us=50, keys=["k"]
+            ).collect()
+        )
+        # 155 in both [100,200] and [150,160]; bounds inclusive; key separates
+        # u/v; w matches nothing; 201 is outside
+        assert got == [(1, 10), (1, 11), (2, 10), (3, 13)]
+
+    def test_no_duplicate_pairs_across_buckets(self, spark):
+        """An interval spanning many buckets must still yield each
+        (point, interval) pair exactly once."""
+        from stellar_etl_spark.operators.intervals import point_in_interval_join
+
+        ivals = spark.createDataFrame([("u", 1, 0, 1000)], self.IVALS)
+        pts = spark.createDataFrame(
+            [("u", 10, 5), ("u", 11, 500), ("u", 12, 999)], self.PTS
+        )
+        rows = point_in_interval_join(
+            pts, ivals, "ts", "a", "b", bucket_us=10, keys=["k"]
+        ).collect()
+        assert sorted(r.pid for r in rows) == [10, 11, 12]
+
+    def test_overlap_count(self, spark):
+        from stellar_etl_spark.operators.intervals import interval_overlap_count
+
+        ivals = spark.createDataFrame(
+            [("u", 1, 0, 25), ("u", 2, 10, 35), ("u", 3, 100, 105)], self.IVALS
+        )
+        got = {
+            r.window_idx: (r.window_start_us, r.n_active)
+            for r in interval_overlap_count(ivals, "a", "b", 10).collect()
+        }
+        assert got == {
+            0: (0, 1), 1: (10, 2), 2: (20, 2), 3: (30, 1), 10: (100, 1),
+        }
+
+
 class TestSimhashNearDup:
     def test_identical_docs_distance_zero(self, spark):
         from stellar_etl_spark.operators.dedup import simhash_near_dup_pairs
