@@ -74,6 +74,10 @@ BENCH_QUERIES = [
     "asof_attribution",
     "errors_in_sessions",
     "active_sessions_per_window",
+    "hourly_value_gapfill",
+    "event_type_pivot",
+    "cube_sales",
+    "revenue_moving_avg",
     # near_dup_clusters is registry-only: iterative CC is inherently
     # multi-job and would dominate the single-pass headline timing.
     # ngram_jaccard_near_dup is registry-only too: exact all-pairs Jaccard is

@@ -318,6 +318,60 @@ WHERE CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
     / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE)
     >= 0.5
 """,
+    "hourly_value_gapfill": """
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 3) AS v
+  FROM events GROUP BY event_type, hr
+),
+b AS (SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi FROM h GROUP BY event_type),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS hr FROM b
+),
+g AS (
+  SELECT grid.event_type, grid.hr, h.v
+  FROM grid LEFT JOIN h ON grid.event_type = h.event_type AND grid.hr = h.hr
+)
+SELECT event_type, hr, hr * 3600000000 AS hour_start_us,
+  last_value(v IGNORE NULLS) OVER (
+    PARTITION BY event_type ORDER BY hr ROWS UNBOUNDED PRECEDING
+  ) AS value_sum,
+  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+FROM g
+""",
+    "event_type_pivot": """
+SELECT user_id,
+  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+FROM events GROUP BY user_id
+""",
+    "cube_sales": f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  n_items, revenue
+FROM (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+    ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 3) AS revenue
+  FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+)
+""",
+    "revenue_moving_avg": """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS d
+  FROM orders GROUP BY day
+)
+SELECT CAST(day AS VARCHAR) AS day,
+  ROUND(CAST(d AS DOUBLE), 3) AS revenue,
+  ROUND(
+    CAST(SUM(d) OVER w AS DOUBLE) / COUNT(*) OVER w, 3
+  ) AS ma7
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
     "errors_in_sessions": """
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events

@@ -936,6 +936,89 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_value_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup: hourly value sums per event type on a DENSE grid —
+    missing hours synthesized and filled by last-observation-carried-forward
+    (TimescaleDB time_bucket_gapfill + locf semantics)."""
+    from stellar_etl_spark.operators.timeseries import gapfill_locf
+
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("(ts div 1000) div 3600000000").alias("hr"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.round(F.sum("v").cast("double"), 3).alias("value_sum"))
+    )
+    filled = gapfill_locf(hourly, "hr", ["value_sum"], keys=["event_type"])
+    return filled.select(
+        "event_type",
+        "hr",
+        (F.col("hr") * F.lit(3_600_000_000)).alias("hour_start_us"),
+        "value_sum",
+        "is_gap",
+    )
+
+
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type matrix via Spark's native pivot (explicit value
+    list keeps it a single pass, no value-discovery job)."""
+    ev = table(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "signup", "error"]
+    p = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+    )
+
+
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping sets in one
+    pass (Expand keeps it map-side; exact decimal sums, rounded once)."""
+    li = table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount", 6, 4))
+    cubed = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum(revenue).alias("revenue"),
+        )
+    )
+    return cubed.select(
+        F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+        F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+        "n_items",
+        "revenue",
+    )
+
+
+def revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order revenue with a 7-day trailing moving average — exact
+    decimal daily sums, window framed ROWS 6 PRECEDING.  The day-grain series
+    is bounded (one row per day), so the single-partition window is fine at
+    any SF; the heavy work (the daily aggregate) is fully parallel."""
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum(_dec("o_totalprice", 18, 4)).alias("d"))
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.round(F.col("d").cast("double"), 3).alias("revenue"),
+        F.round(
+            (F.sum("d").over(w).cast("double") / F.count(F.lit(1)).over(w)), 3
+        ).alias("ma7"),
+    )
+
+
 def errors_in_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval range join: count error events landing inside each
     user session (sessions built from non-error events).  Bucket-decomposed
@@ -1099,6 +1182,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_attribution": asof_attribution,
     "errors_in_sessions": errors_in_sessions,
     "active_sessions_per_window": active_sessions_per_window,
+    "hourly_value_gapfill": hourly_value_gapfill,
+    "event_type_pivot": event_type_pivot,
+    "cube_sales": cube_sales,
+    "revenue_moving_avg": revenue_moving_avg,
     "knn_cosine_bruteforce": knn_cosine_bruteforce,
     "embedding_label_centroids": embedding_label_centroids,
     "ivf_knn_approx": ivf_knn_approx,

@@ -424,6 +424,27 @@ class TestIntervalJoin:
         }
 
 
+class TestGapfillLocf:
+    def test_fills_holes_and_carries_forward(self, spark):
+        from stellar_etl_spark.operators.timeseries import gapfill_locf
+
+        df = spark.createDataFrame(
+            [("a", 10, 1.0), ("a", 13, 4.0), ("b", 5, 9.0)],
+            "k string, bucket long, v double",
+        )
+        got = {
+            (r.k, r.bucket): (r.v, r.is_gap)
+            for r in gapfill_locf(df, "bucket", ["v"], keys=["k"]).collect()
+        }
+        assert got == {
+            ("a", 10): (1.0, 0),
+            ("a", 11): (1.0, 1),
+            ("a", 12): (1.0, 1),
+            ("a", 13): (4.0, 0),
+            ("b", 5): (9.0, 0),
+        }
+
+
 class TestSimhashNearDup:
     def test_identical_docs_distance_zero(self, spark):
         from stellar_etl_spark.operators.dedup import simhash_near_dup_pairs
