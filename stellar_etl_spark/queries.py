@@ -983,11 +983,17 @@ def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass (Expand keeps it map-side; exact decimal sums, rounded once)."""
     li = table(spark, sf_dir, "lineitem")
     revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount", 6, 4))
+    # two-phase cube: pre-aggregate to the |flags × statuses| base in exact
+    # decimal, then Expand only the tiny base — same bit-for-bit results
+    # (decimal sums are associative), fact scan touched once
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(revenue).alias("rev"), F.count(F.lit(1)).alias("cnt")
+    )
     cubed = (
-        li.cube("l_returnflag", "l_linestatus")
+        base.cube("l_returnflag", "l_linestatus")
         .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            _dsum(revenue).alias("revenue"),
+            F.sum("cnt").alias("n_items"),
+            F.round(F.sum("rev").cast("double"), 3).alias("revenue"),
         )
     )
     return cubed.select(
