@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     "event_type_pivot",
     "cube_sales",
     "revenue_moving_avg",
+    "stratified_sample",
+    "top_bigrams",
+    "repeat_buyers",
     # near_dup_clusters is registry-only: iterative CC is inherently
     # multi-job and would dominate the single-pass headline timing.
     # ngram_jaccard_near_dup is registry-only too: exact all-pairs Jaccard is

@@ -954,6 +954,26 @@ SELECT doc_id, source, n_chars
 FROM documents
 WHERE (('0x' || substring(md5(text), 1, 8))::BIGINT % 100) < 10
 """,
+    "stratified_sample": """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE (('0x' || substring(md5(text), 1, 8))::BIGINT % 1000)
+  < (CASE WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN 500 ELSE 50 END)
+""",
+    "top_bigrams": """
+WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+b AS (
+  SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)]) AS bigram
+  FROM w WHERE len(w) >= 2
+)
+SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 20
+""",
+    "repeat_buyers": """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+""",
     "corpus_stats_by_source": """
 SELECT source,
   COUNT(*) AS n_docs,

@@ -880,6 +880,55 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(bucket < 10).select("doc_id", "source", "n_chars")
 
 
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stratified sampling with deterministic hash thresholds —
+    curated sources kept at 50%, the long tail at 5%.  Same reproducibility
+    contract as deterministic_sample, but the rate is a per-stratum config
+    (broadcast-free: a when-chain, not a join)."""
+    docs = table(spark, sf_dir, "documents")
+    rate = F.when(
+        F.col("source").isin("src0", "src1", "src2", "src3"), F.lit(500)
+    ).otherwise(F.lit(50))
+    bucket = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 1000
+    return docs.where(bucket < rate).select("doc_id", "source", "n_chars")
+
+
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-20 word bigrams by frequency.  TakeOrdered
+    (distributed partial top-k per partition, no global sort materialization);
+    (count desc, bigram) is a total order, so the cut is deterministic."""
+    docs = table(spark, sf_dir, "documents")
+    b = (
+        docs.select(F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> concat(w[i], ' ', w[i + 1]))"
+                )
+            ).alias("bigram")
+        )
+    )
+    return (
+        b.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+def repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op shape: customers ordering in BOTH 1996 and 1997 — INTERSECT
+    (hash-dedup semi semantics), Catalyst plans it as an aggregate+join."""
+    orders = table(spark, sf_dir, "orders")
+    a = orders.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    b = orders.where(F.year("o_orderdate") == 1997).select("o_custkey")
+    return a.intersect(b)
+
+
 def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus profile: doc counts, char volume, exact interpolated
     median/p90 of doc length — one hash-aggregate shuffle."""
@@ -1192,6 +1241,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_type_pivot": event_type_pivot,
     "cube_sales": cube_sales,
     "revenue_moving_avg": revenue_moving_avg,
+    "stratified_sample": stratified_sample,
+    "top_bigrams": top_bigrams,
+    "repeat_buyers": repeat_buyers,
     "knn_cosine_bruteforce": knn_cosine_bruteforce,
     "embedding_label_centroids": embedding_label_centroids,
     "ivf_knn_approx": ivf_knn_approx,
