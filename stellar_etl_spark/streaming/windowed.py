@@ -65,6 +65,47 @@ def watermarked_window_agg(
     )
 
 
+def timebound_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "10 minutes",
+    max_lag_seconds: int = 1800,
+    right_prefix: str = "right_",
+) -> DataFrame:
+    """Stream-stream inner join bounded in event time: right rows qualify
+    within ``[left_ts - max_lag, left_ts]`` for the same key — the streaming
+    form of attribution/enrichment joins.
+
+    Both inputs carry watermarks AND the join condition bounds the two event
+    times against each other, which is exactly what Structured Streaming
+    needs to evict join state: a buffered right row can be dropped once the
+    left watermark passes ``right_ts + max_lag``.  Without the time bound the
+    state grows forever; with it, state is O(arrival rate × lag window).
+
+    Works identically on batch DataFrames (watermarks are no-ops), so the
+    batch run is the oracle for the streaming run.
+    """
+    r_cols = [
+        F.col(c).alias(c if c == on else f"{right_prefix}{c}")
+        for c in right.columns
+    ]
+    l = left.withWatermark(left_ts, watermark)
+    r = right.select(*r_cols).withWatermark(f"{right_prefix}{right_ts}", watermark)
+    pref_ts = f"{right_prefix}{right_ts}"
+    cond = (
+        (l[on] == r[on])
+        & (F.col(pref_ts) <= F.col(left_ts))
+        & (
+            F.col(pref_ts)
+            >= F.col(left_ts) - F.expr(f"INTERVAL {max_lag_seconds} SECONDS")
+        )
+    )
+    return l.join(r, cond).drop(r[on])
+
+
 def dedup_within_watermark(
     events: DataFrame,
     key_cols: Sequence[str] = ("event_id",),

@@ -381,3 +381,71 @@ class TestWatermarkedWindows:
         ])
         run()
         assert sorted(r.event_id for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+
+
+class TestStreamStreamJoin:
+    """Time-bounded stream-stream join (streaming/windowed.py
+    timebound_stream_join): streaming result equals the batch twin, and the
+    time bound excludes touches outside the attribution window."""
+
+    DDL = "event_id long, ts timestamp, user_id long, event_type string"
+
+    @staticmethod
+    def _t(hh, mm, ss=0):
+        import datetime as dt
+
+        return dt.datetime(2024, 1, 1, hh, mm, ss)
+
+    def test_stream_equals_batch(self, spark, tmp_path):
+        from stellar_etl_spark.streaming.windowed import timebound_stream_join
+
+        t = self._t
+        purchases = [
+            (100, t(10, 0), 1, "purchase"),
+            (101, t(11, 0), 1, "purchase"),
+            (102, t(10, 5), 2, "purchase"),
+        ]
+        touches = [
+            (1, t(9, 40), 1, "click"),   # within 30 min of 100
+            (2, t(9, 20), 1, "view"),    # too early for 100 (40 min)
+            (3, t(10, 50), 1, "click"),  # within 30 min of 101
+            (4, t(10, 6), 2, "view"),    # AFTER purchase 102 -> excluded
+            (5, t(10, 0), 2, "click"),   # equal-to-lag boundary for 102
+        ]
+        p_dir, t_dir = str(tmp_path / "p"), str(tmp_path / "t")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        spark.createDataFrame(purchases, self.DDL).write.parquet(p_dir)
+        spark.createDataFrame(touches, self.DDL).write.parquet(t_dir)
+
+        def join(l, r):
+            return timebound_stream_join(
+                l, r, on="user_id", watermark="10 minutes",
+                max_lag_seconds=1800,
+            ).select("event_id", "user_id", "right_event_id")
+
+        batch = sorted(
+            (r.event_id, r.user_id, r.right_event_id)
+            for r in join(
+                spark.read.parquet(p_dir), spark.read.parquet(t_dir)
+            ).collect()
+        )
+        assert batch == [(100, 1, 1), (101, 1, 3), (102, 2, 5)]
+
+        q = (
+            join(
+                spark.readStream.schema(self.DDL).parquet(p_dir),
+                spark.readStream.schema(self.DDL).parquet(t_dir),
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = sorted(
+            (r.event_id, r.user_id, r.right_event_id)
+            for r in spark.read.parquet(out).collect()
+        )
+        assert streamed == batch
