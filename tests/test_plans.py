@@ -112,3 +112,37 @@ class TestCodegen:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
         n = int(plan.split("Found ")[1].split(" WholeStageCodegen")[0])
         assert n >= 1
+
+
+class TestCustomOperatorPlans:
+    """The custom temporal/range operators must keep their scale-shape
+    promises: no nested-loop joins, bounded shuffle counts."""
+
+    def test_asof_join_is_single_shuffle_no_nested_loop(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "asof_attribution")
+        assert "BroadcastNestedLoop" not in plan
+        assert "CartesianProduct" not in plan
+        # formatted mode lists nodes as "(n) Exchange" with args below
+        assert plan.count(") Exchange") == 1
+
+    def test_interval_join_has_no_nested_loop(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "errors_in_sessions")
+        assert "BroadcastNestedLoop" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_prefix_filter_jaccard_no_cross_join(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "ngram_jaccard_near_dup")
+        assert "BroadcastNestedLoop" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_two_phase_cube_expands_after_partial_agg(self, spark, sf_dir):
+        # Expand must sit above the pre-aggregate, not above the scan: the
+        # plan Expand's input is an Exchange/Aggregate, so the fact table is
+        # aggregated once before grouping sets multiply rows
+        plan = plan_of(spark, sf_dir, "cube_sales")
+        assert "Expand" in plan
+        scan_pos = plan.find("Scan parquet")
+        expand_pos = plan.find("Expand")
+        agg_pos = plan.find("HashAggregate")
+        assert scan_pos != -1 and agg_pos != -1
+        assert agg_pos < expand_pos  # an aggregate appears before Expand
