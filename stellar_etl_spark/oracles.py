@@ -318,6 +318,17 @@ WHERE CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
     / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE)
     >= 0.5
 """,
+    "user_value_scd2": """
+SELECT user_id, event_id,
+  ROUND(CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE), 6) AS value,
+  epoch_us(ts) AS valid_from_us,
+  lead(epoch_us(ts)) OVER w AS valid_to_us,
+  CAST(CASE WHEN lead(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT)
+    AS is_current
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+""",
     "hourly_value_gapfill": """
 WITH h AS (
   SELECT event_type, epoch_us(ts) // 3600000000 AS hr,

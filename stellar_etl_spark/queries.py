@@ -985,6 +985,31 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity history over the purchase change stream: every value a
+    user held, with [valid_from, valid_to) microsecond intervals and an
+    is_current marker — the dimensional-history twin of change compaction."""
+    from stellar_etl_spark.operators.scd import scd2_history
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "event_id", F.expr("ts div 1000").alias("ts_us"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+    )
+    h = scd2_history(ev, ["user_id"], "ts_us", order_cols=["event_id"])
+    return h.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("v").cast("double"), 6).alias("value"),
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
 def hourly_value_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable rollup: hourly value sums per event type on a DENSE grid —
     missing hours synthesized and filled by last-observation-carried-forward
@@ -1244,6 +1269,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": stratified_sample,
     "top_bigrams": top_bigrams,
     "repeat_buyers": repeat_buyers,
+    "user_value_scd2": user_value_scd2,
     "knn_cosine_bruteforce": knn_cosine_bruteforce,
     "embedding_label_centroids": embedding_label_centroids,
     "ivf_knn_approx": ivf_knn_approx,

@@ -424,6 +424,28 @@ class TestIntervalJoin:
         }
 
 
+class TestScd2:
+    def test_validity_chain(self, spark):
+        from stellar_etl_spark.operators.scd import scd2_history
+
+        df = spark.createDataFrame(
+            [("a", 1, 100, "x"), ("a", 2, 200, "y"), ("a", 3, 200, "z"),
+             ("b", 4, 50, "w")],
+            "k string, id long, ts long, payload string",
+        )
+        got = {
+            r.id: (r.valid_from, r.valid_to, r.is_current)
+            for r in scd2_history(df, ["k"], "ts", order_cols=["id"]).collect()
+        }
+        # tie at ts=200 broken by id: 2 expires into 3; 3 is current
+        assert got == {
+            1: (100, 200, 0),
+            2: (200, 200, 0),
+            3: (200, None, 1),
+            4: (50, None, 1),
+        }
+
+
 class TestGapfillLocf:
     def test_fills_holes_and_carries_forward(self, spark):
         from stellar_etl_spark.operators.timeseries import gapfill_locf
