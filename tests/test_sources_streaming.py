@@ -449,3 +449,63 @@ class TestStreamStreamJoin:
             for r in spark.read.parquet(out).collect()
         )
         assert streamed == batch
+
+
+class TestSessionWindowParity:
+    """Spark's native session_window (streaming-capable) must agree with the
+    batch gap-based sessionize (operators/sessionize.py) on session bounds —
+    two independent implementations of the same semantics."""
+
+    def test_session_window_equals_gap_sessionize(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from stellar_etl_spark.operators.sessionize import session_stats
+
+        base = dt.datetime(2024, 1, 1, 9, 0, 0)
+        rows = []
+        eid = 0
+        # user 1: two sessions (gap > 30 min); user 2: one session
+        for mins in [0, 10, 20, 70, 75]:
+            rows.append((eid, base + dt.timedelta(minutes=mins), 1)); eid += 1
+        for mins in [5, 25]:
+            rows.append((eid, base + dt.timedelta(minutes=mins), 2)); eid += 1
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+
+        native = {
+            (r.user_id, r.start, r.end): r.n
+            for r in df.groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("start"),
+                F.col("w.end").alias("end"),
+                "n",
+            )
+            .collect()
+        }
+
+        ours = session_stats(
+            df.select(
+                "user_id",
+                "event_id",
+                (F.unix_micros("ts")).alias("ts_us"),
+            )
+        ).collect()
+        # session_window's end = last event + gap; ours is last event time
+        gap_us = 30 * 60 * 1_000_000
+        import datetime as dt2
+
+        def us_to_dt(us):
+            return dt2.datetime.utcfromtimestamp(us / 1_000_000)
+
+        ours_set = {
+            (r.user_id, us_to_dt(r.session_start_us),
+             us_to_dt(r.session_end_us + gap_us)): r.n_events
+            for r in ours
+        }
+        assert native == ours_set
+        assert len(native) == 3
