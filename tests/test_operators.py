@@ -554,3 +554,45 @@ class TestSaltedJoin:
         dims = spark.createDataFrame([(1, "a")], "k long, attr string")
         rows = {r.k: r.attr for r in salted_join(facts, dims, "k", how="left").collect()}
         assert rows == {1: "a", 99: None}
+
+
+class TestAsofJoinRandomized:
+    def test_matches_pandas_merge_asof(self, spark):
+        """Randomized cross-check: the union+window as-of join must agree
+        with pandas.merge_asof (backward, inclusive) on every seed."""
+        import numpy as np
+        import pandas as pd
+
+        from stellar_etl_spark.operators.asof import asof_join
+
+        for seed in range(5):
+            rng = np.random.default_rng(seed)
+            left = pd.DataFrame({
+                "k": rng.integers(0, 5, 80).astype(str),
+                "lts": rng.integers(0, 1000, 80),
+                "lid": np.arange(80),
+            })
+            right = pd.DataFrame({
+                "k": rng.integers(0, 5, 60).astype(str),
+                "rts": rng.choice(np.arange(0, 1000, 7), 60, replace=False),
+                "rid": np.arange(60),
+            })
+            exp = pd.merge_asof(
+                left.sort_values("lts", kind="stable"),
+                right.sort_values("rts", kind="stable"),
+                left_on="lts", right_on="rts", by="k",
+                direction="backward", allow_exact_matches=True,
+            )
+            expected = {
+                int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+                for r in exp.itertuples()
+            }
+            got = {
+                r.lid: r.right_rid
+                for r in asof_join(
+                    spark.createDataFrame(left),
+                    spark.createDataFrame(right),
+                    on="k", left_ts="lts", right_ts="rts",
+                ).collect()
+            }
+            assert got == expected, f"seed {seed}"
