@@ -220,3 +220,72 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine_sim") >= F.lit(threshold))
     )
+
+
+def tfidf_cosine_pairs(
+    df,
+    id_col: str,
+    text_col: str,
+    max_df_ratio: float = 0.3,
+    threshold: float = 0.3,
+):
+    """Sparse TF-IDF cosine similarity join over word tokens.
+
+    The sparse-vector complement of ``embedding_near_dup_pairs``: documents
+    meet only through shared *discriminative* tokens (document frequency ≤
+    ``max_df_ratio``·N — stop-word pruning and, at scale, the join-fan-out
+    guard: a token appearing in k docs contributes k² candidate pairs, so
+    dropping corpus-wide tokens bounds the blow-up exactly where it would
+    explode).  All weights are integer-scaled (tf × round(1000·ln(N/df)))
+    so dot products aggregate EXACTLY (order-independent) in any engine;
+    floats appear only in the final sqrt/divide, which are IEEE-deterministic.
+
+    Shape: explode → two hash aggregates (tf, df) → token equi-join →
+    pair aggregate.  No cross join; shuffles are keyed by token then pair.
+    """
+    from pyspark.sql import functions as F
+
+    from stellar_etl_spark.operators.dedup import tokenize_words
+    from stellar_etl_spark.operators.util import fan_out_small
+
+    toks = fan_out_small(df).select(
+        F.col(id_col), F.explode(tokenize_words(F.col(text_col))).alias("t")
+    )
+    tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.count()
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    kept = dfreq.where(F.col("df") <= max_df_ratio * n_docs).select(
+        "t",
+        F.round(F.log(F.lit(float(n_docs)) / F.col("df")) * 1000)
+        .cast("long")
+        .alias("idf"),
+    )
+    w = tf.join(kept, "t").select(
+        F.col(id_col), F.col("t"), (F.col("tf") * F.col("idf")).alias("w")
+    )
+    w = w.persist()
+    norm = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dot = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norm.select(F.col(id_col).alias("id_a"), F.col("nrm").alias("na"))
+    nb = norm.select(F.col(id_col).alias("id_b"), F.col("nrm").alias("nb"))
+    cos = F.round(F.col("dot").cast("double") / (F.col("na") * F.col("nb")), 6)
+    return (
+        dot.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= F.lit(threshold))
+    )

@@ -483,6 +483,36 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
 """,
+    "tfidf_cosine_sim": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+n AS (SELECT COUNT(*) AS n FROM documents),
+dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+kept AS (
+  SELECT t, CAST(ROUND(1000 * ln(CAST(n.n AS DOUBLE) / df)) AS BIGINT) AS idf
+  FROM dfreq, n WHERE df <= 0.3 * n.n
+),
+w AS (
+  SELECT doc_id, tf.t, tf.tf * kept.idf AS w
+  FROM tf JOIN kept ON tf.t = kept.t
+),
+norm AS (
+  SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm FROM w GROUP BY doc_id
+),
+dot AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+  ROUND(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+FROM dot
+JOIN norm na ON na.doc_id = id_a
+JOIN norm nb ON nb.doc_id = id_b
+WHERE ROUND(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) >= 0.3
+""",
     "simhash_fingerprint": """
 WITH words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents

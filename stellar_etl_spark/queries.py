@@ -416,6 +416,17 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tfidf_cosine_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join (integer-scaled idf weights so
+    dot products are exact; df-cutoff bounds the token-join fan-out)."""
+    from stellar_etl_spark.operators.similarity import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        max_df_ratio=0.3, threshold=0.3,
+    )
+
+
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(table(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
 
@@ -1270,6 +1281,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_bigrams": top_bigrams,
     "repeat_buyers": repeat_buyers,
     "user_value_scd2": user_value_scd2,
+    "tfidf_cosine_sim": tfidf_cosine_sim,
     "knn_cosine_bruteforce": knn_cosine_bruteforce,
     "embedding_label_centroids": embedding_label_centroids,
     "ivf_knn_approx": ivf_knn_approx,

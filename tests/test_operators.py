@@ -596,3 +596,57 @@ class TestAsofJoinRandomized:
                 ).collect()
             }
             assert got == expected, f"seed {seed}"
+
+
+class TestTfidfCosine:
+    def test_matches_numpy_reference(self, spark):
+        """Exact cross-check against a numpy TF-IDF cosine with the same
+        integer-scaled idf recipe."""
+        import itertools
+        import math
+
+        from stellar_etl_spark.operators.similarity import tfidf_cosine_pairs
+
+        docs = [
+            (1, "spark engine plans queries fast"),
+            (2, "spark engine plans queries slowly"),
+            (3, "ducks swim on the quiet pond"),
+            (4, "spark engine plans queries fast"),
+        ]
+        df = spark.createDataFrame(docs, DOCS_SCHEMA)
+        got = {
+            (r.id_a, r.id_b): r.cosine
+            for r in tfidf_cosine_pairs(
+                df, "doc_id", "text", max_df_ratio=0.9, threshold=0.1
+            ).collect()
+        }
+
+        n = len(docs)
+        tf = {i: {} for i, _ in docs}
+        for i, t in docs:
+            for w in t.split():
+                tf[i][w] = tf[i].get(w, 0) + 1
+        dfreq = {}
+        for i in tf:
+            for w in tf[i]:
+                dfreq[w] = dfreq.get(w, 0) + 1
+        kept = {
+            w: round(1000 * math.log(n / d))
+            for w, d in dfreq.items()
+            if d <= 0.9 * n
+        }
+        vec = {
+            i: {w: c * kept[w] for w, c in tf[i].items() if w in kept}
+            for i in tf
+        }
+        exp = {}
+        for a, b in itertools.combinations(sorted(vec), 2):
+            dot = sum(vec[a][w] * vec[b].get(w, 0) for w in vec[a])
+            na = math.sqrt(sum(v * v for v in vec[a].values()))
+            nb = math.sqrt(sum(v * v for v in vec[b].values()))
+            if na and nb:
+                c = round(dot / (na * nb), 6)
+                if c >= 0.1:
+                    exp[(a, b)] = c
+        assert got == exp
+        assert got[(1, 4)] == 1.0  # identical docs
