@@ -318,6 +318,18 @@ WHERE CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
     / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE)
     >= 0.5
 """,
+    "order_value_deciles": """
+WITH ranked AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,4)) AS p,
+    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT decile, COUNT(*) AS n_orders,
+  ROUND(CAST(MIN(p) AS DOUBLE), 3) AS lo,
+  ROUND(CAST(MAX(p) AS DOUBLE), 3) AS hi,
+  ROUND(CAST(SUM(p) AS DOUBLE), 3) AS total
+FROM ranked GROUP BY decile
+""",
     "user_value_scd2": """
 SELECT user_id, event_id,
   ROUND(CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE), 6) AS value,

@@ -996,6 +996,28 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile profile of order values: ntile(10) ranking, then per-decile
+    bounds/mass.  The rank pass is a single global sort — acceptable because
+    it feeds an aggregate that collapses to 10 rows; at 100 TB the same
+    profile would come from approx quantile boundaries + a bucketed
+    aggregate, trading exactness for a sort-free plan."""
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        _dec("o_totalprice", 18, 4).alias("p"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("p").cast("double"), 3).alias("lo"),
+        F.round(F.max("p").cast("double"), 3).alias("hi"),
+        F.round(F.sum("p").cast("double"), 3).alias("total"),
+    )
+
+
 def user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 validity history over the purchase change stream: every value a
     user held, with [valid_from, valid_to) microsecond intervals and an
@@ -1282,6 +1304,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeat_buyers": repeat_buyers,
     "user_value_scd2": user_value_scd2,
     "tfidf_cosine_sim": tfidf_cosine_sim,
+    "order_value_deciles": order_value_deciles,
     "knn_cosine_bruteforce": knn_cosine_bruteforce,
     "embedding_label_centroids": embedding_label_centroids,
     "ivf_knn_approx": ivf_knn_approx,
