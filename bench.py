@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "user_value_scd2",
     "tfidf_cosine_sim",
     "order_value_deciles",
+    "bm25_keyword_search",
     # near_dup_clusters is registry-only: iterative CC is inherently
     # multi-job and would dominate the single-pass headline timing.
     # ngram_jaccard_near_dup is registry-only too: exact all-pairs Jaccard is

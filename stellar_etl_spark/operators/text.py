@@ -171,3 +171,80 @@ def clean_text(
         F.length(cleaned).alias("clean_len"),
         F.md5(cleaned).alias("clean_md5"),
     )
+
+
+def bm25_search(
+    df,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int = 20,
+):
+    """BM25 keyword search: top ``limit`` documents for a literal term list.
+
+    Scale shape: one explode pass builds doc lengths and per-term tfs; the
+    corpus stats (N, avgdl, per-term df) collapse to a single broadcast row
+    (no driver collect).  Per-term scores pivot into fixed columns so the
+    final score is ONE deterministic expression tree — summation order never
+    depends on row order, keeping floats bit-stable across engines and
+    partitionings.  Only documents matching ≥1 term are scored; ordering is
+    (rounded score desc, id) — a total order, so the top-k cut is exact.
+    """
+    from pyspark.sql import functions as F
+
+    from stellar_etl_spark.operators.dedup import tokenize_words
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize_words(F.col(text_col))).alias("t")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("t").isin(terms))
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+
+    piv = tf.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("t") == w, F.col("tf"))).alias(f"tf_{w}")
+            for w in terms
+        ]
+    )
+    dfs = dfq.agg(
+        *[
+            F.max(F.when(F.col("t") == w, F.col("df"))).alias(f"df_{w}")
+            for w in terms
+        ]
+    )
+    scored = (
+        piv.join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfs))
+    )
+
+    def term_score(w: str):
+        tf_c = F.col(f"tf_{w}").cast("double")
+        df_c = F.col(f"df_{w}").cast("double")
+        idf = F.log(
+            (F.col("n") - df_c + F.lit(0.5)) / (df_c + F.lit(0.5)) + F.lit(1.0)
+        )
+        denom = tf_c + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+        )
+        return F.coalesce(idf * (tf_c * F.lit(k1 + 1.0)) / denom, F.lit(0.0))
+
+    score = term_score(terms[0])
+    for w in terms[1:]:
+        score = score + term_score(w)
+    return (
+        scored.select(F.col(id_col), F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(limit)
+    )

@@ -318,6 +318,61 @@ WHERE CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
     / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE)
     >= 0.5
 """,
+    "bm25_keyword_search": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf FROM tok
+  WHERE t IN ('hash', 'join', 'scan', 'filter', 'sort')
+  GROUP BY doc_id, t
+),
+dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+piv AS (
+  SELECT doc_id,
+    MAX(CASE WHEN t = 'hash' THEN tf END) AS tf_hash,
+    MAX(CASE WHEN t = 'join' THEN tf END) AS tf_join,
+    MAX(CASE WHEN t = 'scan' THEN tf END) AS tf_scan,
+    MAX(CASE WHEN t = 'filter' THEN tf END) AS tf_filter,
+    MAX(CASE WHEN t = 'sort' THEN tf END) AS tf_sort
+  FROM tf GROUP BY doc_id
+),
+dfs AS (
+  SELECT
+    MAX(CASE WHEN t = 'hash' THEN df END) AS df_hash,
+    MAX(CASE WHEN t = 'join' THEN df END) AS df_join,
+    MAX(CASE WHEN t = 'scan' THEN df END) AS df_scan,
+    MAX(CASE WHEN t = 'filter' THEN df END) AS df_filter,
+    MAX(CASE WHEN t = 'sort' THEN df END) AS df_sort
+  FROM dfq
+),
+scored AS (
+  SELECT piv.doc_id,
+    COALESCE(ln((n - CAST(df_hash AS DOUBLE) + 0.5) / (CAST(df_hash AS DOUBLE) + 0.5) + 1.0)
+      * (CAST(tf_hash AS DOUBLE) * 2.2)
+      / (CAST(tf_hash AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
+    + COALESCE(ln((n - CAST(df_join AS DOUBLE) + 0.5) / (CAST(df_join AS DOUBLE) + 0.5) + 1.0)
+      * (CAST(tf_join AS DOUBLE) * 2.2)
+      / (CAST(tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
+    + COALESCE(ln((n - CAST(df_scan AS DOUBLE) + 0.5) / (CAST(df_scan AS DOUBLE) + 0.5) + 1.0)
+      * (CAST(tf_scan AS DOUBLE) * 2.2)
+      / (CAST(tf_scan AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
+    + COALESCE(ln((n - CAST(df_filter AS DOUBLE) + 0.5) / (CAST(df_filter AS DOUBLE) + 0.5) + 1.0)
+      * (CAST(tf_filter AS DOUBLE) * 2.2)
+      / (CAST(tf_filter AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
+    + COALESCE(ln((n - CAST(df_sort AS DOUBLE) + 0.5) / (CAST(df_sort AS DOUBLE) + 0.5) + 1.0)
+      * (CAST(tf_sort AS DOUBLE) * 2.2)
+      / (CAST(tf_sort AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
+    AS score
+  FROM piv JOIN dl ON piv.doc_id = dl.doc_id, stats, dfs
+)
+SELECT doc_id, ROUND(score, 6) AS bm25
+FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+""",
     "order_value_deciles": """
 WITH ranked AS (
   SELECT CAST(o_totalprice AS DECIMAL(18,4)) AS p,

@@ -996,6 +996,20 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_TERMS = ["hash", "join", "scan", "filter", "sort"]
+
+
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 keyword search over the corpus — corpus stats collapse to
+    one broadcast row; the score is a single fixed-order expression tree, so
+    floats are engine- and partitioning-stable."""
+    from stellar_etl_spark.operators.text import bm25_search
+
+    return bm25_search(
+        table(spark, sf_dir, "documents"), "doc_id", "text", BM25_TERMS
+    )
+
+
 def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile profile of order values: ntile(10) ranking, then per-decile
     bounds/mass.  The rank pass is a single global sort — acceptable because
@@ -1305,6 +1319,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_value_scd2": user_value_scd2,
     "tfidf_cosine_sim": tfidf_cosine_sim,
     "order_value_deciles": order_value_deciles,
+    "bm25_keyword_search": bm25_keyword_search,
     "knn_cosine_bruteforce": knn_cosine_bruteforce,
     "embedding_label_centroids": embedding_label_centroids,
     "ivf_knn_approx": ivf_knn_approx,

@@ -650,3 +650,26 @@ class TestTfidfCosine:
                     exp[(a, b)] = c
         assert got == exp
         assert got[(1, 4)] == 1.0  # identical docs
+
+
+class TestBm25:
+    def test_ranking_prefers_matching_docs(self, spark):
+        from stellar_etl_spark.operators.text import bm25_search
+
+        df = spark.createDataFrame(
+            [
+                (1, "hash join hash join hash scan"),
+                (2, "hash sits here once amid other words entirely"),
+                (3, "no relevant words at all in this document text"),
+                (4, "filler filler filler filler filler filler filler"),
+            ],
+            DOCS_SCHEMA,
+        )
+        rows = bm25_search(
+            df, "doc_id", "text", ["hash", "join", "scan"], limit=10
+        ).collect()
+        ids = [r.doc_id for r in rows]
+        # only matching docs are scored; heavy matcher ranks first
+        assert ids[0] == 1
+        assert set(ids) == {1, 2}
+        assert rows[0].bm25 > rows[1].bm25 > 0
