@@ -16,10 +16,10 @@ ORACLES: dict[str, str] = {
     # ------------------------------------------------------------------
     "tpch_q1_pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE), 3) AS sum_qty,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE), 3) AS sum_base_price,
-  ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 3) AS sum_disc_price,
-  ROUND(CAST(SUM({_DISC_PRICE} * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DOUBLE), 3) AS sum_charge,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))), 3) AS DOUBLE) AS sum_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 3) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM({_DISC_PRICE}), 3) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM({_DISC_PRICE} * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))), 3) AS DOUBLE) AS sum_charge,
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_price,
   COUNT(*) AS count_order
@@ -29,7 +29,7 @@ GROUP BY l_returnflag, l_linestatus
 """,
     "tpch_q3_top_orders": f"""
 SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_day,
-  ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 3) AS revenue
+  CAST(ROUND(SUM({_DISC_PRICE}), 3) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -50,7 +50,7 @@ GROUP BY o_orderpriority
 """,
     "tpch_q5_region_revenue": f"""
 SELECT r_name, n_name,
-  ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 3) AS revenue,
+  CAST(ROUND(SUM({_DISC_PRICE}), 3) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -63,7 +63,7 @@ GROUP BY r_name, n_name
 """,
     "tpch_q6_revenue_forecast": """
 SELECT
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE), 3) AS revenue,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(6,4))), 3) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -73,7 +73,7 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 """,
     "supplier_nation_revenue": f"""
 SELECT n_name, s_name,
-  ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 3) AS revenue,
+  CAST(ROUND(SUM({_DISC_PRICE}), 3) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -116,7 +116,7 @@ SELECT user_id,
   COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS failed_tx_count,
   CAST(SUM(CASE WHEN event_type IN ('purchase','click','view') THEN 1 ELSE 0 END) AS BIGINT) AS operation_count,
   CAST(COUNT(*) AS VARCHAR) AS tx_set_operation_count,
-  ROUND(CAST(SUM(CAST(value AS DECIMAL(10,4))) AS DOUBLE), 3) AS total_value
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(10,4))), 3) AS DOUBLE) AS total_value
 FROM events GROUP BY user_id
 """,
     "change_compaction": """
@@ -147,7 +147,7 @@ WHERE NOT (first_ct = 0 AND last_ct = 2)
 SELECT epoch_us(ts) // 300000000 AS bucket_id, event_type,
   COUNT(*) AS n_events,
   COUNT(DISTINCT user_id) AS n_users,
-  ROUND(CAST(SUM(CAST(value AS DECIMAL(10,4))) AS DOUBLE), 3) AS total_value
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(10,4))), 3) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
 """,
     "first_sighting_dedup": """
@@ -380,14 +380,14 @@ WITH ranked AS (
   FROM orders
 )
 SELECT decile, COUNT(*) AS n_orders,
-  ROUND(CAST(MIN(p) AS DOUBLE), 3) AS lo,
-  ROUND(CAST(MAX(p) AS DOUBLE), 3) AS hi,
-  ROUND(CAST(SUM(p) AS DOUBLE), 3) AS total
+  CAST(ROUND(MIN(p), 3) AS DOUBLE) AS lo,
+  CAST(ROUND(MAX(p), 3) AS DOUBLE) AS hi,
+  CAST(ROUND(SUM(p), 3) AS DOUBLE) AS total
 FROM ranked GROUP BY decile
 """,
     "user_value_scd2": """
 SELECT user_id, event_id,
-  ROUND(CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE), 6) AS value,
+  CAST(ROUND(CAST(value AS DECIMAL(18,6)), 6) AS DOUBLE) AS value,
   epoch_us(ts) AS valid_from_us,
   lead(epoch_us(ts)) OVER w AS valid_to_us,
   CAST(CASE WHEN lead(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT)
@@ -399,7 +399,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     "hourly_value_gapfill": """
 WITH h AS (
   SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
-    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 3) AS v
+    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 3) AS DOUBLE) AS v
   FROM events GROUP BY event_type, hr
 ),
 b AS (SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi FROM h GROUP BY event_type),
@@ -432,7 +432,7 @@ SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
   n_items, revenue
 FROM (
   SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
-    ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 3) AS revenue
+    CAST(ROUND(SUM({_DISC_PRICE}), 3) AS DOUBLE) AS revenue
   FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 )
 """,
@@ -443,7 +443,7 @@ WITH daily AS (
   FROM orders GROUP BY day
 )
 SELECT CAST(day AS VARCHAR) AS day,
-  ROUND(CAST(d AS DOUBLE), 3) AS revenue,
+  CAST(ROUND(d, 3) AS DOUBLE) AS revenue,
   ROUND(
     CAST(SUM(d) OVER w AS DOUBLE) / COUNT(*) OVER w, 3
   ) AS ma7
@@ -630,7 +630,7 @@ GROUP BY label, i
 """,
     "tpch_q7_nation_volume": f"""
 SELECT supp_nation, cust_nation, l_year,
-  ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 3) AS revenue,
+  CAST(ROUND(SUM({_DISC_PRICE}), 3) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -651,7 +651,7 @@ GROUP BY supp_nation, cust_nation, l_year
     "tpch_q11_important_stock": """
 WITH pv AS (
   SELECT l_partkey,
-    ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE), 3) AS part_value
+    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4))), 3) AS DOUBLE) AS part_value
   FROM lineitem GROUP BY l_partkey
 ),
 tot AS (
@@ -682,9 +682,9 @@ GROUP BY p_type, p_size
     "tpch_q18_large_orders": """
 WITH big AS (
   SELECT l_orderkey,
-    ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE), 3) AS total_qty
+    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))), 3) AS DOUBLE) AS total_qty
   FROM lineitem GROUP BY l_orderkey
-  HAVING ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE), 3) > 270
+  HAVING CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))), 3) AS DOUBLE) > 270
 )
 SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_day,
   total_qty
@@ -694,7 +694,7 @@ JOIN customer ON o_custkey = c_custkey
 """,
     "tpch_q19_disjunctive": f"""
 SELECT
-  ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 3) AS revenue,
+  CAST(ROUND(SUM({_DISC_PRICE}), 3) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#15' AND l_quantity BETWEEN 1 AND 11)
@@ -708,7 +708,7 @@ WITH ab AS (
 )
 SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode,
   COUNT(*) AS numcust,
-  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 3) AS totacctbal
+  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 3) AS DOUBLE) AS totacctbal
 FROM customer, ab
 WHERE c_acctbal > avg_bal
   AND CAST(c_nationkey % 5 AS INT) IN (1, 2, 3)
@@ -733,7 +733,7 @@ GROUP BY EXTRACT(year FROM o_orderdate)
 """,
     "tpch_q9_product_profit": f"""
 SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
-  ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 3) AS sum_profit
+  CAST(ROUND(SUM({_DISC_PRICE}), 3) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -744,7 +744,7 @@ GROUP BY n_name, EXTRACT(year FROM o_orderdate)
 """,
     "tpch_q10_returned_items": f"""
 SELECT c_custkey, c_name, n_name AS nation,
-  ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 3) AS revenue
+  CAST(ROUND(SUM({_DISC_PRICE}), 3) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -753,7 +753,7 @@ WHERE l_returnflag = 'R'
   AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY c_custkey, c_name, n_name
-HAVING ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 3) > 3000
+HAVING CAST(ROUND(SUM({_DISC_PRICE}), 3) AS DOUBLE) > 3000
 """,
     "tpch_q13_order_distribution": """
 WITH per_cust AS (
@@ -775,7 +775,7 @@ WITH per_supp AS (
   GROUP BY l_suppkey
 )
 SELECT s_suppkey, s_name,
-  ROUND(CAST(rev_exact AS DOUBLE), 3) AS total_revenue
+  CAST(ROUND(rev_exact, 3) AS DOUBLE) AS total_revenue
 FROM per_supp
 JOIN supplier ON l_suppkey = s_suppkey
 WHERE rev_exact = (SELECT MAX(rev_exact) FROM per_supp)
@@ -819,7 +819,7 @@ GROUP BY s_suppkey, s_name
 """,
     "rollup_revenue": f"""
 SELECT r_name, n_name,
-  ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 3) AS revenue,
+  CAST(ROUND(SUM({_DISC_PRICE}), 3) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -830,7 +830,7 @@ GROUP BY ROLLUP (r_name, n_name)
 """,
     "dormant_customers": """
 SELECT n_name, COUNT(*) AS n_dormant,
-  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 3) AS dormant_balance
+  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 3) AS DOUBLE) AS dormant_balance
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 WHERE NOT EXISTS (

@@ -74,9 +74,12 @@ def _one():
 
 
 def _dsum(expr):
-    # Decimal sums are exact in both engines, but DuckDB's int128-decimal →
-    # double cast can differ from Spark's by 1 ULP; round(3) absorbs it.
-    return F.round(F.sum(expr).cast("double"), 3)
+    # Round in the exact DECIMAL domain (HALF_UP in both engines), THEN cast:
+    # both engines then cast the same small-scale decimal to double, giving
+    # bit-identical results. Rounding after the cast is engine-dependent at
+    # .0005 boundaries (Spark rounds the double's shortest decimal repr,
+    # DuckDB the exact binary value).
+    return F.round(F.sum(expr), 3).cast("double")
 
 
 # --------------------------------------------------------------------------
@@ -719,7 +722,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("_rev_exact").cast("double"), 3).alias("total_revenue"),
+            F.round(F.col("_rev_exact"), 3).cast("double").alias("total_revenue"),
         )
     )
 
@@ -799,7 +802,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(revenue).alias("_rev"), F.count(F.lit(1)).alias("_n"))
     )
     return base.rollup("r_name", "n_name").agg(
-        F.round(F.sum("_rev").cast("double"), 3).alias("revenue"),
+        F.round(F.sum("_rev"), 3).cast("double").alias("revenue"),
         F.sum("_n").alias("n_items"),
     )
 
@@ -1026,9 +1029,9 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.min("p").cast("double"), 3).alias("lo"),
-        F.round(F.max("p").cast("double"), 3).alias("hi"),
-        F.round(F.sum("p").cast("double"), 3).alias("total"),
+        F.round(F.min("p"), 3).cast("double").alias("lo"),
+        F.round(F.max("p"), 3).cast("double").alias("hi"),
+        F.round(F.sum("p"), 3).cast("double").alias("total"),
     )
 
 
@@ -1050,7 +1053,7 @@ def user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "user_id",
         "event_id",
-        F.round(F.col("v").cast("double"), 6).alias("value"),
+        F.round(F.col("v"), 6).cast("double").alias("value"),
         F.col("valid_from").alias("valid_from_us"),
         F.col("valid_to").alias("valid_to_us"),
         "is_current",
@@ -1071,7 +1074,7 @@ def hourly_value_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("decimal(18,6)").alias("v"),
         )
         .groupBy("event_type", "hr")
-        .agg(F.round(F.sum("v").cast("double"), 3).alias("value_sum"))
+        .agg(F.round(F.sum("v"), 3).cast("double").alias("value_sum"))
     )
     filled = gapfill_locf(hourly, "hr", ["value_sum"], keys=["event_type"])
     return filled.select(
@@ -1114,7 +1117,7 @@ def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.cube("l_returnflag", "l_linestatus")
         .agg(
             F.sum("cnt").alias("n_items"),
-            F.round(F.sum("rev").cast("double"), 3).alias("revenue"),
+            F.round(F.sum("rev"), 3).cast("double").alias("revenue"),
         )
     )
     return cubed.select(
@@ -1139,7 +1142,7 @@ def revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
     return daily.select(
         F.col("day").cast("string").alias("day"),
-        F.round(F.col("d").cast("double"), 3).alias("revenue"),
+        F.round(F.col("d"), 3).cast("double").alias("revenue"),
         F.round(
             (F.sum("d").over(w).cast("double") / F.count(F.lit(1)).over(w)), 3
         ).alias("ma7"),
