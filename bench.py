@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "tfidf_cosine_sim",
     "order_value_deciles",
     "bm25_keyword_search",
+    "sliding_windows_15min",
     # near_dup_clusters is registry-only: iterative CC is inherently
     # multi-job and would dominate the single-pass headline timing.
     # ngram_jaccard_near_dup is registry-only too: exact all-pairs Jaccard is

@@ -385,6 +385,19 @@ SELECT decile, COUNT(*) AS n_orders,
   CAST(ROUND(SUM(p), 3) AS DOUBLE) AS total
 FROM ranked GROUP BY decile
 """,
+    "sliding_windows_15min": """
+WITH e AS (
+  SELECT epoch_us(ts) AS us, event_type, value FROM events
+),
+x AS (
+  SELECT ((us // 300000000) - k) * 300000000 AS window_start_us,
+    event_type, value
+  FROM e, (SELECT unnest(generate_series(0, 2)) AS k) ks(k)
+)
+SELECT window_start_us, event_type, COUNT(*) AS n_events,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(10,4))), 3) AS DOUBLE) AS total_value
+FROM x GROUP BY window_start_us, event_type
+""",
     "user_value_scd2": """
 SELECT user_id, event_id,
   CAST(ROUND(CAST(value AS DECIMAL(18,6)), 6) AS DOUBLE) AS value,

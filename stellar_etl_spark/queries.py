@@ -1035,6 +1035,31 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_windows_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (15-min window, 5-min slide): each event
+    lands in exactly 3 overlapping windows via Spark's native window() —
+    the Expand stays map-side, then one hash aggregate."""
+    ev = table(spark, sf_dir, "events")
+    w = F.window(
+        F.timestamp_micros(F.expr("ts div 1000")), "15 minutes", "5 minutes"
+    )
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(10,4)")), 3)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 validity history over the purchase change stream: every value a
     user held, with [valid_from, valid_to) microsecond intervals and an
@@ -1323,6 +1348,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_cosine_sim": tfidf_cosine_sim,
     "order_value_deciles": order_value_deciles,
     "bm25_keyword_search": bm25_keyword_search,
+    "sliding_windows_15min": sliding_windows_15min,
     "knn_cosine_bruteforce": knn_cosine_bruteforce,
     "embedding_label_centroids": embedding_label_centroids,
     "ivf_knn_approx": ivf_knn_approx,
