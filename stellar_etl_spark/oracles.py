@@ -1090,6 +1090,23 @@ b AS (
 SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
 ORDER BY n DESC, bigram LIMIT 20
 """,
+    "buyer_cohort_overlap": """
+WITH a AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS n_1996 FROM orders
+  WHERE year(o_orderdate) = 1996 GROUP BY o_custkey
+),
+b AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS n_1997 FROM orders
+  WHERE year(o_orderdate) = 1997 GROUP BY o_custkey
+)
+SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+  COALESCE(n_1996, 0) AS n_1996,
+  COALESCE(n_1997, 0) AS n_1997,
+  CASE WHEN n_1996 IS NOT NULL AND n_1997 IS NOT NULL THEN 'both'
+       WHEN n_1996 IS NOT NULL THEN 'only_1996'
+       ELSE 'only_1997' END AS segment
+FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
+""",
     "repeat_buyers": """
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
 INTERSECT

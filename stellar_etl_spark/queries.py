@@ -934,6 +934,33 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def buyer_cohort_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join shape: 1996 vs 1997 buyer cohorts with per-side
+    order counts and a membership segment — the reconciliation pattern
+    (both sides pre-aggregated, so the outer join runs on compact keys)."""
+    orders = table(spark, sf_dir, "orders")
+    a = (
+        orders.where(F.year("o_orderdate") == 1996)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_1996"))
+    )
+    b = (
+        orders.where(F.year("o_orderdate") == 1997)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_1997"))
+    )
+    j = a.join(b, "custkey", "full_outer")
+    return j.select(
+        "custkey",
+        F.coalesce("n_1996", F.lit(0)).alias("n_1996"),
+        F.coalesce("n_1997", F.lit(0)).alias("n_1997"),
+        F.when(F.col("n_1996").isNotNull() & F.col("n_1997").isNotNull(), "both")
+        .when(F.col("n_1996").isNotNull(), "only_1996")
+        .otherwise("only_1997")
+        .alias("segment"),
+    )
+
+
 def repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-op shape: customers ordering in BOTH 1996 and 1997 — INTERSECT
     (hash-dedup semi semantics), Catalyst plans it as an aggregate+join."""
@@ -1344,6 +1371,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": stratified_sample,
     "top_bigrams": top_bigrams,
     "repeat_buyers": repeat_buyers,
+    "buyer_cohort_overlap": buyer_cohort_overlap,
     "user_value_scd2": user_value_scd2,
     "tfidf_cosine_sim": tfidf_cosine_sim,
     "order_value_deciles": order_value_deciles,
