@@ -673,3 +673,46 @@ class TestBm25:
         assert ids[0] == 1
         assert set(ids) == {1, 2}
         assert rows[0].bm25 > rows[1].bm25 > 0
+
+
+class TestIntervalJoinRandomized:
+    def test_matches_brute_force(self, spark):
+        """Randomized: bucket decomposition must equal the O(n·m) predicate
+        scan for any bucket width."""
+        import numpy as np
+
+        from stellar_etl_spark.operators.intervals import point_in_interval_join
+
+        for seed, bucket in [(0, 7), (1, 50), (2, 1000)]:
+            rng = np.random.default_rng(seed)
+            iv = [
+                ("k" + str(int(k)), int(i), int(a), int(a + w))
+                for i, (k, a, w) in enumerate(
+                    zip(
+                        rng.integers(0, 3, 40),
+                        rng.integers(0, 500, 40),
+                        rng.integers(0, 120, 40),
+                    )
+                )
+            ]
+            pt = [
+                ("k" + str(int(k)), int(100 + i), int(t))
+                for i, (k, t) in enumerate(
+                    zip(rng.integers(0, 3, 60), rng.integers(0, 650, 60))
+                )
+            ]
+            ivals = spark.createDataFrame(iv, "k string, iid long, a long, b long")
+            pts = spark.createDataFrame(pt, "k string, pid long, ts long")
+            got = sorted(
+                (r.iid, r.pid)
+                for r in point_in_interval_join(
+                    pts, ivals, "ts", "a", "b", bucket_us=bucket, keys=["k"]
+                ).collect()
+            )
+            brute = sorted(
+                (i, p)
+                for (ki, i, a, b) in iv
+                for (kp, p, t) in pt
+                if ki == kp and a <= t <= b
+            )
+            assert got == brute, f"seed {seed} bucket {bucket}"

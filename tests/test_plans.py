@@ -146,3 +146,39 @@ class TestCustomOperatorPlans:
         agg_pos = plan.find("HashAggregate")
         assert scan_pos != -1 and agg_pos != -1
         assert agg_pos < expand_pos  # an aggregate appears before Expand
+
+
+class TestSqlInterface:
+    """register_views makes the whole catalog addressable from spark.sql —
+    the SQL layer the reference lacks. A SQL statement and its DataFrame
+    twin must produce identical results AND both push filters to the scan."""
+
+    def test_sql_equals_dataframe(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from stellar_etl_spark.catalog import register_views, table
+
+        register_views(spark, sf_dir)
+        sql = spark.sql(
+            """
+            SELECT o_orderpriority, COUNT(*) AS n
+            FROM orders WHERE o_totalprice > 100000
+            GROUP BY o_orderpriority
+            """
+        )
+        df = (
+            table(spark, sf_dir, "orders")
+            .where(F.col("o_totalprice") > 100000)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(map(tuple, sql.collect())) == sorted(
+            map(tuple, df.collect())
+        )
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            sql.explain("formatted")
+        assert "PushedFilters:" in buf.getvalue()
