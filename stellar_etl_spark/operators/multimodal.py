@@ -128,3 +128,41 @@ def frame_sample(
         media.select("doc_id", F.posexplode(frames).alias("frame_idx", "frame_md5"))
         .where((F.col("frame_idx") % every_nth) == 0)
     )
+
+
+def resize_signal(
+    media: DataFrame, target_len: int = 32
+) -> DataFrame:
+    """Nearest-neighbor resample of the payload byte signal to a fixed
+    length — the deterministic stand-in for image resize (same mapInPandas
+    slot; a real pipeline swaps the strided gather for cv2/PIL resize).
+    Index map is the classic ``src = floor(i * n / target)``; output keeps
+    the resampled md5 so downstream dedup can run on resized content.
+    Narrow (no shuffle), Arrow-batched.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "doc_id long, n_bytes long, resized_len long, resized_md5 string"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx_base = np.arange(target_len, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(p, dtype=np.uint8)
+                n = len(a)
+                if n == 0:
+                    rows.append((doc_id, 0, 0, None))
+                    continue
+                res = a[idx_base * n // target_len]
+                rows.append(
+                    (doc_id, n, target_len, hashlib.md5(res.tobytes()).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "resized_len", "resized_md5"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(resize, schema=out_schema)

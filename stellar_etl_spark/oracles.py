@@ -385,6 +385,16 @@ SELECT decile, COUNT(*) AS n_orders,
   CAST(ROUND(SUM(p), 3) AS DOUBLE) AS total
 FROM ranked GROUP BY decile
 """,
+    "media_resize_signature": """
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_bytes,
+  CAST(32 AS BIGINT) AS resized_len,
+  md5(list_reduce(
+    [substr(text, 1 + CAST((i * length(text)) // 32 AS INTEGER), 1)
+     FOR i IN generate_series(0, 31)],
+    (a, b) -> a || b)) AS resized_md5
+FROM documents
+""",
     "sliding_windows_15min": """
 WITH e AS (
   SELECT epoch_us(ts) AS us, event_type, value FROM events

@@ -836,6 +836,15 @@ def media_byte_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_byte_features(media)
 
 
+def media_resize_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic nearest-neighbor resize of the payload byte signal to 32
+    bytes (the image-resize slot, byte-level stand-in) + md5 of the result."""
+    from stellar_etl_spark.operators.multimodal import attach_media, resize_signal
+
+    media = attach_media(table(spark, sf_dir, "documents"))
+    return resize_signal(media, target_len=32)
+
+
 def media_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary frame sampling 1→N fan-out: every 2nd 64-byte frame per doc."""
     from stellar_etl_spark.operators.multimodal import attach_media, frame_sample
@@ -1384,6 +1393,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dormant_customers": dormant_customers,
     "media_byte_features": media_byte_features_q,
     "media_frame_sample": media_frame_sample_q,
+    "media_resize_signature": media_resize_signature,
     "bpe_token_stats": bpe_token_stats_q,
     "rolling_fingerprint": rolling_fingerprint_q,
     "embedding_near_dup": embedding_near_dup,

@@ -716,3 +716,34 @@ class TestIntervalJoinRandomized:
                 if ki == kp and a <= t <= b
             )
             assert got == brute, f"seed {seed} bucket {bucket}"
+
+
+class TestResizeSignal:
+    def test_nearest_neighbor_indices(self, spark):
+        import hashlib
+
+        import numpy as np
+
+        from stellar_etl_spark.operators.multimodal import (
+            attach_media,
+            resize_signal,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "abcdefgh"), (2, "xy")], "doc_id long, text string"
+        )
+        docs = docs.withColumn("source", F.lit("s"))
+        out = {
+            r.doc_id: (r.n_bytes, r.resized_len, r.resized_md5)
+            for r in resize_signal(attach_media(docs), target_len=4).collect()
+        }
+
+        def ref(s, t=4):
+            a = np.frombuffer(s.encode(), dtype=np.uint8)
+            res = a[np.arange(t) * len(a) // t]
+            return hashlib.md5(res.tobytes()).hexdigest()
+
+        # n=8,t=4 -> indices 0,2,4,6 = 'aceg'; n=2 -> 0,0,1,1 = 'xxyy'
+        assert out[1] == (8, 4, ref("abcdefgh"))
+        assert ref("abcdefgh") == hashlib.md5(b"aceg").hexdigest()
+        assert out[2] == (2, 4, hashlib.md5(b"xxyy").hexdigest())
