@@ -1061,7 +1061,7 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("o_totalprice", "o_orderkey")
     ranked = orders.select(
         _dec("o_totalprice", 18, 4).alias("p"),
-        F.ntile(10).over(w).alias("decile"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
     )
     return ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_orders"),
