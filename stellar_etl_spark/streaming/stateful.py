@@ -78,3 +78,80 @@ def stream_running_state(changes_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start_us long, session_end_us long, n_events long"
+)
+SESSION_STATE_SCHEMA = "session_start_us long, last_ts_us long, n_events long"
+
+
+def _make_session_fold(gap_us: int):
+    def _session_fold(key, pdf_iter: Iterator, state: GroupState) -> Iterator[Any]:
+        import pandas as pd
+
+        cols = ["user_id", "session_start_us", "session_end_us", "n_events"]
+
+        if state.hasTimedOut:
+            out = []
+            if state.exists:
+                s0, last, n = state.get
+                out.append((key[0], s0, last, n))
+            state.remove()
+            yield pd.DataFrame(out, columns=cols)
+            return
+
+        if state.exists:
+            s0, last, n = state.get
+        else:
+            s0, last, n = None, None, 0
+
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows["ts_us"] = rows["ts"].astype("int64") // 1000
+        rows = rows.sort_values(["ts_us", "event_id"])
+
+        closed = []
+        for ts_us in rows["ts_us"]:
+            ts_us = int(ts_us)
+            if last is None:
+                s0, last, n = ts_us, ts_us, 1
+            elif ts_us - last > gap_us:
+                closed.append((key[0], s0, last, n))
+                s0, last, n = ts_us, ts_us, 1
+            else:
+                last, n = ts_us, n + 1
+
+        state.update((s0, last, n))
+        # finalize the open session when the event-time watermark passes
+        # last event + gap (ms granularity)
+        state.setTimeoutTimestamp(last // 1000 + gap_us // 1000)
+        yield pd.DataFrame(closed, columns=cols)
+
+    return _session_fold
+
+
+def stream_sessionize(
+    events_stream: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming twin of operators.sessionize.session_stats: gap-based
+    sessions finalized exactly once, either in-batch (a later event opens
+    the next session) or by EVENT-TIME TIMEOUT when the watermark passes
+    ``last_event + gap`` — the standard session-with-timeout pattern.
+
+    State per live user is one (start, last, count) triple — O(active
+    users), evicted on timeout; append-mode output so every emitted session
+    row is final.  Input columns: user_id long, event_id long, ts timestamp.
+    """
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_fold(gap_seconds * 1_000_000),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -527,3 +527,82 @@ class TestCompaction:
         got = spark.read.parquet(path)
         assert got.count() == 1000
         assert got.agg({"n": "sum"}).collect()[0][0] == 499500
+
+
+class TestStreamSessionize:
+    """Streaming gap-sessionization with event-time timeout
+    (streaming/stateful.py stream_sessionize): in-batch gaps close sessions
+    immediately; open sessions finalize when the watermark passes
+    last_event + gap; emitted rows match the batch sessionizer."""
+
+    DDL = "user_id long, event_id long, ts timestamp"
+
+    @staticmethod
+    def _t(hh, mm):
+        import datetime as dt
+
+        return dt.datetime(2024, 1, 1, hh, mm, 0)
+
+    def test_sessions_finalize_in_batch_and_by_timeout(self, spark, tmp_path):
+        from stellar_etl_spark.streaming.stateful import stream_sessionize
+
+        landing = str(tmp_path / "landing")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        t = self._t
+
+        def run():
+            stream = spark.readStream.schema(self.DDL).parquet(landing)
+            q = (
+                stream_sessionize(stream, gap_seconds=1800,
+                                  watermark="30 minutes")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        def us(dtv):
+            import datetime as dt
+
+            return int(dtv.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+        # batch 1: user 1 has a 2-event session then an 85-min gap (closes
+        # in-batch) then a 1-event open session; user 2's event advances the
+        # watermark later
+        spark.createDataFrame(
+            [
+                (1, 1, t(10, 0)),
+                (1, 2, t(10, 5)),
+                (1, 3, t(11, 30)),
+                (2, 4, t(13, 0)),
+            ],
+            self.DDL,
+        ).coalesce(1).write.mode("append").parquet(landing)
+        run()
+        got1 = {
+            (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+            for r in spark.read.parquet(out).collect()
+        }
+        # the 85-min gap closes session 1 in-batch; availableNow's final
+        # batch advances the watermark to 13:00-30m=12:30, past the open
+        # session's timeout (11:30+30m=12:00) -> finalized by timeout too.
+        # user 2's session (13:00) stays open.
+        assert got1 == {
+            (1, us(t(10, 0)), us(t(10, 5)), 2),
+            (1, us(t(11, 30)), us(t(11, 30)), 1),
+        }
+
+        # batch 2: 13:05 extends user 2's open session; the 15:00 clock
+        # event lifts the watermark to 14:30, past 13:05+30m -> finalized
+        spark.createDataFrame(
+            [(2, 5, t(13, 5)), (3, 6, t(15, 0))], self.DDL
+        ).coalesce(1).write.mode("append").parquet(landing)
+        run()
+        got2 = {
+            (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got2 == got1 | {(2, us(t(13, 0)), us(t(13, 5)), 2)}
