@@ -747,3 +747,58 @@ class TestResizeSignal:
         assert out[1] == (8, 4, ref("abcdefgh"))
         assert ref("abcdefgh") == hashlib.md5(b"aceg").hexdigest()
         assert out[2] == (2, 4, hashlib.md5(b"xxyy").hexdigest())
+
+
+class TestCompactionRandomized:
+    def test_matches_reference_fold(self, spark):
+        """Randomized: the single-aggregate compaction must equal a
+        sequential ChangeCompactor fold (last state; create+update→create;
+        create+remove annihilates; update+remove→deleted)."""
+        import numpy as np
+
+        for seed in range(4):
+            rng = np.random.default_rng(seed)
+            n = 120
+            # change_index = row number -> the (seq, idx) ordering key is
+            # unique, so the sequential fold below is well-defined
+            rows = [
+                (
+                    int(b), f"k{int(k)}", int(s), int(i),
+                    int(ct), f"p{int(b)}-{int(k)}-{int(s)}-{int(i)}",
+                )
+                for i, (b, k, s, ct) in enumerate(
+                    zip(
+                        rng.integers(0, 2, n),
+                        rng.integers(0, 8, n),
+                        rng.integers(0, 50, n),
+                        rng.integers(0, 3, n),
+                    )
+                )
+            ]
+            # reference fold: per (batch, key) in (seq, idx) order
+            ref = {}
+            for b, k, s, i, ct, p in sorted(rows, key=lambda r: (r[0], r[1], r[2], r[3])):
+                key = (b, k)
+                if key not in ref:
+                    ref[key] = [ct, s, i, p, ct]  # first_ct, ..., last_ct
+                else:
+                    ref[key][1:4] = [s, i, p]
+                    ref[key][4] = ct
+            expected = {}
+            for (b, k), (first_ct, s, i, p, last_ct) in ref.items():
+                if first_ct == CREATED and last_ct == REMOVED:
+                    continue  # annihilated
+                eff = CREATED if first_ct == CREATED else last_ct
+                expected[(b, k)] = (s, i, p, eff, last_ct == REMOVED)
+
+            out = compact_changes(
+                spark.createDataFrame(rows, CHANGE_SCHEMA)
+            ).collect()
+            got = {
+                (r.batch_id, r.ledger_key): (
+                    r.ledger_sequence, r.change_index, r.payload,
+                    r.effective_change_type, r.deleted,
+                )
+                for r in out
+            }
+            assert got == expected, f"seed {seed}"
