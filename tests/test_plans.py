@@ -182,3 +182,22 @@ class TestSqlInterface:
         with contextlib.redirect_stdout(buf):
             sql.explain("formatted")
         assert "PushedFilters:" in buf.getvalue()
+
+
+class TestSqlFunctionRegistry:
+    def test_registered_functions_match_python_library(self, spark):
+        from stellar_etl_spark.functions.hashes import fnv64a
+        from stellar_etl_spark.functions.registry import register_sql_functions
+
+        register_sql_functions(spark)
+        row = spark.sql(
+            """
+            SELECT fnv64a('XLM') AS f,
+                   asset_id('', '', 'native') AS native_id,
+                   strkey_account(CAST(repeat(X'00', 32) AS BINARY)) AS g
+            """
+        ).collect()[0]
+        assert row.f == fnv64a("XLM")
+        # the hard-coded native asset id constant (operation.go:377-379)
+        assert row.native_id == -5706705804583548011
+        assert row.g.startswith("G") and len(row.g) == 56
