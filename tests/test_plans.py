@@ -201,3 +201,23 @@ class TestSqlFunctionRegistry:
         # the hard-coded native asset id constant (operation.go:377-379)
         assert row.native_id == -5706705804583548011
         assert row.g.startswith("G") and len(row.g) == 56
+
+
+class TestAdaptiveExecution:
+    def test_aqe_coalesces_small_shuffle(self, spark, sf_dir):
+        """AQE must re-plan tiny shuffles at runtime (the mechanism that
+        re-sizes sf0.1-tuned plans on a real cluster): after execution, the
+        adaptive plan shows a coalesced AQEShuffleRead."""
+        from pyspark.sql import functions as F
+
+        from stellar_etl_spark.catalog import table
+
+        df = (
+            table(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        df.collect()  # materialize so AQE finalizes the plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead" in plan
+        assert "coalesced" in plan
