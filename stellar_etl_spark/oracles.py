@@ -1091,6 +1091,19 @@ FROM documents
 WHERE (('0x' || substring(md5(text), 1, 8))::BIGINT % 1000)
   < (CASE WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN 500 ELSE 50 END)
 """,
+    "train_val_test_split": """
+WITH b AS (
+  SELECT (('0x' || substring(md5(text), 1, 8))::BIGINT % 100) AS bucket,
+    n_chars
+  FROM documents
+)
+SELECT CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY split
+""",
     "top_bigrams": """
 WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
 b AS (

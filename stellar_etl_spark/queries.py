@@ -918,6 +918,30 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(bucket < rate).select("doc_id", "source", "n_chars")
 
 
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-way split (90/5/5 by content hash) with per-split
+    corpus stats — the reproducible-split contract every training pipeline
+    needs: membership depends only on content, never on partitioning, row
+    order, or engine."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    split = (
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus heavy hitters: top-20 word bigrams by frequency.  TakeOrdered
     (distributed partial top-k per partition, no global sort materialization);
@@ -1378,6 +1402,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_sales": cube_sales,
     "revenue_moving_avg": revenue_moving_avg,
     "stratified_sample": stratified_sample,
+    "train_val_test_split": train_val_test_split,
     "top_bigrams": top_bigrams,
     "repeat_buyers": repeat_buyers,
     "buyer_cohort_overlap": buyer_cohort_overlap,

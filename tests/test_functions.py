@@ -193,3 +193,42 @@ class TestI128:
             for r in df.select(i128_to_string("hi", "lo").alias("v")).collect()
         ]
         assert got == [e for _, _, e in self.CASES]
+
+
+class TestStrkeyProperty:
+    def test_roundtrip_any_payload(self):
+        """Property: encode→decode is the identity for any 32-byte payload
+        and any version byte, and corrupting the checksum always raises."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from stellar_etl_spark.functions.strkey import (
+            decode_strkey,
+            encode_strkey,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.binary(min_size=32, max_size=32),
+            st.integers(min_value=0, max_value=255),
+        )
+        def roundtrip(data, version):
+            key = encode_strkey(version, data)
+            v, d = decode_strkey(key)
+            assert (v, d) == (version, data)
+
+        roundtrip()
+
+    def test_corruption_detected(self):
+        import pytest
+
+        from stellar_etl_spark.functions.strkey import (
+            decode_strkey,
+            encode_strkey,
+        )
+
+        key = encode_strkey(48, bytes(range(32)))
+        # flip one base32 character (avoid padding-insensitive tail)
+        bad = ("A" if key[10] != "A" else "B").join([key[:10], key[11:]])
+        with pytest.raises(ValueError):
+            decode_strkey(bad)
