@@ -248,3 +248,56 @@ def bm25_search(
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(limit)
     )
+
+
+def unigram_logprob_score(
+    df,
+    id_col: str,
+    text_col: str,
+    scale: int = 1000,
+):
+    """Corpus-unigram log-probability score per document — the language-model
+    quality signal (a KenLM stand-in: docs of improbable tokens score low;
+    a real pipeline swaps the unigram table for an n-gram LM).
+
+    Determinism: per-token log-probs are integer-scaled
+    (``round(scale·ln(count/total))``), so the per-doc sum aggregates
+    exactly under any partitioning; the only floats are the final divides
+    (fixed expression tree).  Shape: explode → two hash aggregates →
+    token equi-join → doc aggregate; corpus total is one broadcast row.
+    """
+    from pyspark.sql import functions as F
+
+    from stellar_etl_spark.operators.dedup import tokenize_words
+    from stellar_etl_spark.operators.util import fan_out_small
+
+    toks = fan_out_small(df).select(
+        F.col(id_col), F.explode(tokenize_words(F.col(text_col))).alias("t")
+    )
+    tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    cf = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("total"))
+    lp = cf.crossJoin(F.broadcast(tot)).select(
+        "t",
+        F.round(
+            F.log(F.col("c").cast("double") / F.col("total")) * scale
+        )
+        .cast("long")
+        .alias("lp"),
+    )
+    s = (
+        tf.join(lp, "t")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("tf") * F.col("lp")).alias("si"),
+            F.sum("tf").alias("n_tokens"),
+        )
+    )
+    return s.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(
+            F.col("si").cast("double") / F.lit(float(scale)) / F.col("n_tokens"),
+            6,
+        ).alias("avg_logprob"),
+    )

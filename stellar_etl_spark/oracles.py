@@ -1091,6 +1091,25 @@ FROM documents
 WHERE (('0x' || substring(md5(text), 1, 8))::BIGINT % 1000)
   < (CASE WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN 500 ELSE 50 END)
 """,
+    "lm_quality_score": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+cf AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT COUNT(*) AS total FROM tok),
+lp AS (
+  SELECT t, CAST(ROUND(ln(CAST(c AS DOUBLE) / total) * 1000) AS BIGINT) AS lp
+  FROM cf, tot
+),
+s AS (
+  SELECT doc_id, SUM(tf * lp) AS si, SUM(tf) AS n_tokens
+  FROM tf JOIN lp USING (t) GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  ROUND(CAST(si AS DOUBLE) / 1000.0 / n_tokens, 6) AS avg_logprob
+FROM s
+""",
     "train_val_test_split": """
 WITH b AS (
   SELECT (('0x' || substring(md5(text), 1, 8))::BIGINT % 100) AS bucket,

@@ -918,6 +918,17 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(bucket < rate).select("doc_id", "source", "n_chars")
 
 
+def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model (corpus-unigram) quality score per doc — the
+    perplexity-style filter signal; integer-scaled logs keep the per-doc
+    sum exact under any partitioning."""
+    from stellar_etl_spark.operators.text import unigram_logprob_score
+
+    return unigram_logprob_score(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 3-way split (90/5/5 by content hash) with per-split
     corpus stats — the reproducible-split contract every training pipeline
@@ -1403,6 +1414,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_moving_avg": revenue_moving_avg,
     "stratified_sample": stratified_sample,
     "train_val_test_split": train_val_test_split,
+    "lm_quality_score": lm_quality_score,
     "top_bigrams": top_bigrams,
     "repeat_buyers": repeat_buyers,
     "buyer_cohort_overlap": buyer_cohort_overlap,

@@ -802,3 +802,28 @@ class TestCompactionRandomized:
                 for r in out
             }
             assert got == expected, f"seed {seed}"
+
+
+class TestLmQualityScore:
+    def test_rare_token_docs_score_lower(self, spark):
+        import math
+
+        from stellar_etl_spark.operators.text import unigram_logprob_score
+
+        df = spark.createDataFrame(
+            [
+                (1, "common common common common"),
+                (2, "common common common rare"),
+            ],
+            DOCS_SCHEMA,
+        )
+        out = {
+            r.doc_id: (r.n_tokens, r.avg_logprob)
+            for r in unigram_logprob_score(df, "doc_id", "text").collect()
+        }
+        # corpus: common×7, rare×1, total 8
+        lp_c = round(1000 * math.log(7 / 8))
+        lp_r = round(1000 * math.log(1 / 8))
+        assert out[1] == (4, round(4 * lp_c / 1000.0 / 4, 6))
+        assert out[2] == (4, round((3 * lp_c + lp_r) / 1000.0 / 4, 6))
+        assert out[2][1] < out[1][1]
