@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "media_resize_signature",
     "train_val_test_split",
     "lm_quality_score",
+    "embedding_quantization",
     # near_dup_clusters is registry-only: iterative CC is inherently
     # multi-job and would dominate the single-pass headline timing.
     # ngram_jaccard_near_dup is registry-only too: exact all-pairs Jaccard is

@@ -289,3 +289,41 @@ def tfidf_cosine_pairs(
         .select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= F.lit(threshold))
     )
+
+
+def quantize_embeddings(
+    df,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """Symmetric int8 quantization per vector — the storage/transfer
+    compression step for an embedding corpus (4× smaller than float32;
+    dot products then run in integer domain).  Emits per-vector quality
+    stats instead of the raw codes so results are scalar-comparable:
+    scale, the int8 code range actually used, and the L2 reconstruction
+    error.
+
+    Determinism: `floor(x + 0.5)` instead of `round(double)` — floor is
+    exact-value-based in every engine, while double `round` ties to the
+    shortest decimal repr in Spark and the binary value elsewhere.  The
+    error sum is a fixed left fold.  Narrow op: no shuffle, pure column
+    expressions over the array.
+    """
+    from pyspark.sql import functions as F
+
+    v = _as_double(F.col(vec_col))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    q = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long"))
+    err2 = F.aggregate(
+        F.zip_with(q, v, lambda qi, xi: (qi * scale - xi) * (qi * scale - xi)),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    return df.where(amax > 0).select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+        F.round(F.sqrt(err2), 6).alias("l2_err"),
+    )

@@ -1091,6 +1091,30 @@ FROM documents
 WHERE (('0x' || substring(md5(text), 1, 8))::BIGINT % 1000)
   < (CASE WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN 500 ELSE 50 END)
 """,
+    "embedding_quantization": """
+WITH base AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+    list_max([abs(x) FOR x IN v]) AS amax,
+    list_max([abs(x) FOR x IN v]) / 127.0 AS scale
+  FROM base
+),
+q AS (
+  SELECT vec_id, v, scale,
+    [CAST(floor(x / scale + 0.5) AS BIGINT) FOR x IN v] AS qv
+  FROM s WHERE amax > 0
+)
+SELECT vec_id, ROUND(scale, 6) AS scale,
+  list_min(qv) AS q_min,
+  list_max(qv) AS q_max,
+  ROUND(sqrt(list_reduce(
+    [0.0] || [(qv[i] * scale - v[i]) * (qv[i] * scale - v[i])
+              FOR i IN generate_series(1, len(v))],
+    (a, b) -> a + b)), 6) AS l2_err
+FROM q
+""",
     "lm_quality_score": """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents

@@ -918,6 +918,15 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(bucket < rate).select("doc_id", "source", "n_chars")
 
 
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization with reconstruction-error
+    stats — the 4× compression step for an embedding store; floor-based
+    rounding keeps codes engine-deterministic."""
+    from stellar_etl_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(table(spark, sf_dir, "embeddings"))
+
+
 def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-model (corpus-unigram) quality score per doc — the
     perplexity-style filter signal; integer-scaled logs keep the per-doc
@@ -1415,6 +1424,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": stratified_sample,
     "train_val_test_split": train_val_test_split,
     "lm_quality_score": lm_quality_score,
+    "embedding_quantization": embedding_quantization,
     "top_bigrams": top_bigrams,
     "repeat_buyers": repeat_buyers,
     "buyer_cohort_overlap": buyer_cohort_overlap,

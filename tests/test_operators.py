@@ -827,3 +827,26 @@ class TestLmQualityScore:
         assert out[1] == (4, round(4 * lp_c / 1000.0 / 4, 6))
         assert out[2] == (4, round((3 * lp_c + lp_r) / 1000.0 / 4, 6))
         assert out[2][1] < out[1][1]
+
+
+class TestQuantizeEmbeddings:
+    def test_codes_and_error_bounds(self, spark):
+        from stellar_etl_spark.operators.similarity import quantize_embeddings
+
+        df = spark.createDataFrame(
+            [
+                (0, "a", [1.0, -0.5, 0.25, 0.0]),
+                (1, "a", [0.0, 0.0, 0.0, 0.0]),  # zero vector -> dropped
+            ],
+            EMB_SCHEMA,
+        )
+        rows = quantize_embeddings(df).collect()
+        assert [r.vec_id for r in rows] == [0]
+        r = rows[0]
+        # scale = 1/127; codes = round(v*127) = [127, -64 or -63?, 32, 0]
+        # floor(-0.5*127 + 0.5) = floor(-63.0) = -63... -0.5/(1/127)= -63.5;
+        # floor(-63.5 + 0.5) = floor(-63.0) = -63
+        assert r.q_max == 127 and r.q_min == -63
+        assert abs(r.scale - 1 / 127) < 1e-6  # output scale is round(·, 6)
+        # max per-dim error is bounded by scale/2
+        assert r.l2_err <= (r.scale / 2) * (4 ** 0.5) + 1e-9
