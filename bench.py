@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "train_val_test_split",
     "lm_quality_score",
     "embedding_quantization",
+    "funnel_conversion",
     # near_dup_clusters is registry-only: iterative CC is inherently
     # multi-job and would dominate the single-pass headline timing.
     # ngram_jaccard_near_dup is registry-only too: exact all-pairs Jaccard is

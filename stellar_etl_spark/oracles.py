@@ -473,6 +473,28 @@ SELECT CAST(day AS VARCHAR) AS day,
 FROM daily
 WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """,
+    "funnel_conversion": """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+v AS (
+  SELECT user_id, MIN(ts_us) AS tv FROM e WHERE event_type = 'view'
+  GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(ts_us) AS tc FROM e JOIN v ON e.user_id = v.user_id
+  WHERE event_type = 'click' AND ts_us >= tv GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(ts_us) AS tp FROM e JOIN c ON e.user_id = c.user_id
+  WHERE event_type = 'purchase' AND ts_us >= tc GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+UNION ALL
+SELECT '2_click_after_view', COUNT(*) FROM c
+UNION ALL
+SELECT '3_purchase_after_click', COUNT(*) FROM p
+""",
     "errors_in_sessions": """
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events

@@ -1306,6 +1306,43 @@ def active_sessions_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click-after-view → purchase-after-click):
+    users reaching each stage, with each stage's first qualifying time
+    derived from the previous stage — three stage aggregates chained by
+    per-user joins (all on the same key → one partitioning reused)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("tv"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts_us") >= F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("tc"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts_us") >= F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("tp"))
+    )
+    stage = lambda name, df: df.agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n_users")
+    ).select(F.lit(name).alias("stage"), "n_users")
+    return (
+        stage("1_view", v)
+        .unionByName(stage("2_click_after_view", c))
+        .unionByName(stage("3_purchase_after_click", p))
+    )
+
+
 def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: each purchase joined to the user's most recent
     click/view at-or-before it — a cross-table as-of join, the general form of
@@ -1415,6 +1452,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_fingerprint": simhash_fingerprint,
     "simhash_near_dup": simhash_near_dup,
     "asof_attribution": asof_attribution,
+    "funnel_conversion": funnel_conversion,
     "errors_in_sessions": errors_in_sessions,
     "active_sessions_per_window": active_sessions_per_window,
     "hourly_value_gapfill": hourly_value_gapfill,
