@@ -313,17 +313,34 @@ def quantize_embeddings(
 
     v = _as_double(F.col(vec_col))
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = amax / F.lit(127.0)
-    q = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long"))
+    # materialize scale/q as row columns first — a higher-order lambda that
+    # references `amax` directly re-evaluates the array_max PER ELEMENT
+    # (no CSE inside lambda bodies), turning an O(d) op into O(d²)
+    base = df.where(amax > 0).select(
+        F.col(id_col),
+        v.alias("_v"),
+        (amax / F.lit(127.0)).alias("_s"),
+    )
+    base = base.withColumn(
+        "_q",
+        F.transform(
+            F.col("_v"),
+            lambda x: F.floor(x / F.col("_s") + F.lit(0.5)).cast("long"),
+        ),
+    )
     err2 = F.aggregate(
-        F.zip_with(q, v, lambda qi, xi: (qi * scale - xi) * (qi * scale - xi)),
+        F.zip_with(
+            F.col("_q"),
+            F.col("_v"),
+            lambda qi, xi: (qi * F.col("_s") - xi) * (qi * F.col("_s") - xi),
+        ),
         F.lit(0.0),
         lambda acc, e: acc + e,
     )
-    return df.where(amax > 0).select(
+    return base.select(
         F.col(id_col),
-        F.round(scale, 6).alias("scale"),
-        F.array_min(q).alias("q_min"),
-        F.array_max(q).alias("q_max"),
+        F.round(F.col("_s"), 6).alias("scale"),
+        F.array_min(F.col("_q")).alias("q_min"),
+        F.array_max(F.col("_q")).alias("q_max"),
         F.round(F.sqrt(err2), 6).alias("l2_err"),
     )
