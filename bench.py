@@ -92,6 +92,14 @@ BENCH_QUERIES = [
     "lm_quality_score",
     "embedding_quantization",
     "funnel_conversion",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q12_late_shipments",
+    "tpch_q20_excess_stock_suppliers",
+    "priority_price_percentiles",
+    "salted_skew_join",
+    "pii_scrub_stats",
+    "repetition_quality",
+    "ngram_contamination",
     # near_dup_clusters is registry-only: iterative CC is inherently
     # multi-job and would dominate the single-pass headline timing.
     # ngram_jaccard_near_dup is registry-only too: exact all-pairs Jaccard is

@@ -173,6 +173,84 @@ def clean_text(
     )
 
 
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+\d{1,2}-\d{3}-\d{4}"
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction pass for training corpora: emails → ``<EMAIL>``,
+    phone-shaped tokens → ``<PHONE>``.  Pure JVM regexp builtins (replace-all
+    semantics on both engines; the oracle twin passes RE2's 'g' flag), so the
+    pass runs inside whole-stage codegen with no shuffle — a map-only stage
+    at any scale.  Emits the scrubbed text plus per-doc audit counts."""
+    text = F.col(text_col)
+    n_emails = F.regexp_count(text, F.lit(EMAIL_PATTERN))
+    n_phones = F.regexp_count(text, F.lit(PHONE_PATTERN))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"),
+        PHONE_PATTERN,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        scrubbed.alias("text_scrubbed"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        (F.length(text) - F.length(scrubbed)).alias("chars_delta"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals: the fraction of tokens taken by the
+    most frequent unigram and by the most frequent bigram.  Computed entirely
+    with array lambdas over the per-row token list (docs are bounded, so the
+    O(distinct·len) per-row scan is cheap and the whole operator is a
+    shuffle-free map stage — the right trade at 100 TB vs an explode +
+    two-level aggregate that would shuffle every token)."""
+    from stellar_etl_spark.operators.util import fan_out_small
+
+    df = fan_out_small(df)
+    words = tokenize_words(F.col(text_col))
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(1))),
+            lambda i: F.array_join(F.slice(words, i, 2), " "),
+        ),
+    ).otherwise(F.slice(words, 1, 0))
+
+    def top_count(arr: Column) -> Column:
+        return F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(arr),
+                    lambda g: F.size(F.filter(arr, lambda x: x == g)),
+                )
+            ),
+            F.lit(0),
+        )
+
+    n_tok = F.size(words)
+    n_bi = F.size(bigrams)
+    top_uni_frac = F.when(
+        n_tok > 0, F.round(top_count(words).cast("double") / n_tok, 6)
+    ).otherwise(F.lit(0.0))
+    top_bi_frac = F.when(
+        n_bi > 0, F.round(top_count(bigrams).cast("double") / n_bi, 6)
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        top_uni_frac.alias("top_unigram_frac"),
+        top_bi_frac.alias("top_bigram_frac"),
+        ((top_uni_frac > 0.2) | (top_bi_frac > 0.2)).alias("repetitive"),
+    )
+
+
 def bm25_search(
     df,
     id_col: str,
@@ -247,6 +325,54 @@ def bm25_search(
         scored.select(F.col(id_col), F.round(score, 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(limit)
+    )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.02,
+) -> DataFrame:
+    """Benchmark decontamination: for each document, the fraction of its
+    distinct word n-grams that appear anywhere in the benchmark corpus.
+
+    Scale shape: the benchmark n-gram set is tiny relative to a 100 TB
+    training corpus (eval suites are megabytes), so it is distinct-ed and
+    **broadcast** — the check is then a map-side hash probe per exploded
+    n-gram, one shuffle for the per-doc re-aggregate, and the training side
+    is never re-partitioned by n-gram (which would be a catastrophic
+    token-grain shuffle).  Documents shorter than ``n`` words have no
+    n-grams and are omitted (vacuously uncontaminated)."""
+    from stellar_etl_spark.operators.util import fan_out_small
+
+    df = fan_out_small(df)
+    grams = shingles(F.col(text_col), n)
+    docs = df.select(
+        F.col(id_col), F.size(grams).alias("n_grams"), F.explode(grams).alias("g")
+    )
+    bench = (
+        bench_df.select(F.explode(shingles(F.col(text_col), n)).alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        docs.join(F.broadcast(bench), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
+        )
+    )
+    frac = F.col("n_contaminated").cast("double") / F.col("n_grams")
+    return per_doc.select(
+        F.col(id_col),
+        "n_grams",
+        "n_contaminated",
+        F.round(frac, 6).alias("contamination_frac"),
+        (frac >= threshold).alias("contaminated"),
     )
 
 

@@ -1239,4 +1239,145 @@ SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id, k AS user_id,
   event_id AS last_event_id, value AS last_value
 FROM covered WHERE ct <> 2
 """,
+    # ------------------------------------------------------------------
+    "tpch_q2_min_cost_supplier": """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+best AS (
+  SELECT *, MIN(cost) OVER (PARTITION BY l_partkey) AS min_cost FROM cost
+)
+SELECT p_partkey, p_brand, s_name,
+  CAST(ROUND(cost, 3) AS DOUBLE) AS supply_cost
+FROM best
+JOIN part ON p_partkey = l_partkey AND p_size < 15
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE cost = min_cost
+""",
+    "tpch_q12_late_shipments": """
+SELECT l_linestatus,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+    AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+    AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_linestatus
+""",
+    "tpch_q20_excess_stock_suppliers": """
+SELECT s_suppkey, s_name, s_nationkey FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,4))) > 50
+)
+""",
+    "priority_price_percentiles": """
+SELECT o_orderpriority,
+  ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50_price,
+  ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+  COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+""",
+    "salted_skew_join": """
+SELECT c_mktsegment,
+  COUNT(*) AS n_events,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(10,4))), 3) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+    "pii_scrub_stats": """
+WITH seeded AS (
+  SELECT doc_id, source,
+    text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, source,
+    len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+    len(regexp_extract_all(text, '\\+\\d{1,2}-\\d{3}-\\d{4}')) AS n_phones,
+    length(text) - length(
+      regexp_replace(
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\\+\\d{1,2}-\\d{3}-\\d{4}', '<PHONE>', 'g')
+    ) AS chars_delta
+  FROM seeded
+)
+SELECT source, COUNT(*) AS n_docs,
+  SUM(n_emails) AS emails_redacted,
+  SUM(n_phones) AS phones_redacted,
+  SUM(chars_delta) AS chars_delta_total
+FROM scrubbed GROUP BY source
+""",
+    "repetition_quality": """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+b AS (
+  SELECT doc_id, words,
+    CASE WHEN len(words) >= 2
+      THEN [words[i] || ' ' || words[i+1] FOR i IN generate_series(1, len(words) - 1)]
+      ELSE [] END AS bigrams
+  FROM w
+),
+tops AS (
+  SELECT doc_id, len(words) AS n_tokens, len(bigrams) AS n_bi,
+    COALESCE(list_max(list_transform(list_distinct(words),
+      g -> len(list_filter(words, x -> x = g)))), 0) AS top_uni,
+    COALESCE(list_max(list_transform(list_distinct(bigrams),
+      g -> len(list_filter(bigrams, x -> x = g)))), 0) AS top_bi
+  FROM b
+),
+fr AS (
+  SELECT doc_id, n_tokens,
+    CASE WHEN n_tokens > 0
+      THEN ROUND(CAST(top_uni AS DOUBLE) / n_tokens, 6) ELSE 0.0 END
+      AS top_unigram_frac,
+    CASE WHEN n_bi > 0
+      THEN ROUND(CAST(top_bi AS DOUBLE) / n_bi, 6) ELSE 0.0 END
+      AS top_bigram_frac
+  FROM tops
+)
+SELECT doc_id, n_tokens, top_unigram_frac, top_bigram_frac,
+  (top_unigram_frac > 0.2 OR top_bigram_frac > 0.2) AS repetitive
+FROM fr
+""",
+    "ngram_contamination": """
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words
+           FROM documents),
+g AS (
+  SELECT doc_id, source,
+    CASE WHEN len(words) >= 3
+      THEN list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                          FOR i IN generate_series(1, len(words) - 2)])
+      ELSE [] END AS grams
+  FROM w
+),
+bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+),
+ex AS (
+  SELECT doc_id, source, len(grams) AS n_grams, unnest(grams) AS gram
+  FROM g WHERE doc_id % 97 <> 0
+),
+per_doc AS (
+  SELECT doc_id, any_value(source) AS source, any_value(n_grams) AS n_grams,
+    COUNT(bench.gram) AS n_contaminated
+  FROM ex LEFT JOIN bench USING (gram)
+  GROUP BY doc_id
+)
+SELECT source, COUNT(*) AS n_docs,
+  SUM(CASE WHEN CAST(n_contaminated AS DOUBLE) / n_grams >= 0.02
+      THEN 1 ELSE 0 END) AS n_contaminated,
+  ROUND(CAST(SUM(n_contaminated) AS DOUBLE) / SUM(n_grams), 6)
+    AS overlap_frac
+FROM per_doc GROUP BY source
+""",
 }

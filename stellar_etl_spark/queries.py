@@ -1412,6 +1412,183 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2 shape on the slim schema (no partsupp): the supply relation is the
+    (part, supplier) pairs observed in lineitem, 'supply cost' the exact
+    DECIMAL revenue sum.  The correlated MIN subquery decorrelates into a
+    window-min over the aggregate — ONE shuffle on l_partkey serves both the
+    aggregate and the window (same key), then both dims broadcast."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").where(F.col("p_size") < 15)
+    supp = table(spark, sf_dir, "supplier")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_extendedprice")).alias("cost")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("min_cost", F.min("cost").over(w)).where(
+        F.col("cost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.round("cost", 3).cast("double").alias("supply_cost"),
+        )
+    )
+
+
+def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q12 shape (shipmode → linestatus on the slim schema): lines shipped
+    >30 days after order placement, split into high/low-priority counts by a
+    conditional aggregate.  The date arithmetic stays a pushable column
+    predicate on the join output; one shuffle for the orderkey join (lineitem
+    and orders are both large), one tiny agg."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(late)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def tpch_q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q20 shape: suppliers holding excess stock of any part — a nested
+    aggregate (per part×supplier 1997 shipped quantity) filtered above a
+    threshold, then a LEFT SEMI join back to supplier.  The semi join keeps
+    only supplier columns flowing (no fan-out), and the aggregate output is
+    small enough to broadcast as the semi-join build side."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ntz("1997-01-01"))
+        & (F.col("l_shipdate") < _ntz("1998-01-01"))
+    )
+    supp = table(spark, sf_dir, "supplier")
+    excess = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .where(F.col("qty") > 50)
+    )
+    return (
+        supp.join(
+            F.broadcast(excess), supp.s_suppkey == excess.l_suppkey, "left_semi"
+        )
+        .select("s_suppkey", "s_name", "s_nationkey")
+    )
+
+
+def priority_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90 of order value) per
+    priority class.  ``percentile`` buffers each group's values — fine for a
+    bounded group count like this; the documented scale path for
+    high-cardinality groups is ``approx_percentile`` (KLL-style sketch,
+    mergeable map-side) at the cost of oracle-exactness."""
+    orders = table(spark, sf_dir, "orders")
+    pct = F.percentile(F.col("o_totalprice"), F.array(F.lit(0.5), F.lit(0.9)))
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(pct.alias("pcts"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "o_orderpriority",
+            F.round(F.col("pcts")[0], 6).alias("p50_price"),
+            F.round(F.col("pcts")[1], 6).alias("p90_price"),
+            "n_orders",
+        )
+    )
+
+
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key mitigation: the events fact side joins a keyed dimension via
+    an explicit 8-way salted join (fact rows spread across salts, dim rows
+    replicated) — the reliable fix when one key owns a double-digit share of
+    a 100 TB fact table and AQE's skew splitting can't help (e.g. a
+    partial-agg-before-join plan).  Results are salt-invariant, so the oracle
+    is the plain join."""
+    from stellar_etl_spark.operators.skew import salted_join
+
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "user_id"
+    )
+    joined = salted_join(ev, cust, on="user_id", n_salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum(_dec("value", 10, 4)).alias("total_value"),
+    )
+
+
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit: deterministic synthetic PII (an email and a phone
+    derived from doc_id) is injected, then scrubbed by the regex pass; the
+    audit aggregates redaction counts per source.  Map-only until the final
+    tiny aggregate."""
+    from stellar_etl_spark.operators.text import pii_scrub
+
+    docs = table(spark, sf_dir, "documents")
+    seeded = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    scrubbed = pii_scrub(seeded).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return scrubbed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").alias("emails_redacted"),
+        F.sum("n_phones").alias("phones_redacted"),
+        F.sum("chars_delta").alias("chars_delta_total"),
+    )
+
+
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals per document (top-unigram /
+    top-bigram token share) — a shuffle-free map stage over the corpus."""
+    from stellar_etl_spark.operators.text import repetition_stats
+
+    docs = table(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
+def ngram_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination sweep: docs whose 3-gram overlap with a
+    held-out benchmark slice (doc_id ≡ 0 mod 97 — stand-in for an eval
+    suite) exceeds 2%.  Benchmark n-gram set broadcasts; the corpus is never
+    shuffled at n-gram grain."""
+    from stellar_etl_spark.operators.text import ngram_contamination
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    rest = docs.where(F.col("doc_id") % 97 != 0)
+    per_doc = ngram_contamination(rest, bench, n=3, threshold=0.02)
+    joined = per_doc.join(docs.select("doc_id", "source"), "doc_id")
+    # integer sums only (order-independent); ONE division at the edge
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("contaminated"), 1).otherwise(0)).alias(
+            "n_contaminated"
+        ),
+        F.round(
+            F.sum("n_contaminated").cast("double") / F.sum("n_grams"), 6
+        ).alias("overlap_frac"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "tpch_q3_top_orders": tpch_q3_top_orders,
@@ -1490,4 +1667,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters": near_dup_clusters,
     "clean_text": clean_text_q,
     "weekly_retention": weekly_retention,
+    "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+    "tpch_q12_late_shipments": tpch_q12_late_shipments,
+    "tpch_q20_excess_stock_suppliers": tpch_q20_excess_stock_suppliers,
+    "priority_price_percentiles": priority_price_percentiles,
+    "salted_skew_join": salted_skew_join,
+    "pii_scrub_stats": pii_scrub_stats,
+    "repetition_quality": repetition_quality,
+    "ngram_contamination": ngram_contamination_report,
 }

@@ -850,3 +850,76 @@ class TestQuantizeEmbeddings:
         assert abs(r.scale - 1 / 127) < 1e-6  # output scale is round(·, 6)
         # max per-dim error is bounded by scale/2
         assert r.l2_err <= (r.scale / 2) * (4 ** 0.5) + 1e-9
+
+
+class TestPiiScrub:
+    def test_redacts_emails_and_phones(self, spark):
+        from stellar_etl_spark.operators.text import pii_scrub
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail me at jane.doe+spam@mail.example.org today"),
+                (2, "call +1-555-0123 or +44-555-9999 now"),
+                (3, "no pii here"),
+            ],
+            DOCS_SCHEMA,
+        )
+        out = {r.doc_id: r for r in pii_scrub(df).collect()}
+        assert out[1].n_emails == 1 and out[1].n_phones == 0
+        assert "<EMAIL>" in out[1].text_scrubbed
+        assert "jane" not in out[1].text_scrubbed
+        assert out[2].n_phones == 2
+        assert out[2].text_scrubbed == "call <PHONE> or <PHONE> now"
+        assert out[3].text_scrubbed == "no pii here"
+        assert out[3].chars_delta == 0
+
+    def test_delta_accounts_for_token_length(self, spark):
+        from stellar_etl_spark.operators.text import pii_scrub
+
+        df = spark.createDataFrame([(1, "x a@b.io y")], DOCS_SCHEMA)
+        r = pii_scrub(df).collect()[0]
+        # "a@b.io" (6 chars) -> "<EMAIL>" (7 chars): delta = -1
+        assert r.chars_delta == 6 - 7
+
+
+class TestRepetitionStats:
+    def test_fractions(self, spark):
+        from stellar_etl_spark.operators.text import repetition_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "a a a a b"),          # top unigram 4/5; top bigram "a a" 3/4
+                (2, "u v w x y z"),        # all distinct: 1/6, 1/5
+            ],
+            DOCS_SCHEMA,
+        )
+        out = {r.doc_id: r for r in repetition_stats(df).collect()}
+        assert out[1].top_unigram_frac == round(4 / 5, 6)
+        assert out[1].top_bigram_frac == round(3 / 4, 6)
+        assert out[1].repetitive
+        assert out[2].top_unigram_frac == round(1 / 6, 6)
+        assert not out[2].repetitive
+
+
+class TestNgramContamination:
+    def test_overlap_fraction(self, spark):
+        from stellar_etl_spark.operators.text import ngram_contamination
+
+        bench = spark.createDataFrame([(100, "q w e r t")], DOCS_SCHEMA)
+        docs = spark.createDataFrame(
+            [
+                (1, "q w e r t"),      # 3 grams, all in bench
+                (2, "q w e zz yy"),    # 3 grams, 1 in bench
+                (3, "n o"),            # too short: omitted
+            ],
+            DOCS_SCHEMA,
+        )
+        out = {
+            r.doc_id: r
+            for r in ngram_contamination(docs, bench, threshold=0.5).collect()
+        }
+        assert set(out) == {1, 2}
+        assert out[1].contamination_frac == 1.0 and out[1].contaminated
+        assert out[2].n_grams == 3 and out[2].n_contaminated == 1
+        assert out[2].contamination_frac == round(1 / 3, 6)
+        assert not out[2].contaminated
