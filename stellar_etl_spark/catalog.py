@@ -33,12 +33,33 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Plain parquet scan — Catalyst will push filters and
     prune columns into this scan; callers must not cache-and-mutate.
 
-    The synthetic tables carry INT64 TIMESTAMP(NANOS) columns, which Spark 4
-    only reads with ``nanosAsLong``; we therefore treat timestamps as long
-    epoch-nanos end-to-end (tz-free, and ``ts div 1000`` equals DuckDB's
-    ``epoch_us`` exactly)."""
+    Timestamp contract: every timestamp column is normalized to **epoch-nanos
+    longs** (tz-free), so ``ts div 1000`` equals DuckDB's ``epoch_us`` exactly
+    regardless of whether the file stores INT64 TIMESTAMP(NANOS) (read via
+    ``nanosAsLong``) or TIMESTAMP(MICROS)/(MILLIS) (read as timestamp and
+    converted with ``unix_micros`` under the UTC session zone).  The
+    conversion is a monotone per-row projection — column pruning and filters
+    on non-time columns still reach the scan; time-range predicates evaluate
+    post-scan, which AQE-sized parquet splits absorb at 100 TB."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    repl = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            repl.append(
+                (F.unix_micros(F.col(f.name).cast("timestamp")) * F.lit(1000))
+                .cast("long")
+                .alias(f.name)
+            )
+        else:
+            repl.append(F.col(f.name))
+    if any(isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)) for f in df.schema.fields):
+        df = df.select(*repl)
+    return df
 
 
 def ns(ts: str) -> int:
