@@ -62,10 +62,20 @@ def _dec(col, p: int = 12, s: int = 4):
 
 
 def _ntz(s: str):
-    """Timezone-free timestamp literal for TIMESTAMP_NTZ columns
-    (orders/lineitem are µs-precision parquet → NTZ under Spark 4 defaults;
-    events is ns-precision → long via nanosAsLong, handled with ns())."""
-    return F.lit(s + " 00:00:00").cast("timestamp_ntz")
+    """Date-string literal → epoch-nanos long, matching catalog.table()'s
+    timestamp contract (every time column is an epoch-nanos long)."""
+    return F.lit(ns(s))
+
+
+def _ts(col: str):
+    """Epoch-nanos long column → UTC timestamp, for calendar functions
+    (year/date_format/to_date).  Integer `div` keeps the conversion exact —
+    float division would lose precision above 2^53 nanos (~1970+104 days)."""
+    return F.timestamp_micros(F.expr(f"{col} div 1000"))
+
+
+def _year(col: str):
+    return F.year(_ts(col))
 
 
 def _one():
@@ -126,7 +136,7 @@ def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_dsum(revenue).alias("revenue"))
         .select(
             "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_day"),
+            F.date_format(_ts("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate_day"),
             "revenue",
         )
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -485,7 +495,7 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
         .where(pair)
         .groupBy(
-            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+            "supp_nation", "cust_nation", _year("l_shipdate").alias("l_year")
         )
         .agg(_dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
@@ -561,7 +571,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_name",
             "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_day"),
+            F.date_format(_ts("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate_day"),
             "total_qty",
         )
     )
@@ -624,7 +634,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .groupBy(_year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
                 F.sum(
@@ -655,7 +665,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
-            F.year("o_orderdate").alias("o_year"),
+            _year("o_orderdate").alias("o_year"),
         )
         .agg(_dsum(profit).alias("sum_profit"))
     )
@@ -761,7 +771,7 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier")
     lo = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
         "_late",
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        F.col("l_shipdate") > F.col("o_orderdate") + F.lit(60 * 86_400_000_000_000),
     )
     per_order = lo.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("_n_supp"),
@@ -993,12 +1003,12 @@ def buyer_cohort_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both sides pre-aggregated, so the outer join runs on compact keys)."""
     orders = table(spark, sf_dir, "orders")
     a = (
-        orders.where(F.year("o_orderdate") == 1996)
+        orders.where(_year("o_orderdate") == 1996)
         .groupBy(F.col("o_custkey").alias("custkey"))
         .agg(F.count(F.lit(1)).alias("n_1996"))
     )
     b = (
-        orders.where(F.year("o_orderdate") == 1997)
+        orders.where(_year("o_orderdate") == 1997)
         .groupBy(F.col("o_custkey").alias("custkey"))
         .agg(F.count(F.lit(1)).alias("n_1997"))
     )
@@ -1018,8 +1028,8 @@ def repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-op shape: customers ordering in BOTH 1996 and 1997 — INTERSECT
     (hash-dedup semi semantics), Catalyst plans it as an aggregate+join."""
     orders = table(spark, sf_dir, "orders")
-    a = orders.where(F.year("o_orderdate") == 1996).select("o_custkey")
-    b = orders.where(F.year("o_orderdate") == 1997).select("o_custkey")
+    a = orders.where(_year("o_orderdate") == 1996).select("o_custkey")
+    b = orders.where(_year("o_orderdate") == 1997).select("o_custkey")
     return a.intersect(b)
 
 
@@ -1242,7 +1252,7 @@ def revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = table(spark, sf_dir, "orders")
     daily = orders.groupBy(
-        F.to_date("o_orderdate").alias("day")
+        F.to_date(_ts("o_orderdate")).alias("day")
     ).agg(F.sum(_dec("o_totalprice", 18, 4)).alias("d"))
     w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
     return daily.select(
@@ -1450,7 +1460,7 @@ def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     and orders are both large), one tiny agg."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
-    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.lit(30 * 86_400_000_000_000)
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
