@@ -224,15 +224,23 @@ def repetition_stats(
     ).otherwise(F.slice(words, 1, 0))
 
     def top_count(arr: Column) -> Column:
-        return F.coalesce(
-            F.array_max(
-                F.transform(
-                    F.array_distinct(arr),
-                    lambda g: F.size(F.filter(arr, lambda x: x == g)),
-                )
-            ),
-            F.lit(0),
+        # Max multiplicity = longest equal-run in the sorted array: one
+        # array_sort + a single-pass aggregate (O(len·log len) per row),
+        # not the O(distinct·len) distinct×filter scan.
+        s = F.array_sort(arr)
+        init = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
         )
+
+        def step(acc: Column, x: Column) -> Column:
+            run = F.when(acc["prev"] == x, acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        return F.coalesce(F.aggregate(s, init, step, lambda acc: acc["best"]), F.lit(0))
 
     n_tok = F.size(words)
     n_bi = F.size(bigrams)
@@ -342,10 +350,13 @@ def ngram_contamination(
     Scale shape: the benchmark n-gram set is tiny relative to a 100 TB
     training corpus (eval suites are megabytes), so it is distinct-ed and
     **broadcast** — the check is then a map-side hash probe per exploded
-    n-gram, one shuffle for the per-doc re-aggregate, and the training side
-    is never re-partitioned by n-gram (which would be a catastrophic
-    token-grain shuffle).  Documents shorter than ``n`` words have no
-    n-grams and are omitted (vacuously uncontaminated)."""
+    n-gram, and the per-doc re-aggregate shuffles only (doc_id, counts),
+    never re-partitioning the corpus by n-gram.  (A per-row
+    ``array_intersect`` against one collapsed benchmark array avoids even
+    that small shuffle but rebuilds an O(|bench|) hash set per document —
+    measured 2× slower; the broadcast hash join builds it once per task.)
+    Documents shorter than ``n`` words have no n-grams and are omitted
+    (vacuously uncontaminated)."""
     from stellar_etl_spark.operators.util import fan_out_small
 
     df = fan_out_small(df)
