@@ -438,3 +438,45 @@ def unigram_logprob_score(
             6,
         ).alias("avg_logprob"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 200,
+    overlap: int = 40,
+) -> DataFrame:
+    """Fixed-size character chunking with overlap — the context-window
+    preparation step of a training/RAG pipeline (each chunk starts
+    ``chunk_size - overlap`` after the previous one; every character is
+    covered; the final partial chunk is kept).
+
+    Pure generate-and-explode column work: a shuffle-free map stage whose
+    output grain is chunks, so it scales linearly with corpus bytes and
+    parallelizes with the input partitioning — no UDF, no state.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    step = chunk_size - overlap
+    # Last start position s satisfies s <= len - overlap (so a chunk always
+    # contributes > overlap new characters), except the degenerate
+    # single-chunk case start=1.
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), F.length(F.col(text_col)) - F.lit(overlap)),
+        F.lit(step),
+    )
+    ex = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.posexplode(starts).alias("chunk_index", "chunk_start"),
+    )
+    chunk = F.col(text_col).substr(F.col("chunk_start"), F.lit(chunk_size))
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+    )

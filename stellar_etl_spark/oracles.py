@@ -1380,4 +1380,73 @@ SELECT source, COUNT(*) AS n_docs,
     AS overlap_frac
 FROM per_doc GROUP BY source
 """,
+    "document_chunking": """
+WITH s AS (
+  SELECT doc_id, text,
+    unnest(generate_series(1, greatest(1, length(text) - 40), 160))
+      AS chunk_start
+  FROM documents
+)
+SELECT doc_id,
+  CAST((chunk_start - 1) // 160 AS BIGINT) AS chunk_index,
+  CAST(chunk_start AS BIGINT) AS chunk_start,
+  substring(text, chunk_start, 200) AS chunk_text,
+  CAST(length(substring(text, chunk_start, 200)) AS BIGINT) AS chunk_len
+FROM s
+""",
+    "sequence_packing": """
+WITH RECURSIVE d AS (
+  SELECT source, doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+p AS (
+  SELECT source, doc_id, rn, n_tokens, CAST(0 AS BIGINT) AS bin_id,
+    n_tokens AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.doc_id, d.rn, d.n_tokens,
+    CASE WHEN p.fill + d.n_tokens > 512 THEN p.bin_id + 1
+         ELSE p.bin_id END AS bin_id,
+    CASE WHEN p.fill + d.n_tokens > 512 THEN d.n_tokens
+         ELSE p.fill + d.n_tokens END AS fill
+  FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1
+)
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id, n_tokens, bin_id FROM p
+""",
+    "supplier_part_pagerank": """
+WITH e0 AS (
+  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+    's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM lineitem
+),
+e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+n AS (SELECT DISTINCT src AS node FROM e),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM n),
+r1 AS (
+  SELECT n.node, 0.15 + 0.85 * COALESCE(c.mass, 0) AS r
+  FROM n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r0.r / deg.outdeg) AS mass
+    FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY e.dst
+  ) c USING (node)
+),
+r2 AS (
+  SELECT n.node, 0.15 + 0.85 * COALESCE(c.mass, 0) AS r
+  FROM n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r1.r / deg.outdeg) AS mass
+    FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst
+  ) c USING (node)
+),
+r3 AS (
+  SELECT n.node, 0.15 + 0.85 * COALESCE(c.mass, 0) AS r
+  FROM n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r2.r / deg.outdeg) AS mass
+    FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY e.dst
+  ) c USING (node)
+)
+SELECT node, ROUND(r, 6) AS rank FROM r3
+ORDER BY ROUND(r, 6) DESC, node LIMIT 500
+""",
 }

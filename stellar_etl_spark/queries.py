@@ -1566,6 +1566,54 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (200 chars, 40 overlap): generate-and-explode
+    map stage — output grain is chunks, no shuffle anywhere."""
+    from stellar_etl_spark.operators.text import chunk_documents
+
+    docs = table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=200, overlap=40)
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit token packing into 512-token bins per source shard —
+    the sequential-fold-per-shard shape (applyInPandas), shards parallel.
+    Oracle is a recursive CTE stepping the identical fold."""
+    from stellar_etl_spark.operators.packing import pack_next_fit
+
+    docs = table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    return pack_next_fit(
+        sized, group_col="source", order_col="doc_id", size_col="n_tokens",
+        budget=512,
+    )
+
+
+def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the part↔supplier supply graph
+    (symmetric edges from distinct lineitem pairs) — the iterative-join
+    execution shape; oracle unrolls the same 3 iterations as chained CTEs.
+    Top-500 by rounded rank with total-order tie-break."""
+    from stellar_etl_spark.operators.graph import pagerank
+
+    li = table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(500)
+    )
+
+
 def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter signals per document (top-unigram /
     top-bigram token share) — a shuffle-free map stage over the corpus."""
@@ -1685,4 +1733,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub_stats": pii_scrub_stats,
     "repetition_quality": repetition_quality,
     "ngram_contamination": ngram_contamination_report,
+    "document_chunking": document_chunking,
+    "sequence_packing": sequence_packing,
+    "supplier_part_pagerank": supplier_part_pagerank,
 }

@@ -923,3 +923,95 @@ class TestNgramContamination:
         assert out[2].n_grams == 3 and out[2].n_contaminated == 1
         assert out[2].contamination_frac == round(1 / 3, 6)
         assert not out[2].contaminated
+
+
+class TestChunkDocuments:
+    def _chunks(self, spark, text, size=10, overlap=3):
+        from stellar_etl_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return sorted(
+            chunk_documents(df, chunk_size=size, overlap=overlap).collect(),
+            key=lambda r: r.chunk_index,
+        )
+
+    def test_every_char_covered_with_overlap(self, spark):
+        text = "abcdefghijklmnopqrstuvwxyz"  # 26 chars
+        rows = self._chunks(spark, text, size=10, overlap=3)
+        # starts: 1, 8, 15, 22 (step 7, last start <= 26-3=23)
+        assert [r.chunk_start for r in rows] == [1, 8, 15, 22]
+        rebuilt = rows[0].chunk_text + "".join(
+            r.chunk_text[3:] for r in rows[1:]
+        )
+        assert rebuilt == text
+        for prev, cur in zip(rows, rows[1:]):
+            assert prev.chunk_text[-3:] == cur.chunk_text[:3]
+
+    def test_short_doc_single_chunk(self, spark):
+        rows = self._chunks(spark, "ab", size=10, overlap=3)
+        assert len(rows) == 1
+        assert rows[0].chunk_text == "ab" and rows[0].chunk_len == 2
+
+    def test_overlap_must_be_smaller(self, spark):
+        import pytest as _pytest
+
+        from stellar_etl_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            chunk_documents(df, chunk_size=5, overlap=5)
+
+
+class TestPackNextFit:
+    def _pack(self, spark, sizes, budget=10):
+        from stellar_etl_spark.operators.packing import pack_next_fit
+
+        rows = [("s", i, t) for i, t in enumerate(sizes)]
+        df = spark.createDataFrame(
+            rows, "source string, doc_id long, n_tokens long"
+        )
+        out = pack_next_fit(df, budget=budget).collect()
+        return [r.bin_id for r in sorted(out, key=lambda r: r.doc_id)]
+
+    def test_greedy_fold(self, spark):
+        # 4+5 fit bin0; 3 overflows -> bin1; 3+7=10 fits exactly; 2 -> bin2
+        assert self._pack(spark, [4, 5, 3, 7, 2, 1]) == [0, 0, 1, 1, 2, 2]
+
+    def test_oversized_doc_gets_own_bin(self, spark):
+        # first doc always bin 0 even when > budget; next opens bin 1
+        assert self._pack(spark, [25, 1]) == [0, 1]
+
+    def test_no_bin_exceeds_budget_except_singletons(self, spark):
+        import random
+
+        rng = random.Random(7)
+        sizes = [rng.randint(1, 9) for _ in range(200)]
+        bins = self._pack(spark, sizes, budget=10)
+        fills: dict[int, int] = {}
+        for t, b in zip(sizes, bins):
+            fills[b] = fills.get(b, 0) + t
+        assert all(v <= 10 for v in fills.values())
+        # bins are contiguous, starting at 0
+        assert sorted(set(bins)) == list(range(max(bins) + 1))
+
+
+class TestPagerank:
+    def test_star_graph_center_dominates(self, spark):
+        from stellar_etl_spark.operators.graph import pagerank
+
+        leaves = [f"l{i}" for i in range(5)]
+        edges = [("c", l) for l in leaves] + [(l, "c") for l in leaves]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        ranks = {r.node: r.rank for r in pagerank(df, iterations=3).collect()}
+        assert all(ranks["c"] > ranks[l] for l in leaves)
+        # symmetric leaves tie exactly
+        assert len({round(ranks[l], 9) for l in leaves}) == 1
+
+    def test_rank_conserved_on_regular_graph(self, spark):
+        from stellar_etl_spark.operators.graph import pagerank
+
+        # 4-cycle: every node outdeg 1 -> total mass conserved, all ranks 1.0
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        for r in pagerank(df, iterations=4).collect():
+            assert abs(r.rank - 1.0) < 1e-9
