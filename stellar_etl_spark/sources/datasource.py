@@ -1,0 +1,177 @@
+"""Custom Spark Python DataSource for the ledger datastore.
+
+The reference's default extraction path is the GCS BufferedStorageBackend:
+one compressed LedgerCloseMetaBatch file per ledger, 64 000 files per
+partition, prefetched by worker goroutines (reference:
+internal/utils/main.go:981-1019, defaults :239-242).  The idiomatic Spark 4
+equivalent is a DataSource V2 implemented with the Python DataSource API:
+
+- **planning** happens once on the driver: list the object store, parse the
+  ledger sequence from each file name, prune to the requested
+  ``[start, end]`` range *before* any byte is read (the moral equivalent of
+  partition pruning — the file name is the partition value);
+- **reading** is distributed: files are grouped into input partitions of
+  ``files_per_task`` and each Spark task opens only its group (the
+  reference's ``num-workers``/``buffer-size`` prefetch ring becomes plain
+  task parallelism);
+- **streaming**: a ``SimpleDataSourceStreamReader`` tails the same listing
+  by last-seen sequence — the reference's unbounded ``end=0`` mode
+  (README.md:294-296) with exactly-once offsets tracked by Spark.
+
+Usage::
+
+    spark.dataSource.register(LedgerDataSource)
+    df = (spark.read.format("stellar_ledgers")
+          .option("path", "/data/ledgers")
+          .option("start", 2).option("end", 100).load())
+    stream = (spark.readStream.format("stellar_ledgers")
+              .option("path", "/data/ledgers").load())
+
+The XDR decode uses the same pluggable stand-in as ``sources.bronze``
+(the stellar SDK is not in this container); the source plumbing — schema,
+planning, partitioning, offsets — is real and tested.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+LEDGER_SOURCE_SCHEMA = StructType(
+    [
+        StructField("sequence", LongType()),
+        StructField("closed_at", TimestampType()),
+        StructField("protocol_version", LongType()),
+        StructField("tx_count", LongType()),
+        StructField("lcm_xdr", BinaryType()),
+    ]
+)
+
+# Default files per input partition; small so local tests parallelize.  The
+# reference reads 64 000-file partitions — at that layout one task per a few
+# thousand files keeps tasks in the 100 MB..1 GB sweet spot.
+DEFAULT_FILES_PER_TASK = 1000
+
+
+def _list_ledger_files(path: str, start: int, end: int) -> list[tuple[int, str]]:
+    """Driver-side planning: name-parse + range-prune the listing.  Returns
+    ``(sequence, filepath)`` sorted by sequence."""
+    out = []
+    for name in os.listdir(path):
+        stem = name.split(".")[0]
+        if not stem.isdigit():
+            continue
+        seq = int(stem)
+        if start <= seq <= end:
+            out.append((seq, os.path.join(path, name)))
+    out.sort()
+    return out
+
+
+def _decode_file(seq: int, filepath: str):
+    """One output row from one ledger file (fake-decoder semantics shared
+    with sources.bronze.fake_lcm_decoder)."""
+    import datetime as dt
+
+    from stellar_etl_spark.sources.bronze import fake_lcm_decoder
+
+    with open(filepath, "rb") as fh:
+        raw = fh.read()
+    d = fake_lcm_decoder(raw)
+    return (
+        d["sequence"],
+        dt.datetime.fromtimestamp(d["closed_at_unix"], dt.timezone.utc).replace(
+            tzinfo=None
+        ),
+        d["protocol_version"],
+        d["tx_count"],
+        raw,
+    )
+
+
+@dataclass
+class LedgerFilesPartition(InputPartition):
+    files: list  # list[tuple[int, str]]
+
+
+class LedgerBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.start = int(options.get("start", 0))
+        self.end = int(options.get("end", 0)) or (1 << 31) - 1  # end=0: unbounded
+        self.files_per_task = int(
+            options.get("files_per_task", DEFAULT_FILES_PER_TASK)
+        )
+
+    def partitions(self):
+        files = _list_ledger_files(self.path, self.start, self.end)
+        if not files:
+            return [LedgerFilesPartition([])]
+        step = self.files_per_task
+        return [
+            LedgerFilesPartition(files[i : i + step])
+            for i in range(0, len(files), step)
+        ]
+
+    def read(self, partition: LedgerFilesPartition):
+        for seq, filepath in partition.files:
+            yield _decode_file(seq, filepath)
+
+
+class LedgerStreamReader(SimpleDataSourceStreamReader):
+    """Tail the datastore by ledger sequence.  The offset is
+    ``{"last_seq": N}``; each micro-batch reads every file with a larger
+    sequence.  Spark persists offsets in the checkpoint, giving the
+    unbounded mode exactly-once file delivery."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.start = int(options.get("start", 0))
+
+    def initialOffset(self):
+        return {"last_seq": self.start - 1}
+
+    def read(self, start_offset: dict):
+        last = start_offset["last_seq"]
+        files = _list_ledger_files(self.path, last + 1, (1 << 31) - 1)
+        rows = [_decode_file(seq, fp) for seq, fp in files]
+        new_last = files[-1][0] if files else last
+        return (iter(rows), {"last_seq": new_last})
+
+    def readBetweenOffsets(self, start_offset: dict, end_offset: dict):
+        files = _list_ledger_files(
+            self.path, start_offset["last_seq"] + 1, end_offset["last_seq"]
+        )
+        return iter([_decode_file(seq, fp) for seq, fp in files])
+
+
+class LedgerDataSource(DataSource):
+    """``format("stellar_ledgers")`` — batch range scans and streaming tail
+    over a one-file-per-ledger datastore directory."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "stellar_ledgers"
+
+    def schema(self):
+        return LEDGER_SOURCE_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return LedgerBatchReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return LedgerStreamReader(self.options)
