@@ -100,6 +100,9 @@ BENCH_QUERIES = [
     "pii_scrub_stats",
     "repetition_quality",
     "ngram_contamination",
+    "document_chunking",
+    "sequence_packing",
+    "supplier_part_pagerank",
     # near_dup_clusters is registry-only: iterative CC is inherently
     # multi-job and would dominate the single-pass headline timing.
     # ngram_jaccard_near_dup is registry-only too: exact all-pairs Jaccard is

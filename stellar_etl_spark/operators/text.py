@@ -361,8 +361,16 @@ def ngram_contamination(
 
     df = fan_out_small(df)
     grams = shingles(F.col(text_col), n)
-    docs = df.select(
-        F.col(id_col), F.size(grams).alias("n_grams"), F.explode(grams).alias("g")
+    # Materialize the shingle array BELOW the generator: ExtractGenerator
+    # hoists non-generator expressions in the same select above the Generate,
+    # so size(grams) inlined next to explode(grams) would recompute the whole
+    # shingle pipeline once per exploded row (~n_grams× slower — measured 3×
+    # wall on this query).
+    pre = df.select(F.col(id_col), grams.alias("_grams"))
+    docs = pre.select(
+        F.col(id_col),
+        F.size("_grams").alias("n_grams"),
+        F.explode("_grams").alias("g"),
     )
     bench = (
         bench_df.select(F.explode(shingles(F.col(text_col), n)).alias("g"))
