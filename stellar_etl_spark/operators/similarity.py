@@ -344,3 +344,95 @@ def quantize_embeddings(
         F.array_max(F.col("_q")).alias("q_max"),
         F.round(F.sqrt(err2), 6).alias("l2_err"),
     )
+
+
+def kmeans_fixed(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Fixed-iteration Lloyd k-means over quantized embeddings — clustering
+    for corpus curation (topic balancing, dedup-by-cluster sampling).
+
+    Everything is **exact integer arithmetic**, so the result is
+    deterministic and hash-comparable across engines:
+
+    - vectors quantize once: ``q_i = round(v_i · scale)`` as longs;
+    - squared L2 distances are integer sums (order-independent);
+    - centroid updates are ``round(sum/count)`` of integers (both engines
+      round half away from zero), re-quantized back to the integer grid;
+    - ties in the argmin go to the lowest centroid id.
+
+    Init: the ``k`` lowest-id vectors (deterministic, standard for
+    reproducible pipelines).
+
+    Scale shape per iteration: one broadcast of the k×d centroid table
+    (tiny), one map-side assignment pass, one (k·d)-key partial-aggregated
+    shuffle for the update — no driver-side collect; iterations bounded and
+    unrolled into a single plan.
+    """
+    q = F.transform(
+        _as_double(F.col(vec_col)), lambda x: F.round(x * scale).cast("long")
+    )
+    pts = embeddings.select(F.col(id_col).cast("long").alias(id_col), q.alias("_q"))
+
+    w = Window.orderBy(id_col)
+    cent = (
+        pts.orderBy(id_col)
+        .limit(k)
+        .select((F.row_number().over(w) - 1).alias("cid"), F.col("_q").alias("_c"))
+    )
+
+    def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+        packed = centroids.agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("cid"), F.col("_c")))
+            ).alias("_cents")
+        )
+        dist = lambda c: F.aggregate(  # noqa: E731
+            F.zip_with(F.col("_q"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        best = F.aggregate(
+            F.col("_cents"),
+            F.struct(
+                F.lit(-1).alias("bid"), F.lit(None).cast("long").alias("bd")
+            ),
+            lambda acc, c: F.when(
+                acc["bd"].isNull() | (dist(c["_c"]) < acc["bd"]),
+                F.struct(c["cid"].alias("bid"), dist(c["_c"]).alias("bd")),
+            ).otherwise(acc),
+        )
+        return points.crossJoin(F.broadcast(packed)).select(
+            F.col(id_col), F.col("_q"), best["bid"].alias("cid"),
+            best["bd"].alias("dist2"),
+        )
+
+    assigned = assign(pts, cent)
+    for _ in range(iterations - 1):
+        upd = (
+            assigned.select(
+                "cid", F.posexplode(F.col("_q")).alias("dim", "val")
+            )
+            .groupBy("cid", "dim")
+            .agg(
+                F.round(F.sum("val").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cval")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("dim"), F.col("cval")))
+                    ),
+                    lambda s: s["cval"],
+                ).alias("_c")
+            )
+        )
+        assigned = assign(pts, upd)
+    return assigned.select(F.col(id_col), "cid", "dist2")

@@ -1449,4 +1449,47 @@ r3 AS (
 SELECT node, ROUND(r, 6) AS rank FROM r3
 ORDER BY ROUND(r, 6) DESC, node LIMIT 500
 """,
+    "kmeans_clusters": """
+WITH pts AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+    list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
+  FROM pts ORDER BY vec_id LIMIT 8
+),
+d1 AS (
+  SELECT p.vec_id, p.q, i.cid,
+    list_sum(list_transform(generate_series(1, len(p.q)),
+      j -> (p.q[j] - i.c[j]) * (p.q[j] - i.c[j]))) AS dist,
+    row_number() OVER (PARTITION BY p.vec_id
+      ORDER BY list_sum(list_transform(generate_series(1, len(p.q)),
+        j -> (p.q[j] - i.c[j]) * (p.q[j] - i.c[j]))), i.cid) AS rn
+  FROM pts p CROSS JOIN init i
+),
+a1 AS (SELECT vec_id, q, cid FROM d1 WHERE rn = 1),
+l1 AS (
+  SELECT cid, unnest(generate_series(1, len(q))) AS dim, unnest(q) AS val
+  FROM a1
+),
+u1 AS (
+  SELECT cid, dim,
+    CAST(round(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
+  FROM l1 GROUP BY cid, dim
+),
+c1 AS (SELECT cid, list(cval ORDER BY dim) AS c FROM u1 GROUP BY cid),
+d2 AS (
+  SELECT p.vec_id, i.cid,
+    list_sum(list_transform(generate_series(1, len(p.q)),
+      j -> (p.q[j] - i.c[j]) * (p.q[j] - i.c[j]))) AS dist,
+    row_number() OVER (PARTITION BY p.vec_id
+      ORDER BY list_sum(list_transform(generate_series(1, len(p.q)),
+        j -> (p.q[j] - i.c[j]) * (p.q[j] - i.c[j]))), i.cid) AS rn
+  FROM pts p CROSS JOIN c1 i
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cid, CAST(dist AS BIGINT) AS dist2
+FROM d2 WHERE rn = 1
+""",
 }

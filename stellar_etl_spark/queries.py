@@ -1614,6 +1614,16 @@ def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k=8 over quantized embeddings — exact integer
+    arithmetic end-to-end (quantize → integer L2 → round(sum/count) update),
+    so the full assignment hash-matches the unrolled SQL oracle."""
+    from stellar_etl_spark.operators.similarity import kmeans_fixed
+
+    emb = table(spark, sf_dir, "embeddings")
+    return kmeans_fixed(emb, k=8, iterations=2)
+
+
 def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter signals per document (top-unigram /
     top-bigram token share) — a shuffle-free map stage over the corpus."""
@@ -1736,4 +1746,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "document_chunking": document_chunking,
     "sequence_packing": sequence_packing,
     "supplier_part_pagerank": supplier_part_pagerank,
+    "kmeans_clusters": kmeans_clusters,
 }

@@ -1015,3 +1015,36 @@ class TestPagerank:
         df = spark.createDataFrame(edges, "src string, dst string")
         for r in pagerank(df, iterations=4).collect():
             assert abs(r.rank - 1.0) < 1e-9
+
+
+class TestKmeansFixed:
+    def test_separated_blobs(self, spark):
+        from stellar_etl_spark.operators.similarity import kmeans_fixed
+
+        # two tight blobs far apart; init = the two lowest ids (one per blob)
+        rows = [
+            (0, [0.0, 0.0]), (1, [10.0, 10.0]),
+            (2, [0.1, 0.0]), (3, [9.9, 10.0]),
+            (4, [0.0, 0.2]), (5, [10.0, 9.8]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {r.vec_id: r.cid for r in kmeans_fixed(df, k=2, iterations=2).collect()}
+        assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1}
+
+    def test_tie_breaks_to_lowest_cid(self, spark):
+        from stellar_etl_spark.operators.similarity import kmeans_fixed
+
+        # point 2 exactly between the two centroids -> cid 0
+        rows = [(0, [0.0]), (1, [2.0]), (2, [1.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {r.vec_id: r.cid for r in kmeans_fixed(df, k=2, iterations=1).collect()}
+        assert got[2] == 0
+
+    def test_dist2_is_exact_integer_l2(self, spark):
+        from stellar_etl_spark.operators.similarity import kmeans_fixed
+
+        rows = [(0, [0.0, 0.0]), (1, [0.003, 0.004])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {r.vec_id: r for r in kmeans_fixed(df, k=1, iterations=1).collect()}
+        # quantized to (3, 4) at scale 1000 -> dist2 = 25 from centroid (0,0)
+        assert got[1].dist2 == 25 and got[0].dist2 == 0
