@@ -47,6 +47,8 @@ def quality_score(
 ) -> DataFrame:
     """Deterministic quality heuristics: length band, lexical diversity,
     stopword ratio.  Integer-ratio arithmetic → engine-portable doubles."""
+    from stellar_etl_spark.operators.util import exact_ratio_round6
+
     words = tokenize_words(F.col(text_col))
     n_tok = F.size(words)
     n_distinct = F.size(F.array_distinct(words))
@@ -57,8 +59,8 @@ def quality_score(
     return df.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
-        F.round(diversity, 6).alias("lexical_diversity"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        exact_ratio_round6(n_distinct, n_tok).alias("lexical_diversity"),
+        exact_ratio_round6(stop, n_tok).alias("stopword_ratio"),
         (
             F.when(length_ok, F.lit(1)).otherwise(F.lit(0))
             + F.when(diversity >= 0.3, F.lit(1)).otherwise(F.lit(0))
@@ -242,13 +244,15 @@ def repetition_stats(
 
         return F.coalesce(F.aggregate(s, init, step, lambda acc: acc["best"]), F.lit(0))
 
+    from stellar_etl_spark.operators.util import exact_ratio_round6
+
     n_tok = F.size(words)
     n_bi = F.size(bigrams)
     top_uni_frac = F.when(
-        n_tok > 0, F.round(top_count(words).cast("double") / n_tok, 6)
+        n_tok > 0, exact_ratio_round6(top_count(words), n_tok)
     ).otherwise(F.lit(0.0))
     top_bi_frac = F.when(
-        n_bi > 0, F.round(top_count(bigrams).cast("double") / n_bi, 6)
+        n_bi > 0, exact_ratio_round6(top_count(bigrams), n_bi)
     ).otherwise(F.lit(0.0))
     return df.select(
         F.col(id_col),
@@ -385,12 +389,14 @@ def ngram_contamination(
             F.count("hit").alias("n_contaminated"),
         )
     )
+    from stellar_etl_spark.operators.util import exact_ratio_round6
+
     frac = F.col("n_contaminated").cast("double") / F.col("n_grams")
     return per_doc.select(
         F.col(id_col),
         "n_grams",
         "n_contaminated",
-        F.round(frac, 6).alias("contamination_frac"),
+        exact_ratio_round6("n_contaminated", "n_grams").alias("contamination_frac"),
         (frac >= threshold).alias("contaminated"),
     )
 
@@ -438,13 +444,21 @@ def unigram_logprob_score(
             F.sum("tf").alias("n_tokens"),
         )
     )
+    # avg = si / (scale·n) rounded to 6 digits — performed in EXACT integer
+    # arithmetic (half away from zero), then one integer/1e6 double divide.
+    # round(double, 6) here is a cross-engine trap: Spark rounds the double's
+    # shortest decimal repr, DuckDB its exact binary value, and they disagree
+    # when the true rational sits exactly on a …5 boundary (seen at sf0.1).
+    # value×1e6 = si·(1e6/scale)/n; with scale=1000 that is si·1000/n.
+    mul = 1_000_000 // scale
+    sgn = F.when(F.col("si") < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    scaled6 = sgn * F.expr(
+        f"(abs(si) * {2 * mul} + n_tokens) div (2 * n_tokens)"
+    )
     return s.select(
         F.col(id_col),
         F.col("n_tokens"),
-        F.round(
-            F.col("si").cast("double") / F.lit(float(scale)) / F.col("n_tokens"),
-            6,
-        ).alias("avg_logprob"),
+        (scaled6.cast("double") / F.lit(1_000_000.0)).alias("avg_logprob"),
     )
 
 

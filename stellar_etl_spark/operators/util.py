@@ -18,3 +18,31 @@ def fan_out_small(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def exact_ratio_round6(num, den):
+    """``round(num/den, 6)`` for integer columns, computed in EXACT integer
+    arithmetic (half away from zero) and returned as a double.
+
+    ``round(double, 6)`` on an integer ratio is a cross-engine trap: when the
+    true rational sits exactly on a …5 boundary (any denominator of the form
+    2^a·5^b — a 128-token document does it), Spark rounds the double's
+    shortest decimal repr while DuckDB rounds its exact binary value, and
+    they disagree.  Here the scaled numerator stays integral, the truncating
+    division is exact, and the final /1e6 is one identical IEEE op on both
+    engines.  Valid while 2e6·|num| stays under 2^53 (per-document counts
+    and per-group sums comfortably qualify; corpus-total sums at extreme
+    scale should pre-aggregate per shard first).
+    """
+    from pyspark.sql import Column, functions as F
+
+    if not isinstance(num, Column):
+        num = F.col(num)
+    if not isinstance(den, Column):
+        den = F.col(den)
+    num, den = num.cast("long"), den.cast("long")
+    sgn = F.when(num < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    a = F.abs(num) * F.lit(2_000_000) + den
+    b = den * F.lit(2)
+    trunc_div = (a - a % b).cast("double") / b.cast("double")  # exact multiple
+    return (sgn.cast("double") * trunc_div) / F.lit(1_000_000.0)

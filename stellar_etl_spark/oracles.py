@@ -190,8 +190,8 @@ s AS (
 )
 SELECT doc_id,
   CAST(n_tokens AS BIGINT) AS n_tokens,
-  ROUND(CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS lexical_diversity,
-  ROUND(CAST(stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+  ((((n_distinct) * 2000000 + (n_tokens)) // (2 * (n_tokens))) / 1000000.0) AS lexical_diversity,
+  ((((stop) * 2000000 + (n_tokens)) // (2 * (n_tokens))) / 1000000.0) AS stopword_ratio,
   CAST(
     (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1 ELSE 0 END)
     + (CASE WHEN CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.3 THEN 1 ELSE 0 END)
@@ -1153,7 +1153,9 @@ s AS (
   FROM tf JOIN lp USING (t) GROUP BY doc_id
 )
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-  ROUND(CAST(si AS DOUBLE) / 1000.0 / n_tokens, 6) AS avg_logprob
+  (CASE WHEN si < 0 THEN -1 ELSE 1 END
+   * ((abs(si) * 2000 + n_tokens) // (2 * n_tokens))) / 1000000.0
+    AS avg_logprob
 FROM s
 """,
     "train_val_test_split": """
@@ -1338,10 +1340,10 @@ tops AS (
 fr AS (
   SELECT doc_id, n_tokens,
     CASE WHEN n_tokens > 0
-      THEN ROUND(CAST(top_uni AS DOUBLE) / n_tokens, 6) ELSE 0.0 END
+      THEN ((((top_uni) * 2000000 + (n_tokens)) // (2 * (n_tokens))) / 1000000.0) ELSE 0.0 END
       AS top_unigram_frac,
     CASE WHEN n_bi > 0
-      THEN ROUND(CAST(top_bi AS DOUBLE) / n_bi, 6) ELSE 0.0 END
+      THEN ((((top_bi) * 2000000 + (n_bi)) // (2 * (n_bi))) / 1000000.0) ELSE 0.0 END
       AS top_bigram_frac
   FROM tops
 )
@@ -1376,7 +1378,7 @@ per_doc AS (
 SELECT source, COUNT(*) AS n_docs,
   SUM(CASE WHEN CAST(n_contaminated AS DOUBLE) / n_grams >= 0.02
       THEN 1 ELSE 0 END) AS n_contaminated,
-  ROUND(CAST(SUM(n_contaminated) AS DOUBLE) / SUM(n_grams), 6)
+  ((((SUM(n_contaminated)) * 2000000 + (SUM(n_grams))) // (2 * (SUM(n_grams)))) / 1000000.0)
     AS overlap_frac
 FROM per_doc GROUP BY source
 """,

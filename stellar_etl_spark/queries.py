@@ -1639,6 +1639,7 @@ def ngram_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     suite) exceeds 2%.  Benchmark n-gram set broadcasts; the corpus is never
     shuffled at n-gram grain."""
     from stellar_etl_spark.operators.text import ngram_contamination
+    from stellar_etl_spark.operators.util import exact_ratio_round6
 
     docs = table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 97 == 0)
@@ -1651,8 +1652,8 @@ def ngram_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("contaminated"), 1).otherwise(0)).alias(
             "n_contaminated"
         ),
-        F.round(
-            F.sum("n_contaminated").cast("double") / F.sum("n_grams"), 6
+        exact_ratio_round6(
+            F.sum("n_contaminated"), F.sum("n_grams")
         ).alias("overlap_frac"),
     )
 
