@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "sequence_packing",
     "supplier_part_pagerank",
     "kmeans_clusters",
+    "variant_props_profile",
     # near_dup_clusters is registry-only: iterative CC is inherently
     # multi-job and would dominate the single-pass headline timing.
     # ngram_jaccard_near_dup is registry-only too: exact all-pairs Jaccard is

@@ -1494,4 +1494,12 @@ d2 AS (
 SELECT vec_id, CAST(cid AS BIGINT) AS cid, CAST(dist AS BIGINT) AS dist2
 FROM d2 WHERE rn = 1
 """,
+    "variant_props_profile": """
+SELECT event_type, COUNT(*) AS n_events,
+  SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+  MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+  COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_distinct_k
+FROM events GROUP BY event_type
+""",
 }

@@ -235,6 +235,28 @@ def props_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def variant_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4 VariantType: ``parse_json`` once
+    into the binary variant encoding, then typed ``try_variant_get`` path
+    extractions — the scale answer when several fields are pulled from the
+    same JSON blob (one parse, not one per ``get_json_object`` path).
+    Same OperationDetails pattern as props_json_agg (schema.go:137)."""
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "long").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Stellar-semantics operators over the synthetic workload
 # --------------------------------------------------------------------------
@@ -1748,4 +1770,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_packing": sequence_packing,
     "supplier_part_pagerank": supplier_part_pagerank,
     "kmeans_clusters": kmeans_clusters,
+    "variant_props_profile": variant_props_profile,
 }

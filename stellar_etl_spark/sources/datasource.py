@@ -175,3 +175,35 @@ class LedgerDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return LedgerStreamReader(self.options)
+
+
+def ledger_tx_udtf():
+    """Python UDTF performing the ledger → transactions 1→N fan-out — the
+    reference's ``LedgerTransactionReader`` loop (input/transactions.go:23)
+    as a lateral table function.
+
+    The explode-on-decoded-arrays path (``posexplode``) is the engine's
+    primary shape; this UDTF is the escape hatch for *irreducibly
+    procedural* decodes where the row count is unknown until the bytes are
+    parsed (exactly the XDR situation).  Registered per-session::
+
+        spark.udtf.register("ledger_txs", ledger_tx_udtf())
+        spark.sql("SELECT t.* FROM bronze, LATERAL ledger_txs(sequence, lcm_xdr) t")
+
+    Decode is the deterministic stand-in (tx_count derived from the raw
+    bytes, like fake_lcm_decoder); the lateral plumbing is real.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sequence: long, tx_index: int, tx_hash: string")
+    class LedgerTxUDTF:
+        def eval(self, sequence: int, lcm_xdr):
+            import hashlib
+
+            raw = bytes(lcm_xdr) if lcm_xdr is not None else b""
+            n_txs = len(raw) % 16  # fake_lcm_decoder's tx_count rule
+            for i in range(n_txs):
+                h = hashlib.sha256(raw + i.to_bytes(4, "big")).hexdigest()
+                yield (sequence, i, h)
+
+    return LedgerTxUDTF

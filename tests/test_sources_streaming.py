@@ -700,3 +700,39 @@ class TestLedgerDataSource:
         q.awaitTermination(60)
         got = spark.sql("select sequence from ledger_tail").collect()
         assert sorted(r.sequence for r in got) == [2, 3, 4]
+
+
+class TestLedgerTxUdtf:
+    def test_lateral_fanout(self, spark, tmp_path):
+        from stellar_etl_spark.sources.datasource import (
+            LedgerDataSource,
+            ledger_tx_udtf,
+        )
+
+        src = tmp_path / "store"
+        src.mkdir()
+        for seq in (2, 3):
+            (src / f"{seq:08d}.xdr.zst").write_bytes(
+                seq.to_bytes(4, "big") + b"p" * seq  # len = 4 + seq
+            )
+        spark.dataSource.register(LedgerDataSource)
+        spark.udtf.register("ledger_txs", ledger_tx_udtf())
+        (
+            spark.read.format("stellar_ledgers")
+            .option("path", str(src))
+            .load()
+            .createOrReplaceTempView("bronze_v")
+        )
+        rows = spark.sql(
+            "SELECT t.sequence, t.tx_index, t.tx_hash "
+            "FROM bronze_v, LATERAL ledger_txs(sequence, lcm_xdr) t"
+        ).collect()
+        # file for seq s has len 4+s -> tx_count = (4+s) % 16
+        by_seq = {}
+        for r in rows:
+            by_seq.setdefault(r.sequence, []).append(r)
+        assert sorted(by_seq) == [2, 3]
+        assert len(by_seq[2]) == 6 and len(by_seq[3]) == 7
+        assert [r.tx_index for r in sorted(by_seq[3], key=lambda r: r.tx_index)] == list(range(7))
+        # deterministic hashes
+        assert len({r.tx_hash for r in rows}) == 13
