@@ -1340,39 +1340,70 @@ def active_sessions_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (view → click-after-view → purchase-after-click):
-    users reaching each stage, with each stage's first qualifying time
-    derived from the previous stage — three stage aggregates chained by
-    per-user joins (all on the same key → one partitioning reused)."""
+    users reaching each stage.  Each stage's first qualifying time chains
+    off the previous one as conditional window-mins over ONE user_id
+    partitioning — a single scan and a single shuffle (the naive shape is
+    three filtered scans + three stage aggregates + two joins; all of it
+    keys on user_id, so the windows collapse it)."""
+    from pyspark.sql.window import Window
+
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
     )
-    v = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("tv"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "tv",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w),
+        )
+        .withColumn(
+            "tc",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts_us") >= F.col("tv")),
+                    F.col("ts_us"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "tp",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_us") >= F.col("tc")),
+                    F.col("ts_us"),
+                )
+            ).over(w),
+        )
     )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts_us") >= F.col("tv"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("tc"))
+    # one row per user (groupBy on the window's partitioning key — no new
+    # exchange), then a singleton conditional-count aggregate
+    per_user = staged.groupBy("user_id").agg(
+        F.max("tv").alias("tv"), F.max("tc").alias("tc"), F.max("tp").alias("tp")
     )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts_us") >= F.col("tc"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("tp"))
+    counts = per_user.agg(
+        F.sum(F.when(F.col("tv").isNotNull(), 1).otherwise(0)).alias("n_v"),
+        F.sum(F.when(F.col("tc").isNotNull(), 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("tp").isNotNull(), 1).otherwise(0)).alias("n_p"),
     )
-    stage = lambda name, df: df.agg(  # noqa: E731
-        F.count(F.lit(1)).alias("n_users")
-    ).select(F.lit(name).alias("stage"), "n_users")
-    return (
-        stage("1_view", v)
-        .unionByName(stage("2_click_after_view", c))
-        .unionByName(stage("3_purchase_after_click", p))
-    )
+    return counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("1_view").alias("stage"), F.col("n_v").alias("n_users")
+                ),
+                F.struct(
+                    F.lit("2_click_after_view").alias("stage"),
+                    F.col("n_c").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit("3_purchase_after_click").alias("stage"),
+                    F.col("n_p").alias("n_users"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.n_users")
 
 
 def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
