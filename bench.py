@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "supplier_part_pagerank",
     "kmeans_clusters",
     "variant_props_profile",
+    "snapshot_upsert",
     # near_dup_clusters is registry-only: iterative CC is inherently
     # multi-job and would dominate the single-pass headline timing.
     # ngram_jaccard_near_dup is registry-only too: exact all-pairs Jaccard is

@@ -1502,4 +1502,44 @@ SELECT event_type, COUNT(*) AS n_events,
   COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_distinct_k
 FROM events GROUP BY event_type
 """,
+    "snapshot_upsert": """
+WITH base_r AS (
+  SELECT user_id, event_id, event_type, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_id < 500
+),
+base AS (
+  SELECT CAST(user_id AS VARCHAR) AS ledger_key, event_id, event_type, value
+  FROM base_r WHERE rn = 1 AND event_type <> 'error'
+),
+dch AS (
+  SELECT CAST(user_id AS VARCHAR) AS ledger_key,
+    CASE WHEN event_type = 'signup' THEN 0
+         WHEN event_type = 'error' THEN 2 ELSE 1 END AS ct,
+    event_id, event_type, value
+  FROM events WHERE event_id >= 500
+),
+dagg AS (
+  SELECT ledger_key,
+    max_by(event_id, event_id) AS event_id,
+    max_by(event_type, event_id) AS event_type,
+    max_by(value, event_id) AS value,
+    min_by(ct, event_id) AS first_ct,
+    max_by(ct, event_id) AS last_ct
+  FROM dch GROUP BY ledger_key
+),
+delta AS (
+  SELECT ledger_key, event_id, event_type, value, (last_ct = 2) AS deleted
+  FROM dagg WHERE NOT (first_ct = 0 AND last_ct = 2)
+)
+SELECT COALESCE(b.ledger_key, d.ledger_key) AS ledger_key,
+  CASE WHEN d.ledger_key IS NOT NULL THEN d.event_id
+       ELSE b.event_id END AS last_event_id,
+  CASE WHEN d.ledger_key IS NOT NULL THEN d.event_type
+       ELSE b.event_type END AS last_event_type,
+  CASE WHEN d.ledger_key IS NOT NULL THEN d.value
+       ELSE b.value END AS last_value
+FROM base b FULL OUTER JOIN delta d ON b.ledger_key = d.ledger_key
+WHERE NOT COALESCE(d.deleted, FALSE)
+""",
 }

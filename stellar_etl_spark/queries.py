@@ -235,6 +235,53 @@ def props_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a compacted change batch into a point-in-time snapshot (the
+    consumer side of the reference's per-batch change export): base = state
+    after events < 500, delta = the rest compacted as one batch
+    (annihilated keys leave the base untouched; deleted keys drop; the rest
+    upsert).  One key-shuffle full-outer apply."""
+    from pyspark.sql.window import Window
+
+    from stellar_etl_spark.operators.merge import upsert_snapshot
+
+    ev = table(spark, sf_dir, "events")
+    key = F.col("user_id").cast("string").alias("ledger_key")
+
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    base = (
+        ev.where(F.col("event_id") < 500)
+        .withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("event_type") != "error"))
+        .select(key, "event_id", "event_type", "value")
+    )
+    delta_changes = ev.where(F.col("event_id") >= 500).select(
+        F.lit(0).alias("batch_id"),
+        key,
+        F.col("event_id").alias("ledger_sequence"),
+        F.lit(0).alias("change_index"),
+        F.when(F.col("event_type") == "signup", 0)
+        .when(F.col("event_type") == "error", 2)
+        .otherwise(1)
+        .alias("change_type"),
+        F.col("event_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    delta = compact_changes(delta_changes).select(
+        "ledger_key", "event_id", "event_type", "value", "deleted"
+    )
+    out = upsert_snapshot(
+        base, delta, ["ledger_key"], ["event_id", "event_type", "value"]
+    )
+    return out.select(
+        "ledger_key",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def variant_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access via Spark 4 VariantType: ``parse_json`` once
     into the binary variant encoding, then typed ``try_variant_get`` path
@@ -1802,4 +1849,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_part_pagerank": supplier_part_pagerank,
     "kmeans_clusters": kmeans_clusters,
     "variant_props_profile": variant_props_profile,
+    "snapshot_upsert": snapshot_upsert,
 }

@@ -1048,3 +1048,34 @@ class TestKmeansFixed:
         got = {r.vec_id: r for r in kmeans_fixed(df, k=1, iterations=1).collect()}
         # quantized to (3, 4) at scale 1000 -> dist2 = 25 from centroid (0,0)
         assert got[1].dist2 == 25 and got[0].dist2 == 0
+
+
+class TestUpsertSnapshot:
+    def _apply(self, spark, base_rows, delta_rows):
+        from stellar_etl_spark.operators.merge import upsert_snapshot
+
+        base = spark.createDataFrame(base_rows, "k string, v long")
+        delta = spark.createDataFrame(
+            delta_rows, "k string, v long, deleted boolean"
+        )
+        out = upsert_snapshot(base, delta, ["k"], ["v"])
+        return {r.k: r.v for r in out.collect()}
+
+    def test_update_insert_delete_carry(self, spark):
+        got = self._apply(
+            spark,
+            [("a", 1), ("b", 2), ("c", 3)],
+            [("a", 10, False), ("d", 40, False), ("b", 2, True)],
+        )
+        # a updated, b deleted, c carried, d inserted
+        assert got == {"a": 10, "c": 3, "d": 40}
+
+    def test_null_state_from_delta_wins(self, spark):
+        # presence decides, not null-coalescing: a delta row with null state
+        # must overwrite the base value with null
+        got = self._apply(spark, [("a", 1)], [("a", None, False)])
+        assert got == {"a": None}
+
+    def test_delete_of_absent_key_is_noop(self, spark):
+        got = self._apply(spark, [("a", 1)], [("z", 9, True)])
+        assert got == {"a": 1}
