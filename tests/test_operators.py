@@ -1079,3 +1079,31 @@ class TestUpsertSnapshot:
     def test_delete_of_absent_key_is_noop(self, spark):
         got = self._apply(spark, [("a", 1)], [("z", 9, True)])
         assert got == {"a": 1}
+
+
+class TestApproxSketches:
+    def test_hll_and_quantile_within_bounds(self, spark, sf_dir):
+        from stellar_etl_spark.catalog import table
+        from stellar_etl_spark.operators.sketch import approx_corpus_profile
+
+        ev = table(spark, sf_dir, "events")
+        approx = {
+            r[0]: r
+            for r in approx_corpus_profile(ev, rsd=0.05).collect()
+        }
+        exact = {
+            r[0]: r
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.countDistinct("user_id").alias("users"),
+                F.expr("percentile(value, 0.5)").alias("p50"),
+            )
+            .collect()
+        }
+        assert set(approx) == set(exact)
+        for k in exact:
+            # HLL++ rsd=5% — allow 3 sigma
+            rel = abs(approx[k].approx_users - exact[k].users) / exact[k].users
+            assert rel < 0.15, (k, approx[k].approx_users, exact[k].users)
+            # percentile_approx with accuracy 10k on ~2k rows/group: near-exact
+            assert abs(approx[k].value_p50_p90_p99[0] - exact[k].p50) <= abs(exact[k].p50) * 0.05 + 1e-6
