@@ -736,3 +736,88 @@ class TestLedgerTxUdtf:
         assert [r.tx_index for r in sorted(by_seq[3], key=lambda r: r.tx_index)] == list(range(7))
         # deterministic hashes
         assert len({r.tx_hash for r in rows}) == 13
+
+
+class TestZorderLayout:
+    def test_morton_interleave_matches_reference(self, spark):
+        from stellar_etl_spark.sources.layout import morton_interleave
+
+        def py_morton(a, b, bits=8):
+            z = 0
+            for i in range(bits):
+                z |= ((a >> i) & 1) << (2 * i + 1)
+                z |= ((b >> i) & 1) << (2 * i)
+            return z
+
+        rows = [(a, b) for a in [0, 1, 5, 170, 255] for b in [0, 3, 128, 255]]
+        df = spark.createDataFrame(rows, "a long, b long")
+        got = df.select(
+            "a", "b", morton_interleave(F.col("a"), F.col("b"), 8).alias("z")
+        ).collect()
+        for r in got:
+            assert r.z == py_morton(r.a, r.b), (r.a, r.b)
+
+    def test_zorder_prunes_both_dimensions(self, spark, tmp_path):
+        """A 2-D box probe must touch fewer files in the z-ordered layout
+        than in a layout sorted by only one of the columns."""
+        import pyarrow.parquet as pq
+        import glob as _glob
+
+        from stellar_etl_spark.sources.layout import write_zordered
+
+        n = 1 << 14
+        df = spark.range(n).select(
+            (F.col("id") % 128).alias("x"),
+            (F.col("id") / F.lit(128)).cast("long").alias("y"),
+            F.col("id").alias("payload"),
+        )
+        zpath, lpath = str(tmp_path / "z"), str(tmp_path / "linear")
+        write_zordered(df, zpath, "x", "y", bits=7, target_files=16)
+        (
+            df.repartitionByRange(16, "x")
+            .sortWithinPartitions("x")
+            .write.mode("overwrite")
+            .parquet(lpath)
+        )
+
+        def files_touched(path, xlo, xhi, ylo, yhi):
+            touched, total = 0, 0
+            for f in sorted(_glob.glob(path + "/part-*.parquet")):
+                md = pq.ParquetFile(f).metadata
+                overlaps = False
+                for rg in range(md.num_row_groups):
+                    cols = {
+                        md.row_group(rg).column(i).path_in_schema: md.row_group(
+                            rg
+                        ).column(i).statistics
+                        for i in range(md.row_group(rg).num_columns)
+                    }
+                    sx, sy = cols["x"], cols["y"]
+                    if (
+                        sx.min <= xhi
+                        and sx.max >= xlo
+                        and sy.min <= yhi
+                        and sy.max >= ylo
+                    ):
+                        overlaps = True
+                touched += overlaps
+                total += 1
+            return touched, total
+
+        FULL = (0, 127)
+        # y-range probe: the x-sorted layout cannot prune AT ALL (every
+        # file spans all y); the z-order prunes roughly half the files
+        zy, ztot = files_touched(zpath, *FULL, 16, 31)
+        ly, ltot = files_touched(lpath, *FULL, 16, 31)
+        assert ly == ltot  # linear layout: zero y pruning
+        assert zy <= ztot * 0.7, (zy, ztot)
+        # x-range probe: z-order still prunes a meaningful share
+        zx, _ = files_touched(zpath, 16, 31, *FULL)
+        assert zx <= ztot * 0.7, (zx, ztot)
+        # 2-D box: z-order never worse than the single-column sort
+        zb, _ = files_touched(zpath, 16, 31, 16, 31)
+        lb, _ = files_touched(lpath, 16, 31, 16, 31)
+        assert zb <= lb, (zb, lb)
+        # row counts identical
+        zc = spark.read.parquet(zpath).count()
+        assert zc == n
