@@ -1107,3 +1107,100 @@ class TestApproxSketches:
             assert rel < 0.15, (k, approx[k].approx_users, exact[k].users)
             # percentile_approx with accuracy 10k on ~2k rows/group: near-exact
             assert abs(approx[k].value_p50_p90_p99[0] - exact[k].p50) <= abs(exact[k].p50) * 0.05 + 1e-6
+
+
+class TestExactRatioRound6:
+    def test_boundary_denominators_match_fraction_reference(self, spark):
+        """Adversarial .5-boundary cases (2^a·5^b denominators) must round
+        half away from zero, matching exact rational arithmetic."""
+        from fractions import Fraction
+
+        from stellar_etl_spark.operators.util import exact_ratio_round6
+
+        cases = [
+            (1, 128),     # 0.0078125  -> .5 at digit 7? no: boundary at 6
+            (3, 128),
+            (1, 2_000_000),
+            (3, 2_000_000),
+            (-1, 128),
+            (-3, 128),
+            (5, 64),
+            (127, 128),
+            (1, 3),
+            (2, 3),
+            (-2, 3),
+            (0, 7),
+            (999_999, 1_000_000),
+        ]
+        df = spark.createDataFrame(cases, "p long, q long")
+        got = {
+            (r.p, r.q): r.v
+            for r in df.select(
+                "p", "q", exact_ratio_round6("p", "q").alias("v")
+            ).collect()
+        }
+
+        def ref(p, q):
+            f = Fraction(p, q) * 10**6
+            n, d = f.numerator, f.denominator
+            sign = -1 if n < 0 else 1
+            scaled = sign * ((2 * abs(n) + d) // (2 * d))
+            return scaled / 1e6
+
+        for p, q in cases:
+            assert got[(p, q)] == ref(p, q), (p, q, got[(p, q)], ref(p, q))
+
+
+class TestPackingRandomized:
+    def test_matches_python_fold(self, spark):
+        import random
+
+        from stellar_etl_spark.operators.packing import pack_next_fit
+
+        rng = random.Random(42)
+        rows = []
+        for src in ("a", "b", "c"):
+            for i in range(rng.randint(30, 80)):
+                rows.append((src, i, rng.randint(1, 700)))
+        df = spark.createDataFrame(
+            df_rows := rows, "source string, doc_id long, n_tokens long"
+        )
+        got = {
+            (r.source, r.doc_id): r.bin_id
+            for r in pack_next_fit(df, budget=512).collect()
+        }
+
+        by_src: dict[str, list] = {}
+        for src, i, t in df_rows:
+            by_src.setdefault(src, []).append((i, t))
+        for src, docs in by_src.items():
+            fill, b = 0, 0
+            for j, (i, t) in enumerate(sorted(docs)):
+                if j > 0 and fill + t > 512:
+                    b, fill = b + 1, t
+                else:
+                    fill += t
+                assert got[(src, i)] == b, (src, i)
+
+
+class TestChunkingRandomized:
+    def test_reconstruction_property(self, spark):
+        import random
+
+        from stellar_etl_spark.operators.text import chunk_documents
+
+        rng = random.Random(7)
+        rows = [
+            (i, "".join(rng.choice("abcdef ") for _ in range(rng.randint(1, 700))))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = chunk_documents(df, chunk_size=100, overlap=25)
+        chunks: dict[int, list] = {}
+        for r in out.collect():
+            chunks.setdefault(r.doc_id, []).append(r)
+        for i, text in rows:
+            cs = sorted(chunks[i], key=lambda r: r.chunk_index)
+            rebuilt = cs[0].chunk_text + "".join(c.chunk_text[25:] for c in cs[1:])
+            assert rebuilt == text, i
+            assert all(c.chunk_len <= 100 for c in cs)
