@@ -206,36 +206,37 @@ def simhash(
     """SimHash over word tokens with term-frequency votes.
 
     Each token occurrence votes ±1 per bit of its 60-bit md5-derived hash;
-    the fingerprint keeps the top ``bits`` bit positions.  Two shuffles:
-    explode+aggregate by (doc, bit), then reassemble by doc — both hash
-    aggregates with partial combine.
+    the fingerprint keeps the top ``bits`` bit positions.
+
+    Map-only: token hashes materialize once per row (one md5 per
+    occurrence), then each bit's tally is an integer filter-count over that
+    array — ZERO shuffles, vs the explode-to-(doc, bit) shape that pushes
+    16× token-grain rows through two hash aggregates.  Per-bit tally
+    ``2·|set| − n`` equals the sum of ±1 votes.
     """
     from stellar_etl_spark.operators.util import fan_out_small
 
-    words = fan_out_small(df).select(
-        F.col(id_col), F.explode(tokenize_words(F.col(text_col))).alias("word")
-    ).withColumn("h", _hex15_to_long(F.md5(F.col("word"))))
-    votes = (
-        words.select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-            F.col("h"),
-        )
-        .withColumn(
-            "vote",
-            F.when(
-                F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1)),
-        )
-        .groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("tally"))
+    base = fan_out_small(df).select(
+        F.col(id_col),
+        F.transform(
+            tokenize_words(F.col(text_col)), lambda w: _hex15_to_long(F.md5(w))
+        ).alias("_hs"),
     )
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("tally") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-            .otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    hs = F.col("_hs")
+
+    def _bit_set(mask: int):
+        # closure factory — a default-arg lambda would change the arity and
+        # make pyspark treat it as an (element, index) lambda
+        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
+
+    fingerprint = F.lit(0).cast("long")
+    for b in range(bits):  # unrolled: constant masks, no per-row bit loop
+        mask = 1 << b
+        set_count = F.size(F.filter(hs, _bit_set(mask)))
+        fingerprint = fingerprint + F.when(
+            set_count * 2 > F.size(hs), F.lit(mask).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return base.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
