@@ -123,3 +123,25 @@ def dedup_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream–static enrichment join: a streaming fact against a batch
+    dimension table.
+
+    This is the streaming twin of the batch broadcast-dim join (the engine's
+    default for region/nation/asset lookups): the static side is planned as
+    a broadcast per micro-batch — stateless, no watermark, no join state to
+    evict, which is why dimension lookups should NEVER be expressed as
+    stream-stream joins.  The static side re-resolves per batch, so a dim
+    refreshed by an external writer (e.g. the snapshot_upsert MERGE output)
+    is picked up on the next trigger when read through a file source path.
+    """
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), keys, how)

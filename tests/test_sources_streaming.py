@@ -821,3 +821,37 @@ class TestZorderLayout:
         # row counts identical
         zc = spark.read.parquet(zpath).count()
         assert zc == n
+
+
+class TestStreamStaticEnrichment:
+    def test_stream_enriched_with_batch_dim(self, spark, tmp_path):
+        from stellar_etl_spark.streaming.windowed import enrich_with_dim
+
+        src = tmp_path / "facts"
+        src.mkdir()
+        import json as _json
+
+        with open(src / "b0.json", "w") as fh:
+            for i, u in [(1, 10), (2, 20), (3, 99)]:
+                fh.write(_json.dumps({"event_id": i, "user_id": u}) + "\n")
+        stream = (
+            spark.readStream.schema("event_id long, user_id long")
+            .json(str(src))
+        )
+        dim = spark.createDataFrame(
+            [(10, "gold"), (20, "silver")], "user_id long, tier string"
+        )
+        q = (
+            enrich_with_dim(stream, dim, ["user_id"])
+            .writeStream.format("memory")
+            .queryName("enriched")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = {
+            r.event_id: r.tier
+            for r in spark.sql("select * from enriched").collect()
+        }
+        # left join: unmatched user keeps the row with null tier
+        assert got == {1: "gold", 2: "silver", 3: None}
