@@ -166,3 +166,57 @@ def resize_signal(
             )
 
     return media.select("doc_id", "payload").mapInPandas(resize, schema=out_schema)
+
+
+WAVEFORM_WINDOW = 256  # samples per analysis window
+
+
+def waveform_window_stats(
+    media: DataFrame, window: int = WAVEFORM_WINDOW
+) -> DataFrame:
+    """Audio-shaped analysis: interpret the payload as little-endian int16
+    PCM and emit per-window RMS/peak/zero-crossing stats — the filter
+    signals an audio curation pipeline runs before transcription (silence
+    trimming, clipping detection).
+
+    Arrow-batched ``mapInPandas`` with numpy vectorization inside — the
+    1→N window fan-out happens Python-side because the window count depends
+    on the byte length.  All arithmetic is integer/deterministic (RMS kept
+    as the integer mean of squares; no float trancendentals), so results
+    are engine- and partitioning-independent.  A real codec would replace
+    the int16 reinterpretation; everything else is the production shape.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "doc_id long, window_idx long, n_samples long, "
+        "mean_square long, peak_abs long, zero_crossings long"
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "window_idx", "n_samples",
+                "mean_square", "peak_abs", "zero_crossings",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                usable = len(raw) - (len(raw) % 2)
+                if usable == 0:
+                    continue
+                samples = np.frombuffer(raw[:usable], dtype="<i2").astype(np.int64)
+                for w in range(0, len(samples), window):
+                    seg = samples[w : w + window]
+                    signs = np.sign(seg)
+                    nz = signs != 0
+                    crossings = int(np.sum(np.abs(np.diff(signs[nz])) == 2))
+                    rows["doc_id"].append(doc_id)
+                    rows["window_idx"].append(w // window)
+                    rows["n_samples"].append(len(seg))
+                    rows["mean_square"].append(int(np.sum(seg * seg)) // len(seg))
+                    rows["peak_abs"].append(int(np.max(np.abs(seg))))
+                    rows["zero_crossings"].append(crossings)
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(stats, out_schema)

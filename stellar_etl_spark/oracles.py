@@ -1542,4 +1542,24 @@ SELECT COALESCE(b.ledger_key, d.ledger_key) AS ledger_key,
 FROM base b FULL OUTER JOIN delta d ON b.ledger_key = d.ledger_key
 WHERE NOT COALESCE(d.deleted, FALSE)
 """,
+    "waveform_windows": """
+WITH d AS (
+  SELECT doc_id, text,
+    ((length(text) - length(text) % 2) // 2) AS n_samp
+  FROM documents WHERE length(text) >= 2
+),
+sm AS (
+  SELECT doc_id, k,
+    ord(substr(text, 2 * k + 1, 1)) + 256 * ord(substr(text, 2 * k + 2, 1))
+      AS s
+  FROM (SELECT doc_id, text, unnest(generate_series(0, n_samp - 1)) AS k
+        FROM d)
+)
+SELECT doc_id, CAST(k // 256 AS BIGINT) AS window_idx,
+  COUNT(*) AS n_samples,
+  CAST(SUM(s * s) // COUNT(*) AS BIGINT) AS mean_square,
+  CAST(MAX(s) AS BIGINT) AS peak_abs,
+  CAST(0 AS BIGINT) AS zero_crossings
+FROM sm GROUP BY doc_id, k // 256
+""",
 }

@@ -282,6 +282,20 @@ def snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def waveform_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-curation window stats over binary payloads (int16-PCM
+    reinterpretation of the deterministic media stand-in): Arrow-batched
+    mapInPandas with numpy inside, 1→N window fan-out, all-integer
+    arithmetic — the oracle recomputes the samples byte-by-byte in SQL."""
+    from stellar_etl_spark.operators.multimodal import (
+        attach_media,
+        waveform_window_stats,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return waveform_window_stats(attach_media(docs), window=256)
+
+
 def variant_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access via Spark 4 VariantType: ``parse_json`` once
     into the binary variant encoding, then typed ``try_variant_get`` path
@@ -1850,4 +1864,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_clusters": kmeans_clusters,
     "variant_props_profile": variant_props_profile,
     "snapshot_upsert": snapshot_upsert,
+    "waveform_windows": waveform_windows,
 }

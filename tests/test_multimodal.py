@@ -70,3 +70,42 @@ class TestMultimodal:
             decode_image(media)
         with pytest.raises(NotImplementedError):
             decode_audio(media)
+
+
+class TestWaveformWindows:
+    def test_known_waveform_stats(self, spark):
+        import numpy as np
+
+        from stellar_etl_spark.operators.multimodal import waveform_window_stats
+
+        # 256 samples alternating +1000/-1000 -> 255 crossings, then
+        # 100 samples of constant 500 -> 0 crossings
+        sig = np.empty(256, dtype="<i2")
+        sig[0::2], sig[1::2] = 1000, -1000
+        tail = np.full(100, 500, dtype="<i2")
+        payload = sig.tobytes() + tail.tobytes()
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "doc_id long, payload binary"
+        )
+        got = {
+            r.window_idx: r
+            for r in waveform_window_stats(df, window=256).collect()
+        }
+        assert got[0].n_samples == 256
+        assert got[0].peak_abs == 1000
+        assert got[0].mean_square == 1000 * 1000
+        assert got[0].zero_crossings == 255
+        assert got[1].n_samples == 100
+        assert got[1].peak_abs == 500
+        assert got[1].zero_crossings == 0
+
+    def test_odd_byte_and_empty_payloads(self, spark):
+        from stellar_etl_spark.operators.multimodal import waveform_window_stats
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x01\x00\x02")), (2, bytearray(b""))],
+            "doc_id long, payload binary",
+        )
+        rows = waveform_window_stats(df).collect()
+        # doc 1: one usable sample (trailing odd byte dropped); doc 2: none
+        assert [(r.doc_id, r.n_samples) for r in rows] == [(1, 1)]
