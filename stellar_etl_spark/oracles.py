@@ -1562,4 +1562,14 @@ SELECT doc_id, CAST(k // 256 AS BIGINT) AS window_idx,
   CAST(0 AS BIGINT) AS zero_crossings
 FROM sm GROUP BY doc_id, k // 256
 """,
+    "weighted_priority_sample": """
+WITH h AS (
+  SELECT doc_id, n_chars,
+    ('0x' || substring(md5(text), 1, 15))::BIGINT + 1 AS hv
+  FROM documents
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(n_chars AS DOUBLE) / CAST(hv AS DOUBLE) AS priority
+FROM h ORDER BY priority DESC, doc_id LIMIT 200
+""",
 }

@@ -296,6 +296,25 @@ def waveform_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return waveform_window_stats(attach_media(docs), window=256)
 
 
+def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (priority sampling, Duffield-Lund-
+    Thorup): priority = weight / u with u a content-hash uniform — heavier
+    documents are proportionally likelier to make the top-k.  Chosen over
+    the A-ES u^(1/w) key because w/u needs NO transcendentals: one integer-
+    to-double division is bit-identical on both engines, so the sample is
+    reproducible across engines, partitionings, and runs.  TakeOrdered
+    top-k — per-partition partial top-k, no global sort."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long") + F.lit(1)
+    priority = F.col("n_chars").cast("double") / h.cast("double")
+    return (
+        docs.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+                    priority.alias("priority"))
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(200)
+    )
+
+
 def variant_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access via Spark 4 VariantType: ``parse_json`` once
     into the binary variant encoding, then typed ``try_variant_get`` path
@@ -1865,4 +1884,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "variant_props_profile": variant_props_profile,
     "snapshot_upsert": snapshot_upsert,
     "waveform_windows": waveform_windows,
+    "weighted_priority_sample": weighted_priority_sample,
 }
