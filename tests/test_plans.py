@@ -221,3 +221,32 @@ class TestAdaptiveExecution:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "AQEShuffleRead" in plan
         assert "coalesced" in plan
+
+
+class TestShuffleBudgets:
+    """Pin the exchange counts of plans we deliberately collapsed — a
+    regression here means a rewrite silently reintroduced a shuffle."""
+
+    def _exchanges(self, spark, sf_dir, name):
+        from stellar_etl_spark.queries import QUERIES
+
+        df = QUERIES[name](spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+    def test_funnel_is_two_exchanges(self, spark, sf_dir):
+        # one user_id window shuffle + one singleton aggregate (was 8)
+        assert self._exchanges(spark, sf_dir, "funnel_conversion") <= 2
+
+    def test_simhash_is_map_only_plus_fanout(self, spark, sf_dir):
+        # only the small-input fan-out repartition (was 3)
+        assert self._exchanges(spark, sf_dir, "simhash_fingerprint") <= 1
+
+    def test_document_chunking_no_shuffle(self, spark, sf_dir):
+        assert self._exchanges(spark, sf_dir, "document_chunking") == 0
+
+    def test_priority_sample_partial_topk(self, spark, sf_dir):
+        from stellar_etl_spark.queries import QUERIES
+
+        df = QUERIES[name_ := "weighted_priority_sample"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, name_
