@@ -347,6 +347,7 @@ def ngram_contamination(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.02,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Benchmark decontamination: for each document, the fraction of its
     distinct word n-grams that appear anywhere in the benchmark corpus.
@@ -370,9 +371,11 @@ def ngram_contamination(
     # so size(grams) inlined next to explode(grams) would recompute the whole
     # shingle pipeline once per exploded row (~n_grams× slower — measured 3×
     # wall on this query).
-    pre = df.select(F.col(id_col), grams.alias("_grams"))
+    carried = [F.col(c) for c in carry_cols]
+    pre = df.select(F.col(id_col), *carried, grams.alias("_grams"))
     docs = pre.select(
         F.col(id_col),
+        *carried,
         F.size("_grams").alias("n_grams"),
         F.explode("_grams").alias("g"),
     )
@@ -381,10 +384,14 @@ def ngram_contamination(
         .distinct()
         .withColumn("hit", F.lit(1))
     )
+    # carry_cols ride the explode as plain column references (cheap) and
+    # come back out via first() — saves the caller a second scan + join to
+    # re-attach dimensions like source
     per_doc = (
         docs.join(F.broadcast(bench), "g", "left")
         .groupBy(id_col)
         .agg(
+            *[F.first(c).alias(c) for c in carry_cols],
             F.first("n_grams").alias("n_grams"),
             F.count("hit").alias("n_contaminated"),
         )
@@ -394,6 +401,7 @@ def ngram_contamination(
     frac = F.col("n_contaminated").cast("double") / F.col("n_grams")
     return per_doc.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         "n_grams",
         "n_contaminated",
         exact_ratio_round6("n_contaminated", "n_grams").alias("contamination_frac"),

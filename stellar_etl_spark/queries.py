@@ -1777,10 +1777,11 @@ def ngram_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 97 == 0)
     rest = docs.where(F.col("doc_id") % 97 != 0)
-    per_doc = ngram_contamination(rest, bench, n=3, threshold=0.02)
-    joined = per_doc.join(docs.select("doc_id", "source"), "doc_id")
+    per_doc = ngram_contamination(
+        rest, bench, n=3, threshold=0.02, carry_cols=("source",)
+    )
     # integer sums only (order-independent); ONE division at the edge
-    return joined.groupBy("source").agg(
+    return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(F.col("contaminated"), 1).otherwise(0)).alias(
             "n_contaminated"
