@@ -1572,4 +1572,28 @@ SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
   CAST(n_chars AS DOUBLE) / CAST(hv AS DOUBLE) AS priority
 FROM h ORDER BY priority DESC, doc_id LIMIT 200
 """,
+    "sessionize_skew_safe": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+gaps AS (
+  SELECT user_id, event_id, ts_us,
+    CASE WHEN lag(ts_us) OVER w IS NULL
+           OR ts_us - lag(ts_us) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM gaps
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+  MIN(ts_us) AS session_start_us,
+  MAX(ts_us) AS session_end_us,
+  MAX(ts_us) - MIN(ts_us) AS duration_us,
+  COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_idx
+""",
 }

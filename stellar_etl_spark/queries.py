@@ -1537,6 +1537,19 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(ev)
 
 
+def sessionize_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase gap sessionization — identical result to sessionize_events
+    but no task ever holds more than one (user, day) of events, so a hot
+    user cannot serialize the stage.  Oracle: the single-pass SQL (results
+    must be equal by construction)."""
+    from stellar_etl_spark.operators.sessionize import session_stats_two_phase
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    return session_stats_two_phase(ev)
+
+
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed cleaning recipe a training corpus actually runs: quality
     gate → exact-dedup survivors (lowest id per content hash) → per-language
@@ -1886,4 +1899,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_upsert": snapshot_upsert,
     "waveform_windows": waveform_windows,
     "weighted_priority_sample": weighted_priority_sample,
+    "sessionize_skew_safe": sessionize_skew_safe,
 }

@@ -1204,3 +1204,54 @@ class TestChunkingRandomized:
             rebuilt = cs[0].chunk_text + "".join(c.chunk_text[25:] for c in cs[1:])
             assert rebuilt == text, i
             assert all(c.chunk_len <= 100 for c in cs)
+
+
+class TestTwoPhaseSessionize:
+    def test_equals_single_pass_on_random_streams(self, spark):
+        import random
+
+        from stellar_etl_spark.operators.sessionize import (
+            session_stats,
+            session_stats_two_phase,
+        )
+
+        rng = random.Random(13)
+        rows, eid = [], 0
+        for u in range(6):
+            t = 0
+            for _ in range(rng.randint(20, 120)):
+                # mix of small gaps, just-at-gap, and bucket-crossing jumps
+                t += rng.choice([1, 10**6, 1800 * 10**6, 1800 * 10**6 + 1,
+                                 86400 * 10**6 - 1, 2 * 86400 * 10**6])
+                rows.append((u, eid, t))
+                eid += 1
+        df = spark.createDataFrame(rows, "user_id long, event_id long, ts_us long")
+        key = lambda r: (r.user_id, r.session_idx)  # noqa: E731
+        one = {key(r): r for r in session_stats(df).collect()}
+        two = {key(r): r for r in session_stats_two_phase(df).collect()}
+        assert set(one) == set(two)
+        for k in one:
+            for f in ("session_start_us", "session_end_us", "duration_us", "n_events"):
+                assert one[k][f] == two[k][f], (k, f)
+
+    def test_session_spanning_three_buckets_merges(self, spark):
+        from stellar_etl_spark.operators.sessionize import session_stats_two_phase
+
+        day = 86400 * 10**6
+        # events every 20 min straddling two midnight boundaries
+        step = 20 * 60 * 10**6
+        ts = [day - 2 * step + i * step for i in range(2 * int(day / step) + 4)]
+        rows = [(1, i, t) for i, t in enumerate(ts)]
+        df = spark.createDataFrame(rows, "user_id long, event_id long, ts_us long")
+        out = session_stats_two_phase(df).collect()
+        assert len(out) == 1
+        assert out[0].n_events == len(ts)
+
+    def test_gap_must_be_under_bucket(self, spark):
+        import pytest as _pytest
+
+        from stellar_etl_spark.operators.sessionize import session_stats_two_phase
+
+        df = spark.createDataFrame([(1, 1, 1)], "user_id long, event_id long, ts_us long")
+        with _pytest.raises(ValueError):
+            session_stats_two_phase(df, gap_us=10, bucket_us=10)
