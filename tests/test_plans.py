@@ -258,3 +258,32 @@ class TestShuffleBudgets:
         df = QUERIES[name_ := "weighted_priority_sample"](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan, name_
+
+
+class TestDynamicPartitionPruning:
+    def test_dpp_subquery_prunes_fact_partitions(self, spark, sf_dir, tmp_path):
+        """Partition-column joins must plan a dynamic pruning subquery: the
+        fact scan waits for the dim filter's values and reads only matching
+        partitions — the mechanism that makes dim-filtered scans over a
+        partitioned 100 TB fact table touch only relevant partitions."""
+        from pyspark.sql import functions as F
+
+        from stellar_etl_spark.catalog import table
+
+        fact_path = str(tmp_path / "orders_part")
+        (
+            table(spark, sf_dir, "orders")
+            .write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(fact_path)
+        )
+        fact = spark.read.parquet(fact_path)
+        dim = spark.createDataFrame(
+            [("1-URGENT", 1)], "o_orderpriority string, flag int"
+        ).where(F.col("flag") == 1)
+        joined = fact.join(dim, "o_orderpriority").groupBy("o_orderpriority").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        # and the result only contains the matching partition
+        rows = joined.collect()
+        assert [r.o_orderpriority for r in rows] == ["1-URGENT"]
