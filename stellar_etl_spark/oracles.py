@@ -1596,4 +1596,14 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
   COUNT(*) AS n_events
 FROM sess GROUP BY user_id, session_idx
 """,
+    "inverted_index": """
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+)
+SELECT token, COUNT(*) AS df,
+  list_aggregate(list(doc_id ORDER BY doc_id), 'string_agg', ',') AS postings
+FROM t GROUP BY token
+HAVING COUNT(*) BETWEEN 2 AND 100
+""",
 }

@@ -1550,6 +1550,28 @@ def sessionize_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats_two_phase(ev)
 
 
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: token → sorted posting list of doc ids,
+    bounded to 2 ≤ df ≤ 100 (the high-df cap is the scale guard — stop-word
+    posting lists are unbounded; real IR systems shard or skip them).  One
+    distinct-token explode + one grouped sort-collect."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+                "postings"
+            ),
+        )
+        .where((F.col("df") >= 2) & (F.col("df") <= 100))
+    )
+
+
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed cleaning recipe a training corpus actually runs: quality
     gate → exact-dedup survivors (lowest id per content hash) → per-language
@@ -1900,4 +1922,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "waveform_windows": waveform_windows,
     "weighted_priority_sample": weighted_priority_sample,
     "sessionize_skew_safe": sessionize_skew_safe,
+    "inverted_index": inverted_index,
 }
