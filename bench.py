@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "weighted_priority_sample",
     "sessionize_skew_safe",
     "inverted_index",
+    "join_key_skew_profile",
     # near_dup_clusters is registry-only: iterative CC is inherently
     # multi-job and would dominate the single-pass headline timing.
     # ngram_jaccard_near_dup is registry-only too: exact all-pairs Jaccard is

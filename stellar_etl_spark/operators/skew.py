@@ -38,3 +38,33 @@ def salted_join(
         salted_facts.join(salted_dims, [on, "_salt"], how)
         .drop("_salt")
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Join-key skew diagnostic: the numbers that decide salting vs
+    broadcast vs plain shuffle before a big join.
+
+    One hash aggregate to per-key counts (map-side partials), then a tiny
+    ``top_k`` TakeOrdered and a singleton rollup — nothing key-grain leaves
+    the first aggregate.  Shares are exact integer ratios.
+
+    Returns one row: n_keys, n_rows, max_key_rows, top1_share, topk_share.
+    """
+    from stellar_etl_spark.operators.util import exact_ratio_round6
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_c"))
+    top = (
+        counts.orderBy(F.col("_c").desc(), F.col(key_col))
+        .limit(top_k)
+        .agg(F.sum("_c").alias("_top_sum"), F.max("_c").alias("_top1"))
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("_c").alias("n_rows")
+    )
+    return totals.crossJoin(top).select(
+        "n_keys",
+        "n_rows",
+        F.col("_top1").alias("max_key_rows"),
+        exact_ratio_round6("_top1", "n_rows").alias("top1_share"),
+        exact_ratio_round6("_top_sum", "n_rows").alias(f"top{top_k}_share"),
+    )

@@ -1606,4 +1606,19 @@ SELECT token, COUNT(*) AS df,
 FROM t GROUP BY token
 HAVING COUNT(*) BETWEEN 2 AND 100
 """,
+    "join_key_skew_profile": """
+WITH c AS (
+  SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+),
+top AS (
+  SELECT SUM(c) AS top_sum, MAX(c) AS top1
+  FROM (SELECT c FROM c ORDER BY c DESC, user_id LIMIT 10)
+),
+tot AS (SELECT COUNT(*) AS n_keys, SUM(c) AS n_rows FROM c)
+SELECT CAST(n_keys AS BIGINT) AS n_keys, CAST(n_rows AS BIGINT) AS n_rows,
+  CAST(top1 AS BIGINT) AS max_key_rows,
+  (((top1 * 2000000 + n_rows) // (2 * n_rows)) / 1000000.0) AS top1_share,
+  (((top_sum * 2000000 + n_rows) // (2 * n_rows)) / 1000000.0) AS top10_share
+FROM tot CROSS JOIN top
+""",
 }

@@ -1572,6 +1572,17 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic for the events user_id join key: key cardinality and
+    top-key concentration shares — the pre-join decision input for salting
+    vs broadcast at scale.  Key-grain data never leaves the first
+    aggregate."""
+    from stellar_etl_spark.operators.skew import key_skew_profile
+
+    ev = table(spark, sf_dir, "events")
+    return key_skew_profile(ev, "user_id", top_k=10)
+
+
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed cleaning recipe a training corpus actually runs: quality
     gate → exact-dedup survivors (lowest id per content hash) → per-language
@@ -1923,4 +1934,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_priority_sample": weighted_priority_sample,
     "sessionize_skew_safe": sessionize_skew_safe,
     "inverted_index": inverted_index,
+    "join_key_skew_profile": join_key_skew_profile,
 }
