@@ -1621,4 +1621,19 @@ SELECT CAST(n_keys AS BIGINT) AS n_keys, CAST(n_rows AS BIGINT) AS n_rows,
   (((top_sum * 2000000 + n_rows) // (2 * n_rows)) / 1000000.0) AS top10_share
 FROM tot CROSS JOIN top
 """,
+    "metrics_unpivot": """
+WITH w AS (
+  SELECT o_orderpriority,
+    CAST(COUNT(*) AS DOUBLE) AS n_orders,
+    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 3) AS DOUBLE)
+      AS total_price,
+    MAX(o_totalprice) AS max_price
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM w
+UNION ALL
+SELECT o_orderpriority, 'total_price', total_price FROM w
+UNION ALL
+SELECT o_orderpriority, 'max_price', max_price FROM w
+""",
 }

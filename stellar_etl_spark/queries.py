@@ -1583,6 +1583,26 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(ev, "user_id", top_k=10)
 
 
+def metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long metric reshaping with native UNPIVOT (the inverse of
+    event_type_pivot): per-priority aggregates melt into (metric, value)
+    rows — a zero-shuffle Expand over the tiny aggregated base."""
+    orders = table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.sum(_dec("o_totalprice", 18, 4)), 3)
+        .cast("double")
+        .alias("total_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "total_price", "max_price"],
+        "metric",
+        "value",
+    )
+
+
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed cleaning recipe a training corpus actually runs: quality
     gate → exact-dedup survivors (lowest id per content hash) → per-language
@@ -1935,4 +1955,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_skew_safe": sessionize_skew_safe,
     "inverted_index": inverted_index,
     "join_key_skew_profile": join_key_skew_profile,
+    "metrics_unpivot": metrics_unpivot,
 }
