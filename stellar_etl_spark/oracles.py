@@ -1636,4 +1636,50 @@ SELECT o_orderpriority, 'total_price', total_price FROM w
 UNION ALL
 SELECT o_orderpriority, 'max_price', max_price FROM w
 """,
+    "near_dup_editdist": """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3
+      THEN list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                          FOR i IN generate_series(1, len(words) - 2)])
+      ELSE [] END AS shingle_set
+  FROM docs
+),
+sig AS (
+  SELECT doc_id, shingle_set,
+    [list_min([
+       ((2*p + 1) * (('0x' || substring(md5(s), 1, 15))::BIGINT % 2147483647)
+        + 98765*p + 12345) % 2147483647
+       FOR s IN shingle_set])
+     FOR p IN generate_series(0, 7)] AS ms
+  FROM sh WHERE len(shingle_set) > 0
+),
+banded AS (
+  SELECT doc_id, b AS band_id,
+    md5(concat_ws('|', b, ms[2*b + 1], ms[2*b + 2])) AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) AS bands(b)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+pairs AS (
+SELECT id_a, id_b,
+  CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
+    / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE) AS jaccard
+FROM cand
+JOIN sh a ON a.doc_id = id_a
+JOIN sh b ON b.doc_id = id_b
+WHERE CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
+    / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE) >= 0.5
+)
+SELECT p.id_a, p.id_b, p.jaccard,
+  CAST(levenshtein(substring(da.text, 1, 60), substring(db.text, 1, 60))
+       AS BIGINT) AS prefix_editdist
+FROM pairs p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+""",
 }

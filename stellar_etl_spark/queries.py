@@ -1603,6 +1603,36 @@ def metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def near_dup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-stage verification of MinHash near-dup candidates with an
+    independent signal: exact Levenshtein distance over 60-char prefixes
+    (both engines implement classic unit-cost Levenshtein, so the check is
+    integer-exact).  The join back to texts touches only candidate ids —
+    the corpus is never paired."""
+    from stellar_etl_spark.operators.dedup import near_dup_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+    ta = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.substring("text", 1, 60).alias("_pa"),
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.substring("text", 1, 60).alias("_pb"),
+    )
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.levenshtein("_pa", "_pb").cast("long").alias("prefix_editdist"),
+        )
+    )
+
+
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed cleaning recipe a training corpus actually runs: quality
     gate → exact-dedup survivors (lowest id per content hash) → per-language
@@ -1956,4 +1986,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inverted_index": inverted_index,
     "join_key_skew_profile": join_key_skew_profile,
     "metrics_unpivot": metrics_unpivot,
+    "near_dup_editdist": near_dup_editdist,
 }
