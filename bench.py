@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "join_key_skew_profile",
     "metrics_unpivot",
     "near_dup_editdist",
+    "value_outliers",
     # near_dup_clusters is registry-only: iterative CC is inherently
     # multi-job and would dominate the single-pass headline timing.
     # ngram_jaccard_near_dup is registry-only too: exact all-pairs Jaccard is

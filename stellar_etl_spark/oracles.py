@@ -1682,4 +1682,22 @@ FROM pairs p
 JOIN documents da ON da.doc_id = p.id_a
 JOIN documents db ON db.doc_id = p.id_b
 """,
+    "value_outliers": """
+WITH st AS (
+  SELECT event_type, COUNT(*) AS n,
+    SUM(CAST(value AS DECIMAL(10,4))) AS s,
+    SUM(CAST(value AS DECIMAL(10,4)) * CAST(value AS DECIMAL(10,4))) AS ss
+  FROM events GROUP BY event_type
+),
+j AS (
+  SELECT e.event_id, e.event_type, e.value,
+    CAST(st.s AS DOUBLE) / st.n AS mean,
+    CAST(st.ss AS DOUBLE) / st.n
+      - (CAST(st.s AS DOUBLE) / st.n) * (CAST(st.s AS DOUBLE) / st.n) AS var
+  FROM events e JOIN st USING (event_type)
+)
+SELECT event_id, event_type, value,
+  ROUND((value - mean) / sqrt(var), 6) AS z
+FROM j WHERE var > 0 AND abs(ROUND((value - mean) / sqrt(var), 6)) > 3
+""",
 }

@@ -1633,6 +1633,30 @@ def near_dup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| > 3): mean/variance computed from
+    EXACT decimal components (sum, sum-of-squares, count — one map-side-
+    partial pass), then one identical IEEE double formula per row on both
+    engines.  Never avg()/stddev() over raw doubles — those are
+    summation-order-dependent and partitioning-unstable."""
+    ev = table(spark, sf_dir, "events")
+    v = _dec("value", 10, 4)
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(v).alias("_s"),
+        F.sum(v * v).alias("_ss"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    mean = F.col("_s").cast("double") / F.col("_n")
+    var = F.col("_ss").cast("double") / F.col("_n") - mean * mean
+    z = F.round((F.col("value") - mean) / F.sqrt(var), 6)
+    return (
+        j.where(var > 0)
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .where(F.abs(F.col("z")) > 3)
+    )
+
+
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed cleaning recipe a training corpus actually runs: quality
     gate → exact-dedup survivors (lowest id per content hash) → per-language
@@ -1987,4 +2011,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_key_skew_profile": join_key_skew_profile,
     "metrics_unpivot": metrics_unpivot,
     "near_dup_editdist": near_dup_editdist,
+    "value_outliers": value_outliers,
 }
