@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "metrics_unpivot",
     "near_dup_editdist",
     "value_outliers",
+    "decile_transition_matrix",
     # near_dup_clusters is registry-only: iterative CC is inherently
     # multi-job and would dominate the single-pass headline timing.
     # ngram_jaccard_near_dup is registry-only too: exact all-pairs Jaccard is

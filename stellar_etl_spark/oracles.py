@@ -1700,4 +1700,22 @@ SELECT event_id, event_type, value,
   ROUND((value - mean) / sqrt(var), 6) AS z
 FROM j WHERE var > 0 AND abs(ROUND((value - mean) / sqrt(var), 6)) > 3
 """,
+    "decile_transition_matrix": """
+WITH a AS (
+  SELECT o_custkey,
+    ntile(10) OVER (ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,4))),
+                    o_custkey) AS d_1996
+  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey
+),
+b AS (
+  SELECT o_custkey,
+    ntile(10) OVER (ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,4))),
+                    o_custkey) AS d_1997
+  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey
+)
+SELECT CAST(d_1996 AS BIGINT) AS d_1996, CAST(d_1997 AS BIGINT) AS d_1997,
+  COUNT(*) AS n_customers
+FROM a JOIN b USING (o_custkey)
+GROUP BY d_1996, d_1997
+""",
 }

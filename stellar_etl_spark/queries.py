@@ -1657,6 +1657,36 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decile_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-decile mobility 1996→1997: per-year exact-decimal
+    customer totals → ntile(10) with a total-order tie-break (spend, key) →
+    transition counts.  The single-partition ntile windows run on
+    pre-aggregated customer rows (bounded input, same contract as
+    order_value_deciles)."""
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+
+    def year_deciles(year: int, alias: str):
+        per_cust = (
+            orders.where(_year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(F.sum(_dec("o_totalprice", 18, 4)).alias("_spend"))
+        )
+        w = Window.orderBy(F.col("_spend"), F.col("o_custkey"))
+        return per_cust.select(
+            "o_custkey", F.ntile(10).over(w).cast("long").alias(alias)
+        )
+
+    a = year_deciles(1996, "d_1996")
+    b = year_deciles(1997, "d_1997")
+    return (
+        a.join(b, "o_custkey")
+        .groupBy("d_1996", "d_1997")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed cleaning recipe a training corpus actually runs: quality
     gate → exact-dedup survivors (lowest id per content hash) → per-language
@@ -2012,4 +2042,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metrics_unpivot": metrics_unpivot,
     "near_dup_editdist": near_dup_editdist,
     "value_outliers": value_outliers,
+    "decile_transition_matrix": decile_transition_matrix,
 }
