@@ -66,4 +66,11 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
             ).alias("rank"),
         )
+    # Materialize the final iteration so the persisted edge list / node set
+    # can be released here instead of leaking across invocations in one
+    # session (CacheManager entries are not GC-cleaned; localCheckpoint
+    # blocks are, via ContextCleaner once the result goes out of scope).
+    ranks = ranks.localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
     return ranks

@@ -252,13 +252,19 @@ def tfidf_cosine_pairs(
         F.col(id_col), F.explode(tokenize_words(F.col(text_col))).alias("t")
     )
     tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.count()
+    # N as a broadcast 1-row aggregate — keeps the whole query one lazy plan
+    # (no eager driver-side count job at construction time).
+    ndocs = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    kept = dfreq.where(F.col("df") <= max_df_ratio * n_docs).select(
-        "t",
-        F.round(F.log(F.lit(float(n_docs)) / F.col("df")) * 1000)
-        .cast("long")
-        .alias("idf"),
+    kept = (
+        dfreq.crossJoin(F.broadcast(ndocs))
+        .where(F.col("df") <= F.lit(max_df_ratio) * F.col("n_docs"))
+        .select(
+            "t",
+            F.round(F.log(F.col("n_docs") / F.col("df")) * 1000)
+            .cast("long")
+            .alias("idf"),
+        )
     )
     w = tf.join(kept, "t").select(
         F.col(id_col), F.col("t"), (F.col("tf") * F.col("idf")).alias("w")

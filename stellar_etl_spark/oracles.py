@@ -1543,6 +1543,12 @@ FROM base b FULL OUTER JOIN delta d ON b.ledger_key = d.ledger_key
 WHERE NOT COALESCE(d.deleted, FALSE)
 """,
     "waveform_windows": """
+-- Little-endian SIGNED int16 reinterpretation, mirroring the Spark
+-- operator exactly: s = u - 65536 when u >= 32768, peak = max(|s|),
+-- zero_crossings = sign flips between consecutive NONZERO samples within
+-- a window.  (Char-position == byte-position requires the corpus to be
+-- ASCII, which the synthetic documents.text is; the signed decode below
+-- no longer depends on that for value semantics.)
 WITH d AS (
   SELECT doc_id, text,
     ((length(text) - length(text) % 2) // 2) AS n_samp
@@ -1551,16 +1557,33 @@ WITH d AS (
 sm AS (
   SELECT doc_id, k,
     ord(substr(text, 2 * k + 1, 1)) + 256 * ord(substr(text, 2 * k + 2, 1))
-      AS s
+      AS u
   FROM (SELECT doc_id, text, unnest(generate_series(0, n_samp - 1)) AS k
         FROM d)
+),
+sg AS (
+  SELECT doc_id, k, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+  FROM sm
+),
+cr AS (
+  SELECT doc_id, k // 256 AS widx,
+    CASE WHEN lag(CASE WHEN s > 0 THEN 1 ELSE -1 END)
+           OVER (PARTITION BY doc_id, k // 256 ORDER BY k)
+         <> (CASE WHEN s > 0 THEN 1 ELSE -1 END) THEN 1 ELSE 0 END AS c
+  FROM sg WHERE s <> 0
+),
+cc AS (
+  SELECT doc_id, widx, CAST(SUM(c) AS BIGINT) AS nc
+  FROM cr GROUP BY doc_id, widx
 )
-SELECT doc_id, CAST(k // 256 AS BIGINT) AS window_idx,
+SELECT g.doc_id, CAST(g.k // 256 AS BIGINT) AS window_idx,
   COUNT(*) AS n_samples,
-  CAST(SUM(s * s) // COUNT(*) AS BIGINT) AS mean_square,
-  CAST(MAX(s) AS BIGINT) AS peak_abs,
-  CAST(0 AS BIGINT) AS zero_crossings
-FROM sm GROUP BY doc_id, k // 256
+  CAST(SUM(g.s * g.s) // COUNT(*) AS BIGINT) AS mean_square,
+  CAST(MAX(ABS(g.s)) AS BIGINT) AS peak_abs,
+  COALESCE(MAX(cc.nc), 0) AS zero_crossings
+FROM sg g
+LEFT JOIN cc ON g.doc_id = cc.doc_id AND g.k // 256 = cc.widx
+GROUP BY g.doc_id, g.k // 256
 """,
     "weighted_priority_sample": """
 WITH h AS (
@@ -1698,7 +1721,7 @@ j AS (
 )
 SELECT event_id, event_type, value,
   ROUND((value - mean) / sqrt(var), 6) AS z
-FROM j WHERE var > 0 AND abs(ROUND((value - mean) / sqrt(var), 6)) > 3
+FROM j WHERE var > 0 AND abs((value - mean) / sqrt(var)) > 3
 """,
     "decile_transition_matrix": """
 WITH a AS (

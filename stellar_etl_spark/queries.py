@@ -1649,11 +1649,17 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = ev.join(F.broadcast(stats), "event_type")
     mean = F.col("_s").cast("double") / F.col("_n")
     var = F.col("_ss").cast("double") / F.col("_n") - mean * mean
-    z = F.round((F.col("value") - mean) / F.sqrt(var), 6)
+    z_raw = (F.col("value") - mean) / F.sqrt(var)
+    # Row membership is decided on the UNROUNDED z (IEEE-identical in both
+    # engines); rounding is display-only.  Filtering on the rounded value
+    # would reintroduce the ...5-boundary cross-engine divergence that the
+    # exact-ratio paths elsewhere exist to avoid.
     return (
         j.where(var > 0)
-        .select("event_id", "event_type", "value", z.alias("z"))
-        .where(F.abs(F.col("z")) > 3)
+        .where(F.abs(z_raw) > 3)
+        .select(
+            "event_id", "event_type", "value", F.round(z_raw, 6).alias("z")
+        )
     )
 
 

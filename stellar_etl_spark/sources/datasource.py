@@ -230,6 +230,7 @@ class LedgerBatchFileWriter(DataSourceWriter):
         import json as _json
         import os as _os
 
+        from pyspark import TaskContext
         from pyspark.sql.datasource import WriterCommitMessage
 
         rows, lo, hi = [], None, None
@@ -246,12 +247,38 @@ class LedgerBatchFileWriter(DataSourceWriter):
             return WriterCommitMessage()
         _os.makedirs(self.path, exist_ok=True)
         name = f"{lo}-{hi}-{self.entity}.txt"
-        with open(_os.path.join(self.path, name), "w") as fh:
-            for d in rows:
-                fh.write(_json.dumps(d, sort_keys=True) + "\n")
+        # Stage under the task ATTEMPT id, then atomically rename: two
+        # concurrent attempts of the same task (speculation / retry) each
+        # write a distinct temp file and os.replace is atomic within a
+        # filesystem, so the final {lo}-{hi}-{entity}.txt is always one
+        # attempt's complete output, never an interleave.  A failed attempt
+        # leaves only a dot-prefixed .tmp that commit() sweeps.
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else _os.getpid()
+        tmp = _os.path.join(self.path, f".{name}.{attempt}.tmp")
+        try:
+            with open(tmp, "w") as fh:
+                for d in rows:
+                    fh.write(_json.dumps(d, sort_keys=True) + "\n")
+            _os.replace(tmp, _os.path.join(self.path, name))
+        finally:
+            if _os.path.exists(tmp):
+                _os.unlink(tmp)
         msg = WriterCommitMessage()
         msg.file = name  # type: ignore[attr-defined]
         return msg
+
+    def _sweep_tmp(self):
+        import os as _os
+
+        if not _os.path.isdir(self.path):
+            return
+        for f in _os.listdir(self.path):
+            if f.startswith(".") and f.endswith(".tmp"):
+                try:
+                    _os.unlink(_os.path.join(self.path, f))
+                except OSError:
+                    pass
 
     def commit(self, messages):
         import os as _os
@@ -259,6 +286,10 @@ class LedgerBatchFileWriter(DataSourceWriter):
         manifest = [m.file for m in messages if getattr(m, "file", None)]
         with open(_os.path.join(self.path, "_MANIFEST"), "w") as fh:
             fh.write("\n".join(sorted(manifest)) + "\n")
+        self._sweep_tmp()
 
     def abort(self, messages):
-        pass
+        # Only staged .tmp files can exist for failed attempts; the final
+        # names are written by atomic rename, so there is nothing partial
+        # at the final path to clean.
+        self._sweep_tmp()
