@@ -1206,19 +1206,21 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile profile of order values: ntile(10) ranking, then per-decile
-    bounds/mass.  The rank pass is a single global sort — acceptable because
-    it feeds an aggregate that collapses to 10 rows; at 100 TB the same
-    profile would come from approx quantile boundaries + a bucketed
-    aggregate, trading exactness for a sort-free plan."""
-    from pyspark.sql.window import Window
+    """Decile profile of order values: EXACT ntile(10) via the two-phase
+    distributed rank (coarse value-range histogram → broadcast cumulative
+    offsets → per-bucket row_number), then per-decile bounds/mass.  No
+    global window — every stage stays parallel at any scale, yet the
+    result is bit-identical to ``ntile(10) OVER (ORDER BY ...)``."""
+    from stellar_etl_spark.operators.ranking import distributed_ntile
 
     orders = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    ranked = orders.select(
-        _dec("o_totalprice", 18, 4).alias("p"),
-        F.ntile(10).over(w).cast("long").alias("decile"),
-    )
+    ranked = distributed_ntile(
+        orders.select("o_totalprice", "o_orderkey"),
+        "o_totalprice",
+        ["o_orderkey"],
+        10,
+        out="decile",
+    ).select(_dec("o_totalprice", 18, 4).alias("p"), "decile")
     return ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.min("p"), 3).cast("double").alias("lo"),
@@ -1665,11 +1667,11 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def decile_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer value-decile mobility 1996→1997: per-year exact-decimal
-    customer totals → ntile(10) with a total-order tie-break (spend, key) →
-    transition counts.  The single-partition ntile windows run on
-    pre-aggregated customer rows (bounded input, same contract as
-    order_value_deciles)."""
-    from pyspark.sql.window import Window
+    customer totals → EXACT ntile(10) with a total-order tie-break
+    (spend, key) via the two-phase distributed rank — no global window,
+    so the decile pass scales with customer cardinality — → transition
+    counts."""
+    from stellar_etl_spark.operators.ranking import distributed_ntile
 
     orders = table(spark, sf_dir, "orders")
 
@@ -1679,10 +1681,9 @@ def decile_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_custkey")
             .agg(F.sum(_dec("o_totalprice", 18, 4)).alias("_spend"))
         )
-        w = Window.orderBy(F.col("_spend"), F.col("o_custkey"))
-        return per_cust.select(
-            "o_custkey", F.ntile(10).over(w).cast("long").alias(alias)
-        )
+        return distributed_ntile(
+            per_cust, "_spend", ["o_custkey"], 10, out=alias
+        ).select("o_custkey", alias)
 
     a = year_deciles(1996, "d_1996")
     b = year_deciles(1997, "d_1997")

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 ZBITS = 16  # bits per dimension (2 dims -> 32-bit z-value)
 
@@ -40,15 +39,19 @@ def morton_interleave(a: Column, b: Column, bits: int = ZBITS) -> Column:
 
 def zorder_value(df: DataFrame, col_a: str, col_b: str, bits: int = ZBITS) -> DataFrame:
     """Add ``_z``: the Morton value of the two columns' equi-populated rank
-    buckets.  ntile keeps bucket occupancy flat under any value skew."""
+    buckets.  ntile keeps bucket occupancy flat under any value skew; the
+    rank pass is the two-phase distributed ntile (operators/ranking.py),
+    so the layout job itself never funnels through one task."""
+    from stellar_etl_spark.operators.ranking import distributed_ntile
+
     nb = 1 << bits
-    wa = Window.orderBy(F.col(col_a))
-    wb = Window.orderBy(F.col(col_b))
-    bucketed = df.withColumn("_ba", (F.ntile(nb).over(wa) - 1).cast("long")).withColumn(
-        "_bb", (F.ntile(nb).over(wb) - 1).cast("long")
-    )
+    bucketed = distributed_ntile(df, col_a, [], nb, out="_ba")
+    bucketed = distributed_ntile(bucketed, col_b, [], nb, out="_bb")
     return bucketed.withColumn(
-        "_z", morton_interleave(F.col("_ba"), F.col("_bb"), bits)
+        "_z",
+        morton_interleave(
+            F.col("_ba") - 1, F.col("_bb") - 1, bits
+        ),
     ).drop("_ba", "_bb")
 
 
@@ -63,12 +66,8 @@ def write_zordered(
     """Write parquet clustered on the Z-curve of (col_a, col_b):
     repartitionByRange on ``_z`` (range-partitioned shuffle) + in-partition
     sort, so every file/row-group covers a tight rectangle in both
-    dimensions.
-
-    Note: the ``ntile`` rank-bucketing here is a single-partition window —
-    fine for layout jobs up to the low billions of rows; at larger scale
-    substitute a sampled quantile cut (approxQuantile on a 1% sample) for
-    the exact ntile, which changes bucket boundaries, not the technique."""
+    dimensions.  The rank-bucketing is the distributed two-phase ntile, so
+    the whole layout job is shuffle-parallel at any input size."""
     z = zorder_value(df, col_a, col_b, bits)
     (
         z.repartitionByRange(target_files, "_z")

@@ -287,3 +287,100 @@ class TestDynamicPartitionPruning:
         # and the result only contains the matching partition
         rows = joined.collect()
         assert [r.o_orderpriority for r in rows] == ["1-URGENT"]
+
+
+class TestDistributedRanking:
+    """The two-phase ntile (operators/ranking.py) must keep both promises:
+    bit-identical to the native global-window ntile, and no stage that
+    funnels all rows to one task."""
+
+    def test_no_unpartitioned_window(self, spark, sf_dir):
+        # The only SinglePartition exchanges allowed are 1-row final
+        # aggregates (min/max/count stats); the Window itself must be
+        # partitioned (by the coarse bucket), i.e. its tree line carries
+        # THREE bracket groups with a non-empty partition spec.
+        import re
+
+        def window_specs(df):
+            tree = df._jdf.queryExecution().executedPlan().toString()
+            specs = []
+            for line in tree.splitlines():
+                m = re.search(r"\bWindow(?:GroupLimit)?\s+(\[.*)", line)
+                if not m:
+                    continue
+                groups, depth, cur = [], 0, ""
+                for ch in m.group(1):
+                    if ch == "[":
+                        depth += 1
+                        if depth == 1:
+                            cur = ""
+                            continue
+                    elif ch == "]":
+                        depth -= 1
+                        if depth == 0:
+                            groups.append(cur)
+                            continue
+                    if depth >= 1:
+                        cur += ch
+                specs.append(groups)
+            return specs
+
+        for name in ("order_value_deciles", "decile_transition_matrix"):
+            df = QUERIES[name](spark, sf_dir)
+            specs = window_specs(df)
+            assert specs, name  # the plan does use Window (per bucket)
+            for groups in specs:
+                # [functions], [partitionSpec], [orderSpec]
+                assert len(groups) >= 3 and groups[1].strip(), (name, groups)
+
+    def test_matches_native_ntile(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from stellar_etl_spark.catalog import table
+        from stellar_etl_spark.operators.ranking import distributed_ntile
+
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        for k in (3, 10, 7):
+            mine = distributed_ntile(
+                orders, "o_totalprice", ["o_orderkey"], k, out="b"
+            ).select("o_orderkey", "b")
+            w = Window.orderBy("o_totalprice", "o_orderkey")
+            native = orders.select(
+                "o_orderkey", F.ntile(k).over(w).cast("long").alias("b")
+            )
+            assert mine.exceptAll(native).isEmpty(), k
+            assert native.exceptAll(mine).isEmpty(), k
+
+    def test_row_number_matches_native(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from stellar_etl_spark.catalog import table
+        from stellar_etl_spark.operators.ranking import distributed_row_number
+
+        ev = table(spark, sf_dir, "events").select("event_id", "value")
+        mine = distributed_row_number(
+            ev, "value", ["event_id"], out="rn"
+        ).select("event_id", "rn")
+        w = Window.orderBy("value", "event_id")
+        native = ev.select(
+            "event_id", F.row_number().over(w).cast("long").alias("rn")
+        )
+        assert mine.exceptAll(native).isEmpty()
+        assert native.exceptAll(mine).isEmpty()
+
+    def test_ntile_small_n_lt_k(self, spark):
+        # N < k: each of the first N tiles gets exactly one row
+        from pyspark.sql import functions as F
+
+        from stellar_etl_spark.operators.ranking import distributed_ntile
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 1.0), (3, 3.0)], "id long, v double"
+        )
+        out = distributed_ntile(df, "v", ["id"], 10, out="b").collect()
+        got = {r.id: r.b for r in out}
+        assert got == {2: 1, 3: 2, 1: 3}
