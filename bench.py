@@ -45,6 +45,16 @@ BENCH_QUERIES = [
     "change_compaction",
     "batch_windows_5min",
     "first_sighting_dedup",
+    "tx_projection",
+    "op_details_switch",
+    "op_sponsorship_scan",
+    "trade_atoms",
+    "effects_fanout",
+    "changes_accounts",
+    "changes_trustlines",
+    "changes_offers",
+    "changes_pools",
+    "signers_weight_explode",
     "word_explode_counts",
     "token_stats",
     "text_quality_score",

@@ -1,0 +1,451 @@
+"""DuckDB oracle twins for the entity-transform queries (entity_queries.py).
+
+Each statement re-derives the stellar-shaped inputs with the SAME modular
+formulas as transforms/derive.py and re-states the transform's semantics
+in ANSI SQL: TOID bit packing, memo/bounds switches, the per-type details
+sparsity, sponsor scans, claim-atom fan-out with the last-matching-pre
+price, the result-driven effect chains in reference emission order, and
+the state-entity projections (pre-for-removed, stroops → real).
+
+Shared formula conventions (must stay in lockstep with derive.py):
+  seq = k // 1024 + 2, txi = k % 1024, closed_at = 1704067200 + seq*5,
+  protocol = 19 + seq % 4, asset cycle by (x % 3): native / USD / LONGCODE.
+"""
+
+_ASSET_TYPE = (
+    "CASE {x} % 3 WHEN 0 THEN 'native' WHEN 1 THEN 'credit_alphanum4' "
+    "ELSE 'credit_alphanum12' END"
+)
+_ASSET_CODE = "CASE {x} % 3 WHEN 1 THEN 'USD' WHEN 2 THEN 'LONGCODE' END"
+_ASSET_ISSUER = "CASE {x} % 3 WHEN 1 THEN 'ISS1' WHEN 2 THEN 'ISS2' END"
+
+ENTITY_ORACLES: dict[str, str] = {
+    # ------------------------------------------------------------------
+    "tx_projection": """
+WITH f AS (
+  SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+    o_orderkey // 1024 + 2 AS seq,
+    o_orderkey % 1024 AS txi
+  FROM orders
+), g AS (
+  SELECT *,
+    CASE WHEN k % 7 = 0 THEN NULL ELSE k % 50 END AS tb_min,
+    CASE WHEN k % 7 = 0 THEN NULL WHEN k % 5 = 0 THEN 0
+         WHEN k % 11 = 0 THEN (k % 50) - 5 ELSE (k % 50) + 100 END AS tb_max,
+    CASE WHEN k % 3 = 0 THEN k % 20 END AS lb_min,
+    CASE WHEN k % 3 = 0 THEN
+      CASE WHEN k % 6 = 0 THEN 0 ELSE k % 20 + 30 END END AS lb_max,
+    19 + (seq % 4) AS protocol,
+    (k % 3 = 0) AS is_fee_bump,
+    (k % 5 = 0) AS has_soroban,
+    500 + k % 1000 AS rfee,
+    k % 100 AS refund,
+    100 + k % 900 AS maxfee,
+    100 + k % 400 AS fee_raw
+  FROM f
+)
+SELECT
+  (seq << 32) | (txi << 12) AS id,
+  md5(CAST(k AS VARCHAR)) AS transaction_hash,
+  seq AS ledger_sequence,
+  txi AS application_order,
+  'GACC' || CAST(k % 997 AS VARCHAR) AS account,
+  CASE WHEN k % 10 = 0 THEN 'MUX' || CAST(k % 997 AS VARCHAR) END AS account_muxed,
+  o_custkey AS account_sequence,
+  maxfee AS max_fee,
+  CASE WHEN protocol < 21 AND is_fee_bump AND has_soroban
+       THEN rfee - refund ELSE fee_raw END AS fee_charged,
+  (o_orderstatus <> 'F') AS successful,
+  1 + k % 5 AS operation_count,
+  1704067200 + seq * 5 AS closed_at_unix,
+  CASE k % 4 WHEN 0 THEN 'none' WHEN 1 THEN 'text'
+    WHEN 2 THEN 'hash' ELSE 'id' END AS memo_type,
+  CASE WHEN k % 4 = 0 THEN NULL
+       ELSE 'memo-' || CAST(k % 50 AS VARCHAR) END AS memo,
+  CASE WHEN tb_min IS NOT NULL THEN
+    CASE WHEN tb_max IS NULL OR tb_max = 0
+      THEN '[' || CAST(tb_min AS VARCHAR) || ',)'
+      ELSE '[' || CAST(tb_min AS VARCHAR) || ',' || CAST(tb_max AS VARCHAR) || ')'
+    END END AS time_bounds,
+  CASE WHEN lb_min IS NOT NULL THEN
+    CASE WHEN lb_max IS NULL OR lb_max = 0
+      THEN '[' || CAST(lb_min AS VARCHAR) || ',)'
+      ELSE '[' || CAST(lb_min AS VARCHAR) || ',' || CAST(lb_max AS VARCHAR) || ')'
+    END END AS ledger_bounds,
+  CASE WHEN k % 13 = 0 THEN o_custkey END AS min_account_sequence,
+  CASE WHEN k % 17 = 0 THEN k % 1000 END AS min_sequence_age,
+  CASE WHEN k % 19 = 0 THEN k % 10 END AS min_sequence_ledger_gap,
+  is_fee_bump AS inner_transaction_present,
+  CASE WHEN is_fee_bump THEN md5('inner' || CAST(k AS VARCHAR)) END
+    AS inner_transaction_hash,
+  CASE WHEN is_fee_bump THEN 'FEE' || CAST(k % 997 AS VARCHAR) END AS fee_account,
+  CASE WHEN is_fee_bump THEN 2 * maxfee END AS new_max_fee,
+  has_soroban AS soroban,
+  CASE WHEN has_soroban THEN rfee END AS resource_fee,
+  CASE WHEN has_soroban THEN k % 10000 END AS soroban_resources_instructions,
+  CASE WHEN has_soroban THEN k % 2048 END AS soroban_resources_read_bytes,
+  CASE WHEN has_soroban THEN k % 1024 END AS soroban_resources_write_bytes
+FROM g
+WHERE NOT (tb_max IS NOT NULL AND tb_max <> 0 AND tb_max < tb_min)
+""",
+    # ------------------------------------------------------------------
+    "op_details_switch": f"""
+WITH base AS (
+  SELECT l_orderkey AS k, l_partkey AS pk, l_suppkey AS sk,
+    CAST(l_linenumber AS BIGINT) AS ln,
+    l_orderkey // 1024 + 2 AS seq, l_orderkey % 1024 AS txi,
+    CASE CAST(l_linenumber AS BIGINT) % 6
+      WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 6
+      WHEN 4 THEN 10 ELSE 11 END AS t
+  FROM lineitem
+)
+SELECT
+  (seq << 32) | (txi << 12) | (ln + 1) AS id,
+  (seq << 32) | (txi << 12) AS transaction_id,
+  md5(CAST(k AS VARCHAR)) AS transaction_hash,
+  seq AS ledger_sequence,
+  ln + 1 AS application_order,
+  CASE WHEN pk % 3 <> 0 THEN 'GOP' || CAST(sk AS VARCHAR)
+       ELSE 'GACC' || CAST(k % 997 AS VARCHAR) END AS source_account,
+  t AS type,
+  CASE t WHEN 0 THEN 'create_account' WHEN 1 THEN 'payment'
+    WHEN 3 THEN 'manage_sell_offer' WHEN 6 THEN 'change_trust'
+    WHEN 10 THEN 'manage_data' ELSE 'bump_sequence' END AS type_string,
+  (k % 10 <> 0) AS transaction_successful,
+  CASE WHEN sk % 4 = 0 THEN 'SPN' || CAST(pk AS VARCHAR) END AS sponsor,
+  CASE WHEN t = 1 THEN 'A' || CAST(pk AS VARCHAR) END AS d_from,
+  CASE WHEN t = 1 THEN 'B' || CAST(sk AS VARCHAR) END AS d_to,
+  CASE WHEN t IN (1, 3)
+       THEN CAST(pk * 100000 + 3 AS DOUBLE) / 10000000.0 END AS d_amount,
+  CASE WHEN t = 1 THEN {_ASSET_TYPE.format(x="pk")} END AS d_asset_type,
+  CASE WHEN t = 1 THEN {_ASSET_CODE.format(x="pk")} END AS d_asset_code,
+  CASE WHEN t = 1 THEN {_ASSET_ISSUER.format(x="pk")} END AS d_asset_issuer,
+  CASE WHEN t = 0
+       THEN CAST((pk % 1000) * 10000000 + 5 AS DOUBLE) / 10000000.0
+       END AS d_starting_balance,
+  CASE WHEN t = 0 THEN 'ACC' || CAST(pk AS VARCHAR) END AS d_account,
+  CASE WHEN t = 3 THEN pk END AS d_offer_id,
+  CASE WHEN t = 3 THEN {_ASSET_TYPE.format(x="pk")} END AS d_selling_asset_type,
+  CASE WHEN t = 3 THEN {_ASSET_TYPE.format(x="(pk + 1)")} END AS d_buying_asset_type,
+  CASE WHEN t = 3 THEN CAST((ln % 9) + 1 AS DOUBLE) / CAST((sk % 7) + 1 AS DOUBLE)
+       END AS d_price,
+  CASE WHEN t = 3 THEN (ln % 9) + 1 END AS d_price_n,
+  CASE WHEN t = 3 THEN (sk % 7) + 1 END AS d_price_d,
+  CASE WHEN t = 6 THEN CAST(pk * 10 AS DOUBLE) / 10000000.0 END AS d_limit,
+  CASE WHEN t = 10 THEN 'k' || CAST(sk % 5 AS VARCHAR) END AS d_data_name,
+  CASE WHEN t = 10 AND pk % 2 = 0 THEN 'djE=' END AS d_data_value,
+  CASE WHEN t = 11 THEN CAST(pk + 100 AS VARCHAR) END AS d_bump_to
+FROM base
+""",
+    # ------------------------------------------------------------------
+    "op_sponsorship_scan": """
+-- d_begin_sponsor resolves ONLY when the begin op actually exists in the
+-- same tx (the synthetic lineitem does not guarantee a linenumber-1 row
+-- per order) — mirroring the transform's array back-scan, which returns
+-- null when no begin op precedes the end.
+WITH base AS (
+  SELECT l_orderkey AS k, CAST(l_linenumber AS BIGINT) AS ln,
+    l_orderkey // 1024 + 2 AS seq, l_orderkey % 1024 AS txi,
+    MAX(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY l_orderkey) AS has_begin
+  FROM lineitem WHERE l_linenumber <= 3
+)
+SELECT
+  (seq << 32) | (txi << 12) | (ln + 1) AS id,
+  CASE WHEN ln = 1 THEN 16 ELSE 17 END AS type,
+  CASE WHEN ln = 1 THEN 'begin_sponsoring_future_reserves'
+       ELSE 'end_sponsoring_future_reserves' END AS type_string,
+  CASE WHEN ln = 1 THEN 'BEG' || CAST(k AS VARCHAR)
+       WHEN (ln = 2 AND k % 2 = 0) OR (ln = 3 AND k % 3 = 0)
+         THEN 'END' || CAST(k AS VARCHAR)
+       ELSE 'OTHER' END AS source_account,
+  CASE WHEN ln = 1 THEN 'END' || CAST(k AS VARCHAR) END AS d_sponsored_id,
+  CASE WHEN ((ln = 2 AND k % 2 = 0) OR (ln = 3 AND k % 3 = 0))
+         AND has_begin = 1
+       THEN 'BEG' || CAST(k AS VARCHAR) END AS d_begin_sponsor
+FROM base
+""",
+    # ------------------------------------------------------------------
+    "trade_atoms": """
+WITH base AS (
+  SELECT l_orderkey AS k, l_partkey AS pk, l_suppkey AS sk,
+    CAST(l_linenumber AS BIGINT) AS ln, CAST(l_quantity AS BIGINT) AS qty,
+    l_orderkey // 1024 + 2 AS seq, l_orderkey % 1024 AS txi
+  FROM lineitem WHERE l_orderkey % 10 <> 0
+),
+ids AS (
+  SELECT *, (seq << 32) | (txi << 12) | (ln + 1) AS op_id,
+    1704067200 + seq * 5 AS closed
+  FROM base
+)
+SELECT op_id AS history_operation_id, CAST(0 AS BIGINT) AS trade_order,
+  closed AS ledger_closed_at_unix,
+  'SELLER' || CAST(sk AS VARCHAR) AS selling_account_address,
+  CAST(qty * 1000000 + 1 AS DOUBLE) / 10000000.0 AS selling_amount,
+  CAST((pk % 1000 + 1) * 500000 AS DOUBLE) / 10000000.0 AS buying_amount,
+  (ln % 9) + 5 AS price_n,
+  (sk % 7) + 3 AS price_d,
+  FALSE AS selling_liquidity_pool,
+  CAST(NULL AS VARCHAR) AS liquidity_pool_id,
+  CAST(NULL AS BIGINT) AS liquidity_pool_fee,
+  pk AS selling_offer_id,
+  op_id | (CAST(1 AS BIGINT) << 62) AS buying_offer_id
+FROM ids
+UNION ALL
+SELECT op_id, CAST(1 AS BIGINT), closed,
+  CAST(NULL AS VARCHAR),
+  CAST((pk % 500 + 1) * 200000 AS DOUBLE) / 10000000.0,
+  CAST((pk % 300 + 1) * 100000 AS DOUBLE) / 10000000.0,
+  (pk % 300 + 1) * 100000,
+  (pk % 500 + 1) * 200000,
+  TRUE,
+  'POOL' || CAST(sk % 10 AS VARCHAR),
+  CAST(30 AS BIGINT),
+  CAST(NULL AS BIGINT),
+  op_id | (CAST(1 AS BIGINT) << 62)
+FROM ids WHERE ln % 2 = 1
+""",
+    # ------------------------------------------------------------------
+    "effects_fanout": """
+WITH base AS (
+  SELECT l_orderkey AS k, l_partkey AS pk, l_suppkey AS sk,
+    CAST(l_linenumber AS BIGINT) AS ln,
+    l_orderkey // 1024 + 2 AS seq, l_orderkey % 1024 AS txi,
+    CASE CAST(l_linenumber AS BIGINT) % 6
+      WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 8 WHEN 3 THEN 9
+      WHEN 4 THEN 10 ELSE 11 END AS t
+  FROM lineitem WHERE l_orderkey % 10 <> 0
+),
+ops AS (
+  SELECT *, (seq << 32) | (txi << 12) | (ln + 1) AS op_id,
+    CASE WHEN pk % 5 <> 0 THEN 'GSRC' || CAST(sk AS VARCHAR)
+         ELSE 'GACC' || CAST(k % 997 AS VARCHAR) END AS src,
+    CASE pk % 3 WHEN 0 THEN 'native' WHEN 1 THEN 'credit_alphanum4'
+      ELSE 'credit_alphanum12' END AS a_type,
+    CASE pk % 3 WHEN 1 THEN 'USD' WHEN 2 THEN 'LONGCODE' END AS a_code,
+    CAST(pk * 100000 + 3 AS DOUBLE) / 10000000.0 AS amt,
+    CAST((pk % 1000) * 10000000 + 5 AS DOUBLE) / 10000000.0 AS sb
+  FROM base
+),
+eff AS (
+  SELECT op_id, 0 AS idx, 'account_created' AS tstr, 0 AS tid,
+    'ACC' || CAST(pk AS VARCHAR) AS addr,
+    CAST(NULL AS DOUBLE) AS d_amount, CAST(NULL AS VARCHAR) AS d_asset_type,
+    CAST(NULL AS VARCHAR) AS d_asset_code, sb AS d_starting_balance,
+    CAST(NULL AS VARCHAR) AS d_name, CAST(NULL AS BIGINT) AS d_new_seq,
+    seq, t
+  FROM ops WHERE t = 0
+  UNION ALL
+  SELECT op_id, 1, 'account_debited', 3, src,
+    sb, 'native', NULL, NULL, NULL, NULL, seq, t
+  FROM ops WHERE t = 0
+  UNION ALL
+  SELECT op_id, 2, 'signer_created', 10, 'ACC' || CAST(pk AS VARCHAR),
+    NULL, NULL, NULL, NULL, NULL, NULL, seq, t
+  FROM ops WHERE t = 0
+  UNION ALL
+  SELECT op_id, 0, 'account_credited', 2, 'B' || CAST(sk AS VARCHAR),
+    amt, a_type, a_code, NULL, NULL, NULL, seq, t
+  FROM ops WHERE t = 1
+  UNION ALL
+  SELECT op_id, 1, 'account_debited', 3,
+    CASE WHEN pk % 2 = 0 THEN 'A' || CAST(pk AS VARCHAR) ELSE src END,
+    amt, a_type, a_code, NULL, NULL, NULL, seq, t
+  FROM ops WHERE t = 1
+  UNION ALL
+  SELECT op_id, 0, 'account_debited', 3, src,
+    amt, 'native', NULL, NULL, NULL, NULL, seq, t
+  FROM ops WHERE t = 8
+  UNION ALL
+  SELECT op_id, 1, 'account_credited', 2, 'B' || CAST(sk AS VARCHAR),
+    amt, 'native', NULL, NULL, NULL, NULL, seq, t
+  FROM ops WHERE t = 8
+  UNION ALL
+  SELECT op_id, 2, 'account_removed', 1, src,
+    NULL, NULL, NULL, NULL, NULL, NULL, seq, t
+  FROM ops WHERE t = 8
+  UNION ALL
+  SELECT op_id, 0, 'account_credited', 2, 'P1u' || CAST(sk AS VARCHAR),
+    CAST(pk * 100 AS DOUBLE) / 10000000.0, 'native', NULL, NULL, NULL, NULL,
+    seq, t
+  FROM ops WHERE t = 9
+  UNION ALL
+  SELECT op_id, 1, 'account_credited', 2, 'P2u' || CAST(sk AS VARCHAR),
+    CAST(pk * 50 + 1 AS DOUBLE) / 10000000.0, 'native', NULL, NULL, NULL, NULL,
+    seq, t
+  FROM ops WHERE t = 9
+  UNION ALL
+  SELECT op_id, 0,
+    CASE WHEN pk % 2 = 0 THEN 'data_created' ELSE 'data_removed' END,
+    CASE WHEN pk % 2 = 0 THEN 40 ELSE 41 END, src,
+    NULL, NULL, NULL, NULL, 'k' || CAST(sk % 5 AS VARCHAR), NULL, seq, t
+  FROM ops WHERE t = 10
+  UNION ALL
+  SELECT op_id, 0, 'sequence_bumped', 43, src,
+    NULL, NULL, NULL, NULL, NULL, pk + 100, seq, t
+  FROM ops WHERE t = 11
+)
+SELECT CAST(op_id AS VARCHAR) || '-' || CAST(idx AS VARCHAR) AS id,
+  op_id AS operation_id, CAST(idx AS BIGINT) AS "index",
+  CAST(tid AS BIGINT) AS type, tstr AS type_string, addr AS address,
+  seq AS ledger_sequence, t AS operation_type,
+  d_amount, d_asset_type, d_asset_code, d_starting_balance, d_name, d_new_seq
+FROM eff
+""",
+    # ------------------------------------------------------------------
+    "changes_accounts": """
+WITH e AS (
+  SELECT event_id AS eid, user_id AS uid,
+    event_id // 500 + 2 AS seq, event_id % 3 AS ct,
+    CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END AS b
+  FROM events WHERE event_id % 4 = 0
+)
+SELECT
+  'A' || CAST(uid AS VARCHAR) AS account_id,
+  CAST((eid % 1000000000) + b AS DOUBLE) / 10000000.0 AS balance,
+  eid AS sequence_number,
+  eid % 10 AS num_subentries,
+  eid % 4 AS num_sponsored,
+  eid % 3 AS num_sponsoring,
+  eid % 16 AS flags,
+  'd' || CAST(uid % 100 AS VARCHAR) || '.com' AS home_domain,
+  CAST(1 AS BIGINT) AS master_weight,
+  eid % 3 AS threshold_low,
+  CAST(2 AS BIGINT) AS threshold_medium,
+  CAST(3 AS BIGINT) AS threshold_high,
+  CAST(eid % 1000 AS DOUBLE) / 10000000.0 AS buying_liabilities,
+  CAST(eid % 500 AS DOUBLE) / 10000000.0 AS selling_liabilities,
+  seq AS ledger_sequence,
+  1704067200 + seq * 5 AS closed_at_unix,
+  seq AS last_modified_ledger,
+  'LK' || CAST(eid AS VARCHAR) AS ledger_entry_key,
+  CASE WHEN eid % 6 = 0 THEN 'SP' || CAST(uid AS VARCHAR) END AS sponsor,
+  (ct = 2) AS deleted
+FROM e
+""",
+    # ------------------------------------------------------------------
+    "changes_trustlines": """
+WITH e AS (
+  SELECT event_id AS eid, user_id AS uid,
+    event_id // 500 + 2 AS seq, event_id % 3 AS ct,
+    CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END AS b,
+    (event_id % 5 = 0) AS pool
+  FROM events WHERE event_id % 4 = 1
+)
+SELECT
+  'TA' || CAST(uid AS VARCHAR) AS account_id,
+  CASE WHEN pool THEN 'pool_share'
+       WHEN uid % 2 = 0 THEN 'credit_alphanum4'
+       ELSE 'credit_alphanum12' END AS asset_type,
+  CASE WHEN NOT pool THEN
+    CASE WHEN uid % 2 = 0 THEN 'USD' ELSE 'LONGCODE' END END AS asset_code,
+  CASE WHEN NOT pool THEN
+    CASE WHEN uid % 2 = 0 THEN 'ISS1' ELSE 'ISS2' END END AS asset_issuer,
+  CASE WHEN pool THEN 'TLP' || CAST(uid % 10 AS VARCHAR) END AS liquidity_pool_id,
+  CAST((eid % 1000000000) + b AS DOUBLE) / 10000000.0 AS balance,
+  CAST((eid % 100000000) + 100 AS DOUBLE) / 10000000.0 AS trust_line_limit,
+  eid % 16 AS flags,
+  CAST(eid % 1000 AS DOUBLE) / 10000000.0 AS buying_liabilities,
+  CAST(eid % 500 AS DOUBLE) / 10000000.0 AS selling_liabilities,
+  seq AS ledger_sequence,
+  1704067200 + seq * 5 AS closed_at_unix,
+  seq AS last_modified_ledger,
+  'LK' || CAST(eid AS VARCHAR) AS ledger_entry_key,
+  CASE WHEN eid % 6 = 0 THEN 'SP' || CAST(uid AS VARCHAR) END AS sponsor,
+  (ct = 2) AS deleted
+FROM e
+""",
+    # ------------------------------------------------------------------
+    "changes_offers": """
+WITH e AS (
+  SELECT event_id AS eid, user_id AS uid,
+    event_id // 500 + 2 AS seq, event_id % 3 AS ct,
+    CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END AS b
+  FROM events WHERE event_id % 4 = 2
+)
+SELECT
+  'SEL' || CAST(uid AS VARCHAR) AS seller_id,
+  eid AS offer_id,
+  CASE uid % 3 WHEN 0 THEN 'native' WHEN 1 THEN 'credit_alphanum4'
+    ELSE 'credit_alphanum12' END AS selling_asset_type,
+  CASE (uid + 1) % 3 WHEN 0 THEN 'native' WHEN 1 THEN 'credit_alphanum4'
+    ELSE 'credit_alphanum12' END AS buying_asset_type,
+  CAST((eid % 10000000) + b AS DOUBLE) / 10000000.0 AS amount,
+  eid % 9 + 1 AS price_n,
+  eid % 7 + 1 AS price_d,
+  CAST(eid % 9 + 1 AS DOUBLE) / CAST(eid % 7 + 1 AS DOUBLE) AS price,
+  eid % 16 AS flags,
+  seq AS ledger_sequence,
+  1704067200 + seq * 5 AS closed_at_unix,
+  seq AS last_modified_ledger,
+  'LK' || CAST(eid AS VARCHAR) AS ledger_entry_key,
+  CASE WHEN eid % 6 = 0 THEN 'SP' || CAST(uid AS VARCHAR) END AS sponsor,
+  (ct = 2) AS deleted
+FROM e
+""",
+    # ------------------------------------------------------------------
+    "changes_pools": """
+WITH e AS (
+  SELECT event_id AS eid, user_id AS uid,
+    event_id // 500 + 2 AS seq, event_id % 3 AS ct,
+    CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END AS b
+  FROM events WHERE event_id % 4 = 3
+)
+SELECT
+  'LP' || CAST(uid % 20 AS VARCHAR) AS liquidity_pool_id,
+  'constant_product' AS type,
+  CAST(30 AS BIGINT) AS fee,
+  eid % 5 + 1 AS trustline_count,
+  CAST(eid % 1000000 AS DOUBLE) / 10000000.0 AS pool_share_count,
+  CASE WHEN uid % 2 = 0 THEN 'credit_alphanum4'
+       ELSE 'credit_alphanum12' END AS asset_a_type,
+  CAST((eid % 10000000) + b AS DOUBLE) / 10000000.0 AS asset_a_amount,
+  'native' AS asset_b_type,
+  CAST(eid % 1000000 AS DOUBLE) / 10000000.0 AS asset_b_amount,
+  seq AS ledger_sequence,
+  1704067200 + seq * 5 AS closed_at_unix,
+  seq AS last_modified_ledger,
+  'LK' || CAST(eid AS VARCHAR) AS ledger_entry_key,
+  CASE WHEN eid % 6 = 0 THEN 'SP' || CAST(uid AS VARCHAR) END AS sponsor,
+  (ct = 2) AS deleted
+FROM e
+""",
+    # ------------------------------------------------------------------
+    "signers_weight_explode": """
+WITH e AS (
+  SELECT event_id AS eid, user_id AS uid,
+    event_id // 500 + 2 AS seq, event_id % 3 AS ct
+  FROM events WHERE event_id % 4 = 0
+),
+s AS (
+  SELECT eid, uid, seq, ct,
+    'K' || CAST(uid % 50 AS VARCHAR) AS skey,
+    CAST(eid % 7 AS BIGINT) AS weight, CAST(NULL AS VARCHAR) AS ssponsor
+  FROM e
+  UNION ALL
+  SELECT eid, uid, seq, ct,
+    'K' || CAST((uid + 1) % 50 AS VARCHAR),
+    CAST(eid % 5 AS BIGINT), 'SS' || CAST(uid AS VARCHAR)
+  FROM e
+  UNION ALL
+  SELECT eid, uid, seq, ct,
+    'K' || CAST((uid + 2) % 50 AS VARCHAR),
+    CAST(3 AS BIGINT), CAST(NULL AS VARCHAR)
+  FROM e
+),
+r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY eid ORDER BY weight, skey) - 1 AS ord
+  FROM s
+)
+SELECT 'A' || CAST(uid AS VARCHAR) AS account_id,
+  skey AS signer, weight,
+  ssponsor AS signer_sponsor,
+  CAST(ord AS BIGINT) AS signer_order,
+  seq AS ledger_sequence,
+  'LK' || CAST(eid AS VARCHAR) AS ledger_entry_key,
+  CASE WHEN eid % 6 = 0 THEN 'SP' || CAST(uid AS VARCHAR) END AS sponsor,
+  (ct = 2) AS deleted
+FROM r
+""",
+}

@@ -1,0 +1,339 @@
+"""Oracle-gated queries over the REAL entity transforms.
+
+Each query derives deterministic stellar-shaped inputs from the driver
+tables (transforms/derive.py), runs the production transform functions
+(transforms/{transaction,operation,trade,effects,changes}.py — the same
+code a real export pipeline calls), and projects SQL-comparable columns so
+the driver's DuckDB oracle can grade the transform semantics end to end:
+TOID packing, memo/bounds handling, the details switch, sponsor scans,
+claim-atom fan-out with the reverse price scan, result-driven effect
+chains, and the state-entity family.
+
+Column selection rules: no FarmHash asset ids (not SQL-derivable), no raw
+timestamps (cast to epoch seconds), JSON details probed via typed
+``get_json_object`` extracts rather than whole-blob string compares.
+
+Scale: every query here inherits the underlying transform's plan shape —
+narrow per-row projections, broadcast ledger-header joins, struct-internal
+array scans instead of joins — so the oracle gate doubles as a regression
+pin on those plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stellar_etl_spark.catalog import table
+from stellar_etl_spark.transforms.derive import (
+    derived_changes,
+    derived_ledgers,
+    derived_operations_details,
+    derived_operations_effects,
+    derived_operations_sponsorship,
+    derived_operations_trades,
+    derived_transactions,
+)
+
+
+def _jget(path: str, typ: str | None = None) -> F.Column:
+    c = F.get_json_object(F.col("details_json"), f"$.{path}")
+    return c.cast(typ) if typ else c
+
+
+def tx_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform_transaction over derived txs/ledgers (transaction.go:20-275):
+    TOID ids, memo switch, ``[a,b)`` bounds (invalid max<min rows dropped,
+    max==0 unbounded), fee-bump/soroban field nulling, and the pre-21
+    fee-bump+soroban fee recompute."""
+    from stellar_etl_spark.transforms.transaction import transform_transaction
+
+    orders = table(spark, sf_dir, "orders")
+    out = transform_transaction(derived_transactions(orders), derived_ledgers(orders))
+    return out.select(
+        "id",
+        "transaction_hash",
+        "ledger_sequence",
+        F.col("application_order").cast("long").alias("application_order"),
+        "account",
+        "account_muxed",
+        "account_sequence",
+        "max_fee",
+        "fee_charged",
+        "successful",
+        F.col("operation_count").cast("long").alias("operation_count"),
+        F.col("closed_at").cast("long").alias("closed_at_unix"),
+        "memo_type",
+        "memo",
+        "time_bounds",
+        "ledger_bounds",
+        "min_account_sequence",
+        "min_sequence_age",
+        "min_sequence_ledger_gap",
+        "inner_transaction_present",
+        "inner_transaction_hash",
+        "fee_account",
+        "new_max_fee",
+        "soroban",
+        "resource_fee",
+        "soroban_resources_instructions",
+        "soroban_resources_read_bytes",
+        "soroban_resources_write_bytes",
+    )
+
+
+def op_details_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform_operation over six detail families (operation.go:584-1173):
+    per-type sparse details, tx-source fallback (operation.go:287-294), and
+    the change-array sponsor scan (operation.go:296-358)."""
+    from stellar_etl_spark.transforms.operation import transform_operation
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    out = transform_operation(
+        derived_operations_details(li), derived_transactions(orders)
+    )
+    d = F.col("details")
+    return out.select(
+        "id",
+        "transaction_id",
+        "transaction_hash",
+        "ledger_sequence",
+        F.col("application_order").cast("long").alias("application_order"),
+        "source_account",
+        F.col("type").cast("long").alias("type"),
+        "type_string",
+        "transaction_successful",
+        "sponsor",
+        d["from"].alias("d_from"),
+        d["to"].alias("d_to"),
+        d["amount"].alias("d_amount"),
+        d["asset_asset_type"].alias("d_asset_type"),
+        d["asset_asset_code"].alias("d_asset_code"),
+        d["asset_asset_issuer"].alias("d_asset_issuer"),
+        d["starting_balance"].alias("d_starting_balance"),
+        d["account"].alias("d_account"),
+        d["offer_id"].alias("d_offer_id"),
+        d["selling_asset_type"].alias("d_selling_asset_type"),
+        d["buying_asset_type"].alias("d_buying_asset_type"),
+        d["price"].alias("d_price"),
+        d["price_r"]["n"].cast("long").alias("d_price_n"),
+        d["price_r"]["d"].cast("long").alias("d_price_d"),
+        d["limit"].alias("d_limit"),
+        d["data_name"].alias("d_data_name"),
+        d["data_value"].alias("d_data_value"),
+        d["bump_to"].alias("d_bump_to"),
+    )
+
+
+def op_sponsorship_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform_operation over begin/end sponsoring pairs: the in-tx
+    back-scan that resolves an end op's begin sponsor
+    (findInitatingBeginSponsoringOp, operation.go:533-553)."""
+    from stellar_etl_spark.transforms.operation import transform_operation
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    out = transform_operation(
+        derived_operations_sponsorship(li), derived_transactions(orders)
+    )
+    d = F.col("details")
+    return out.select(
+        "id",
+        F.col("type").cast("long").alias("type"),
+        "type_string",
+        "source_account",
+        d["sponsored_id"].alias("d_sponsored_id"),
+        d["begin_sponsor"].alias("d_begin_sponsor"),
+    )
+
+
+def trade_atoms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform_trade over derived claim atoms (trade.go:21-162): 1→N
+    fan-out, 0/0-atom skip, last-matching-pre price scan, LP pool fee,
+    synthetic TOID-typed buying offer id."""
+    from stellar_etl_spark.transforms.trade import transform_trade
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    out = transform_trade(derived_operations_trades(li), derived_ledgers(orders))
+    return out.select(
+        "history_operation_id",
+        F.col("order").cast("long").alias("trade_order"),
+        F.col("ledger_closed_at").cast("long").alias("ledger_closed_at_unix"),
+        "selling_account_address",
+        "selling_amount",
+        "buying_amount",
+        "price_n",
+        "price_d",
+        "selling_liquidity_pool",
+        "liquidity_pool_id",
+        F.col("liquidity_pool_fee").cast("long").alias("liquidity_pool_fee"),
+        "selling_offer_id",
+        "buying_offer_id",
+    )
+
+
+def effects_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform_effects over the result-driven families
+    (effects.go:401-832): create_account's 3-effect chain, payment
+    credited/debited, account_merge's 3-effect chain, per-payout inflation
+    fan-out, manage_data create-vs-remove, sequence_bumped — plus the
+    only-successful-txs gate (effects.go:55-57) and "{op_id}-{idx}" ids."""
+    from stellar_etl_spark.transforms.effects import transform_effects
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    out = transform_effects(
+        derived_operations_effects(li), derived_transactions(orders)
+    )
+    return out.select(
+        "id",
+        "operation_id",
+        F.col("index").cast("long").alias("index"),
+        F.col("type").cast("long").alias("type"),
+        "type_string",
+        "address",
+        "ledger_sequence",
+        F.col("operation_type").cast("long").alias("operation_type"),
+        _jget("amount", "double").alias("d_amount"),
+        _jget("asset_type").alias("d_asset_type"),
+        _jget("asset_code").alias("d_asset_code"),
+        _jget("starting_balance", "double").alias("d_starting_balance"),
+        _jget("name").alias("d_name"),
+        _jget("new_seq", "long").alias("d_new_seq"),
+    )
+
+
+def _changes_common(out: DataFrame) -> list[F.Column]:
+    return [
+        F.col("ledger_sequence"),
+        F.col("closed_at").cast("long").alias("closed_at_unix"),
+        F.col("last_modified_ledger"),
+        F.col("ledger_entry_key"),
+        F.col("sponsor"),
+        F.col("deleted"),
+    ]
+
+
+def changes_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """route_changes → transform_account (account.go:13-112): pre-for-
+    removed entry extraction, threshold unpacking, liability conversion."""
+    from stellar_etl_spark.transforms.changes import route_changes
+
+    ev = table(spark, sf_dir, "events")
+    out = route_changes(derived_changes(ev))["accounts"]
+    return out.select(
+        "account_id",
+        "balance",
+        "sequence_number",
+        F.col("num_subentries").cast("long").alias("num_subentries"),
+        F.col("num_sponsored").cast("long").alias("num_sponsored"),
+        F.col("num_sponsoring").cast("long").alias("num_sponsoring"),
+        F.col("flags").cast("long").alias("flags"),
+        "home_domain",
+        F.col("master_weight").cast("long").alias("master_weight"),
+        F.col("threshold_low").cast("long").alias("threshold_low"),
+        F.col("threshold_medium").cast("long").alias("threshold_medium"),
+        F.col("threshold_high").cast("long").alias("threshold_high"),
+        "buying_liabilities",
+        "selling_liabilities",
+        *_changes_common(out),
+    )
+
+
+def changes_trustlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """route_changes → transform_trustline (trustline.go:18-91) incl. the
+    pool-share branch (pool_id set → asset columns nulled)."""
+    from stellar_etl_spark.transforms.changes import route_changes
+
+    ev = table(spark, sf_dir, "events")
+    out = route_changes(derived_changes(ev))["trustlines"]
+    return out.select(
+        "account_id",
+        "asset_type",
+        "asset_code",
+        "asset_issuer",
+        "liquidity_pool_id",
+        "balance",
+        "trust_line_limit",
+        F.col("flags").cast("long").alias("flags"),
+        "buying_liabilities",
+        "selling_liabilities",
+        *_changes_common(out),
+    )
+
+
+def changes_offers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """route_changes → transform_offer (offer.go:13-103): float AND
+    rational price."""
+    from stellar_etl_spark.transforms.changes import route_changes
+
+    ev = table(spark, sf_dir, "events")
+    out = route_changes(derived_changes(ev))["offers"]
+    return out.select(
+        "seller_id",
+        "offer_id",
+        "selling_asset_type",
+        "buying_asset_type",
+        "amount",
+        F.col("price_n").cast("long").alias("price_n"),
+        F.col("price_d").cast("long").alias("price_d"),
+        "price",
+        F.col("flags").cast("long").alias("flags"),
+        *_changes_common(out),
+    )
+
+
+def changes_pools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """route_changes → transform_pool (liquidity_pool.go:13-90)."""
+    from stellar_etl_spark.transforms.changes import route_changes
+
+    ev = table(spark, sf_dir, "events")
+    out = route_changes(derived_changes(ev))["liquidity_pools"]
+    return out.select(
+        "liquidity_pool_id",
+        "type",
+        F.col("fee").cast("long").alias("fee"),
+        "trustline_count",
+        "pool_share_count",
+        "asset_a_type",
+        "asset_a_amount",
+        "asset_b_type",
+        "asset_b_amount",
+        *_changes_common(out),
+    )
+
+
+def signers_weight_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """route_changes → transform_signers (account_signer.go:14-55): the
+    weight-then-key sorted explode with per-signer sponsors."""
+    from stellar_etl_spark.transforms.changes import route_changes
+
+    ev = table(spark, sf_dir, "events")
+    out = route_changes(derived_changes(ev))["account_signers"]
+    return out.select(
+        "account_id",
+        "signer",
+        F.col("weight").cast("long").alias("weight"),
+        "signer_sponsor",
+        F.col("signer_order").cast("long").alias("signer_order"),
+        "ledger_sequence",
+        "ledger_entry_key",
+        "sponsor",
+        "deleted",
+    )
+
+
+ENTITY_QUERIES = {
+    "tx_projection": tx_projection,
+    "op_details_switch": op_details_switch,
+    "op_sponsorship_scan": op_sponsorship_scan,
+    "trade_atoms": trade_atoms,
+    "effects_fanout": effects_fanout,
+    "changes_accounts": changes_accounts,
+    "changes_trustlines": changes_trustlines,
+    "changes_offers": changes_offers,
+    "changes_pools": changes_pools,
+    "signers_weight_explode": signers_weight_explode,
+}

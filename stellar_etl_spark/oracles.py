@@ -1742,3 +1742,10 @@ FROM a JOIN b USING (o_custkey)
 GROUP BY d_1996, d_1997
 """,
 }
+
+# Entity-transform oracle twins (entity_oracles.py) — same dict, kept in a
+# sibling module so the derivation-formula lockstep with transforms/derive.py
+# is reviewable side by side.
+from stellar_etl_spark.entity_oracles import ENTITY_ORACLES  # noqa: E402
+
+ORACLES.update(ENTITY_ORACLES)

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stellar_etl_spark.catalog import ns, table
+from stellar_etl_spark.entity_queries import ENTITY_QUERIES
 from stellar_etl_spark.functions.toid import (
     decode_offer_id_type,
     encode_offer_id,
@@ -1977,6 +1978,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "change_compaction": change_compaction,
     "batch_windows_5min": batch_windows_5min,
     "first_sighting_dedup": first_sighting_dedup,
+    # entity transforms over derived stellar-shaped inputs (entity_queries.py)
+    **ENTITY_QUERIES,
     "time_to_sequence_range": time_to_sequence_range,
     "word_explode_counts": word_explode_counts,
     "token_stats": token_stats_q,

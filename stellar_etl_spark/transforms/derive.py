@@ -1,0 +1,675 @@
+"""Deterministic stellar-shaped inputs derived from the driver tables.
+
+The entity transforms (transforms/{transaction,operation,trade,effects,
+changes}.py) consume stellar-shaped rows — tx envelopes, op bodies, claim
+atoms, ledger-entry changes.  The driver's correctness gate, however, runs
+over the synthetic TPC-H-ish parquet tables.  This module bridges the two:
+every function below derives a transform input DataFrame from a driver
+table with PURE, SQL-expressible column formulas (modular arithmetic,
+concat, md5 — nothing engine-specific), so a DuckDB oracle can re-derive
+the same rows and re-state the transform's semantics in ANSI SQL.  That is
+what lets the oracle grade the REAL transform code paths (the same
+functions production pipelines call), not simplified analogues.
+
+Conventions:
+- ``o_orderkey``/``l_orderkey`` → (ledger_sequence, tx_index) injectively:
+  ``seq = k div 1024 + 2``, ``tx_index = k mod 1024`` (tx_index < 2^20, so
+  TOID packing is collision-free).
+- closed_at = 2024-01-01T00:00:00Z + 5 s per sequence.
+- protocol_version = 19 + seq mod 4 (so both pre- and post-21 branches of
+  the fee-bump/soroban fix are exercised).
+
+Reference parity targets are cited per derived field family:
+transaction.go:20-275, operation.go:30-101/584-1173, trade.go:21-162,
+effects.go:401-832, account.go/trustline.go/offer.go/liquidity_pool.go.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EPOCH = 1704067200  # 2024-01-01T00:00:00Z
+
+_ASSET_T = "struct<asset_type:string,asset_code:string,asset_issuer:string>"
+
+
+def sparse_struct(fields: Sequence[tuple[str, str]], given: dict) -> Column:
+    """Fully-typed struct with every field present; unset fields are typed
+    nulls.  Keeps derived structs schema-identical to the transform DDLs
+    without spelling out 40+ nulls at each call site."""
+    cols = []
+    for name, typ in fields:
+        c = given.get(name)
+        col = (
+            (c if isinstance(c, Column) else F.lit(c)) if c is not None else F.lit(None)
+        )
+        cols.append(col.cast(typ).alias(name))
+    return F.struct(*cols)
+
+
+def asset_struct(kind: Column) -> Column:
+    """3-way deterministic asset cycle keyed by ``kind`` (any long col):
+    0 → native, 1 → alphanum4 USD, 2 → alphanum12 LONGCODE."""
+    k = kind % 3
+    return F.struct(
+        F.when(k == 0, F.lit("native"))
+        .when(k == 1, F.lit("credit_alphanum4"))
+        .otherwise(F.lit("credit_alphanum12"))
+        .alias("asset_type"),
+        F.when(k == 1, F.lit("USD"))
+        .when(k == 2, F.lit("LONGCODE"))
+        .alias("asset_code"),
+        F.when(k == 1, F.lit("ISS1")).when(k == 2, F.lit("ISS2")).alias("asset_issuer"),
+    ).cast(_ASSET_T)
+
+
+def seq_of(key: Column) -> Column:
+    return (key / 1024).cast("long") + 2
+
+
+def tx_index_of(key: Column) -> Column:
+    return (key % 1024).cast("int")
+
+
+def derived_ledgers(orders: DataFrame) -> DataFrame:
+    """Ledger headers (the 3 columns the transforms read) for every ledger
+    sequence the derived transactions inhabit."""
+    seq = seq_of(F.col("o_orderkey"))
+    return (
+        orders.select(seq.alias("sequence"))
+        .distinct()
+        .select(
+            "sequence",
+            F.timestamp_seconds(F.lit(EPOCH) + F.col("sequence") * 5).alias(
+                "closed_at"
+            ),
+            (F.lit(19) + F.col("sequence") % 4).alias("protocol_version"),
+        )
+    )
+
+
+def derived_transactions(orders: DataFrame) -> DataFrame:
+    """One stellar transaction row per order (transaction.go:20-275 input
+    surface).  Every branch of transform_transaction is populated:
+    memo switch, time/ledger bounds (incl. invalid max<min rows that the
+    transform must drop and max==0 unbounded rows), fee-bump and soroban
+    field families (set unconditionally — the transform must null them
+    when the flag is off), and the pre-21 fee recompute inputs."""
+    k = F.col("o_orderkey")
+    tb_min = F.when(k % 7 == 0, F.lit(None).cast("long")).otherwise(k % 50)
+    tb_max = (
+        F.when(k % 7 == 0, F.lit(None).cast("long"))
+        .when(k % 5 == 0, F.lit(0))
+        .when(k % 11 == 0, (k % 50) - 5)
+        .otherwise((k % 50) + 100)
+    )
+    lb_min = F.when(k % 3 == 0, k % 20)
+    lb_max = F.when(k % 3 == 0, F.when(k % 6 == 0, F.lit(0)).otherwise(k % 20 + 30))
+    return orders.select(
+        seq_of(k).alias("ledger_sequence"),
+        tx_index_of(k).alias("tx_index"),
+        F.md5(k.cast("string").cast("binary")).alias("transaction_hash"),
+        F.concat(F.lit("GACC"), (k % 997).cast("string")).alias("source_account"),
+        F.when(k % 10 == 0, F.concat(F.lit("MUX"), (k % 997).cast("string"))).alias(
+            "source_muxed"
+        ),
+        F.col("o_custkey").alias("account_sequence"),
+        (F.lit(100) + k % 900).alias("max_fee"),
+        (F.lit(100) + k % 400).alias("fee_charged"),
+        (F.col("o_orderstatus") != "F").alias("successful"),
+        (F.lit(1) + k % 5).cast("int").alias("operation_count"),
+        F.when(k % 4 == 0, F.lit("none"))
+        .when(k % 4 == 1, F.lit("text"))
+        .when(k % 4 == 2, F.lit("hash"))
+        .otherwise(F.lit("id"))
+        .alias("memo_type"),
+        F.concat(F.lit("memo-"), (k % 50).cast("string")).alias("memo"),
+        tb_min.cast("long").alias("time_bounds_min"),
+        tb_max.cast("long").alias("time_bounds_max"),
+        lb_min.cast("long").alias("ledger_bounds_min"),
+        lb_max.cast("long").alias("ledger_bounds_max"),
+        F.when(k % 13 == 0, F.col("o_custkey")).alias("min_account_sequence"),
+        F.when(k % 17 == 0, k % 1000).alias("min_sequence_age"),
+        F.when(k % 19 == 0, k % 10).alias("min_sequence_ledger_gap"),
+        F.array().cast("array<string>").alias("extra_signers"),
+        (k % 3 == 0).alias("is_fee_bump"),
+        F.concat(F.lit("FEE"), (k % 997).cast("string")).alias("fee_account"),
+        F.md5(F.concat(F.lit("inner"), k.cast("string")).cast("binary")).alias(
+            "inner_transaction_hash"
+        ),
+        (F.lit(2) * (F.lit(100) + k % 900)).alias("new_max_fee"),
+        (k % 5 == 0).alias("has_soroban"),
+        (F.lit(500) + k % 1000).alias("resource_fee"),
+        (k % 10000).alias("soroban_resources_instructions"),
+        (k % 2048).alias("soroban_resources_read_bytes"),
+        (k % 1024).alias("soroban_resources_write_bytes"),
+        (k % 100).alias("fee_refund"),
+        F.lit("TransactionResultCodeTxSuccess").alias("result_code"),
+        F.lit("ZW52").alias("tx_envelope"),
+        F.lit("cmVz").alias("tx_result"),
+        F.lit("bWV0YQ==").alias("tx_meta"),
+        F.lit("ZmVl").alias("tx_fee_meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# operations
+# ---------------------------------------------------------------------------
+
+_BODY_FIELDS: list[tuple[str, str]] = [
+    ("from", "string"),
+    ("to", "string"),
+    ("asset", _ASSET_T),
+    ("amount", "long"),
+    ("starting_balance", "long"),
+    ("account", "string"),
+    ("offer_id", "long"),
+    ("selling", _ASSET_T),
+    ("buying", _ASSET_T),
+    ("price_n", "int"),
+    ("price_d", "int"),
+    ("send_asset", _ASSET_T),
+    ("send_max", "long"),
+    ("dest_asset", _ASSET_T),
+    ("dest_amount", "long"),
+    ("path", f"array<{_ASSET_T}>"),
+    ("line", _ASSET_T),
+    ("limit", "long"),
+    ("trustor", "string"),
+    ("authorize", "boolean"),
+    ("set_flags", "array<int>"),
+    ("clear_flags", "array<int>"),
+    ("master_weight", "int"),
+    ("low_threshold", "int"),
+    ("med_threshold", "int"),
+    ("high_threshold", "int"),
+    ("home_domain", "string"),
+    ("signer_key", "string"),
+    ("signer_weight", "int"),
+    ("data_name", "string"),
+    ("data_value", "string"),
+    ("bump_to", "long"),
+    ("balance_id", "string"),
+    ("claimants", "array<struct<destination:string,predicate:string>>"),
+    ("sponsored_id", "string"),
+    ("pool_id", "string"),
+    ("max_amount_a", "long"),
+    ("max_amount_b", "long"),
+    ("min_amount_a", "long"),
+    ("min_amount_b", "long"),
+    ("shares", "long"),
+    ("min_price_n", "int"),
+    ("min_price_d", "int"),
+    ("max_price_n", "int"),
+    ("max_price_d", "int"),
+    ("fn_type", "string"),
+    ("contract_id", "string"),
+    ("args", "array<string>"),
+    ("extend_to", "long"),
+    ("inflation_dest", "string"),
+    ("payouts", "array<struct<destination:string,amount:long>>"),
+    ("dest_min", "long"),
+    ("source_amount", "long"),
+    (
+        "revoke",
+        f"""struct<entry_type:string,account_id:string,claimable_balance_id:string,
+        data_account_id:string,data_name:string,offer_id:long,
+        trustline_account_id:string,trustline_asset:{_ASSET_T},
+        trustline_pool_id:string,pool_id:string,
+        signer_account_id:string,signer_key:string>""",
+    ),
+]
+
+_OP_CHANGE_ENTRY_FIELDS: list[tuple[str, str]] = [
+    ("offer_id", "long"),
+    ("price_n", "int"),
+    ("price_d", "int"),
+    ("pool_fee", "int"),
+    ("sponsor", "string"),
+    ("account_id", "string"),
+    ("asset", _ASSET_T),
+    ("amount", "long"),
+    ("data_name", "string"),
+    ("balance_id", "string"),
+    ("pool_id", "string"),
+    ("asset_a", _ASSET_T),
+    ("asset_b", _ASSET_T),
+    ("reserve_a", "long"),
+    ("reserve_b", "long"),
+    ("total_shares", "long"),
+    ("trustline_count", "long"),
+    ("key_hash", "string"),
+    ("claimants", "array<struct<destination:string,predicate:string>>"),
+    ("signers", "array<struct<key:string,weight:int,sponsor:string>>"),
+]
+
+
+def _op_change(change_type: int, entry_type: str, pre: dict | None, post: dict | None) -> Column:
+    null_entry = F.lit(None).cast(
+        "struct<"
+        + ",".join(f"{n}:{t}" for n, t in _OP_CHANGE_ENTRY_FIELDS)
+        + ">"
+    )
+    return F.struct(
+        F.lit(change_type).cast("int").alias("change_type"),
+        F.lit(entry_type).alias("entry_type"),
+        (
+            sparse_struct(_OP_CHANGE_ENTRY_FIELDS, pre) if pre is not None else null_entry
+        ).alias("pre"),
+        (
+            sparse_struct(_OP_CHANGE_ENTRY_FIELDS, post)
+            if post is not None
+            else null_entry
+        ).alias("post"),
+    )
+
+
+_EMPTY_CHANGES = (
+    "array<struct<change_type:int,entry_type:string,pre:struct<"
+    + ",".join(f"{n}:{t}" for n, t in _OP_CHANGE_ENTRY_FIELDS)
+    + ">,post:struct<"
+    + ",".join(f"{n}:{t}" for n, t in _OP_CHANGE_ENTRY_FIELDS)
+    + ">>>"
+)
+
+_ATOM_T = (
+    f"struct<atom_type:string,seller_id:string,offer_id:long,pool_id:string,"
+    f"asset_sold:{_ASSET_T},amount_sold:long,"
+    f"asset_bought:{_ASSET_T},amount_bought:long>"
+)
+
+
+def _op_frame(lineitem: DataFrame, type_col: Column, source: Column, body: Column,
+              atoms: Column | None = None, changes: Column | None = None) -> DataFrame:
+    k = F.col("l_orderkey")
+    return lineitem.select(
+        seq_of(k).alias("ledger_sequence"),
+        tx_index_of(k).alias("tx_index"),
+        F.col("l_linenumber").cast("int").alias("op_index"),
+        type_col.cast("int").alias("type"),
+        source.alias("source_account"),
+        F.lit(None).cast("string").alias("source_muxed"),
+        (k % 10 != 0).alias("tx_successful"),
+        F.lit("OperationResultCodeOpInner").alias("result_code"),
+        F.lit("success").alias("trace_code"),
+        body.alias("body"),
+        (atoms if atoms is not None else F.array().cast(f"array<{_ATOM_T}>")).alias(
+            "claim_atoms"
+        ),
+        (changes if changes is not None else F.array().cast(_EMPTY_CHANGES)).alias(
+            "changes"
+        ),
+    )
+
+
+def derived_operations_details(lineitem: DataFrame) -> DataFrame:
+    """Ops cycling the six most-load-bearing detail families of the 27-type
+    switch (operation.go:584-1173): create_account, payment,
+    manage_sell_offer, change_trust, manage_data, bump_sequence — body
+    fields set ONLY for the owning type (the reference's details maps are
+    sparse the same way), plus a change-array sponsor for the
+    operation.go:296-358 scan."""
+    ln = F.col("l_linenumber").cast("long")
+    pk, sk = F.col("l_partkey"), F.col("l_suppkey")
+    t6 = ln % 6
+    type_col = (
+        F.when(t6 == 0, 0)
+        .when(t6 == 1, 1)
+        .when(t6 == 2, 3)
+        .when(t6 == 3, 6)
+        .when(t6 == 4, 10)
+        .otherwise(11)
+    )
+    source = F.when(pk % 3 != 0, F.concat(F.lit("GOP"), sk.cast("string")))
+    is_t = lambda v: type_col == v  # noqa: E731
+    body = sparse_struct(
+        _BODY_FIELDS,
+        {
+            "from": F.when(is_t(1), F.concat(F.lit("A"), pk.cast("string"))),
+            "to": F.when(is_t(1), F.concat(F.lit("B"), sk.cast("string"))),
+            "asset": F.when(is_t(1), asset_struct(pk)),
+            "amount": F.when(is_t(1) | is_t(3), pk * 100000 + 3),
+            "starting_balance": F.when(is_t(0), (pk % 1000) * 10000000 + 5),
+            "account": F.when(is_t(0), F.concat(F.lit("ACC"), pk.cast("string"))),
+            "offer_id": F.when(is_t(3), pk),
+            "selling": F.when(is_t(3), asset_struct(pk)),
+            "buying": F.when(is_t(3), asset_struct(pk + 1)),
+            "price_n": F.when(is_t(3), (ln % 9) + 1),
+            "price_d": F.when(is_t(3), (sk % 7) + 1),
+            "line": F.when(is_t(6), asset_struct(pk + 2)),
+            "limit": F.when(is_t(6), pk * 10),
+            "data_name": F.when(is_t(10), F.concat(F.lit("k"), (sk % 5).cast("string"))),
+            "data_value": F.when(is_t(10) & (pk % 2 == 0), F.lit("djE=")),
+            "bump_to": F.when(is_t(11), pk + 100),
+        },
+    )
+    changes = (
+        F.when(
+            sk % 4 == 0,
+            F.array(
+                _op_change(
+                    1,
+                    "account",
+                    None,
+                    {"sponsor": F.concat(F.lit("SPN"), pk.cast("string"))},
+                )
+            ),
+        )
+        .when(sk % 4 == 1, F.array(_op_change(1, "account", None, {})))
+        .otherwise(F.array().cast(_EMPTY_CHANGES))
+        .cast(_EMPTY_CHANGES)
+    )
+    return _op_frame(lineitem, type_col, source, body, changes=changes)
+
+
+def derived_operations_sponsorship(lineitem: DataFrame) -> DataFrame:
+    """begin/end_sponsoring_future_reserves pairs for the in-tx back-scan
+    (findInitatingBeginSponsoringOp, operation.go:533-553): op 1 is the
+    begin (sponsored_id = 'END<k>'), later ops are ends whose source
+    matches the begin's sponsored_id only for even order keys."""
+    k = F.col("l_orderkey")
+    ln = F.col("l_linenumber").cast("long")
+    li = lineitem.where(F.col("l_linenumber") <= 3)
+    type_col = F.when(ln == 1, 16).otherwise(17)
+    end_src = F.when(
+        (ln == 2) & (k % 2 == 0) | (ln == 3) & (k % 3 == 0),
+        F.concat(F.lit("END"), k.cast("string")),
+    ).otherwise(F.lit("OTHER"))
+    source = F.when(ln == 1, F.concat(F.lit("BEG"), k.cast("string"))).otherwise(
+        end_src
+    )
+    body = sparse_struct(
+        _BODY_FIELDS,
+        {"sponsored_id": F.when(ln == 1, F.concat(F.lit("END"), k.cast("string")))},
+    )
+    return _op_frame(li, type_col, source, body)
+
+
+def derived_operations_trades(lineitem: DataFrame) -> DataFrame:
+    """manage_sell_offer ops with claim atoms + pre-change offers for the
+    trade fan-out (trade.go:21-162): a filled offer atom, then either a
+    0/0 atom (even line numbers — must be skipped, trade.go:69-72) or an
+    LP atom (odd).  The change array carries a decoy pre-offer, TWO
+    matching pre-offers (last one must win the price scan,
+    trade.go:281-304) and the pool-fee pre entry (trade.go:306-317)."""
+    pk, sk = F.col("l_partkey"), F.col("l_suppkey")
+    ln = F.col("l_linenumber").cast("long")
+    sold = asset_struct(pk)
+    bought = asset_struct(pk + 1)
+    offer_atom = F.struct(
+        F.lit("offer").alias("atom_type"),
+        F.concat(F.lit("SELLER"), sk.cast("string")).alias("seller_id"),
+        pk.alias("offer_id"),
+        F.lit(None).cast("string").alias("pool_id"),
+        sold.alias("asset_sold"),
+        (F.col("l_quantity").cast("long") * 1000000 + 1).alias("amount_sold"),
+        bought.alias("asset_bought"),
+        ((pk % 1000 + 1) * 500000).alias("amount_bought"),
+    ).cast(_ATOM_T)
+    zero_atom = F.struct(
+        F.lit("offer").alias("atom_type"),
+        F.concat(F.lit("SELLER"), sk.cast("string")).alias("seller_id"),
+        pk.alias("offer_id"),
+        F.lit(None).cast("string").alias("pool_id"),
+        sold.alias("asset_sold"),
+        F.lit(0).cast("long").alias("amount_sold"),
+        bought.alias("asset_bought"),
+        F.lit(0).cast("long").alias("amount_bought"),
+    ).cast(_ATOM_T)
+    lp_atom = F.struct(
+        F.lit("lp").alias("atom_type"),
+        F.lit(None).cast("string").alias("seller_id"),
+        F.lit(None).cast("long").alias("offer_id"),
+        F.concat(F.lit("POOL"), (sk % 10).cast("string")).alias("pool_id"),
+        sold.alias("asset_sold"),
+        ((pk % 500 + 1) * 200000).alias("amount_sold"),
+        bought.alias("asset_bought"),
+        ((pk % 300 + 1) * 100000).alias("amount_bought"),
+    ).cast(_ATOM_T)
+    atoms = F.when(ln % 2 == 0, F.array(offer_atom, zero_atom)).otherwise(
+        F.array(offer_atom, lp_atom)
+    )
+    changes = F.array(
+        _op_change(1, "offer", {"offer_id": pk + 1, "price_n": 99, "price_d": 98}, None),
+        _op_change(
+            1,
+            "offer",
+            {"offer_id": pk, "price_n": (ln % 9) + 1, "price_d": (sk % 7) + 2},
+            None,
+        ),
+        _op_change(
+            1,
+            "offer",
+            {"offer_id": pk, "price_n": (ln % 9) + 5, "price_d": (sk % 7) + 3},
+            None,
+        ),
+        _op_change(1, "liquidity_pool", {"pool_fee": 30}, None),
+    ).cast(_EMPTY_CHANGES)
+    body = sparse_struct(_BODY_FIELDS, {"offer_id": pk})
+    return _op_frame(lineitem, F.lit(3), F.concat(F.lit("G"), sk.cast("string")), body,
+                     atoms=atoms, changes=changes)
+
+
+def derived_operations_effects(lineitem: DataFrame) -> DataFrame:
+    """Ops cycling the result-driven effect families (effects.go:401-832):
+    create_account (3 effects), payment (credited+debited), account_merge
+    (debited+credited+removed), inflation (per-payout fan-out),
+    manage_data (created vs removed by value presence), bump_sequence."""
+    ln = F.col("l_linenumber").cast("long")
+    pk, sk = F.col("l_partkey"), F.col("l_suppkey")
+    t6 = ln % 6
+    type_col = (
+        F.when(t6 == 0, 0)
+        .when(t6 == 1, 1)
+        .when(t6 == 2, 8)
+        .when(t6 == 3, 9)
+        .when(t6 == 4, 10)
+        .otherwise(11)
+    )
+    is_t = lambda v: type_col == v  # noqa: E731
+    source = F.when(pk % 5 != 0, F.concat(F.lit("GSRC"), sk.cast("string")))
+    body = sparse_struct(
+        _BODY_FIELDS,
+        {
+            "account": F.when(is_t(0), F.concat(F.lit("ACC"), pk.cast("string"))),
+            "starting_balance": F.when(is_t(0), (pk % 1000) * 10000000 + 5),
+            "from": F.when(is_t(1) & (pk % 2 == 0), F.concat(F.lit("A"), pk.cast("string"))),
+            "to": F.when(is_t(1) | is_t(8), F.concat(F.lit("B"), sk.cast("string"))),
+            "asset": F.when(is_t(1), asset_struct(pk)),
+            "amount": F.when(is_t(1) | is_t(8), pk * 100000 + 3),
+            "payouts": F.when(
+                is_t(9),
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("P1u"), sk.cast("string")).alias("destination"),
+                        (pk * 100).alias("amount"),
+                    ),
+                    F.struct(
+                        F.concat(F.lit("P2u"), sk.cast("string")).alias("destination"),
+                        (pk * 50 + 1).alias("amount"),
+                    ),
+                ),
+            ),
+            "data_name": F.when(is_t(10), F.concat(F.lit("k"), (sk % 5).cast("string"))),
+            "data_value": F.when(is_t(10) & (pk % 2 == 0), F.lit("djE=")),
+            "bump_to": F.when(is_t(11), pk + 100),
+        },
+    )
+    return _op_frame(lineitem, type_col, source, body)
+
+
+# ---------------------------------------------------------------------------
+# ledger-entry changes
+# ---------------------------------------------------------------------------
+
+_CHANGE_ENTRY_FIELDS: list[tuple[str, str]] = [
+    ("account_id", "string"),
+    ("balance", "long"),
+    ("seq_num", "long"),
+    ("num_subentries", "int"),
+    ("flags", "int"),
+    ("home_domain", "string"),
+    ("thresholds", "array<int>"),
+    ("signers", "array<struct<key:string,weight:int,sponsor:string>>"),
+    ("liabilities", "struct<buying:long,selling:long>"),
+    ("num_sponsored", "int"),
+    ("num_sponsoring", "int"),
+    ("asset", _ASSET_T),
+    ("limit", "long"),
+    ("pool_id", "string"),
+    ("seller_id", "string"),
+    ("offer_id", "long"),
+    ("selling", _ASSET_T),
+    ("buying", _ASSET_T),
+    ("amount", "long"),
+    ("price_n", "int"),
+    ("price_d", "int"),
+    ("fee", "int"),
+    ("trustline_count", "long"),
+    ("total_shares", "long"),
+    ("asset_a", _ASSET_T),
+    ("reserve_a", "long"),
+    ("asset_b", _ASSET_T),
+    ("reserve_b", "long"),
+    ("balance_id", "string"),
+    ("claimants", "array<struct<destination:string,predicate:string>>"),
+    ("contract_id", "string"),
+    ("key_type", "string"),
+    ("durability", "string"),
+    ("key_xdr", "string"),
+    ("val_xdr", "string"),
+    ("code_hash", "string"),
+    ("n_instructions", "long"),
+    ("n_functions", "long"),
+    ("n_globals", "long"),
+    ("n_data_segment_bytes", "long"),
+    ("key_hash", "string"),
+    ("live_until_seq", "long"),
+    ("config_setting_id", "int"),
+    ("contract_max_size_bytes", "long"),
+    ("ledger_max_instructions", "long"),
+    ("tx_max_instructions", "long"),
+    ("fee_rate_per_instructions_increment", "long"),
+    ("bucket_list_target_size_bytes", "long"),
+]
+
+_CHANGE_ENTRY_T = (
+    "struct<" + ",".join(f"{n}:{t}" for n, t in _CHANGE_ENTRY_FIELDS) + ">"
+)
+
+
+def derived_changes(events: DataFrame) -> DataFrame:
+    """Ledger-entry change rows cycling the four state-entity families
+    (account / trustline / offer / liquidity_pool) with created / updated /
+    removed change types.  Removed rows carry only ``pre`` — whose
+    balance-ish fields differ from post by +1 so the oracle can prove
+    extract_entry_from_change picks the right side (utils/main.go:836-845).
+    Account entries carry a 3-signer list for the weight-sorted explode
+    (account_signer.go:14-55)."""
+    eid, uid = F.col("event_id"), F.col("user_id")
+    ent4 = eid % 4
+    entity = (
+        F.when(ent4 == 0, "account")
+        .when(ent4 == 1, "trustline")
+        .when(ent4 == 2, "offer")
+        .otherwise("liquidity_pool")
+    )
+    change_type = (eid % 3).cast("int")
+    seq = (eid / 500).cast("long") + 2
+    tl_pool = (ent4 == 1) & (eid % 5 == 0)
+
+    def entry(bump: int) -> Column:
+        b = F.lit(bump)
+        return sparse_struct(
+            _CHANGE_ENTRY_FIELDS,
+            {
+                "account_id": F.when(
+                    ent4 == 0, F.concat(F.lit("A"), uid.cast("string"))
+                ).when(ent4 == 1, F.concat(F.lit("TA"), uid.cast("string"))),
+                "balance": F.when(ent4 <= 1, (eid % 1000000000) + b),
+                "seq_num": F.when(ent4 == 0, eid),
+                "num_subentries": F.when(ent4 == 0, eid % 10),
+                "flags": F.when(ent4 <= 2, eid % 16),
+                "home_domain": F.when(
+                    ent4 == 0,
+                    F.concat(F.lit("d"), (uid % 100).cast("string"), F.lit(".com")),
+                ),
+                "thresholds": F.when(
+                    ent4 == 0,
+                    F.array(
+                        F.lit(1).cast("int"),
+                        (eid % 3).cast("int"),
+                        F.lit(2).cast("int"),
+                        F.lit(3).cast("int"),
+                    ),
+                ),
+                "signers": F.when(
+                    ent4 == 0,
+                    F.array(
+                        F.struct(
+                            F.concat(F.lit("K"), (uid % 50).cast("string")).alias("key"),
+                            (eid % 7).cast("int").alias("weight"),
+                            F.lit(None).cast("string").alias("sponsor"),
+                        ),
+                        F.struct(
+                            F.concat(F.lit("K"), ((uid + 1) % 50).cast("string")).alias(
+                                "key"
+                            ),
+                            (eid % 5).cast("int").alias("weight"),
+                            F.concat(F.lit("SS"), uid.cast("string")).alias("sponsor"),
+                        ),
+                        F.struct(
+                            F.concat(F.lit("K"), ((uid + 2) % 50).cast("string")).alias(
+                                "key"
+                            ),
+                            F.lit(3).cast("int").alias("weight"),
+                            F.lit(None).cast("string").alias("sponsor"),
+                        ),
+                    ),
+                ),
+                "liabilities": F.when(
+                    ent4 <= 1,
+                    F.struct(
+                        (eid % 1000).alias("buying"), (eid % 500).alias("selling")
+                    ),
+                ),
+                "num_sponsored": F.when(ent4 == 0, eid % 4),
+                "num_sponsoring": F.when(ent4 == 0, eid % 3),
+                "asset": F.when((ent4 == 1) & ~tl_pool, asset_struct(uid % 2 + 1)),
+                "limit": F.when(ent4 == 1, (eid % 100000000) + 100),
+                "pool_id": F.when(tl_pool, F.concat(F.lit("TLP"), (uid % 10).cast("string"))).when(
+                    ent4 == 3, F.concat(F.lit("LP"), (uid % 20).cast("string"))
+                ),
+                "seller_id": F.when(ent4 == 2, F.concat(F.lit("SEL"), uid.cast("string"))),
+                "offer_id": F.when(ent4 == 2, eid),
+                "selling": F.when(ent4 == 2, asset_struct(uid)),
+                "buying": F.when(ent4 == 2, asset_struct(uid + 1)),
+                "amount": F.when(ent4 == 2, (eid % 10000000) + b),
+                "price_n": F.when(ent4 == 2, eid % 9 + 1),
+                "price_d": F.when(ent4 == 2, eid % 7 + 1),
+                "fee": F.when(ent4 == 3, F.lit(30)),
+                "trustline_count": F.when(ent4 == 3, eid % 5 + 1),
+                "total_shares": F.when(ent4 == 3, eid % 1000000),
+                "asset_a": F.when(ent4 == 3, asset_struct(uid % 2 + 1)),
+                "reserve_a": F.when(ent4 == 3, (eid % 10000000) + b),
+                "asset_b": F.when(ent4 == 3, asset_struct(F.lit(0))),
+                "reserve_b": F.when(ent4 == 3, eid % 1000000),
+            },
+        )
+
+    null_entry = F.lit(None).cast(_CHANGE_ENTRY_T)
+    return events.select(
+        seq.alias("ledger_sequence"),
+        F.timestamp_seconds(F.lit(EPOCH) + seq * 5).alias("closed_at"),
+        entity.alias("entry_type"),
+        change_type.alias("change_type"),
+        (eid % 8).cast("int").alias("change_index"),
+        F.concat(F.lit("LK"), eid.cast("string")).alias("ledger_key"),
+        seq.alias("last_modified_ledger"),
+        F.when(eid % 6 == 0, F.concat(F.lit("SP"), uid.cast("string"))).alias("sponsor"),
+        F.when(change_type >= 1, entry(1)).otherwise(null_entry).alias("pre"),
+        F.when(change_type <= 1, entry(0)).otherwise(null_entry).alias("post"),
+    )
