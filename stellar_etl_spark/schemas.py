@@ -123,6 +123,11 @@ CHANGES_DDL = f"""
         balance_id:string, claimants:array<struct<destination:string, predicate:string>>,
         contract_id:string, key_type:string, durability:string,
         key_xdr:string, val_xdr:string,
+        contract_id_bytes:binary,
+        instance_asset:struct<sym:string, code:string, issuer_key:binary>,
+        balance_key:struct<is_balance:boolean, holder:binary>,
+        val_map:struct<amount_hi:long, amount_lo:long, authorized:boolean,
+                       clawback:boolean, n_entries:int>,
         code_hash:string, n_instructions:long, n_functions:long, n_globals:long,
         n_data_segment_bytes:long,
         key_hash:string, live_until_seq:long,
@@ -143,6 +148,11 @@ CHANGES_DDL = f"""
         balance_id:string, claimants:array<struct<destination:string, predicate:string>>,
         contract_id:string, key_type:string, durability:string,
         key_xdr:string, val_xdr:string,
+        contract_id_bytes:binary,
+        instance_asset:struct<sym:string, code:string, issuer_key:binary>,
+        balance_key:struct<is_balance:boolean, holder:binary>,
+        val_map:struct<amount_hi:long, amount_lo:long, authorized:boolean,
+                       clawback:boolean, n_entries:int>,
         code_hash:string, n_instructions:long, n_functions:long, n_globals:long,
         n_data_segment_bytes:long,
         key_hash:string, live_until_seq:long,

@@ -211,18 +211,150 @@ def transform_contract_code(changes: DataFrame) -> DataFrame:
     )
 
 
-def transform_contract_data(changes: DataFrame) -> DataFrame:
+PUBLIC_PASSPHRASE = "Public Global Stellar Network ; September 2015"
+
+# XDR int32 tags used in the contract-id preimage (public XDR definitions:
+# Stellar-transaction.x ENVELOPE_TYPE_CONTRACT_ID = 16,
+# CONTRACT_ID_PREIMAGE_FROM_ASSET = 1; Stellar-ledger-entries.x AssetType
+# 0/1/2 and PUBLIC_KEY_TYPE_ED25519 = 0).
+_I32_ENVELOPE_CONTRACT_ID = bytes([0, 0, 0, 16])
+_I32_PREIMAGE_FROM_ASSET = bytes([0, 0, 0, 1])
+_I32_ASSET_NATIVE = bytes([0, 0, 0, 0])
+_I32_ASSET_ALPHANUM4 = bytes([0, 0, 0, 1])
+_I32_ASSET_ALPHANUM12 = bytes([0, 0, 0, 2])
+_I32_KEY_ED25519 = bytes([0, 0, 0, 0])
+
+
+def _asset_contract_id(sym: Column, code: Column, issuer_key: Column,
+                       passphrase: str) -> Column:
+    """Re-derive the Stellar Asset Contract id for an asset — the
+    verification step the reference performs via asset.ContractID
+    (contract_data.go:283-297): sha256 of the HashIDPreimage
+    ``envelope_type(16) || network_id || FROM_ASSET(1) || asset_xdr``,
+    all as JVM expressions (sha2 + concat over binary)."""
+    network_id = F.unhex(F.sha2(F.lit(passphrase).cast("binary"), 256))
+    asset_xdr = (
+        F.when(sym == "Native", F.lit(_I32_ASSET_NATIVE))
+        .when(
+            sym == "AlphaNum4",
+            F.concat(
+                F.lit(_I32_ASSET_ALPHANUM4),
+                F.rpad(code, 4, "\x00").cast("binary"),
+                F.lit(_I32_KEY_ED25519),
+                issuer_key,
+            ),
+        )
+        .when(
+            sym == "AlphaNum12",
+            F.concat(
+                F.lit(_I32_ASSET_ALPHANUM12),
+                F.rpad(code, 12, "\x00").cast("binary"),
+                F.lit(_I32_KEY_ED25519),
+                issuer_key,
+            ),
+        )
+    )
+    preimage = F.concat(
+        F.lit(_I32_ENVELOPE_CONTRACT_ID),
+        network_id,
+        F.lit(_I32_PREIMAGE_FROM_ASSET),
+        asset_xdr,
+    )
+    return F.unhex(F.sha2(preimage, 256))
+
+
+def transform_contract_data(
+    changes: DataFrame, passphrase: str = PUBLIC_PASSPHRASE
+) -> DataFrame:
     """soroban_contract_data (contract_data.go:49-158): nonce-keyed entries
-    are dropped (lines 60-63); key/val ride as base64 XDR strings."""
+    are dropped (lines 60-63); key/val ride as base64 XDR strings.
+
+    SAC enrichment (contract_data.go:191-379, schema.go:511-532):
+    - asset recognition: a ContractInstance entry whose storage carries an
+      AssetInfo vec [sym, {asset_code, issuer}] is accepted ONLY when the
+      re-derived asset contract id matches the entry's contract id
+      (forged-entry verification, contract_data.go:283-297); native is
+      accepted only for the native asset contract id.  Emits
+      ``asset_type/asset_code/asset_issuer`` (code NUL-stripped,
+      contract_data.go:91; issuer as G strkey).
+    - balance extraction: a [Balance, address] key with a 3-entry
+      {amount:i128, authorized:bool, clawback:bool} value map and a
+      non-negative i128 hi word emits ``balance_holder`` (C strkey) and
+      ``balance`` (decimal i128 string) — contract_data.go:306-379.
+    """
+    from stellar_etl_spark.functions.scalars import i128_to_string
+    from stellar_etl_spark.functions.strkey import (
+        strkey_account_udf,
+        strkey_contract_udf,
+    )
+
     e = extract_entry_from_change(changes)
     entry = F.col("entry")
+
+    inst = entry["instance_asset"]
+    is_instance = (
+        (entry["key_type"] == "ScValTypeScvLedgerKeyContractInstance")
+        & inst.isNotNull()
+    )
+    expected_id = _asset_contract_id(
+        inst["sym"], F.coalesce(inst["code"], F.lit("")), inst["issuer_key"],
+        passphrase,
+    )
+    alphanum_ok = (
+        inst["sym"].isin("AlphaNum4", "AlphaNum12")
+        & (F.coalesce(inst["code"], F.lit("")) != "")
+        & inst["issuer_key"].isNotNull()
+    )
+    native_ok = inst["sym"] == "Native"
+    verified = (
+        is_instance
+        & (alphanum_ok | native_ok)
+        & entry["contract_id_bytes"].isNotNull()
+        & (expected_id == entry["contract_id_bytes"])
+    )
+    asset_type = F.when(
+        verified,
+        F.when(inst["sym"] == "Native", F.lit("native"))
+        .when(inst["sym"] == "AlphaNum4", F.lit("credit_alphanum4"))
+        .otherwise(F.lit("credit_alphanum12")),
+    )
+    asset_code = F.when(
+        verified & ~native_ok, F.translate(inst["code"], "\x00", "")
+    )
+    asset_issuer = F.when(verified & ~native_ok, strkey_account_udf(inst["issuer_key"]))
+
+    bk, vm = entry["balance_key"], entry["val_map"]
+    balance_ok = (
+        F.coalesce(bk["is_balance"], F.lit(False))
+        & bk["holder"].isNotNull()
+        & (vm["n_entries"] == 3)
+        & vm["authorized"].isNotNull()
+        & vm["clawback"].isNotNull()
+        & vm["amount_hi"].isNotNull()
+        & (vm["amount_hi"] >= 0)
+    )
+    balance_holder = F.when(balance_ok, strkey_contract_udf(bk["holder"]))
+    balance = F.when(
+        balance_ok, i128_to_string(vm["amount_hi"], vm["amount_lo"])
+    )
+
+    contract_id = F.when(
+        entry["contract_id_bytes"].isNotNull(),
+        strkey_contract_udf(entry["contract_id_bytes"]),
+    ).otherwise(entry["contract_id"])
+
     return e.where(
         F.coalesce(entry["key_type"], F.lit(""))
         != "ScValTypeScvLedgerKeyNonce"
     ).select(
-        entry["contract_id"].alias("contract_id"),
+        contract_id.alias("contract_id"),
         entry["key_type"].alias("contract_key_type"),
         entry["durability"].alias("contract_durability"),
+        asset_code.alias("asset_code"),
+        asset_issuer.alias("asset_issuer"),
+        asset_type.alias("asset_type"),
+        balance_holder.alias("balance_holder"),
+        balance.alias("balance"),
         entry["key_xdr"].alias("key_xdr"),
         entry["val_xdr"].alias("val_xdr"),
         *_common(e),

@@ -541,6 +541,14 @@ _CHANGE_ENTRY_FIELDS: list[tuple[str, str]] = [
     ("durability", "string"),
     ("key_xdr", "string"),
     ("val_xdr", "string"),
+    ("contract_id_bytes", "binary"),
+    ("instance_asset", "struct<sym:string,code:string,issuer_key:binary>"),
+    ("balance_key", "struct<is_balance:boolean,holder:binary>"),
+    (
+        "val_map",
+        "struct<amount_hi:long,amount_lo:long,authorized:boolean,"
+        "clawback:boolean,n_entries:int>",
+    ),
     ("code_hash", "string"),
     ("n_instructions", "long"),
     ("n_functions", "long"),

@@ -246,6 +246,7 @@ _ENTRY_FIELDS = (
     "seller_id offer_id selling buying amount price_n price_d fee "
     "trustline_count total_shares asset_a reserve_a asset_b reserve_b "
     "balance_id claimants contract_id key_type durability key_xdr val_xdr "
+    "contract_id_bytes instance_asset balance_key val_map "
     "code_hash n_instructions n_functions n_globals n_data_segment_bytes "
     "key_hash live_until_seq config_setting_id contract_max_size_bytes "
     "ledger_max_instructions tx_max_instructions "
@@ -520,3 +521,99 @@ def contract_events_df(spark):
          ["YnVybg=="], "eg==", "burn", ACCOUNT_A, None, 5_000_000, "USD:GB"),
     ]
     return spark.createDataFrame(rows, CONTRACT_EVENTS_DDL)
+
+
+# ---------------------------------------------------------------------------
+# SAC (Stellar Asset Contract) contract-data fixtures
+# (contract_data.go:191-379 semantics over the columnar decoded model)
+# ---------------------------------------------------------------------------
+
+SAC_ISSUER_KEY = bytes(range(32))
+SAC_HOLDER = bytes(range(100, 132))
+SAC_PASSPHRASE = "Public Global Stellar Network ; September 2015"
+
+
+def sac_contract_id(asset_xdr: bytes, passphrase: str = SAC_PASSPHRASE) -> bytes:
+    """Python mirror of the HashIDPreimage contract-id derivation — an
+    independent re-implementation the Spark expression must agree with."""
+    import hashlib
+
+    nid = hashlib.sha256(passphrase.encode()).digest()
+    pre = bytes([0, 0, 0, 16]) + nid + bytes([0, 0, 0, 1]) + asset_xdr
+    return hashlib.sha256(pre).digest()
+
+
+ALPHANUM4_XDR = (
+    bytes([0, 0, 0, 1]) + b"USDC" + bytes([0, 0, 0, 0]) + SAC_ISSUER_KEY
+)
+NATIVE_XDR = bytes([0, 0, 0, 0])
+USDC_CONTRACT_ID = sac_contract_id(ALPHANUM4_XDR)
+NATIVE_CONTRACT_ID = sac_contract_id(NATIVE_XDR)
+
+
+def sac_changes_df(spark):
+    inst = "ScValTypeScvLedgerKeyContractInstance"
+    rows = [
+        # verified AlphaNum4 SAC instance → asset columns emitted
+        _chrow(4, "contract_data", 0, 0, "sac1",
+               post=_entry(contract_id="CUSDC", key_type=inst,
+                           durability="persistent", key_xdr="aQ==",
+                           val_xdr="dg==",
+                           contract_id_bytes=USDC_CONTRACT_ID,
+                           instance_asset=("AlphaNum4", "USDC",
+                                           SAC_ISSUER_KEY))),
+        # forged: instance claims USDC but the contract id does not match
+        # the re-derived one → recognition must fail
+        _chrow(4, "contract_data", 0, 1, "sac2",
+               post=_entry(contract_id="CFORGE", key_type=inst,
+                           durability="persistent", key_xdr="aQ==",
+                           val_xdr="dg==",
+                           contract_id_bytes=bytes(32),
+                           instance_asset=("AlphaNum4", "USDC",
+                                           SAC_ISSUER_KEY))),
+        # native asset contract
+        _chrow(4, "contract_data", 0, 2, "sac3",
+               post=_entry(contract_id="CNATIVE", key_type=inst,
+                           durability="persistent", key_xdr="aQ==",
+                           val_xdr="dg==",
+                           contract_id_bytes=NATIVE_CONTRACT_ID,
+                           instance_asset=("Native", None, None))),
+        # balance entry: [Balance, holder] key + 3-entry i128 value map
+        _chrow(4, "contract_data", 1, 3, "sac4",
+               post=_entry(contract_id="CUSDC",
+                           key_type="ScValTypeScvVec",
+                           durability="persistent", key_xdr="Yg==",
+                           val_xdr="bQ==",
+                           contract_id_bytes=USDC_CONTRACT_ID,
+                           balance_key=(True, SAC_HOLDER),
+                           val_map=(0, 10_000_000, True, False, 3))),
+        # negative i128 hi word → balance must NOT be emitted
+        _chrow(4, "contract_data", 1, 4, "sac5",
+               post=_entry(contract_id="CUSDC",
+                           key_type="ScValTypeScvVec",
+                           durability="persistent", key_xdr="Yg==",
+                           val_xdr="bQ==",
+                           contract_id_bytes=USDC_CONTRACT_ID,
+                           balance_key=(True, SAC_HOLDER),
+                           val_map=(-1, 5, True, False, 3))),
+        # malformed value map (2 entries) → no balance
+        _chrow(4, "contract_data", 1, 5, "sac6",
+               post=_entry(contract_id="CUSDC",
+                           key_type="ScValTypeScvVec",
+                           durability="persistent", key_xdr="Yg==",
+                           val_xdr="bQ==",
+                           contract_id_bytes=USDC_CONTRACT_ID,
+                           balance_key=(True, SAC_HOLDER),
+                           val_map=(0, 5, True, None, 2))),
+        # big balance crossing the 2^64 boundary: hi=2, lo=-1
+        # (unsigned lo 2^64-1) → 3 * 2^64 - 1
+        _chrow(4, "contract_data", 1, 6, "sac7",
+               post=_entry(contract_id="CUSDC",
+                           key_type="ScValTypeScvVec",
+                           durability="persistent", key_xdr="Yg==",
+                           val_xdr="bQ==",
+                           contract_id_bytes=USDC_CONTRACT_ID,
+                           balance_key=(True, SAC_HOLDER),
+                           val_map=(2, -1, True, True, 3))),
+    ]
+    return spark.createDataFrame(rows, CHANGES_DDL)

@@ -762,3 +762,79 @@ class TestSacEffects:
         assert d["contract_event_type"] == "transfer" and d["amount"] == 4.0
         for r in rows:
             assert r.id == f"{r.operation_id}-{r['index']}"
+
+
+class TestContractDataSAC:
+    """SAC enrichment parity (contract_data.go:191-379,
+    contract_data_test.go:16): asset recognition with re-derived contract-id
+    verification, balance holder + i128 balance assembly."""
+
+    @pytest.fixture(scope="class")
+    def sac(self, spark):
+        rows = transform_contract_data(fx.sac_changes_df(spark))
+        return {r.ledger_entry_key: r for r in rows.collect()}
+
+    def test_verified_alphanum4_asset(self, sac):
+        from stellar_etl_spark.functions.strkey import (
+            VERSION_ACCOUNT,
+            encode_strkey,
+        )
+
+        r = sac["sac1"]
+        assert r.asset_type == "credit_alphanum4"
+        assert r.asset_code == "USDC"
+        assert r.asset_issuer == encode_strkey(VERSION_ACCOUNT, fx.SAC_ISSUER_KEY)
+
+    def test_forged_entry_rejected(self, sac):
+        r = sac["sac2"]
+        assert r.asset_type is None and r.asset_code is None
+        assert r.asset_issuer is None
+
+    def test_native_asset_contract(self, sac):
+        r = sac["sac3"]
+        assert r.asset_type == "native"
+        assert r.asset_code is None and r.asset_issuer is None
+
+    def test_balance_entry(self, sac):
+        from stellar_etl_spark.functions.strkey import (
+            VERSION_CONTRACT,
+            encode_strkey,
+        )
+
+        r = sac["sac4"]
+        assert r.balance == "10000000"
+        assert r.balance_holder == encode_strkey(VERSION_CONTRACT, fx.SAC_HOLDER)
+
+    def test_negative_hi_rejected(self, sac):
+        assert sac["sac5"].balance is None
+        assert sac["sac5"].balance_holder is None
+
+    def test_malformed_value_map_rejected(self, sac):
+        assert sac["sac6"].balance is None
+
+    def test_i128_crosses_word_boundary(self, sac):
+        # hi=2, lo=-1 (unsigned 2^64-1) → 3*2^64 - 1
+        assert sac["sac7"].balance == str(3 * (1 << 64) - 1)
+
+    def test_contract_id_strkey_encoded(self, sac):
+        from stellar_etl_spark.functions.strkey import (
+            VERSION_CONTRACT,
+            encode_strkey,
+        )
+
+        assert sac["sac1"].contract_id == encode_strkey(
+            VERSION_CONTRACT, fx.USDC_CONTRACT_ID
+        )
+
+    def test_full_reference_column_set(self, spark, sac):
+        # schema.go:511-532 core columns all present in the routed output
+        cols = set(
+            transform_contract_data(fx.sac_changes_df(spark)).columns
+        )
+        assert {
+            "contract_id", "contract_key_type", "contract_durability",
+            "asset_code", "asset_issuer", "asset_type",
+            "balance_holder", "balance", "key_xdr", "val_xdr",
+            "ledger_sequence", "closed_at", "last_modified_ledger",
+            "ledger_entry_key", "sponsor", "deleted",
+        } <= cols
