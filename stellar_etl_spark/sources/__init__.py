@@ -5,6 +5,7 @@ from stellar_etl_spark.sources.bronze import (
     decode_ledger_files,
     fake_lcm_decoder,
     read_ledger_files,
+    real_lcm_decoder,
     write_bronze,
 )
 from stellar_etl_spark.sources.sinks import (
@@ -23,6 +24,7 @@ __all__ = [
     "export_parquet",
     "fake_lcm_decoder",
     "read_ledger_files",
+    "real_lcm_decoder",
     "transform_stats",
     "write_bronze",
 ]

@@ -48,12 +48,13 @@ def read_ledger_files(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def no_decoder(raw: bytes) -> dict:
-    raise NotImplementedError(
-        "LedgerCloseMeta XDR decode requires the stellar SDK (not available "
-        "in this environment); inject a decoder callable, e.g. "
-        "fake_lcm_decoder for tests"
-    )
+def real_lcm_decoder(raw: bytes) -> dict:
+    """Default decoder: the pure-Python RFC 4506 parser over the real
+    LedgerCloseMeta wire format (sources/xdr.py) — header + tx-envelope
+    subset, no SDK needed."""
+    from stellar_etl_spark.sources.xdr import real_lcm_decoder as _decode
+
+    return _decode(raw)
 
 
 def fake_lcm_decoder(raw: bytes) -> dict:
@@ -69,7 +70,7 @@ def fake_lcm_decoder(raw: bytes) -> dict:
 
 
 def decode_ledger_files(
-    files: DataFrame, decoder: Callable[[bytes], dict] = no_decoder
+    files: DataFrame, decoder: Callable[[bytes], dict] = real_lcm_decoder
 ) -> DataFrame:
     """Arrow-batched decode: one pandas iterator pass per partition
     (mapInPandas) — the only Python hot path in ingestion."""
