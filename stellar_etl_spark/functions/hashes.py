@@ -165,17 +165,21 @@ def _hash_long(s: bytes) -> int:
         i += 64
         if i == end:
             break
+    # Tail over the LAST 64 bytes.  Unlike the loop, every multiply here
+    # uses the data-dependent ``mul``, not k1 — verified bit-exactly against
+    # Guava's FarmHashFingerprint64 (the same farmhashna::Hash64) and the
+    # reference's real-mainnet asset-id goldens (tests/test_golden_parity.py).
     mul = (_K1 + ((z & 0xFF) << 1)) & MASK64
     i = last64
     w = ((w[0] + ((n - 1) & 63)) & MASK64, w[1])
     v = ((v[0] + w[0]) & MASK64, v[1])
     w = ((w[0] + v[0]) & MASK64, w[1])
-    x = (_rot((x + y + v[0] + _f64(s, i + 8)) & MASK64, 37) * _K1) & MASK64
-    y = (_rot((y + v[1] + _f64(s, i + 48)) & MASK64, 42) * _K1) & MASK64
+    x = (_rot((x + y + v[0] + _f64(s, i + 8)) & MASK64, 37) * mul) & MASK64
+    y = (_rot((y + v[1] + _f64(s, i + 48)) & MASK64, 42) * mul) & MASK64
     x ^= (w[1] * 9) & MASK64
     y = (y + v[0] * 9 + _f64(s, i + 40)) & MASK64
-    z = (_rot((z + w[0]) & MASK64, 33) * _K1) & MASK64
-    v = _weak32_at(s, i, (v[1] * _K1) & MASK64, (x + w[0]) & MASK64)
+    z = (_rot((z + w[0]) & MASK64, 33) * mul) & MASK64
+    v = _weak32_at(s, i, (v[1] * mul) & MASK64, (x + w[0]) & MASK64)
     w = _weak32_at(s, i + 32, (z + w[1]) & MASK64, (y + _f64(s, i + 16)) & MASK64)
     z, x = x, z
     return _h16(
