@@ -148,10 +148,16 @@ def main() -> None:
 
     run("tpch_q5_region_revenue")  # warm-up: JVM + codegen + parquet footers
 
+    # curated order first, then any registry additions not yet listed —
+    # new queries() entries are benched automatically
+    bench_list = BENCH_QUERIES + [
+        q for q in QUERIES if q not in set(BENCH_QUERIES)
+    ]
+
     # best of 2: the first run pays codegen/JIT for that plan shape; the
     # minimum reflects steady-state engine throughput
     times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_list:
         times[name] = min(run(name), run(name))
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -73,18 +73,30 @@ SELECT
       ELSE '[' || CAST(lb_min AS VARCHAR) || ',' || CAST(lb_max AS VARCHAR) || ')'
     END END AS ledger_bounds,
   CASE WHEN k % 13 = 0 THEN o_custkey END AS min_account_sequence,
-  CASE WHEN k % 17 = 0 THEN k % 1000 END AS min_sequence_age,
-  CASE WHEN k % 19 = 0 THEN k % 10 END AS min_sequence_ledger_gap,
-  is_fee_bump AS inner_transaction_present,
+  CASE WHEN k % 17 = 0 THEN k % 1000 END AS min_account_sequence_age,
+  CASE WHEN k % 19 = 0 THEN k % 10 END AS min_account_sequence_ledger_gap,
   CASE WHEN is_fee_bump THEN md5('inner' || CAST(k AS VARCHAR)) END
     AS inner_transaction_hash,
   CASE WHEN is_fee_bump THEN 'FEE' || CAST(k % 997 AS VARCHAR) END AS fee_account,
   CASE WHEN is_fee_bump THEN 2 * maxfee END AS new_max_fee,
-  has_soroban AS soroban,
-  CASE WHEN has_soroban THEN rfee END AS resource_fee,
-  CASE WHEN has_soroban THEN k % 10000 END AS soroban_resources_instructions,
-  CASE WHEN has_soroban THEN k % 2048 END AS soroban_resources_read_bytes,
-  CASE WHEN has_soroban THEN k % 1024 END AS soroban_resources_write_bytes
+  CASE WHEN has_soroban THEN rfee ELSE 0 END AS resource_fee,
+  CASE WHEN has_soroban THEN k % 10000 ELSE 0 END
+    AS soroban_resources_instructions,
+  CASE WHEN has_soroban THEN k % 2048 ELSE 0 END
+    AS soroban_resources_read_bytes,
+  CASE WHEN has_soroban THEN k % 1024 ELSE 0 END
+    AS soroban_resources_write_bytes,
+  CASE WHEN has_soroban THEN maxfee - rfee ELSE 0 END AS inclusion_fee_bid,
+  CASE WHEN has_soroban THEN fee_raw + refund - rfee ELSE 0 END
+    AS inclusion_fee_charged,
+  CASE WHEN has_soroban THEN refund ELSE 0 END AS resource_fee_refund,
+  CASE WHEN has_soroban THEN k % 60 ELSE 0 END
+    AS non_refundable_resource_fee_charged,
+  CASE WHEN has_soroban THEN k % 40 ELSE 0 END
+    AS refundable_resource_fee_charged,
+  CASE WHEN has_soroban THEN k % 25 ELSE 0 END AS rent_fee_charged,
+  CASE WHEN o_orderstatus <> 'F' THEN 'TransactionResultCodeTxSuccess'
+       ELSE 'TransactionResultCodeTxFailed' END AS transaction_result_code
 FROM g
 WHERE NOT (tb_max IS NOT NULL AND tb_max <> 0 AND tb_max < tb_min)
 """,
@@ -185,8 +197,8 @@ SELECT op_id AS history_operation_id, CAST(0 AS BIGINT) AS trade_order,
   CAST((pk % 1000 + 1) * 500000 AS DOUBLE) / 10000000.0 AS buying_amount,
   (ln % 9) + 5 AS price_n,
   (sk % 7) + 3 AS price_d,
-  FALSE AS selling_liquidity_pool,
-  CAST(NULL AS VARCHAR) AS liquidity_pool_id,
+  CAST(1 AS BIGINT) AS trade_type,
+  CAST(NULL AS VARCHAR) AS selling_liquidity_pool_id,
   CAST(NULL AS BIGINT) AS liquidity_pool_fee,
   pk AS selling_offer_id,
   op_id | (CAST(1 AS BIGINT) << 62) AS buying_offer_id
@@ -198,7 +210,7 @@ SELECT op_id, CAST(1 AS BIGINT), closed,
   CAST((pk % 300 + 1) * 100000 AS DOUBLE) / 10000000.0,
   (pk % 300 + 1) * 100000,
   (pk % 500 + 1) * 200000,
-  TRUE,
+  CAST(2 AS BIGINT),
   'POOL' || CAST(sk % 10 AS VARCHAR),
   CAST(30 AS BIGINT),
   CAST(NULL AS BIGINT),
@@ -371,8 +383,8 @@ SELECT
   CASE (uid + 1) % 3 WHEN 0 THEN 'native' WHEN 1 THEN 'credit_alphanum4'
     ELSE 'credit_alphanum12' END AS buying_asset_type,
   CAST((eid % 10000000) + b AS DOUBLE) / 10000000.0 AS amount,
-  eid % 9 + 1 AS price_n,
-  eid % 7 + 1 AS price_d,
+  eid % 9 + 1 AS pricen,
+  eid % 7 + 1 AS priced,
   CAST(eid % 9 + 1 AS DOUBLE) / CAST(eid % 7 + 1 AS DOUBLE) AS price,
   eid % 16 AS flags,
   seq AS ledger_sequence,
@@ -440,12 +452,97 @@ r AS (
 )
 SELECT 'A' || CAST(uid AS VARCHAR) AS account_id,
   skey AS signer, weight,
-  ssponsor AS signer_sponsor,
+  ssponsor AS sponsor,
   CAST(ord AS BIGINT) AS signer_order,
   seq AS ledger_sequence,
   'LK' || CAST(eid AS VARCHAR) AS ledger_entry_key,
-  CASE WHEN eid % 6 = 0 THEN 'SP' || CAST(uid AS VARCHAR) END AS sponsor,
   (ct = 2) AS deleted
 FROM r
+""",
+    # ------------------------------------------------------------------
+    "token_transfer_classify": """
+WITH base AS (
+  SELECT l_orderkey AS k, l_partkey AS pk, l_suppkey AS sk,
+    CAST(l_linenumber AS BIGINT) AS ln,
+    CAST(l_quantity AS BIGINT) AS qty,
+    l_orderkey // 1024 + 2 AS seq, l_orderkey % 1024 AS txi,
+    CAST(l_linenumber AS BIGINT) % 4 AS t4
+  FROM lineitem WHERE l_orderkey % 10 <> 0
+),
+ops AS (
+  SELECT *,
+    CASE t4 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 8 ELSE 19 END AS t,
+    CASE pk % 3 WHEN 1 THEN 'USD' WHEN 2 THEN 'LONGCODE' END AS a_code,
+    CASE pk % 3 WHEN 1 THEN 'ISS1' WHEN 2 THEN 'ISS2' END AS a_issuer,
+    (pk % 3 = 0) AS a_native,
+    COALESCE(
+      CASE WHEN t4 = 1 AND k % 9 = 0
+           THEN CASE pk % 3 WHEN 1 THEN 'ISS1' WHEN 2 THEN 'ISS2' END
+           ELSE 'GACC' || CAST(k % 997 AS VARCHAR) END,
+      'GACC' || CAST(k % 997 AS VARCHAR)) AS src,
+    CASE WHEN t4 = 1 AND k % 9 = 1
+         THEN CASE pk % 3 WHEN 1 THEN 'ISS1' WHEN 2 THEN 'ISS2' END
+         ELSE 'GBEN' || CAST(pk % 997 AS VARCHAR) END AS body_to
+  FROM base
+),
+cls AS (
+  SELECT *,
+    CASE WHEN t = 19 THEN 'clawback'
+      WHEN t = 1 AND a_issuer = src
+           AND NOT COALESCE(t = 1 AND a_issuer = body_to, FALSE) THEN 'mint'
+      WHEN t = 1 AND a_issuer = body_to
+           AND NOT COALESCE(t = 1 AND a_issuer = src, FALSE) THEN 'burn'
+      ELSE 'transfer' END AS kind,
+    CASE WHEN t = 19 THEN 'GHOLD' || CAST(sk % 997 AS VARCHAR)
+         ELSE src END AS ev_from,
+    CASE WHEN t IN (0, 8) THEN 'GNEW' || CAST(sk % 997 AS VARCHAR)
+         WHEN t = 1 THEN body_to END AS ev_to,
+    CASE WHEN t = 0 THEN pk * 1000 + 1
+         WHEN t = 8 THEN pk * 500 + 3
+         ELSE qty * 100000 + 7 END AS amt,
+    CASE WHEN t IN (0, 8) THEN TRUE ELSE a_native END AS is_native_ev
+  FROM ops
+),
+op_events AS (
+  SELECT
+    (seq << 32) | (txi << 12) AS transaction_id,
+    (seq << 32) | (txi << 12) | (ln + 1) AS operation_id,
+    md5(CAST(k AS VARCHAR)) AS transaction_hash,
+    seq AS ledger_sequence,
+    1704067200 + seq * 5 AS closed_at_unix,
+    kind AS event_topic,
+    CASE WHEN is_native_ev THEN 'native'
+         ELSE a_code || ':' || a_issuer END AS asset,
+    CASE WHEN is_native_ev THEN 'native'
+         WHEN LENGTH(a_code) <= 4 THEN 'credit_alphanum4'
+         ELSE 'credit_alphanum12' END AS asset_type,
+    CASE WHEN is_native_ev THEN NULL ELSE a_code END AS asset_code,
+    CASE WHEN is_native_ev THEN NULL ELSE a_issuer END AS asset_issuer,
+    CASE WHEN kind <> 'mint' THEN ev_from END AS from_address,
+    CASE WHEN kind IN ('transfer', 'mint') THEN ev_to END AS to_address,
+    CAST(amt AS VARCHAR) AS amount_raw,
+    CAST(amt AS DOUBLE) / 10000000.0 AS amount
+  FROM cls
+),
+fee_events AS (
+  SELECT
+    ((o_orderkey // 1024 + 2) << 32) | ((o_orderkey % 1024) << 12)
+      AS transaction_id,
+    CAST(NULL AS BIGINT) AS operation_id,
+    md5(CAST(o_orderkey AS VARCHAR)) AS transaction_hash,
+    o_orderkey // 1024 + 2 AS ledger_sequence,
+    1704067200 + (o_orderkey // 1024 + 2) * 5 AS closed_at_unix,
+    'fee' AS event_topic,
+    'native' AS asset,
+    'native' AS asset_type,
+    CAST(NULL AS VARCHAR) AS asset_code,
+    CAST(NULL AS VARCHAR) AS asset_issuer,
+    'FEE' || CAST(o_orderkey % 997 AS VARCHAR) AS from_address,
+    CAST(NULL AS VARCHAR) AS to_address,
+    CAST(100 + o_orderkey % 400 AS VARCHAR) AS amount_raw,
+    CAST(100 + o_orderkey % 400 AS DOUBLE) / 10000000.0 AS amount
+  FROM orders
+)
+SELECT * FROM op_events UNION ALL SELECT * FROM fee_events
 """,
 }

@@ -37,7 +37,7 @@ from stellar_etl_spark.transforms.derive import (
 
 
 def _jget(path: str, typ: str | None = None) -> F.Column:
-    c = F.get_json_object(F.col("details_json"), f"$.{path}")
+    c = F.get_json_object(F.col("details"), f"$.{path}")
     return c.cast(typ) if typ else c
 
 
@@ -68,17 +68,22 @@ def tx_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "time_bounds",
         "ledger_bounds",
         "min_account_sequence",
-        "min_sequence_age",
-        "min_sequence_ledger_gap",
-        "inner_transaction_present",
+        "min_account_sequence_age",
+        "min_account_sequence_ledger_gap",
         "inner_transaction_hash",
         "fee_account",
         "new_max_fee",
-        "soroban",
         "resource_fee",
         "soroban_resources_instructions",
         "soroban_resources_read_bytes",
         "soroban_resources_write_bytes",
+        "inclusion_fee_bid",
+        "inclusion_fee_charged",
+        "resource_fee_refund",
+        "non_refundable_resource_fee_charged",
+        "refundable_resource_fee_charged",
+        "rent_fee_charged",
+        "transaction_result_code",
     )
 
 
@@ -166,8 +171,8 @@ def trade_atoms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "buying_amount",
         "price_n",
         "price_d",
-        "selling_liquidity_pool",
-        "liquidity_pool_id",
+        F.col("trade_type").cast("long").alias("trade_type"),
+        "selling_liquidity_pool_id",
         F.col("liquidity_pool_fee").cast("long").alias("liquidity_pool_fee"),
         "selling_offer_id",
         "buying_offer_id",
@@ -277,8 +282,8 @@ def changes_offers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "selling_asset_type",
         "buying_asset_type",
         "amount",
-        F.col("price_n").cast("long").alias("price_n"),
-        F.col("price_d").cast("long").alias("price_d"),
+        F.col("pricen").cast("long").alias("pricen"),
+        F.col("priced").cast("long").alias("priced"),
         "price",
         F.col("flags").cast("long").alias("flags"),
         *_changes_common(out),
@@ -316,12 +321,52 @@ def signers_weight_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "account_id",
         "signer",
         F.col("weight").cast("long").alias("weight"),
-        "signer_sponsor",
+        "sponsor",
         F.col("signer_order").cast("long").alias("signer_order"),
         "ledger_sequence",
         "ledger_entry_key",
-        "sponsor",
         "deleted",
+    )
+
+
+def token_transfer_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """derive_token_transfer_events → transform_token_transfer end to end
+    (token_transfer.go:14-76 + stellar/go EventsProcessor classic rules):
+    create_account/merge native transfers, payment transfer vs issuer
+    mint/burn, clawback, and per-tx fee events with null operation ids.
+    ``contract_id`` (sha256+strkey, not SQL-derivable) is excluded from the
+    projection."""
+    from stellar_etl_spark.transforms.derive import derived_token_ops
+    from stellar_etl_spark.transforms.token_events import (
+        derive_token_transfer_events,
+    )
+    from stellar_etl_spark.transforms.token_transfer import (
+        transform_token_transfer,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    events = derive_token_transfer_events(
+        derived_token_ops(li),
+        derived_transactions(orders),
+        ledgers=derived_ledgers(orders),
+    )
+    out = transform_token_transfer(events)
+    return out.select(
+        "transaction_id",
+        "operation_id",
+        "transaction_hash",
+        "ledger_sequence",
+        F.col("closed_at").cast("long").alias("closed_at_unix"),
+        "event_topic",
+        "asset",
+        "asset_type",
+        "asset_code",
+        "asset_issuer",
+        F.col("from").alias("from_address"),
+        F.col("to").alias("to_address"),
+        "amount_raw",
+        "amount",
     )
 
 
@@ -336,4 +381,5 @@ ENTITY_QUERIES = {
     "changes_offers": changes_offers,
     "changes_pools": changes_pools,
     "signers_weight_explode": signers_weight_explode,
+    "token_transfer_classify": token_transfer_classify,
 }

@@ -12,7 +12,7 @@ import base64
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import BinaryType, StringType
 
 VERSION_ACCOUNT = 6 << 3  # 'G' — ed25519 public key
 VERSION_MUXED = 12 << 3  # 'M' — muxed account
@@ -64,3 +64,26 @@ def strkey_contract_udf(raw: pd.Series) -> pd.Series:
 @pandas_udf(StringType())
 def strkey_pool_udf(raw: pd.Series) -> pd.Series:
     return _encode_series(raw, VERSION_LIQUIDITY_POOL)
+
+
+@pandas_udf(StringType())
+def strkey_claimable_udf(raw: pd.Series) -> pd.Series:
+    """'B'-prefixed strkey over the serialized 36-byte ClaimableBalanceId
+    (type discriminant + 32-byte hash) — claimable_balance.go:36-43."""
+    return _encode_series(raw, VERSION_CLAIMABLE_BALANCE)
+
+
+@pandas_udf(BinaryType())
+def strkey_payload_udf(key: pd.Series) -> pd.Series:
+    """Decode a strkey to its raw payload bytes (checksum-verified); null
+    for null/invalid input."""
+
+    def _dec(k):
+        if k is None:
+            return None
+        try:
+            return decode_strkey(k)[1]
+        except Exception:
+            return None
+
+    return key.map(_dec)

@@ -29,13 +29,14 @@ TRANSACTIONS_DDL = """
     ledger_bounds_min long, ledger_bounds_max long,
     min_account_sequence long, min_sequence_age long, min_sequence_ledger_gap long,
     extra_signers array<string>,
-    is_fee_bump boolean, fee_account string, inner_transaction_hash string,
-    new_max_fee long,
+    is_fee_bump boolean, fee_account string, fee_account_muxed string,
+    inner_transaction_hash string, new_max_fee long,
     has_soroban boolean, resource_fee long, soroban_resources_instructions long,
     soroban_resources_read_bytes long, soroban_resources_write_bytes long,
-    fee_refund long,
-    result_code string,
-    tx_envelope string, tx_result string, tx_meta string, tx_fee_meta string
+    fee_refund long, fee_nonrefundable long, fee_refundable long, rent_fee long,
+    result_code string, tx_signers array<string>,
+    tx_envelope string, tx_result string, tx_meta string, tx_fee_meta string,
+    tx_ledger_history string
 """
 
 # Per-op ledger-entry change view (ingest.Change pre/post pairs scoped to one
@@ -106,70 +107,122 @@ OPERATIONS_DDL = f"""
 _SIGNER_DDL = "array<struct<key:string, weight:int, sponsor:string>>"
 _LIAB_DDL = "struct<buying:long, selling:long>"
 
+# ConfigSettingOutput scalar params (schema.go:557-606) beyond the id; each
+# config entry is one union arm so all others are zero in the output — the
+# entry carries whichever the fixture/decoder populated.
+CONFIG_SCALAR_FIELDS = (
+    "contract_max_size_bytes ledger_max_instructions tx_max_instructions "
+    "fee_rate_per_instructions_increment tx_memory_limit "
+    "ledger_max_read_ledger_entries ledger_max_read_bytes "
+    "ledger_max_write_ledger_entries ledger_max_write_bytes "
+    "tx_max_read_ledger_entries tx_max_read_bytes "
+    "tx_max_write_ledger_entries tx_max_write_bytes "
+    "fee_read_ledger_entry fee_write_ledger_entry fee_read_1kb "
+    "bucket_list_target_size_bytes write_fee_1kb_bucket_list_low "
+    "write_fee_1kb_bucket_list_high bucket_list_write_fee_growth_factor "
+    "fee_historical_1kb tx_max_contract_events_size_bytes "
+    "fee_contract_events_1kb ledger_max_txs_size_bytes tx_max_size_bytes "
+    "fee_tx_size_1kb contract_data_key_size_bytes "
+    "contract_data_entry_size_bytes max_entry_ttl min_temporary_ttl "
+    "min_persistent_ttl auto_bump_ledgers persistent_rent_rate_denominator "
+    "temp_rent_rate_denominator max_entries_to_archive "
+    "bucket_list_size_window_sample_size eviction_scan_size "
+    "starting_eviction_scan_level ledger_max_tx_count"
+).split()
+
+_CONFIG_SCALARS_DDL = ", ".join(f"{f}:long" for f in CONFIG_SCALAR_FIELDS)
+
+# One entry struct shared by pre/post (reference: the xdr.LedgerEntry union;
+# sparse across entry types — only the routed entity's fields are non-null).
+_ENTRY_DDL = f"""struct<
+    account_id:string, balance:long, seq_num:long, num_subentries:int,
+    flags:int, home_domain:string, thresholds:array<int>,
+    signers:{_SIGNER_DDL}, liabilities:{_LIAB_DDL},
+    num_sponsored:int, num_sponsoring:int,
+    inflation_destination:string, seq_ledger:long, seq_time:long,
+    asset:{ASSET_DDL}, limit:long, pool_id:string,
+    seller_id:string, offer_id:long, selling:{ASSET_DDL}, buying:{ASSET_DDL},
+    amount:long, price_n:int, price_d:int,
+    fee:int, trustline_count:long, total_shares:long,
+    asset_a:{ASSET_DDL}, reserve_a:long, asset_b:{ASSET_DDL}, reserve_b:long,
+    balance_id:string, claimants:array<struct<destination:string, predicate:string>>,
+    contract_id:string, key_type:string, durability:string,
+    key_xdr:string, val_xdr:string, key_decoded:string, val_decoded:string,
+    contract_data_xdr:string,
+    contract_id_bytes:binary,
+    instance_asset:struct<sym:string, code:string, issuer_key:binary>,
+    balance_key:struct<is_balance:boolean, holder:binary>,
+    val_map:struct<amount_hi:long, amount_lo:long, authorized:boolean,
+                   clawback:boolean, n_entries:int>,
+    code_hash:string, ext_v:int, wasm_b64:string,
+    n_instructions:long, n_functions:long, n_globals:long,
+    n_table_entries:long, n_types:long, n_data_segments:long,
+    n_elem_segments:long, n_imports:long, n_exports:long,
+    n_data_segment_bytes:long,
+    key_hash:string, live_until_seq:long,
+    config_setting_id:int, {_CONFIG_SCALARS_DDL},
+    bucket_list_size_window:array<long>,
+    contract_cost_params_cpu_insns:array<string>,
+    contract_cost_params_mem_bytes:array<string>
+>"""
+
+
+def _top_level_fields(struct_ddl: str) -> list[tuple[str, str]]:
+    """Top-level (name, type) pairs of a struct<...> DDL."""
+    body = struct_ddl.strip()
+    body = body[body.index("<") + 1 : body.rindex(">")]
+    names, depth, token = [], 0, []
+    for ch in body:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            names.append("".join(token))
+            token = []
+            continue
+        token.append(ch)
+    names.append("".join(token))
+    return [
+        tuple(p.strip() for p in n.strip().split(":", 1))
+        for n in names
+        if n.strip()
+    ]
+
+
+# Ordered (name, type) pairs / names of the shared entry struct — fixtures
+# build tuples in this order; derive.py builds sparse structs from it.
+ENTRY_FIELDS = _top_level_fields(_ENTRY_DDL)
+ENTRY_FIELD_NAMES = [n for n, _ in ENTRY_FIELDS]
+
 CHANGES_DDL = f"""
     ledger_sequence long, closed_at timestamp, entry_type string,
     change_type int, change_index int, ledger_key string,
     last_modified_ledger long, sponsor string,
-    pre struct<
-        account_id:string, balance:long, seq_num:long, num_subentries:int,
-        flags:int, home_domain:string, thresholds:array<int>,
-        signers:{_SIGNER_DDL}, liabilities:{_LIAB_DDL},
-        num_sponsored:int, num_sponsoring:int,
-        asset:{ASSET_DDL}, limit:long, pool_id:string,
-        seller_id:string, offer_id:long, selling:{ASSET_DDL}, buying:{ASSET_DDL},
-        amount:long, price_n:int, price_d:int,
-        fee:int, trustline_count:long, total_shares:long,
-        asset_a:{ASSET_DDL}, reserve_a:long, asset_b:{ASSET_DDL}, reserve_b:long,
-        balance_id:string, claimants:array<struct<destination:string, predicate:string>>,
-        contract_id:string, key_type:string, durability:string,
-        key_xdr:string, val_xdr:string,
-        contract_id_bytes:binary,
-        instance_asset:struct<sym:string, code:string, issuer_key:binary>,
-        balance_key:struct<is_balance:boolean, holder:binary>,
-        val_map:struct<amount_hi:long, amount_lo:long, authorized:boolean,
-                       clawback:boolean, n_entries:int>,
-        code_hash:string, n_instructions:long, n_functions:long, n_globals:long,
-        n_data_segment_bytes:long,
-        key_hash:string, live_until_seq:long,
-        config_setting_id:int, contract_max_size_bytes:long,
-        ledger_max_instructions:long, tx_max_instructions:long,
-        fee_rate_per_instructions_increment:long, bucket_list_target_size_bytes:long
-    >,
-    post struct<
-        account_id:string, balance:long, seq_num:long, num_subentries:int,
-        flags:int, home_domain:string, thresholds:array<int>,
-        signers:{_SIGNER_DDL}, liabilities:{_LIAB_DDL},
-        num_sponsored:int, num_sponsoring:int,
-        asset:{ASSET_DDL}, limit:long, pool_id:string,
-        seller_id:string, offer_id:long, selling:{ASSET_DDL}, buying:{ASSET_DDL},
-        amount:long, price_n:int, price_d:int,
-        fee:int, trustline_count:long, total_shares:long,
-        asset_a:{ASSET_DDL}, reserve_a:long, asset_b:{ASSET_DDL}, reserve_b:long,
-        balance_id:string, claimants:array<struct<destination:string, predicate:string>>,
-        contract_id:string, key_type:string, durability:string,
-        key_xdr:string, val_xdr:string,
-        contract_id_bytes:binary,
-        instance_asset:struct<sym:string, code:string, issuer_key:binary>,
-        balance_key:struct<is_balance:boolean, holder:binary>,
-        val_map:struct<amount_hi:long, amount_lo:long, authorized:boolean,
-                       clawback:boolean, n_entries:int>,
-        code_hash:string, n_instructions:long, n_functions:long, n_globals:long,
-        n_data_segment_bytes:long,
-        key_hash:string, live_until_seq:long,
-        config_setting_id:int, contract_max_size_bytes:long,
-        ledger_max_instructions:long, tx_max_instructions:long,
-        fee_rate_per_instructions_increment:long, bucket_list_target_size_bytes:long
-    >
+    pre {_ENTRY_DDL},
+    post {_ENTRY_DDL}
 """
 
 CONTRACT_EVENTS_DDL = """
-    ledger_sequence long, tx_index int, transaction_hash string,
+    ledger_sequence long, closed_at timestamp, tx_index int,
+    transaction_hash string,
     tx_successful boolean, in_successful_contract_call boolean,
     contract_id string, event_type string,
-    topics array<string>, data string,
-    sac_kind string, sac_from string, sac_to string, sac_amount long,
-    sac_asset string
+    topics array<string>, topics_decoded array<string>,
+    data string, data_decoded string, contract_event_xdr string,
+    sac_kind string, sac_from string, sac_to string,
+    sac_to_muxed string, sac_to_muxed_id long,
+    sac_amount long, sac_asset string, sac_op_index int
 """
+
+# xdr.ContractEventType discriminants (Stellar-ledger.x): 0 system,
+# 1 contract, 2 diagnostic.
+CONTRACT_EVENT_TYPES = {"system": 0, "contract": 1, "diagnostic": 2}
+CONTRACT_EVENT_TYPE_STRINGS = {
+    "system": "ContractEventTypeSystem",
+    "contract": "ContractEventTypeContract",
+    "diagnostic": "ContractEventTypeDiagnostic",
+}
 
 # Operation type strings (operation.go:103-166).
 OPERATION_TYPE_NAMES = {

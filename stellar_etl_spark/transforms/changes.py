@@ -17,8 +17,31 @@ from pyspark.sql import functions as F
 
 from stellar_etl_spark.functions.hashes import asset_id
 from stellar_etl_spark.functions.scalars import price_to_float, stroops_to_real
+from stellar_etl_spark.functions.strkey import (
+    strkey_claimable_udf,
+    strkey_pool_udf,
+)
 
 REMOVED = 2
+
+
+def _pool_strkey(pool_id: Column) -> Column:
+    """'L' strkey of a hex-encoded 32-byte pool id (trustline.go:47-50);
+    null when the id is not a 32-byte hex string."""
+    raw = F.unhex(pool_id)
+    return F.when(F.length(raw) == 32, strkey_pool_udf(raw))
+
+
+def _ledger_key_hash_cols() -> list[Column]:
+    """``ledger_key_hash`` (hex) + ``ledger_key_hash_base_64`` over the
+    serialized ledger key (utils.LedgerEntryToLedgerKeyHash,
+    contract_data.go:68 / contract_code.go:47) — sha256 of the key bytes,
+    all JVM-side."""
+    raw = F.unhex(F.sha2(F.col("ledger_key").cast("binary"), 256))
+    return [
+        F.hex(raw).alias("ledger_key_hash"),
+        F.base64(raw).alias("ledger_key_hash_base_64"),
+    ]
 
 
 def extract_entry_from_change(changes: DataFrame) -> DataFrame:
@@ -35,6 +58,9 @@ def _common(changes: DataFrame) -> list[Column]:
         F.col("ledger_sequence"),
         F.col("closed_at"),
         F.col("last_modified_ledger"),
+        # uint32 LedgerEntryChangeType code (utils/main.go:836-845):
+        # 0 created, 1 updated, 2 removed, 3 state.
+        F.col("change_type").cast("int").alias("ledger_entry_change"),
         F.col("ledger_key").alias("ledger_entry_key"),
         F.col("sponsor"),
         F.col("deleted"),
@@ -61,6 +87,9 @@ def transform_account(changes: DataFrame) -> DataFrame:
         entry["num_subentries"].alias("num_subentries"),
         entry["num_sponsored"].alias("num_sponsored"),
         entry["num_sponsoring"].alias("num_sponsoring"),
+        entry["inflation_destination"].alias("inflation_destination"),
+        entry["seq_ledger"].alias("sequence_ledger"),
+        entry["seq_time"].alias("sequence_time"),
         entry["flags"].alias("flags"),
         entry["home_domain"].alias("home_domain"),
         F.element_at(entry["thresholds"], 1).alias("master_weight"),
@@ -90,18 +119,25 @@ def transform_signers(changes: DataFrame) -> DataFrame:
     return e.select(
         F.col("entry")["account_id"].alias("account_id"),
         F.posexplode(sorted_signers).alias("signer_order", "s"),
-        *_common(e),
+        F.col("ledger_sequence"),
+        F.col("closed_at"),
+        F.col("last_modified_ledger"),
+        F.col("change_type").cast("int").alias("ledger_entry_change"),
+        F.col("ledger_key").alias("ledger_entry_key"),
+        F.col("deleted"),
     ).select(
         "account_id",
         F.col("s")["key"].alias("signer"),
         F.col("s")["weight"].alias("weight"),
-        F.col("s")["sponsor"].alias("signer_sponsor"),
+        # the SIGNER's sponsor, not the entry's (account_signer.go:44-49,
+        # schema.go AccountSignerOutput json:"sponsor")
+        F.col("s")["sponsor"].alias("sponsor"),
         "signer_order",
         "ledger_sequence",
         "closed_at",
         "last_modified_ledger",
+        "ledger_entry_change",
         "ledger_entry_key",
-        "sponsor",
         "deleted",
     )
 
@@ -115,6 +151,7 @@ def transform_trustline(changes: DataFrame) -> DataFrame:
     entry = F.col("entry")
     is_pool = entry["pool_id"].isNotNull()
     return e.select(
+        F.col("ledger_key").alias("ledger_key"),
         entry["account_id"].alias("account_id"),
         F.when(is_pool, F.lit("pool_share"))
         .otherwise(entry["asset"]["asset_type"])
@@ -123,6 +160,7 @@ def transform_trustline(changes: DataFrame) -> DataFrame:
         F.when(~is_pool, entry["asset"]["asset_issuer"]).alias("asset_issuer"),
         F.when(~is_pool, _aid(entry["asset"])).alias("asset_id"),
         entry["pool_id"].alias("liquidity_pool_id"),
+        _pool_strkey(entry["pool_id"]).alias("liquidity_pool_id_strkey"),
         stroops_to_real(entry["balance"]).alias("balance"),
         stroops_to_real(entry["limit"]).alias("trust_line_limit"),
         entry["flags"].alias("flags"),
@@ -145,12 +183,18 @@ def transform_offer(changes: DataFrame) -> DataFrame:
         entry["seller_id"].alias("seller_id"),
         entry["offer_id"].alias("offer_id"),
         entry["selling"]["asset_type"].alias("selling_asset_type"),
+        entry["selling"]["asset_code"].alias("selling_asset_code"),
+        entry["selling"]["asset_issuer"].alias("selling_asset_issuer"),
         _aid(entry["selling"]).alias("selling_asset_id"),
         entry["buying"]["asset_type"].alias("buying_asset_type"),
+        entry["buying"]["asset_code"].alias("buying_asset_code"),
+        entry["buying"]["asset_issuer"].alias("buying_asset_issuer"),
         _aid(entry["buying"]).alias("buying_asset_id"),
         stroops_to_real(entry["amount"]).alias("amount"),
-        entry["price_n"].alias("price_n"),
-        entry["price_d"].alias("price_d"),
+        # rational price field names are `pricen`/`priced` in OfferOutput
+        # (schema.go:258-259) — unlike TradeOutput's price_n/price_d quirk
+        entry["price_n"].alias("pricen"),
+        entry["price_d"].alias("priced"),
         price_to_float(entry["price_n"], entry["price_d"]).alias("price"),
         entry["flags"].alias("flags"),
         *_common(e),
@@ -164,14 +208,19 @@ def transform_pool(changes: DataFrame) -> DataFrame:
     entry = F.col("entry")
     return e.select(
         entry["pool_id"].alias("liquidity_pool_id"),
+        _pool_strkey(entry["pool_id"]).alias("liquidity_pool_id_strkey"),
         F.lit("constant_product").alias("type"),
         entry["fee"].alias("fee"),
         entry["trustline_count"].alias("trustline_count"),
         stroops_to_real(entry["total_shares"]).alias("pool_share_count"),
         entry["asset_a"]["asset_type"].alias("asset_a_type"),
+        entry["asset_a"]["asset_code"].alias("asset_a_code"),
+        entry["asset_a"]["asset_issuer"].alias("asset_a_issuer"),
         _aid(entry["asset_a"]).alias("asset_a_id"),
         stroops_to_real(entry["reserve_a"]).alias("asset_a_amount"),
         entry["asset_b"]["asset_type"].alias("asset_b_type"),
+        entry["asset_b"]["asset_code"].alias("asset_b_code"),
+        entry["asset_b"]["asset_issuer"].alias("asset_b_issuer"),
         _aid(entry["asset_b"]).alias("asset_b_id"),
         stroops_to_real(entry["reserve_b"]).alias("asset_b_amount"),
         *_common(e),
@@ -183,8 +232,14 @@ def transform_claimable_balance(changes: DataFrame) -> DataFrame:
     nested array (schema.go:150,167-170)."""
     e = extract_entry_from_change(changes)
     entry = F.col("entry")
+    raw_bid = F.unhex(entry["balance_id"])
     return e.select(
         entry["balance_id"].alias("balance_id"),
+        # 'B' strkey over the serialized balance id bytes
+        # (claimable_balance.go:36-43); null for non-hex fixture ids
+        F.when(F.length(raw_bid) > 0, strkey_claimable_udf(raw_bid)).alias(
+            "balance_id_strkey"
+        ),
         entry["claimants"].alias("claimants"),
         entry["asset"]["asset_type"].alias("asset_type"),
         entry["asset"]["asset_code"].alias("asset_code"),
@@ -197,16 +252,25 @@ def transform_claimable_balance(changes: DataFrame) -> DataFrame:
 
 
 def transform_contract_code(changes: DataFrame) -> DataFrame:
-    """soroban_contract_code (contract_code.go:12-101) with wasm cost inputs
-    from ext V1 (lines 65-77)."""
+    """soroban_contract_code (contract_code.go:12-101) with the full wasm
+    cost-input surface from ext V1 (lines 65-77, schema.go:534-555)."""
     e = extract_entry_from_change(changes)
     entry = F.col("entry")
     return e.select(
         entry["code_hash"].alias("contract_code_hash"),
+        F.coalesce(entry["ext_v"], F.lit(0)).alias("contract_code_ext_v"),
+        entry["wasm_b64"].alias("contract_code"),
         entry["n_instructions"].alias("n_instructions"),
         entry["n_functions"].alias("n_functions"),
         entry["n_globals"].alias("n_globals"),
+        entry["n_table_entries"].alias("n_table_entries"),
+        entry["n_types"].alias("n_types"),
+        entry["n_data_segments"].alias("n_data_segments"),
+        entry["n_elem_segments"].alias("n_elem_segments"),
+        entry["n_imports"].alias("n_imports"),
+        entry["n_exports"].alias("n_exports"),
         entry["n_data_segment_bytes"].alias("n_data_segment_bytes"),
+        *_ledger_key_hash_cols(),
         *_common(e),
     )
 
@@ -355,29 +419,43 @@ def transform_contract_data(
         asset_type.alias("asset_type"),
         balance_holder.alias("balance_holder"),
         balance.alias("balance"),
-        entry["key_xdr"].alias("key_xdr"),
-        entry["val_xdr"].alias("val_xdr"),
+        # serializeScVal pairs (contract_data.go:121-128): base64 XDR + the
+        # decoder's JSON rendering (null when the decode slot didn't run)
+        entry["key_xdr"].alias("key"),
+        entry["key_decoded"].alias("key_decoded"),
+        entry["val_xdr"].alias("val"),
+        entry["val_decoded"].alias("val_decoded"),
+        entry["contract_data_xdr"].alias("contract_data_xdr"),
+        *_ledger_key_hash_cols(),
         *_common(e),
     )
 
 
 def transform_config_setting(changes: DataFrame) -> DataFrame:
-    """config_settings (config_setting.go:13): network-parameter snapshot —
-    a representative subset of the ~45 scalar params (full set extends this
-    select the same way)."""
+    """config_settings (config_setting.go:13-101, schema.go:557-606): each
+    entry is ONE ConfigSettingEntry union arm, so every other scalar param
+    is its zero value — exactly the reference's behavior (the Go struct's
+    unset int64 fields marshal as 0)."""
+    from stellar_etl_spark.schemas import CONFIG_SCALAR_FIELDS
+
     e = extract_entry_from_change(changes)
     entry = F.col("entry")
     return e.select(
         entry["config_setting_id"].alias("config_setting_id"),
-        entry["contract_max_size_bytes"].alias("contract_max_size_bytes"),
-        entry["ledger_max_instructions"].alias("ledger_max_instructions"),
-        entry["tx_max_instructions"].alias("tx_max_instructions"),
-        entry["fee_rate_per_instructions_increment"].alias(
-            "fee_rate_per_instructions_increment"
-        ),
-        entry["bucket_list_target_size_bytes"].alias(
-            "bucket_list_target_size_bytes"
-        ),
+        *[
+            F.coalesce(entry[f], F.lit(0)).cast("long").alias(f)
+            for f in CONFIG_SCALAR_FIELDS
+        ],
+        F.coalesce(entry["bucket_list_size_window"], F.array().cast("array<long>"))
+        .alias("bucket_list_size_window"),
+        F.coalesce(
+            entry["contract_cost_params_cpu_insns"],
+            F.array().cast("array<string>"),
+        ).alias("contract_cost_params_cpu_insns"),
+        F.coalesce(
+            entry["contract_cost_params_mem_bytes"],
+            F.array().cast("array<string>"),
+        ).alias("contract_cost_params_mem_bytes"),
         *_common(e),
     )
 

@@ -147,11 +147,26 @@ def derived_transactions(orders: DataFrame) -> DataFrame:
         (k % 2048).alias("soroban_resources_read_bytes"),
         (k % 1024).alias("soroban_resources_write_bytes"),
         (k % 100).alias("fee_refund"),
-        F.lit("TransactionResultCodeTxSuccess").alias("result_code"),
+        F.when(
+            k % 10 == 0, F.concat(F.lit("FMUX"), (k % 997).cast("string"))
+        ).alias("fee_account_muxed"),
+        (k % 60).alias("fee_nonrefundable"),
+        (k % 40).alias("fee_refundable"),
+        (k % 25).alias("rent_fee"),
+        F.when(
+            F.col("o_orderstatus") != "F",
+            F.lit("TransactionResultCodeTxSuccess"),
+        )
+        .otherwise(F.lit("TransactionResultCodeTxFailed"))
+        .alias("result_code"),
+        F.array(F.concat(F.lit("GSIG"), (k % 997).cast("string"))).alias(
+            "tx_signers"
+        ),
         F.lit("ZW52").alias("tx_envelope"),
         F.lit("cmVz").alias("tx_result"),
         F.lit("bWV0YQ==").alias("tx_meta"),
         F.lit("ZmVl").alias("tx_fee_meta"),
+        F.lit("aGlzdA==").alias("tx_ledger_history"),
     )
 
 
@@ -505,64 +520,9 @@ def derived_operations_effects(lineitem: DataFrame) -> DataFrame:
 # ledger-entry changes
 # ---------------------------------------------------------------------------
 
-_CHANGE_ENTRY_FIELDS: list[tuple[str, str]] = [
-    ("account_id", "string"),
-    ("balance", "long"),
-    ("seq_num", "long"),
-    ("num_subentries", "int"),
-    ("flags", "int"),
-    ("home_domain", "string"),
-    ("thresholds", "array<int>"),
-    ("signers", "array<struct<key:string,weight:int,sponsor:string>>"),
-    ("liabilities", "struct<buying:long,selling:long>"),
-    ("num_sponsored", "int"),
-    ("num_sponsoring", "int"),
-    ("asset", _ASSET_T),
-    ("limit", "long"),
-    ("pool_id", "string"),
-    ("seller_id", "string"),
-    ("offer_id", "long"),
-    ("selling", _ASSET_T),
-    ("buying", _ASSET_T),
-    ("amount", "long"),
-    ("price_n", "int"),
-    ("price_d", "int"),
-    ("fee", "int"),
-    ("trustline_count", "long"),
-    ("total_shares", "long"),
-    ("asset_a", _ASSET_T),
-    ("reserve_a", "long"),
-    ("asset_b", _ASSET_T),
-    ("reserve_b", "long"),
-    ("balance_id", "string"),
-    ("claimants", "array<struct<destination:string,predicate:string>>"),
-    ("contract_id", "string"),
-    ("key_type", "string"),
-    ("durability", "string"),
-    ("key_xdr", "string"),
-    ("val_xdr", "string"),
-    ("contract_id_bytes", "binary"),
-    ("instance_asset", "struct<sym:string,code:string,issuer_key:binary>"),
-    ("balance_key", "struct<is_balance:boolean,holder:binary>"),
-    (
-        "val_map",
-        "struct<amount_hi:long,amount_lo:long,authorized:boolean,"
-        "clawback:boolean,n_entries:int>",
-    ),
-    ("code_hash", "string"),
-    ("n_instructions", "long"),
-    ("n_functions", "long"),
-    ("n_globals", "long"),
-    ("n_data_segment_bytes", "long"),
-    ("key_hash", "string"),
-    ("live_until_seq", "long"),
-    ("config_setting_id", "int"),
-    ("contract_max_size_bytes", "long"),
-    ("ledger_max_instructions", "long"),
-    ("tx_max_instructions", "long"),
-    ("fee_rate_per_instructions_increment", "long"),
-    ("bucket_list_target_size_bytes", "long"),
-]
+# The full shared entry struct from the schema registry — transforms
+# address any of its fields, so the derived struct must carry them all.
+from stellar_etl_spark.schemas import ENTRY_FIELDS as _CHANGE_ENTRY_FIELDS
 
 _CHANGE_ENTRY_T = (
     "struct<" + ",".join(f"{n}:{t}" for n, t in _CHANGE_ENTRY_FIELDS) + ">"
@@ -681,3 +641,43 @@ def derived_changes(events: DataFrame) -> DataFrame:
         F.when(change_type >= 1, entry(1)).otherwise(null_entry).alias("pre"),
         F.when(change_type <= 1, entry(0)).otherwise(null_entry).alias("post"),
     )
+
+
+def derived_token_ops(lineitem: DataFrame) -> DataFrame:
+    """Ops cycling the classic token-transfer classification families
+    (stellar/go EventsProcessor rules surfaced via transforms/token_events
+    .py): create_account, payment (incl. issuer-source → mint and
+    issuer-destination → burn rows), account_merge, clawback."""
+    k = F.col("l_orderkey")
+    pk, sk = F.col("l_partkey"), F.col("l_suppkey")
+    ln = F.col("l_linenumber").cast("long")
+    t4 = ln % 4
+    type_col = (
+        F.when(t4 == 0, F.lit(0))
+        .when(t4 == 1, F.lit(1))
+        .when(t4 == 2, F.lit(8))
+        .otherwise(F.lit(19))
+    )
+    asset = asset_struct(pk)
+    issuer = asset["asset_issuer"]
+    # k%9==0 payment rows source from the issuer (mint); k%9==1 pay the
+    # issuer back (burn); both only bite for credit assets (issuer non-null)
+    source = F.when(
+        (t4 == 1) & (k % 9 == 0), issuer
+    ).otherwise(F.concat(F.lit("GACC"), (k % 997).cast("string")))
+    to = F.when((t4 == 1) & (k % 9 == 1), issuer).otherwise(
+        F.concat(F.lit("GBEN"), (pk % 997).cast("string"))
+    )
+    body = sparse_struct(
+        _BODY_FIELDS,
+        {
+            "to": to,
+            "asset": asset,
+            "amount": (F.col("l_quantity").cast("long") * 100000 + 7),
+            "account": F.concat(F.lit("GNEW"), (sk % 997).cast("string")),
+            "starting_balance": pk * 1000 + 1,
+            "source_amount": pk * 500 + 3,
+            "from": F.concat(F.lit("GHOLD"), (sk % 997).cast("string")),
+        },
+    )
+    return _op_frame(lineitem, type_col, source, body)

@@ -131,7 +131,11 @@ def _canonical(asset: Column) -> Column:
     )
 
 
-def transform_effects(operations: DataFrame, transactions: DataFrame) -> DataFrame:
+def transform_effects(
+    operations: DataFrame,
+    transactions: DataFrame,
+    ledgers: DataFrame | None = None,
+) -> DataFrame:
     """One row per emitted effect; only successful txs emit (effects.go:55-57)."""
     tx_src = transactions.select(
         F.col("ledger_sequence").alias("_ls"),
@@ -144,6 +148,16 @@ def transform_effects(operations: DataFrame, transactions: DataFrame) -> DataFra
         & (operations.tx_index == tx_src._ti),
         "left",
     )
+    if ledgers is not None:
+        hdr = F.broadcast(
+            ledgers.select(
+                F.col("sequence").alias("_hseq"),
+                F.col("closed_at").alias("_closed_at"),
+            )
+        )
+        ops = ops.join(hdr, ops.ledger_sequence == hdr._hseq, "left")
+    else:
+        ops = ops.withColumn("_closed_at", F.lit(None).cast("timestamp"))
 
     body = F.col("body")
     source = F.coalesce(F.col("source_account"), F.col("_tx_source"))
@@ -1029,6 +1043,9 @@ def transform_effects(operations: DataFrame, transactions: DataFrame) -> DataFra
         op_id.alias("operation_id"),
         F.col("ledger_sequence"),
         F.col("type").alias("operation_type"),
+        source.alias("_src"),
+        F.col("source_muxed").alias("_src_muxed"),
+        F.col("_closed_at"),
         F.posexplode(effects_array).alias("index", "e"),
     )
     return exploded.select(
@@ -1038,7 +1055,13 @@ def transform_effects(operations: DataFrame, transactions: DataFrame) -> DataFra
         F.col("e")["type"].alias("type"),
         F.col("e")["type_string"].alias("type_string"),
         F.col("e")["address"].alias("address"),
-        F.col("e")["details_json"].alias("details_json"),
+        # muxed form surfaces when the effect address IS the op's muxed
+        # source (effects.go addressMuxed plumbing)
+        F.when(
+            F.col("e")["address"] == F.col("_src"), F.col("_src_muxed")
+        ).alias("address_muxed"),
+        F.col("e")["details_json"].alias("details"),
+        F.col("_closed_at").alias("closed_at"),
         F.col("ledger_sequence"),
         F.col("operation_type"),
     )
@@ -1145,7 +1168,7 @@ def transform_sac_effects(
         F.col("e")["type"].alias("type"),
         F.col("e")["type_string"].alias("type_string"),
         F.col("e")["address"].alias("address"),
-        F.col("e")["details_json"].alias("details_json"),
+        F.col("e")["details_json"].alias("details"),
         F.col("ledger_sequence"),
         F.col("operation_type"),
     )

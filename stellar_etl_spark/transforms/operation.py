@@ -77,7 +77,11 @@ def _amount_string(col: Column) -> Column:
     ).cast("decimal(20,7)").cast("string")
 
 
-def transform_operation(operations: DataFrame, transactions: DataFrame) -> DataFrame:
+def transform_operation(
+    operations: DataFrame,
+    transactions: DataFrame,
+    ledgers: DataFrame | None = None,
+) -> DataFrame:
     """One output row per operation.
 
     - operation id = TOID(ledger, tx, op_index+1) — the +1 offset is the
@@ -127,6 +131,16 @@ def transform_operation(operations: DataFrame, transactions: DataFrame) -> DataF
         & (operations.tx_index == begin_ops._bti),
         "left",
     )
+    if ledgers is not None:
+        hdr = F.broadcast(
+            ledgers.select(
+                F.col("sequence").alias("_hseq"),
+                F.col("closed_at").alias("_closed_at"),
+            )
+        )
+        ops = ops.join(hdr, ops.ledger_sequence == hdr._hseq, "left")
+    else:
+        ops = ops.withColumn("_closed_at", F.lit(None).cast("timestamp"))
 
     body = F.col("body")
     sponsoring = F.filter(
@@ -379,8 +393,11 @@ def transform_operation(operations: DataFrame, transactions: DataFrame) -> DataF
         F.col("type"),
         op_type_string(F.col("type")).alias("type_string"),
         F.col("tx_successful").alias("transaction_successful"),
-        F.col("result_code"),
-        F.col("trace_code"),
+        F.col("_closed_at").alias("closed_at"),
+        # json tags operation_result_code / operation_trace_code
+        # (schema.go:140-141)
+        F.col("result_code").alias("operation_result_code"),
+        F.col("trace_code").alias("operation_trace_code"),
         sponsor.alias("sponsor"),
         details.alias("details"),
         F.to_json(details, {"ignoreNullFields": "true"}).alias("details_json"),

@@ -1,0 +1,207 @@
+"""Token-transfer EVENT DERIVATION from classic operations (reference:
+internal/transform/token_transfer.go:14-35, delegating to stellar/go's
+``token_transfer.EventsProcessor`` — the classic-operation → event rules
+re-expressed Spark-first).
+
+Covered classification (the kinds transform_token_transfer consumes,
+token_transfer.go:47-76):
+
+- ``create_account`` (type 0): native ``transfer`` funder → new account of
+  the starting balance.
+- ``payment`` (type 1): ``transfer`` source → destination — EXCEPT when an
+  asset moves from its own issuer (supply enters circulation → ``mint`` to
+  the destination) or back to its issuer (supply leaves → ``burn`` from the
+  source).  The issuer's balance in its own asset is notional, so the
+  processor emits mint/burn, not transfer.
+- ``account_merge`` (type 8): native ``transfer`` of the merged balance
+  (the operation result's sweep amount) source → destination.
+- ``clawback`` (type 19): ``clawback`` removing the amount from the held
+  account.
+- per-transaction ``fee`` event: the fee account pays the network
+  (no operation index — operation_id stays null downstream).
+
+Each event carries the asset's SAC contract id — sha256 of the
+HashIDPreimage (ENVELOPE_TYPE_CONTRACT_ID ‖ network id ‖ FROM_ASSET ‖
+asset XDR) — the same derivation transform_contract_data verifies
+(contract_data.go:283-297), so classic and Soroban movements join on one
+id space.
+
+Output schema == CONTRACT_EVENTS_DDL, i.e. directly consumable by
+``transform_token_transfer``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stellar_etl_spark.functions.strkey import (
+    strkey_contract_udf,
+    strkey_payload_udf,
+)
+from stellar_etl_spark.transforms.changes import (
+    PUBLIC_PASSPHRASE,
+    _asset_contract_id,
+)
+
+# Only these operation types emit classic token-transfer events here.
+EVENT_OP_TYPES = (0, 1, 8, 19)
+
+
+def _canonical_asset(asset: Column) -> Column:
+    """'native' or 'CODE:ISSUER' (token_transfer.go:88-108 split)."""
+    return F.when(asset["asset_type"] == "native", F.lit("native")).otherwise(
+        F.concat_ws(":", asset["asset_code"], asset["asset_issuer"])
+    )
+
+
+def _sac_id(asset: Column, passphrase: str) -> Column:
+    sym = (
+        F.when(asset["asset_type"] == "native", F.lit("Native"))
+        .when(asset["asset_type"] == "credit_alphanum4", F.lit("AlphaNum4"))
+        .otherwise(F.lit("AlphaNum12"))
+    )
+    issuer_key = strkey_payload_udf(asset["asset_issuer"])
+    raw = _asset_contract_id(
+        sym, F.coalesce(asset["asset_code"], F.lit("")), issuer_key, passphrase
+    )
+    return strkey_contract_udf(raw)
+
+
+def derive_token_transfer_events(
+    operations: DataFrame,
+    transactions: DataFrame,
+    ledgers: DataFrame | None = None,
+    passphrase: str = PUBLIC_PASSPHRASE,
+) -> DataFrame:
+    """Classic-operation events + per-tx fee events, in the contract-events
+    shape ``transform_token_transfer`` consumes."""
+    tx_src = transactions.select(
+        F.col("ledger_sequence").alias("_ls"),
+        F.col("tx_index").alias("_ti"),
+        F.col("source_account").alias("_tx_source"),
+        F.col("transaction_hash").alias("_tx_hash"),
+        F.col("successful").alias("_tx_ok"),
+    )
+    ops = operations.where(
+        F.col("type").isin(*EVENT_OP_TYPES) & F.col("tx_successful")
+    ).join(
+        tx_src,
+        (operations.ledger_sequence == tx_src._ls)
+        & (operations.tx_index == tx_src._ti),
+        "left",
+    )
+
+    body = F.col("body")
+    t = F.col("type")
+    source = F.coalesce(F.col("source_account"), F.col("_tx_source"))
+    native = F.struct(
+        F.lit("native").alias("asset_type"),
+        F.lit(None).cast("string").alias("asset_code"),
+        F.lit(None).cast("string").alias("asset_issuer"),
+    )
+
+    asset = (
+        F.when(t == 1, body["asset"])
+        .when(t == 19, body["asset"])
+        .otherwise(native)
+    )
+    # issuer-side classification for payments (EventsProcessor rules)
+    is_issuer_src = (t == 1) & (asset["asset_issuer"] == source)
+    is_issuer_dst = (t == 1) & (asset["asset_issuer"] == body["to"])
+    kind = (
+        F.when(t == 19, F.lit("clawback"))
+        .when(is_issuer_src & ~is_issuer_dst, F.lit("mint"))
+        .when(is_issuer_dst & ~is_issuer_src, F.lit("burn"))
+        .otherwise(F.lit("transfer"))
+    )
+    frm = (
+        F.when(t == 0, source)
+        .when(t == 1, source)
+        .when(t == 8, source)
+        .when(t == 19, body["from"])
+    )
+    to = (
+        F.when(t == 0, body["account"])
+        .when(t == 1, body["to"])
+        .when(t == 8, body["account"])
+    )
+    amount = (
+        F.when(t == 0, body["starting_balance"])
+        # account_merge sweeps the result amount; the derived surface
+        # carries it in body.source_amount (operation.go result plumbing)
+        .when(t == 8, F.coalesce(body["source_amount"], body["amount"]))
+        .otherwise(body["amount"])
+    )
+
+    op_events = ops.select(
+        F.col("ledger_sequence"),
+        F.lit(None).cast("timestamp").alias("closed_at"),
+        F.col("tx_index"),
+        F.col("_tx_hash").alias("transaction_hash"),
+        F.col("tx_successful"),
+        F.lit(True).alias("in_successful_contract_call"),
+        _sac_id(asset, passphrase).alias("contract_id"),
+        F.lit("contract").alias("event_type"),
+        F.array().cast("array<string>").alias("topics"),
+        F.array().cast("array<string>").alias("topics_decoded"),
+        F.lit(None).cast("string").alias("data"),
+        F.lit(None).cast("string").alias("data_decoded"),
+        F.lit(None).cast("string").alias("contract_event_xdr"),
+        kind.alias("sac_kind"),
+        frm.alias("sac_from"),
+        to.alias("sac_to"),
+        F.lit(None).cast("string").alias("sac_to_muxed"),
+        F.lit(None).cast("long").alias("sac_to_muxed_id"),
+        amount.cast("long").alias("sac_amount"),
+        _canonical_asset(asset).alias("sac_asset"),
+        F.col("op_index").alias("sac_op_index"),
+    )
+
+    fee_events = transactions.where(F.col("fee_charged") > 0).select(
+        F.col("ledger_sequence"),
+        F.lit(None).cast("timestamp").alias("closed_at"),
+        F.col("tx_index"),
+        F.col("transaction_hash"),
+        F.lit(True).alias("tx_successful"),
+        F.lit(True).alias("in_successful_contract_call"),
+        _sac_id(
+            F.struct(
+                F.lit("native").alias("asset_type"),
+                F.lit(None).cast("string").alias("asset_code"),
+                F.lit(None).cast("string").alias("asset_issuer"),
+            ),
+            passphrase,
+        ).alias("contract_id"),
+        F.lit("contract").alias("event_type"),
+        F.array().cast("array<string>").alias("topics"),
+        F.array().cast("array<string>").alias("topics_decoded"),
+        F.lit(None).cast("string").alias("data"),
+        F.lit(None).cast("string").alias("data_decoded"),
+        F.lit(None).cast("string").alias("contract_event_xdr"),
+        F.lit("fee").alias("sac_kind"),
+        F.coalesce(F.col("fee_account"), F.col("source_account")).alias(
+            "sac_from"
+        ),
+        F.lit(None).cast("string").alias("sac_to"),
+        F.lit(None).cast("string").alias("sac_to_muxed"),
+        F.lit(None).cast("long").alias("sac_to_muxed_id"),
+        F.col("fee_charged").cast("long").alias("sac_amount"),
+        F.lit("native").alias("sac_asset"),
+        F.lit(None).cast("int").alias("sac_op_index"),
+    )
+
+    out = op_events.unionByName(fee_events)
+    if ledgers is not None:
+        hdr = F.broadcast(
+            ledgers.select(
+                F.col("sequence").alias("_hseq"),
+                F.col("closed_at").alias("_hclosed"),
+            )
+        )
+        out = (
+            out.join(hdr, out.ledger_sequence == hdr._hseq, "left")
+            .withColumn("closed_at", F.col("_hclosed"))
+            .drop("_hseq", "_hclosed")
+        )
+    return out

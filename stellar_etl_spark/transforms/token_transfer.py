@@ -30,15 +30,46 @@ def transform_token_transfer(events: DataFrame) -> DataFrame:
         & F.col("tx_successful")
         & F.col("in_successful_contract_call")
     )
+    # canonical asset split ("native" | "CODE:ISSUER", token_transfer.go:
+    # 88-108): code length picks alphanum4/12
+    asset = F.col("sac_asset")
+    is_native = asset == "native"
+    code = F.when(~is_native, F.split(asset, ":")[0])
+    issuer = F.when(~is_native, F.split(asset, ":")[1])
+    asset_type = F.when(is_native, F.lit("native")).otherwise(
+        F.when(F.length(code) <= 4, F.lit("credit_alphanum4")).otherwise(
+            F.lit("credit_alphanum12")
+        )
+    )
     return src.select(
         toid(F.col("ledger_sequence"), F.col("tx_index"), 0).alias("transaction_id"),
+        # fee events are tx-level: no operation id (golden operation_id null)
+        F.when(
+            F.col("sac_kind") != "fee",
+            toid(
+                F.col("ledger_sequence"),
+                F.col("tx_index"),
+                F.coalesce(F.col("sac_op_index"), F.lit(0)) + 1,
+            ),
+        ).alias("operation_id"),
         F.col("transaction_hash"),
         F.col("ledger_sequence"),
+        F.col("closed_at"),
         F.col("contract_id"),
         F.col("sac_kind").alias("event_type"),
-        F.col("sac_asset").alias("asset"),
+        F.col("sac_kind").alias("event_topic"),
+        asset.alias("asset"),
+        asset_type.alias("asset_type"),
+        code.alias("asset_code"),
+        issuer.alias("asset_issuer"),
         F.when(F.col("sac_kind") != "mint", F.col("sac_from")).alias("from"),
         F.when(F.col("sac_kind").isin("transfer", "mint"), F.col("sac_to")).alias("to"),
+        F.when(
+            F.col("sac_kind").isin("transfer", "mint"), F.col("sac_to_muxed")
+        ).alias("to_muxed"),
+        F.when(
+            F.col("sac_kind").isin("transfer", "mint"), F.col("sac_to_muxed_id")
+        ).alias("to_muxed_id"),
         F.col("sac_amount").cast("string").alias("amount_raw"),
         stroops_to_real(F.col("sac_amount")).alias("amount"),
     )

@@ -12,8 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from stellar_etl_spark.functions.amm import rounding_slippage_udf
 from stellar_etl_spark.functions.hashes import asset_id
 from stellar_etl_spark.functions.scalars import stroops_to_real
+from stellar_etl_spark.functions.strkey import strkey_pool_udf
 from stellar_etl_spark.functions.toid import encode_offer_id, toid
 from stellar_etl_spark.schemas import TRADE_OP_TYPES
 
@@ -26,7 +28,11 @@ def _aid(asset):
     )
 
 
-def transform_trade(operations: DataFrame, ledgers: DataFrame) -> DataFrame:
+def transform_trade(
+    operations: DataFrame,
+    ledgers: DataFrame,
+    transactions: DataFrame | None = None,
+) -> DataFrame:
     """One row per claim atom of trade-capable ops in successful txs.
 
     - gate: op type ∈ {2,3,4,12,13} and tx successful (input/trades.go:89-104,
@@ -36,6 +42,12 @@ def transform_trade(operations: DataFrame, ledgers: DataFrame) -> DataFrame:
       LP trades: pool fee from the pre-change pool entry (trade.go:264-317)
     - synthetic buying offer id when the buyer had no resting offer: TOID-typed
       id with bit 62 set (trade.go:116-120, synt_offer_id.go:28-35)
+    - buying account = op source, falling back to the tx source when
+      ``transactions`` is provided (trade.go:122-129)
+    - trade_type 1 orderbook / 2 LP; seller_is_exact true for
+      strict-receive, false for strict-send, else null (trade.go:227,243);
+      rounding_slippage bips from the CAP-38 payout over the pool's
+      pre-change reserves (trade.go:350-399)
     """
     hdr = ledgers.select(
         F.col("sequence").alias("_seq"), F.col("closed_at").alias("_closed_at")
@@ -44,6 +56,20 @@ def transform_trade(operations: DataFrame, ledgers: DataFrame) -> DataFrame:
     tradable = operations.where(
         F.col("type").isin(*TRADE_OP_TYPES) & F.col("tx_successful")
     )
+    if transactions is not None:
+        tx_src = transactions.select(
+            F.col("ledger_sequence").alias("_tls"),
+            F.col("tx_index").alias("_tti"),
+            F.col("source_account").alias("_tx_source"),
+        )
+        tradable = tradable.join(
+            tx_src,
+            (tradable.ledger_sequence == tx_src._tls)
+            & (tradable.tx_index == tx_src._tti),
+            "left",
+        )
+    else:
+        tradable = tradable.withColumn("_tx_source", F.lit(None).cast("string"))
 
     exploded = (
         tradable.join(F.broadcast(hdr), tradable.ledger_sequence == hdr._seq)
@@ -51,7 +77,11 @@ def transform_trade(operations: DataFrame, ledgers: DataFrame) -> DataFrame:
             "ledger_sequence",
             "tx_index",
             "op_index",
+            "type",
             "changes",
+            F.coalesce(F.col("source_account"), F.col("_tx_source")).alias(
+                "_buyer"
+            ),
             F.col("_closed_at").alias("ledger_closed_at"),
             F.posexplode("claim_atoms").alias("order", "atom"),
         )
@@ -71,29 +101,70 @@ def transform_trade(operations: DataFrame, ledgers: DataFrame) -> DataFrame:
     last_pre = F.try_element_at(matching_pre, F.lit(-1))["pre"]
     is_lp = atom["atom_type"] == "lp"
 
-    # trade.go:306-317 — LP fee from the pool's pre-change entry.
-    pool_pre = F.filter(
+    # trade.go:306-317 — LP fee + reserves from the pool's pre-change entry.
+    pool_pre_arr = F.filter(
         F.col("changes"), lambda c: c["pre"]["pool_fee"].isNotNull()
     )
-    pool_fee = F.try_element_at(pool_pre, F.lit(-1))["pre"]["pool_fee"]
+    pool_pre = F.try_element_at(pool_pre_arr, F.lit(-1))["pre"]
+    pool_fee = pool_pre["pool_fee"]
+
+    # liquidityPoolReserves (trade.go:339-348): the sold-side reserve is
+    # reserve_a when the atom sold the pool's asset_a, else reserve_b.
+    sold_is_a = atom["asset_sold"].eqNullSafe(pool_pre["asset_a"])
+    reserve_sold = F.when(sold_is_a, pool_pre["reserve_a"]).otherwise(
+        pool_pre["reserve_b"]
+    )
+    reserve_deposited = F.when(sold_is_a, pool_pre["reserve_b"]).otherwise(
+        pool_pre["reserve_a"]
+    )
 
     price_n = F.when(is_lp, atom["amount_bought"]).otherwise(last_pre["price_n"])
     price_d = F.when(is_lp, atom["amount_sold"]).otherwise(last_pre["price_d"])
+
+    slippage = F.when(
+        is_lp & F.col("type").isin(2, 13) & pool_pre["reserve_a"].isNotNull(),
+        rounding_slippage_udf(
+            F.col("type").cast("int"),
+            atom["amount_sold"].cast("long"),
+            atom["amount_bought"].cast("long"),
+            reserve_sold.cast("long"),
+            reserve_deposited.cast("long"),
+            pool_fee.cast("long"),
+        ),
+    )
+    seller_is_exact = (
+        F.when(F.col("type") == 2, F.lit(True))
+        .when(F.col("type") == 13, F.lit(False))
+        .cast("boolean")
+    )
+    pool_id_raw = F.when(is_lp, F.unhex(atom["pool_id"]))
 
     return exploded.select(
         op_id.alias("history_operation_id"),
         F.col("order"),
         F.col("ledger_closed_at"),
         F.when(~is_lp, atom["seller_id"]).alias("selling_account_address"),
+        atom["asset_sold"]["asset_type"].alias("selling_asset_type"),
+        atom["asset_sold"]["asset_code"].alias("selling_asset_code"),
+        atom["asset_sold"]["asset_issuer"].alias("selling_asset_issuer"),
         _aid(atom["asset_sold"]).alias("selling_asset_id"),
         stroops_to_real(atom["amount_sold"]).alias("selling_amount"),
+        F.col("_buyer").alias("buying_account_address"),
+        atom["asset_bought"]["asset_type"].alias("buying_asset_type"),
+        atom["asset_bought"]["asset_code"].alias("buying_asset_code"),
+        atom["asset_bought"]["asset_issuer"].alias("buying_asset_issuer"),
         _aid(atom["asset_bought"]).alias("buying_asset_id"),
         stroops_to_real(atom["amount_bought"]).alias("buying_amount"),
         price_n.cast("long").alias("price_n"),
         price_d.cast("long").alias("price_d"),
-        is_lp.alias("selling_liquidity_pool"),
-        F.when(is_lp, atom["pool_id"]).alias("liquidity_pool_id"),
+        F.when(is_lp, atom["pool_id"]).alias("selling_liquidity_pool_id"),
+        F.when(F.length(pool_id_raw) == 32, strkey_pool_udf(pool_id_raw)).alias(
+            "selling_liquidity_pool_id_strkey"
+        ),
         F.when(is_lp, pool_fee).alias("liquidity_pool_fee"),
+        F.when(is_lp, F.lit(2)).otherwise(F.lit(1)).alias("trade_type"),
+        slippage.alias("rounding_slippage"),
+        seller_is_exact.alias("seller_is_exact"),
         F.when(~is_lp, atom["offer_id"]).alias("selling_offer_id"),
         # the buyer's "offer" is synthetic — a TOID-typed id (trade.go:116-120)
         encode_offer_id(op_id, toid_type=True).alias("buying_offer_id"),

@@ -15,6 +15,11 @@ from stellar_etl_spark.functions.scalars import interval_string
 from stellar_etl_spark.functions.toid import toid
 
 
+def _z(col):
+    """Coalesce to int64 zero — Go's unset-field marshaling."""
+    return F.coalesce(col, F.lit(0)).cast("long")
+
+
 def transform_transaction(
     transactions: DataFrame, ledgers: DataFrame, strict: bool = False
 ) -> DataFrame:
@@ -71,6 +76,8 @@ def transform_transaction(
         F.col("successful"),
         F.col("operation_count"),
         F.col("_closed_at").alias("closed_at"),
+        # created_at == the ledger close time (transaction.go:193-197)
+        F.col("_closed_at").alias("created_at"),
         F.col("memo_type"),
         F.when(F.col("memo_type") == "none", F.lit(None).cast("string"))
         .otherwise(F.col("memo"))
@@ -84,27 +91,60 @@ def transform_transaction(
             interval_string(F.col("ledger_bounds_min"), F.col("ledger_bounds_max")),
         ).alias("ledger_bounds"),
         F.col("min_account_sequence"),
-        F.col("min_sequence_age"),
-        F.col("min_sequence_ledger_gap"),
+        # json tags min_account_sequence_age / _ledger_gap (schema.go:63-64)
+        F.col("min_sequence_age").alias("min_account_sequence_age"),
+        F.col("min_sequence_ledger_gap").alias("min_account_sequence_ledger_gap"),
         F.col("extra_signers"),
-        F.col("is_fee_bump").alias("inner_transaction_present"),
         F.when(F.col("is_fee_bump"), F.col("inner_transaction_hash")).alias(
             "inner_transaction_hash"
         ),
         F.when(F.col("is_fee_bump"), F.col("fee_account")).alias("fee_account"),
+        F.when(F.col("is_fee_bump"), F.col("fee_account_muxed")).alias(
+            "fee_account_muxed"
+        ),
         F.when(F.col("is_fee_bump"), F.col("new_max_fee")).alias("new_max_fee"),
-        F.col("has_soroban").alias("soroban"),
-        F.when(F.col("has_soroban"), F.col("resource_fee")).alias("resource_fee"),
-        F.when(F.col("has_soroban"), F.col("soroban_resources_instructions")).alias(
-            "soroban_resources_instructions"
+        # Soroban fee decomposition (transaction.go:141-190): zero — not
+        # null — outside soroban txs, matching the Go struct's int64 zero
+        # values in the goldens.
+        _z(F.when(F.col("has_soroban"), F.col("resource_fee"))).alias(
+            "resource_fee"
         ),
-        F.when(F.col("has_soroban"), F.col("soroban_resources_read_bytes")).alias(
-            "soroban_resources_read_bytes"
+        _z(
+            F.when(F.col("has_soroban"), F.col("soroban_resources_instructions"))
+        ).alias("soroban_resources_instructions"),
+        _z(
+            F.when(F.col("has_soroban"), F.col("soroban_resources_read_bytes"))
+        ).alias("soroban_resources_read_bytes"),
+        _z(
+            F.when(F.col("has_soroban"), F.col("soroban_resources_write_bytes"))
+        ).alias("soroban_resources_write_bytes"),
+        # inclusion_fee_bid = envelope fee − resource fee
+        # (transaction.go:165); charged = initial fee − resource fee where
+        # initial = fee_charged + refund (the fee-meta balance sweep,
+        # transaction.go:166-171, reconstructed from the decoded surface)
+        _z(
+            F.when(F.col("has_soroban"), F.col("max_fee") - F.col("resource_fee"))
+        ).alias("inclusion_fee_bid"),
+        _z(
+            F.when(
+                F.col("has_soroban"),
+                F.col("fee_charged") + F.col("fee_refund") - F.col("resource_fee"),
+            )
+        ).alias("inclusion_fee_charged"),
+        _z(F.when(F.col("has_soroban"), F.col("fee_refund"))).alias(
+            "resource_fee_refund"
         ),
-        F.when(F.col("has_soroban"), F.col("soroban_resources_write_bytes")).alias(
-            "soroban_resources_write_bytes"
+        _z(F.when(F.col("has_soroban"), F.col("fee_nonrefundable"))).alias(
+            "non_refundable_resource_fee_charged"
         ),
-        F.col("result_code"),
+        _z(F.when(F.col("has_soroban"), F.col("fee_refundable"))).alias(
+            "refundable_resource_fee_charged"
+        ),
+        _z(F.when(F.col("has_soroban"), F.col("rent_fee"))).alias(
+            "rent_fee_charged"
+        ),
+        F.col("result_code").alias("transaction_result_code"),
+        F.col("tx_signers"),
         F.col("tx_envelope"),
         F.col("tx_result"),
         F.col("tx_meta"),
@@ -112,9 +152,27 @@ def transform_transaction(
     )
 
 
-def transform_ledger_transaction(transactions: DataFrame) -> DataFrame:
+def transform_ledger_transaction(
+    transactions: DataFrame, ledgers: DataFrame | None = None
+) -> DataFrame:
     """Raw-XDR passthrough table (ledger_transaction.go:13-58) — narrow
-    projection, no decode of operations (column pruning does the work)."""
+    projection, no decode of operations (column pruning does the work).
+    ``closed_at`` comes from the broadcast ledger-header join when ``ledgers``
+    is given; null otherwise."""
+    if ledgers is not None:
+        hdr = F.broadcast(
+            ledgers.select(
+                F.col("sequence").alias("_seq"),
+                F.col("closed_at").alias("closed_at"),
+            )
+        )
+        transactions = transactions.join(
+            hdr, transactions.ledger_sequence == hdr._seq, "left"
+        )
+    else:
+        transactions = transactions.withColumn(
+            "closed_at", F.lit(None).cast("timestamp")
+        )
     return transactions.select(
         F.col("ledger_sequence"),
         F.col("tx_index").alias("application_order"),
@@ -123,4 +181,11 @@ def transform_ledger_transaction(transactions: DataFrame) -> DataFrame:
         F.col("tx_result"),
         F.col("tx_meta"),
         F.col("tx_fee_meta"),
+        # TxLedgerHistory — the envelope+result+participation wrapper
+        # (ledger_transaction.go:40-47); rides through from the decode slot
+        # (falls back to the result blob when the decoder didn't supply one)
+        F.coalesce(F.col("tx_ledger_history"), F.col("tx_result")).alias(
+            "tx_ledger_history"
+        ),
+        F.col("closed_at"),
     )

@@ -80,6 +80,7 @@ def _tx(seq, idx, successful=True, op_count=1, **kw):
         extra_signers=[],
         is_fee_bump=False,
         fee_account=None,
+        fee_account_muxed=None,
         inner_transaction_hash=None,
         new_max_fee=None,
         has_soroban=False,
@@ -88,11 +89,16 @@ def _tx(seq, idx, successful=True, op_count=1, **kw):
         soroban_resources_read_bytes=None,
         soroban_resources_write_bytes=None,
         fee_refund=None,
+        fee_nonrefundable=None,
+        fee_refundable=None,
+        rent_fee=None,
         result_code="TransactionResultCodeTxSuccess",
+        tx_signers=[],
         tx_envelope="ZW52",
         tx_result="cmVz",
         tx_meta="bWV0YQ==",
         tx_fee_meta="ZmVl",
+        tx_ledger_history=None,
     )
     base.update(kw)
     return base
@@ -240,18 +246,7 @@ def operations_df(spark):
     return spark.createDataFrame(rows, OPERATIONS_DDL)
 
 
-_ENTRY_FIELDS = (
-    "account_id balance seq_num num_subentries flags home_domain thresholds "
-    "signers liabilities num_sponsored num_sponsoring asset limit pool_id "
-    "seller_id offer_id selling buying amount price_n price_d fee "
-    "trustline_count total_shares asset_a reserve_a asset_b reserve_b "
-    "balance_id claimants contract_id key_type durability key_xdr val_xdr "
-    "contract_id_bytes instance_asset balance_key val_map "
-    "code_hash n_instructions n_functions n_globals n_data_segment_bytes "
-    "key_hash live_until_seq config_setting_id contract_max_size_bytes "
-    "ledger_max_instructions tx_max_instructions "
-    "fee_rate_per_instructions_increment bucket_list_target_size_bytes"
-).split()
+from stellar_etl_spark.schemas import ENTRY_FIELD_NAMES as _ENTRY_FIELDS
 
 
 def _entry(**kw):
@@ -508,17 +503,44 @@ def operation_details_ops_df(spark):
     return spark.createDataFrame(rows, OPERATIONS_DDL)
 
 
+def _cev(seq, txi, h, tx_ok, in_ok, event_type, topics, data, kind, frm, to,
+         amount, asset, op_index=0, to_muxed=None, to_muxed_id=None):
+    return dict(
+        ledger_sequence=seq,
+        closed_at=EPOCH + dt.timedelta(seconds=5 * (seq - 2)),
+        tx_index=txi,
+        transaction_hash=h,
+        tx_successful=tx_ok,
+        in_successful_contract_call=in_ok,
+        contract_id="CCONTRACT1",
+        event_type=event_type,
+        topics=topics,
+        topics_decoded=[f'{{"symbol":"{kind or "diag"}"}}'],
+        data=data,
+        data_decoded=f'{{"i128":{{"hi":0,"lo":{amount or 0}}}}}',
+        contract_event_xdr=None,
+        sac_kind=kind,
+        sac_from=frm,
+        sac_to=to,
+        sac_to_muxed=to_muxed,
+        sac_to_muxed_id=to_muxed_id,
+        sac_amount=amount,
+        sac_asset=asset,
+        sac_op_index=op_index,
+    )
+
+
 def contract_events_df(spark):
     rows = [
-        (5, 1, "e1" * 32, True, True, "CCONTRACT1", "contract",
-         ["dG9waWMx"], "ZGF0YQ==", "transfer", ACCOUNT_A, ACCOUNT_B,
-         40_000_000, "USD:GB"),
-        (5, 1, "e1" * 32, True, True, "CCONTRACT1", "diagnostic",
-         ["ZGlhZw=="], "eA==", None, None, None, None, None),
-        (5, 2, "e2" * 32, True, True, "CCONTRACT1", "contract",
-         ["bWludA=="], "eQ==", "mint", None, ACCOUNT_C, 10_000_000, "USD:GB"),
-        (5, 3, "e3" * 32, False, False, "CCONTRACT1", "contract",
-         ["YnVybg=="], "eg==", "burn", ACCOUNT_A, None, 5_000_000, "USD:GB"),
+        _cev(5, 1, "e1" * 32, True, True, "contract", ["dG9waWMx"],
+             "ZGF0YQ==", "transfer", ACCOUNT_A, ACCOUNT_B, 40_000_000,
+             "USD:GB", to_muxed="MMUX1", to_muxed_id=7),
+        _cev(5, 1, "e1" * 32, True, True, "diagnostic", ["ZGlhZw=="],
+             "eA==", None, None, None, None, None),
+        _cev(5, 2, "e2" * 32, True, True, "contract", ["bWludA=="],
+             "eQ==", "mint", None, ACCOUNT_C, 10_000_000, "USD:GB"),
+        _cev(5, 3, "e3" * 32, False, False, "contract", ["YnVybg=="],
+             "eg==", "burn", ACCOUNT_A, None, 5_000_000, "USD:GB"),
     ]
     return spark.createDataFrame(rows, CONTRACT_EVENTS_DDL)
 

@@ -233,7 +233,7 @@ class TestTrade:
         trades = transform_trade(data["operations"], data["ledgers"]).collect()
         # 2 valid atoms total: the 0/0 atom skipped, failed-tx op gated out
         assert len(trades) == 2
-        offer = next(t for t in trades if not t.selling_liquidity_pool)
+        offer = next(t for t in trades if t.trade_type == 1)
         assert offer.selling_account_address == fx.ACCOUNT_B
         assert offer.selling_asset_id == USD_ID
         assert offer.buying_asset_id == NATIVE_ID
@@ -247,8 +247,8 @@ class TestTrade:
 
     def test_lp_trade(self, data):
         trades = transform_trade(data["operations"], data["ledgers"]).collect()
-        lp = next(t for t in trades if t.selling_liquidity_pool)
-        assert lp.liquidity_pool_id == "POOL1"
+        lp = next(t for t in trades if t.trade_type == 2)
+        assert lp.selling_liquidity_pool_id == "POOL1"
         assert lp.liquidity_pool_fee == 30
         assert lp.selling_account_address is None
         # LP price = bought/sold amounts (trade.go:85-114)
@@ -287,7 +287,7 @@ class TestChangesFamily:
             (fx.ACCOUNT_C, 5),
             (fx.ACCOUNT_B, 20),
         ]
-        assert rows[0].signer_sponsor == fx.ACCOUNT_B
+        assert rows[0].sponsor == fx.ACCOUNT_B
 
     def test_trustline_pool_share_branch(self, data):
         out = {r.account_id: r for r in transform_trustline(
@@ -384,7 +384,7 @@ class TestEffects:
         assert [e.type_string for e in pay] == ["account_credited", "account_debited"]
         assert pay[0].address == fx.ACCOUNT_B
         assert pay[0].id == f"{(2 << 32) | (1 << 12) | 1}-0"
-        assert json.loads(pay[0].details_json)["amount"] == 15.0
+        assert json.loads(pay[0].details)["amount"] == 15.0
 
     def test_create_account_effects(self, data):
         by_op = self._by_op(data)
@@ -392,7 +392,7 @@ class TestEffects:
         assert [e.type_string for e in ca] == [
             "account_created", "account_debited", "signer_created",
         ]
-        assert json.loads(ca[0].details_json)["starting_balance"] == 2.0
+        assert json.loads(ca[0].details)["starting_balance"] == 2.0
 
     def test_trustline_and_claimable_effects(self, data):
         by_op = self._by_op(data)
@@ -418,7 +418,7 @@ class TestEffects:
             "signer_created",
         ]
         # set_flags=[2,1] → required+revocable true; clear_flags=[8] → clawback false
-        flags = json.loads(so[1].details_json)
+        flags = json.loads(so[1].details)
         assert flags == {
             "auth_required_flag": True,
             "auth_revocable_flag": True,
@@ -462,7 +462,8 @@ class TestStarSchema:
 class TestContractEvents:
     def test_diagnostic_filtered(self, data):
         rows = transform_contract_events(data["contract_events"]).collect()
-        assert all(r.type_string == "contract" for r in rows)
+        assert all(r.type_string == "ContractEventTypeContract" for r in rows)
+        assert all(r.type == 1 for r in rows)
         assert len(rows) == 3
 
     def test_token_transfer_classification(self, data):
@@ -497,8 +498,8 @@ class TestTradeAndPoolEffects:
         buyer, seller = mso[0], mso[1]
         assert buyer.address == fx.ACCOUNT_A  # op (tx) source
         assert seller.address == fx.ACCOUNT_B  # resting offer owner
-        bd = json.loads(buyer.details_json)
-        sd = json.loads(seller.details_json)
+        bd = json.loads(buyer.details)
+        sd = json.loads(seller.details)
         # buyer bought what the atom sold and vice versa
         assert bd["bought_asset_code"] == "USD" and bd["sold_asset_type"] == "native"
         assert sd["sold_asset_code"] == "USD" and sd["bought_asset_type"] == "native"
@@ -528,10 +529,10 @@ class TestTradeAndPoolEffects:
         ]
         upd, rem = rs
         assert upd.address == fx.ACCOUNT_A
-        d = json.loads(upd.details_json)
+        d = json.loads(upd.details)
         assert d == {"former_sponsor": fx.ACCOUNT_B, "new_sponsor": fx.ACCOUNT_C}
         assert rem.address == fx.ACCOUNT_B
-        assert json.loads(rem.details_json) == {"former_sponsor": fx.ACCOUNT_C}
+        assert json.loads(rem.details) == {"former_sponsor": fx.ACCOUNT_C}
 
 
 class TestExtendedEffects:
@@ -560,7 +561,7 @@ class TestExtendedEffects:
             "account_credited", "account_credited",
         ]
         assert infl[0].address == fx.ACCOUNT_B
-        assert json.loads(infl[0].details_json) == {
+        assert json.loads(infl[0].details) == {
             "amount": 1.0, "asset_type": "native",
         }
 
@@ -572,18 +573,18 @@ class TestExtendedEffects:
             "signer_removed", "signer_updated", "signer_created",
             "signer_sponsorship_removed",
         ]
-        assert json.loads(so[1].details_json) == {
+        assert json.loads(so[1].details) == {
             "inflation_destination": fx.ACCOUNT_B,
         }
         # A removed, B reweighted to 7, C added at 2 (sorted key order)
-        assert json.loads(so[2].details_json) == {"public_key": fx.ACCOUNT_A}
-        assert json.loads(so[3].details_json) == {
+        assert json.loads(so[2].details) == {"public_key": fx.ACCOUNT_A}
+        assert json.loads(so[3].details) == {
             "public_key": fx.ACCOUNT_B, "weight": 7,
         }
-        assert json.loads(so[4].details_json) == {
+        assert json.loads(so[4].details) == {
             "public_key": fx.ACCOUNT_C, "weight": 2,
         }
-        assert json.loads(so[5].details_json) == {
+        assert json.loads(so[5].details) == {
             "former_sponsor": fx.ACCOUNT_C, "signer": fx.ACCOUNT_B,
         }
 
@@ -592,10 +593,10 @@ class TestExtendedEffects:
         assert [e.type_string for e in ct] == [
             "trustline_created", "liquidity_pool_created",
         ]
-        d = json.loads(ct[0].details_json)
+        d = json.loads(ct[0].details)
         assert d["liquidity_pool_id"] == "PL1"
         assert d["asset_type"] == "liquidity_pool_shares"
-        lp = json.loads(ct[1].details_json)["liquidity_pool"]
+        lp = json.loads(ct[1].details)["liquidity_pool"]
         assert lp["id"] == "PL1" and lp["fee_bp"] == 30
         assert lp["reserves"][0]["asset"] == f"USD:{fx.ACCOUNT_B}"
 
@@ -607,7 +608,7 @@ class TestExtendedEffects:
         assert [e.type_string for e in cl] == [
             "claimable_balance_claimed", "account_credited",
         ]
-        d = json.loads(cl[0].details_json)
+        d = json.loads(cl[0].details)
         assert d == {
             "amount": 3.0, "balance_id": "cb1", "asset": f"USD:{fx.ACCOUNT_B}",
         }
@@ -625,8 +626,8 @@ class TestExtendedEffects:
         assert [e.type_string for e in cb] == [
             "claimable_balance_clawed_back", "account_credited",
         ]
-        assert json.loads(cb[0].details_json) == {"balance_id": "cb2"}
-        d = json.loads(cb[1].details_json)
+        assert json.loads(cb[0].details) == {"balance_id": "cb2"}
+        d = json.loads(cb[1].details)
         assert d["amount"] == 2.5 and d["asset_code"] == "USD"
 
     def test_lp_revocation(self, by_op):
@@ -638,7 +639,7 @@ class TestExtendedEffects:
             "liquidity_pool_revoked",
         ]
         assert rv[2].address == fx.ACCOUNT_C
-        d = json.loads(rv[3].details_json)
+        d = json.loads(rv[3].details)
         assert d["liquidity_pool_id"] == "PL9"
         assert d["shares_revoked"] == 100.0
         assert d["reserves_revoked"] == [{
@@ -651,7 +652,7 @@ class TestExtendedEffects:
         assert [e.type_string for e in wd] == [
             "liquidity_pool_withdrew", "liquidity_pool_removed",
         ]
-        assert json.loads(wd[1].details_json) == {"liquidity_pool_id": "PL9"}
+        assert json.loads(wd[1].details) == {"liquidity_pool_id": "PL9"}
 
     def test_per_entry_sponsorship_families(self, by_op):
         rs = by_op[self._id(10)]
@@ -660,28 +661,28 @@ class TestExtendedEffects:
             "data_sponsorship_removed",
             "claimable_balance_sponsorship_created",
         ]
-        tl = json.loads(rs[0].details_json)
+        tl = json.loads(rs[0].details)
         assert tl == {
             "former_sponsor": fx.ACCOUNT_B, "new_sponsor": fx.ACCOUNT_C,
             "asset": f"USD:{fx.ACCOUNT_B}",
         }
         assert rs[0].address == fx.ACCOUNT_B
-        assert json.loads(rs[1].details_json) == {
+        assert json.loads(rs[1].details) == {
             "former_sponsor": fx.ACCOUNT_C, "data_name": "cfg",
         }
-        assert json.loads(rs[2].details_json) == {
+        assert json.loads(rs[2].details) == {
             "sponsor": fx.ACCOUNT_B, "balance_id": "cb9",
         }
 
     def test_footprint_effects(self, by_op):
         ext = by_op[self._id(11)]
         assert ext[0].type_string == "extend_footprint_ttl"
-        assert json.loads(ext[0].details_json) == {
+        assert json.loads(ext[0].details) == {
             "entries": ["kh1", "kh2"], "extend_to": 500,
         }
         rst = by_op[self._id(12)]
         assert rst[0].type_string == "restore_footprint"
-        assert json.loads(rst[0].details_json) == {"entries": ["kh3"]}
+        assert json.loads(rst[0].details) == {"entries": ["kh3"]}
 
     def test_type_ids_match_enum(self, by_op):
         from stellar_etl_spark.transforms.effects import EFFECT_TYPES
@@ -758,7 +759,7 @@ class TestSacEffects:
             ("account_credited", fx.ACCOUNT_C),
         ])
         transfer = [r for r in rows if r.address == fx.ACCOUNT_A][0]
-        d = json.loads(transfer.details_json)
+        d = json.loads(transfer.details)
         assert d["contract_event_type"] == "transfer" and d["amount"] == 4.0
         for r in rows:
             assert r.id == f"{r.operation_id}-{r['index']}"
@@ -834,7 +835,9 @@ class TestContractDataSAC:
         assert {
             "contract_id", "contract_key_type", "contract_durability",
             "asset_code", "asset_issuer", "asset_type",
-            "balance_holder", "balance", "key_xdr", "val_xdr",
+            "balance_holder", "balance", "key", "val",
+            "key_decoded", "val_decoded", "contract_data_xdr",
+            "ledger_key_hash", "ledger_key_hash_base_64",
             "ledger_sequence", "closed_at", "last_modified_ledger",
             "ledger_entry_key", "sponsor", "deleted",
         } <= cols
