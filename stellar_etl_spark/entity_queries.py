@@ -41,6 +41,19 @@ def _jget(path: str, typ: str | None = None) -> F.Column:
     return c.cast(typ) if typ else c
 
 
+def _wide(df: DataFrame) -> DataFrame:
+    """Fan a CPU-heavy derived stage out to full cluster width.
+
+    Input partitioning follows file BYTES (maxPartitionBytes), but these
+    stages are per-row CPU-bound (the wide effects/details expressions), and
+    the ledger-header join broadcasts — so without an exchange the whole
+    pipeline runs at scan width.  One narrow round-robin repartition of the
+    derived rows buys width = default parallelism; at cluster scale the
+    input is already wide and the exchange is noise."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def tx_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transform_transaction over derived txs/ledgers (transaction.go:20-275):
     TOID ids, memo switch, ``[a,b)`` bounds (invalid max<min rows dropped,
@@ -49,7 +62,9 @@ def tx_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stellar_etl_spark.transforms.transaction import transform_transaction
 
     orders = table(spark, sf_dir, "orders")
-    out = transform_transaction(derived_transactions(orders), derived_ledgers(orders))
+    out = transform_transaction(
+        derived_transactions(_wide(orders)), derived_ledgers(orders)
+    )
     return out.select(
         "id",
         "transaction_hash",
@@ -96,7 +111,7 @@ def op_details_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     out = transform_operation(
-        derived_operations_details(li), derived_transactions(orders)
+        derived_operations_details(_wide(li)), derived_transactions(orders)
     )
     d = F.col("details")
     return out.select(
@@ -140,7 +155,7 @@ def op_sponsorship_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     out = transform_operation(
-        derived_operations_sponsorship(li), derived_transactions(orders)
+        derived_operations_sponsorship(_wide(li)), derived_transactions(orders)
     )
     d = F.col("details")
     return out.select(
@@ -161,7 +176,9 @@ def trade_atoms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
-    out = transform_trade(derived_operations_trades(li), derived_ledgers(orders))
+    out = transform_trade(
+        derived_operations_trades(_wide(li)), derived_ledgers(orders)
+    )
     return out.select(
         "history_operation_id",
         F.col("order").cast("long").alias("trade_order"),
@@ -190,7 +207,7 @@ def effects_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     out = transform_effects(
-        derived_operations_effects(li), derived_transactions(orders)
+        derived_operations_effects(_wide(li)), derived_transactions(orders)
     )
     return out.select(
         "id",
@@ -347,7 +364,7 @@ def token_transfer_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     events = derive_token_transfer_events(
-        derived_token_ops(li),
+        derived_token_ops(_wide(li)),
         derived_transactions(orders),
         ledgers=derived_ledgers(orders),
     )

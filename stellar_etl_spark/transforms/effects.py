@@ -25,6 +25,8 @@ and live in :func:`transform_sac_effects`.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -131,34 +133,15 @@ def _canonical(asset: Column) -> Column:
     )
 
 
-def transform_effects(
-    operations: DataFrame,
-    transactions: DataFrame,
-    ledgers: DataFrame | None = None,
-) -> DataFrame:
-    """One row per emitted effect; only successful txs emit (effects.go:55-57)."""
-    tx_src = transactions.select(
-        F.col("ledger_sequence").alias("_ls"),
-        F.col("tx_index").alias("_ti"),
-        F.col("source_account").alias("_tx_source"),
-    )
-    ops = operations.where(F.col("tx_successful")).join(
-        tx_src,
-        (operations.ledger_sequence == tx_src._ls)
-        & (operations.tx_index == tx_src._ti),
-        "left",
-    )
-    if ledgers is not None:
-        hdr = F.broadcast(
-            ledgers.select(
-                F.col("sequence").alias("_hseq"),
-                F.col("closed_at").alias("_closed_at"),
-            )
-        )
-        ops = ops.join(hdr, ops.ledger_sequence == hdr._hseq, "left")
-    else:
-        ops = ops.withColumn("_closed_at", F.lit(None).cast("timestamp"))
-
+@lru_cache(maxsize=8)
+def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
+    """The full per-operation effects array as ONE unresolved column
+    expression.  Building it costs thousands of py4j round trips
+    (~seconds of driver time), but the expression only references
+    column NAMES — it is reusable across any input DataFrame with the
+    operations schema, so it is built once per schema and cached
+    (keyed by the simpleString of the changes/claim-atoms types used
+    for the null-coalesce casts)."""
     body = F.col("body")
     source = F.coalesce(F.col("source_account"), F.col("_tx_source"))
     t = F.col("type")
@@ -171,7 +154,7 @@ def transform_effects(
     )
     empty = F.array().cast(_EFFECT_STRUCT_DDL)
     chg = F.coalesce(
-        F.col("changes"), F.array().cast(operations.schema["changes"].dataType)
+        F.col("changes"), F.array().cast(changes_type)
     )
 
     def _entry(c):
@@ -182,7 +165,7 @@ def transform_effects(
     live_atoms = F.filter(
         F.coalesce(
             F.col("claim_atoms"),
-            F.array().cast(operations.schema["claim_atoms"].dataType),
+            F.array().cast(atoms_type),
         ),
         lambda a: (a["amount_sold"] != 0) | (a["amount_bought"] != 0),
     )
@@ -1037,6 +1020,43 @@ def transform_effects(
     effects_array = F.concat(
         effects_array, F.flatten(F.transform(chg, _lp_entry_effects))
     )
+
+    return effects_array
+
+
+def transform_effects(
+    operations: DataFrame,
+    transactions: DataFrame,
+    ledgers: DataFrame | None = None,
+) -> DataFrame:
+    """One row per emitted effect; only successful txs emit (effects.go:55-57)."""
+    tx_src = transactions.select(
+        F.col("ledger_sequence").alias("_ls"),
+        F.col("tx_index").alias("_ti"),
+        F.col("source_account").alias("_tx_source"),
+    )
+    ops = operations.where(F.col("tx_successful")).join(
+        tx_src,
+        (operations.ledger_sequence == tx_src._ls)
+        & (operations.tx_index == tx_src._ti),
+        "left",
+    )
+    if ledgers is not None:
+        hdr = F.broadcast(
+            ledgers.select(
+                F.col("sequence").alias("_hseq"),
+                F.col("closed_at").alias("_closed_at"),
+            )
+        )
+        ops = ops.join(hdr, ops.ledger_sequence == hdr._hseq, "left")
+    else:
+        ops = ops.withColumn("_closed_at", F.lit(None).cast("timestamp"))
+
+    effects_array = _effects_array_expr(
+        operations.schema["changes"].dataType.simpleString(),
+        operations.schema["claim_atoms"].dataType.simpleString(),
+    )
+    source = F.coalesce(F.col("source_account"), F.col("_tx_source"))
 
     op_id = toid(F.col("ledger_sequence"), F.col("tx_index"), F.col("op_index") + 1)
     exploded = ops.select(

@@ -11,6 +11,8 @@ Sponsor resolution scans the op's own change array (operation.go:296-358) via
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -77,71 +79,12 @@ def _amount_string(col: Column) -> Column:
     ).cast("decimal(20,7)").cast("string")
 
 
-def transform_operation(
-    operations: DataFrame,
-    transactions: DataFrame,
-    ledgers: DataFrame | None = None,
-) -> DataFrame:
-    """One output row per operation.
-
-    - operation id = TOID(ledger, tx, op_index+1) — the +1 offset is the
-      reference's (operation.go:32)
-    - source account defaults to the tx source when the op has none
-      (operation.go:287-294)
-    - sponsor = sponsor of the last change whose post carries one
-      (operation.go:296-358 change scan)
-    """
-    tx_src = transactions.select(
-        F.col("ledger_sequence").alias("_ls"),
-        F.col("tx_index").alias("_ti"),
-        F.col("source_account").alias("_tx_source"),
-        F.col("transaction_hash").alias("_tx_hash"),
-    )
-
-    # in-tx back-scan for end_sponsoring_future_reserves: the matching
-    # begin op's source (findInitatingBeginSponsoringOp, operation.go:533-553).
-    # Begin ops are rare, so the aggregate is tiny; the join key matches the
-    # tx join, so AQE coalesces both into one co-partitioned exchange.
-    begin_ops = (
-        operations.where(F.col("type") == 16)
-        .groupBy("ledger_sequence", "tx_index")
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("op_index").alias("op_index"),
-                        F.col("body")["sponsored_id"].alias("sponsored_id"),
-                        F.col("source_account").alias("source_account"),
-                    )
-                )
-            ).alias("_begins")
-        )
-        .withColumnRenamed("ledger_sequence", "_bls")
-        .withColumnRenamed("tx_index", "_bti")
-    )
-
-    ops = operations.join(
-        tx_src,
-        (operations.ledger_sequence == tx_src._ls)
-        & (operations.tx_index == tx_src._ti),
-        "left",
-    ).join(
-        begin_ops,
-        (operations.ledger_sequence == begin_ops._bls)
-        & (operations.tx_index == begin_ops._bti),
-        "left",
-    )
-    if ledgers is not None:
-        hdr = F.broadcast(
-            ledgers.select(
-                F.col("sequence").alias("_hseq"),
-                F.col("closed_at").alias("_closed_at"),
-            )
-        )
-        ops = ops.join(hdr, ops.ledger_sequence == hdr._hseq, "left")
-    else:
-        ops = ops.withColumn("_closed_at", F.lit(None).cast("timestamp"))
-
+@lru_cache(maxsize=1)
+def _op_exprs() -> tuple[Column, Column]:
+    """(details struct, sponsor) as cached unresolved expressions — the
+    ~70-field details switch costs thousands of py4j round trips to
+    build; it references only column names, so one instance serves
+    every transform_operation call."""
     body = F.col("body")
     sponsoring = F.filter(
         F.col("changes"), lambda c: c["post"]["sponsor"].isNotNull()
@@ -377,6 +320,76 @@ def transform_operation(
         body["args"].alias("parameters"),
         body["extend_to"].alias("extend_to"),
     )
+
+    return details, sponsor
+
+
+def transform_operation(
+    operations: DataFrame,
+    transactions: DataFrame,
+    ledgers: DataFrame | None = None,
+) -> DataFrame:
+    """One output row per operation.
+
+    - operation id = TOID(ledger, tx, op_index+1) — the +1 offset is the
+      reference's (operation.go:32)
+    - source account defaults to the tx source when the op has none
+      (operation.go:287-294)
+    - sponsor = sponsor of the last change whose post carries one
+      (operation.go:296-358 change scan)
+    """
+    tx_src = transactions.select(
+        F.col("ledger_sequence").alias("_ls"),
+        F.col("tx_index").alias("_ti"),
+        F.col("source_account").alias("_tx_source"),
+        F.col("transaction_hash").alias("_tx_hash"),
+    )
+
+    # in-tx back-scan for end_sponsoring_future_reserves: the matching
+    # begin op's source (findInitatingBeginSponsoringOp, operation.go:533-553).
+    # Begin ops are rare, so the aggregate is tiny; the join key matches the
+    # tx join, so AQE coalesces both into one co-partitioned exchange.
+    begin_ops = (
+        operations.where(F.col("type") == 16)
+        .groupBy("ledger_sequence", "tx_index")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("op_index").alias("op_index"),
+                        F.col("body")["sponsored_id"].alias("sponsored_id"),
+                        F.col("source_account").alias("source_account"),
+                    )
+                )
+            ).alias("_begins")
+        )
+        .withColumnRenamed("ledger_sequence", "_bls")
+        .withColumnRenamed("tx_index", "_bti")
+    )
+
+    ops = operations.join(
+        tx_src,
+        (operations.ledger_sequence == tx_src._ls)
+        & (operations.tx_index == tx_src._ti),
+        "left",
+    ).join(
+        begin_ops,
+        (operations.ledger_sequence == begin_ops._bls)
+        & (operations.tx_index == begin_ops._bti),
+        "left",
+    )
+    if ledgers is not None:
+        hdr = F.broadcast(
+            ledgers.select(
+                F.col("sequence").alias("_hseq"),
+                F.col("closed_at").alias("_closed_at"),
+            )
+        )
+        ops = ops.join(hdr, ops.ledger_sequence == hdr._hseq, "left")
+    else:
+        ops = ops.withColumn("_closed_at", F.lit(None).cast("timestamp"))
+
+    details, sponsor = _op_exprs()
 
     return ops.select(
         toid(F.col("ledger_sequence"), F.col("tx_index"), F.col("op_index") + 1).alias(

@@ -71,6 +71,29 @@ def transform_trade(
     else:
         tradable = tradable.withColumn("_tx_source", F.lit(None).cast("string"))
 
+    # Hoist the per-OP change reductions above the atom explode so the full
+    # changes array never rides through Generate: the price scan only needs
+    # the pre-change OFFER entries (offer_id, price) and the pool scan only
+    # the last pre-change POOL entry — both tiny projections of `changes`.
+    chg = F.col("changes")
+    offer_pres = F.transform(
+        F.filter(chg, lambda c: c["pre"]["offer_id"].isNotNull()),
+        lambda c: F.struct(
+            c["pre"]["offer_id"].alias("offer_id"),
+            c["pre"]["price_n"].alias("price_n"),
+            c["pre"]["price_d"].alias("price_d"),
+        ),
+    )
+    pool_pre_full = F.try_element_at(
+        F.filter(chg, lambda c: c["pre"]["pool_fee"].isNotNull()), F.lit(-1)
+    )["pre"]
+    pool_pre_slim = F.struct(
+        pool_pre_full["pool_fee"].alias("pool_fee"),
+        pool_pre_full["asset_a"].alias("asset_a"),
+        pool_pre_full["reserve_a"].alias("reserve_a"),
+        pool_pre_full["reserve_b"].alias("reserve_b"),
+    )
+
     exploded = (
         tradable.join(F.broadcast(hdr), tradable.ledger_sequence == hdr._seq)
         .select(
@@ -78,7 +101,8 @@ def transform_trade(
             "tx_index",
             "op_index",
             "type",
-            "changes",
+            offer_pres.alias("_offer_pres"),
+            pool_pre_slim.alias("_pool_pre"),
             F.coalesce(F.col("source_account"), F.col("_tx_source")).alias(
                 "_buyer"
             ),
@@ -94,18 +118,14 @@ def transform_trade(
     # trade.go:281-304 — reverse scan for the last change whose PRE offer
     # matches this atom's sold offer; its price is the true sell price.
     matching_pre = F.filter(
-        F.col("changes"),
-        lambda c: c["pre"]["offer_id"].isNotNull()
-        & (c["pre"]["offer_id"] == atom["offer_id"]),
+        F.col("_offer_pres"),
+        lambda c: c["offer_id"] == atom["offer_id"],
     )
-    last_pre = F.try_element_at(matching_pre, F.lit(-1))["pre"]
+    last_pre = F.try_element_at(matching_pre, F.lit(-1))
     is_lp = atom["atom_type"] == "lp"
 
     # trade.go:306-317 — LP fee + reserves from the pool's pre-change entry.
-    pool_pre_arr = F.filter(
-        F.col("changes"), lambda c: c["pre"]["pool_fee"].isNotNull()
-    )
-    pool_pre = F.try_element_at(pool_pre_arr, F.lit(-1))["pre"]
+    pool_pre = F.col("_pool_pre")
     pool_fee = pool_pre["pool_fee"]
 
     # liquidityPoolReserves (trade.go:339-348): the sold-side reserve is

@@ -287,6 +287,25 @@ class TestGoldenValueFormats:
             if r["buying_offer_id"] and r["buying_offer_id"] > (1 << 62):
                 assert (r["buying_offer_id"] >> 62) & 1 == 1
 
+    def test_operation_details_asset_ids(self):
+        """The *_asset_id values inside mainnet operation details recompute
+        exactly (operation.go:360-407 → FarmHashAsset)."""
+        from stellar_etl_spark.functions.hashes import farmhash_fingerprint64
+
+        checked = 0
+        for r in golden_rows("operations", limit=500):
+            d = r.get("details") or {}
+            for prefix in ("asset", "selling", "buying", "source"):
+                if f"{prefix}_asset_id" in d and f"{prefix}_asset_type" in d:
+                    expect = farmhash_fingerprint64(
+                        (d.get(f"{prefix}_asset_code") or "")
+                        + (d.get(f"{prefix}_asset_issuer") or "")
+                        + d[f"{prefix}_asset_type"]
+                    )
+                    assert expect == d[f"{prefix}_asset_id"], (prefix, d)
+                    checked += 1
+        assert checked > 20
+
     def test_effect_id_format(self):
         rows = golden_rows("effects", limit=300)
         assert rows
