@@ -247,11 +247,83 @@ OP_MANAGE_SELL_OFFER = 3
 OP_CREATE_PASSIVE_SELL_OFFER = 4
 OP_SET_OPTIONS = 5
 OP_CHANGE_TRUST = 6
+OP_ALLOW_TRUST = 7
 OP_ACCOUNT_MERGE = 8
+OP_INFLATION = 9
 OP_MANAGE_DATA = 10
 OP_BUMP_SEQUENCE = 11
 OP_MANAGE_BUY_OFFER = 12
 OP_PATH_PAYMENT_STRICT_SEND = 13
+OP_CREATE_CLAIMABLE_BALANCE = 14
+OP_CLAIM_CLAIMABLE_BALANCE = 15
+OP_BEGIN_SPONSORING = 16
+OP_END_SPONSORING = 17
+OP_CLAWBACK = 19
+OP_CLAWBACK_CLAIMABLE_BALANCE = 20
+OP_SET_TRUST_LINE_FLAGS = 21
+OP_LIQUIDITY_POOL_DEPOSIT = 22
+OP_LIQUIDITY_POOL_WITHDRAW = 23
+
+
+def read_claim_predicate(r: Reader) -> dict:
+    """Recursive ClaimPredicate union (Stellar-ledger-entries.x)."""
+    t = r.u32()
+    if t == 0:
+        return {"type": "unconditional"}
+    if t == 1:
+        return {"type": "and", "preds": r.array(lambda: read_claim_predicate(r), 2)}
+    if t == 2:
+        return {"type": "or", "preds": r.array(lambda: read_claim_predicate(r), 2)}
+    if t == 3:
+        return {"type": "not", "pred": r.optional(lambda: read_claim_predicate(r))}
+    if t == 4:
+        return {"type": "before_absolute_time", "abs_before": r.i64()}
+    if t == 5:
+        return {"type": "before_relative_time", "rel_before": r.i64()}
+    raise XdrError(f"bad ClaimPredicate type {t}")
+
+
+def write_claim_predicate(w: Writer, p: dict):
+    t = p["type"]
+    if t == "unconditional":
+        w.u32(0)
+    elif t in ("and", "or"):
+        w.u32(1 if t == "and" else 2)
+        w.u32(len(p["preds"]))
+        for q in p["preds"]:
+            write_claim_predicate(w, q)
+    elif t == "not":
+        w.u32(3)
+        w.optional(p["pred"], lambda q: write_claim_predicate(w, q))
+    elif t == "before_absolute_time":
+        w.u32(4).i64(p["abs_before"])
+    elif t == "before_relative_time":
+        w.u32(5).i64(p["rel_before"])
+    else:
+        raise XdrError(f"bad ClaimPredicate type {t}")
+
+
+def read_claimant(r: Reader) -> dict:
+    v = r.u32()
+    if v != 0:
+        raise XdrError(f"bad Claimant version {v}")
+    return {
+        "destination": read_account_id(r),
+        "predicate": read_claim_predicate(r),
+    }
+
+
+def write_claimant(w: Writer, c: dict):
+    w.u32(0)
+    write_account_id(w, c["destination"])
+    write_claim_predicate(w, c["predicate"])
+
+
+def read_claimable_balance_id(r: Reader) -> bytes:
+    v = r.u32()
+    if v != 0:  # CLAIMABLE_BALANCE_ID_TYPE_V0
+        raise XdrError(f"bad ClaimableBalanceID type {v}")
+    return r.opaque(32)
 
 
 def _read_signer_key(r: Reader) -> dict:
@@ -312,10 +384,35 @@ def read_operation(r: Reader) -> dict:
             ),
         }
     elif t == OP_CHANGE_TRUST:
-        # ChangeTrustAsset: same tags as Asset + pool-share(3, unsupported)
-        body = {"line": read_asset(r), "limit": r.i64()}
+        # ChangeTrustAsset: Asset tags + pool-share(3) constant-product params
+        tag = r.u32()
+        if tag == 3:
+            lp_t = r.u32()
+            if lp_t != 0:  # LIQUIDITY_POOL_CONSTANT_PRODUCT
+                raise XdrError(f"bad LiquidityPoolType {lp_t}")
+            line = {
+                "type": "pool_share",
+                "asset_a": read_asset(r),
+                "asset_b": read_asset(r),
+                "fee": r.i32(),
+            }
+        else:
+            r.pos -= 4
+            line = read_asset(r)
+        body = {"line": line, "limit": r.i64()}
+    elif t == OP_ALLOW_TRUST:
+        trustor = read_account_id(r)
+        at = r.u32()
+        code = r.opaque(4 if at == ASSET_ALPHANUM4 else 12)
+        body = {
+            "trustor": trustor,
+            "asset_code": code.rstrip(b"\x00").decode(),
+            "authorize": r.u32(),
+        }
     elif t == OP_ACCOUNT_MERGE:
         body = {"destination": read_muxed_account(r)}
+    elif t == OP_INFLATION:
+        body = {}
     elif t == OP_MANAGE_DATA:
         body = {
             "data_name": r.string(64),
@@ -323,6 +420,48 @@ def read_operation(r: Reader) -> dict:
         }
     elif t == OP_BUMP_SEQUENCE:
         body = {"bump_to": r.i64()}
+    elif t == OP_CREATE_CLAIMABLE_BALANCE:
+        body = {
+            "asset": read_asset(r),
+            "amount": r.i64(),
+            "claimants": r.array(lambda: read_claimant(r), 10),
+        }
+    elif t == OP_CLAIM_CLAIMABLE_BALANCE:
+        body = {"balance_id": read_claimable_balance_id(r)}
+    elif t == OP_BEGIN_SPONSORING:
+        body = {"sponsored_id": read_account_id(r)}
+    elif t == OP_END_SPONSORING:
+        body = {}
+    elif t == OP_CLAWBACK:
+        body = {
+            "asset": read_asset(r),
+            "from": read_muxed_account(r),
+            "amount": r.i64(),
+        }
+    elif t == OP_CLAWBACK_CLAIMABLE_BALANCE:
+        body = {"balance_id": read_claimable_balance_id(r)}
+    elif t == OP_SET_TRUST_LINE_FLAGS:
+        body = {
+            "trustor": read_account_id(r),
+            "asset": read_asset(r),
+            "clear_flags": r.u32(),
+            "set_flags": r.u32(),
+        }
+    elif t == OP_LIQUIDITY_POOL_DEPOSIT:
+        body = {
+            "pool_id": r.opaque(32),
+            "max_amount_a": r.i64(),
+            "max_amount_b": r.i64(),
+            "min_price": read_price(r),
+            "max_price": read_price(r),
+        }
+    elif t == OP_LIQUIDITY_POOL_WITHDRAW:
+        body = {
+            "pool_id": r.opaque(32),
+            "amount": r.i64(),
+            "min_amount_a": r.i64(),
+            "min_amount_b": r.i64(),
+        }
     else:
         raise XdrError(f"unsupported operation type {t}")
     return {"source": source, "type": t, "body": body}
@@ -381,15 +520,56 @@ def write_operation(w: Writer, op: dict):
             ),
         )
     elif t == OP_CHANGE_TRUST:
-        write_asset(w, b["line"])
+        line = b["line"]
+        if line.get("type") == "pool_share":
+            w.u32(3).u32(0)
+            write_asset(w, line["asset_a"])
+            write_asset(w, line["asset_b"])
+            w.i32(line["fee"])
+        else:
+            write_asset(w, line)
         w.i64(b["limit"])
+    elif t == OP_ALLOW_TRUST:
+        write_account_id(w, b["trustor"])
+        n = 4 if len(b["asset_code"]) <= 4 else 12
+        w.u32(ASSET_ALPHANUM4 if n == 4 else ASSET_ALPHANUM12)
+        w.opaque(b["asset_code"].encode().ljust(n, b"\x00"))
+        w.u32(b["authorize"])
     elif t == OP_ACCOUNT_MERGE:
         write_muxed_account(w, b["destination"])
+    elif t in (OP_INFLATION, OP_END_SPONSORING):
+        pass
     elif t == OP_MANAGE_DATA:
         w.string(b["data_name"])
         w.optional(b["data_value"], w.var_opaque)
     elif t == OP_BUMP_SEQUENCE:
         w.i64(b["bump_to"])
+    elif t == OP_CREATE_CLAIMABLE_BALANCE:
+        write_asset(w, b["asset"])
+        w.i64(b["amount"])
+        w.u32(len(b["claimants"]))
+        for c in b["claimants"]:
+            write_claimant(w, c)
+    elif t in (OP_CLAIM_CLAIMABLE_BALANCE, OP_CLAWBACK_CLAIMABLE_BALANCE):
+        w.u32(0).opaque(b["balance_id"])
+    elif t == OP_BEGIN_SPONSORING:
+        write_account_id(w, b["sponsored_id"])
+    elif t == OP_CLAWBACK:
+        write_asset(w, b["asset"])
+        write_muxed_account(w, b["from"])
+        w.i64(b["amount"])
+    elif t == OP_SET_TRUST_LINE_FLAGS:
+        write_account_id(w, b["trustor"])
+        write_asset(w, b["asset"])
+        w.u32(b["clear_flags"]).u32(b["set_flags"])
+    elif t == OP_LIQUIDITY_POOL_DEPOSIT:
+        w.opaque(b["pool_id"])
+        w.i64(b["max_amount_a"]).i64(b["max_amount_b"])
+        w.i32(b["min_price"][0]).i32(b["min_price"][1])
+        w.i32(b["max_price"][0]).i32(b["max_price"][1])
+    elif t == OP_LIQUIDITY_POOL_WITHDRAW:
+        w.opaque(b["pool_id"])
+        w.i64(b["amount"]).i64(b["min_amount_a"]).i64(b["min_amount_b"])
     else:
         raise XdrError(f"unsupported operation type {t}")
 
@@ -520,6 +700,47 @@ def write_transaction_v1(w: Writer, tx: dict):
     w.u32(0)  # ext
 
 
+def transaction_hash(env: dict, network_passphrase: str) -> bytes:
+    """The network transaction hash: sha256(network id ‖ envelope type ‖
+    marshaled tx) — stellar-core's signature payload.  V0 envelopes hash as
+    their ENVELOPE_TYPE_TX conversion (source promoted to a muxed account,
+    time bounds to a TIME precondition); fee bumps hash the OUTER
+    FeeBumpTransaction under ENVELOPE_TYPE_TX_FEE_BUMP."""
+    import hashlib
+
+    nid = hashlib.sha256(network_passphrase.encode()).digest()
+    w = Writer()
+    if env["type"] == "fee_bump":
+        w.u32(ENVELOPE_TYPE_TX_FEE_BUMP)
+        write_muxed_account(w, env["fee_source"])
+        w.i64(env["fee"])
+        w.u32(ENVELOPE_TYPE_TX)
+        write_transaction_v1(w, env["inner"]["tx"])
+        _write_signatures(w, env["inner"]["signatures"])
+        w.u32(0)
+    else:
+        w.u32(ENVELOPE_TYPE_TX)
+        tx = env["tx"]
+        if env["type"] == "v0":
+            # v0 → v1 conversion for hashing (TransactionSignaturePayload)
+            write_muxed_account(w, {"ed25519": tx["source"]["ed25519"], "id": None})
+            w.u32(tx["fee"]).i64(tx["seq_num"])
+            tb = (tx["preconditions"] or {}).get("time_bounds")
+            if tb is None:
+                w.u32(PRECOND_NONE)
+            else:
+                w.u32(PRECOND_TIME)
+                w.u64(tb["min_time"]).u64(tb["max_time"])
+            write_memo(w, tx["memo"])
+            w.u32(len(tx["operations"]))
+            for op in tx["operations"]:
+                write_operation(w, op)
+            w.u32(0)
+        else:
+            write_transaction_v1(w, tx)
+    return hashlib.sha256(nid + w.bytes()).digest()
+
+
 def read_transaction_envelope(r: Reader) -> dict:
     t = r.u32()
     if t == ENVELOPE_TYPE_TX_V0:
@@ -623,6 +844,9 @@ class LedgerHeader:
     base_reserve: int = 5_000_000
     max_tx_set_size: int = 1000
     skip_list: tuple = (b"\x00" * 32,) * 4
+    # STELLAR_VALUE_SIGNED ext: (node_id ed25519, signature) — preserved so
+    # real headers re-encode byte-identically
+    close_value_signature: tuple | None = None
 
 
 def read_ledger_header(r: Reader) -> LedgerHeader:
@@ -635,8 +859,7 @@ def read_ledger_header(r: Reader) -> LedgerHeader:
     h.upgrades = r.array(lambda: r.var_opaque(128), 6)
     sv_ext = r.u32()
     if sv_ext == 1:  # STELLAR_VALUE_SIGNED: LedgerCloseValueSignature
-        read_account_id(r)  # nodeID
-        r.var_opaque(64)  # signature
+        h.close_value_signature = (read_account_id(r), r.var_opaque(64))
     elif sv_ext != 0:
         raise XdrError(f"bad StellarValue ext {sv_ext}")
     h.tx_set_result_hash = r.opaque(32)
@@ -664,7 +887,12 @@ def write_ledger_header(w: Writer, h: LedgerHeader):
     w.u32(len(h.upgrades))
     for u in h.upgrades:
         w.var_opaque(u)
-    w.u32(0)  # StellarValue ext BASIC
+    if h.close_value_signature is None:
+        w.u32(0)  # StellarValue ext BASIC
+    else:
+        w.u32(1)
+        write_account_id(w, h.close_value_signature[0])
+        w.var_opaque(h.close_value_signature[1])
     w.opaque(h.tx_set_result_hash)
     w.opaque(h.bucket_list_hash)
     w.u32(h.ledger_seq)
@@ -695,10 +923,12 @@ def _write_header_entry(w: Writer, entry_hash: bytes, h: LedgerHeader):
     w.u32(0)
 
 
-def parse_ledger_close_meta(raw: bytes) -> dict:
-    """Decode a LedgerCloseMeta V0/V1 prefix: header entry + flattened tx
-    envelopes (the ledgers.go:33-50 normalization).  The byte tail after the
-    tx set (txProcessing / upgrades / scpInfo) is preserved opaque."""
+def parse_ledger_close_meta(raw: bytes, tx_processing: bool = True) -> dict:
+    """Decode a LedgerCloseMeta V0/V1: header entry + flattened tx envelopes
+    (the ledgers.go:33-50 normalization) and — when ``tx_processing`` —
+    the per-tx TransactionResultMeta list (result pair + fee-meta ledger
+    changes + apply meta, via sources/xdr_ledger.py).  Bytes after the
+    parsed prefix (upgrades / SCP info / eviction lists) stay opaque."""
     r = Reader(raw)
     v = r.u32()
     if v == 0:
@@ -729,20 +959,52 @@ def parse_ledger_close_meta(raw: bytes) -> dict:
                 envelopes.extend(r.array(lambda: read_transaction_envelope(r)))
     else:
         raise XdrError(f"unsupported LedgerCloseMeta version {v}")
+
+    processing = None
+    if tx_processing and r.pos < len(raw):
+        from stellar_etl_spark.sources.xdr_ledger import (
+            read_ledger_entry_changes,
+            read_transaction_meta,
+            read_transaction_result_pair,
+        )
+
+        processing = r.array(
+            lambda: {
+                "result": read_transaction_result_pair(r),
+                "fee_changes": read_ledger_entry_changes(r),
+                "meta": read_transaction_meta(r),
+            }
+        )
     return {
         "version": v,
         "entry_hash": entry_hash,
         "header": header,
         "previous_ledger_hash_txset": prev,
         "envelopes": envelopes,
+        "tx_processing": processing,
         "tail": r.tail(),
     }
+
+
+def _write_tx_processing(w: Writer, processing: list[dict]):
+    from stellar_etl_spark.sources.xdr_ledger import (
+        write_ledger_entry_changes,
+        write_transaction_meta,
+        write_transaction_result_pair,
+    )
+
+    w.u32(len(processing))
+    for p in processing:
+        write_transaction_result_pair(w, p["result"])
+        write_ledger_entry_changes(w, p["fee_changes"])
+        write_transaction_meta(w, p["meta"])
 
 
 def encode_ledger_close_meta_v0(
     header: LedgerHeader,
     envelopes: list[dict],
     entry_hash: bytes = b"\x11" * 32,
+    tx_processing: list[dict] | None = None,
     tail: bytes = b"",
 ) -> bytes:
     w = Writer()
@@ -752,6 +1014,8 @@ def encode_ledger_close_meta_v0(
     w.u32(len(envelopes))
     for e in envelopes:
         write_transaction_envelope(w, e)
+    if tx_processing is not None:
+        _write_tx_processing(w, tx_processing)
     return w.bytes() + tail
 
 
@@ -759,6 +1023,7 @@ def encode_ledger_close_meta_v1(
     header: LedgerHeader,
     phases: list[list[dict]],
     entry_hash: bytes = b"\x22" * 32,
+    tx_processing: list[dict] | None = None,
     tail: bytes = b"",
 ) -> bytes:
     """V1 with one component per phase (the common shape)."""
@@ -777,13 +1042,16 @@ def encode_ledger_close_meta_v1(
         w.u32(len(envs))
         for e in envs:
             write_transaction_envelope(w, e)
+    if tx_processing is not None:
+        _write_tx_processing(w, tx_processing)
     return w.bytes() + tail
 
 
 def real_lcm_decoder(raw: bytes) -> dict:
     """Bronze decode slot (sources/bronze.py): parse the real XDR prefix and
-    surface the header fields the bronze schema carries."""
-    meta = parse_ledger_close_meta(raw)
+    surface the header fields the bronze schema carries (results/meta not
+    needed at this grain — silver decodes them)."""
+    meta = parse_ledger_close_meta(raw, tx_processing=False)
     h = meta["header"]
     return {
         "sequence": h.ledger_seq,

@@ -211,14 +211,15 @@ class TestLedgerCloseMeta:
     def test_v0_roundtrip_and_normalization(self):
         envs = [_env_v1([PAYMENT]), _env_v1([PAYMENT, PAYMENT])]
         raw = encode_ledger_close_meta_v0(
-            self._header(), envs, tail=b"\x00\x00\x00\x00"
+            self._header(), envs, tx_processing=[]
         )
         meta = parse_ledger_close_meta(raw)
         assert meta["version"] == 0
         assert meta["header"].ledger_seq == 2
         # ledgers.go:33-50: V0 exposes TransactionSet txs directly
         assert meta["envelopes"] == envs
-        assert meta["tail"] == b"\x00\x00\x00\x00"
+        assert meta["tx_processing"] == []
+        assert meta["tail"] == b""
 
     def test_v1_flattens_phases(self):
         """V1 GeneralizedTransactionSet: envelopes across phases/components
