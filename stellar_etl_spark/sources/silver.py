@@ -9,15 +9,23 @@ the entity transforms consume — so the full pipeline
 ``ledger files → bronze → silver → history_* tables`` runs on real wire
 bytes with no SDK.
 
-Coverage notes (documented, not silent):
+The full ingestion surface is decoded (sources/xdr.py + xdr_ledger.py):
 
-- Transaction RESULTS live in the LCM tail after the tx set, which the
-  subset parser preserves opaque — ``successful`` defaults to true and
-  ``fee_charged`` to the bid fee until result decode lands.  Both columns
-  exist so downstream schemas are stable.
-- Operation bodies cover the classic payment/offer/account family the XDR
-  subset parses; fee-bump envelopes surface the inner transaction with the
-  fee-bump surface fields set (transaction.go:254-272).
+- ``decode_transactions`` pairs every envelope with its
+  TransactionResultMeta BY NETWORK TX HASH and fills successful /
+  fee_charged / result_code, the Soroban fee ext, and the four canonical
+  base64 blobs (envelope, result pair, meta, fee meta) by re-encoding the
+  decoded structures (byte-exactness pinned in tests/test_xdr_golden.py).
+- ``decode_operations`` attaches per-op result codes, claim atoms from
+  offer/path-payment results (the trades input) and the op's PAIRED
+  ledger-entry changes (stellar/go ingest.Change semantics) from the apply
+  meta — the sponsor scan / trade price scan / effects inputs.
+- ``decode_changes`` emits the CHANGES_DDL table (fee processing + per-op
+  + tx-level changes) feeding route_changes — the StreamChanges surface.
+
+Coverage notes: envelopes with Soroban transaction data (ext=1) still
+raise in the envelope parser; operation ``trace_code`` (per-type inner
+result-code names) is left null pending the per-type name tables.
 """
 
 from __future__ import annotations
@@ -32,7 +40,13 @@ from stellar_etl_spark.functions.strkey import (
     encode_strkey,
 )
 from stellar_etl_spark.schemas import OPERATIONS_DDL, TRANSACTIONS_DDL
-from stellar_etl_spark.sources.xdr import parse_ledger_close_meta
+from stellar_etl_spark.sources.xdr import Writer, parse_ledger_close_meta
+from stellar_etl_spark.sources.xdr_ledger import (
+    TX_RESULT_CODE_NAMES as _TX_CODES,
+)
+from stellar_etl_spark.sources.xdr_ledger import (
+    result_successful as _result_successful,
+)
 
 import base64
 import struct
@@ -78,7 +92,14 @@ _MEMO_TYPES = {
 }
 
 
-def _tx_row(seq: int, closed_at_unix: int, idx: int, env: dict) -> dict:
+def _tx_row(
+    seq: int,
+    closed_at_unix: int,
+    idx: int,
+    env: dict,
+    proc: dict | None = None,
+    tx_hash: bytes | None = None,
+) -> dict:
     is_bump = env["type"] == "fee_bump"
     inner = env["inner"]["tx"] if is_bump else env["tx"]
     pre = inner.get("preconditions") or {}
@@ -88,17 +109,38 @@ def _tx_row(seq: int, closed_at_unix: int, idx: int, env: dict) -> dict:
     g, m = _muxed(inner["source"])
     fee_g = _muxed(env["fee_source"])[0] if is_bump else None
     max_fee = env["fee"] if is_bump else inner["fee"]
+
+    result = proc["result"]["result"] if proc else None
+    blobs: dict = {}
+    if proc is not None:
+        from stellar_etl_spark.sources.xdr import write_transaction_envelope
+        from stellar_etl_spark.sources.xdr_ledger import (
+            write_ledger_entry_changes,
+            write_transaction_meta,
+            write_transaction_result_pair,
+        )
+
+        we, wr, wm, wf = Writer(), Writer(), Writer(), Writer()
+        write_transaction_envelope(we, env)
+        write_transaction_result_pair(wr, proc["result"])
+        write_transaction_meta(wm, proc["meta"])
+        write_ledger_entry_changes(wf, proc["fee_changes"])
+        blobs = {
+            "tx_envelope": base64.b64encode(we.bytes()).decode(),
+            "tx_result": base64.b64encode(wr.bytes()).decode(),
+            "tx_meta": base64.b64encode(wm.bytes()).decode(),
+            "tx_fee_meta": base64.b64encode(wf.bytes()).decode(),
+        }
     return dict(
         ledger_sequence=seq,
         tx_index=idx,
-        transaction_hash=None,  # requires network-id hashing; not decoded
+        transaction_hash=tx_hash.hex() if tx_hash else None,
         source_account=g,
         source_muxed=m,
         account_sequence=inner["seq_num"],
         max_fee=max_fee,
-        # result decode pending: fee bid stands in for fee charged
-        fee_charged=max_fee,
-        successful=True,
+        fee_charged=result["fee_charged"] if result else max_fee,
+        successful=_result_successful(result) if result else True,
         operation_count=len(inner["operations"]),
         memo_type=_MEMO_TYPES[memo["type"]],
         memo=(
@@ -131,15 +173,27 @@ def _tx_row(seq: int, closed_at_unix: int, idx: int, env: dict) -> dict:
         soroban_resources_read_bytes=None,
         soroban_resources_write_bytes=None,
         fee_refund=None,
-        fee_nonrefundable=None,
-        fee_refundable=None,
-        rent_fee=None,
-        result_code=None,
+        fee_nonrefundable=(
+            (proc["meta"].get("soroban") or {}).get("fees") or {}
+        ).get("total_non_refundable_resource_fee_charged")
+        if proc
+        else None,
+        fee_refundable=(
+            (proc["meta"].get("soroban") or {}).get("fees") or {}
+        ).get("total_refundable_resource_fee_charged")
+        if proc
+        else None,
+        rent_fee=(
+            (proc["meta"].get("soroban") or {}).get("fees") or {}
+        ).get("rent_fee_charged")
+        if proc
+        else None,
+        result_code=_TX_CODES.get(result["code"]) if result else None,
         tx_signers=[s["hint"].hex() for s in env["signatures"]],
-        tx_envelope=None,
-        tx_result=None,
-        tx_meta=None,
-        tx_fee_meta=None,
+        tx_envelope=blobs.get("tx_envelope"),
+        tx_result=blobs.get("tx_result"),
+        tx_meta=blobs.get("tx_meta"),
+        tx_fee_meta=blobs.get("tx_fee_meta"),
         tx_ledger_history=None,
         closed_at_unix=closed_at_unix,
     )
@@ -215,9 +269,31 @@ def _op_body(t: int, b: dict) -> dict:
     return out
 
 
-def decode_transactions(bronze: DataFrame) -> DataFrame:
+def _match_processing(meta: dict, passphrase: str) -> list[tuple]:
+    """Pair each envelope with its TransactionResultMeta by NETWORK TX HASH
+    (txProcessing is in apply order, the tx set in its own order — the
+    reference's LedgerTransactionReader also pairs by hash)."""
+    from stellar_etl_spark.sources.xdr import transaction_hash
+
+    by_hash = {}
+    for proc in meta["tx_processing"] or []:
+        by_hash[proc["result"]["transaction_hash"]] = proc
+    out = []
+    for env in meta["envelopes"]:
+        try:
+            th = transaction_hash(env, passphrase)
+        except Exception:
+            th = None
+        out.append((env, th, by_hash.get(th)))
+    return out
+
+
+def decode_transactions(
+    bronze: DataFrame, passphrase: str = "Public Global Stellar Network ; September 2015"
+) -> DataFrame:
     """One TRANSACTIONS_DDL row per envelope (GetTransactions surface,
-    input/transactions.go) from raw LCM bytes."""
+    input/transactions.go) from raw LCM bytes — results, fees, soroban fee
+    ext, and the four canonical base64 blobs filled from txProcessing."""
     import pandas as pd
 
     schema = TRANSACTIONS_DDL + ", closed_at_unix long"
@@ -228,8 +304,12 @@ def decode_transactions(bronze: DataFrame) -> DataFrame:
             for raw in pdf["lcm_xdr"]:
                 meta = parse_ledger_close_meta(bytes(raw))
                 h = meta["header"]
-                for i, env in enumerate(meta["envelopes"], start=1):
-                    rows.append(_tx_row(h.ledger_seq, h.close_time, i, env))
+                for i, (env, th, proc) in enumerate(
+                    _match_processing(meta, passphrase), start=1
+                ):
+                    rows.append(
+                        _tx_row(h.ledger_seq, h.close_time, i, env, proc, th)
+                    )
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {c: [] for c in _tx_row(0, 0, 0, _EMPTY_ENV)}
             )
@@ -237,9 +317,14 @@ def decode_transactions(bronze: DataFrame) -> DataFrame:
     return bronze.mapInPandas(gen, schema=schema)
 
 
-def decode_operations(bronze: DataFrame) -> DataFrame:
+def decode_operations(
+    bronze: DataFrame, passphrase: str = "Public Global Stellar Network ; September 2015"
+) -> DataFrame:
     """One OPERATIONS_DDL row per operation from raw LCM bytes
-    (GetOperations surface, input/operations.go)."""
+    (GetOperations surface, input/operations.go) — with per-op result codes,
+    claim atoms from offer/path-payment results (the trades input), and the
+    op's paired ledger-entry changes (the sponsor/effects/trade price scan
+    input) from the apply meta."""
     import pandas as pd
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -248,15 +333,47 @@ def decode_operations(bronze: DataFrame) -> DataFrame:
             for raw in pdf["lcm_xdr"]:
                 meta = parse_ledger_close_meta(bytes(raw))
                 h = meta["header"]
-                for ti, env in enumerate(meta["envelopes"], start=1):
+                for ti, (env, _th, proc) in enumerate(
+                    _match_processing(meta, passphrase), start=1
+                ):
                     tx = (
                         env["inner"]["tx"]
                         if env["type"] == "fee_bump"
                         else env["tx"]
                     )
+                    result = proc["result"]["result"] if proc else None
+                    if result is not None and result["code"] in (1, -13):
+                        result = result["inner_result"]
+                    op_results = (result or {}).get("op_results") or []
+                    op_metas = proc["meta"]["operations"] if proc else []
+                    successful = (
+                        _result_successful(proc["result"]["result"])
+                        if proc
+                        else True
+                    )
                     for oi, op in enumerate(tx["operations"]):
                         g, m = (
                             _muxed(op["source"]) if op["source"] else (None, None)
+                        )
+                        res = op_results[oi] if oi < len(op_results) else None
+                        atoms = []
+                        if res is not None and res.get("inner_code") == 0:
+                            succ = res.get("success") or {}
+                            atoms = [
+                                _atom_dict(a)
+                                for a in (
+                                    succ.get("offers")
+                                    or succ.get("offers_claimed")
+                                    or []
+                                )
+                            ]
+                        changes = (
+                            [
+                                op_change_struct(pc)
+                                for pc in pair_changes(op_metas[oi]["changes"])
+                            ]
+                            if oi < len(op_metas)
+                            else []
                         )
                         rows.append(
                             dict(
@@ -266,12 +383,16 @@ def decode_operations(bronze: DataFrame) -> DataFrame:
                                 type=op["type"],
                                 source_account=g,
                                 source_muxed=m,
-                                tx_successful=True,
-                                result_code=None,
+                                tx_successful=successful,
+                                result_code=(
+                                    _OP_RESULT_CODE_NAMES.get(res["code"])
+                                    if res
+                                    else None
+                                ),
                                 trace_code=None,
                                 body=_op_body(op["type"], op["body"]),
-                                claim_atoms=[],
-                                changes=[],
+                                claim_atoms=atoms,
+                                changes=changes,
                             )
                         )
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
@@ -298,3 +419,494 @@ _EMPTY_ENV = {
     },
     "signatures": [],
 }
+
+
+# ---------------------------------------------------------------------------
+# Full-decode silver: results, claim atoms, per-op changes, change rows
+# ---------------------------------------------------------------------------
+
+from stellar_etl_spark.functions.strkey import (  # noqa: E402
+    VERSION_CONTRACT,
+    VERSION_LIQUIDITY_POOL,
+)
+from stellar_etl_spark.sources import xdr_ledger as XL  # noqa: E402
+from stellar_etl_spark.sources.xdr import (  # noqa: E402
+    Writer,
+    transaction_hash,
+)
+
+PUBLIC_PASSPHRASE = "Public Global Stellar Network ; September 2015"
+
+_ASSET_TYPE_NAMES = {
+    "native": "native",
+    "credit_alphanum4": "credit_alphanum4",
+    "credit_alphanum12": "credit_alphanum12",
+}
+
+_SCVAL_TYPE_NAMES = {
+    "bool": "ScValTypeScvBool",
+    "void": "ScValTypeScvVoid",
+    "error": "ScValTypeScvError",
+    "u32": "ScValTypeScvU32",
+    "i32": "ScValTypeScvI32",
+    "u64": "ScValTypeScvU64",
+    "i64": "ScValTypeScvI64",
+    "timepoint": "ScValTypeScvTimepoint",
+    "duration": "ScValTypeScvDuration",
+    "u128": "ScValTypeScvU128",
+    "i128": "ScValTypeScvI128",
+    "u256": "ScValTypeScvU256",
+    "i256": "ScValTypeScvI256",
+    "bytes": "ScValTypeScvBytes",
+    "string": "ScValTypeScvString",
+    "symbol": "ScValTypeScvSymbol",
+    "vec": "ScValTypeScvVec",
+    "map": "ScValTypeScvMap",
+    "address": "ScValTypeScvAddress",
+    "instance": "ScValTypeScvContractInstance",
+    "ledger_key_contract_instance": "ScValTypeScvLedgerKeyContractInstance",
+    "ledger_key_nonce": "ScValTypeScvLedgerKeyNonce",
+}
+
+_OP_RESULT_CODE_NAMES = {
+    0: "OperationResultCodeOpInner",
+    -1: "OperationResultCodeOpBadAuth",
+    -2: "OperationResultCodeOpNoAccount",
+    -3: "OperationResultCodeOpNotSupported",
+    -4: "OperationResultCodeOpTooManySubentries",
+    -5: "OperationResultCodeOpExceededWorkLimit",
+    -6: "OperationResultCodeOpTooManySponsoring",
+}
+
+
+def sc_val_json(v) -> object:
+    """JSON-able rendering of a decoded SCVal, matching the reference's
+    xdrjson shape (bytes as hex, recursive vec/map)."""
+    import json as _json
+
+    def conv(x):
+        if isinstance(x, bytes):
+            return x.hex()
+        if isinstance(x, dict):
+            return {k: conv(val) for k, val in x.items()}
+        if isinstance(x, list):
+            return [conv(e) for e in x]
+        return x
+
+    return _json.dumps(conv(v), separators=(",", ":"), sort_keys=False)
+
+
+def _asset_dict(a: dict | None) -> dict | None:
+    """Decoded asset → CHANGES asset struct (type/code/issuer strkey)."""
+    if a is None:
+        return None
+    if a.get("type") == "pool_share":
+        return None
+    if a["type"] == "native":
+        return {"asset_type": "native", "asset_code": None, "asset_issuer": None}
+    return {
+        "asset_type": a["type"],
+        "asset_code": a["code"],
+        "asset_issuer": _acct(a["issuer"]),
+    }
+
+
+def pair_changes(changes: list[dict]) -> list[dict]:
+    """LedgerEntryChanges → (pre, post) pairs — stellar/go ingest.Change
+    semantics: CREATED stands alone (post only); UPDATED / REMOVED consume
+    the immediately preceding STATE as their pre; RESTORED acts as created.
+    Output change_type codes follow the engine's CHANGES_DDL convention:
+    0 created, 1 updated, 2 removed."""
+    out = []
+    state = None
+    for c in changes:
+        t = c["change_type"]
+        if t == XL.CHANGE_STATE:
+            state = c["entry"]
+        elif t in (XL.CHANGE_CREATED, XL.CHANGE_RESTORED):
+            out.append({"change_type": 0, "pre": None, "post": c["entry"]})
+            state = None
+        elif t == XL.CHANGE_UPDATED:
+            out.append({"change_type": 1, "pre": state, "post": c["entry"]})
+            state = None
+        elif t == XL.CHANGE_REMOVED:
+            out.append(
+                {"change_type": 2, "pre": state, "post": None, "key": c["key"]}
+            )
+            state = None
+    return out
+
+
+def _entry_to_key(e: dict) -> dict:
+    t, d = e["type"], e["data"]
+    if t == XL.ENTRY_ACCOUNT:
+        return {"type": t, "account_id": d["account_id"]}
+    if t == XL.ENTRY_TRUSTLINE:
+        return {"type": t, "account_id": d["account_id"], "asset": d["asset"]}
+    if t == XL.ENTRY_OFFER:
+        return {"type": t, "seller_id": d["seller_id"], "offer_id": d["offer_id"]}
+    if t == XL.ENTRY_DATA:
+        return {"type": t, "account_id": d["account_id"], "data_name": d["data_name"]}
+    if t == XL.ENTRY_CLAIMABLE:
+        return {"type": t, "balance_id": d["balance_id"]}
+    if t == XL.ENTRY_POOL:
+        return {"type": t, "pool_id": d["pool_id"]}
+    if t == XL.ENTRY_CONTRACT_DATA:
+        return {
+            "type": t,
+            "contract": d["contract"],
+            "key": d["key"],
+            "durability": d["durability"],
+        }
+    if t == XL.ENTRY_CONTRACT_CODE:
+        return {"type": t, "hash": d["hash"]}
+    if t == XL.ENTRY_CONFIG:
+        return {"type": t, "config_setting_id": d["config_setting_id"]}
+    if t == XL.ENTRY_TTL:
+        return {"type": t, "key_hash": d["key_hash"]}
+    raise ValueError(f"bad entry type {t}")
+
+
+def _signer_str(key: dict) -> str:
+    if key["type"] == 0:
+        return _acct(key["key"])
+    return key["key"].hex()
+
+
+def _sac_instance_asset(val: dict) -> dict | None:
+    """AssetInfo extraction (contract_data.go:191-250): instance storage
+    under the vec[Symbol("AssetInfo")] key → {sym, code, issuer_key}."""
+    inst = val.get("instance")
+    if not inst or inst.get("storage") is None:
+        return None
+    for me in inst["storage"]:
+        k = me["key"]
+        vec = k.get("vec")
+        if vec and len(vec) == 1 and vec[0].get("symbol") == "AssetInfo":
+            info = me["val"]
+            ivec = info.get("vec")
+            if not ivec or len(ivec) != 2:
+                return None
+            sym = ivec[0].get("symbol")
+            if sym == "Native":
+                return {"sym": "Native", "code": None, "issuer_key": None}
+            if sym not in ("AlphaNum4", "AlphaNum12"):
+                return None
+            amap = ivec[1].get("map")
+            if not amap or len(amap) != 2:
+                return None
+            if amap[0]["key"].get("symbol") != "asset_code":
+                return None
+            code = amap[0]["val"].get("string")
+            if amap[1]["key"].get("symbol") != "issuer":
+                return None
+            issuer = amap[1]["val"].get("bytes")
+            if code is None or issuer is None:
+                return None
+            code_s = code.decode() if isinstance(code, bytes) else code
+            return {"sym": sym, "code": code_s.rstrip("\x00"), "issuer_key": issuer}
+    return None
+
+
+def _sac_balance_parts(key: dict, val: dict) -> tuple[dict | None, dict | None]:
+    """Balance-holder key + amount map (contract_data.go:306-379)."""
+    vec = key.get("vec")
+    balance_key = None
+    if vec and len(vec) == 2 and vec[0].get("symbol") == "Balance":
+        addr = vec[1].get("address")
+        if addr and addr.get("type") == "contract":
+            balance_key = {"is_balance": True, "holder": addr["contract_id"]}
+    m = val.get("map")
+    val_map = None
+    if m is not None:
+        entry = {"n_entries": len(m), "amount_hi": None, "amount_lo": None,
+                 "authorized": None, "clawback": None}
+        if len(m) == 3 and m[0]["key"].get("symbol") == "amount":
+            amt = m[0]["val"].get("i128")
+            if amt is not None:
+                entry["amount_hi"], entry["amount_lo"] = amt["hi"], amt["lo"]
+            if m[1]["key"].get("symbol") == "authorized":
+                entry["authorized"] = m[1]["val"].get("bool")
+            if m[2]["key"].get("symbol") == "clawback":
+                entry["clawback"] = m[2]["val"].get("bool")
+        val_map = entry
+    return balance_key, val_map
+
+
+def entry_struct(e: dict | None) -> dict | None:
+    """Decoded LedgerEntry → the CHANGES_DDL entry struct (the exact input
+    surface transforms/changes.py consumes)."""
+    if e is None:
+        return None
+    t, d = e["type"], e["data"]
+    out: dict = {}
+    if t == XL.ENTRY_ACCOUNT:
+        sponsors = d.get("signer_sponsoring_ids") or []
+        out = {
+            "account_id": _acct(d["account_id"]),
+            "balance": d["balance"],
+            "seq_num": d["seq_num"],
+            "num_subentries": d["num_subentries"],
+            "flags": d["flags"],
+            "home_domain": d["home_domain"],
+            "thresholds": d["thresholds"],
+            "signers": [
+                {
+                    "key": _signer_str(s["key"]),
+                    "weight": s["weight"],
+                    "sponsor": (
+                        _acct(sponsors[i])
+                        if i < len(sponsors) and sponsors[i] is not None
+                        else None
+                    ),
+                }
+                for i, s in enumerate(d["signers"])
+            ],
+            "liabilities": d["liabilities"],
+            "num_sponsored": d["num_sponsored"],
+            "num_sponsoring": d["num_sponsoring"],
+            "inflation_destination": (
+                _acct(d["inflation_dest"]) if d["inflation_dest"] else None
+            ),
+            "seq_ledger": d["seq_ledger"],
+            "seq_time": d["seq_time"],
+        }
+    elif t == XL.ENTRY_TRUSTLINE:
+        pool = d["asset"].get("type") == "pool_share"
+        out = {
+            "account_id": _acct(d["account_id"]),
+            "asset": None if pool else _asset_dict(d["asset"]),
+            "pool_id": d["asset"]["pool_id"].hex() if pool else None,
+            "balance": d["balance"],
+            "limit": d["limit"],
+            "flags": d["flags"],
+            "liabilities": d["liabilities"],
+        }
+    elif t == XL.ENTRY_OFFER:
+        out = {
+            "seller_id": _acct(d["seller_id"]),
+            "offer_id": d["offer_id"],
+            "selling": _asset_dict(d["selling"]),
+            "buying": _asset_dict(d["buying"]),
+            "amount": d["amount"],
+            "price_n": d["price"][0],
+            "price_d": d["price"][1],
+            "flags": d["flags"],
+        }
+    elif t == XL.ENTRY_DATA:
+        out = {"account_id": _acct(d["account_id"])}
+    elif t == XL.ENTRY_CLAIMABLE:
+        out = {
+            "balance_id": "00000000" + d["balance_id"].hex(),
+            "claimants": [
+                {
+                    "destination": _acct(c["destination"]),
+                    "predicate": sc_val_json(c["predicate"]),
+                }
+                for c in d["claimants"]
+            ],
+            "asset": _asset_dict(d["asset"]),
+            "amount": d["amount"],
+            "flags": d["flags"] or 0,
+        }
+    elif t == XL.ENTRY_POOL:
+        out = {
+            "pool_id": d["pool_id"].hex(),
+            "asset_a": _asset_dict(d["asset_a"]),
+            "asset_b": _asset_dict(d["asset_b"]),
+            "fee": d["fee"],
+            "reserve_a": d["reserve_a"],
+            "reserve_b": d["reserve_b"],
+            "total_shares": d["total_pool_shares"],
+            "trustline_count": d["pool_shares_trust_line_count"],
+        }
+    elif t == XL.ENTRY_CONTRACT_DATA:
+        from stellar_etl_spark.sources.xdr_ledger import (
+            _write_contract_data_entry,
+            write_sc_val,
+        )
+
+        contract = d["contract"]
+        cid_bytes = (
+            contract["contract_id"] if contract["type"] == "contract" else None
+        )
+        wk, wv, wall = Writer(), Writer(), Writer()
+        write_sc_val(wk, d["key"])
+        write_sc_val(wv, d["val"])
+        _write_contract_data_entry(wall, d)
+        balance_key, val_map = _sac_balance_parts(d["key"], d["val"])
+        out = {
+            "contract_id": (
+                encode_strkey(VERSION_CONTRACT, cid_bytes) if cid_bytes else None
+            ),
+            "contract_id_bytes": cid_bytes,
+            "key_type": _SCVAL_TYPE_NAMES[next(iter(d["key"]))],
+            "durability": "persistent" if d["durability"] == 1 else "temporary",
+            "key_xdr": base64.b64encode(wk.bytes()).decode(),
+            "val_xdr": base64.b64encode(wv.bytes()).decode(),
+            "key_decoded": sc_val_json(d["key"]),
+            "val_decoded": sc_val_json(d["val"]),
+            "contract_data_xdr": base64.b64encode(wall.bytes()).decode(),
+            "instance_asset": _sac_instance_asset(d["val"]),
+            "balance_key": balance_key,
+            "val_map": val_map,
+        }
+    elif t == XL.ENTRY_CONTRACT_CODE:
+        cost = d["cost_inputs"] or {}
+        out = {
+            "code_hash": d["hash"].hex(),
+            "ext_v": 1 if d["cost_inputs"] else 0,
+            "wasm_b64": base64.b64encode(d["code"]).decode(),
+            **{f: cost.get(f) for f in (
+                "n_instructions", "n_functions", "n_globals",
+                "n_table_entries", "n_types", "n_data_segments",
+                "n_elem_segments", "n_imports", "n_exports",
+                "n_data_segment_bytes",
+            )},
+        }
+    elif t == XL.ENTRY_CONFIG:
+        out = dict(d)
+    elif t == XL.ENTRY_TTL:
+        out = {
+            "key_hash": d["key_hash"].hex(),
+            "live_until_seq": d["live_until_ledger_seq"],
+        }
+    return out
+
+
+def decode_changes(bronze: DataFrame) -> DataFrame:
+    """One CHANGES_DDL row per paired ledger-entry change across fee
+    processing, every operation's apply meta, and the tx-level
+    before/after changes — the StreamChanges input surface
+    (export_ledger_entry_changes.go) decoded from raw LCM bytes."""
+    import pandas as pd
+
+    from stellar_etl_spark.schemas import CHANGES_DDL
+    from stellar_etl_spark.sources.xdr import parse_ledger_close_meta
+    from stellar_etl_spark.sources.xdr_ledger import write_ledger_key
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for raw in pdf["lcm_xdr"]:
+                meta = parse_ledger_close_meta(bytes(raw))
+                h = meta["header"]
+                closed = pd.Timestamp(h.close_time, unit="s")
+                if not meta["tx_processing"]:
+                    continue
+                idx = 0
+                for proc in meta["tx_processing"]:
+                    groups = [proc["fee_changes"]]
+                    m = proc["meta"]
+                    groups.append(m["tx_changes_before"])
+                    groups.extend(op["changes"] for op in m["operations"])
+                    groups.append(m["tx_changes_after"])
+                    for group in groups:
+                        for pc in pair_changes(group):
+                            entry = pc["post"] or pc["pre"]
+                            key = pc.get("key") or _entry_to_key(entry)
+                            wk = Writer()
+                            write_ledger_key(wk, key)
+                            rows.append(
+                                dict(
+                                    ledger_sequence=h.ledger_seq,
+                                    closed_at=closed,
+                                    entry_type=XL.ENTRY_TYPE_NAMES[entry["type"]],
+                                    change_type=pc["change_type"],
+                                    change_index=idx,
+                                    ledger_key=base64.b64encode(
+                                        wk.bytes()
+                                    ).decode(),
+                                    last_modified_ledger=entry[
+                                        "last_modified_ledger"
+                                    ],
+                                    sponsor=(
+                                        _acct(entry["sponsoring_id"])
+                                        if entry["sponsoring_id"]
+                                        else None
+                                    ),
+                                    pre=entry_struct(pc["pre"]),
+                                    post=entry_struct(pc["post"]),
+                                )
+                            )
+                            idx += 1
+            yield (
+                pd.DataFrame(rows)
+                if rows
+                else pd.DataFrame(
+                    columns="ledger_sequence closed_at entry_type change_type "
+                    "change_index ledger_key last_modified_ledger sponsor "
+                    "pre post".split()
+                )
+            )
+
+    return bronze.mapInPandas(gen, schema=CHANGES_DDL)
+
+
+def _atom_dict(a: dict) -> dict:
+    if a["atom_type"] == "lp":
+        return {
+            "atom_type": "lp",
+            "seller_id": None,
+            "offer_id": None,
+            "pool_id": a["pool_id"].hex(),
+            "asset_sold": _asset_dict(a["asset_sold"]),
+            "amount_sold": a["amount_sold"],
+            "asset_bought": _asset_dict(a["asset_bought"]),
+            "amount_bought": a["amount_bought"],
+        }
+    seller = (
+        _acct(a["seller_ed25519"]) if a["atom_type"] == "v0" else _acct(a["seller_id"])
+    )
+    return {
+        "atom_type": "ob",
+        "seller_id": seller,
+        "offer_id": a["offer_id"],
+        "pool_id": None,
+        "asset_sold": _asset_dict(a["asset_sold"]),
+        "amount_sold": a["amount_sold"],
+        "asset_bought": _asset_dict(a["asset_bought"]),
+        "amount_bought": a["amount_bought"],
+    }
+
+
+def op_change_struct(pc: dict) -> dict:
+    """Paired change → the sparse per-op change entry the trade/effects
+    builders scan (schemas._OP_CHANGE_ENTRY_DDL)."""
+
+    def side(e):
+        if e is None:
+            return None
+        s = entry_struct(e)
+        if s is None:
+            return None
+        return {
+            "offer_id": s.get("offer_id"),
+            "price_n": s.get("price_n"),
+            "price_d": s.get("price_d"),
+            "pool_fee": s.get("fee"),
+            "sponsor": _acct(e["sponsoring_id"]) if e["sponsoring_id"] else None,
+            "account_id": s.get("account_id"),
+            "asset": s.get("asset"),
+            "amount": s.get("amount") or s.get("balance"),
+            "data_name": None,
+            "balance_id": s.get("balance_id"),
+            "pool_id": s.get("pool_id"),
+            "asset_a": s.get("asset_a"),
+            "asset_b": s.get("asset_b"),
+            "reserve_a": s.get("reserve_a"),
+            "reserve_b": s.get("reserve_b"),
+            "total_shares": s.get("total_shares"),
+            "trustline_count": s.get("trustline_count"),
+            "key_hash": s.get("key_hash"),
+            "claimants": s.get("claimants"),
+            "signers": s.get("signers"),
+        }
+
+    entry = pc["post"] or pc["pre"]
+    return {
+        "change_type": pc["change_type"],
+        "entry_type": XL.ENTRY_TYPE_NAMES[entry["type"]],
+        "pre": side(pc["pre"]),
+        "post": side(pc["post"]),
+    }

@@ -163,3 +163,223 @@ class TestSilverDecode:
         d = json.loads(pay.details_json)
         assert d["to"] == GB and d["amount"] == 15.0
         assert pay.closed_at is not None
+
+
+def _acct_entry(ed25519, balance, seq=5, sponsor=None):
+    return {
+        "last_modified_ledger": 2,
+        "type": 0,
+        "data": {
+            "account_id": ed25519,
+            "balance": balance,
+            "seq_num": seq,
+            "num_subentries": 1,
+            "inflation_dest": None,
+            "flags": 0,
+            "home_domain": "home.example",
+            "thresholds": [1, 0, 2, 3],
+            "signers": [{"key": {"type": 0, "key": B}, "weight": 2}],
+            "liabilities": {"buying": 5, "selling": 7},
+            "num_sponsored": 0,
+            "num_sponsoring": 0,
+            "signer_sponsoring_ids": [None],
+            "seq_ledger": None,
+            "seq_time": None,
+        },
+        "sponsoring_id": sponsor,
+        "has_ext_v1": sponsor is not None,
+    }
+
+
+def _offer_entry(offer_id, price, amount=80_000_000):
+    return {
+        "last_modified_ledger": 2,
+        "type": 2,
+        "data": {
+            "seller_id": B,
+            "offer_id": offer_id,
+            "selling": USD,
+            "buying": {"type": "native"},
+            "amount": amount,
+            "price": price,
+            "flags": 0,
+        },
+        "sponsoring_id": None,
+        "has_ext_v1": False,
+    }
+
+
+class TestFullDecode:
+    """Results, claim atoms, per-op changes, and the changes table — all
+    from wire bytes (the complete reference ingestion surface)."""
+
+    @pytest.fixture(scope="class")
+    def bronze(self, spark, tmp_path_factory):
+        from stellar_etl_spark.sources.bronze import (
+            decode_ledger_files,
+            read_ledger_files,
+        )
+        from stellar_etl_spark.sources.xdr import transaction_hash
+
+        PUB = "Public Global Stellar Network ; September 2015"
+        tmp = tmp_path_factory.mktemp("full")
+
+        env_pay = _env(ops=[PAYMENT], seq_num=11)
+        env_offer = _env(ops=[OFFER], seq_num=12, memo={"type": "none"})
+
+        atom = {
+            "atom_type": "order_book",
+            "seller_id": B,
+            "offer_id": 42,
+            "asset_sold": USD,
+            "amount_sold": 60_000_000,
+            "asset_bought": {"type": "native"},
+            "amount_bought": 30_000_000,
+        }
+        proc_pay = {
+            "result": {
+                "transaction_hash": transaction_hash(env_pay, PUB),
+                "result": {
+                    "fee_charged": 100,
+                    "code": 0,
+                    "op_results": [{"code": 0, "type": 1, "inner_code": 0}],
+                },
+            },
+            "fee_changes": [
+                {"change_type": 3, "entry": _acct_entry(A, 1_000_000_000)},
+                {"change_type": 1, "entry": _acct_entry(A, 900_000_000)},
+            ],
+            "meta": {
+                "version": 2,
+                "tx_changes_before": [],
+                "operations": [
+                    {
+                        "changes": [
+                            {"change_type": 3, "entry": _acct_entry(A, 900_000_000)},
+                            {"change_type": 1, "entry": _acct_entry(A, 750_000_000)},
+                        ]
+                    }
+                ],
+                "tx_changes_after": [],
+                "soroban": None,
+            },
+        }
+        proc_offer = {
+            "result": {
+                "transaction_hash": transaction_hash(env_offer, PUB),
+                "result": {
+                    "fee_charged": 100,
+                    "code": 0,
+                    "op_results": [
+                        {
+                            "code": 0,
+                            "type": 3,
+                            "inner_code": 0,
+                            "success": {
+                                "offers_claimed": [atom],
+                                "effect": 2,  # DELETED
+                                "offer": None,
+                            },
+                        }
+                    ],
+                },
+            },
+            "fee_changes": [],
+            "meta": {
+                "version": 2,
+                "tx_changes_before": [],
+                "operations": [
+                    {
+                        "changes": [
+                            {
+                                "change_type": 3,
+                                "entry": _offer_entry(42, (1, 2)),
+                            },
+                            {
+                                "change_type": 2,
+                                "key": {
+                                    "type": 2,
+                                    "seller_id": B,
+                                    "offer_id": 42,
+                                },
+                            },
+                        ]
+                    }
+                ],
+                "tx_changes_after": [],
+                "soroban": None,
+            },
+        }
+        h = LedgerHeader(
+            ledger_version=20, close_time=1_704_067_210, ledger_seq=7,
+            total_coins=10**12,
+        )
+        raw = encode_ledger_close_meta_v0(
+            h, [env_pay, env_offer], tx_processing=[proc_pay, proc_offer]
+        )
+        (tmp / "7.xdr").write_bytes(raw)
+        return decode_ledger_files(read_ledger_files(spark, str(tmp)))
+
+    def test_results_fill_transactions(self, bronze):
+        rows = {r.tx_index: r for r in decode_transactions(bronze).collect()}
+        t = rows[1]
+        assert t.successful is True
+        assert t.fee_charged == 100
+        assert t.result_code == "TransactionResultCodeTxSuccess"
+        assert t.transaction_hash and len(t.transaction_hash) == 64
+        # the four canonical blobs re-encode from the decoded structures
+        assert t.tx_envelope and t.tx_result and t.tx_meta and t.tx_fee_meta
+
+    def test_claim_atoms_and_changes_reach_operations(self, bronze):
+        ops = {
+            (r.tx_index, r.op_index): r
+            for r in decode_operations(bronze).collect()
+        }
+        offer_op = ops[(2, 0)]
+        assert offer_op.result_code == "OperationResultCodeOpInner"
+        [a] = offer_op.claim_atoms
+        assert a.atom_type == "ob" and a.offer_id == 42
+        assert a.amount_sold == 60_000_000
+        assert a.asset_sold.asset_code == "USD"
+        # the pre-change offer (price source for the trade scan) rides along
+        [chg] = offer_op.changes
+        assert chg.entry_type == "offer"
+        assert (chg.pre.price_n, chg.pre.price_d) == (1, 2)
+        assert chg.post is None  # removed
+
+    def test_trades_from_wire_bytes(self, spark, bronze):
+        """transform_trade runs end to end on decoded ops: the atom explodes
+        and the price comes from the pre-change offer entry."""
+        from stellar_etl_spark.transforms.trade import transform_trade
+
+        ledgers = bronze.select("sequence", "closed_at", "protocol_version")
+        trades = transform_trade(decode_operations(bronze), ledgers).collect()
+        [t] = trades
+        assert t.selling_account_address == GB
+        assert (t.price_n, t.price_d) == (1, 2)
+        assert t.selling_offer_id == 42
+        assert t.trade_type == 1
+        assert float(t.selling_amount) == 6.0
+
+    def test_changes_table_and_state_transforms(self, spark, bronze):
+        """decode_changes → route_changes: the state-entity family computed
+        from raw bytes."""
+        from stellar_etl_spark.sources.silver import decode_changes
+        from stellar_etl_spark.transforms.changes import route_changes
+
+        changes = decode_changes(bronze)
+        routed = route_changes(changes)
+        accounts = routed["accounts"].collect()
+        # fee sweep + op change → two account updates, post balances
+        assert sorted(float(r.balance) for r in accounts) == [75.0, 90.0]
+        a = accounts[0]
+        assert a.account_id == GA
+        assert a.home_domain == "home.example"
+        assert (a.master_weight, a.threshold_high) == (1, 3)
+        offers = routed["offers"].collect()
+        [o] = offers
+        assert o.deleted is True  # removed entry surfaces pre state
+        assert o.offer_id == 42 and (o.pricen, o.priced) == (1, 2)
+        assert o.seller_id == GB
+        signers = routed["account_signers"].collect()
+        assert {s.signer for s in signers} == {GB}
