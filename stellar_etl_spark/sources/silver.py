@@ -164,14 +164,22 @@ def _tx_row(
         ],
         is_fee_bump=is_bump,
         fee_account=fee_g,
-        fee_account_muxed=None,
+        fee_account_muxed=(
+            _muxed(env["fee_source"])[1] if is_bump else None
+        ),
         inner_transaction_hash=None,
         new_max_fee=env["fee"] if is_bump else None,
-        has_soroban=False,
-        resource_fee=None,
-        soroban_resources_instructions=None,
-        soroban_resources_read_bytes=None,
-        soroban_resources_write_bytes=None,
+        has_soroban=inner.get("soroban_data") is not None,
+        resource_fee=(inner.get("soroban_data") or {}).get("resource_fee"),
+        soroban_resources_instructions=(
+            (inner.get("soroban_data") or {}).get("instructions")
+        ),
+        soroban_resources_read_bytes=(
+            (inner.get("soroban_data") or {}).get("read_bytes")
+        ),
+        soroban_resources_write_bytes=(
+            (inner.get("soroban_data") or {}).get("write_bytes")
+        ),
         fee_refund=None,
         fee_nonrefundable=(
             (proc["meta"].get("soroban") or {}).get("fees") or {}

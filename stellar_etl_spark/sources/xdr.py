@@ -258,6 +258,7 @@ OP_CREATE_CLAIMABLE_BALANCE = 14
 OP_CLAIM_CLAIMABLE_BALANCE = 15
 OP_BEGIN_SPONSORING = 16
 OP_END_SPONSORING = 17
+OP_REVOKE_SPONSORSHIP = 18
 OP_CLAWBACK = 19
 OP_CLAWBACK_CLAIMABLE_BALANCE = 20
 OP_SET_TRUST_LINE_FLAGS = 21
@@ -432,6 +433,22 @@ def read_operation(r: Reader) -> dict:
         body = {"sponsored_id": read_account_id(r)}
     elif t == OP_END_SPONSORING:
         body = {}
+    elif t == OP_REVOKE_SPONSORSHIP:
+        from stellar_etl_spark.sources.xdr_ledger import (
+            read_ledger_key,
+            read_signer_key,
+        )
+
+        rt = r.u32()
+        if rt == 0:  # LEDGER_ENTRY
+            body = {"ledger_key": read_ledger_key(r)}
+        elif rt == 1:  # SIGNER
+            body = {
+                "signer_account_id": read_account_id(r),
+                "signer_key": read_signer_key(r),
+            }
+        else:
+            raise XdrError(f"bad RevokeSponsorship type {rt}")
     elif t == OP_CLAWBACK:
         body = {
             "asset": read_asset(r),
@@ -462,9 +479,197 @@ def read_operation(r: Reader) -> dict:
             "min_amount_a": r.i64(),
             "min_amount_b": r.i64(),
         }
+    elif t == OP_INVOKE_HOST_FUNCTION:
+        body = {
+            "host_function": _read_host_function(r),
+            "auth": r.array(lambda: _read_soroban_auth_entry(r)),
+        }
+    elif t == OP_EXTEND_FOOTPRINT_TTL:
+        ep = r.u32()
+        if ep != 0:
+            raise XdrError(f"bad ExtensionPoint {ep}")
+        body = {"extend_to": r.u32()}
+    elif t == OP_RESTORE_FOOTPRINT:
+        ep = r.u32()
+        if ep != 0:
+            raise XdrError(f"bad ExtensionPoint {ep}")
+        body = {}
     else:
         raise XdrError(f"unsupported operation type {t}")
     return {"source": source, "type": t, "body": body}
+
+
+OP_INVOKE_HOST_FUNCTION = 24
+OP_EXTEND_FOOTPRINT_TTL = 25
+OP_RESTORE_FOOTPRINT = 26
+
+
+def _read_invoke_contract_args(r: Reader) -> dict:
+    from stellar_etl_spark.sources.xdr_ledger import read_sc_address, read_sc_val
+
+    return {
+        "contract_address": read_sc_address(r),
+        "function_name": r.string(32),
+        "args": r.array(lambda: read_sc_val(r)),
+    }
+
+
+def _write_invoke_contract_args(w: Writer, a: dict):
+    from stellar_etl_spark.sources.xdr_ledger import (
+        write_sc_address,
+        write_sc_val,
+    )
+
+    write_sc_address(w, a["contract_address"])
+    w.string(a["function_name"])
+    w.u32(len(a["args"]))
+    for v in a["args"]:
+        write_sc_val(w, v)
+
+
+def _read_create_contract_args(r: Reader, v2: bool) -> dict:
+    from stellar_etl_spark.sources.xdr_ledger import read_sc_address, read_sc_val
+
+    pt = r.u32()
+    if pt == 0:  # from address
+        preimage = {"address": read_sc_address(r), "salt": r.opaque(32)}
+    elif pt == 1:  # from asset
+        preimage = {"asset": read_asset(r)}
+    else:
+        raise XdrError(f"bad ContractIDPreimage type {pt}")
+    ex = r.u32()
+    if ex == 0:
+        executable = {"wasm_hash": r.opaque(32)}
+    elif ex == 1:
+        executable = {"stellar_asset": None}
+    else:
+        raise XdrError(f"bad ContractExecutable {ex}")
+    out = {"preimage": preimage, "executable": executable}
+    if v2:
+        out["constructor_args"] = r.array(lambda: read_sc_val(r))
+    return out
+
+
+def _write_create_contract_args(w: Writer, a: dict, v2: bool):
+    from stellar_etl_spark.sources.xdr_ledger import (
+        write_sc_address,
+        write_sc_val,
+    )
+
+    pre = a["preimage"]
+    if "asset" in pre:
+        w.u32(1)
+        write_asset(w, pre["asset"])
+    else:
+        w.u32(0)
+        write_sc_address(w, pre["address"])
+        w.opaque(pre["salt"])
+    if "wasm_hash" in a["executable"]:
+        w.u32(0).opaque(a["executable"]["wasm_hash"])
+    else:
+        w.u32(1)
+    if v2:
+        w.u32(len(a["constructor_args"]))
+        for v in a["constructor_args"]:
+            write_sc_val(w, v)
+
+
+def _read_host_function(r: Reader) -> dict:
+    t = r.u32()
+    if t == 0:
+        return {"invoke_contract": _read_invoke_contract_args(r)}
+    if t == 1:
+        return {"create_contract": _read_create_contract_args(r, v2=False)}
+    if t == 2:
+        return {"upload_wasm": r.var_opaque()}
+    if t == 3:
+        return {"create_contract_v2": _read_create_contract_args(r, v2=True)}
+    raise XdrError(f"bad HostFunction type {t}")
+
+
+def _write_host_function(w: Writer, f: dict):
+    (k, v) = next(iter(f.items()))
+    if k == "invoke_contract":
+        w.u32(0)
+        _write_invoke_contract_args(w, v)
+    elif k == "create_contract":
+        w.u32(1)
+        _write_create_contract_args(w, v, v2=False)
+    elif k == "upload_wasm":
+        w.u32(2).var_opaque(v)
+    elif k == "create_contract_v2":
+        w.u32(3)
+        _write_create_contract_args(w, v, v2=True)
+    else:
+        raise XdrError(f"bad HostFunction kind {k}")
+
+
+def _read_soroban_authorized_invocation(r: Reader) -> dict:
+    t = r.u32()
+    if t == 0:
+        fn = {"contract_fn": _read_invoke_contract_args(r)}
+    elif t == 1:
+        fn = {"create_contract": _read_create_contract_args(r, v2=False)}
+    elif t == 2:
+        fn = {"create_contract_v2": _read_create_contract_args(r, v2=True)}
+    else:
+        raise XdrError(f"bad SorobanAuthorizedFunction type {t}")
+    subs = r.array(lambda: _read_soroban_authorized_invocation(r))
+    return {"function": fn, "sub_invocations": subs}
+
+
+def _write_soroban_authorized_invocation(w: Writer, inv: dict):
+    (k, v) = next(iter(inv["function"].items()))
+    if k == "contract_fn":
+        w.u32(0)
+        _write_invoke_contract_args(w, v)
+    elif k == "create_contract":
+        w.u32(1)
+        _write_create_contract_args(w, v, v2=False)
+    else:
+        w.u32(2)
+        _write_create_contract_args(w, v, v2=True)
+    w.u32(len(inv["sub_invocations"]))
+    for s in inv["sub_invocations"]:
+        _write_soroban_authorized_invocation(w, s)
+
+
+def _read_soroban_auth_entry(r: Reader) -> dict:
+    from stellar_etl_spark.sources.xdr_ledger import read_sc_address, read_sc_val
+
+    ct = r.u32()
+    if ct == 0:  # source account
+        creds = {"source_account": None}
+    elif ct == 1:
+        creds = {
+            "address": read_sc_address(r),
+            "nonce": r.i64(),
+            "signature_expiration_ledger": r.u32(),
+            "signature": read_sc_val(r),
+        }
+    else:
+        raise XdrError(f"bad SorobanCredentials type {ct}")
+    return {
+        "credentials": creds,
+        "root_invocation": _read_soroban_authorized_invocation(r),
+    }
+
+
+def _write_soroban_auth_entry(w: Writer, e: dict):
+    from stellar_etl_spark.sources.xdr_ledger import (
+        write_sc_address,
+        write_sc_val,
+    )
+
+    c = e["credentials"]
+    if "source_account" in c:
+        w.u32(0)
+    else:
+        w.u32(1)
+        write_sc_address(w, c["address"])
+        w.i64(c["nonce"]).u32(c["signature_expiration_ledger"])
+        write_sc_val(w, c["signature"])
+    _write_soroban_authorized_invocation(w, e["root_invocation"])
 
 
 def write_operation(w: Writer, op: dict):
@@ -554,6 +759,19 @@ def write_operation(w: Writer, op: dict):
         w.u32(0).opaque(b["balance_id"])
     elif t == OP_BEGIN_SPONSORING:
         write_account_id(w, b["sponsored_id"])
+    elif t == OP_REVOKE_SPONSORSHIP:
+        from stellar_etl_spark.sources.xdr_ledger import (
+            write_ledger_key,
+            write_signer_key,
+        )
+
+        if "ledger_key" in b:
+            w.u32(0)
+            write_ledger_key(w, b["ledger_key"])
+        else:
+            w.u32(1)
+            write_account_id(w, b["signer_account_id"])
+            write_signer_key(w, b["signer_key"])
     elif t == OP_CLAWBACK:
         write_asset(w, b["asset"])
         write_muxed_account(w, b["from"])
@@ -570,6 +788,15 @@ def write_operation(w: Writer, op: dict):
     elif t == OP_LIQUIDITY_POOL_WITHDRAW:
         w.opaque(b["pool_id"])
         w.i64(b["amount"]).i64(b["min_amount_a"]).i64(b["min_amount_b"])
+    elif t == OP_INVOKE_HOST_FUNCTION:
+        _write_host_function(w, b["host_function"])
+        w.u32(len(b["auth"]))
+        for e in b["auth"]:
+            _write_soroban_auth_entry(w, e)
+    elif t == OP_EXTEND_FOOTPRINT_TTL:
+        w.u32(0).u32(b["extend_to"])
+    elif t == OP_RESTORE_FOOTPRINT:
+        w.u32(0)
     else:
         raise XdrError(f"unsupported operation type {t}")
 
@@ -674,6 +901,38 @@ def _write_signatures(w: Writer, sigs: list[dict]):
 # --- transaction / envelope -------------------------------------------------
 
 
+def read_soroban_transaction_data(r: Reader) -> dict:
+    """SorobanTransactionData (Stellar-transaction.x): resource footprint +
+    declared resources + the resource fee bid."""
+    ep = r.u32()
+    if ep != 0:
+        raise XdrError(f"unsupported SorobanTransactionData ext {ep}")
+    from stellar_etl_spark.sources.xdr_ledger import read_ledger_key
+
+    read_only = r.array(lambda: read_ledger_key(r))
+    read_write = r.array(lambda: read_ledger_key(r))
+    return {
+        "footprint": {"read_only": read_only, "read_write": read_write},
+        "instructions": r.u32(),
+        "read_bytes": r.u32(),
+        "write_bytes": r.u32(),
+        "resource_fee": r.i64(),
+    }
+
+
+def write_soroban_transaction_data(w: Writer, d: dict):
+    from stellar_etl_spark.sources.xdr_ledger import write_ledger_key
+
+    w.u32(0)
+    for side in ("read_only", "read_write"):
+        keys = d["footprint"][side]
+        w.u32(len(keys))
+        for k in keys:
+            write_ledger_key(w, k)
+    w.u32(d["instructions"]).u32(d["read_bytes"]).u32(d["write_bytes"])
+    w.i64(d["resource_fee"])
+
+
 def read_transaction_v1(r: Reader) -> dict:
     tx = {
         "source": read_muxed_account(r),
@@ -682,10 +941,13 @@ def read_transaction_v1(r: Reader) -> dict:
         "preconditions": read_preconditions(r),
         "memo": read_memo(r),
         "operations": r.array(lambda: read_operation(r), 100),
+        "soroban_data": None,
     }
     ext = r.u32()
-    if ext != 0:
-        raise XdrError(f"unsupported Transaction ext {ext} (soroban data)")
+    if ext == 1:
+        tx["soroban_data"] = read_soroban_transaction_data(r)
+    elif ext != 0:
+        raise XdrError(f"unsupported Transaction ext {ext}")
     return tx
 
 
@@ -697,7 +959,11 @@ def write_transaction_v1(w: Writer, tx: dict):
     w.u32(len(tx["operations"]))
     for op in tx["operations"]:
         write_operation(w, op)
-    w.u32(0)  # ext
+    if tx.get("soroban_data") is not None:
+        w.u32(1)
+        write_soroban_transaction_data(w, tx["soroban_data"])
+    else:
+        w.u32(0)
 
 
 def transaction_hash(env: dict, network_passphrase: str) -> bytes:

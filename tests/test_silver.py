@@ -63,6 +63,7 @@ def _env(ops, memo=None, seq_num=7, fee=100):
             },
             "memo": memo or {"type": "text", "text": "hi"},
             "operations": ops,
+            "soroban_data": None,
         },
         "signatures": _sig(),
     }

@@ -43,6 +43,7 @@ def _env_v1(ops, memo=None, precond=None, source_id=None):
             "preconditions": precond or {},
             "memo": memo or {"type": "none"},
             "operations": ops,
+            "soroban_data": None,
         },
         "signatures": _sig(),
     }
@@ -187,14 +188,83 @@ class TestEnvelopes:
 
     def test_unknown_op_type_raises(self):
         """XDR cannot skip an unknown union arm — the parser must refuse,
-        never misparse (invoke_host_function is outside the subset)."""
+        never misparse."""
         from stellar_etl_spark.sources.xdr import read_operation
 
         w = Writer()
         w.u32(0)  # no source account
-        w.u32(24)  # invoke_host_function
+        w.u32(99)  # not an operation type
         with pytest.raises(XdrError, match="unsupported operation"):
             read_operation(Reader(w.bytes()))
+
+    def test_all_27_operation_types_roundtrip(self):
+        """Every operation type the protocol defines encodes and decodes —
+        full GetOperations envelope coverage."""
+        from stellar_etl_spark.sources.xdr import read_operation, write_operation
+
+        sc_addr = {"type": "contract", "contract_id": b"\x07" * 32}
+        bodies = {
+            0: {"destination": A, "starting_balance": 10**7},
+            1: PAYMENT["body"],
+            2: {"send_asset": USD, "send_amount": 9,
+                "destination": {"ed25519": B, "id": None},
+                "dest_asset": L12, "dest_amount": 8, "path": []},
+            3: {"selling": USD, "buying": {"type": "native"}, "amount": 5,
+                "price": (1, 4), "offer_id": 42},
+            4: {"selling": USD, "buying": {"type": "native"}, "amount": 5,
+                "price": (1, 4)},
+            5: {"inflation_dest": None, "clear_flags": None, "set_flags": 1,
+                "master_weight": None, "low_threshold": None,
+                "med_threshold": None, "high_threshold": None,
+                "home_domain": None, "signer": None},
+            6: {"line": {"type": "pool_share", "asset_a": USD,
+                         "asset_b": {"type": "native"}, "fee": 30},
+                "limit": 10**10},
+            7: {"trustor": A, "asset_code": "USD", "authorize": 1},
+            8: {"destination": {"ed25519": B, "id": None}},
+            9: {},
+            10: {"data_name": "k", "data_value": b"\x01"},
+            11: {"bump_to": 7},
+            12: {"selling": USD, "buying": {"type": "native"}, "amount": 5,
+                 "price": (1, 4), "offer_id": 0},
+            13: {"send_asset": USD, "send_amount": 9,
+                 "destination": {"ed25519": B, "id": None},
+                 "dest_asset": L12, "dest_amount": 8, "path": [USD]},
+            14: {"asset": USD, "amount": 5, "claimants": [
+                {"destination": A,
+                 "predicate": {"type": "not", "pred": {"type": "unconditional"}}}]},
+            15: {"balance_id": b"\x04" * 32},
+            16: {"sponsored_id": B},
+            17: {},
+            18: {"ledger_key": {"type": 2, "seller_id": A, "offer_id": 42}},
+            19: {"asset": USD, "from": {"ed25519": B, "id": None}, "amount": 3},
+            20: {"balance_id": b"\x04" * 32},
+            21: {"trustor": A, "asset": USD, "clear_flags": 2, "set_flags": 1},
+            22: {"pool_id": b"\x05" * 32, "max_amount_a": 10, "max_amount_b": 20,
+                 "min_price": (1, 2), "max_price": (2, 1)},
+            23: {"pool_id": b"\x05" * 32, "amount": 9, "min_amount_a": 1,
+                 "min_amount_b": 2},
+            24: {"host_function": {"invoke_contract": {
+                    "contract_address": sc_addr, "function_name": "transfer",
+                    "args": [{"symbol": "x"}, {"i128": {"hi": 0, "lo": 5}}]}},
+                 "auth": [{
+                    "credentials": {"source_account": None},
+                    "root_invocation": {
+                        "function": {"contract_fn": {
+                            "contract_address": sc_addr,
+                            "function_name": "transfer", "args": []}},
+                        "sub_invocations": []}}]},
+            25: {"extend_to": 1000},
+            26: {},
+        }
+        covered = 0
+        for t, body in bodies.items():
+            op = {"source": None, "type": t, "body": body}
+            w = Writer()
+            write_operation(w, op)
+            assert read_operation(Reader(w.bytes())) == op, t
+            covered += 1
+        assert covered == 27  # the complete operation union
 
 
 class TestLedgerCloseMeta:
