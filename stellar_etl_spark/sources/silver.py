@@ -263,6 +263,8 @@ def _op_body(t: int, b: dict) -> dict:
         out = {"line": _asset(b["line"]), "limit": b["limit"]}
     elif t == 8:
         out = {"account": _muxed(b["destination"])[0]}
+    elif t == 7:
+        out = {"trustor": _acct(b["trustor"]), "authorize": b["authorize"] != 0}
     elif t == 10:
         out = {
             "data_name": b["data_name"],
@@ -274,7 +276,116 @@ def _op_body(t: int, b: dict) -> dict:
         }
     elif t == 11:
         out = {"bump_to": b["bump_to"]}
+    elif t == 14:
+        out = {
+            "asset": _asset(b["asset"]),
+            "amount": b["amount"],
+            "claimants": [
+                {
+                    "destination": _acct(c["destination"]),
+                    "predicate": _predicate_json(c["predicate"]),
+                }
+                for c in b["claimants"]
+            ],
+        }
+    elif t in (15, 20):
+        out = {"balance_id": "00000000" + b["balance_id"].hex()}
+    elif t == 16:
+        out = {"sponsored_id": _acct(b["sponsored_id"])}
+    elif t == 18:
+        if "ledger_key" in b:
+            k = b["ledger_key"]
+            revoke = {"entry_type": {0: "account", 1: "trustline", 2: "offer",
+                                     3: "data", 4: "claimable_balance",
+                                     5: "liquidity_pool"}.get(k["type"])}
+            if k["type"] == 0:
+                revoke["account_id"] = _acct(k["account_id"])
+            elif k["type"] == 1:
+                revoke["trustline_account_id"] = _acct(k["account_id"])
+                if k["asset"].get("type") == "pool_share":
+                    revoke["trustline_pool_id"] = k["asset"]["pool_id"].hex()
+                else:
+                    revoke["trustline_asset"] = _asset(k["asset"])
+            elif k["type"] == 2:
+                revoke["offer_id"] = k["offer_id"]
+            elif k["type"] == 3:
+                revoke["data_account_id"] = _acct(k["account_id"])
+                revoke["data_name"] = k["data_name"]
+            elif k["type"] == 4:
+                revoke["claimable_balance_id"] = (
+                    "00000000" + k["balance_id"].hex()
+                )
+            elif k["type"] == 5:
+                revoke["pool_id"] = k["pool_id"].hex()
+        else:
+            revoke = {
+                "signer_account_id": _acct(b["signer_account_id"]),
+                "signer_key": (
+                    _acct(b["signer_key"]["key"])
+                    if b["signer_key"]["type"] == 0
+                    else b["signer_key"]["key"].hex()
+                ),
+            }
+        out = {"revoke": revoke}
+    elif t == 19:
+        out = {
+            "from": _muxed(b["from"])[0],
+            "asset": _asset(b["asset"]),
+            "amount": b["amount"],
+        }
+    elif t == 21:
+        out = {
+            "trustor": _acct(b["trustor"]),
+            "asset": _asset(b["asset"]),
+            "set_flags": _bits(b["set_flags"]),
+            "clear_flags": _bits(b["clear_flags"]),
+        }
+    elif t == 22:
+        out = {
+            "pool_id": b["pool_id"].hex(),
+            "max_amount_a": b["max_amount_a"],
+            "max_amount_b": b["max_amount_b"],
+            "min_price_n": b["min_price"][0],
+            "min_price_d": b["min_price"][1],
+            "max_price_n": b["max_price"][0],
+            "max_price_d": b["max_price"][1],
+        }
+    elif t == 23:
+        out = {
+            "pool_id": b["pool_id"].hex(),
+            "shares": b["amount"],
+            "min_amount_a": b["min_amount_a"],
+            "min_amount_b": b["min_amount_b"],
+        }
+    elif t == 24:
+        fn = b["host_function"]
+        kind = next(iter(fn))
+        contract = None
+        args: list[str] = []
+        if kind == "invoke_contract":
+            addr = fn[kind]["contract_address"]
+            if addr.get("type") == "contract":
+                contract = encode_strkey(VERSION_CONTRACT, addr["contract_id"])
+            args = [sc_val_json(a) for a in fn[kind]["args"]]
+        out = {
+            "fn_type": {
+                "invoke_contract": "HostFunctionTypeHostFunctionTypeInvokeContract",
+                "create_contract": "HostFunctionTypeHostFunctionTypeCreateContract",
+                "create_contract_v2": "HostFunctionTypeHostFunctionTypeCreateContractV2",
+                "upload_wasm": "HostFunctionTypeHostFunctionTypeUploadContractWasm",
+            }[kind],
+            "contract_id": contract,
+            "args": args,
+        }
+    elif t == 25:
+        out = {"extend_to": b["extend_to"]}
     return out
+
+
+def _predicate_json(p: dict) -> str:
+    import json as _json
+
+    return _json.dumps(p, separators=(",", ":"), default=lambda x: x.hex() if isinstance(x, bytes) else str(x))
 
 
 def _match_processing(meta: dict, passphrase: str) -> list[tuple]:
