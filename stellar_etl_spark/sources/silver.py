@@ -884,7 +884,15 @@ def entry_struct(e: dict | None) -> dict | None:
             )},
         }
     elif t == XL.ENTRY_CONFIG:
+        import json as _json
+
         out = dict(d)
+        for k in ("contract_cost_params_cpu_insns",
+                  "contract_cost_params_mem_bytes"):
+            if k in out:
+                out[k] = [
+                    _json.dumps(p, separators=(",", ":")) for p in out[k]
+                ]
     elif t == XL.ENTRY_TTL:
         out = {
             "key_hash": d["key_hash"].hex(),

@@ -609,17 +609,94 @@ def _write_contract_code_entry(w: Writer, e: dict):
     w.opaque(e["hash"]).var_opaque(e["code"])
 
 
+# ConfigSettingEntry union arms (Stellar-contract-config-setting.x) as
+# (field, xdr-type) sequences — positional, so read/write share the spec.
+_CONFIG_ARMS: dict[int, list[tuple[str, str]]] = {
+    0: [("contract_max_size_bytes", "u32")],
+    1: [  # compute v0
+        ("ledger_max_instructions", "i64"),
+        ("tx_max_instructions", "i64"),
+        ("fee_rate_per_instructions_increment", "i64"),
+        ("tx_memory_limit", "u32"),
+    ],
+    2: [  # ledger cost v0
+        ("ledger_max_read_ledger_entries", "u32"),
+        ("ledger_max_read_bytes", "u32"),
+        ("ledger_max_write_ledger_entries", "u32"),
+        ("ledger_max_write_bytes", "u32"),
+        ("tx_max_read_ledger_entries", "u32"),
+        ("tx_max_read_bytes", "u32"),
+        ("tx_max_write_ledger_entries", "u32"),
+        ("tx_max_write_bytes", "u32"),
+        ("fee_read_ledger_entry", "i64"),
+        ("fee_write_ledger_entry", "i64"),
+        ("fee_read_1kb", "i64"),
+        ("bucket_list_target_size_bytes", "i64"),
+        ("write_fee_1kb_bucket_list_low", "i64"),
+        ("write_fee_1kb_bucket_list_high", "i64"),
+        ("bucket_list_write_fee_growth_factor", "u32"),
+    ],
+    3: [("fee_historical_1kb", "i64")],
+    4: [  # events v0
+        ("tx_max_contract_events_size_bytes", "u32"),
+        ("fee_contract_events_1kb", "i64"),
+    ],
+    5: [  # bandwidth v0
+        ("ledger_max_txs_size_bytes", "u32"),
+        ("tx_max_size_bytes", "u32"),
+        ("fee_tx_size_1kb", "i64"),
+    ],
+    8: [("contract_data_key_size_bytes", "u32")],
+    9: [("contract_data_entry_size_bytes", "u32")],
+    10: [  # state archival
+        ("max_entry_ttl", "u32"),
+        ("min_temporary_ttl", "u32"),
+        ("min_persistent_ttl", "u32"),
+        ("persistent_rent_rate_denominator", "i64"),
+        ("temp_rent_rate_denominator", "i64"),
+        ("max_entries_to_archive", "u32"),
+        ("bucket_list_size_window_sample_size", "u32"),
+        ("bucket_list_window_sample_period", "u32"),
+        ("eviction_scan_size", "u32"),
+        ("starting_eviction_scan_level", "u32"),
+    ],
+    11: [("ledger_max_tx_count", "u32")],
+    13: [  # eviction iterator
+        ("bucket_list_level", "u32"),
+        ("is_curr_bucket", "bool"),
+        ("bucket_file_offset", "u64"),
+    ],
+}
+
+
+def _read_cost_params(r: Reader) -> list[dict]:
+    def one():
+        ep = r.u32()
+        if ep != 0:
+            raise XdrError(f"bad ExtensionPoint {ep}")
+        return {"const_term": r.i64(), "linear_term": r.i64()}
+
+    return r.array(one)
+
+
 def _read_config_entry(r: Reader) -> dict:
     cid = r.i32()
-    if cid == 0:  # contract max size
-        return {"config_setting_id": 0, "contract_max_size_bytes": r.u32()}
-    if cid == 1:  # compute v0
+    if cid in _CONFIG_ARMS:
+        out = {"config_setting_id": cid}
+        for f, t in _CONFIG_ARMS[cid]:
+            out[f] = getattr(r, t)()
+        return out
+    if cid in (6, 7):  # cost params cpu / mem: ContractCostParamEntry<>
+        key = (
+            "contract_cost_params_cpu_insns"
+            if cid == 6
+            else "contract_cost_params_mem_bytes"
+        )
+        return {"config_setting_id": cid, key: _read_cost_params(r)}
+    if cid == 12:  # bucket list size window: uint64<>
         return {
-            "config_setting_id": 1,
-            "ledger_max_instructions": r.i64(),
-            "tx_max_instructions": r.i64(),
-            "fee_rate_per_instructions_increment": r.i64(),
-            "tx_memory_limit": r.u32(),
+            "config_setting_id": 12,
+            "bucket_list_size_window": r.array(r.u64),
         }
     raise XdrError(f"unsupported ConfigSettingEntry id {cid}")
 
@@ -627,14 +704,28 @@ def _read_config_entry(r: Reader) -> dict:
 def _write_config_entry(w: Writer, e: dict):
     cid = e["config_setting_id"]
     w.i32(cid)
-    if cid == 0:
-        w.u32(e["contract_max_size_bytes"])
-    elif cid == 1:
-        w.i64(e["ledger_max_instructions"]).i64(e["tx_max_instructions"])
-        w.i64(e["fee_rate_per_instructions_increment"])
-        w.u32(e["tx_memory_limit"])
-    else:
-        raise XdrError(f"unsupported ConfigSettingEntry id {cid}")
+    if cid in _CONFIG_ARMS:
+        for f, t in _CONFIG_ARMS[cid]:
+            getattr(w, t)(e[f])
+        return
+    if cid in (6, 7):
+        key = (
+            "contract_cost_params_cpu_insns"
+            if cid == 6
+            else "contract_cost_params_mem_bytes"
+        )
+        params = e[key]
+        w.u32(len(params))
+        for p in params:
+            w.u32(0).i64(p["const_term"]).i64(p["linear_term"])
+        return
+    if cid == 12:
+        window = e["bucket_list_size_window"]
+        w.u32(len(window))
+        for v in window:
+            w.u64(v)
+        return
+    raise XdrError(f"unsupported ConfigSettingEntry id {cid}")
 
 
 def read_ledger_entry(r: Reader) -> dict:

@@ -177,6 +177,39 @@ class TestSyntheticArms:
                 },
                 8,
             ),
+            (
+                {
+                    "config_setting_id": 6,
+                    "contract_cost_params_cpu_insns": [
+                        {"const_term": 4, "linear_term": 0},
+                        {"const_term": 35, "linear_term": 36},
+                    ],
+                },
+                8,
+            ),
+            (
+                {
+                    "config_setting_id": 12,
+                    "bucket_list_size_window": [11185701000] * 3,
+                },
+                8,
+            ),
+            (
+                {
+                    "config_setting_id": 10,
+                    "max_entry_ttl": 3110400,
+                    "min_temporary_ttl": 17280,
+                    "min_persistent_ttl": 2073600,
+                    "persistent_rent_rate_denominator": 1402,
+                    "temp_rent_rate_denominator": 2804,
+                    "max_entries_to_archive": 1000,
+                    "bucket_list_size_window_sample_size": 30,
+                    "bucket_list_window_sample_period": 64,
+                    "eviction_scan_size": 100000,
+                    "starting_eviction_scan_level": 7,
+                },
+                8,
+            ),
             ({"key_hash": b"\x0a" * 32, "live_until_ledger_seq": 999}, 9),
         ]:
             e = {
