@@ -22,10 +22,12 @@ The full ingestion surface is decoded (sources/xdr.py + xdr_ledger.py):
   meta — the sponsor scan / trade price scan / effects inputs.
 - ``decode_changes`` emits the CHANGES_DDL table (fee processing + per-op
   + tx-level changes) feeding route_changes — the StreamChanges surface.
+- ``decode_contract_events`` emits the CONTRACT_EVENTS_DDL table from the
+  Soroban apply meta (contract + diagnostic events, SAC token-event
+  classification) — the contract-events / token-transfer surface.
 
-Coverage notes: envelopes with Soroban transaction data (ext=1) still
-raise in the envelope parser; operation ``trace_code`` (per-type inner
-result-code names) is left null pending the per-type name tables.
+Coverage note: operation ``trace_code`` (per-type inner result-code
+names) is left null pending the per-type name tables.
 """
 
 from __future__ import annotations
@@ -1037,3 +1039,161 @@ def op_change_struct(pc: dict) -> dict:
         "pre": side(pc["pre"]),
         "post": side(pc["post"]),
     }
+
+
+# ---------------------------------------------------------------------------
+# Contract events from Soroban apply meta
+# ---------------------------------------------------------------------------
+
+_SAC_KINDS = ("transfer", "mint", "burn", "clawback", "fee")
+
+
+def _addr_str(a: dict | None) -> str | None:
+    if not a:
+        return None
+    if a["type"] == "account":
+        return _acct(a["account_id"])
+    if a["type"] == "contract":
+        return encode_strkey(VERSION_CONTRACT, a["contract_id"])
+    if a["type"] == "muxed_account":
+        payload = a["ed25519"] + struct.pack(">Q", a["id"])
+        return encode_strkey(VERSION_MUXED, payload)
+    return None
+
+
+def _classify_sac_event(topics: list[dict], data: dict) -> dict:
+    """Best-effort SEP-41/CAP-46-6 token-event classification (the shape
+    stellar/go's EventsProcessor consumes): topics[0] is the kind symbol,
+    the LAST topic the sep-11 asset string, addresses in between — transfer
+    [t, from, to, asset], mint [m, (admin,) to, asset], burn [b, from,
+    asset], clawback [c, (admin,) from, asset]; data carries the i128
+    amount."""
+    out = {
+        "sac_kind": None, "sac_from": None, "sac_to": None,
+        "sac_amount": None, "sac_asset": None,
+        "sac_to_muxed": None, "sac_to_muxed_id": None,
+    }
+    if not topics:
+        return out
+    kind = topics[0].get("symbol")
+    if kind not in _SAC_KINDS:
+        return out
+    asset = None
+    if len(topics) >= 2:
+        last = topics[-1]
+        raw = last.get("string")
+        if raw is not None:
+            asset = raw.decode() if isinstance(raw, bytes) else raw
+    addrs = [
+        _addr_str(t.get("address"))
+        for t in topics[1:-1]
+        if t.get("address") is not None
+    ]
+    amount = data.get("i128")
+    out.update(
+        sac_kind=kind,
+        sac_asset=asset,
+        sac_amount=(
+            (amount["hi"] << 64) | amount["lo"] if amount is not None else None
+        ),
+    )
+    if kind == "transfer" and len(addrs) >= 2:
+        out["sac_from"], out["sac_to"] = addrs[0], addrs[1]
+    elif kind == "mint" and addrs:
+        out["sac_to"] = addrs[-1]
+    elif kind in ("burn", "clawback", "fee") and addrs:
+        out["sac_from"] = addrs[-1]
+    return out
+
+
+def decode_contract_events(
+    bronze: DataFrame, passphrase: str = "Public Global Stellar Network ; September 2015"
+) -> DataFrame:
+    """One CONTRACT_EVENTS_DDL row per Soroban contract/diagnostic event
+    from the apply meta (the TransformContractEvent / token-transfer input
+    surface, contract_events.go:20-104)."""
+    import pandas as pd
+
+    from stellar_etl_spark.schemas import CONTRACT_EVENTS_DDL
+    from stellar_etl_spark.sources.xdr_ledger import (
+        _write_contract_event,
+        write_sc_val,
+    )
+
+    def _b64_scval(v: dict) -> str:
+        w = Writer()
+        write_sc_val(w, v)
+        return base64.b64encode(w.bytes()).decode()
+
+    def _row(h, ti, th, successful, ev, event_type_name, in_call, op_index):
+        import pandas as pd  # noqa: F811
+
+        we = Writer()
+        _write_contract_event(we, ev)
+        sac = _classify_sac_event(ev["topics"], ev["data"])
+        return dict(
+            ledger_sequence=h.ledger_seq,
+            closed_at=pd.Timestamp(h.close_time, unit="s"),
+            tx_index=ti,
+            transaction_hash=th.hex() if th else None,
+            tx_successful=successful,
+            in_successful_contract_call=in_call,
+            contract_id=(
+                encode_strkey(VERSION_CONTRACT, ev["contract_id"])
+                if ev["contract_id"]
+                else None
+            ),
+            event_type=event_type_name,
+            topics=[_b64_scval(t) for t in ev["topics"]],
+            topics_decoded=[sc_val_json(t) for t in ev["topics"]],
+            data=_b64_scval(ev["data"]),
+            data_decoded=sc_val_json(ev["data"]),
+            contract_event_xdr=base64.b64encode(we.bytes()).decode(),
+            sac_op_index=op_index,
+            **sac,
+        )
+
+    type_names = {0: "system", 1: "contract", 2: "diagnostic"}
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for raw in pdf["lcm_xdr"]:
+                meta = parse_ledger_close_meta(bytes(raw))
+                h = meta["header"]
+                for ti, (_env2, th, proc) in enumerate(
+                    _match_processing(meta, passphrase), start=1
+                ):
+                    if proc is None:
+                        continue
+                    soroban = proc["meta"].get("soroban")
+                    if not soroban:
+                        continue
+                    ok = _result_successful(proc["result"]["result"])
+                    for ev in soroban["events"]:
+                        rows.append(
+                            _row(h, ti, th, ok, ev,
+                                 type_names.get(ev["type"], "contract"),
+                                 True, 0)
+                        )
+                    for d in soroban["diagnostic_events"]:
+                        rows.append(
+                            _row(h, ti, th, ok, d["event"],
+                                 type_names.get(d["event"]["type"], "diagnostic"),
+                                 d["in_successful_contract_call"], 0)
+                        )
+            yield (
+                pd.DataFrame(rows)
+                if rows
+                else pd.DataFrame(
+                    columns="ledger_sequence closed_at tx_index "
+                    "transaction_hash tx_successful "
+                    "in_successful_contract_call contract_id event_type "
+                    "topics topics_decoded data data_decoded "
+                    "contract_event_xdr sac_kind sac_from sac_to "
+                    "sac_to_muxed sac_to_muxed_id sac_amount sac_asset "
+                    "sac_op_index".split()
+                )
+            )
+
+    return bronze.mapInPandas(gen, schema=CONTRACT_EVENTS_DDL)

@@ -384,3 +384,104 @@ class TestFullDecode:
         assert o.seller_id == GB
         signers = routed["account_signers"].collect()
         assert {s.signer for s in signers} == {GB}
+
+
+class TestContractEventsFromMeta:
+    """Soroban apply meta → contract-events table → the event transforms."""
+
+    @pytest.fixture(scope="class")
+    def bronze(self, spark, tmp_path_factory):
+        from stellar_etl_spark.sources.bronze import (
+            decode_ledger_files,
+            read_ledger_files,
+        )
+        from stellar_etl_spark.sources.xdr import transaction_hash
+
+        PUB = "Public Global Stellar Network ; September 2015"
+        tmp = tmp_path_factory.mktemp("events")
+        contract = b"\x07" * 32
+        addr_a = {"type": "account", "account_id": A}
+        addr_b = {"type": "account", "account_id": B}
+        transfer_ev = {
+            "contract_id": contract,
+            "type": 1,  # contract
+            "topics": [
+                {"symbol": "transfer"},
+                {"address": addr_a},
+                {"address": addr_b},
+                {"string": b"USD:" + GB.encode()},
+            ],
+            "data": {"i128": {"hi": 0, "lo": 40_000_000}},
+        }
+        diag_ev = {
+            "contract_id": contract,
+            "type": 2,
+            "topics": [{"symbol": "fn_call"}],
+            "data": {"void": None},
+        }
+        env = _env([PAYMENT], seq_num=21)
+        proc = {
+            "result": {
+                "transaction_hash": transaction_hash(env, PUB),
+                "result": {
+                    "fee_charged": 100,
+                    "code": 0,
+                    "op_results": [{"code": 0, "type": 1, "inner_code": 0}],
+                },
+            },
+            "fee_changes": [],
+            "meta": {
+                "version": 3,
+                "tx_changes_before": [],
+                "operations": [{"changes": []}],
+                "tx_changes_after": [],
+                "soroban": {
+                    "fees": None,
+                    "events": [transfer_ev],
+                    "return_value": {"void": None},
+                    "diagnostic_events": [
+                        {"in_successful_contract_call": True, "event": diag_ev}
+                    ],
+                },
+            },
+        }
+        h = LedgerHeader(
+            ledger_version=21, close_time=1_704_067_300, ledger_seq=9,
+            total_coins=10**12,
+        )
+        raw = encode_ledger_close_meta_v0(h, [env], tx_processing=[proc])
+        (tmp / "9.xdr").write_bytes(raw)
+        return decode_ledger_files(read_ledger_files(spark, str(tmp)))
+
+    def test_events_decode_and_classify(self, bronze):
+        from stellar_etl_spark.sources.silver import decode_contract_events
+
+        rows = decode_contract_events(bronze).collect()
+        assert len(rows) == 2
+        t = next(r for r in rows if r.event_type == "contract")
+        assert t.sac_kind == "transfer"
+        assert t.sac_from == GA and t.sac_to == GB
+        assert t.sac_amount == 40_000_000
+        assert t.sac_asset == f"USD:{GB}"
+        assert t.contract_id.startswith("C")
+        assert t.topics_decoded[0] == '{"symbol":"transfer"}'
+        d = next(r for r in rows if r.event_type == "diagnostic")
+        assert d.sac_kind is None
+
+    def test_event_transforms_consume(self, bronze):
+        from stellar_etl_spark.sources.silver import decode_contract_events
+        from stellar_etl_spark.transforms.contract_events import (
+            transform_contract_events,
+        )
+        from stellar_etl_spark.transforms.token_transfer import (
+            transform_token_transfer,
+        )
+
+        events = decode_contract_events(bronze)
+        ce = transform_contract_events(events).collect()
+        [c] = ce
+        assert c.type == 1 and c.type_string == "ContractEventTypeContract"
+        tt = transform_token_transfer(events).collect()
+        [t] = tt
+        assert t.event_topic == "transfer"
+        assert t.asset_code == "USD" and float(t.amount) == 4.0
