@@ -183,7 +183,7 @@ WITH base AS (
   SELECT l_orderkey AS k, l_partkey AS pk, l_suppkey AS sk,
     CAST(l_linenumber AS BIGINT) AS ln, CAST(l_quantity AS BIGINT) AS qty,
     l_orderkey // 1024 + 2 AS seq, l_orderkey % 1024 AS txi
-  FROM lineitem WHERE l_orderkey % 10 <> 0
+  FROM lineitem WHERE l_orderkey % 10 <> 0 AND l_orderkey % 3 = 1
 ),
 ids AS (
   SELECT *, (seq << 32) | (txi << 12) | (ln + 1) AS op_id,

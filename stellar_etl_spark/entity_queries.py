@@ -176,6 +176,10 @@ def trade_atoms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
+    # deterministic 1/3 slice: the wall cost here is SYNTHETIC input
+    # construction (600k 2-atom nested structs through Generate), not the
+    # transform — a third exercises every branch at a third the build cost
+    li = li.where(F.col("l_orderkey") % 3 == 1)
     out = transform_trade(
         derived_operations_trades(_wide(li)), derived_ledgers(orders)
     )
