@@ -546,3 +546,221 @@ fee_events AS (
 SELECT * FROM op_events UNION ALL SELECT * FROM fee_events
 """,
 }
+
+SOROBAN_ORACLES: dict[str, str] = {
+    # ------------------------------------------------------------------
+    "changes_claimable_balances": """
+WITH e AS (
+  SELECT event_id AS eid, user_id AS uid,
+    event_id // 500 + 2 AS seq, event_id % 3 AS ct,
+    CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END AS b
+  FROM events WHERE event_id % 5 = 0
+)
+SELECT
+  md5('CB' || CAST(eid AS VARCHAR)) AS balance_id,
+  CASE eid % 3
+    WHEN 0 THEN 'CLD' || CAST(uid % 97 AS VARCHAR)
+    WHEN 1 THEN 'CLD' || CAST(uid % 97 AS VARCHAR) || ',CLD' || CAST((uid + 1) % 97 AS VARCHAR)
+    ELSE 'CLD' || CAST(uid % 97 AS VARCHAR) || ',CLD' || CAST((uid + 1) % 97 AS VARCHAR)
+      || ',CLD' || CAST((uid + 2) % 97 AS VARCHAR)
+  END AS claimants_list,
+  CASE uid % 3 WHEN 0 THEN 'native' WHEN 1 THEN 'credit_alphanum4'
+    ELSE 'credit_alphanum12' END AS asset_type,
+  CASE uid % 3 WHEN 1 THEN 'USD' WHEN 2 THEN 'LONGCODE' END AS asset_code,
+  CASE uid % 3 WHEN 1 THEN 'ISS1' WHEN 2 THEN 'ISS2' END AS asset_issuer,
+  CAST((eid % 1000000000) + b AS DOUBLE) / 10000000.0 AS asset_amount,
+  eid % 2 AS flags,
+  seq AS ledger_sequence,
+  1704067200 + seq * 5 AS closed_at_unix,
+  seq AS last_modified_ledger,
+  'SLK' || CAST(eid AS VARCHAR) AS ledger_entry_key,
+  CASE WHEN eid % 6 = 0 THEN 'SP' || CAST(uid AS VARCHAR) END AS sponsor,
+  (ct = 2) AS deleted
+FROM e
+""",
+    # ------------------------------------------------------------------
+    # SAC verification: genuine contract ids in the derived input are
+    # hashlib-precomputed constants (derive.py _hashlib_sac_ids), so the
+    # transform's JVM-side HashIDPreimage sha256 (contract_data.go:283-297)
+    # is checked against an independent implementation; the oracle grades
+    # the verified-vs-forged OUTCOME per row (DuckDB 1.0 sha256 is
+    # varchar-only — it cannot hash the NUL-bearing binary preimage).  The
+    # i128 balance is assembled in HUGEINT (contract_data.go:366-378).
+    "changes_contract_data": """
+WITH e AS (
+  SELECT event_id AS eid, user_id AS uid,
+    event_id // 500 + 2 AS seq, event_id % 3 AS ct, event_id % 4 AS sub,
+    CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END AS b
+  FROM events WHERE event_id % 5 = 1 AND event_id % 4 <> 3
+), v AS (
+  SELECT *,
+    (uid % 5 = 0) AS is_native,
+    (sub = 0) AS verified,
+    (sub = 2 AND NOT (eid % 11 = 0) AND NOT (eid % 7 = 0)) AS balance_ok,
+    CASE WHEN eid % 7 = 0 THEN -1 ELSE eid % 1000 END AS amt_hi,
+    (eid * 31) % 1000000007 + b AS amt_lo
+  FROM e
+)
+SELECT
+  CASE WHEN sub = 2 THEN 'ScValTypeScvVec'
+    ELSE 'ScValTypeScvLedgerKeyContractInstance' END AS contract_key_type,
+  CASE WHEN eid % 2 = 0 THEN 'ContractDataDurabilityPersistent'
+    ELSE 'ContractDataDurabilityTemporary' END AS contract_durability,
+  CASE WHEN verified THEN
+    CASE WHEN is_native THEN 'native' ELSE 'credit_alphanum4' END
+  END AS asset_type,
+  CASE WHEN verified AND NOT is_native
+    THEN 'TK' || CAST(uid % 10 AS VARCHAR) END AS asset_code,
+  balance_ok AS has_holder,
+  CASE WHEN balance_ok THEN CAST(
+    CAST(amt_hi AS HUGEINT) * 18446744073709551616 + amt_lo AS VARCHAR)
+  END AS balance,
+  'S0V5' || CAST(eid AS VARCHAR) AS key,
+  '{"key":' || CAST(eid AS VARCHAR) || '}' AS key_decoded,
+  'VkFM' || CAST(eid AS VARCHAR) AS val,
+  '{"val":' || CAST(eid AS VARCHAR) || '}' AS val_decoded,
+  'Q0RY' || CAST(eid AS VARCHAR) AS contract_data_xdr,
+  upper(sha256('SLK' || CAST(eid AS VARCHAR))) AS ledger_key_hash,
+  to_base64(unhex(sha256('SLK' || CAST(eid AS VARCHAR)))) AS ledger_key_hash_base_64,
+  seq AS ledger_sequence,
+  1704067200 + seq * 5 AS closed_at_unix,
+  seq AS last_modified_ledger,
+  'SLK' || CAST(eid AS VARCHAR) AS ledger_entry_key,
+  CASE WHEN eid % 6 = 0 THEN 'SP' || CAST(uid AS VARCHAR) END AS sponsor,
+  (ct = 2) AS deleted
+FROM v
+""",
+    "changes_contract_code": """
+WITH e AS (
+  SELECT event_id AS eid, user_id AS uid,
+    event_id // 500 + 2 AS seq, event_id % 3 AS ct,
+    CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END AS b,
+    (event_id % 2 = 1) AS v1
+  FROM events WHERE event_id % 5 = 2
+)
+SELECT
+  md5('CH' || CAST(uid % 40 AS VARCHAR)) AS contract_code_hash,
+  eid % 2 AS contract_code_ext_v,
+  'V0FTTQ==' AS contract_code,
+  CASE WHEN v1 THEN eid % 5000 + b END AS n_instructions,
+  CASE WHEN v1 THEN eid % 300 END AS n_functions,
+  CASE WHEN v1 THEN eid % 50 END AS n_globals,
+  CASE WHEN v1 THEN eid % 20 END AS n_table_entries,
+  CASE WHEN v1 THEN eid % 40 END AS n_types,
+  CASE WHEN v1 THEN eid % 10 END AS n_data_segments,
+  CASE WHEN v1 THEN eid % 8 END AS n_elem_segments,
+  CASE WHEN v1 THEN eid % 30 END AS n_imports,
+  CASE WHEN v1 THEN eid % 25 END AS n_exports,
+  CASE WHEN v1 THEN eid % 4096 END AS n_data_segment_bytes,
+  upper(sha256('SLK' || CAST(eid AS VARCHAR))) AS ledger_key_hash,
+  to_base64(unhex(sha256('SLK' || CAST(eid AS VARCHAR)))) AS ledger_key_hash_base_64,
+  seq AS ledger_sequence,
+  1704067200 + seq * 5 AS closed_at_unix,
+  seq AS last_modified_ledger,
+  'SLK' || CAST(eid AS VARCHAR) AS ledger_entry_key,
+  CASE WHEN eid % 6 = 0 THEN 'SP' || CAST(uid AS VARCHAR) END AS sponsor,
+  (ct = 2) AS deleted
+FROM e
+""",
+    # ------------------------------------------------------------------
+    "changes_config_settings": """
+WITH e AS (
+  SELECT event_id AS eid, user_id AS uid,
+    event_id // 500 + 2 AS seq, event_id % 3 AS ct, event_id % 3 AS arm,
+    CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END AS b
+  FROM events WHERE event_id % 5 = 3
+)
+SELECT
+  CASE arm WHEN 0 THEN 0 WHEN 1 THEN 6 ELSE 11 END AS config_setting_id,
+  CASE WHEN arm = 0 THEN (eid % 65536) + b ELSE 0 END AS contract_max_size_bytes,
+  CAST(0 AS BIGINT) AS ledger_max_instructions,
+  CAST(0 AS BIGINT) AS tx_max_instructions,
+  CAST(0 AS BIGINT) AS fee_read_1kb,
+  CAST(0 AS BIGINT) AS ledger_max_tx_count,
+  CASE WHEN arm = 2 THEN CAST(eid % 1000 AS VARCHAR) || ',' || CAST(eid % 1000 + 1 AS VARCHAR)
+    ELSE '' END AS bucket_window_list,
+  CASE WHEN arm = 1 THEN '{"const":' || CAST(eid % 100 AS VARCHAR) || ',"linear":7},'
+    || '{"const":' || CAST(eid % 50 AS VARCHAR) || ',"linear":9}'
+    ELSE '' END AS cpu_cost_params_list,
+  '' AS mem_cost_params_list,
+  seq AS ledger_sequence,
+  1704067200 + seq * 5 AS closed_at_unix,
+  seq AS last_modified_ledger,
+  'SLK' || CAST(eid AS VARCHAR) AS ledger_entry_key,
+  CASE WHEN eid % 6 = 0 THEN 'SP' || CAST(uid AS VARCHAR) END AS sponsor,
+  (ct = 2) AS deleted
+FROM e
+""",
+    # ------------------------------------------------------------------
+    "changes_ttl": """
+WITH e AS (
+  SELECT event_id AS eid, user_id AS uid,
+    event_id // 500 + 2 AS seq, event_id % 3 AS ct,
+    CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END AS b
+  FROM events WHERE event_id % 5 = 4
+)
+SELECT
+  md5('TTL' || CAST(eid AS VARCHAR)) AS key_hash,
+  seq + eid % 10000 + b AS live_until_ledger_seq,
+  seq AS ledger_sequence,
+  1704067200 + seq * 5 AS closed_at_unix,
+  seq AS last_modified_ledger,
+  'SLK' || CAST(eid AS VARCHAR) AS ledger_entry_key,
+  CASE WHEN eid % 6 = 0 THEN 'SP' || CAST(uid AS VARCHAR) END AS sponsor,
+  (ct = 2) AS deleted
+FROM e
+""",
+    # ------------------------------------------------------------------
+    "contract_events_decode": """
+WITH e AS (
+  SELECT event_id AS eid, user_id AS uid,
+    event_id // 500 + 2 AS seq, event_id % 1024 AS txi
+  FROM events WHERE event_id % 3 = 1
+)
+SELECT
+  (seq << 32) | (txi << 12) AS transaction_id,
+  md5('EV' || CAST(eid AS VARCHAR)) AS transaction_hash,
+  seq AS ledger_sequence,
+  1704067200 + seq * 5 AS closed_at_unix,
+  'CONTRACT' || CAST(uid % 50 AS VARCHAR) AS contract_id,
+  CAST(1 AS BIGINT) AS type,
+  'ContractEventTypeContract' AS type_string,
+  (eid % 4 <> 0) AS in_successful_contract_call,
+  (eid % 10 <> 0) AS successful,
+  CASE uid % 3
+    WHEN 0 THEN 'dG9w' || CAST(eid % 5 AS VARCHAR)
+    WHEN 1 THEN 'dG9w' || CAST(eid % 5 AS VARCHAR) || ',dG9x' || CAST(uid % 7 AS VARCHAR)
+    ELSE 'dG9w' || CAST(eid % 5 AS VARCHAR) || ',dG9x' || CAST(uid % 7 AS VARCHAR) || ',dG9y'
+  END AS topics_list,
+  CASE uid % 3
+    WHEN 0 THEN '{"sym":"t' || CAST(eid % 5 AS VARCHAR) || '"}'
+    WHEN 1 THEN '{"sym":"t' || CAST(eid % 5 AS VARCHAR) || '"},{"sym":"u' || CAST(uid % 7 AS VARCHAR) || '"}'
+    ELSE '{"sym":"t' || CAST(eid % 5 AS VARCHAR) || '"},{"sym":"u' || CAST(uid % 7 AS VARCHAR) || '"},{"sym":"v"}'
+  END AS topics_decoded_list,
+  'RFgZ' || CAST(eid AS VARCHAR) AS data,
+  '{"v":' || CAST(eid AS VARCHAR) || '}' AS data_decoded,
+  'RVZY' || CAST(eid AS VARCHAR) AS contract_event_xdr
+FROM e
+""",
+    # ------------------------------------------------------------------
+    "ledger_tx_passthrough": """
+WITH f AS (
+  SELECT o_orderkey AS k,
+    o_orderkey // 1024 + 2 AS seq, o_orderkey % 1024 AS txi
+  FROM orders
+)
+SELECT
+  seq AS ledger_sequence,
+  txi AS application_order,
+  md5(CAST(k AS VARCHAR)) AS transaction_hash,
+  'ZW52' AS tx_envelope,
+  'cmVz' AS tx_result,
+  'bWV0YQ==' AS tx_meta,
+  'ZmVl' AS tx_fee_meta,
+  'aGlzdA==' AS tx_ledger_history,
+  1704067200 + seq * 5 AS closed_at_unix
+FROM f
+""",
+}
+
+ENTITY_ORACLES.update(SOROBAN_ORACLES)

@@ -391,6 +391,190 @@ def token_transfer_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def changes_claimable_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """route_changes → transform_claimable_balance (claimable_balance.go:
+    24-77): nested claimants (projected as a joined destination list),
+    asset columns, stroops amount.  ``balance_id_strkey``/``asset_id``
+    (strkey / FarmHash UDFs) are excluded from the SQL projection."""
+    from stellar_etl_spark.transforms.changes import route_changes
+    from stellar_etl_spark.transforms.derive import derived_soroban_changes
+
+    ev = table(spark, sf_dir, "events")
+    out = route_changes(derived_soroban_changes(ev))["claimable_balances"]
+    return out.select(
+        "balance_id",
+        F.array_join(
+            F.transform(F.col("claimants"), lambda c: c["destination"]), ","
+        ).alias("claimants_list"),
+        "asset_type",
+        "asset_code",
+        "asset_issuer",
+        "asset_amount",
+        F.col("flags").cast("long").alias("flags"),
+        *_changes_common(out),
+    )
+
+
+def changes_contract_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """route_changes → transform_contract_data (contract_data.go:49-379):
+    the nonce filter, key/val passthrough, sha256 ledger-key hashes, AND
+    the full SAC path: genuine contract ids in the derived input are
+    hashlib-precomputed constants, so the transform's JVM-side
+    HashIDPreimage sha256 re-derivation is checked against an independent
+    implementation, and the oracle grades the verified-vs-forged outcome
+    per row plus the balance rows surviving the 3-entry/non-negative-hi
+    gates, with the i128 balance assembled in HUGEINT.  strkey columns
+    (contract_id, asset_issuer, balance_holder) are excluded;
+    ``has_holder`` proves the balance gate without the strkey rendering."""
+    from stellar_etl_spark.transforms.changes import route_changes
+    from stellar_etl_spark.transforms.derive import derived_soroban_changes
+
+    ev = table(spark, sf_dir, "events")
+    out = route_changes(derived_soroban_changes(ev))["contract_data"]
+    return out.select(
+        "contract_key_type",
+        "contract_durability",
+        "asset_type",
+        "asset_code",
+        F.col("balance_holder").isNotNull().alias("has_holder"),
+        "balance",
+        "key",
+        "key_decoded",
+        "val",
+        "val_decoded",
+        "contract_data_xdr",
+        "ledger_key_hash",
+        "ledger_key_hash_base_64",
+        *_changes_common(out),
+    )
+
+
+def changes_contract_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """route_changes → transform_contract_code (contract_code.go:12-101):
+    the wasm cost-input surface from ext V1 (null for V0 entries)."""
+    from stellar_etl_spark.transforms.changes import route_changes
+    from stellar_etl_spark.transforms.derive import derived_soroban_changes
+
+    ev = table(spark, sf_dir, "events")
+    out = route_changes(derived_soroban_changes(ev))["contract_code"]
+    return out.select(
+        "contract_code_hash",
+        F.col("contract_code_ext_v").cast("long").alias("contract_code_ext_v"),
+        "contract_code",
+        "n_instructions",
+        "n_functions",
+        "n_globals",
+        "n_table_entries",
+        "n_types",
+        "n_data_segments",
+        "n_elem_segments",
+        "n_imports",
+        "n_exports",
+        "n_data_segment_bytes",
+        "ledger_key_hash",
+        "ledger_key_hash_base_64",
+        *_changes_common(out),
+    )
+
+
+def changes_config_settings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """route_changes → transform_config_setting (config_setting.go:13-101):
+    one ConfigSettingEntry union arm per row — every other scalar must be
+    its Go zero value, vectors empty arrays (projected joined)."""
+    from stellar_etl_spark.transforms.changes import route_changes
+    from stellar_etl_spark.transforms.derive import derived_soroban_changes
+
+    ev = table(spark, sf_dir, "events")
+    out = route_changes(derived_soroban_changes(ev))["config_settings"]
+    return out.select(
+        F.col("config_setting_id").cast("long").alias("config_setting_id"),
+        "contract_max_size_bytes",
+        "ledger_max_instructions",
+        "tx_max_instructions",
+        "fee_read_1kb",
+        "ledger_max_tx_count",
+        F.array_join(F.col("bucket_list_size_window"), ",").alias(
+            "bucket_window_list"
+        ),
+        F.array_join(F.col("contract_cost_params_cpu_insns"), ",").alias(
+            "cpu_cost_params_list"
+        ),
+        F.array_join(F.col("contract_cost_params_mem_bytes"), ",").alias(
+            "mem_cost_params_list"
+        ),
+        *_changes_common(out),
+    )
+
+
+def changes_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """route_changes → transform_ttl (ttl.go:12-49)."""
+    from stellar_etl_spark.transforms.changes import route_changes
+    from stellar_etl_spark.transforms.derive import derived_soroban_changes
+
+    ev = table(spark, sf_dir, "events")
+    out = route_changes(derived_soroban_changes(ev))["ttls"]
+    return out.select(
+        "key_hash",
+        "live_until_ledger_seq",
+        *_changes_common(out),
+    )
+
+
+def contract_events_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform_contract_events (contract_events.go:20-104): the
+    contract-vs-system/diagnostic filter (operation.go:1886-1905), TOID
+    transaction id, and the dual base64/JSON topic+data serializations
+    (arrays projected joined)."""
+    from stellar_etl_spark.transforms.contract_events import (
+        transform_contract_events,
+    )
+    from stellar_etl_spark.transforms.derive import derived_contract_events
+
+    ev = table(spark, sf_dir, "events")
+    out = transform_contract_events(derived_contract_events(ev))
+    return out.select(
+        "transaction_id",
+        "transaction_hash",
+        "ledger_sequence",
+        F.col("closed_at").cast("long").alias("closed_at_unix"),
+        "contract_id",
+        F.col("type").cast("long").alias("type"),
+        "type_string",
+        "in_successful_contract_call",
+        "successful",
+        F.array_join(F.col("topics"), ",").alias("topics_list"),
+        F.array_join(F.col("topics_decoded"), ",").alias("topics_decoded_list"),
+        "data",
+        "data_decoded",
+        "contract_event_xdr",
+    )
+
+
+def ledger_tx_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform_ledger_transaction (ledger_transaction.go:13-58): the
+    raw-XDR passthrough table with the broadcast ledger-header closed_at
+    join and the tx_ledger_history result fallback."""
+    from stellar_etl_spark.transforms.transaction import (
+        transform_ledger_transaction,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    out = transform_ledger_transaction(
+        derived_transactions(orders), derived_ledgers(orders)
+    )
+    return out.select(
+        "ledger_sequence",
+        F.col("application_order").cast("long").alias("application_order"),
+        "transaction_hash",
+        "tx_envelope",
+        "tx_result",
+        "tx_meta",
+        "tx_fee_meta",
+        "tx_ledger_history",
+        F.col("closed_at").cast("long").alias("closed_at_unix"),
+    )
+
+
 ENTITY_QUERIES = {
     "tx_projection": tx_projection,
     "op_details_switch": op_details_switch,
@@ -402,5 +586,12 @@ ENTITY_QUERIES = {
     "changes_offers": changes_offers,
     "changes_pools": changes_pools,
     "signers_weight_explode": signers_weight_explode,
+    "changes_claimable_balances": changes_claimable_balances,
+    "changes_contract_data": changes_contract_data,
+    "changes_contract_code": changes_contract_code,
+    "changes_config_settings": changes_config_settings,
+    "changes_ttl": changes_ttl,
+    "contract_events_decode": contract_events_decode,
+    "ledger_tx_passthrough": ledger_tx_passthrough,
     "token_transfer_classify": token_transfer_classify,
 }

@@ -681,3 +681,280 @@ def derived_token_ops(lineitem: DataFrame) -> DataFrame:
         },
     )
     return _op_frame(lineitem, type_col, source, body)
+
+
+# ---------------------------------------------------------------------------
+# soroban / state-entity changes + contract events
+# ---------------------------------------------------------------------------
+
+
+def _hashlib_sac_ids() -> tuple[bytes, list[bytes]]:
+    """hashlib-derived asset contract ids for the 71 assets
+    derived_soroban_changes can emit (native + TK0-9 x ISS0-6)."""
+    import hashlib
+
+    network = hashlib.sha256(
+        b"Public Global Stellar Network ; September 2015"
+    ).digest()
+
+    def cid(asset_xdr: bytes) -> bytes:
+        return hashlib.sha256(
+            bytes([0, 0, 0, 16]) + network + bytes([0, 0, 0, 1]) + asset_xdr
+        ).digest()
+
+    native = cid(bytes(4))
+    alphanum = []
+    for c in range(10):
+        for i in range(7):
+            code = f"TK{c}".encode().ljust(4, b"\x00")
+            issuer = hashlib.sha256(f"ISS{i}".encode()).digest()
+            alphanum.append(cid(bytes([0, 0, 0, 1]) + code + bytes(4) + issuer))
+    return native, alphanum
+
+
+_SAC_NATIVE_ID, _SAC_ALPHANUM_IDS = _hashlib_sac_ids()
+
+
+def derived_soroban_changes(events: DataFrame) -> DataFrame:
+    """Ledger-entry change rows cycling the five Soroban/state families the
+    base :func:`derived_changes` does not cover: claimable_balance /
+    contract_data / contract_code / config_setting / ttl
+    (claimable_balance.go:24-77, contract_data.go:49-379,
+    contract_code.go:12-101, config_setting.go:13-101, ttl.go:12-49).
+
+    Shared modular formulas (lockstep with entity_oracles.py):
+    ``ent5 = eid % 5`` picks the family, ``change_type = eid % 3`` (removed
+    rows carry pre only, with a ``+1`` bump on one value column so the
+    oracle proves extract_entry_from_change picks pre), ``seq = eid//500 +
+    2``, ``ledger_key = 'SLK'||eid``.
+
+    contract_data sub-cycle (``sub = eid % 4``):
+
+    - sub 0: SAC ContractInstance whose ``contract_id_bytes`` IS the
+      re-derived asset contract id (sha256 HashIDPreimage,
+      contract_data.go:283-297) — uid%5==0 rows are Native, the rest
+      AlphaNum4 with a 3-char code → the transform must emit the asset
+      columns (verified path);
+    - sub 1: same instance shape but a FORGED contract id
+      (sha256('forged'||eid)) → asset columns must stay null;
+    - sub 2: [Balance, holder] entry with a 3-entry i128 value map
+      (contract_data.go:306-379); eid%7==0 rows carry a negative hi word
+      and eid%11==0 rows a 2-entry map — both must suppress the balance;
+    - sub 3: nonce-keyed entry the transform must drop (lines 60-63).
+    """
+    eid, uid = F.col("event_id"), F.col("user_id")
+    ent5 = eid % 5
+    entity = (
+        F.when(ent5 == 0, "claimable_balance")
+        .when(ent5 == 1, "contract_data")
+        .when(ent5 == 2, "contract_code")
+        .when(ent5 == 3, "config_setting")
+        .otherwise("ttl")
+    )
+    change_type = (eid % 3).cast("int")
+    seq = (eid / 500).cast("long") + 2
+    sub = eid % 4
+    arm = eid % 3
+
+    is_native = uid % 5 == 0
+    sym = F.when(is_native, F.lit("Native")).otherwise(F.lit("AlphaNum4"))
+    code = F.when(~is_native, F.concat(F.lit("TK"), (uid % 10).cast("string")))
+    issuer_key = F.when(
+        ~is_native,
+        F.unhex(F.sha2(F.concat(F.lit("ISS"), (uid % 7).cast("string")).cast("binary"), 256)),
+    )
+    # Genuine SAC contract ids precomputed with hashlib (NOT the Spark
+    # expression the transform uses) so the transform's JVM-side
+    # HashIDPreimage sha256 is verified against an independent
+    # implementation: id = sha256(envelope_type(16) || network_id ||
+    # FROM_ASSET(1) || asset_xdr) per contract_data.go:283-297.
+    genuine_id = F.when(is_native, F.lit(_SAC_NATIVE_ID)).otherwise(
+        F.element_at(
+            F.array(*[F.lit(b) for b in _SAC_ALPHANUM_IDS]),
+            ((uid % 10) * 7 + uid % 7 + 1).cast("int"),
+        )
+    )
+    contract_id_bytes = (
+        F.when(sub == 0, genuine_id)
+        .when(sub == 1, F.unhex(F.sha2(F.concat(F.lit("forged"), eid.cast("string")).cast("binary"), 256)))
+        .otherwise(F.unhex(F.sha2(F.concat(F.lit("CID"), (uid % 13).cast("string")).cast("binary"), 256)))
+    )
+    key_type = (
+        F.when(sub == 3, F.lit("ScValTypeScvLedgerKeyNonce"))
+        .when(sub == 2, F.lit("ScValTypeScvVec"))
+        .otherwise(F.lit("ScValTypeScvLedgerKeyContractInstance"))
+    )
+
+    def entry(bump: int) -> Column:
+        b = F.lit(bump)
+        return sparse_struct(
+            _CHANGE_ENTRY_FIELDS,
+            {
+                # --- claimable_balance (ent5 == 0) ---
+                "balance_id": F.when(
+                    ent5 == 0, F.md5(F.concat(F.lit("CB"), eid.cast("string")).cast("binary"))
+                ),
+                "claimants": F.when(
+                    ent5 == 0,
+                    F.slice(
+                        F.array(*[
+                            F.struct(
+                                F.concat(F.lit("CLD"), ((uid + i) % 97).cast("string")).alias(
+                                    "destination"
+                                ),
+                                F.lit('{"unconditional":true}').alias("predicate"),
+                            )
+                            for i in range(3)
+                        ]),
+                        1,
+                        (eid % 3 + 1).cast("int"),
+                    ),
+                ),
+                "asset": F.when(ent5 == 0, asset_struct(uid)),
+                "amount": F.when(ent5 == 0, (eid % 1000000000) + b),
+                "flags": F.when(ent5 == 0, (eid % 2).cast("int")),
+                # --- contract_data (ent5 == 1) ---
+                "contract_id_bytes": F.when(ent5 == 1, contract_id_bytes),
+                "key_type": F.when(ent5 == 1, key_type),
+                "durability": F.when(
+                    ent5 == 1,
+                    F.when(eid % 2 == 0, F.lit("ContractDataDurabilityPersistent"))
+                    .otherwise(F.lit("ContractDataDurabilityTemporary")),
+                ),
+                "instance_asset": F.when(
+                    (ent5 == 1) & (sub <= 1),
+                    F.struct(sym.alias("sym"), code.alias("code"), issuer_key.alias("issuer_key")),
+                ),
+                "balance_key": F.when(
+                    (ent5 == 1) & (sub == 2),
+                    F.struct(
+                        F.lit(True).alias("is_balance"),
+                        F.unhex(
+                            F.sha2(F.concat(F.lit("HOLD"), uid.cast("string")).cast("binary"), 256)
+                        ).alias("holder"),
+                    ),
+                ),
+                "val_map": F.when(
+                    (ent5 == 1) & (sub == 2),
+                    F.struct(
+                        F.when(eid % 7 == 0, F.lit(-1)).otherwise(eid % 1000).cast("long").alias("amount_hi"),
+                        ((eid * 31) % 1000000007 + b).cast("long").alias("amount_lo"),
+                        (eid % 2 == 0).alias("authorized"),
+                        (eid % 3 == 0).alias("clawback"),
+                        F.when(eid % 11 == 0, F.lit(2)).otherwise(F.lit(3)).cast("int").alias("n_entries"),
+                    ),
+                ),
+                "key_xdr": F.when(ent5 == 1, F.concat(F.lit("S0V5"), eid.cast("string"))),
+                "key_decoded": F.when(
+                    ent5 == 1, F.concat(F.lit('{"key":'), eid.cast("string"), F.lit("}"))
+                ),
+                "val_xdr": F.when(ent5 == 1, F.concat(F.lit("VkFM"), eid.cast("string"))),
+                "val_decoded": F.when(
+                    ent5 == 1, F.concat(F.lit('{"val":'), eid.cast("string"), F.lit("}"))
+                ),
+                "contract_data_xdr": F.when(
+                    ent5 == 1, F.concat(F.lit("Q0RY"), eid.cast("string"))
+                ),
+                # --- contract_code (ent5 == 2) ---
+                "code_hash": F.when(
+                    ent5 == 2, F.md5(F.concat(F.lit("CH"), (uid % 40).cast("string")).cast("binary"))
+                ),
+                "ext_v": F.when(ent5 == 2, (eid % 2).cast("int")),
+                "wasm_b64": F.when(ent5 == 2, F.lit("V0FTTQ==")),
+                "n_instructions": F.when((ent5 == 2) & (eid % 2 == 1), eid % 5000 + b),
+                "n_functions": F.when((ent5 == 2) & (eid % 2 == 1), eid % 300),
+                "n_globals": F.when((ent5 == 2) & (eid % 2 == 1), eid % 50),
+                "n_table_entries": F.when((ent5 == 2) & (eid % 2 == 1), eid % 20),
+                "n_types": F.when((ent5 == 2) & (eid % 2 == 1), eid % 40),
+                "n_data_segments": F.when((ent5 == 2) & (eid % 2 == 1), eid % 10),
+                "n_elem_segments": F.when((ent5 == 2) & (eid % 2 == 1), eid % 8),
+                "n_imports": F.when((ent5 == 2) & (eid % 2 == 1), eid % 30),
+                "n_exports": F.when((ent5 == 2) & (eid % 2 == 1), eid % 25),
+                "n_data_segment_bytes": F.when((ent5 == 2) & (eid % 2 == 1), eid % 4096),
+                # --- config_setting (ent5 == 3): one union arm per row ---
+                "config_setting_id": F.when(
+                    ent5 == 3,
+                    F.when(arm == 0, F.lit(0)).when(arm == 1, F.lit(6)).otherwise(F.lit(11)).cast("int"),
+                ),
+                "contract_max_size_bytes": F.when(
+                    (ent5 == 3) & (arm == 0), (eid % 65536) + b
+                ),
+                "contract_cost_params_cpu_insns": F.when(
+                    (ent5 == 3) & (arm == 1),
+                    F.array(
+                        F.concat(F.lit('{"const":'), (eid % 100).cast("string"), F.lit(',"linear":7}')),
+                        F.concat(F.lit('{"const":'), (eid % 50).cast("string"), F.lit(',"linear":9}')),
+                    ),
+                ),
+                "bucket_list_size_window": F.when(
+                    (ent5 == 3) & (arm == 2),
+                    F.array((eid % 1000).cast("long"), (eid % 1000 + 1).cast("long")),
+                ),
+                # --- ttl (ent5 == 4) ---
+                "key_hash": F.when(
+                    ent5 == 4, F.md5(F.concat(F.lit("TTL"), eid.cast("string")).cast("binary"))
+                ),
+                "live_until_seq": F.when(ent5 == 4, seq + eid % 10000 + b),
+            },
+        )
+
+    null_entry = F.lit(None).cast(_CHANGE_ENTRY_T)
+    return events.select(
+        seq.alias("ledger_sequence"),
+        F.timestamp_seconds(F.lit(EPOCH) + seq * 5).alias("closed_at"),
+        entity.alias("entry_type"),
+        change_type.alias("change_type"),
+        (eid % 8).cast("int").alias("change_index"),
+        F.concat(F.lit("SLK"), eid.cast("string")).alias("ledger_key"),
+        seq.alias("last_modified_ledger"),
+        F.when(eid % 6 == 0, F.concat(F.lit("SP"), uid.cast("string"))).alias("sponsor"),
+        F.when(change_type >= 1, entry(1)).otherwise(null_entry).alias("pre"),
+        F.when(change_type <= 1, entry(0)).otherwise(null_entry).alias("post"),
+    )
+
+
+def derived_contract_events(events: DataFrame) -> DataFrame:
+    """Contract-event rows cycling the xdr.ContractEventType triple
+    (system / contract / diagnostic) so the contract-vs-diagnostic filter
+    (operation.go:1886-1905) provably drops the non-contract kinds, with
+    dual topic/data serializations (contract_events.go:128-169)."""
+    eid, uid = F.col("event_id"), F.col("user_id")
+    seq = (eid / 500).cast("long") + 2
+    kind = (
+        F.when(eid % 3 == 0, F.lit("system"))
+        .when(eid % 3 == 1, F.lit("contract"))
+        .otherwise(F.lit("diagnostic"))
+    )
+    return events.select(
+        seq.alias("ledger_sequence"),
+        F.timestamp_seconds(F.lit(EPOCH) + seq * 5).alias("closed_at"),
+        (eid % 1024).cast("int").alias("tx_index"),
+        F.md5(F.concat(F.lit("EV"), eid.cast("string")).cast("binary")).alias(
+            "transaction_hash"
+        ),
+        (eid % 10 != 0).alias("tx_successful"),
+        (eid % 4 != 0).alias("in_successful_contract_call"),
+        F.concat(F.lit("CONTRACT"), (uid % 50).cast("string")).alias("contract_id"),
+        kind.alias("event_type"),
+        F.slice(
+            F.array(
+                F.concat(F.lit("dG9w"), (eid % 5).cast("string")),
+                F.concat(F.lit("dG9x"), (uid % 7).cast("string")),
+                F.lit("dG9y"),
+            ),
+            1,
+            (uid % 3 + 1).cast("int"),
+        ).alias("topics"),
+        F.slice(
+            F.array(
+                F.concat(F.lit('{"sym":"t'), (eid % 5).cast("string"), F.lit('"}')),
+                F.concat(F.lit('{"sym":"u'), (uid % 7).cast("string"), F.lit('"}')),
+                F.lit('{"sym":"v"}'),
+            ),
+            1,
+            (uid % 3 + 1).cast("int"),
+        ).alias("topics_decoded"),
+        F.concat(F.lit("RFgZ"), eid.cast("string")).alias("data"),
+        F.concat(F.lit('{"v":'), eid.cast("string"), F.lit("}")).alias("data_decoded"),
+        F.concat(F.lit("RVZY"), eid.cast("string")).alias("contract_event_xdr"),
+    )
