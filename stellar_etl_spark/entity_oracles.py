@@ -764,3 +764,135 @@ FROM f
 }
 
 ENTITY_ORACLES.update(SOROBAN_ORACLES)
+
+STAR_ORACLES: dict[str, str] = {
+    # FNV-64a re-derived in DuckDB as a HUGEINT list_reduce fold over the
+    # UTF-8 code points (ASCII inputs), sign-folded to int64 — bit-exact
+    # vs functions/hashes.py fnv64a (offer_normalized.go:108-113).
+    "offer_star_fact": """
+WITH e AS (
+  SELECT event_id AS eid, user_id AS uid,
+    event_id // 500 + 2 AS seq,
+    CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END AS b
+  FROM events WHERE event_id % 4 = 2
+), o AS (
+  SELECT seq AS ledger_sequence,
+    'SEL' || CAST(uid AS VARCHAR) AS seller_id,
+    eid AS offer_id,
+    (eid % 10000000) + b AS amount,
+    eid % 9 + 1 AS price_n,
+    eid % 7 + 1 AS price_d,
+    CASE uid % 3 WHEN 0 THEN 'native:' WHEN 1 THEN 'USD:ISS1'
+      ELSE 'LONGCODE:ISS2' END AS sell_repr,
+    CASE (uid + 1) % 3 WHEN 0 THEN 'native:' WHEN 1 THEN 'USD:ISS1'
+      ELSE 'LONGCODE:ISS2' END AS buy_repr
+  FROM e
+), s AS (
+  SELECT *,
+    CASE WHEN sell_repr <= buy_repr THEN sell_repr || '/' || buy_repr
+      ELSE buy_repr || '/' || sell_repr END AS pair,
+    printf('%d/%d/%.6f', offer_id, amount,
+           CAST(price_n AS DOUBLE) / price_d) AS offer_repr
+  FROM o
+)
+SELECT
+  ledger_sequence AS ledger_id,
+  CAST(CASE WHEN list_reduce(
+    list_concat([CAST(14695981039346656037 AS HUGEINT)],
+                list_transform(range(1, length(offer_repr) + 1),
+                               i -> CAST(ascii(substr(offer_repr, i, 1)) AS HUGEINT))),
+    (h, c) -> CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
+              * 1099511628211 % 18446744073709551616) >= 9223372036854775808 THEN list_reduce(
+    list_concat([CAST(14695981039346656037 AS HUGEINT)],
+                list_transform(range(1, length(offer_repr) + 1),
+                               i -> CAST(ascii(substr(offer_repr, i, 1)) AS HUGEINT))),
+    (h, c) -> CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
+              * 1099511628211 % 18446744073709551616) - 18446744073709551616 ELSE list_reduce(
+    list_concat([CAST(14695981039346656037 AS HUGEINT)],
+                list_transform(range(1, length(offer_repr) + 1),
+                               i -> CAST(ascii(substr(offer_repr, i, 1)) AS HUGEINT))),
+    (h, c) -> CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
+              * 1099511628211 % 18446744073709551616) END AS BIGINT) AS offer_instance_id,
+  CAST(CASE WHEN list_reduce(
+    list_concat([CAST(14695981039346656037 AS HUGEINT)],
+                list_transform(range(1, length(pair) + 1),
+                               i -> CAST(ascii(substr(pair, i, 1)) AS HUGEINT))),
+    (h, c) -> CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
+              * 1099511628211 % 18446744073709551616) >= 9223372036854775808 THEN list_reduce(
+    list_concat([CAST(14695981039346656037 AS HUGEINT)],
+                list_transform(range(1, length(pair) + 1),
+                               i -> CAST(ascii(substr(pair, i, 1)) AS HUGEINT))),
+    (h, c) -> CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
+              * 1099511628211 % 18446744073709551616) - 18446744073709551616 ELSE list_reduce(
+    list_concat([CAST(14695981039346656037 AS HUGEINT)],
+                list_transform(range(1, length(pair) + 1),
+                               i -> CAST(ascii(substr(pair, i, 1)) AS HUGEINT))),
+    (h, c) -> CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
+              * 1099511628211 % 18446744073709551616) END AS BIGINT) AS market_id,
+  CAST(CASE WHEN list_reduce(
+    list_concat([CAST(14695981039346656037 AS HUGEINT)],
+                list_transform(range(1, length(seller_id) + 1),
+                               i -> CAST(ascii(substr(seller_id, i, 1)) AS HUGEINT))),
+    (h, c) -> CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
+              * 1099511628211 % 18446744073709551616) >= 9223372036854775808 THEN list_reduce(
+    list_concat([CAST(14695981039346656037 AS HUGEINT)],
+                list_transform(range(1, length(seller_id) + 1),
+                               i -> CAST(ascii(substr(seller_id, i, 1)) AS HUGEINT))),
+    (h, c) -> CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
+              * 1099511628211 % 18446744073709551616) - 18446744073709551616 ELSE list_reduce(
+    list_concat([CAST(14695981039346656037 AS HUGEINT)],
+                list_transform(range(1, length(seller_id) + 1),
+                               i -> CAST(ascii(substr(seller_id, i, 1)) AS HUGEINT))),
+    (h, c) -> CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
+              * 1099511628211 % 18446744073709551616) END AS BIGINT) AS account_id
+FROM s
+""",
+    "offer_star_dims": """
+WITH e AS (
+  SELECT event_id AS eid, user_id AS uid,
+    event_id // 500 + 2 AS seq,
+    CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END AS b
+  FROM events WHERE event_id % 4 = 2
+), o AS (
+  SELECT seq AS ledger_sequence,
+    'SEL' || CAST(uid AS VARCHAR) AS seller_id,
+    eid AS offer_id,
+    (eid % 10000000) + b AS amount,
+    eid % 9 + 1 AS price_n,
+    eid % 7 + 1 AS price_d,
+    CASE uid % 3 WHEN 0 THEN 'native:' WHEN 1 THEN 'USD:ISS1'
+      ELSE 'LONGCODE:ISS2' END AS sell_repr,
+    CASE (uid + 1) % 3 WHEN 0 THEN 'native:' WHEN 1 THEN 'USD:ISS1'
+      ELSE 'LONGCODE:ISS2' END AS buy_repr
+  FROM e
+), s AS (
+  SELECT *,
+    CASE WHEN sell_repr <= buy_repr THEN sell_repr || '/' || buy_repr
+      ELSE buy_repr || '/' || sell_repr END AS pair,
+    printf('%d/%d/%.6f', offer_id, amount,
+           CAST(price_n AS DOUBLE) / price_d) AS offer_repr
+  FROM o
+)
+SELECT
+  CAST(CASE WHEN list_reduce(
+    list_concat([CAST(14695981039346656037 AS HUGEINT)],
+                list_transform(range(1, length(seller_id) + 1),
+                               i -> CAST(ascii(substr(seller_id, i, 1)) AS HUGEINT))),
+    (h, c) -> CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
+              * 1099511628211 % 18446744073709551616) >= 9223372036854775808 THEN list_reduce(
+    list_concat([CAST(14695981039346656037 AS HUGEINT)],
+                list_transform(range(1, length(seller_id) + 1),
+                               i -> CAST(ascii(substr(seller_id, i, 1)) AS HUGEINT))),
+    (h, c) -> CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
+              * 1099511628211 % 18446744073709551616) - 18446744073709551616 ELSE list_reduce(
+    list_concat([CAST(14695981039346656037 AS HUGEINT)],
+                list_transform(range(1, length(seller_id) + 1),
+                               i -> CAST(ascii(substr(seller_id, i, 1)) AS HUGEINT))),
+    (h, c) -> CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
+              * 1099511628211 % 18446744073709551616) END AS BIGINT) AS account_id,
+  seller_id AS address
+FROM (SELECT DISTINCT seller_id FROM s) _dedup(seller_id)
+""",
+}
+
+ENTITY_ORACLES.update(STAR_ORACLES)

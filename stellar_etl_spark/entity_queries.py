@@ -575,6 +575,56 @@ def ledger_tx_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _derived_offers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live offer entries (entry struct extracted) from the derived change
+    log — the input surface transform_offer_normalized documents."""
+    from stellar_etl_spark.transforms.changes import extract_entry_from_change
+
+    ev = table(spark, sf_dir, "events")
+    ch = derived_changes(ev).where(F.col("entry_type") == "offer")
+    e = extract_entry_from_change(ch)
+    entry = F.col("entry")
+    return e.select(
+        entry["seller_id"].alias("seller_id"),
+        entry["offer_id"].alias("offer_id"),
+        entry["selling"].alias("selling"),
+        entry["buying"].alias("buying"),
+        entry["amount"].alias("amount"),
+        entry["price_n"].alias("price_n"),
+        entry["price_d"].alias("price_d"),
+        "ledger_sequence",
+    )
+
+
+def offer_star_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform_offer_normalized fact table (offer_normalized.go:16-57):
+    all three FNV-64a surrogate ids — sorted-asset-pair market id
+    (102-136), "{id}/{amount}/{price:.6f}" offer dim id (139-147), seller
+    account dim id (172-183) — re-derived bit-exactly by the oracle with a
+    HUGEINT list_reduce FNV fold."""
+    from stellar_etl_spark.transforms.offer_normalized import (
+        transform_offer_normalized,
+    )
+
+    out = transform_offer_normalized(_derived_offers(spark, sf_dir))[
+        "fact_offer_events"
+    ]
+    return out.select("ledger_id", "offer_instance_id", "market_id", "account_id")
+
+
+def offer_star_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform_offer_normalized dim_accounts: FNV id + hash-dedup by id
+    (input/orderbooks.go:72-118 seen-set semantics → dropDuplicates)."""
+    from stellar_etl_spark.transforms.offer_normalized import (
+        transform_offer_normalized,
+    )
+
+    out = transform_offer_normalized(_derived_offers(spark, sf_dir))[
+        "dim_accounts"
+    ]
+    return out.select("account_id", "address")
+
+
 ENTITY_QUERIES = {
     "tx_projection": tx_projection,
     "op_details_switch": op_details_switch,
@@ -592,6 +642,8 @@ ENTITY_QUERIES = {
     "changes_config_settings": changes_config_settings,
     "changes_ttl": changes_ttl,
     "contract_events_decode": contract_events_decode,
+    "offer_star_fact": offer_star_fact,
+    "offer_star_dims": offer_star_dims,
     "ledger_tx_passthrough": ledger_tx_passthrough,
     "token_transfer_classify": token_transfer_classify,
 }
