@@ -458,3 +458,74 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= F.lit(threshold))
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segment_words: int = 8,
+) -> DataFrame:
+    """Corpus-level segment dedup with document reconstruction — the
+    C4/RefinedWeb "remove duplicated lines across the corpus" pass,
+    expressed over fixed ``segment_words``-word segments (this corpus has
+    no newline structure).  First occurrence wins, globally and
+    deterministically: a segment survives in the document/position with
+    the smallest ``(doc_id, position)``.
+
+    Scale shape (100 TB): two map-combinable hash aggregations and one
+    equi-join — segment ownership is ``min()`` over a packed
+    ``doc_id * 2^20 + position`` rank (no windows, no global sort); the
+    winners set joins back to the exploded segments on the segment key,
+    and documents reassemble with ``sort_array(collect_list(...))`` per
+    doc.  Skew: segment keys are near-unique outside pathological
+    boilerplate; AQE handles residual hot keys.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_seg = F.ceil(F.size(words) / F.lit(segment_words)).cast("int")
+    segments = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * segment_words + 1, segment_words), " "
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(segments).alias("pos", "segment")
+    )
+    # packed global rank: doc_id * 2^20 + pos (pos < 2^20 for any document
+    # this pipeline chunks; the pack keeps min() a single long aggregate)
+    ranked = exploded.withColumn(
+        "rank", F.col(id_col).cast("long") * F.lit(1 << 20) + F.col("pos")
+    )
+    winners = ranked.groupBy("segment").agg(F.min("rank").alias("min_rank"))
+    kept = (
+        ranked.join(winners, "segment")
+        .where(F.col("rank") == F.col("min_rank"))
+        .select(id_col, "pos", "segment")
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_segments"))
+        .join(
+            kept.groupBy(id_col).agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "segment"))
+                        ),
+                        lambda s: s["segment"],
+                    ),
+                    " ",
+                ).alias("dedup_text"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            "n_segments",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+        )
+    )

@@ -1746,6 +1746,36 @@ GROUP BY d_1996, d_1997
 # Entity-transform oracle twins (entity_oracles.py) — same dict, kept in a
 # sibling module so the derivation-formula lockstep with transforms/derive.py
 # is reviewable side by side.
+ORACLES["segment_dedup_reconstruct"] = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), seg0 AS (
+  SELECT doc_id, unnest(list_transform(range(CAST(ceil(len(words) / 8.0) AS INT)),
+    i -> {'pos': i, 'segment': array_to_string(words[i*8+1 : i*8+8], ' ')})) AS s
+  FROM w
+), seg AS (
+  SELECT doc_id, s.pos AS pos, s.segment AS segment,
+    doc_id * 1048576 + s.pos AS rank
+  FROM seg0
+), winners AS (
+  SELECT segment, min(rank) AS min_rank FROM seg GROUP BY segment
+), kept AS (
+  SELECT seg.doc_id, seg.pos, seg.segment
+  FROM seg JOIN winners ON seg.segment = winners.segment
+  WHERE seg.rank = winners.min_rank
+), totals AS (
+  SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY doc_id
+), rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+    string_agg(segment, ' ' ORDER BY pos) AS dedup_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_segments,
+  COALESCE(r.n_kept, 0) AS n_kept,
+  COALESCE(r.dedup_text, '') AS dedup_text
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
 from stellar_etl_spark.entity_oracles import ENTITY_ORACLES  # noqa: E402
 
 ORACLES.update(ENTITY_ORACLES)

@@ -507,6 +507,16 @@ def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def segment_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level segment dedup with document reconstruction (the
+    C4/RefinedWeb duplicate-line removal pass): global first-occurrence-
+    wins over 8-word segments via a packed-rank min aggregate (no window,
+    no global sort), then per-doc reassembly."""
+    from stellar_etl_spark.operators.dedup import segment_dedup
+
+    return segment_dedup(table(spark, sf_dir, "documents"))
+
+
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8) + LSH(4 bands × 2 rows) candidates, exact Jaccard ≥ 0.5
     verification. The LSH band join is the only corpus-wide shuffle."""
@@ -1987,6 +1997,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_id": language_id_q,
     "doc_fingerprint": doc_fingerprint_q,
     "exact_dedup": exact_dedup_q,
+    "segment_dedup_reconstruct": segment_dedup_reconstruct,
     "minhash_near_dup": minhash_near_dup,
     "ngram_jaccard_near_dup": ngram_jaccard_near_dup,
     "simhash_fingerprint": simhash_fingerprint,

@@ -98,6 +98,38 @@ class TestDedup:
         out = {r.doc_id: r.dup_count for r in exact_dedup(df, "doc_id", "text").collect()}
         assert out == {1: 2, 2: 1}
 
+    def test_segment_dedup_first_occurrence_wins(self, spark):
+        """Global segment dedup: the earliest (doc_id, pos) keeps a
+        duplicated segment; later holders lose it; docs reassemble in
+        position order from surviving segments only."""
+        from stellar_etl_spark.operators.dedup import segment_dedup
+
+        a = "w1 w2 w3 w4"          # one 4-word segment
+        b = "w1 w2 w3 w4 x1 x2 x3 x4"  # same first segment + a unique one
+        df = spark.createDataFrame([(1, a), (2, b)], DOCS_SCHEMA)
+        out = {
+            r.doc_id: r
+            for r in segment_dedup(df, segment_words=4).collect()
+        }
+        assert out[1].n_segments == 1 and out[1].n_kept == 1
+        assert out[1].dedup_text == a
+        assert out[2].n_segments == 2 and out[2].n_kept == 1
+        assert out[2].dedup_text == "x1 x2 x3 x4"
+
+    def test_segment_dedup_no_window_in_plan(self, spark):
+        """Scale guard: ownership is a min() hash aggregate, never a
+        window sort."""
+        import contextlib
+        import io
+
+        from stellar_etl_spark.operators.dedup import segment_dedup
+
+        df = spark.createDataFrame([(1, "a b c d"), (2, "a b c d")], DOCS_SCHEMA)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            segment_dedup(df, segment_words=4).explain("formatted")
+        assert "Window" not in buf.getvalue()
+
     def test_near_dup_finds_identical_and_skips_disjoint(self, spark):
         base = "the quick brown fox jumps over the lazy dog again and again today"
         df = spark.createDataFrame(
