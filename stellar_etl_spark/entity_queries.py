@@ -245,10 +245,10 @@ def _changes_common(out: DataFrame) -> list[F.Column]:
 def changes_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """route_changes → transform_account (account.go:13-112): pre-for-
     removed entry extraction, threshold unpacking, liability conversion."""
-    from stellar_etl_spark.transforms.changes import route_changes
+    from stellar_etl_spark.transforms.changes import route_change
 
     ev = table(spark, sf_dir, "events")
-    out = route_changes(derived_changes(ev))["accounts"]
+    out = route_change(derived_changes(ev), "accounts")
     return out.select(
         "account_id",
         "balance",
@@ -271,10 +271,10 @@ def changes_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def changes_trustlines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """route_changes → transform_trustline (trustline.go:18-91) incl. the
     pool-share branch (pool_id set → asset columns nulled)."""
-    from stellar_etl_spark.transforms.changes import route_changes
+    from stellar_etl_spark.transforms.changes import route_change
 
     ev = table(spark, sf_dir, "events")
-    out = route_changes(derived_changes(ev))["trustlines"]
+    out = route_change(derived_changes(ev), "trustlines")
     return out.select(
         "account_id",
         "asset_type",
@@ -293,10 +293,10 @@ def changes_trustlines(spark: SparkSession, sf_dir: str) -> DataFrame:
 def changes_offers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """route_changes → transform_offer (offer.go:13-103): float AND
     rational price."""
-    from stellar_etl_spark.transforms.changes import route_changes
+    from stellar_etl_spark.transforms.changes import route_change
 
     ev = table(spark, sf_dir, "events")
-    out = route_changes(derived_changes(ev))["offers"]
+    out = route_change(derived_changes(ev), "offers")
     return out.select(
         "seller_id",
         "offer_id",
@@ -313,10 +313,10 @@ def changes_offers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def changes_pools(spark: SparkSession, sf_dir: str) -> DataFrame:
     """route_changes → transform_pool (liquidity_pool.go:13-90)."""
-    from stellar_etl_spark.transforms.changes import route_changes
+    from stellar_etl_spark.transforms.changes import route_change
 
     ev = table(spark, sf_dir, "events")
-    out = route_changes(derived_changes(ev))["liquidity_pools"]
+    out = route_change(derived_changes(ev), "liquidity_pools")
     return out.select(
         "liquidity_pool_id",
         "type",
@@ -334,10 +334,10 @@ def changes_pools(spark: SparkSession, sf_dir: str) -> DataFrame:
 def signers_weight_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """route_changes → transform_signers (account_signer.go:14-55): the
     weight-then-key sorted explode with per-signer sponsors."""
-    from stellar_etl_spark.transforms.changes import route_changes
+    from stellar_etl_spark.transforms.changes import route_change
 
     ev = table(spark, sf_dir, "events")
-    out = route_changes(derived_changes(ev))["account_signers"]
+    out = route_change(derived_changes(ev), "account_signers")
     return out.select(
         "account_id",
         "signer",
@@ -396,11 +396,11 @@ def changes_claimable_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     24-77): nested claimants (projected as a joined destination list),
     asset columns, stroops amount.  ``balance_id_strkey``/``asset_id``
     (strkey / FarmHash UDFs) are excluded from the SQL projection."""
-    from stellar_etl_spark.transforms.changes import route_changes
+    from stellar_etl_spark.transforms.changes import route_change
     from stellar_etl_spark.transforms.derive import derived_soroban_changes
 
     ev = table(spark, sf_dir, "events")
-    out = route_changes(derived_soroban_changes(ev))["claimable_balances"]
+    out = route_change(derived_soroban_changes(ev), "claimable_balances")
     return out.select(
         "balance_id",
         F.array_join(
@@ -426,11 +426,11 @@ def changes_contract_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates, with the i128 balance assembled in HUGEINT.  strkey columns
     (contract_id, asset_issuer, balance_holder) are excluded;
     ``has_holder`` proves the balance gate without the strkey rendering."""
-    from stellar_etl_spark.transforms.changes import route_changes
+    from stellar_etl_spark.transforms.changes import route_change
     from stellar_etl_spark.transforms.derive import derived_soroban_changes
 
     ev = table(spark, sf_dir, "events")
-    out = route_changes(derived_soroban_changes(ev))["contract_data"]
+    out = route_change(derived_soroban_changes(ev), "contract_data")
     return out.select(
         "contract_key_type",
         "contract_durability",
@@ -452,11 +452,11 @@ def changes_contract_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 def changes_contract_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     """route_changes → transform_contract_code (contract_code.go:12-101):
     the wasm cost-input surface from ext V1 (null for V0 entries)."""
-    from stellar_etl_spark.transforms.changes import route_changes
+    from stellar_etl_spark.transforms.changes import route_change
     from stellar_etl_spark.transforms.derive import derived_soroban_changes
 
     ev = table(spark, sf_dir, "events")
-    out = route_changes(derived_soroban_changes(ev))["contract_code"]
+    out = route_change(derived_soroban_changes(ev), "contract_code")
     return out.select(
         "contract_code_hash",
         F.col("contract_code_ext_v").cast("long").alias("contract_code_ext_v"),
@@ -481,11 +481,11 @@ def changes_config_settings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """route_changes → transform_config_setting (config_setting.go:13-101):
     one ConfigSettingEntry union arm per row — every other scalar must be
     its Go zero value, vectors empty arrays (projected joined)."""
-    from stellar_etl_spark.transforms.changes import route_changes
+    from stellar_etl_spark.transforms.changes import route_change
     from stellar_etl_spark.transforms.derive import derived_soroban_changes
 
     ev = table(spark, sf_dir, "events")
-    out = route_changes(derived_soroban_changes(ev))["config_settings"]
+    out = route_change(derived_soroban_changes(ev), "config_settings")
     return out.select(
         F.col("config_setting_id").cast("long").alias("config_setting_id"),
         "contract_max_size_bytes",
@@ -508,11 +508,11 @@ def changes_config_settings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def changes_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """route_changes → transform_ttl (ttl.go:12-49)."""
-    from stellar_etl_spark.transforms.changes import route_changes
+    from stellar_etl_spark.transforms.changes import route_change
     from stellar_etl_spark.transforms.derive import derived_soroban_changes
 
     ev = table(spark, sf_dir, "events")
-    out = route_changes(derived_soroban_changes(ev))["ttls"]
+    out = route_change(derived_soroban_changes(ev), "ttls")
     return out.select(
         "key_hash",
         "live_until_ledger_seq",

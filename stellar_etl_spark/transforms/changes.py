@@ -508,35 +508,51 @@ def account_signers_changed(changes: DataFrame) -> DataFrame:
     )
 
 
+_ROUTES = None
+
+
+def _routes() -> dict:
+    global _ROUTES
+    if _ROUTES is None:
+        _ROUTES = {
+            "accounts": transform_account,
+            "account_signers": transform_signers,
+            "trustlines": transform_trustline,
+            "offers": transform_offer,
+            "liquidity_pools": transform_pool,
+            "claimable_balances": transform_claimable_balance,
+            "contract_code": transform_contract_code,
+            "contract_data": transform_contract_data,
+            "config_settings": transform_config_setting,
+            "ttls": transform_ttl,
+        }
+    return _ROUTES
+
+
+_TYPE_OF = {
+    "accounts": "account",
+    "account_signers": "account",
+    "trustlines": "trustline",
+    "offers": "offer",
+    "liquidity_pools": "liquidity_pool",
+    "claimable_balances": "claimable_balance",
+    "contract_code": "contract_code",
+    "contract_data": "contract_data",
+    "config_settings": "config_setting",
+    "ttls": "ttl",
+}
+
+
+def route_change(changes: DataFrame, name: str) -> DataFrame:
+    """Single-entity routing: identical semantics to
+    ``route_changes(changes)[name]`` without building the other nine
+    plans (Dataset.select analyzes eagerly — constructing all ten costs
+    ~2 s of driver time when the caller wants one)."""
+    return _routes()[name](changes.where(F.col("entry_type") == _TYPE_OF[name]))
+
+
 def route_changes(changes: DataFrame) -> dict[str, DataFrame]:
     """Per-entity-type routing (export_ledger_entry_changes.go:116-259):
     one filtered view per entity — Catalyst collapses each into a pruned
     scan of the shared change log."""
-    routes = {
-        "accounts": transform_account,
-        "account_signers": transform_signers,
-        "trustlines": transform_trustline,
-        "offers": transform_offer,
-        "liquidity_pools": transform_pool,
-        "claimable_balances": transform_claimable_balance,
-        "contract_code": transform_contract_code,
-        "contract_data": transform_contract_data,
-        "config_settings": transform_config_setting,
-        "ttls": transform_ttl,
-    }
-    type_of = {
-        "accounts": "account",
-        "account_signers": "account",
-        "trustlines": "trustline",
-        "offers": "offer",
-        "liquidity_pools": "liquidity_pool",
-        "claimable_balances": "claimable_balance",
-        "contract_code": "contract_code",
-        "contract_data": "contract_data",
-        "config_settings": "config_setting",
-        "ttls": "ttl",
-    }
-    return {
-        name: fn(changes.where(F.col("entry_type") == type_of[name]))
-        for name, fn in routes.items()
-    }
+    return {name: route_change(changes, name) for name in _routes()}

@@ -26,6 +26,7 @@ effects.go:401-832, account.go/trustline.go/offer.go/liquidity_pool.go.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -34,6 +35,16 @@ from pyspark.sql import functions as F
 EPOCH = 1704067200  # 2024-01-01T00:00:00Z
 
 _ASSET_T = "struct<asset_type:string,asset_code:string,asset_issuer:string>"
+
+
+
+def _cached_cols(fn):
+    """Build-once column tuples.  Every derive expression references only
+    input column NAMES (unresolved trees), so the tuple is reusable across
+    any DataFrame with those columns — building it costs thousands of py4j
+    round trips (~seconds of driver time per query without the cache; the
+    same pattern as transforms/effects.py _effects_array_expr)."""
+    return lru_cache(maxsize=1)(fn)
 
 
 def sparse_struct(fields: Sequence[tuple[str, str]], given: dict) -> Column:
@@ -92,6 +103,12 @@ def derived_ledgers(orders: DataFrame) -> DataFrame:
 
 
 def derived_transactions(orders: DataFrame) -> DataFrame:
+    """One stellar transaction row per order — see _derived_transactions_cols."""
+    return orders.select(*_derived_transactions_cols())
+
+
+@_cached_cols
+def _derived_transactions_cols() -> tuple:
     """One stellar transaction row per order (transaction.go:20-275 input
     surface).  Every branch of transform_transaction is populated:
     memo switch, time/ledger bounds (incl. invalid max<min rows that the
@@ -108,7 +125,7 @@ def derived_transactions(orders: DataFrame) -> DataFrame:
     )
     lb_min = F.when(k % 3 == 0, k % 20)
     lb_max = F.when(k % 3 == 0, F.when(k % 6 == 0, F.lit(0)).otherwise(k % 20 + 30))
-    return orders.select(
+    return (
         seq_of(k).alias("ledger_sequence"),
         tx_index_of(k).alias("tx_index"),
         F.md5(k.cast("string").cast("binary")).alias("transaction_hash"),
@@ -297,10 +314,11 @@ _ATOM_T = (
 )
 
 
-def _op_frame(lineitem: DataFrame, type_col: Column, source: Column, body: Column,
-              atoms: Column | None = None, changes: Column | None = None) -> DataFrame:
+def _op_frame_cols(type_col: Column, source: Column, body: Column,
+                   atoms: Column | None = None,
+                   changes: Column | None = None) -> tuple:
     k = F.col("l_orderkey")
-    return lineitem.select(
+    return (
         seq_of(k).alias("ledger_sequence"),
         tx_index_of(k).alias("tx_index"),
         F.col("l_linenumber").cast("int").alias("op_index"),
@@ -320,7 +338,18 @@ def _op_frame(lineitem: DataFrame, type_col: Column, source: Column, body: Colum
     )
 
 
+def _op_frame(lineitem: DataFrame, type_col: Column, source: Column, body: Column,
+              atoms: Column | None = None, changes: Column | None = None) -> DataFrame:
+    return lineitem.select(*_op_frame_cols(type_col, source, body, atoms, changes))
+
+
 def derived_operations_details(lineitem: DataFrame) -> DataFrame:
+    """See _op_details_cols."""
+    return lineitem.select(*_op_details_cols())
+
+
+@_cached_cols
+def _op_details_cols() -> tuple:
     """Ops cycling the six most-load-bearing detail families of the 27-type
     switch (operation.go:584-1173): create_account, payment,
     manage_sell_offer, change_trust, manage_data, bump_sequence — body
@@ -377,17 +406,22 @@ def derived_operations_details(lineitem: DataFrame) -> DataFrame:
         .otherwise(F.array().cast(_EMPTY_CHANGES))
         .cast(_EMPTY_CHANGES)
     )
-    return _op_frame(lineitem, type_col, source, body, changes=changes)
+    return _op_frame_cols(type_col, source, body, changes=changes)
 
 
 def derived_operations_sponsorship(lineitem: DataFrame) -> DataFrame:
+    """See _op_sponsorship_cols."""
+    return lineitem.where(F.col("l_linenumber") <= 3).select(*_op_sponsorship_cols())
+
+
+@_cached_cols
+def _op_sponsorship_cols() -> tuple:
     """begin/end_sponsoring_future_reserves pairs for the in-tx back-scan
     (findInitatingBeginSponsoringOp, operation.go:533-553): op 1 is the
     begin (sponsored_id = 'END<k>'), later ops are ends whose source
     matches the begin's sponsored_id only for even order keys."""
     k = F.col("l_orderkey")
     ln = F.col("l_linenumber").cast("long")
-    li = lineitem.where(F.col("l_linenumber") <= 3)
     type_col = F.when(ln == 1, 16).otherwise(17)
     end_src = F.when(
         (ln == 2) & (k % 2 == 0) | (ln == 3) & (k % 3 == 0),
@@ -400,10 +434,16 @@ def derived_operations_sponsorship(lineitem: DataFrame) -> DataFrame:
         _BODY_FIELDS,
         {"sponsored_id": F.when(ln == 1, F.concat(F.lit("END"), k.cast("string")))},
     )
-    return _op_frame(li, type_col, source, body)
+    return _op_frame_cols(type_col, source, body)
 
 
 def derived_operations_trades(lineitem: DataFrame) -> DataFrame:
+    """See _op_trades_cols."""
+    return lineitem.select(*_op_trades_cols())
+
+
+@_cached_cols
+def _op_trades_cols() -> tuple:
     """manage_sell_offer ops with claim atoms + pre-change offers for the
     trade fan-out (trade.go:21-162): a filled offer atom, then either a
     0/0 atom (even line numbers — must be skipped, trade.go:69-72) or an
@@ -464,11 +504,17 @@ def derived_operations_trades(lineitem: DataFrame) -> DataFrame:
         _op_change(1, "liquidity_pool", {"pool_fee": 30}, None),
     ).cast(_EMPTY_CHANGES)
     body = sparse_struct(_BODY_FIELDS, {"offer_id": pk})
-    return _op_frame(lineitem, F.lit(3), F.concat(F.lit("G"), sk.cast("string")), body,
-                     atoms=atoms, changes=changes)
+    return _op_frame_cols(F.lit(3), F.concat(F.lit("G"), sk.cast("string")), body,
+                          atoms=atoms, changes=changes)
 
 
 def derived_operations_effects(lineitem: DataFrame) -> DataFrame:
+    """See _op_effects_cols."""
+    return lineitem.select(*_op_effects_cols())
+
+
+@_cached_cols
+def _op_effects_cols() -> tuple:
     """Ops cycling the result-driven effect families (effects.go:401-832):
     create_account (3 effects), payment (credited+debited), account_merge
     (debited+credited+removed), inflation (per-payout fan-out),
@@ -513,7 +559,7 @@ def derived_operations_effects(lineitem: DataFrame) -> DataFrame:
             "bump_to": F.when(is_t(11), pk + 100),
         },
     )
-    return _op_frame(lineitem, type_col, source, body)
+    return _op_frame_cols(type_col, source, body)
 
 
 # ---------------------------------------------------------------------------
@@ -530,6 +576,12 @@ _CHANGE_ENTRY_T = (
 
 
 def derived_changes(events: DataFrame) -> DataFrame:
+    """See _derived_changes_cols."""
+    return events.select(*_derived_changes_cols())
+
+
+@_cached_cols
+def _derived_changes_cols() -> tuple:
     """Ledger-entry change rows cycling the four state-entity families
     (account / trustline / offer / liquidity_pool) with created / updated /
     removed change types.  Removed rows carry only ``pre`` — whose
@@ -629,7 +681,7 @@ def derived_changes(events: DataFrame) -> DataFrame:
         )
 
     null_entry = F.lit(None).cast(_CHANGE_ENTRY_T)
-    return events.select(
+    return (
         seq.alias("ledger_sequence"),
         F.timestamp_seconds(F.lit(EPOCH) + seq * 5).alias("closed_at"),
         entity.alias("entry_type"),
@@ -644,6 +696,12 @@ def derived_changes(events: DataFrame) -> DataFrame:
 
 
 def derived_token_ops(lineitem: DataFrame) -> DataFrame:
+    """See _token_ops_cols."""
+    return lineitem.select(*_token_ops_cols())
+
+
+@_cached_cols
+def _token_ops_cols() -> tuple:
     """Ops cycling the classic token-transfer classification families
     (stellar/go EventsProcessor rules surfaced via transforms/token_events
     .py): create_account, payment (incl. issuer-source → mint and
@@ -680,7 +738,7 @@ def derived_token_ops(lineitem: DataFrame) -> DataFrame:
             "from": F.concat(F.lit("GHOLD"), (sk % 997).cast("string")),
         },
     )
-    return _op_frame(lineitem, type_col, source, body)
+    return _op_frame_cols(type_col, source, body)
 
 
 # ---------------------------------------------------------------------------
@@ -716,6 +774,12 @@ _SAC_NATIVE_ID, _SAC_ALPHANUM_IDS = _hashlib_sac_ids()
 
 
 def derived_soroban_changes(events: DataFrame) -> DataFrame:
+    """See _soroban_changes_cols."""
+    return events.select(*_soroban_changes_cols())
+
+
+@_cached_cols
+def _soroban_changes_cols() -> tuple:
     """Ledger-entry change rows cycling the five Soroban/state families the
     base :func:`derived_changes` does not cover: claimable_balance /
     contract_data / contract_code / config_setting / ttl
@@ -899,7 +963,7 @@ def derived_soroban_changes(events: DataFrame) -> DataFrame:
         )
 
     null_entry = F.lit(None).cast(_CHANGE_ENTRY_T)
-    return events.select(
+    return (
         seq.alias("ledger_sequence"),
         F.timestamp_seconds(F.lit(EPOCH) + seq * 5).alias("closed_at"),
         entity.alias("entry_type"),
@@ -914,6 +978,12 @@ def derived_soroban_changes(events: DataFrame) -> DataFrame:
 
 
 def derived_contract_events(events: DataFrame) -> DataFrame:
+    """See _contract_events_cols."""
+    return events.select(*_contract_events_cols())
+
+
+@_cached_cols
+def _contract_events_cols() -> tuple:
     """Contract-event rows cycling the xdr.ContractEventType triple
     (system / contract / diagnostic) so the contract-vs-diagnostic filter
     (operation.go:1886-1905) provably drops the non-contract kinds, with
@@ -925,7 +995,7 @@ def derived_contract_events(events: DataFrame) -> DataFrame:
         .when(eid % 3 == 1, F.lit("contract"))
         .otherwise(F.lit("diagnostic"))
     )
-    return events.select(
+    return (
         seq.alias("ledger_sequence"),
         F.timestamp_seconds(F.lit(EPOCH) + seq * 5).alias("closed_at"),
         (eid % 1024).cast("int").alias("tx_index"),
