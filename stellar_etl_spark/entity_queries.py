@@ -436,7 +436,9 @@ def changes_contract_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contract_durability",
         "asset_type",
         "asset_code",
-        F.col("balance_holder").isNotNull().alias("has_holder"),
+        # same null gate as balance_holder (both are when(balance_ok, ...))
+        # without forcing the strkey UDF into the plan for an isNotNull
+        F.col("balance").isNotNull().alias("has_holder"),
         "balance",
         "key",
         "key_decoded",
