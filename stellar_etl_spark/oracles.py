@@ -1107,6 +1107,26 @@ SELECT doc_id, source, n_chars
 FROM documents
 WHERE (('0x' || substring(md5(text), 1, 8))::BIGINT % 100) < 10
 """,
+    "domain_mix_sample": """
+WITH stats AS (
+  SELECT source, SUM(n_chars) AS source_tokens, COUNT(*) AS source_docs
+  FROM documents GROUP BY source
+), b AS (
+  SELECT MIN(source_tokens) AS budget FROM stats
+), kept AS (
+  SELECT d.source, d.n_chars, s.source_tokens, s.source_docs, b.budget
+  FROM documents d JOIN stats s ON d.source = s.source CROSS JOIN b
+  WHERE (('0x' || substring(md5(d.text), 1, 8))::BIGINT % 1000000)
+        * s.source_tokens < 1000000 * b.budget
+)
+SELECT source,
+  COUNT(*) AS docs_kept,
+  SUM(n_chars) AS tokens_kept,
+  MIN(source_tokens) AS source_tokens,
+  MIN(source_docs) AS source_docs,
+  MIN(budget) AS token_budget
+FROM kept GROUP BY source
+""",
     "stratified_sample": """
 SELECT doc_id, source, n_chars
 FROM documents

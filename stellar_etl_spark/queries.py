@@ -1026,6 +1026,40 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(bucket < 10).select("doc_id", "source", "n_chars")
 
 
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus domain-mix balancing: down-sample every source to the
+    smallest source's token budget (the "equal mixing weights" pass of a
+    training-data pipeline).  The per-source rate is DATA-DEPENDENT
+    (budget / source_tokens, where budget = min source token count), so
+    unlike stratified_sample it flows through a broadcast join of the
+    per-source aggregate + a 1-row broadcast budget — and membership is
+    decided in exact integer math (bucket * source_tokens <
+    1_000_000 * budget), never a float threshold.  Scale: one partial agg
+    per source, two broadcasts, a map-side filter, one final agg — no
+    windows, no skew-sensitive shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.sum("n_chars").alias("source_tokens"),
+        F.count(F.lit(1)).alias("source_docs"),
+    )
+    budget = stats.agg(F.min("source_tokens").alias("budget"))
+    bucket = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 1000000
+    kept = (
+        docs.join(F.broadcast(stats), "source")
+        .crossJoin(F.broadcast(budget))
+        .where(bucket * F.col("source_tokens") < F.lit(1000000) * F.col("budget"))
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum("n_chars").alias("tokens_kept"),
+        F.first("source_tokens").alias("source_tokens"),
+        F.first("source_docs").alias("source_docs"),
+        F.first("budget").alias("token_budget"),
+    )
+
+
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source stratified sampling with deterministic hash thresholds —
     curated sources kept at 50%, the long tail at 5%.  Same reproducibility
@@ -2011,6 +2045,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_sales": cube_sales,
     "revenue_moving_avg": revenue_moving_avg,
     "stratified_sample": stratified_sample,
+    "domain_mix_sample": domain_mix_sample,
     "train_val_test_split": train_val_test_split,
     "lm_quality_score": lm_quality_score,
     "embedding_quantization": embedding_quantization,
