@@ -1197,3 +1197,59 @@ def decode_contract_events(
             )
 
     return bronze.mapInPandas(gen, schema=CONTRACT_EVENTS_DDL)
+
+
+def decode_ledgers(bronze: DataFrame) -> DataFrame:
+    """One LEDGERS_DDL header row per ledger from raw LCM bytes — the
+    GetLedgers surface (input/ledgers.go:14-83) feeding transform_ledger:
+    hex hashes, the re-encoded base64 LedgerHeader XDR, close/fee/reserve
+    scalars, and the STELLAR_VALUE_SIGNED node id (G strkey) + signature
+    (ledger.go:17-107, 192-205)."""
+    import pandas as pd
+
+    from stellar_etl_spark.functions.strkey import VERSION_ACCOUNT, encode_strkey
+    from stellar_etl_spark.schemas import LEDGERS_DDL
+    from stellar_etl_spark.sources.xdr import write_ledger_header
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "sequence", "ledger_hash", "previous_ledger_hash",
+            "ledger_header", "closed_at", "total_coins", "fee_pool",
+            "base_fee", "base_reserve", "max_tx_set_size",
+            "protocol_version", "soroban_fee_write_1kb",
+            "total_byte_size_of_bucket_list", "node_id", "signature",
+        ]
+        for pdf in batches:
+            rows = []
+            for raw in pdf["lcm_xdr"]:
+                meta = parse_ledger_close_meta(bytes(raw), tx_processing=False)
+                h = meta["header"]
+                w = Writer()
+                write_ledger_header(w, h)
+                node_id = signature = None
+                if h.close_value_signature is not None:
+                    nid, sig = h.close_value_signature
+                    node_id = encode_strkey(VERSION_ACCOUNT, nid)
+                    signature = base64.b64encode(sig).decode()
+                rows.append(
+                    (
+                        h.ledger_seq,
+                        meta["entry_hash"].hex(),
+                        h.previous_ledger_hash.hex(),
+                        base64.b64encode(w.bytes()).decode(),
+                        pd.Timestamp(h.close_time, unit="s"),
+                        h.total_coins,
+                        h.fee_pool,
+                        h.base_fee,
+                        h.base_reserve,
+                        h.max_tx_set_size,
+                        h.ledger_version,
+                        None,
+                        None,
+                        node_id,
+                        signature,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return bronze.mapInPandas(gen, schema=LEDGERS_DDL)

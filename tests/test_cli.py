@@ -1,0 +1,62 @@
+"""CLI end-to-end: raw LedgerCloseMeta XDR files -> subcommand -> JSONL,
+mirroring the reference's golden CLI integration tests (cmd/*_test.go:
+build the binary, run a subcommand over a ledger range, inspect output)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def xdr_dir(tmp_path_factory):
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from bench_decode import build_ledgers
+
+    d = tmp_path_factory.mktemp("cli_xdr")
+    build_ledgers(str(d), 6)
+    return str(d)
+
+
+def _run(args: list[str]) -> str:
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        [sys.executable, "-m", "stellar_etl_spark", *args],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    return res.stdout
+
+
+class TestCli:
+    def test_export_ledgers_range_and_extra_fields(self, xdr_dir, tmp_path):
+        out = _run([
+            "export_ledgers", "--ledgers-dir", xdr_dir,
+            "--output", str(tmp_path), "-s", "3", "-e", "5",
+            "--extra-fields", "network=testnet",
+        ])
+        stats = json.loads(out.strip().splitlines()[-1])
+        assert stats["rows"] == 3
+        rows = []
+        for f in glob.glob(str(tmp_path / "ledgers.jsonl" / "part-*")):
+            with open(f) as fh:
+                rows += [json.loads(l) for l in fh if l.strip()]
+        assert {r["sequence"] for r in rows} == {3, 4, 5}
+        assert all(r["network"] == "testnet" for r in rows)
+        # per-ledger counts computed from the decoded tx set (5 tx x 3 ops)
+        assert all(r["tx_set_operation_count"] == "15" for r in rows)
+
+    def test_get_ledger_range_from_times(self, xdr_dir):
+        out = _run([
+            "get_ledger_range_from_times", "--ledgers-dir", xdr_dir,
+            "--start-time", "1704067215", "--end-time", "1704067225",
+        ])
+        rng = json.loads(out.strip().splitlines()[-1])
+        assert (rng["start"], rng["end"]) == (3, 5)

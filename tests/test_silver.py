@@ -99,6 +99,38 @@ def bronze(spark, tmp_path_factory):
     return decode_ledger_files(read_ledger_files(spark, str(tmp)))
 
 
+class TestDecodeLedgers:
+    def test_header_surface_feeds_transform_ledger(self, spark, bronze):
+        """decode_ledgers emits the full LEDGERS_DDL header row (hex
+        hashes, re-encoded base64 header XDR, close/fee scalars) and the
+        production transform_ledger runs on it (ledger.go:17-107)."""
+        from stellar_etl_spark.sources.silver import (
+            decode_ledgers,
+            decode_transactions,
+        )
+        from stellar_etl_spark.transforms.ledger import transform_ledger
+
+        ledgers = decode_ledgers(bronze)
+        rows = {r.sequence: r for r in ledgers.collect()}
+        assert set(rows) == {2, 3}
+        assert rows[2].protocol_version == 20
+        assert rows[2].total_coins == 10**12
+        assert len(rows[2].ledger_hash) == 64
+        import base64
+
+        base64.b64decode(rows[2].ledger_header)  # valid b64 XDR
+
+        out = {
+            r.sequence: r
+            for r in transform_ledger(
+                ledgers, decode_transactions(bronze)
+            ).collect()
+        }
+        assert out[2].id == (2 << 32)
+        assert out[2].transaction_count == 1
+        assert out[3].operation_count == 1  # fee-bump inner payment
+
+
 class TestSilverDecode:
     def test_transactions_from_wire_bytes(self, bronze):
         rows = {
