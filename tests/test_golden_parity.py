@@ -196,6 +196,127 @@ _HEX64 = re.compile(r"^[0-9a-f]{64}$")
 
 
 @needs_goldens
+class TestLedgerHeaderValueParity:
+    def test_ledger_header_values_recompute(self):
+        """VALUE-level mainnet parity: decode each golden row's real
+        ``ledger_header`` XDR with the pure-Python codec and every scalar
+        the row carries must recompute from the decoded header — sequence,
+        TOID id, previous hash, coins/fees/reserves, protocol, closed_at,
+        and the STELLAR_VALUE_SIGNED node id + signature when present
+        (ledger.go:17-107 field derivations, zero hand-built fixtures)."""
+        import base64
+        from datetime import datetime, timezone
+
+        from stellar_etl_spark.functions.strkey import (
+            VERSION_ACCOUNT,
+            encode_strkey,
+        )
+        from stellar_etl_spark.sources.xdr import Reader, read_ledger_header
+
+        n = 0
+        for row in golden_rows("ledgers", limit=2000):
+            raw = base64.b64decode(row["ledger_header"])
+            h = read_ledger_header(Reader(raw))
+            assert h.ledger_seq == int(row["sequence"])
+            assert int(row["id"]) == h.ledger_seq << 32
+            assert h.previous_ledger_hash.hex() == row["previous_ledger_hash"]
+            assert h.total_coins == int(row["total_coins"])
+            assert h.fee_pool == int(row["fee_pool"])
+            assert h.base_fee == int(row["base_fee"])
+            assert h.base_reserve == int(row["base_reserve"])
+            assert h.max_tx_set_size == int(row["max_tx_set_size"])
+            assert h.ledger_version == int(row["protocol_version"])
+            closed = datetime.fromtimestamp(h.close_time, tz=timezone.utc)
+            golden_closed = datetime.fromisoformat(
+                row["closed_at"].replace("Z", "+00:00")
+            )
+            assert closed == golden_closed
+            if row.get("node_id"):
+                nid, sig = h.close_value_signature
+                assert encode_strkey(VERSION_ACCOUNT, nid) == row["node_id"]
+                assert base64.b64encode(sig).decode() == row["signature"]
+                n += 1
+        assert n > 0  # at least one signed header exercised the strkey path
+
+
+class TestTransactionValueParity:
+    def test_transaction_values_recompute_from_envelope_and_result(self):
+        """VALUE-level mainnet parity for transactions: decode each golden
+        row's real ``tx_envelope``/``tx_result`` XDR and recompute account,
+        sequence, max_fee, operation_count, memo switch (transaction.go:
+        74-89), the ``[a,b)`` time-bounds string (90-111), fee_charged and
+        the success gate — zero hand-built fixtures."""
+        import base64
+
+        from stellar_etl_spark.functions.strkey import (
+            VERSION_ACCOUNT,
+            encode_strkey,
+        )
+        from stellar_etl_spark.sources.xdr import (
+            Reader,
+            read_transaction_envelope,
+        )
+        from stellar_etl_spark.sources.xdr_ledger import (
+            read_transaction_result,
+            result_successful,
+        )
+
+        memo_names = {
+            "none": "MemoTypeMemoNone",
+            "text": "MemoTypeMemoText",
+            "id": "MemoTypeMemoId",
+            "hash": "MemoTypeMemoHash",
+            "return": "MemoTypeMemoReturn",
+        }
+        n = fee_bumps = 0
+        for row in golden_rows("transactions", limit=2000):
+            env = read_transaction_envelope(
+                Reader(base64.b64decode(row["tx_envelope"]))
+            )
+            if env["type"] == "fee_bump":
+                fee_bumps += 1
+                assert int(row["max_fee"]) == env["fee"]
+                tx = env["inner"]["tx"]
+            else:
+                tx = env["tx"]
+                assert int(row["max_fee"]) == tx["fee"]
+            assert int(row["account_sequence"]) == tx["seq_num"]
+            assert int(row["operation_count"]) == len(tx["operations"])
+            assert row["account"] == encode_strkey(
+                VERSION_ACCOUNT, tx["source"]["ed25519"]
+            )
+            assert int(row["id"]) >> 32 == int(row["ledger_sequence"])
+
+            memo = tx["memo"]
+            assert row["memo_type"] == memo_names[memo["type"]]
+            if memo["type"] == "text":
+                assert row["memo"] == memo["text"]
+            elif memo["type"] == "id":
+                assert row["memo"] == str(memo["id"])
+            elif memo["type"] in ("hash", "return"):
+                assert row["memo"] == base64.b64encode(memo["hash"]).decode()
+
+            tb = (tx.get("preconditions") or {}).get("time_bounds")
+            if tb is None:
+                assert row["time_bounds"] == ""
+            elif tb["max_time"] == 0:
+                assert row["time_bounds"] == f"[{tb['min_time']},)"
+            else:
+                assert (
+                    row["time_bounds"]
+                    == f"[{tb['min_time']},{tb['max_time']})"
+                )
+
+            res = read_transaction_result(
+                Reader(base64.b64decode(row["tx_result"]))
+            )
+            assert int(row["fee_charged"]) == res["fee_charged"]
+            golden_ok = row["successful"] in (True, "True", "true")
+            assert golden_ok == result_successful(res)
+            n += 1
+        assert n >= 500  # fee_bumps counted when present in goldens
+
+
 class TestGoldenValueFormats:
     """Validate our scalar implementations against real-mainnet golden rows."""
 
