@@ -1178,6 +1178,51 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
     AS avg_logprob
 FROM s
 """,
+    "perplexity_buckets": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+cf AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT COUNT(*) AS total FROM tok),
+lp AS (
+  SELECT t, CAST(ROUND(ln(CAST(c AS DOUBLE) / total) * 1000) AS BIGINT) AS lp
+  FROM cf, tot
+),
+s AS (
+  SELECT doc_id, SUM(tf * lp) AS si, SUM(tf) AS n_tokens
+  FROM tf JOIN lp USING (t) GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+    (CASE WHEN si < 0 THEN -1 ELSE 1 END
+     * ((abs(si) * 2000 + n_tokens) // (2 * n_tokens))) AS micro
+  FROM s
+),
+bucketed AS (
+  SELECT *, ntile(10) OVER (ORDER BY micro, doc_id) AS bucket FROM scored
+)
+SELECT bucket, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+  MIN(micro) / 1000000.0 AS min_score,
+  MAX(micro) / 1000000.0 AS max_score
+FROM bucketed GROUP BY bucket
+""",
+    "vocab_oov_rate": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+cf AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+vocab AS (SELECT t FROM cf ORDER BY c DESC, t LIMIT 100),
+agg AS (
+  SELECT tok.doc_id, COUNT(*) AS n_tokens,
+    SUM(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM tok LEFT JOIN vocab ON tok.t = vocab.t
+  GROUP BY tok.doc_id
+)
+SELECT doc_id, n_tokens, n_oov,
+  ((n_oov * 2000000 + n_tokens) // (2 * n_tokens)) / 1000000.0 AS oov_rate
+FROM agg
+""",
     "train_val_test_split": """
 WITH b AS (
   SELECT (('0x' || substring(md5(text), 1, 8))::BIGINT % 100) AS bucket,

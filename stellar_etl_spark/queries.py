@@ -1095,6 +1095,61 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-bucketed corpus profile: the unigram-LM quality score
+    fed through the EXACT distributed ntile(10) (total-order tie-break on
+    (score_micro, doc_id), no global window), then per-bucket volume
+    stats — the CCNet-style "keep the best-perplexity buckets" pass."""
+    from stellar_etl_spark.operators.ranking import distributed_ntile
+    from stellar_etl_spark.operators.text import unigram_logprob_score
+
+    s = unigram_logprob_score(table(spark, sf_dir, "documents"), "doc_id", "text")
+    # avg_logprob is micro_int / 1e6 by construction; recover the exact
+    # integer for a float-free global ordering
+    s = s.withColumn(
+        "avg_micro", F.round(F.col("avg_logprob") * 1000000).cast("long")
+    )
+    b = distributed_ntile(s, "avg_micro", ["doc_id"], 10, out="bucket")
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("avg_logprob").alias("min_score"),
+        F.max("avg_logprob").alias("max_score"),
+    )
+
+
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary build + OOV audit: top-100 corpus tokens
+    by (count desc, token asc) — a TakeOrdered, not a global sort — then
+    per-document out-of-vocabulary rate via a broadcast semi-mark join,
+    with the rate in exact integer round-6 arithmetic."""
+    from stellar_etl_spark.operators.dedup import tokenize_words
+    from stellar_etl_spark.operators.util import exact_ratio_round6
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize_words(F.col("text"))).alias("t")
+    )
+    cf = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    vocab = cf.orderBy(F.desc("c"), "t").limit(100).select(
+        "t", F.lit(1).alias("_in")
+    )
+    out = (
+        toks.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        exact_ratio_round6("n_oov", "n_tokens").alias("oov_rate"),
+    )
+
+
 def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 3-way split (90/5/5 by content hash) with per-split
     corpus stats — the reproducible-split contract every training pipeline
@@ -2048,6 +2103,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_mix_sample": domain_mix_sample,
     "train_val_test_split": train_val_test_split,
     "lm_quality_score": lm_quality_score,
+    "perplexity_buckets": perplexity_buckets,
+    "vocab_oov_rate": vocab_oov_rate,
     "embedding_quantization": embedding_quantization,
     "top_bigrams": top_bigrams,
     "repeat_buyers": repeat_buyers,
