@@ -71,6 +71,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="ledgers per changes batch (utils/main.go:269)")
     ap.add_argument("--export-types", default=None,
                     help="comma list of change entities (default all 10)")
+    ap.add_argument("--stream", action="store_true",
+                    help="changes export as Structured Streaming over the "
+                         "ledger directory (unbounded end=0 mode; drains "
+                         "what is landed, then stops — availableNow)")
     ap.add_argument("--start-time", default=None,
                     help="get_ledger_range_from_times lower bound")
     ap.add_argument("--end-time", default=None,
@@ -166,6 +170,38 @@ def main(argv: list[str] | None = None) -> None:
         print(json.dumps({"tables": sorted(star)}))
     elif cmd == "export_ledger_entry_changes":
         types = args.export_types.split(",") if args.export_types else None
+        if args.stream:
+            # unbounded end=0 mode (README.md:294-296): the streaming tail
+            # over the datastore dir feeds the IDENTICAL batch pipeline per
+            # micro-batch — one code path for batch and streaming
+            from stellar_etl_spark.sources.datasource import LedgerDataSource
+
+            spark.dataSource.register(LedgerDataSource)
+            tail = (
+                spark.readStream.format("stellar_ledgers")
+                .option("path", args.ledgers_dir)
+                .load()
+            )
+
+            def process(batch_df, epoch_id):
+                EXPORT_PIPELINES["export_ledger_entry_changes"](
+                    silver.decode_changes(batch_df), out, s, e,
+                    batch_size=args.batch_size, export_types=types, fmt=fmt,
+                    mode="append",
+                )
+
+            q = (
+                tail.writeStream.foreachBatch(process)
+                .option(
+                    "checkpointLocation", os.path.join(out, "_checkpoint")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            print(json.dumps({"streamed": True, "output": out}))
+            spark.stop()
+            return
         routed = EXPORT_PIPELINES[cmd](
             silver.decode_changes(bronze), out, s, e,
             batch_size=args.batch_size, export_types=types, fmt=fmt,

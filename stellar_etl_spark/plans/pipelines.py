@@ -141,6 +141,7 @@ def export_ledger_entry_changes(
     batch_size: int = DEFAULT_BATCH_LEDGERS,
     export_types: list[str] | None = None,
     fmt: str = "json",
+    mode: str = "overwrite",
 ) -> dict[str, DataFrame]:
     """cmd/export_ledger_entry_changes.go equivalent (SURVEY.md §3.3):
     range → 64-ledger batches → per-(batch, key) compaction → per-entity
@@ -164,7 +165,7 @@ def export_ledger_entry_changes(
     for name in wanted:
         out[name] = routed[name]
         path = os.path.join(out_dir, name)
-        writer = routed[name].write.mode("overwrite")
+        writer = routed[name].write.mode(mode)
         if fmt == "json":
             writer.option("ignoreNullFields", "false").json(path)
         else:

@@ -53,6 +53,34 @@ class TestCli:
         # per-ledger counts computed from the decoded tx set (5 tx x 3 ops)
         assert all(r["tx_set_operation_count"] == "15" for r in rows)
 
+    def test_streamed_changes_equal_batch(self, xdr_dir, tmp_path):
+        """--stream (unbounded end=0 mode) over the same XDR dir must
+        produce the same per-entity rows as the batch subcommand — one
+        code path per micro-batch (input/changes.go:162-180 parity)."""
+        batch_out, stream_out = str(tmp_path / "b"), str(tmp_path / "s")
+        _run([
+            "export_ledger_entry_changes", "--ledgers-dir", xdr_dir,
+            "--output", batch_out, "--export-types", "accounts,offers",
+        ])
+        _run([
+            "export_ledger_entry_changes", "--stream", "--ledgers-dir",
+            xdr_dir, "--output", stream_out,
+            "--export-types", "accounts,offers",
+        ])
+
+        def rows(base, entity):
+            out = []
+            for f in glob.glob(os.path.join(base, entity, "part-*")):
+                with open(f) as fh:
+                    out += [json.loads(l) for l in fh if l.strip()]
+            return sorted(
+                out, key=lambda r: (r.get("ledger_sequence"),
+                                    str(r.get("ledger_entry_key")))
+            )
+
+        for entity in ("accounts", "offers"):
+            assert rows(batch_out, entity) == rows(stream_out, entity)
+
     def test_get_ledger_range_from_times(self, xdr_dir):
         out = _run([
             "get_ledger_range_from_times", "--ledgers-dir", xdr_dir,
