@@ -218,7 +218,7 @@ def main(argv: list[str] | None = None) -> None:
             ledgers,
             F.timestamp_seconds(F.lit(_time_arg(args.start_time))),
             F.timestamp_seconds(F.lit(_time_arg(args.end_time))),
-        ).collect()[0]
+        ).first()
         print(json.dumps({"start": rng[0], "end": rng[1]}))
         spark.stop()
         return
