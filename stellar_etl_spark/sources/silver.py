@@ -26,8 +26,10 @@ The full ingestion surface is decoded (sources/xdr.py + xdr_ledger.py):
   Soroban apply meta (contract + diagnostic events, SAC token-event
   classification) — the contract-events / token-transfer surface.
 
-Coverage note: operation ``trace_code`` (per-type inner result-code
-names) is left null pending the per-type name tables.
+Operation ``trace_code`` carries the per-type inner result-code Go name
+(sources/op_result_codes.py; getOperationTraceCode, operation.go:168-231)
+— verified value-exact against the reference's mainnet operations goldens
+in tests/test_golden_parity.py.
 """
 
 from __future__ import annotations
@@ -42,6 +44,7 @@ from stellar_etl_spark.functions.strkey import (
     encode_strkey,
 )
 from stellar_etl_spark.schemas import OPERATIONS_DDL, TRANSACTIONS_DDL
+from stellar_etl_spark.sources.op_result_codes import trace_code_name
 from stellar_etl_spark.sources.xdr import Writer, parse_ledger_close_meta
 from stellar_etl_spark.sources.xdr_ledger import (
     TX_RESULT_CODE_NAMES as _TX_CODES,
@@ -510,7 +513,13 @@ def decode_operations(
                                     if res
                                     else None
                                 ),
-                                trace_code=None,
+                                trace_code=(
+                                    trace_code_name(
+                                        op["type"], res.get("inner_code")
+                                    )
+                                    if res and res["code"] == 0
+                                    else None
+                                ),
                                 body=_op_body(op["type"], op["body"]),
                                 claim_atoms=atoms,
                                 changes=changes,

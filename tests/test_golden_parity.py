@@ -317,6 +317,69 @@ class TestTransactionValueParity:
         assert n >= 500  # fee_bumps counted when present in goldens
 
 
+class TestOperationValueParity:
+    def test_operation_values_recompute_from_tx_goldens(self):
+        """VALUE-level mainnet parity for operations: every operations-
+        golden row's transaction lives in the transactions goldens (same
+        12 ledgers), so its type / type_string / source account / result
+        code / TRACE code (the per-type inner result enum name,
+        operation.go:168-231) recompute from the decoded real envelope +
+        result — all 2000+ rows, zero hand-built fixtures."""
+        import base64
+
+        from stellar_etl_spark.functions.strkey import (
+            VERSION_ACCOUNT,
+            encode_strkey,
+        )
+        from stellar_etl_spark.schemas import OPERATION_TYPE_NAMES
+        from stellar_etl_spark.sources.op_result_codes import trace_code_name
+        from stellar_etl_spark.sources.xdr import (
+            Reader,
+            read_transaction_envelope,
+        )
+        from stellar_etl_spark.sources.xdr_ledger import (
+            read_transaction_result,
+        )
+
+        tx_by_id = {int(r["id"]): r for r in golden_rows("transactions", 2000)}
+        n = 0
+        for row in golden_rows("operations", limit=5000):
+            tx_row = tx_by_id.get(int(row["transaction_id"]))
+            if tx_row is None:
+                continue
+            env = read_transaction_envelope(
+                Reader(base64.b64decode(tx_row["tx_envelope"]))
+            )
+            tx = env["inner"]["tx"] if env["type"] == "fee_bump" else env["tx"]
+            op_index = (int(row["id"]) & 0xFFF) - 1
+            op = tx["operations"][op_index]
+            assert int(row["type"]) == op["type"]
+            assert row["type_string"] == OPERATION_TYPE_NAMES[op["type"]]
+            src_key = (op["source"] or tx["source"])["ed25519"]
+            assert row["source_account"] == encode_strkey(
+                VERSION_ACCOUNT, src_key
+            )
+
+            res = read_transaction_result(
+                Reader(base64.b64decode(tx_row["tx_result"]))
+            )
+            op_results = res.get("op_results") or (
+                res.get("inner_result") or {}
+            ).get("op_results")
+            if op_results and op_index < len(op_results):
+                op_res = op_results[op_index]
+                if op_res["code"] == 0:
+                    assert (
+                        row["operation_result_code"]
+                        == "OperationResultCodeOpInner"
+                    )
+                    assert row["operation_trace_code"] == trace_code_name(
+                        op["type"], op_res["inner_code"]
+                    )
+            n += 1
+        assert n >= 2000
+
+
 class TestGoldenValueFormats:
     """Validate our scalar implementations against real-mainnet golden rows."""
 
