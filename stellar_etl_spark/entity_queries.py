@@ -41,6 +41,16 @@ def _jget(path: str, typ: str | None = None) -> F.Column:
     return c.cast(typ) if typ else c
 
 
+def _jfields(*fields: tuple[str, str]) -> list[F.Column]:
+    """Typed probes into the details JSON via ONE parse: each
+    ``get_json_object`` re-parses the whole blob, so N probes cost N
+    parses/row — ``from_json`` against an explicit schema parses once and
+    the field pulls are free struct accesses."""
+    schema = ", ".join(f"{name} {typ}" for name, typ in fields)
+    parsed = F.from_json(F.col("details"), schema)
+    return [parsed[name].alias(f"d_{name}") for name, _ in fields]
+
+
 def _wide(df: DataFrame) -> DataFrame:
     """Fan a CPU-heavy derived stage out to full cluster width.
 
@@ -222,12 +232,14 @@ def effects_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "address",
         "ledger_sequence",
         F.col("operation_type").cast("long").alias("operation_type"),
-        _jget("amount", "double").alias("d_amount"),
-        _jget("asset_type").alias("d_asset_type"),
-        _jget("asset_code").alias("d_asset_code"),
-        _jget("starting_balance", "double").alias("d_starting_balance"),
-        _jget("name").alias("d_name"),
-        _jget("new_seq", "long").alias("d_new_seq"),
+        *_jfields(
+            ("amount", "double"),
+            ("asset_type", "string"),
+            ("asset_code", "string"),
+            ("starting_balance", "double"),
+            ("name", "string"),
+            ("new_seq", "long"),
+        ),
     )
 
 

@@ -31,6 +31,7 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 3,
     damping: float = 0.85,
+    persist_edges: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list ``(src, dst)``.
 
@@ -39,15 +40,26 @@ def pagerank(
     Dangling nodes (no out-edges) leak mass — the classic simplified
     formulation, chosen because it is exactly unrollable in ANSI SQL for
     the oracle.  Deterministic up to float-sum order; callers round.
+
+    Default is a single LAZY unrolled plan: the edge/degree subtree appears
+    once per iteration but Catalyst's ReuseExchange collapses the repeated
+    shuffles, and the whole run is ONE job at the caller's action — nothing
+    executes at plan-build time.  ``persist_edges=True`` switches to
+    cache-the-edges + eager materialization (and immediate unpersist, so
+    nothing leaks across invocations): the right trade once the edge list
+    is expensive enough to out-cost its recompute — at 100 TB the persist
+    is mandatory; at bench scale it doubles wall time.
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    e = edges.join(deg, "src")
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if persist_edges:
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
+        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for _ in range(iterations):
         contrib = (
@@ -66,11 +78,13 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
             ).alias("rank"),
         )
-    # Materialize the final iteration so the persisted edge list / node set
-    # can be released here instead of leaking across invocations in one
-    # session (CacheManager entries are not GC-cleaned; localCheckpoint
-    # blocks are, via ContextCleaner once the result goes out of scope).
-    ranks = ranks.localCheckpoint(eager=True)
-    e.unpersist()
-    nodes.unpersist()
+    if persist_edges:
+        # Materialize the final iteration so the persisted edge list / node
+        # set can be released here instead of leaking across invocations in
+        # one session (CacheManager entries are not GC-cleaned;
+        # localCheckpoint blocks are, via ContextCleaner once the result
+        # goes out of scope).
+        ranks = ranks.localCheckpoint(eager=True)
+        e.unpersist()
+        nodes.unpersist()
     return ranks

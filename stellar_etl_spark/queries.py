@@ -1991,10 +1991,20 @@ def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stellar_etl_spark.operators.graph import pagerank
 
     li = table(spark, sf_dir, "lineitem")
-    fwd = li.select(
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    ).distinct()
+    # distinct BEFORE the string building: the dedup shuffle moves two
+    # ints per row, not two concatenated strings (~4x narrower exchange)
+    fwd = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+    )
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ranks = pagerank(edges, iterations=3, damping=0.85)
     return (

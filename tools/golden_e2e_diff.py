@@ -1,0 +1,171 @@
+"""Exploratory diff: full pipeline over reassembled mainnet LCMs vs the
+reference's effects / token_transfers / ledger_transactions goldens.
+
+Usage: python tools/golden_e2e_diff.py [effects|tokens|ledgertx]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.golden_lcm import golden_rows, write_golden_ledger_dir  # noqa: E402
+
+
+def build_silver(spark):
+    from stellar_etl_spark.sources.bronze import (
+        decode_ledger_files,
+        read_ledger_files,
+    )
+    from stellar_etl_spark.sources.silver import (
+        decode_ledgers,
+        decode_operations,
+        decode_transactions,
+    )
+
+    d = tempfile.mkdtemp(prefix="golden_lcm_")
+    write_golden_ledger_dir(d)
+    bronze = decode_ledger_files(read_ledger_files(spark, d)).cache()
+    return (
+        decode_transactions(bronze),
+        decode_operations(bronze),
+        decode_ledgers(bronze),
+    )
+
+
+def diff_effects(spark) -> int:
+    from stellar_etl_spark.transforms.effects import transform_effects
+    from stellar_etl_spark.transforms.ledger import transform_ledger
+
+    txs, ops, ledgers_bronze = build_silver(spark)
+    led = transform_ledger(ledgers_bronze) if False else None  # headers via decode_ledgers
+    eff = transform_effects(ops, txs, ledgers=ledgers_bronze).collect()
+    mine = {r["id"]: r.asDict() for r in eff}
+
+    golden = {}
+    for row in golden_rows("effects"):
+        golden[row["id"]] = row
+
+    missing = [k for k in golden if k not in mine]
+    extra = [k for k in mine if k not in golden and int(k.split("-")[0]) >> 32 in
+             {r["ledger_sequence"] for r in golden.values()}]
+    print(f"golden={len(golden)} mine={len(mine)} missing={len(missing)} extra-in-golden-ledgers={len(extra)}")
+    for k in missing[:10]:
+        print("MISSING", k, golden[k]["type_string"], json.dumps(golden[k]["details"])[:150])
+    for k in extra[:10]:
+        print("EXTRA  ", k, mine[k]["type_string"])
+
+    bad = 0
+    for k in sorted(set(golden) & set(mine)):
+        g, m = golden[k], mine[k]
+        for field in ("type", "type_string", "address", "operation_id", "ledger_sequence"):
+            gv, mv = g.get(field), m.get(field)
+            if field == "operation_id":
+                gv, mv = int(gv), int(mv)
+            if gv != mv:
+                bad += 1
+                print("FIELD", k, field, "golden", gv, "mine", mv)
+                break
+        else:
+            gm = g.get("address_muxed")
+            mm = m.get("address_muxed")
+            if gm != mm:
+                bad += 1
+                print("MUXED", k, "golden", gm, "mine", mm)
+                continue
+            gd = g.get("details") or {}
+            md = json.loads(m.get("details") or "{}")
+            if not details_equal(gd, md):
+                bad += 1
+                print("DETAILS", k, g["type_string"])
+                print("  golden", json.dumps(gd, sort_keys=True)[:300])
+                print("  mine  ", json.dumps(md, sort_keys=True)[:300])
+    print("value-mismatches:", bad)
+    return len(missing) + len(extra) + bad
+
+
+def details_equal(g, m) -> bool:
+    if isinstance(g, dict) and isinstance(m, dict):
+        if set(g) != set(m):
+            return False
+        return all(details_equal(g[k], m[k]) for k in g)
+    if isinstance(g, list) and isinstance(m, list):
+        return len(g) == len(m) and all(
+            details_equal(a, b) for a, b in zip(g, m)
+        )
+    if isinstance(g, float) or isinstance(m, float):
+        try:
+            return abs(float(g) - float(m)) <= 1e-9 * max(1.0, abs(float(g)))
+        except (TypeError, ValueError):
+            return False
+    return g == m
+
+
+def diff_tokens(spark) -> int:
+    from stellar_etl_spark.transforms.token_events import (
+        derive_token_transfer_events,
+    )
+    from stellar_etl_spark.transforms.token_transfer import (
+        transform_token_transfer,
+    )
+
+    txs, ops, ledgers_bronze = build_silver(spark)
+    ev = derive_token_transfer_events(ops, txs, ledgers=ledgers_bronze)
+    out = transform_token_transfer(ev).collect()
+
+    def key(topic, op_id, frm, to, asset, amount_raw):
+        return (topic, op_id and int(op_id), frm, to, asset, str(amount_raw))
+
+    mine = {}
+    for r in out:
+        d = r.asDict()
+        mine.setdefault(
+            key(d.get("event_topic"), d.get("operation_id"), d.get("from")
+                or d.get("from_address"), d.get("to") or d.get("to_address"),
+                d.get("asset"), d.get("amount_raw")),
+            []
+        ).append(d)
+
+    golden = {}
+    for row in golden_rows("token_transfers"):
+        golden.setdefault(
+            key(row["event_topic"], row["operation_id"], row["from"],
+                row["to"], row["asset"], row["amount_raw"]),
+            []
+        ).append(row)
+
+    gonly = {k: v for k, v in golden.items() if len(mine.get(k, [])) < len(v)}
+    monly = {k: v for k, v in mine.items() if len(golden.get(k, [])) < len(v)}
+    print(f"golden={sum(len(v) for v in golden.values())} mine={sum(len(v) for v in mine.values())}")
+    print(f"golden-only keys={len(gonly)} mine-only keys={len(monly)}")
+    import collections
+    c = collections.Counter(k[0] for k in gonly)
+    print("golden-only by topic:", dict(c))
+    for k in list(gonly)[:8]:
+        print("G-ONLY", k)
+    for k in list(monly)[:8]:
+        print("M-ONLY", k)
+    return len(gonly) + len(monly)
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "effects"
+    from stellar_etl_spark.session import get_spark
+
+    spark = get_spark("golden-e2e-diff", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    if which == "effects":
+        rc = diff_effects(spark)
+    elif which == "tokens":
+        rc = diff_tokens(spark)
+    else:
+        raise SystemExit(f"unknown target {which}")
+    print("DIFFS", rc)
+
+
+if __name__ == "__main__":
+    main()
