@@ -41,14 +41,25 @@ def _jget(path: str, typ: str | None = None) -> F.Column:
     return c.cast(typ) if typ else c
 
 
-def _jfields(*fields: tuple[str, str]) -> list[F.Column]:
+def _jfields(*fields: tuple) -> list[F.Column]:
     """Typed probes into the details JSON via ONE parse: each
     ``get_json_object`` re-parses the whole blob, so N probes cost N
     parses/row — ``from_json`` against an explicit schema parses once and
-    the field pulls are free struct accesses."""
-    schema = ", ".join(f"{name} {typ}" for name, typ in fields)
+    the field pulls are free struct accesses.
+
+    Each field is ``(name, json_type)`` or ``(name, json_type, cast)`` —
+    the 3-form parses as ``json_type`` then casts (amounts are JSON
+    STRINGS in the reference's details — ``from_json`` with a numeric
+    type nulls quoted numbers, so parse string + cast)."""
+    schema = ", ".join(f"{f[0]} {f[1]}" for f in fields)
     parsed = F.from_json(F.col("details"), schema)
-    return [parsed[name].alias(f"d_{name}") for name, _ in fields]
+    out = []
+    for f in fields:
+        c = parsed[f[0]]
+        if len(f) == 3:
+            c = c.cast(f[2])
+        out.append(c.alias(f"d_{f[0]}"))
+    return out
 
 
 def _wide(df: DataFrame) -> DataFrame:
@@ -233,10 +244,10 @@ def effects_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ledger_sequence",
         F.col("operation_type").cast("long").alias("operation_type"),
         *_jfields(
-            ("amount", "double"),
+            ("amount", "string", "double"),
             ("asset_type", "string"),
             ("asset_code", "string"),
-            ("starting_balance", "double"),
+            ("starting_balance", "string", "double"),
             ("name", "string"),
             ("new_seq", "long"),
         ),

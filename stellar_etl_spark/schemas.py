@@ -69,6 +69,7 @@ OPERATIONS_DDL = f"""
         send_asset:{ASSET_DDL}, send_max:long, dest_asset:{ASSET_DDL},
         dest_amount:long, path:array<{ASSET_DDL}>,
         line:{ASSET_DDL}, limit:long, trustor:string, authorize:boolean,
+        authorize_flags:int,
         set_flags:array<int>, clear_flags:array<int>,
         master_weight:int, low_threshold:int, med_threshold:int,
         high_threshold:int, home_domain:string,

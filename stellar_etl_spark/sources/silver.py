@@ -56,6 +56,54 @@ from stellar_etl_spark.sources.xdr_ledger import (
 import base64
 import struct
 
+_I64_MAX = (1 << 63) - 1
+
+# Nullable integer columns of the silver transactions grain that mainnet
+# pushes to the int64 edge (TimeBounds max is a u64 TimePoint; wallets
+# commonly send 2^63-1 "far future").  A plain pd.DataFrame turns
+# int+None into float64, which silently loses precision above 2^53 and
+# then fails Arrow's safe int64 cast — exact nullable Int64 avoids both.
+_TX_INT64_COLS = (
+    "time_bounds_min",
+    "time_bounds_max",
+    "ledger_bounds_min",
+    "ledger_bounds_max",
+    "min_account_sequence",
+    "min_sequence_age",
+    "min_sequence_ledger_gap",
+    "new_max_fee",
+    "resource_fee",
+    "soroban_resources_instructions",
+    "soroban_resources_read_bytes",
+    "soroban_resources_write_bytes",
+    "fee_refund",
+    "fee_nonrefundable",
+    "fee_refundable",
+    "rent_fee",
+)
+
+
+def _exact_int64_frame(rows: list[dict], cols) -> "pd.DataFrame":
+    """Build the tx batch with lossless nullable ints.
+
+    u64 protocol values above int64 max (legal for TimePoint/duration
+    fields) clamp to int64 max — the long-typed silver schema cannot carry
+    them, and every such value means "unbounded/far future" in practice.
+    """
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    for c in cols:
+        if c in df.columns:
+            df[c] = pd.array(
+                [
+                    None if v is None else min(int(v), _I64_MAX)
+                    for v in (r.get(c) for r in rows)
+                ],
+                dtype="Int64",
+            )
+    return df
+
 
 def _acct(ed25519: bytes) -> str:
     return encode_strkey(VERSION_ACCOUNT, ed25519)
@@ -212,6 +260,44 @@ def _tx_row(
     )
 
 
+def _asset_eq_key(a: dict) -> tuple:
+    return (a.get("asset_type"), a.get("asset_code"), a.get("asset_issuer"))
+
+
+def _enrich_body(
+    body: dict, t: int, res: dict | None, atoms: list[dict], source_g: str
+) -> dict:
+    """Fill the result-derived body fields the effect/operation transforms
+    read (the reference reaches into the OperationResult for these):
+
+    - allow_trust (7): asset_issuer = op source (op.Asset.ToAsset(source))
+    - account_merge (8): source_amount = result.sourceAccountBalance
+    - strict receive (2): source_amount = result.SendAmount() — first-hop
+      bought-asset total over the claims, Last.Amount when none
+    - strict send (13): amount = result.DestAmount() = success.Last.Amount
+    """
+    if t == 7 and body.get("asset"):
+        body["asset"]["asset_issuer"] = source_g
+    if res is None or res.get("code") != 0 or res.get("inner_code") != 0:
+        return body
+    if t == 8 and "source_account_balance" in res:
+        body["source_amount"] = res["source_account_balance"]
+    elif t in (2, 13) and res.get("success"):
+        last_amount = res["success"]["last"]["amount"]
+        if t == 13:
+            body["amount"] = last_amount
+        elif not atoms:
+            body["source_amount"] = last_amount
+        else:
+            k = _asset_eq_key(atoms[0]["asset_bought"])
+            body["source_amount"] = sum(
+                a["amount_bought"]
+                for a in atoms
+                if _asset_eq_key(a["asset_bought"]) == k
+            )
+    return body
+
+
 def _op_body(t: int, b: dict) -> dict:
     out: dict = {}
     if t == 0:
@@ -269,7 +355,23 @@ def _op_body(t: int, b: dict) -> dict:
     elif t == 8:
         out = {"account": _muxed(b["destination"])[0]}
     elif t == 7:
-        out = {"trustor": _acct(b["trustor"]), "authorize": b["authorize"] != 0}
+        # AllowTrustOp carries a bare AssetCode; the asset resolves against
+        # the op SOURCE as issuer (op.Asset.ToAsset(source), effects.go:700)
+        # — the caller patches asset_issuer in once the source is known.
+        out = {
+            "trustor": _acct(b["trustor"]),
+            "authorize": b["authorize"] != 0,
+            "authorize_flags": b["authorize"],
+            "asset": {
+                "asset_type": (
+                    "credit_alphanum4"
+                    if len(b["asset_code"]) <= 4
+                    else "credit_alphanum12"
+                ),
+                "asset_code": b["asset_code"],
+                "asset_issuer": None,
+            },
+        }
     elif t == 10:
         out = {
             "data_name": b["data_name"],
@@ -434,7 +536,9 @@ def decode_transactions(
                     rows.append(
                         _tx_row(h.ledger_seq, h.close_time, i, env, proc, th)
                     )
-            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+            yield _exact_int64_frame(
+                rows, _TX_INT64_COLS
+            ) if rows else pd.DataFrame(
                 {c: [] for c in _tx_row(0, 0, 0, _EMPTY_ENV)}
             )
 
@@ -520,7 +624,13 @@ def decode_operations(
                                     if res and res["code"] == 0
                                     else None
                                 ),
-                                body=_op_body(op["type"], op["body"]),
+                                body=_enrich_body(
+                                    _op_body(op["type"], op["body"]),
+                                    op["type"],
+                                    res,
+                                    atoms,
+                                    g or _muxed(tx["source"])[0],
+                                ),
                                 claim_atoms=atoms,
                                 changes=changes,
                             )

@@ -212,6 +212,7 @@ _BODY_FIELDS: list[tuple[str, str]] = [
     ("limit", "long"),
     ("trustor", "string"),
     ("authorize", "boolean"),
+    ("authorize_flags", "int"),
     ("set_flags", "array<int>"),
     ("clear_flags", "array<int>"),
     ("master_weight", "int"),
@@ -541,6 +542,9 @@ def _op_effects_cols() -> tuple:
             "to": F.when(is_t(1) | is_t(8), F.concat(F.lit("B"), sk.cast("string"))),
             "asset": F.when(is_t(1), asset_struct(pk)),
             "amount": F.when(is_t(1) | is_t(8), pk * 100000 + 3),
+            # account_merge effects read the RESULT's swept balance
+            # (sourceAccountBalance) from body.source_amount
+            "source_amount": F.when(is_t(8), pk * 100000 + 3),
             "payouts": F.when(
                 is_t(9),
                 F.array(

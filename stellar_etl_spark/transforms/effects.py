@@ -30,7 +30,6 @@ from functools import lru_cache
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from stellar_etl_spark.functions.scalars import stroops_to_real
 from stellar_etl_spark.functions.toid import toid
 
 # Effect type ids/strings (schema.go:372-481 enum — complete).
@@ -133,6 +132,17 @@ def _canonical(asset: Column) -> Column:
     )
 
 
+def _amt_str(c: Column) -> Column:
+    """amount.String() twin: stroops → fixed 7-dp decimal STRING — the
+    reference JSON-encodes every effect amount as a string ("1.9826805"),
+    never a number (schema.go details, verified against the goldens)."""
+    return (
+        (c.cast("decimal(20,0)") / F.lit(10_000_000).cast("decimal(8,0)"))
+        .cast("decimal(20,7)")
+        .cast("string")
+    )
+
+
 @lru_cache(maxsize=8)
 def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
     """The full per-operation effects array as ONE unresolved column
@@ -145,12 +155,25 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
     body = F.col("body")
     source = F.coalesce(F.col("source_account"), F.col("_tx_source"))
     t = F.col("type")
-    amount = stroops_to_real(body["amount"])
+
+    _amt = _amt_str
+
+    def _asset_kv(asset: Column, prefix: str = "") -> dict:
+        """addAssetDetails(details, asset, prefix): {prefix}asset_type
+        always; code + issuer only for credit assets."""
+        non_native = asset["asset_type"] != "native"
+        return {
+            f"{prefix}asset_type": asset["asset_type"],
+            f"{prefix}asset_code": F.when(non_native, asset["asset_code"]),
+            f"{prefix}asset_issuer": F.when(
+                non_native, asset["asset_issuer"]
+            ),
+        }
+
+    amount = _amt(body["amount"])
     asset_json = _j(
-        asset_type=body["asset"]["asset_type"],
-        asset_code=body["asset"]["asset_code"],
-        asset_issuer=body["asset"]["asset_issuer"],
         amount=amount,
+        **_asset_kv(body["asset"]),
     )
     empty = F.array().cast(_EFFECT_STRUCT_DDL)
     chg = F.coalesce(
@@ -170,45 +193,80 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
         lambda a: (a["amount_sold"] != 0) | (a["amount_bought"] != 0),
     )
 
-    def _atom_details(a, sold_first: bool):
-        give, got = (a["asset_sold"], a["asset_bought"])
-        give_amt, got_amt = (a["amount_sold"], a["amount_bought"])
-        if not sold_first:
-            give, got, give_amt, got_amt = got, give, got_amt, give_amt
+    def _buyer_details(a):
+        """tradeDetails bd (effects.go:1227-1235): the buyer (op source)
+        bought what the atom's seller sold."""
         return _j(
             offer_id=a["offer_id"],
-            sold_asset_type=give["asset_type"],
-            sold_asset_code=give["asset_code"],
-            sold_amount=stroops_to_real(give_amt),
-            bought_asset_type=got["asset_type"],
-            bought_asset_code=got["asset_code"],
-            bought_amount=stroops_to_real(got_amt),
-            liquidity_pool_id=a["pool_id"],
+            seller=a["seller_id"],
+            bought_amount=_amt(a["amount_sold"]),
+            sold_amount=_amt(a["amount_bought"]),
+            **_asset_kv(a["asset_sold"], "bought_"),
+            **_asset_kv(a["asset_bought"], "sold_"),
         )
 
-    def _trade_kind(a):
-        return (
-            F.when(a["atom_type"] == "lp", F.lit("liquidity_pool_trade"))
-            .otherwise(F.lit("trade"))
+    def _seller_details(a):
+        """tradeDetails sd (effects.go:1237-1244): seller key points back at
+        the BUYER (addAccountAndMuxedAccountDetails(sd, buyer, "seller"))."""
+        return _j(
+            offer_id=a["offer_id"],
+            seller=source,
+            seller_muxed=F.col("source_muxed"),
+            bought_amount=_amt(a["amount_bought"]),
+            sold_amount=_amt(a["amount_sold"]),
+            **_asset_kv(a["asset_bought"], "bought_"),
+            **_asset_kv(a["asset_sold"], "sold_"),
         )
 
-    trade_effects = F.flatten(
-        F.transform(
-            live_atoms,
-            lambda a: F.array(
-                # buyer side: the op source bought what the atom sold
-                _effect_dyn(
-                    _trade_kind(a), source, _atom_details(a, sold_first=False)
+    def _lp_trade_effect(a):
+        """addClaimLiquidityPoolTradeEffect (effects.go:1013-1031): ONE
+        effect addressed to the op source.  The liquidity_pool sub-object
+        carries the pool id; the reserve/fee details need the pool entry
+        delta from changes and are filled by the change-driven pass."""
+        return _effect(
+            "liquidity_pool_trade",
+            source,
+            F.to_json(
+                F.struct(
+                    F.struct(a["pool_id"].alias("id")).alias(
+                        "liquidity_pool"
+                    ),
+                    F.struct(
+                        _canonical(a["asset_sold"]).alias("asset"),
+                        _amt(a["amount_sold"]).alias("amount"),
+                    ).alias("sold"),
+                    F.struct(
+                        _canonical(a["asset_bought"]).alias("asset"),
+                        _amt(a["amount_bought"]).alias("amount"),
+                    ).alias("bought"),
                 ),
-                # seller side: the resting offer's owner (or the pool)
-                _effect_dyn(
-                    _trade_kind(a),
-                    F.coalesce(a["seller_id"], a["pool_id"]),
-                    _atom_details(a, sold_first=True),
-                ),
+                {"ignoreNullFields": "true"},
             ),
         )
-    )
+
+    def _trade_family(skip_offer_created: bool) -> Column:
+        """addClaimTradeEffects (effects.go:982-1011): per live atom the
+        reference emits the full [trade, offer_updated, offer_removed,
+        offer_created] family — buyer row then seller row for EACH type,
+        all eight sharing the atom's trade details (offer_created is
+        skipped for path_payment_strict_send).  LP atoms collapse to one
+        liquidity_pool_trade effect."""
+        kinds = ["trade", "offer_updated", "offer_removed"]
+        if not skip_offer_created:
+            kinds.append("offer_created")
+
+        def per_atom(a):
+            pair_rows = []
+            for k in kinds:
+                pair_rows.append(_effect(k, source, _buyer_details(a)))
+                pair_rows.append(
+                    _effect(k, a["seller_id"], _seller_details(a))
+                )
+            return F.when(
+                a["atom_type"] == "lp", F.array(_lp_trade_effect(a))
+            ).otherwise(F.array(*pair_rows))
+
+        return F.flatten(F.transform(live_atoms, per_atom))
 
     # ---- set_options helpers (effects.go:520-635) -------------------------
     set_flags = F.coalesce(body["set_flags"], F.array().cast("array<int>"))
@@ -344,13 +402,13 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
     tl_details = F.when(
         line_is_pool,
         _j(
-            limit=stroops_to_real(body["limit"]),
+            limit=_amt_str(body["limit"]),
             asset_type=F.lit("liquidity_pool_shares"),
             liquidity_pool_id=body["pool_id"],
         ),
     ).otherwise(
         _j(
-            limit=stroops_to_real(body["limit"]),
+            limit=_amt_str(body["limit"]),
             asset_type=body["line"]["asset_type"],
             asset_code=body["line"]["asset_code"],
             asset_issuer=body["line"]["asset_issuer"],
@@ -372,7 +430,7 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                         asset_type=body["line"]["asset_type"],
                         asset_code=body["line"]["asset_code"],
                         asset_issuer=body["line"]["asset_issuer"],
-                        limit=stroops_to_real(body["limit"]),
+                        limit=_amt_str(body["limit"]),
                     ),
                 )
             ),
@@ -425,7 +483,7 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                     _j(
                         balance_id=p["balance_id"],
                         asset=_canonical(p["asset"]),
-                        amount=stroops_to_real(p["amount"]),
+                        amount=_amt_str(p["amount"]),
                     ),
                 )
             ),
@@ -442,7 +500,7 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                     _j(
                         balance_id=p["balance_id"],
                         asset=_canonical(p["asset"]),
-                        amount=stroops_to_real(p["amount"]),
+                        amount=_amt_str(p["amount"]),
                     ),
                 ),
             ),
@@ -458,7 +516,7 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                     source,
                     _j(
                         liquidity_pool_id=lp_pre_change["pre"]["pool_id"],
-                        shares_revoked=stroops_to_real(
+                        shares_revoked=_amt_str(
                             lp_pre_change["pre"]["total_shares"]
                             - F.coalesce(
                                 lp_pre_change["post"]["total_shares"], F.lit(0)
@@ -468,7 +526,7 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                             cb_created_changes,
                             lambda c: F.struct(
                                 _canonical(c["post"]["asset"]).alias("asset"),
-                                stroops_to_real(c["post"]["amount"]).alias("amount"),
+                                _amt_str(c["post"]["amount"]).alias("amount"),
                                 c["post"]["balance_id"].alias(
                                     "claimable_balance_id"
                                 ),
@@ -479,6 +537,46 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
             ),
         ),
     ).otherwise(empty)
+
+    # ---- allow_trust / set_trust_line_flags details (effects.go:697-729,
+    # 1091-1127) ------------------------------------------------------------
+    # allow_trust's AssetCode resolves against the SOURCE as issuer
+    # (op.Asset.ToAsset(source)); silver pre-fills body.asset that way.
+    allow_trust_base_details = _j(
+        trustor=body["trustor"],
+        **_asset_kv(body["asset"]),
+    )
+    auth_flags = F.coalesce(body["authorize_flags"], F.lit(0))
+    # setTrustLineFlagDetails with the reference's own key spelling —
+    # "authorized_to_maintain_liabilites" is their typo, preserved for
+    # byte-level parity with schema.go / the goldens.
+    allow_trust_flag_details = _j(
+        trustor=body["trustor"],
+        **_asset_kv(body["asset"]),
+        authorized_flag=F.when(auth_flags == 1, F.lit(True)).when(
+            auth_flags == 0, F.lit(False)
+        ),
+        authorized_to_maintain_liabilites=F.when(
+            auth_flags == 2, F.lit(True)
+        ).when(auth_flags == 0, F.lit(False)),
+    )
+    set_flags_arr = F.coalesce(body["set_flags"], F.array().cast("array<int>"))
+    clear_flags_arr = F.coalesce(
+        body["clear_flags"], F.array().cast("array<int>")
+    )
+
+    def _tl_flag(bit: int) -> Column:
+        return F.when(
+            F.array_contains(set_flags_arr, bit), F.lit(True)
+        ).when(F.array_contains(clear_flags_arr, bit), F.lit(False))
+
+    set_tl_flags_details = _j(
+        trustor=body["trustor"],
+        **_asset_kv(body["asset"]),
+        authorized_flag=_tl_flag(1),
+        authorized_to_maintain_liabilites=_tl_flag(2),
+        clawback_enabled_flag=_tl_flag(4),
+    )
 
     # ---- clawback_claimable_balance credited side (effects.go:1057-1089) --
     first_removed_cb = F.try_element_at(
@@ -509,14 +607,14 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                 _effect(
                     "account_created",
                     body["account"],
-                    _j(starting_balance=stroops_to_real(body["starting_balance"])),
+                    _j(starting_balance=_amt_str(body["starting_balance"])),
                 ),
                 _effect(
                     "account_debited",
                     source,
                     _j(
                         asset_type=F.lit("native"),
-                        amount=stroops_to_real(body["starting_balance"]),
+                        amount=_amt_str(body["starting_balance"]),
                     ),
                 ),
                 _effect(
@@ -526,43 +624,123 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                 ),
             ),
         )
-        # payment / path payments → credited + debited (effects.go:429-489)
+        # payment → credited(dest) + debited(source) (effects.go:429-445)
         .when(
-            t.isin(1, 2, 13),
+            t == 1,
             F.array(
                 _effect("account_credited", body["to"], asset_json),
-                _effect("account_debited", F.coalesce(body["from"], source), asset_json),
+                _effect(
+                    "account_debited",
+                    F.coalesce(body["from"], source),
+                    asset_json,
+                ),
             ),
         )
-        # account_merge → debited(src) + credited(dest) + removed (effects.go:730-743)
+        # path_payment_strict_receive → credited(dest, op.DestAmount) +
+        # debited(source, result.SendAmount) (effects.go:447-472); the trade
+        # family appends below
+        .when(
+            t == 2,
+            F.array(
+                _effect(
+                    "account_credited",
+                    body["to"],
+                    _j(
+                        amount=_amt(body["dest_amount"]),
+                        **_asset_kv(body["dest_asset"]),
+                    ),
+                ),
+                _effect(
+                    "account_debited",
+                    source,
+                    _j(
+                        amount=_amt(body["source_amount"]),
+                        **_asset_kv(body["send_asset"]),
+                    ),
+                ),
+            ),
+        )
+        # path_payment_strict_send → credited(dest, result.DestAmount) +
+        # debited(source, op.SendAmount) (effects.go:474-489); silver fills
+        # body.amount from the result, body.source_amount from the op
+        .when(
+            t == 13,
+            F.array(
+                _effect(
+                    "account_credited",
+                    body["to"],
+                    _j(
+                        amount=_amt(body["amount"]),
+                        **_asset_kv(body["dest_asset"]),
+                    ),
+                ),
+                _effect(
+                    "account_debited",
+                    source,
+                    _j(
+                        amount=_amt(body["source_amount"]),
+                        **_asset_kv(body["send_asset"]),
+                    ),
+                ),
+            ),
+        )
+        # account_merge → debited(src, result.sourceAccountBalance) +
+        # credited(dest) + removed(src, {}) (effects.go:730-743)
         .when(
             t == 8,
             F.array(
                 _effect(
                     "account_debited",
                     source,
-                    _j(asset_type=F.lit("native"), amount=amount),
+                    _j(
+                        amount=_amt(body["source_amount"]),
+                        asset_type=F.lit("native"),
+                    ),
                 ),
                 _effect(
                     "account_credited",
-                    body["to"],
-                    _j(asset_type=F.lit("native"), amount=amount),
+                    F.coalesce(body["account"], body["to"]),
+                    _j(
+                        amount=_amt(body["source_amount"]),
+                        asset_type=F.lit("native"),
+                    ),
                 ),
-                _effect("account_removed", source, _j(account=source)),
+                _effect("account_removed", source, F.lit("{}")),
             ),
         )
         # change_trust → created/updated/removed (effects.go:637-696)
         .when(t == 6, change_trust_effects)
-        # allow_trust / set_trust_line_flags → trustline_flags_updated
-        # + LP revocation effects (effects.go:697-729, 1091-1096)
+        # allow_trust → TWO trustline_flags_updated effects, both addressed
+        # to the SOURCE (the issuer): the legacy details {trustor, asset}
+        # and the forward-compat flag effect (effects.go:697-729)
         .when(
-            t.isin(7, 21),
+            t == 7,
             F.concat(
                 F.array(
                     _effect(
                         "trustline_flags_updated",
-                        body["trustor"],
-                        _j(trustor=body["trustor"], authorized=body["authorize"]),
+                        source,
+                        allow_trust_base_details,
+                    ),
+                    _effect(
+                        "trustline_flags_updated",
+                        source,
+                        allow_trust_flag_details,
+                    ),
+                ),
+                lp_revoked_effects,
+            ),
+        )
+        # set_trust_line_flags → one flags effect from the op's set/clear
+        # masks (addSetTrustLineFlagsEffects, effects.go:1091-1096)
+        .when(
+            t == 21,
+            F.concat(
+                F.array(
+                    _effect(
+                        "trustline_flags_updated",
+                        source,
+                        set_tl_flags_details,
                     )
                 ),
                 lp_revoked_effects,
@@ -630,7 +808,7 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                     "account_credited",
                     p["destination"],
                     _j(
-                        amount=stroops_to_real(p["amount"]),
+                        amount=_amt_str(p["amount"]),
                         asset_type=F.lit("native"),
                     ),
                 ),
@@ -734,7 +912,7 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                             "account_credited",
                             source,
                             _j(
-                                amount=stroops_to_real(
+                                amount=_amt_str(
                                     first_removed_cb["pre"]["amount"]
                                 ),
                                 asset_type=first_removed_cb["pre"]["asset"][
@@ -761,7 +939,7 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                     source,
                     _j(
                         liquidity_pool_id=body["pool_id"],
-                        shares_received=stroops_to_real(body["shares"]),
+                        shares_received=_amt_str(body["shares"]),
                     ),
                 )
             ),
@@ -774,7 +952,7 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                     source,
                     _j(
                         liquidity_pool_id=body["pool_id"],
-                        shares_redeemed=stroops_to_real(body["shares"]),
+                        shares_redeemed=_amt_str(body["shares"]),
                     ),
                 )
             ),
@@ -801,10 +979,13 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
         .otherwise(empty)
     )
 
-    # trade-capable ops append one effect pair per live claim atom
+    # trade-capable ops append the per-atom effect family
+    # (addIngestTradeEffects; offer_created skipped for strict-send)
     effects_array = F.concat(
         effects_array,
-        F.when(t.isin(2, 3, 4, 12, 13), trade_effects).otherwise(empty),
+        F.when(t == 13, _trade_family(skip_offer_created=True))
+        .when(t.isin(2, 3, 4, 12), _trade_family(skip_offer_created=False))
+        .otherwise(empty),
     )
 
     # ---- change-driven sponsorship state machine (effects.go:197-368) -----
@@ -984,15 +1165,15 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                 c["post"]["pool_fee"].alias("fee_bp"),
                 F.lit("constant_product").alias("type"),
                 c["post"]["trustline_count"].alias("total_trustlines"),
-                stroops_to_real(c["post"]["total_shares"]).alias("total_shares"),
+                _amt_str(c["post"]["total_shares"]).alias("total_shares"),
                 F.array(
                     F.struct(
                         _canonical(c["post"]["asset_a"]).alias("asset"),
-                        stroops_to_real(c["post"]["reserve_a"]).alias("amount"),
+                        _amt_str(c["post"]["reserve_a"]).alias("amount"),
                     ),
                     F.struct(
                         _canonical(c["post"]["asset_b"]).alias("asset"),
-                        stroops_to_real(c["post"]["reserve_b"]).alias("amount"),
+                        _amt_str(c["post"]["reserve_b"]).alias("amount"),
                     ),
                 ).alias("reserves"),
             )
@@ -1124,7 +1305,7 @@ def transform_sac_effects(
 
     source = F.col("_tx_source")
     kind = F.col("sac_kind")
-    amt = stroops_to_real(F.col("sac_amount"))
+    amt = _amt_str(F.col("sac_amount"))
 
     def _is_account(addr):
         return addr.startswith("G")

@@ -1,0 +1,147 @@
+"""FULL-PIPELINE mainnet parity: raw reassembled LedgerCloseMeta bytes →
+bronze → silver decode → transforms, compared row-by-row against the
+reference's golden exports for the same ledgers (cmd/test_utils.go:39-163
+goldens; tests/golden_lcm.py rebuilds the wire bytes).
+
+This is the strongest correctness gate in the repo: every byte of input is
+mainnet's own, every expected row is the reference's own output, and the
+whole distributed pipeline (binaryFile scan → Arrow decode → the effect /
+token-transfer expression trees) runs end to end — nothing is mocked.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+
+import pytest
+
+from golden_lcm import golden_rows, have_goldens, write_golden_ledger_dir
+
+pytestmark = pytest.mark.skipif(
+    not have_goldens(), reason="reference goldens not available"
+)
+
+
+def _details_equal(g, m) -> bool:
+    if isinstance(g, dict) and isinstance(m, dict):
+        return set(g) == set(m) and all(_details_equal(g[k], m[k]) for k in g)
+    if isinstance(g, list) and isinstance(m, list):
+        return len(g) == len(m) and all(
+            _details_equal(a, b) for a, b in zip(g, m)
+        )
+    if isinstance(g, float) or isinstance(m, float):
+        try:
+            return abs(float(g) - float(m)) <= 1e-9 * max(1.0, abs(float(g)))
+        except (TypeError, ValueError):
+            return False
+    return g == m
+
+
+@pytest.fixture(scope="module")
+def silver(spark, tmp_path_factory):
+    from stellar_etl_spark.sources.bronze import (
+        decode_ledger_files,
+        read_ledger_files,
+    )
+    from stellar_etl_spark.sources.silver import (
+        decode_ledgers,
+        decode_operations,
+        decode_transactions,
+    )
+
+    d = str(tmp_path_factory.mktemp("golden_lcm"))
+    lcms = write_golden_ledger_dir(d)
+    bronze = decode_ledger_files(read_ledger_files(spark, d)).cache()
+    return {
+        "seqs": set(lcms),
+        "transactions": decode_transactions(bronze),
+        "operations": decode_operations(bronze),
+        "ledgers": decode_ledgers(bronze),
+    }
+
+
+class TestEffectsMainnetParity:
+    def test_all_effect_rows_recompute(self, silver):
+        """Every effects-golden row whose ledger we can reassemble must be
+        produced EXACTLY: id, type, address, muxed address, and the full
+        details object (amount strings, trade family fields, allow_trust
+        double-emission, flag spellings) — 155 real rows incl. 8-effect
+        trade families and path-payment chains."""
+        from stellar_etl_spark.transforms.effects import transform_effects
+
+        eff = transform_effects(
+            silver["operations"],
+            silver["transactions"],
+            ledgers=silver["ledgers"],
+        ).collect()
+        mine = {r["id"]: r.asDict() for r in eff}
+
+        golden = {
+            row["id"]: row
+            for row in golden_rows("effects")
+            if row["ledger_sequence"] in silver["seqs"]
+        }
+        assert len(golden) >= 150
+
+        missing = sorted(k for k in golden if k not in mine)
+        assert missing == [], f"effects missing: {missing[:5]}"
+        extra = sorted(
+            k
+            for k, m in mine.items()
+            if k not in golden and m["ledger_sequence"] in silver["seqs"]
+        )
+        assert extra == [], f"unexpected extra effects: {extra[:5]}"
+
+        for k, g in golden.items():
+            m = mine[k]
+            assert int(g["operation_id"]) == int(m["operation_id"])
+            assert g["type"] == m["type"], k
+            assert g["type_string"] == m["type_string"], k
+            assert g["address"] == m["address"], k
+            assert g["address_muxed"] == m["address_muxed"], k
+            assert g["closed_at"] == m["closed_at"].strftime(
+                "%Y-%m-%dT%H:%M:%SZ"
+            ), k
+            gd = g.get("details") or {}
+            md = json.loads(m.get("details") or "{}")
+            assert _details_equal(gd, md), (
+                f"{k}: golden={json.dumps(gd, sort_keys=True)[:200]} "
+                f"mine={json.dumps(md, sort_keys=True)[:200]}"
+            )
+
+
+class TestLedgerTransactionsMainnetParity:
+    def test_blob_columns_roundtrip(self, silver):
+        """transform_ledger_transaction's four XDR blob columns must equal
+        the goldens byte-for-byte (they re-encode from parsed structs, so
+        this doubles as a codec re-encode check through the whole Spark
+        path)."""
+        from stellar_etl_spark.transforms.transaction import (
+            transform_ledger_transaction,
+        )
+
+        rows = transform_ledger_transaction(
+            silver["transactions"], ledgers=silver["ledgers"]
+        ).collect()
+        mine = {}
+        for r in rows:
+            d = r.asDict()
+            mine[(d["ledger_sequence"], d["tx_envelope"])] = d
+
+        n = 0
+        for g in golden_rows("ledger_transactions"):
+            if g["ledger_sequence"] not in silver["seqs"]:
+                continue
+            key = (g["ledger_sequence"], g["tx_envelope"])
+            assert key in mine, f"missing tx in ledger {g['ledger_sequence']}"
+            m = mine[key]
+            assert g["tx_result"] == m["tx_result"]
+            assert g["tx_meta"] == m["tx_meta"]
+            assert g["tx_fee_meta"] == m["tx_fee_meta"]
+            assert g["closed_at"] == m["closed_at"].strftime(
+                "%Y-%m-%dT%H:%M:%SZ"
+            )
+            n += 1
+        assert n >= 59

@@ -384,7 +384,8 @@ class TestEffects:
         assert [e.type_string for e in pay] == ["account_credited", "account_debited"]
         assert pay[0].address == fx.ACCOUNT_B
         assert pay[0].id == f"{(2 << 32) | (1 << 12) | 1}-0"
-        assert json.loads(pay[0].details)["amount"] == 15.0
+        # amount.String() parity: amounts are 7-dp STRINGS in details
+        assert json.loads(pay[0].details)["amount"] == "15.0000000"
 
     def test_create_account_effects(self, data):
         by_op = self._by_op(data)
@@ -392,7 +393,7 @@ class TestEffects:
         assert [e.type_string for e in ca] == [
             "account_created", "account_debited", "signer_created",
         ]
-        assert json.loads(ca[0].details)["starting_balance"] == 2.0
+        assert json.loads(ca[0].details)["starting_balance"] == "2.0000000"
 
     def test_trustline_and_claimable_effects(self, data):
         by_op = self._by_op(data)
@@ -491,31 +492,49 @@ class TestTradeAndPoolEffects:
     def test_offer_trade_effect_pair(self, data):
         by_op = self._by_op(data)
         mso = by_op[(3 << 32) | (1 << 12) | 1]  # manage_sell_offer with 1 live atom
-        # trade pair + the change-driven sponsorship effect (post sponsor set)
+        # the reference emits the FULL family per atom — buyer+seller rows
+        # for each of trade/offer_updated/offer_removed/offer_created
+        # (addClaimTradeEffects, effects.go:982-1011) — then the
+        # change-driven sponsorship effect (post sponsor set)
         assert [e.type_string for e in mso] == [
-            "trade", "trade", "account_sponsorship_created",
+            "trade", "trade",
+            "offer_updated", "offer_updated",
+            "offer_removed", "offer_removed",
+            "offer_created", "offer_created",
+            "account_sponsorship_created",
         ]
         buyer, seller = mso[0], mso[1]
         assert buyer.address == fx.ACCOUNT_A  # op (tx) source
         assert seller.address == fx.ACCOUNT_B  # resting offer owner
         bd = json.loads(buyer.details)
         sd = json.loads(seller.details)
-        # buyer bought what the atom sold and vice versa
+        # buyer bought what the atom sold and vice versa; the seller's
+        # details point back at the buyer (tradeDetails, effects.go:1226)
         assert bd["bought_asset_code"] == "USD" and bd["sold_asset_type"] == "native"
+        assert bd["seller"] == fx.ACCOUNT_B
         assert sd["sold_asset_code"] == "USD" and sd["bought_asset_type"] == "native"
-        assert sd["sold_amount"] == 6.0 and sd["bought_amount"] == 3.0
+        assert sd["seller"] == fx.ACCOUNT_A
+        assert sd["sold_amount"] == "6.0000000" and sd["bought_amount"] == "3.0000000"
         assert bd["offer_id"] == 42
+        # every family member shares the atom's trade details
+        assert json.loads(mso[6].details) == bd
+        assert json.loads(mso[7].details) == sd
 
     def test_lp_trade_effect(self, data):
         by_op = self._by_op(data)
-        # path_payment_strict_send: payment effects first, then LP trade pair
+        # path_payment_strict_send: payment effects first, then ONE
+        # liquidity_pool_trade addressed to the op source
+        # (addClaimLiquidityPoolTradeEffect, effects.go:1013-1031)
         pps = by_op[(3 << 32) | (2 << 12) | 1]
         kinds = [e.type_string for e in pps]
         assert kinds == [
-            "account_credited", "account_debited",
-            "liquidity_pool_trade", "liquidity_pool_trade",
+            "account_credited", "account_debited", "liquidity_pool_trade",
         ]
-        assert pps[3].address == "POOL1"
+        assert pps[2].address == fx.ACCOUNT_A
+        d = json.loads(pps[2].details)
+        assert d["liquidity_pool"]["id"] == "POOL1"
+        assert set(d) == {"liquidity_pool", "sold", "bought"}
+        assert set(d["sold"]) == {"asset", "amount"}
 
     def test_failed_trade_op_no_effects(self, data):
         by_op = self._by_op(data)
@@ -562,7 +581,7 @@ class TestExtendedEffects:
         ]
         assert infl[0].address == fx.ACCOUNT_B
         assert json.loads(infl[0].details) == {
-            "amount": 1.0, "asset_type": "native",
+            "amount": "1.0000000", "asset_type": "native",
         }
 
     def test_set_options_full(self, by_op):
@@ -610,7 +629,8 @@ class TestExtendedEffects:
         ]
         d = json.loads(cl[0].details)
         assert d == {
-            "amount": 3.0, "balance_id": "cb1", "asset": f"USD:{fx.ACCOUNT_B}",
+            "amount": "3.0000000", "balance_id": "cb1",
+            "asset": f"USD:{fx.ACCOUNT_B}",
         }
 
     def test_clawback_order(self, by_op):
@@ -628,22 +648,32 @@ class TestExtendedEffects:
         ]
         assert json.loads(cb[0].details) == {"balance_id": "cb2"}
         d = json.loads(cb[1].details)
-        assert d["amount"] == 2.5 and d["asset_code"] == "USD"
+        assert d["amount"] == "2.5000000" and d["asset_code"] == "USD"
 
     def test_lp_revocation(self, by_op):
         rv = by_op[self._id(8)]
+        # allow_trust emits TWO trustline_flags_updated effects — the
+        # legacy {trustor, asset} one plus the forward-compat flag effect
+        # (effects.go:697-729) — before the revocation chain
         assert [e.type_string for e in rv] == [
+            "trustline_flags_updated",
             "trustline_flags_updated",
             "claimable_balance_created",
             "claimable_balance_claimant_created",
             "liquidity_pool_revoked",
         ]
-        assert rv[2].address == fx.ACCOUNT_C
-        d = json.loads(rv[3].details)
+        # deauthorize: both flags reported cleared, with the reference's
+        # own key spelling (authorized_to_maintain_liabilites)
+        flags = json.loads(rv[1].details)
+        assert flags["authorized_flag"] is False
+        assert flags["authorized_to_maintain_liabilites"] is False
+        assert rv[0].address == fx.ACCOUNT_B  # the SOURCE, not the trustor
+        assert rv[3].address == fx.ACCOUNT_C
+        d = json.loads(rv[4].details)
         assert d["liquidity_pool_id"] == "PL9"
-        assert d["shares_revoked"] == 100.0
+        assert d["shares_revoked"] == "100.0000000"
         assert d["reserves_revoked"] == [{
-            "asset": f"USD:{fx.ACCOUNT_B}", "amount": 4.0,
+            "asset": f"USD:{fx.ACCOUNT_B}", "amount": "4.0000000",
             "claimable_balance_id": "cblp",
         }]
 
@@ -760,7 +790,8 @@ class TestSacEffects:
         ])
         transfer = [r for r in rows if r.address == fx.ACCOUNT_A][0]
         d = json.loads(transfer.details)
-        assert d["contract_event_type"] == "transfer" and d["amount"] == 4.0
+        assert d["contract_event_type"] == "transfer"
+        assert d["amount"] == "4.0000000"  # amount.String parity
         for r in rows:
             assert r.id == f"{r.operation_id}-{r['index']}"
 
