@@ -512,7 +512,9 @@ op_events AS (
     1704067200 + seq * 5 AS closed_at_unix,
     kind AS event_topic,
     CASE WHEN is_native_ev THEN 'native'
-         ELSE a_code || ':' || a_issuer END AS asset,
+         ELSE (CASE WHEN LENGTH(a_code) <= 4 THEN 'credit_alphanum4'
+               ELSE 'credit_alphanum12' END)
+              || ':' || a_code || ':' || a_issuer END AS asset,
     CASE WHEN is_native_ev THEN 'native'
          WHEN LENGTH(a_code) <= 4 THEN 'credit_alphanum4'
          ELSE 'credit_alphanum12' END AS asset_type,

@@ -44,14 +44,39 @@ from stellar_etl_spark.transforms.changes import (
     _asset_contract_id,
 )
 
-# Only these operation types emit classic token-transfer events here.
-EVENT_OP_TYPES = (0, 1, 8, 19)
+# Trade-capable ops: every claimed atom emits a transfer PAIR (seller →
+# taker of the asset sold, taker → seller of the asset bought), and path
+# payments add the final source → destination transfer.
+TRADE_OP_TYPES = (2, 3, 4, 12, 13)
+
+# Operation types that emit classic token-transfer events.
+EVENT_OP_TYPES = (0, 1, 8, 19) + TRADE_OP_TYPES
 
 
 def _canonical_asset(asset: Column) -> Column:
-    """'native' or 'CODE:ISSUER' (token_transfer.go:88-108 split)."""
+    """'native' or 'TYPE:CODE:ISSUER' — the reference's assetConcat is the
+    THREE-part form (getAssetFromEvent, token_transfer.go:132-151), with
+    the type recomputed from the code length."""
+    typ = F.when(
+        F.length(asset["asset_code"]) > 4, F.lit("credit_alphanum12")
+    ).otherwise(F.lit("credit_alphanum4"))
     return F.when(asset["asset_type"] == "native", F.lit("native")).otherwise(
-        F.concat_ws(":", asset["asset_code"], asset["asset_issuer"])
+        F.concat_ws(":", typ, asset["asset_code"], asset["asset_issuer"])
+    )
+
+
+def _issuer_kind(frm: Column, to: Column, asset: Column) -> Column:
+    """EventsProcessor's mintOrBurnOrTransferEvent: an asset moving OUT of
+    its issuer enters circulation (mint to the receiver); moving INTO its
+    issuer leaves it (burn from the sender); otherwise a plain transfer.
+    The issuer's balance in its own asset is notional."""
+    issuer = asset["asset_issuer"]
+    from_is = issuer.isNotNull() & (issuer == frm)
+    to_is = issuer.isNotNull() & (issuer == to)
+    return (
+        F.when(from_is & ~to_is, F.lit("mint"))
+        .when(to_is & ~from_is, F.lit("burn"))
+        .otherwise(F.lit("transfer"))
     )
 
 
@@ -134,28 +159,94 @@ def derive_token_transfer_events(
         .otherwise(body["amount"])
     )
 
-    op_events = ops.select(
-        F.col("ledger_sequence"),
-        F.lit(None).cast("timestamp").alias("closed_at"),
-        F.col("tx_index"),
-        F.col("_tx_hash").alias("transaction_hash"),
-        F.col("tx_successful"),
-        F.lit(True).alias("in_successful_contract_call"),
-        _sac_id(asset, passphrase).alias("contract_id"),
-        F.lit("contract").alias("event_type"),
-        F.array().cast("array<string>").alias("topics"),
-        F.array().cast("array<string>").alias("topics_decoded"),
-        F.lit(None).cast("string").alias("data"),
-        F.lit(None).cast("string").alias("data_decoded"),
-        F.lit(None).cast("string").alias("contract_event_xdr"),
-        kind.alias("sac_kind"),
-        frm.alias("sac_from"),
-        to.alias("sac_to"),
-        F.lit(None).cast("string").alias("sac_to_muxed"),
-        F.lit(None).cast("long").alias("sac_to_muxed_id"),
-        amount.cast("long").alias("sac_amount"),
-        _canonical_asset(asset).alias("sac_asset"),
-        F.col("op_index").alias("sac_op_index"),
+    def _event_cols(
+        kind_c: Column, frm_c: Column, to_c: Column, asset_c: Column,
+        amount_c: Column,
+    ) -> list[Column]:
+        return [
+            F.col("ledger_sequence"),
+            F.lit(None).cast("timestamp").alias("closed_at"),
+            F.col("tx_index"),
+            F.col("_tx_hash").alias("transaction_hash"),
+            F.col("tx_successful"),
+            F.lit(True).alias("in_successful_contract_call"),
+            _sac_id(asset_c, passphrase).alias("contract_id"),
+            F.lit("contract").alias("event_type"),
+            F.array().cast("array<string>").alias("topics"),
+            F.array().cast("array<string>").alias("topics_decoded"),
+            F.lit(None).cast("string").alias("data"),
+            F.lit(None).cast("string").alias("data_decoded"),
+            F.lit(None).cast("string").alias("contract_event_xdr"),
+            kind_c.alias("sac_kind"),
+            frm_c.alias("sac_from"),
+            to_c.alias("sac_to"),
+            F.lit(None).cast("string").alias("sac_to_muxed"),
+            F.lit(None).cast("long").alias("sac_to_muxed_id"),
+            amount_c.cast("long").alias("sac_amount"),
+            _canonical_asset(asset_c).alias("sac_asset"),
+            F.col("op_index").alias("sac_op_index"),
+        ]
+
+    op_events = ops.where(t.isin(0, 1, 8, 19)).select(
+        *_event_cols(kind, frm, to, asset, amount)
+    )
+
+    # ---- offer fills: a transfer PAIR per claimed atom (EventsProcessor
+    # trade rules) — seller → taker of the asset the seller sold, then
+    # taker → seller of the asset the seller bought.  ALL atoms emit, even
+    # 0/0 rounding fills (the 0-skip rule is a TRADES-table rule, not a
+    # token-event rule — verified against the mainnet goldens).  explode of
+    # a null atom list yields no rows, so offer ops that crossed nothing
+    # vanish here without an extra filter.
+    trade_ops = ops.where(t.isin(*TRADE_OP_TYPES))
+    seller = lambda a: F.coalesce(a["seller_id"], a["pool_id"])  # noqa: E731
+    pair_rows = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("claim_atoms"),
+                lambda a: F.array(
+                    F.struct(
+                        seller(a).alias("ev_from"),
+                        source.alias("ev_to"),
+                        a["asset_sold"].alias("ev_asset"),
+                        a["amount_sold"].alias("ev_amount"),
+                    ),
+                    F.struct(
+                        source.alias("ev_from"),
+                        seller(a).alias("ev_to"),
+                        a["asset_bought"].alias("ev_asset"),
+                        a["amount_bought"].alias("ev_amount"),
+                    ),
+                ),
+            )
+        )
+    )
+    ev = F.col("_ev")
+    fill_events = trade_ops.withColumn("_ev", pair_rows).select(
+        *_event_cols(
+            _issuer_kind(ev["ev_from"], ev["ev_to"], ev["ev_asset"]),
+            ev["ev_from"],
+            ev["ev_to"],
+            ev["ev_asset"],
+            ev["ev_amount"],
+        )
+    )
+
+    # ---- path payments: the final source → destination movement of the
+    # destination asset (strict receive fixes op.dest_amount; strict send
+    # delivers the RESULT amount, silver-enriched into body.amount)
+    final_path_events = trade_ops.where(t.isin(2, 13)).select(
+        *_event_cols(
+            _issuer_kind(source, body["to"], body["dest_asset"]),
+            source,
+            body["to"],
+            body["dest_asset"],
+            F.when(t == 2, body["dest_amount"]).otherwise(body["amount"]),
+        )
+    )
+
+    op_events = op_events.unionByName(fill_events).unionByName(
+        final_path_events
     )
 
     fee_events = transactions.where(F.col("fee_charged") > 0).select(

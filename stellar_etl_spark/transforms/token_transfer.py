@@ -30,16 +30,28 @@ def transform_token_transfer(events: DataFrame) -> DataFrame:
         & F.col("tx_successful")
         & F.col("in_successful_contract_call")
     )
-    # canonical asset split ("native" | "CODE:ISSUER", token_transfer.go:
-    # 88-108): code length picks alphanum4/12
+    # canonical asset split (getAssetFromEvent, token_transfer.go:132-151):
+    # classic-derived events carry the reference's THREE-part
+    # "TYPE:CODE:ISSUER" concat, Soroban SAC events the two-part
+    # "CODE:ISSUER" — accept both, emit the three-part form
     asset = F.col("sac_asset")
     is_native = asset == "native"
-    code = F.when(~is_native, F.split(asset, ":")[0])
-    issuer = F.when(~is_native, F.split(asset, ":")[1])
+    parts = F.split(asset, ":")
+    code = F.when(
+        ~is_native,
+        F.when(F.size(parts) == 3, parts[1]).otherwise(parts[0]),
+    )
+    issuer = F.when(
+        ~is_native,
+        F.when(F.size(parts) == 3, parts[2]).otherwise(parts[1]),
+    )
     asset_type = F.when(is_native, F.lit("native")).otherwise(
         F.when(F.length(code) <= 4, F.lit("credit_alphanum4")).otherwise(
             F.lit("credit_alphanum12")
         )
+    )
+    asset_concat = F.when(is_native, F.lit("native")).otherwise(
+        F.concat_ws(":", asset_type, code, issuer)
     )
     return src.select(
         toid(F.col("ledger_sequence"), F.col("tx_index"), 0).alias("transaction_id"),
@@ -58,7 +70,7 @@ def transform_token_transfer(events: DataFrame) -> DataFrame:
         F.col("contract_id"),
         F.col("sac_kind").alias("event_type"),
         F.col("sac_kind").alias("event_topic"),
-        asset.alias("asset"),
+        asset_concat.alias("asset"),
         asset_type.alias("asset_type"),
         code.alias("asset_code"),
         issuer.alias("asset_issuer"),

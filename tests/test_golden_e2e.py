@@ -112,6 +112,65 @@ class TestEffectsMainnetParity:
             )
 
 
+class TestTokenTransfersMainnetParity:
+    def test_all_token_transfer_rows_recompute(self, silver):
+        """All 728 golden token-transfer rows (650 fee + 78 transfer)
+        recompute from the classic-operation event derivation: per-atom
+        fill pairs, final path-payment transfers, merges, payments, fees —
+        matched on (topic, operation_id, from, to, asset, amount_raw)."""
+        from stellar_etl_spark.transforms.token_events import (
+            derive_token_transfer_events,
+        )
+        from stellar_etl_spark.transforms.token_transfer import (
+            transform_token_transfer,
+        )
+
+        out = transform_token_transfer(
+            derive_token_transfer_events(
+                silver["operations"],
+                silver["transactions"],
+                ledgers=silver["ledgers"],
+            )
+        ).collect()
+
+        def key(topic, op_id, frm, to, asset, amount_raw):
+            return (
+                topic,
+                None if op_id is None else int(op_id),
+                frm,
+                to,
+                asset,
+                str(amount_raw),
+            )
+
+        mine: dict = {}
+        for r in out:
+            d = r.asDict()
+            k = key(
+                d["event_topic"], d["operation_id"], d["from"], d["to"],
+                d["asset"], d["amount_raw"],
+            )
+            mine[k] = mine.get(k, 0) + 1
+
+        golden: dict = {}
+        n = 0
+        for g in golden_rows("token_transfers"):
+            if g["ledger_sequence"] not in silver["seqs"]:
+                continue
+            k = key(
+                g["event_topic"], g["operation_id"], g["from"], g["to"],
+                g["asset"], g["amount_raw"],
+            )
+            golden[k] = golden.get(k, 0) + 1
+            n += 1
+        assert n >= 700
+
+        gonly = {k: v for k, v in golden.items() if mine.get(k, 0) != v}
+        monly = {k: v for k, v in mine.items() if golden.get(k, 0) != v}
+        assert gonly == {}, f"golden-only: {list(gonly)[:5]}"
+        assert monly == {}, f"mine-only: {list(monly)[:5]}"
+
+
 class TestLedgerTransactionsMainnetParity:
     def test_blob_columns_roundtrip(self, silver):
         """transform_ledger_transaction's four XDR blob columns must equal

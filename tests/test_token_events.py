@@ -74,7 +74,7 @@ class TestClassification:
         assert e.sac_from == fx.ACCOUNT_A  # tx-source fallback
         assert e.sac_to == fx.ACCOUNT_C
         assert e.sac_amount == 50
-        assert e.sac_asset == f"USD:{ISSUER}"
+        assert e.sac_asset == f"credit_alphanum4:USD:{ISSUER}"  # 3-part assetConcat
 
     def test_issuer_source_is_mint(self, data):
         _, events, _ = data
@@ -128,7 +128,7 @@ class TestClassification:
         _, events, _ = data
         native = {r.contract_id for r in events if r.sac_asset == "native"}
         usd = {
-            r.contract_id for r in events if r.sac_asset == f"USD:{ISSUER}"
+            r.contract_id for r in events if r.sac_asset == f"credit_alphanum4:USD:{ISSUER}"
         }
         assert len(native) == 1 and len(usd) == 1 and native != usd
         cid = next(iter(native))
