@@ -125,13 +125,22 @@ SELECT
     WHEN 10 THEN 'manage_data' ELSE 'bump_sequence' END AS type_string,
   (k % 10 <> 0) AS transaction_successful,
   CASE WHEN sk % 4 = 0 THEN 'SPN' || CAST(pk AS VARCHAR) END AS sponsor,
-  CASE WHEN t = 1 THEN 'A' || CAST(pk AS VARCHAR) END AS d_from,
+  CASE WHEN t = 1 THEN
+       CASE WHEN pk % 3 <> 0 THEN 'GOP' || CAST(sk AS VARCHAR)
+            ELSE 'GACC' || CAST(k % 997 AS VARCHAR) END END AS d_from,
   CASE WHEN t = 1 THEN 'B' || CAST(sk AS VARCHAR) END AS d_to,
   CASE WHEN t IN (1, 3)
        THEN CAST(pk * 100000 + 3 AS DOUBLE) / 10000000.0 END AS d_amount,
-  CASE WHEN t = 1 THEN {_ASSET_TYPE.format(x="pk")} END AS d_asset_type,
-  CASE WHEN t = 1 THEN {_ASSET_CODE.format(x="pk")} END AS d_asset_code,
-  CASE WHEN t = 1 THEN {_ASSET_ISSUER.format(x="pk")} END AS d_asset_issuer,
+  CASE WHEN t = 1 THEN {_ASSET_TYPE.format(x="pk")}
+       WHEN t = 6 THEN {_ASSET_TYPE.format(x="(pk + 2)")} END AS d_asset_type,
+  CASE WHEN t = 1 THEN {_ASSET_CODE.format(x="pk")}
+       WHEN t = 6 THEN {_ASSET_CODE.format(x="(pk + 2)")} END AS d_asset_code,
+  CASE WHEN t = 1 THEN {_ASSET_ISSUER.format(x="pk")}
+       WHEN t = 6 THEN {_ASSET_ISSUER.format(x="(pk + 2)")} END AS d_asset_issuer,
+  CASE WHEN t = 6 THEN {_ASSET_ISSUER.format(x="(pk + 2)")} END AS d_trustee,
+  CASE WHEN t = 6 THEN
+       CASE WHEN pk % 3 <> 0 THEN 'GOP' || CAST(sk AS VARCHAR)
+            ELSE 'GACC' || CAST(k % 997 AS VARCHAR) END END AS d_trustor,
   CASE WHEN t = 0
        THEN CAST((pk % 1000) * 10000000 + 5 AS DOUBLE) / 10000000.0
        END AS d_starting_balance,
@@ -139,7 +148,10 @@ SELECT
   CASE WHEN t = 3 THEN pk END AS d_offer_id,
   CASE WHEN t = 3 THEN {_ASSET_TYPE.format(x="pk")} END AS d_selling_asset_type,
   CASE WHEN t = 3 THEN {_ASSET_TYPE.format(x="(pk + 1)")} END AS d_buying_asset_type,
-  CASE WHEN t = 3 THEN CAST((ln % 9) + 1 AS DOUBLE) / CAST((sk % 7) + 1 AS DOUBLE)
+  -- addPriceDetails: ParseFloat(Price.String()) = the 7-dp-rounded rational
+  CASE WHEN t = 3 THEN
+       CAST((2 * ((ln % 9) + 1) * 10000000 + ((sk % 7) + 1))
+            // (2 * ((sk % 7) + 1)) AS DOUBLE) / 10000000.0
        END AS d_price,
   CASE WHEN t = 3 THEN (ln % 9) + 1 END AS d_price_n,
   CASE WHEN t = 3 THEN (sk % 7) + 1 END AS d_price_d,

@@ -149,9 +149,11 @@ def op_details_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
         d["from"].alias("d_from"),
         d["to"].alias("d_to"),
         d["amount"].alias("d_amount"),
-        d["asset_asset_type"].alias("d_asset_type"),
-        d["asset_asset_code"].alias("d_asset_code"),
-        d["asset_asset_issuer"].alias("d_asset_issuer"),
+        d["asset_type"].alias("d_asset_type"),
+        d["asset_code"].alias("d_asset_code"),
+        d["asset_issuer"].alias("d_asset_issuer"),
+        d["trustee"].alias("d_trustee"),
+        d["trustor"].alias("d_trustor"),
         d["starting_balance"].alias("d_starting_balance"),
         d["account"].alias("d_account"),
         d["offer_id"].alias("d_offer_id"),

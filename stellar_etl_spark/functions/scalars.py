@@ -44,8 +44,26 @@ def interval_string(lo, hi) -> Column:
 
 
 def price_to_float(n, d) -> Column:
-    """Rational price N/D → double (operation.go:409-421, offer.go:63-66)."""
+    """Rational price N/D → double by plain float division — the OFFERS
+    state table's semantics (offer.go:63-66)."""
     return _c(n).cast("double") / _c(d).cast("double")
+
+
+def price_rounded7(n, d) -> Column:
+    """Operation-details price: ``ParseFloat(Price.String())`` — the
+    rational rendered to 7 decimal places first (big.Rat FloatString:
+    round half away from zero), then parsed back (addPriceDetails,
+    operation.go:409-421).  0.7692300692... → 0.7692301, NOT the raw
+    quotient.  Integer arithmetic end-to-end: r = ⌊(2·n·10⁷ + d) / 2d⌋
+    computed via pmod so no double precision is lost above 2⁵³."""
+    nl, dl = _c(n).cast("long"), _c(d).cast("long")
+    x = nl * F.lit(20_000_000).cast("long") + dl
+    y = dl * F.lit(2).cast("long")
+    q = (x - F.pmod(x, y)).cast("decimal(38,0)") / y.cast("decimal(19,0)")
+    return (
+        q.cast("decimal(30,0)")
+        / F.lit(10_000_000).cast("decimal(8,0)")
+    ).cast("decimal(30,7)").cast("double")
 
 
 _TWO_63 = 9223372036854775808  # 2^63

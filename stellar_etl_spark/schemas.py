@@ -62,7 +62,8 @@ OPERATIONS_DDL = f"""
     source_account string, source_muxed string, tx_successful boolean,
     result_code string, trace_code string,
     body struct<
-        from:string, to:string, asset:{ASSET_DDL}, amount:long,
+        from:string, to:string, to_muxed:string, asset:{ASSET_DDL},
+        amount:long,
         starting_balance:long, account:string,
         offer_id:long, selling:{ASSET_DDL}, buying:{ASSET_DDL},
         price_n:int, price_d:int,

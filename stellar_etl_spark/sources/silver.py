@@ -306,15 +306,19 @@ def _op_body(t: int, b: dict) -> dict:
             "starting_balance": b["starting_balance"],
         }
     elif t == 1:
+        to_g, to_m = _muxed(b["destination"])
         out = {
-            "to": _muxed(b["destination"])[0],
+            "to": to_g,
+            "to_muxed": to_m,
             "asset": _asset(b["asset"]),
             "amount": b["amount"],
         }
     elif t in (2, 13):
+        to_g, to_m = _muxed(b["destination"])
         out = {
             "send_asset": _asset(b["send_asset"]),
-            "to": _muxed(b["destination"])[0],
+            "to": to_g,
+            "to_muxed": to_m,
             "dest_asset": _asset(b["dest_asset"]),
             "dest_amount": b["dest_amount"],
             "path": [_asset(a) for a in b["path"]],

@@ -194,6 +194,7 @@ def _derived_transactions_cols() -> tuple:
 _BODY_FIELDS: list[tuple[str, str]] = [
     ("from", "string"),
     ("to", "string"),
+    ("to_muxed", "string"),
     ("asset", _ASSET_T),
     ("amount", "long"),
     ("starting_balance", "long"),

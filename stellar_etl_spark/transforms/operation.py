@@ -17,7 +17,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from stellar_etl_spark.functions.hashes import asset_id
-from stellar_etl_spark.functions.scalars import price_to_float, stroops_to_real
+from stellar_etl_spark.functions.scalars import (
+    price_rounded7,
+    price_to_float,
+    stroops_to_real,
+)
 from stellar_etl_spark.functions.toid import toid
 from stellar_etl_spark.schemas import OPERATION_TYPE_NAMES
 
@@ -32,12 +36,15 @@ def op_type_string(type_col: Column) -> Column:
 
 def _asset_cols(asset: Column, prefix: str) -> list[Column]:
     """Flatten an asset struct into code/issuer/type/id columns, the way the
-    reference's details maps spell them (operation.go:360-407)."""
+    reference's details maps spell them: ``formatPrefix`` yields BARE
+    ``asset_type``/``asset_code``/... for the empty prefix
+    (operation.go:360-407)."""
+    p = f"{prefix}_" if prefix else ""
     is_native = asset["asset_type"] == "native"
     return [
-        F.when(~is_native, asset["asset_code"]).alias(f"{prefix}_asset_code"),
-        F.when(~is_native, asset["asset_issuer"]).alias(f"{prefix}_asset_issuer"),
-        asset["asset_type"].alias(f"{prefix}_asset_type"),
+        F.when(~is_native, asset["asset_code"]).alias(f"{p}asset_code"),
+        F.when(~is_native, asset["asset_issuer"]).alias(f"{p}asset_issuer"),
+        asset["asset_type"].alias(f"{p}asset_type"),
         F.when(
             asset["asset_type"].isNotNull(),
             asset_id(
@@ -45,7 +52,7 @@ def _asset_cols(asset: Column, prefix: str) -> list[Column]:
                 F.coalesce(asset["asset_issuer"], F.lit("")),
                 asset["asset_type"],
             ),
-        ).alias(f"{prefix}_asset_id"),
+        ).alias(f"{p}asset_id"),
     ]
 
 
@@ -163,24 +170,65 @@ def _op_exprs() -> tuple[Column, Column]:
         F.coalesce(matching_begin["source_account"], F.col("_tx_source")),
     )
 
+    t = F.col("type")
+    # the account-role details the reference derives from the op SOURCE
+    # (addAccountAndMuxedAccountDetails call sites, operation.go:584-900):
+    # payments' "from", create_account's "funder", merge's "account",
+    # change_trust's "trustor", allow_trust's "trustee", claims' "claimant"
+    src_muxed = F.col("source_muxed")
+    # the UNPREFIXED asset family — which asset it is depends on the type:
+    # payments/trust ops use body.asset / the trust line, path payments the
+    # DESTINATION asset (operation.go:615-680, 790-830)
+    is_pool_line = (t == 6) & (body["line"]["asset_type"] == "pool_share")
+    prim_asset = (
+        F.when((t == 6) & ~is_pool_line, body["line"])
+        .when(t.isin(2, 13), body["dest_asset"])
+        .when(t.isin(1, 7, 19), body["asset"])
+    )
+    # allow_trust authorize decomposition (operation.go:822-840): the raw
+    # TrustLineFlags word when silver provides it, else the legacy boolean
+    auth_flags = F.coalesce(
+        body["authorize_flags"],
+        F.when(body["authorize"], F.lit(1)).otherwise(F.lit(0)),
+    )
+
     details = F.struct(
-        body["from"].alias("from"),
-        body["to"].alias("to"),
-        F.when(body["amount"].isNotNull(), stroops_to_real(body["amount"])).alias(
-            "amount"
+        F.when(t.isin(1, 2, 13), op_source)
+        .otherwise(body["from"])
+        .alias("from"),
+        F.when(t.isin(1, 2, 13), src_muxed).alias("from_muxed"),
+        F.when(t == 0, op_source).alias("funder"),
+        F.when(t == 0, src_muxed).alias("funder_muxed"),
+        # merge's destination is "into", not "to" (operation.go:846-852)
+        F.when(t != 8, body["to"]).alias("to"),
+        body["to_muxed"].alias("to_muxed"),
+        F.when(t == 8, F.coalesce(body["account"], body["to"])).alias("into"),
+        F.when(t == 2, stroops_to_real(body["dest_amount"]))
+        .when(body["amount"].isNotNull(), stroops_to_real(body["amount"]))
+        .alias("amount"),
+        # failed path-payment-strict-send: the reference leaves the Go
+        # amount.String(0) DEFAULT in place — a "0.0000000" STRING in the
+        # JSON where success puts a number (operation.go:672-700); the
+        # _str twin is spliced into the same key post-to_json
+        F.when((t == 13) & body["amount"].isNull(), F.lit("0.0000000")).alias(
+            "amount_str"
         ),
-        *_asset_cols(body["asset"], "asset"),
+        *_asset_cols(prim_asset, ""),
         F.when(
             body["starting_balance"].isNotNull(),
             stroops_to_real(body["starting_balance"]),
         ).alias("starting_balance"),
-        body["account"].alias("account"),
+        F.when(t == 8, op_source).otherwise(body["account"]).alias("account"),
+        F.when(t == 8, src_muxed).alias("account_muxed"),
         body["offer_id"].alias("offer_id"),
         *_asset_cols(body["selling"], "selling"),
         *_asset_cols(body["buying"], "buying"),
+        # operation-details price is the 7-dp-rounded rational
+        # (addPriceDetails parses Price.String()), unlike the offers
+        # table's raw float division
         F.when(
             body["price_n"].isNotNull(),
-            price_to_float(body["price_n"], body["price_d"]),
+            price_rounded7(body["price_n"], body["price_d"]),
         ).alias("price"),
         F.when(
             body["price_n"].isNotNull(),
@@ -196,6 +244,11 @@ def _op_exprs() -> tuple[Column, Column]:
         F.when(
             body["source_amount"].isNotNull(), stroops_to_real(body["source_amount"])
         ).alias("source_amount"),
+        # failed strict-receive: the Go amount.String(0) default survives as
+        # a "0.0000000" STRING (operation.go:630-659) — spliced post-to_json
+        F.when(
+            (t == 2) & body["source_amount"].isNull(), F.lit("0.0000000")
+        ).alias("source_amount_str"),
         F.when(
             body["dest_min"].isNotNull(), _amount_string(body["dest_min"])
         ).alias("destination_min"),
@@ -215,8 +268,23 @@ def _op_exprs() -> tuple[Column, Column]:
                 ),
             ),
         ).alias("path"),
-        body["trustor"].alias("trustor"),
-        body["authorize"].alias("authorize"),
+        # change_trust: trustor = op source, trustee = the line's issuer;
+        # allow_trust: trustee = op source (the issuer), trustor from the op
+        # (operation.go:800-840)
+        F.when(t == 6, op_source).otherwise(body["trustor"]).alias("trustor"),
+        F.when(t == 6, src_muxed).alias("trustor_muxed"),
+        F.when(t == 7, op_source)
+        .when((t == 6) & ~is_pool_line, body["line"]["asset_issuer"])
+        .alias("trustee"),
+        F.when(t == 7, (auth_flags.bitwiseAND(F.lit(1)) != 0)).otherwise(
+            F.when(t != 7, body["authorize"])
+        ).alias("authorize"),
+        F.when(
+            (t == 7) & (auth_flags.bitwiseAND(F.lit(2)) != 0), F.lit(True)
+        ).alias("authorize_to_maintain_liabilities"),
+        F.when(
+            (t == 7) & (auth_flags.bitwiseAND(F.lit(4)) != 0), F.lit(True)
+        ).alias("clawback_enabled"),
         F.when(body["limit"].isNotNull(), stroops_to_real(body["limit"])).alias(
             "limit"
         ),
@@ -248,6 +316,22 @@ def _op_exprs() -> tuple[Column, Column]:
         body["data_value"].alias("data_value"),
         body["bump_to"].cast("string").alias("bump_to"),
         body["balance_id"].alias("balance_id"),
+        # create_claimable_balance carries the CANONICAL asset string
+        # (StringCanonical, operation.go:884-887), not the detail columns
+        F.when(
+            t == 14,
+            F.when(
+                body["asset"]["asset_type"] == "native", F.lit("native")
+            ).otherwise(
+                F.concat_ws(
+                    ":",
+                    body["asset"]["asset_code"],
+                    body["asset"]["asset_issuer"],
+                )
+            ),
+        ).alias("asset"),
+        F.when(t == 15, op_source).alias("claimant"),
+        F.when(t == 15, src_muxed).alias("claimant_muxed"),
         body["claimants"].alias("claimants"),
         body["sponsored_id"].alias("sponsored_id"),
         begin_sponsor.alias("begin_sponsor"),
@@ -295,7 +379,7 @@ def _op_exprs() -> tuple[Column, Column]:
         ).alias("reserve_b_min_amount"),
         F.when(
             body["min_price_n"].isNotNull(),
-            price_to_float(body["min_price_n"], body["min_price_d"]),
+            price_rounded7(body["min_price_n"], body["min_price_d"]),
         ).alias("min_price"),
         F.when(
             body["min_price_n"].isNotNull(),
@@ -305,7 +389,7 @@ def _op_exprs() -> tuple[Column, Column]:
         ).alias("min_price_r"),
         F.when(
             body["max_price_n"].isNotNull(),
-            price_to_float(body["max_price_n"], body["max_price_d"]),
+            price_rounded7(body["max_price_n"], body["max_price_d"]),
         ).alias("max_price"),
         F.when(
             body["max_price_n"].isNotNull(),
@@ -413,5 +497,19 @@ def transform_operation(
         F.col("trace_code").alias("operation_trace_code"),
         sponsor.alias("sponsor"),
         details.alias("details"),
-        F.to_json(details, {"ignoreNullFields": "true"}).alias("details_json"),
+        # the *_str twins splice back into their real keys: the reference's
+        # details map holds a STRING "0.0000000" where a failed path
+        # payment left the Go default, and a number on success — one typed
+        # struct field cannot be both, so the string variant rides under a
+        # sibling name and is renamed in the serialized JSON (the two are
+        # mutually exclusive by construction)
+        F.regexp_replace(
+            F.regexp_replace(
+                F.to_json(details, {"ignoreNullFields": "true"}),
+                '"source_amount_str":',
+                '"source_amount":',
+            ),
+            '"amount_str":',
+            '"amount":',
+        ).alias("details_json"),
     )

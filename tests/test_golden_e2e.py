@@ -112,6 +112,50 @@ class TestEffectsMainnetParity:
             )
 
 
+class TestOperationsMainnetParity:
+    def test_all_operation_rows_recompute(self, silver):
+        """Every golden history_operations row (2200+, seven op types incl.
+        1900 manage-offer ops and 91 path payments) recomputes exactly:
+        ids, type switch, source fallback, result/trace codes, and the full
+        details map — bare asset_* keys with FarmHash ids, 7-dp-rounded
+        prices, from/funder/trustee account roles, the dual string/number
+        source_amount of failed path payments."""
+        from stellar_etl_spark.transforms.operation import transform_operation
+
+        out = transform_operation(
+            silver["operations"],
+            silver["transactions"],
+            ledgers=silver["ledgers"],
+        ).collect()
+        mine = {int(r["id"]): r.asDict() for r in out}
+
+        golden = {
+            int(row["id"]): row
+            for row in golden_rows("operations")
+            if row["ledger_sequence"] in silver["seqs"]
+        }
+        assert len(golden) >= 2200
+
+        missing = sorted(k for k in golden if k not in mine)
+        assert missing == [], f"ops missing: {missing[:5]}"
+
+        for k, g in golden.items():
+            m = mine[k]
+            for field in (
+                "type", "type_string", "source_account",
+                "operation_result_code", "operation_trace_code",
+            ):
+                assert g.get(field) == m.get(field), (k, field)
+            assert int(g["transaction_id"]) == int(m["transaction_id"])
+            gd = g.get("details") or {}
+            md = json.loads(m.get("details_json") or "{}")
+            assert _details_equal(gd, md), (
+                f"{k} {g['type_string']}: "
+                f"golden={json.dumps(gd, sort_keys=True)[:200]} "
+                f"mine={json.dumps(md, sort_keys=True)[:200]}"
+            )
+
+
 class TestTokenTransfersMainnetParity:
     def test_all_token_transfer_rows_recompute(self, silver):
         """All 728 golden token-transfer rows (650 fee + 78 transfer)

@@ -127,15 +127,18 @@ class TestOperation:
         assert p.transaction_id == (2 << 32) | (1 << 12)
         d = json.loads(p.details_json)
         assert d["amount"] == 15.0
-        assert d["asset_asset_id"] == USD_ID
+        # bare asset_* keys (formatPrefix(""), operation.go:360-407)
+        assert d["asset_id"] == USD_ID
         assert d["to"] == fx.ACCOUNT_B
+        # payment "from" is the op source (operation.go:604-610)
+        assert d["from"] == p.source_account
         # default source = tx source; override respected
         assert p.source_account == fx.ACCOUNT_A
         assert out[pay_id + 1].source_account == fx.ACCOUNT_C
         # native asset id constant
         d2 = json.loads(out[pay_id + 1].details_json)
-        assert d2["asset_asset_id"] == NATIVE_ID
-        assert "asset_asset_code" not in d2  # native has no code/issuer
+        assert d2["asset_id"] == NATIVE_ID
+        assert "asset_code" not in d2  # native has no code/issuer
 
     def test_sponsor_from_changes(self, data):
         out = {

@@ -152,6 +152,66 @@ def diff_tokens(spark) -> int:
     return len(gonly) + len(monly)
 
 
+def diff_ops(spark) -> int:
+    import inspect
+
+    from stellar_etl_spark.transforms.operation import transform_operation
+
+    txs, ops, ledgers = build_silver(spark)
+    kwargs = {}
+    if "ledgers" in inspect.signature(transform_operation).parameters:
+        kwargs["ledgers"] = ledgers
+    out = transform_operation(ops, txs, **kwargs).collect()
+    mine = {int(r["id"]): r.asDict() for r in out}
+    seqs = {r["sequence"] for r in ledgers.select("sequence").collect()}
+
+    golden = {
+        int(row["id"]): row
+        for row in golden_rows("operations")
+        if row["ledger_sequence"] in seqs
+    }
+    missing = [k for k in golden if k not in mine]
+    extra = [
+        k for k, m in mine.items()
+        if k not in golden and (k >> 32) in seqs
+    ]
+    print(f"golden={len(golden)} mine={len(mine)} missing={len(missing)} extra={len(extra)}")
+    bad = 0
+    import collections
+    badfield = collections.Counter()
+    for k in sorted(set(golden) & set(mine)):
+        g, m = golden[k], mine[k]
+        for field in (
+            "type", "type_string", "source_account", "transaction_id",
+            "operation_result_code", "operation_trace_code",
+        ):
+            gv = g.get(field)
+            mv = m.get(field)
+            if field == "transaction_id":
+                gv, mv = int(gv), int(mv)
+            if gv != mv:
+                bad += 1
+                badfield[field] += 1
+                if badfield[field] <= 3:
+                    print("FIELD", k, field, "golden", gv, "mine", mv)
+                break
+        else:
+            gd = g.get("details") or {}
+            md = json.loads(m.get("details_json") or "{}")
+            if not details_equal(gd, md):
+                bad += 1
+                badfield["details:" + g["type_string"]] += 1
+                if badfield["details:" + g["type_string"]] <= 2:
+                    gs = json.dumps(gd, sort_keys=True)
+                    ms = json.dumps(md, sort_keys=True)
+                    print("DETAILS", k, g["type_string"])
+                    print("  golden", gs[:400])
+                    print("  mine  ", ms[:400])
+    print("bad-by-field:", dict(badfield))
+    print("value-mismatches:", bad)
+    return len(missing) + len(extra) + bad
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "effects"
     from stellar_etl_spark.session import get_spark
@@ -162,6 +222,8 @@ def main():
         rc = diff_effects(spark)
     elif which == "tokens":
         rc = diff_tokens(spark)
+    elif which == "ops":
+        rc = diff_ops(spark)
     else:
         raise SystemExit(f"unknown target {which}")
     print("DIFFS", rc)
