@@ -58,8 +58,9 @@ SELECT
   (o_orderstatus <> 'F') AS successful,
   1 + k % 5 AS operation_count,
   1704067200 + seq * 5 AS closed_at_unix,
-  CASE k % 4 WHEN 0 THEN 'none' WHEN 1 THEN 'text'
-    WHEN 2 THEN 'hash' ELSE 'id' END AS memo_type,
+  -- memoObject.Type.String() — the Go enum NAME (transaction.go:89)
+  CASE k % 4 WHEN 0 THEN 'MemoTypeMemoNone' WHEN 1 THEN 'MemoTypeMemoText'
+    WHEN 2 THEN 'MemoTypeMemoHash' ELSE 'MemoTypeMemoId' END AS memo_type,
   CASE WHEN k % 4 = 0 THEN NULL
        ELSE 'memo-' || CAST(k % 50 AS VARCHAR) END AS memo,
   CASE WHEN tb_min IS NOT NULL THEN

@@ -201,7 +201,8 @@ def _tx_row(
             if memo["type"] == "text"
             else str(memo["id"])
             if memo["type"] == "id"
-            else memo["hash"].hex()
+            # hash/return memos surface BASE64 (transaction.go:81-87)
+            else base64.b64encode(memo["hash"]).decode()
             if memo["type"] in ("hash", "return")
             else None
         ),
@@ -212,9 +213,13 @@ def _tx_row(
         min_account_sequence=pre.get("min_seq_num"),
         min_sequence_age=pre.get("min_seq_age"),
         min_sequence_ledger_gap=pre.get("min_seq_ledger_gap"),
-        extra_signers=[
-            s["key"].hex() for s in (pre.get("extra_signers") or [])
-        ],
+        # formatSigners: nil stays nil (pre-P19 txs have no preconditions
+        # V2), present lists render as SignerKey strkeys
+        extra_signers=(
+            None
+            if pre.get("extra_signers") is None
+            else [_signer_str(s) for s in pre["extra_signers"]]
+        ),
         is_fee_bump=is_bump,
         fee_account=fee_g,
         fee_account_muxed=(
@@ -250,7 +255,13 @@ def _tx_row(
         if proc
         else None,
         result_code=_TX_CODES.get(result["code"]) if result else None,
-        tx_signers=[s["hint"].hex() for s in env["signatures"]],
+        # getTxSigners (transaction.go:320-331): the RAW 64-byte signature
+        # G-strkey-encoded (the reference's own quirk — not the hint, not
+        # the signer account)
+        tx_signers=[
+            encode_strkey(VERSION_ACCOUNT, s["signature"])
+            for s in env["signatures"]
+        ],
         tx_envelope=blobs.get("tx_envelope"),
         tx_result=blobs.get("tx_result"),
         tx_meta=blobs.get("tx_meta"),

@@ -68,8 +68,14 @@ def transform_ledger(
             F.col("base_reserve"),
             F.col("max_tx_set_size"),
             F.col("protocol_version"),
-            F.col("soroban_fee_write_1kb"),
-            F.col("total_byte_size_of_bucket_list"),
+            # pre-Soroban ledgers export the Go ZERO value, not null
+            # (ledger.go LedgerOutput int64 defaults — golden parity)
+            F.coalesce(F.col("soroban_fee_write_1kb"), F.lit(0)).alias(
+                "soroban_fee_write_1kb"
+            ),
+            F.coalesce(F.col("total_byte_size_of_bucket_list"), F.lit(0)).alias(
+                "total_byte_size_of_bucket_list"
+            ),
             F.col("node_id"),
             F.col("signature"),
         )

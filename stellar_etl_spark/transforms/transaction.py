@@ -78,7 +78,24 @@ def transform_transaction(
         F.col("_closed_at").alias("closed_at"),
         # created_at == the ledger close time (transaction.go:193-197)
         F.col("_closed_at").alias("created_at"),
-        F.col("memo_type"),
+        # memo_type is the Go enum NAME (memoObject.Type.String(),
+        # transaction.go:89) — "MemoTypeMemoText", not "text"
+        F.element_at(
+            F.create_map(
+                *[
+                    F.lit(x)
+                    for kv in {
+                        "none": "MemoTypeMemoNone",
+                        "text": "MemoTypeMemoText",
+                        "id": "MemoTypeMemoId",
+                        "hash": "MemoTypeMemoHash",
+                        "return": "MemoTypeMemoReturn",
+                    }.items()
+                    for x in kv
+                ]
+            ),
+            F.col("memo_type"),
+        ).alias("memo_type"),
         F.when(F.col("memo_type") == "none", F.lit(None).cast("string"))
         .otherwise(F.col("memo"))
         .alias("memo"),
@@ -146,7 +163,25 @@ def transform_transaction(
         F.col("result_code").alias("transaction_result_code"),
         F.col("tx_signers"),
         F.col("tx_envelope"),
-        F.col("tx_result"),
+        # the transactions table stores the BARE TransactionResult; silver
+        # carries the TransactionResultPair (hash ‖ result) the
+        # ledger_transactions table needs — strip the 32-byte hash prefix
+        # (transaction.go getTxResult vs ledger_transaction.go)
+        F.when(
+            F.col("tx_result").isNotNull(),
+            # Spark's base64() chunks long output MIME-style (CRLF every
+            # 76 chars) — strip to the canonical unbroken form
+            F.regexp_replace(
+                F.base64(
+                    F.expr(
+                        "substring(unbase64(tx_result), 33,"
+                        " length(unbase64(tx_result)) - 32)"
+                    )
+                ),
+                "[\\r\\n]",
+                "",
+            ),
+        ).alias("tx_result"),
         F.col("tx_meta"),
         F.col("tx_fee_meta"),
     )

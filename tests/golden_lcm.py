@@ -66,12 +66,12 @@ def assemble_golden_lcms() -> dict[int, bytes]:
         read_transaction_result,
     )
 
-    headers: dict[int, LedgerHeader] = {}
+    headers: dict[int, tuple[LedgerHeader, bytes]] = {}
     for row in golden_rows("ledgers"):
         h = read_ledger_header(
             Reader(base64.b64decode(row["ledger_header"]))
         )
-        headers[h.ledger_seq] = h
+        headers[h.ledger_seq] = (h, bytes.fromhex(row["ledger_hash"]))
 
     by_ledger: dict[int, list[dict]] = {}
     for row in golden_rows("transactions"):
@@ -107,14 +107,18 @@ def assemble_golden_lcms() -> dict[int, bytes]:
                     ),
                 }
             )
-        header = headers.get(seq)
-        if header is None:
-            header = LedgerHeader(
-                ledger_seq=seq,
-                close_time=_closed_at_unix(tx_rows[0]["closed_at"]),
+        header_hash = headers.get(seq)
+        if header_hash is None:
+            header_hash = (
+                LedgerHeader(
+                    ledger_seq=seq,
+                    close_time=_closed_at_unix(tx_rows[0]["closed_at"]),
+                ),
+                b"\x11" * 32,
             )
+        header, entry_hash = header_hash
         out[seq] = encode_ledger_close_meta_v0(
-            header, envelopes, tx_processing=processing
+            header, envelopes, entry_hash=entry_hash, tx_processing=processing
         )
     return out
 

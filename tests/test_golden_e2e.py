@@ -112,6 +112,75 @@ class TestEffectsMainnetParity:
             )
 
 
+class TestTransactionsMainnetParity:
+    def test_all_transaction_rows_recompute(self, silver):
+        """Every shared column of every golden history_transactions row
+        (700+) matches: ids, fees, memo enum names, bounds strings,
+        signature strkeys, the BARE-result tx_result blob, null-vs-empty
+        extra_signers."""
+        from stellar_etl_spark.transforms.transaction import (
+            transform_transaction,
+        )
+
+        out = transform_transaction(
+            silver["transactions"], silver["ledgers"]
+        ).collect()
+        mine = {int(r["id"]): r.asDict() for r in out}
+
+        n = 0
+        for g in golden_rows("transactions"):
+            if g["ledger_sequence"] not in silver["seqs"]:
+                continue
+            k = int(g["id"])
+            assert k in mine, k
+            m = mine[k]
+            for field in sorted(set(g) & set(m)):
+                if field in ("closed_at", "created_at"):
+                    continue
+                gv, mv = g.get(field), m.get(field)
+                if isinstance(gv, bool) or isinstance(mv, bool):
+                    gv = gv in (True, "true", "True")
+                    mv = mv in (True, "true", "True")
+                elif isinstance(gv, (int, float)) and mv is not None:
+                    mv = type(gv)(mv)
+                if gv in ("", None) and mv in ("", None):
+                    continue
+                assert gv == mv, (k, field, gv, mv)
+            n += 1
+        assert n >= 700
+
+
+class TestLedgersMainnetParity:
+    def test_all_ledger_rows_recompute(self, silver):
+        """The golden history_ledgers rows for the reassembled range match:
+        TOID ids, tx/op counts incl. the string-typed tx_set count, pool
+        and fee scalars, hex hashes, node id + signature, and the Go
+        zero-value defaults for pre-Soroban fields."""
+        from stellar_etl_spark.transforms.ledger import transform_ledger
+
+        out = transform_ledger(
+            silver["ledgers"], silver["transactions"]
+        ).collect()
+        mine = {r["sequence"]: r.asDict() for r in out}
+
+        n = 0
+        for g in golden_rows("ledgers"):
+            if g["sequence"] not in mine:
+                continue
+            m = mine[g["sequence"]]
+            for field in sorted(set(g) & set(m)):
+                if field == "closed_at":
+                    continue
+                gv, mv = g.get(field), m.get(field)
+                if isinstance(gv, (int, float)) and mv is not None:
+                    mv = type(gv)(mv)
+                if gv in ("", None) and mv in ("", None):
+                    continue
+                assert gv == mv, (g["sequence"], field, gv, mv)
+            n += 1
+        assert n >= 11
+
+
 class TestOperationsMainnetParity:
     def test_all_operation_rows_recompute(self, silver):
         """Every golden history_operations row (2200+, seven op types incl.

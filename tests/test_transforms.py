@@ -86,7 +86,7 @@ class TestTransaction:
         assert (3, 3) not in out
         t = out[(2, 1)]
         assert t.id == (2 << 32) | (1 << 12)
-        assert t.memo == "hello" and t.memo_type == "text"
+        assert t.memo == "hello" and t.memo_type == "MemoTypeMemoText"
         # memo cleared for type none
         assert out[(3, 2)].memo is None
         # unbounded max: [10,)

@@ -212,6 +212,82 @@ def diff_ops(spark) -> int:
     return len(missing) + len(extra) + bad
 
 
+def diff_txs(spark) -> int:
+    from stellar_etl_spark.transforms.transaction import transform_transaction
+
+    txs, ops, ledgers = build_silver(spark)
+    out = transform_transaction(txs, ledgers).collect()
+    mine = {int(r["id"]): r.asDict() for r in out}
+    seqs = {r["sequence"] for r in ledgers.select("sequence").collect()}
+    golden = {
+        int(row["id"]): row
+        for row in golden_rows("transactions")
+        if row["ledger_sequence"] in seqs
+    }
+    missing = [k for k in golden if k not in mine]
+    print(f"golden={len(golden)} mine={len(mine)} missing={len(missing)}")
+    import collections
+    bad = collections.Counter()
+    shown = set()
+    for k in sorted(set(golden) & set(mine)):
+        g, m = golden[k], mine[k]
+        for field in sorted(set(g) & set(m)):
+            if field in ("closed_at", "created_at"):
+                continue
+            gv, mv = g.get(field), m.get(field)
+            if isinstance(gv, bool) or isinstance(mv, bool):
+                gv = gv in (True, "true", "True")
+                mv = mv in (True, "true", "True")
+            elif isinstance(gv, (int, float)) and mv is not None:
+                try:
+                    mv = type(gv)(mv)
+                except (TypeError, ValueError):
+                    pass
+            if gv != mv and not (gv in ("", None) and mv in ("", None)):
+                bad[field] += 1
+                if field not in shown:
+                    shown.add(field)
+                    print("FIELD", k, field, "golden", repr(gv)[:80],
+                          "mine", repr(mv)[:80])
+    print("bad-by-field:", dict(bad))
+    return len(missing) + sum(bad.values())
+
+
+def diff_ledgers(spark) -> int:
+    from stellar_etl_spark.transforms.ledger import transform_ledger
+
+    txs, ops, bronze_led = build_silver(spark)
+    out = transform_ledger(bronze_led, txs).collect()
+    mine = {r["sequence"]: r.asDict() for r in out}
+    golden = {}
+    for row in golden_rows("ledgers"):
+        if row["sequence"] in mine:
+            golden[row["sequence"]] = row
+    print(f"golden={len(golden)} mine={len(mine)}")
+    import collections
+    bad = collections.Counter()
+    shown = set()
+    for k, g in sorted(golden.items()):
+        m = mine[k]
+        for field in sorted(set(g) & set(m)):
+            if field in ("closed_at",):
+                continue
+            gv, mv = g.get(field), m.get(field)
+            if isinstance(gv, (int, float)) and mv is not None:
+                try:
+                    mv = type(gv)(mv)
+                except (TypeError, ValueError):
+                    pass
+            if gv != mv and not (gv in ("", None) and mv in ("", None)):
+                bad[field] += 1
+                if field not in shown:
+                    shown.add(field)
+                    print("FIELD", k, field, "golden", repr(gv)[:70],
+                          "mine", repr(mv)[:70])
+    print("bad-by-field:", dict(bad))
+    return sum(bad.values())
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "effects"
     from stellar_etl_spark.session import get_spark
@@ -224,6 +300,10 @@ def main():
         rc = diff_tokens(spark)
     elif which == "ops":
         rc = diff_ops(spark)
+    elif which == "txs":
+        rc = diff_txs(spark)
+    elif which == "ledgers":
+        rc = diff_ledgers(spark)
     else:
         raise SystemExit(f"unknown target {which}")
     print("DIFFS", rc)
