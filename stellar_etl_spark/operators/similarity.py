@@ -297,6 +297,145 @@ def tfidf_cosine_pairs(
     )
 
 
+def hybrid_rrf(
+    lexical: DataFrame,
+    semantic: DataFrame,
+    id_col: str,
+    lex_score: str,
+    sem_score: str,
+    k_rrf: int = 60,
+    list_len: int = 50,
+    limit: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a semantic ranking — the
+    standard hybrid-retrieval combiner (BM25 ∪ ANN → one list).
+
+    Ranks are row_numbers over (score desc, id) — total orders, so the
+    rank assignment is engine-independent.  The fused score is the
+    INTEGER-RRF variant: Σ ⌊10⁹/(k + rank)⌋ over the lists the doc
+    appears in — rank-monotone like 1/(k+rank) but exact integer
+    arithmetic, so the fused ordering hash-matches the SQL oracle with no
+    float-boundary risk.
+
+    Scale shape: each side is already a top-``list_len`` candidate list
+    (tiny); the fusion is a full-outer join of two ≤list_len-row frames —
+    negligible next to the retrieval stages themselves.
+    """
+    wl = Window.orderBy(F.col(lex_score).desc(), F.col(id_col))
+    ws = Window.orderBy(F.col(sem_score).desc(), F.col(id_col))
+    lr = (
+        lexical.select(F.col(id_col), F.col(lex_score))
+        .withColumn("rank_lex", F.row_number().over(wl))
+        .where(F.col("rank_lex") <= list_len)
+        .select(id_col, "rank_lex")
+    )
+    sr = (
+        semantic.select(F.col(id_col), F.col(sem_score))
+        .withColumn("rank_sem", F.row_number().over(ws))
+        .where(F.col("rank_sem") <= list_len)
+        .select(id_col, "rank_sem")
+    )
+    scaled = F.lit(1_000_000_000).cast("long")
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.floor(scaled / (F.lit(k_rrf) + F.col(r))).cast("long"), F.lit(0)
+    )
+    return (
+        lr.join(sr, id_col, "full_outer")
+        .select(
+            F.col(id_col),
+            F.col("rank_lex"),
+            F.col("rank_sem"),
+            (contrib("rank_lex") + contrib("rank_sem")).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col))
+        .limit(limit)
+    )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+    scale: int = 1000,
+    tau_n: int = 7,
+    tau_d: int = 20,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
+    clustering + WITHIN-CLUSTER pairwise cosine — the all-pairs problem
+    collapses to Σ|cluster|², bounded by choosing k ∝ corpus size.
+
+    A document is dropped when a LOWER-id document in its cluster has
+    cosine ≥ τ (τ = tau_n/tau_d) — the deterministic "dominated by an
+    earlier neighbor" keep rule.  The threshold compare is EXACT integer
+    arithmetic over the quantized vectors: cos ≥ τ ∧ dot ≥ 0 ⇔
+    tau_d²·dot² ≥ tau_n²·‖a‖²·‖b‖² — no float comparisons, so the
+    kept/dropped set hash-matches the SQL oracle bit-for-bit.
+
+    Scale shape: the k-means stage is the bounded-iteration exact-integer
+    plan of :func:`kmeans_fixed`; the dedup stage is ONE self-join keyed
+    on cluster id (shuffle by cid, never a cross product).  At 100 TB the
+    knob is k: cluster sizes of ~10⁴ keep the per-cluster pair count flat
+    while clusters process in parallel.
+    """
+    q = F.transform(
+        _as_double(F.col(vec_col)), lambda x: F.round(x * scale).cast("long")
+    )
+    pts = embeddings.select(
+        F.col(id_col).cast("long").alias(id_col), q.alias("_q")
+    )
+    assigned = kmeans_fixed(
+        embeddings, id_col=id_col, vec_col=vec_col, k=k,
+        iterations=iterations, scale=scale,
+    ).join(pts, id_col)
+
+    n2 = F.aggregate(
+        F.col("_q"), F.lit(0).cast("long"), lambda a, x: a + x * x
+    )
+    # Pack each cluster ONCE and test "dominated by an earlier neighbor"
+    # with a short-circuiting higher-order EXISTS over the member array —
+    # the k-means subtree executes exactly once (a self-join would fork
+    # the plan and re-run the clustering per side), and there is no pair
+    # blow-up to shuffle: the only exchange is the groupBy(cid).  The
+    # member array is the per-cluster working set — the k knob bounds it
+    # (SemDeDup's own contract) so a cluster always fits a task.
+    base = assigned.select(F.col("cid"), F.col(id_col), "_q", n2.alias("_n2"))
+    packed = base.groupBy("cid").agg(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).alias("i"),
+                F.col("_q").alias("q"),
+                F.col("_n2").alias("n"),
+            )
+        ).alias("_ms")
+    )
+    me = F.col("_m")
+
+    def _dominates(a: Column) -> Column:
+        dotv = F.aggregate(
+            F.zip_with(a["q"], me["q"], lambda p, q_: p * q_),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        return (
+            (a["i"] < me["i"])
+            & (dotv >= 0)
+            & (
+                F.lit(tau_d * tau_d) * dotv * dotv
+                >= F.lit(tau_n * tau_n) * a["n"] * me["n"]
+            )
+        )
+
+    return packed.select(
+        "cid", F.col("_ms"), F.explode("_ms").alias("_m")
+    ).select(
+        me["i"].alias(id_col),
+        F.col("cid"),
+        F.exists("_ms", _dominates).alias("dropped"),
+    )
+
+
 def quantize_embeddings(
     df,
     id_col: str = "vec_id",

@@ -373,6 +373,89 @@ scored AS (
 SELECT doc_id, ROUND(score, 6) AS bm25
 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
 """,
+    "hybrid_rrf_search": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf FROM tok
+  WHERE t IN ('hash', 'join', 'scan', 'filter', 'sort')
+  GROUP BY doc_id, t
+),
+dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+piv AS (
+  SELECT doc_id,
+    MAX(CASE WHEN t = 'hash' THEN tf END) AS tf_hash,
+    MAX(CASE WHEN t = 'join' THEN tf END) AS tf_join,
+    MAX(CASE WHEN t = 'scan' THEN tf END) AS tf_scan,
+    MAX(CASE WHEN t = 'filter' THEN tf END) AS tf_filter,
+    MAX(CASE WHEN t = 'sort' THEN tf END) AS tf_sort
+  FROM tf GROUP BY doc_id
+),
+dfs AS (
+  SELECT
+    MAX(CASE WHEN t = 'hash' THEN df END) AS df_hash,
+    MAX(CASE WHEN t = 'join' THEN df END) AS df_join,
+    MAX(CASE WHEN t = 'scan' THEN df END) AS df_scan,
+    MAX(CASE WHEN t = 'filter' THEN df END) AS df_filter,
+    MAX(CASE WHEN t = 'sort' THEN df END) AS df_sort
+  FROM dfq
+),
+scored AS (
+  SELECT piv.doc_id,
+    COALESCE(ln((n - CAST(df_hash AS DOUBLE) + 0.5) / (CAST(df_hash AS DOUBLE) + 0.5) + 1.0)
+      * (CAST(tf_hash AS DOUBLE) * 2.2)
+      / (CAST(tf_hash AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
+    + COALESCE(ln((n - CAST(df_join AS DOUBLE) + 0.5) / (CAST(df_join AS DOUBLE) + 0.5) + 1.0)
+      * (CAST(tf_join AS DOUBLE) * 2.2)
+      / (CAST(tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
+    + COALESCE(ln((n - CAST(df_scan AS DOUBLE) + 0.5) / (CAST(df_scan AS DOUBLE) + 0.5) + 1.0)
+      * (CAST(tf_scan AS DOUBLE) * 2.2)
+      / (CAST(tf_scan AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
+    + COALESCE(ln((n - CAST(df_filter AS DOUBLE) + 0.5) / (CAST(df_filter AS DOUBLE) + 0.5) + 1.0)
+      * (CAST(tf_filter AS DOUBLE) * 2.2)
+      / (CAST(tf_filter AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
+    + COALESCE(ln((n - CAST(df_sort AS DOUBLE) + 0.5) / (CAST(df_sort AS DOUBLE) + 0.5) + 1.0)
+      * (CAST(tf_sort AS DOUBLE) * 2.2)
+      / (CAST(tf_sort AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
+    AS score
+  FROM piv JOIN dl ON piv.doc_id = dl.doc_id, stats, dfs
+),
+lex AS (
+  SELECT doc_id, ROUND(score, 6) AS bm25 FROM scored
+  ORDER BY bm25 DESC, doc_id LIMIT 50
+),
+lexr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+  FROM lex
+),
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+sem AS (
+  SELECT CAST(e.vec_id AS BIGINT) AS doc_id,
+    list_sum(list_transform(generate_series(1, len(e.embedding)),
+      j -> CAST(e.embedding[j] AS DOUBLE) * qv.v[j]))
+    / (sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        j -> CAST(e.embedding[j] AS DOUBLE) * e.embedding[j])))
+     * sqrt(list_sum(list_transform(generate_series(1, len(qv.v)),
+        j -> CAST(qv.v[j] AS DOUBLE) * qv.v[j])))) AS cos
+  FROM embeddings e, qv WHERE e.vec_id <> 0
+  ORDER BY cos DESC, doc_id LIMIT 50
+),
+semr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_sem
+  FROM sem
+)
+SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+  l.rank_lex AS rank_lex, s.rank_sem AS rank_sem,
+  COALESCE(1000000000 // (60 + l.rank_lex), 0)
+    + COALESCE(1000000000 // (60 + s.rank_sem), 0) AS rrf_score
+FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 20
+""",
     "order_value_deciles": """
 WITH ranked AS (
   SELECT CAST(o_totalprice AS DECIMAL(18,4)) AS p,
@@ -1558,6 +1641,62 @@ d2 AS (
 )
 SELECT vec_id, CAST(cid AS BIGINT) AS cid, CAST(dist AS BIGINT) AS dist2
 FROM d2 WHERE rn = 1
+""",
+    "semantic_dedup": """
+WITH pts AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+    list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
+  FROM pts ORDER BY vec_id LIMIT 8
+),
+d1 AS (
+  SELECT p.vec_id, p.q, i.cid,
+    row_number() OVER (PARTITION BY p.vec_id
+      ORDER BY list_sum(list_transform(generate_series(1, len(p.q)),
+        j -> (p.q[j] - i.c[j]) * (p.q[j] - i.c[j]))), i.cid) AS rn
+  FROM pts p CROSS JOIN init i
+),
+a1 AS (SELECT vec_id, q, cid FROM d1 WHERE rn = 1),
+l1 AS (
+  SELECT cid, unnest(generate_series(1, len(q))) AS dim, unnest(q) AS val
+  FROM a1
+),
+u1 AS (
+  SELECT cid, dim,
+    CAST(round(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
+  FROM l1 GROUP BY cid, dim
+),
+c1 AS (SELECT cid, list(cval ORDER BY dim) AS c FROM u1 GROUP BY cid),
+d2 AS (
+  SELECT p.vec_id, p.q, i.cid,
+    row_number() OVER (PARTITION BY p.vec_id
+      ORDER BY list_sum(list_transform(generate_series(1, len(p.q)),
+        j -> (p.q[j] - i.c[j]) * (p.q[j] - i.c[j]))), i.cid) AS rn
+  FROM pts p CROSS JOIN c1 i
+),
+asg AS (
+  SELECT vec_id, q, cid,
+    list_sum(list_transform(q, x -> x * x)) AS n2
+  FROM d2 WHERE rn = 1
+),
+dom AS (
+  SELECT DISTINCT b.vec_id
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(generate_series(1, len(a.q)),
+          j -> a.q[j] * b.q[j])) >= 0
+    AND 400 * list_sum(list_transform(generate_series(1, len(a.q)),
+          j -> a.q[j] * b.q[j]))
+        * list_sum(list_transform(generate_series(1, len(a.q)),
+          j -> a.q[j] * b.q[j]))
+        >= 49 * a.n2 * b.n2
+)
+SELECT asg.vec_id, CAST(asg.cid AS BIGINT) AS cid,
+  (dom.vec_id IS NOT NULL) AS dropped
+FROM asg LEFT JOIN dom ON asg.vec_id = dom.vec_id
 """,
     "variant_props_profile": """
 SELECT event_type, COUNT(*) AS n_events,

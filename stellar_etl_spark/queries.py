@@ -2024,6 +2024,52 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fixed(emb, k=8, iterations=2)
 
 
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-50 ∪ cosine-ANN semantic top-50
+    (query = the vec_id-0 embedding), fused by integer reciprocal-rank
+    fusion.  Both candidate lists are TakeOrdered partial top-k cuts (no
+    global sort of the corpus); the fusion joins two 50-row frames."""
+    from stellar_etl_spark.operators.similarity import (
+        cosine,
+        hybrid_rrf,
+    )
+    from stellar_etl_spark.operators.text import bm25_search
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+
+    lex = bm25_search(docs, "doc_id", "text", BM25_TERMS, limit=50)
+
+    qvec = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_qv")
+    )
+    sem = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            # rank on the UNROUNDED double: the expression tree is a fixed
+            # left fold, so both engines compute the identical IEEE value —
+            # rounding first would reintroduce the ...5-boundary divergence
+            cosine(F.col("embedding"), F.col("_qv")).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(50)
+    )
+    return hybrid_rrf(lex, sem, "doc_id", "bm25", "cos", list_len=50)
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding corpus: exact-integer k-means cells,
+    within-cell pairwise cosine at τ=0.35, drop docs dominated by an
+    earlier similar neighbor — the cluster-bounded semantic-dedup shape
+    (never an all-pairs join)."""
+    from stellar_etl_spark.operators.similarity import semdedup
+
+    emb = table(spark, sf_dir, "embeddings")
+    return semdedup(emb, k=8, iterations=2, tau_n=7, tau_d=20)
+
+
 def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter signals per document (top-unigram /
     top-bigram token share) — a shuffle-free map stage over the corpus."""
@@ -2155,6 +2201,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_packing": sequence_packing,
     "supplier_part_pagerank": supplier_part_pagerank,
     "kmeans_clusters": kmeans_clusters,
+    "semantic_dedup": semantic_dedup,
+    "hybrid_rrf_search": hybrid_rrf_search,
     "variant_props_profile": variant_props_profile,
     "snapshot_upsert": snapshot_upsert,
     "waveform_windows": waveform_windows,

@@ -1287,3 +1287,69 @@ class TestTwoPhaseSessionize:
         df = spark.createDataFrame([(1, 1, 1)], "user_id long, event_id long, ts_us long")
         with _pytest.raises(ValueError):
             session_stats_two_phase(df, gap_us=10, bucket_us=10)
+
+
+class TestSemDeDup:
+    def test_dominated_by_earlier_neighbor(self, spark):
+        """Identical vectors cluster together; every copy but the
+        lowest-id one is dropped — across clusters nothing interacts."""
+        from stellar_etl_spark.operators.similarity import semdedup
+
+        a = [1.0] + [0.0] * 7
+        b = [0.0] * 7 + [1.0]
+        rows = [(0, a), (1, a), (2, a), (10, b), (11, b), (20, [0.5] * 8)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        out = {
+            r.vec_id: r
+            for r in semdedup(df, k=3, iterations=1, tau_n=19, tau_d=20)
+            .collect()
+        }
+        assert out[0].dropped is False
+        assert out[1].dropped is True and out[2].dropped is True
+        assert out[10].dropped is False and out[11].dropped is True
+        assert out[20].dropped is False
+        # copies share a cluster
+        assert out[1].cid == out[0].cid and out[11].cid == out[10].cid
+
+    def test_orthogonal_vectors_survive(self, spark):
+        from stellar_etl_spark.operators.similarity import semdedup
+
+        rows = [
+            (i, [1.0 if j == i else 0.0 for j in range(4)]) for i in range(4)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        out = semdedup(df, k=1, iterations=1, tau_n=1, tau_d=2).collect()
+        assert all(not r.dropped for r in out)
+
+
+class TestHybridRRF:
+    def test_fusion_ranks_and_absent_sides(self, spark):
+        from stellar_etl_spark.operators.similarity import hybrid_rrf
+
+        lex = spark.createDataFrame(
+            [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, s double"
+        )
+        sem = spark.createDataFrame(
+            [(2, 0.9), (4, 0.8)], "doc_id long, c double"
+        )
+        out = {
+            r.doc_id: r
+            for r in hybrid_rrf(lex, sem, "doc_id", "s", "c").collect()
+        }
+        # doc 2 appears in both lists: rank 2 lexical + rank 1 semantic
+        assert out[2].rank_lex == 2 and out[2].rank_sem == 1
+        assert (
+            out[2].rrf_score
+            == 1_000_000_000 // 62 + 1_000_000_000 // 61
+        )
+        # single-list docs contribute one term, absent side null
+        assert out[1].rank_sem is None
+        assert out[1].rrf_score == 1_000_000_000 // 61
+        assert out[4].rank_lex is None
+        # fused order: doc 2 (both lists) first
+        best = max(out.values(), key=lambda r: r.rrf_score)
+        assert best.doc_id == 2
