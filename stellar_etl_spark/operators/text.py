@@ -510,3 +510,85 @@ def chunk_documents(
         chunk.alias("chunk_text"),
         F.length(chunk).cast("long").alias("chunk_len"),
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "is_target",
+    buckets: int = 1024,
+    scale: int = 1000,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): importance weights from
+    hashed n-gram features — score RAW documents by how much their unigram
+    profile resembles a TARGET corpus, the standard pre-training
+    data-selection recipe.
+
+    Features are md5-bucketed unigrams (the repo's portable hash-bucket
+    idiom).  Per-bucket log importance ln(p_target/p_raw) with add-one
+    smoothing is integer-scaled once (``round(scale·ln(·))`` — tiny
+    bucket-count table), so every per-document sum is EXACT integer
+    arithmetic under any partitioning.  Output: per raw document the token
+    count, the summed scaled log-weight, and ``selected`` (importance > 0,
+    i.e. closer to the target than to the raw pool).
+
+    Scale shape: explode → two bucket-count aggregates (≤``buckets`` rows
+    each, broadcast) → map-side weight join → one per-doc aggregate.  The
+    weight table never exceeds ``buckets`` rows no matter the corpus size.
+    """
+    from stellar_etl_spark.operators.dedup import tokenize_words
+    from stellar_etl_spark.operators.util import fan_out_small
+
+    toks = fan_out_small(df).select(
+        F.col(id_col),
+        F.col(target_col).alias("_t"),
+        F.explode(tokenize_words(F.col(text_col))).alias("w"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
+        % buckets
+    ).alias("b")
+    bt = toks.select(bucket, "_t", id_col)
+
+    counts = bt.groupBy("b").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("tc"),
+        F.sum(F.when(~F.col("_t"), 1).otherwise(0)).alias("rc"),
+    )
+    totals = counts.agg(
+        F.sum("tc").alias("tt"), F.sum("rc").alias("rt")
+    )
+    # ln( ((tc+1)/(tt+B)) / ((rc+1)/(rt+B)) ), integer-scaled once per bucket
+    w = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            (
+                F.log(
+                    (F.col("tc") + 1).cast("double")
+                    / (F.col("tt") + F.lit(buckets))
+                )
+                - F.log(
+                    (F.col("rc") + 1).cast("double")
+                    / (F.col("rt") + F.lit(buckets))
+                )
+            )
+            * scale
+        )
+        .cast("long")
+        .alias("lw"),
+    )
+    return (
+        bt.where(~F.col("_t"))
+        .join(F.broadcast(w), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lw").alias("importance_scaled"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "importance_scaled",
+            (F.col("importance_scaled") > 0).alias("selected"),
+        )
+    )

@@ -1642,6 +1642,54 @@ d2 AS (
 SELECT vec_id, CAST(cid AS BIGINT) AS cid, CAST(dist AS BIGINT) AS dist2
 FROM d2 WHERE rn = 1
 """,
+    "dsir_selection": r"""
+WITH toks AS (
+  SELECT doc_id, (source = 'src0') AS t,
+    unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+bt AS (
+  SELECT doc_id, t,
+    ('0x' || substring(md5(w), 1, 8))::BIGINT % 1024 AS b
+  FROM toks
+),
+counts AS (
+  SELECT b,
+    SUM(CASE WHEN t THEN 1 ELSE 0 END) AS tc,
+    SUM(CASE WHEN t THEN 0 ELSE 1 END) AS rc
+  FROM bt GROUP BY b
+),
+totals AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM counts),
+w AS (
+  SELECT b,
+    CAST(round((ln(CAST(tc + 1 AS DOUBLE) / (tt + 1024))
+              - ln(CAST(rc + 1 AS DOUBLE) / (rt + 1024))) * 1000)
+         AS BIGINT) AS lw
+  FROM counts, totals
+)
+SELECT bt.doc_id, COUNT(*) AS n_tokens,
+  SUM(w.lw) AS importance_scaled,
+  (SUM(w.lw) > 0) AS selected
+FROM bt JOIN w ON bt.b = w.b
+WHERE NOT bt.t
+GROUP BY bt.doc_id
+""",
+    "tokenizer_fertility": r"""
+WITH per_doc AS (
+  SELECT lang, source,
+    len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe,
+    len(string_split(text, ' ')) AS n_words,
+    octet_length(encode(text)) AS n_bytes
+  FROM documents
+)
+SELECT lang, source, COUNT(*) AS n_docs,
+  SUM(n_bpe) AS total_bpe_tokens,
+  CAST((2000000 * SUM(n_bpe) + SUM(n_words)) // (2 * SUM(n_words))
+       AS DOUBLE) / 1000000.0 AS fertility,
+  CAST((2000000 * SUM(n_bytes) + SUM(n_bpe)) // (2 * SUM(n_bpe))
+       AS DOUBLE) / 1000000.0 AS bytes_per_token
+FROM per_doc GROUP BY lang, source
+""",
     "semantic_dedup": """
 WITH pts AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,

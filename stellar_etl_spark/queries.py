@@ -2059,6 +2059,61 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_rrf(lex, sem, "doc_id", "bm25", "cos", list_len=50)
 
 
+def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: score every non-src0 document by hashed-unigram
+    importance against the src0 target corpus — bucket-count tables stay
+    ≤1024 rows (broadcast), per-doc sums are exact integers."""
+    from stellar_etl_spark.operators.text import dsir_importance
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "is_target", F.col("source") == "src0"
+    )
+    return dsir_importance(docs)
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per (lang, source): BPE-ish subword tokens
+    per whitespace word and bytes per token — the standard tokenizer-fit
+    diagnostic before committing a vocab to a corpus.  Map-only token
+    counting, one partial-aggregated shuffle; ratios via the exact-integer
+    round-6 path."""
+    from stellar_etl_spark.operators.dedup import tokenize_words
+    from stellar_etl_spark.operators.text import BPE_PATTERN
+    from stellar_etl_spark.operators.util import exact_ratio_round6
+
+    docs = table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        "source",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 1)
+        ).alias("n_bpe"),
+        F.size(tokenize_words(F.col("text"))).alias("n_words"),
+        F.octet_length("text").alias("n_bytes"),
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "total_bpe_tokens",
+            exact_ratio_round6("total_bpe_tokens", "total_words").alias(
+                "fertility"
+            ),
+            exact_ratio_round6("total_bytes", "total_bpe_tokens").alias(
+                "bytes_per_token"
+            ),
+        )
+    )
+
+
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embedding corpus: exact-integer k-means cells,
     within-cell pairwise cosine at τ=0.35, drop docs dominated by an
@@ -2203,6 +2258,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_clusters": kmeans_clusters,
     "semantic_dedup": semantic_dedup,
     "hybrid_rrf_search": hybrid_rrf_search,
+    "dsir_selection": dsir_selection,
+    "tokenizer_fertility": tokenizer_fertility,
     "variant_props_profile": variant_props_profile,
     "snapshot_upsert": snapshot_upsert,
     "waveform_windows": waveform_windows,

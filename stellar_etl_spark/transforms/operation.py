@@ -503,13 +503,13 @@ def transform_operation(
         # struct field cannot be both, so the string variant rides under a
         # sibling name and is renamed in the serialized JSON (the two are
         # mutually exclusive by construction)
-        F.regexp_replace(
-            F.regexp_replace(
+        F.replace(
+            F.replace(
                 F.to_json(details, {"ignoreNullFields": "true"}),
-                '"source_amount_str":',
-                '"source_amount":',
+                F.lit('"source_amount_str":'),
+                F.lit('"source_amount":'),
             ),
-            '"amount_str":',
-            '"amount":',
+            F.lit('"amount_str":'),
+            F.lit('"amount":'),
         ).alias("details_json"),
     )
