@@ -72,9 +72,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--export-types", default=None,
                     help="comma list of change entities (default all 10)")
     ap.add_argument("--stream", action="store_true",
-                    help="changes export as Structured Streaming over the "
+                    help="run the export as Structured Streaming over the "
                          "ledger directory (unbounded end=0 mode; drains "
-                         "what is landed, then stops — availableNow)")
+                         "what is landed, then stops — availableNow); "
+                         "works for every export_* subcommand")
     ap.add_argument("--start-time", default=None,
                     help="get_ledger_range_from_times lower bound")
     ap.add_argument("--end-time", default=None,
@@ -99,37 +100,91 @@ def main(argv: list[str] | None = None) -> None:
 
     cmd, out = args.command, args.output
     s, e = args.start_ledger, args.end_ledger
+
+    def _dispatch(bronze, mode="overwrite"):
+        """One export pass over a bronze frame — the SAME code path serves
+        the batch run and every streaming micro-batch (mode="append")."""
+        return _dispatch_cmd(
+            cmd, bronze, spark, args, out, s, e, fmt, extra, mode
+        )
+
+    if args.stream:
+        if cmd == "get_ledger_range_from_times":
+            raise SystemExit("--stream does not apply to range lookup")
+        from stellar_etl_spark.sources.datasource import LedgerDataSource
+
+        spark.dataSource.register(LedgerDataSource)
+        tail = (
+            spark.readStream.format("stellar_ledgers")
+            .option("path", args.ledgers_dir)
+            .load()
+        )
+
+        def process(batch_df, epoch_id):
+            _dispatch(batch_df, mode="append")
+
+        q = (
+            tail.writeStream.foreachBatch(process)
+            .option("checkpointLocation", os.path.join(out, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        print(json.dumps({"streamed": True, "command": cmd, "output": out}))
+        spark.stop()
+        return
+
+    df = _dispatch(bronze)
+    if df is not None:
+        # PrintTransformStats parity (cmd/command_utils.go:90-103)
+        n = df.count()
+        print(json.dumps({"command": cmd, "rows": n, "output": out, "fmt": fmt}))
+    spark.stop()
+
+
+def _dispatch_cmd(cmd, bronze, spark, args, out, s, e, fmt, extra, mode):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from stellar_etl_spark.plans.pipelines import EXPORT_PIPELINES
+    from stellar_etl_spark.sources import silver
+
+    types = args.export_types.split(",") if args.export_types else None
+    extra_kw = {"mode": mode}
     if cmd == "export_ledgers":
-        df = EXPORT_PIPELINES[cmd](
+        return EXPORT_PIPELINES[cmd](
             silver.decode_ledgers(bronze), silver.decode_transactions(bronze),
-            out, s, e, fmt, args.strict_export, extra,
+            out, s, e, fmt, args.strict_export, extra, **extra_kw,
         )
     elif cmd == "export_transactions":
-        df = EXPORT_PIPELINES[cmd](
+        return EXPORT_PIPELINES[cmd](
             silver.decode_transactions(bronze), silver.decode_ledgers(bronze),
-            out, s, e, fmt, args.strict_export, extra,
+            out, s, e, fmt, args.strict_export, extra, **extra_kw,
         )
     elif cmd == "export_ledger_transactions":
-        df = EXPORT_PIPELINES[cmd](
-            silver.decode_transactions(bronze), out, s, e, fmt, extra
+        return EXPORT_PIPELINES[cmd](
+            silver.decode_transactions(bronze), out, s, e, fmt, extra,
+            **extra_kw,
         )
     elif cmd in ("export_operations", "export_effects"):
-        df = EXPORT_PIPELINES[cmd](
+        return EXPORT_PIPELINES[cmd](
             silver.decode_operations(bronze), silver.decode_transactions(bronze),
-            out, s, e, fmt, extra,
+            out, s, e, fmt, extra, **extra_kw,
         )
     elif cmd == "export_trades":
-        df = EXPORT_PIPELINES[cmd](
+        return EXPORT_PIPELINES[cmd](
             silver.decode_operations(bronze), silver.decode_ledgers(bronze),
-            out, s, e, fmt, extra,
+            out, s, e, fmt, extra, **extra_kw,
         )
     elif cmd == "export_assets":
-        df = EXPORT_PIPELINES[cmd](
-            silver.decode_operations(bronze), out, s, e, fmt, extra
+        return EXPORT_PIPELINES[cmd](
+            silver.decode_operations(bronze), out, s, e, fmt, extra, **extra_kw
         )
     elif cmd == "export_contract_events":
-        df = EXPORT_PIPELINES[cmd](
-            silver.decode_contract_events(bronze), out, s, e, fmt, extra
+        return EXPORT_PIPELINES[cmd](
+            silver.decode_contract_events(bronze), out, s, e, fmt, extra,
+            **extra_kw,
         )
     elif cmd == "export_token_transfers":
         from stellar_etl_spark.transforms.token_events import (
@@ -141,10 +196,8 @@ def main(argv: list[str] | None = None) -> None:
             silver.decode_transactions(bronze),
             ledgers=silver.decode_ledgers(bronze),
         )
-        df = EXPORT_PIPELINES[cmd](events, out, s, e, fmt, extra)
+        return EXPORT_PIPELINES[cmd](events, out, s, e, fmt, extra, mode=mode)
     elif cmd == "export_orderbooks":
-        from pyspark.sql import functions as F
-
         from stellar_etl_spark.transforms.changes import (
             extract_entry_from_change,
         )
@@ -163,56 +216,24 @@ def main(argv: list[str] | None = None) -> None:
             entry["price_d"].alias("price_d"),
             "ledger_sequence",
         )
-        df = None
         star = EXPORT_PIPELINES[cmd](
-            offers, out, fmt if fmt != "json" else "parquet"
+            offers, out, fmt if fmt != "json" else "parquet", mode=mode
         )
-        print(json.dumps({"tables": sorted(star)}))
+        if mode != "append":
+            print(json.dumps({"tables": sorted(star)}))
+        return None
     elif cmd == "export_ledger_entry_changes":
-        types = args.export_types.split(",") if args.export_types else None
-        if args.stream:
-            # unbounded end=0 mode (README.md:294-296): the streaming tail
-            # over the datastore dir feeds the IDENTICAL batch pipeline per
-            # micro-batch — one code path for batch and streaming
-            from stellar_etl_spark.sources.datasource import LedgerDataSource
-
-            spark.dataSource.register(LedgerDataSource)
-            tail = (
-                spark.readStream.format("stellar_ledgers")
-                .option("path", args.ledgers_dir)
-                .load()
-            )
-
-            def process(batch_df, epoch_id):
-                EXPORT_PIPELINES["export_ledger_entry_changes"](
-                    silver.decode_changes(batch_df), out, s, e,
-                    batch_size=args.batch_size, export_types=types, fmt=fmt,
-                    mode="append",
-                )
-
-            q = (
-                tail.writeStream.foreachBatch(process)
-                .option(
-                    "checkpointLocation", os.path.join(out, "_checkpoint")
-                )
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            print(json.dumps({"streamed": True, "output": out}))
-            spark.stop()
-            return
         routed = EXPORT_PIPELINES[cmd](
             silver.decode_changes(bronze), out, s, e,
             batch_size=args.batch_size, export_types=types, fmt=fmt,
+            mode=mode,
         )
-        df = None
-        print(json.dumps({"entities": sorted(routed)}))
+        if mode != "append":
+            print(json.dumps({"entities": sorted(routed)}))
+        return None
     elif cmd == "get_ledger_range_from_times":
         if not (args.start_time and args.end_time):
             raise SystemExit("--start-time/--end-time required")
-        from pyspark.sql import functions as F
-
         ledgers = silver.decode_ledgers(bronze)
         rng = EXPORT_PIPELINES[cmd](
             ledgers,
@@ -220,16 +241,9 @@ def main(argv: list[str] | None = None) -> None:
             F.timestamp_seconds(F.lit(_time_arg(args.end_time))),
         ).first()
         print(json.dumps({"start": rng[0], "end": rng[1]}))
-        spark.stop()
-        return
+        return None
     else:  # pragma: no cover
         raise SystemExit(f"unknown command {cmd}")
-
-    if df is not None:
-        # PrintTransformStats parity (cmd/command_utils.go:90-103)
-        n = df.count()
-        print(json.dumps({"command": cmd, "rows": n, "output": out, "fmt": fmt}))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -52,77 +52,81 @@ def _sink(
     name: str,
     fmt: str = "json",
     extra_fields: dict[str, object] | None = None,
+    mode: str = "overwrite",
 ) -> DataFrame:
     path = os.path.join(out_dir, name)
     if fmt in ("json", "both"):
-        export_jsonl(df, path + ".jsonl", extra_fields)
+        export_jsonl(df, path + ".jsonl", extra_fields, mode=mode)
     if fmt in ("parquet", "both"):
-        export_parquet(df, path + ".parquet", extra_fields)
+        export_parquet(df, path + ".parquet", extra_fields, mode=mode)
     return df
 
 
 def export_ledgers(ledgers, transactions, out_dir, start=0, end=0, fmt="json",
-                   strict=False, extra_fields=None) -> DataFrame:
+                   strict=False, extra_fields=None, mode="overwrite") -> DataFrame:
     """cmd/export_ledgers.go equivalent (SURVEY.md §3.1)."""
     out = transform_ledger(
         _range(ledgers, start, end, "sequence"), transactions, strict=strict
     )
-    return _sink(out, out_dir, "ledgers", fmt, extra_fields)
+    return _sink(out, out_dir, "ledgers", fmt, extra_fields, mode=mode)
 
 
 def export_transactions(transactions, ledgers, out_dir, start=0, end=0,
-                        fmt="json", strict=False, extra_fields=None) -> DataFrame:
+                        fmt="json", strict=False, extra_fields=None,
+                        mode="overwrite") -> DataFrame:
     out = transform_transaction(_range(transactions, start, end), ledgers, strict)
-    return _sink(out, out_dir, "transactions", fmt, extra_fields)
+    return _sink(out, out_dir, "transactions", fmt, extra_fields, mode=mode)
 
 
 def export_ledger_transactions(transactions, out_dir, start=0, end=0,
-                               fmt="json", extra_fields=None) -> DataFrame:
+                               fmt="json", extra_fields=None,
+                               mode="overwrite") -> DataFrame:
     out = transform_ledger_transaction(_range(transactions, start, end))
-    return _sink(out, out_dir, "ledger_transactions", fmt, extra_fields)
+    return _sink(out, out_dir, "ledger_transactions", fmt, extra_fields, mode=mode)
 
 
 def export_operations(operations, transactions, out_dir, start=0, end=0,
-                      fmt="json", extra_fields=None) -> DataFrame:
+                      fmt="json", extra_fields=None, mode="overwrite") -> DataFrame:
     out = transform_operation(_range(operations, start, end), transactions)
-    return _sink(out, out_dir, "operations", fmt, extra_fields)
+    return _sink(out, out_dir, "operations", fmt, extra_fields, mode=mode)
 
 
 def export_effects(operations, transactions, out_dir, start=0, end=0,
-                   fmt="json", extra_fields=None) -> DataFrame:
+                   fmt="json", extra_fields=None, mode="overwrite") -> DataFrame:
     out = transform_effects(_range(operations, start, end), transactions)
-    return _sink(out, out_dir, "effects", fmt, extra_fields)
+    return _sink(out, out_dir, "effects", fmt, extra_fields, mode=mode)
 
 
 def export_trades(operations, ledgers, out_dir, start=0, end=0,
-                  fmt="json", extra_fields=None) -> DataFrame:
+                  fmt="json", extra_fields=None, mode="overwrite") -> DataFrame:
     out = transform_trade(_range(operations, start, end), ledgers)
-    return _sink(out, out_dir, "trades", fmt, extra_fields)
+    return _sink(out, out_dir, "trades", fmt, extra_fields, mode=mode)
 
 
 def export_assets(operations, out_dir, start=0, end=0, fmt="json",
-                  extra_fields=None) -> DataFrame:
+                  extra_fields=None, mode="overwrite") -> DataFrame:
     out = transform_asset(_range(operations, start, end))
-    return _sink(out, out_dir, "assets", fmt, extra_fields)
+    return _sink(out, out_dir, "assets", fmt, extra_fields, mode=mode)
 
 
 def export_contract_events(events, out_dir, start=0, end=0, fmt="json",
-                           extra_fields=None) -> DataFrame:
+                           extra_fields=None, mode="overwrite") -> DataFrame:
     out = transform_contract_events(_range(events, start, end))
-    return _sink(out, out_dir, "contract_events", fmt, extra_fields)
+    return _sink(out, out_dir, "contract_events", fmt, extra_fields, mode=mode)
 
 
 def export_token_transfers(events, out_dir, start=0, end=0, fmt="json",
-                           extra_fields=None) -> DataFrame:
+                           extra_fields=None, mode="overwrite") -> DataFrame:
     out = transform_token_transfer(_range(events, start, end))
-    return _sink(out, out_dir, "token_transfers", fmt, extra_fields)
+    return _sink(out, out_dir, "token_transfers", fmt, extra_fields, mode=mode)
 
 
-def export_orderbooks(offers, out_dir, fmt="parquet") -> dict[str, DataFrame]:
+def export_orderbooks(offers, out_dir, fmt="parquet",
+                      mode="overwrite") -> dict[str, DataFrame]:
     """cmd/export_orderbooks.go equivalent: the FNV star schema snapshot."""
     star = transform_offer_normalized(offers)
     for name, df in star.items():
-        _sink(df, out_dir, name, fmt)
+        _sink(df, out_dir, name, fmt, mode=mode)
     return star
 
 

@@ -24,20 +24,27 @@ def _with_extras(df: DataFrame, extra_fields: dict[str, object] | None) -> DataF
 
 
 def export_jsonl(
-    df: DataFrame, path: str, extra_fields: dict[str, object] | None = None
+    df: DataFrame,
+    path: str,
+    extra_fields: dict[str, object] | None = None,
+    mode: str = "overwrite",
 ) -> None:
     """Newline-delimited JSON, one object per row.  ignoreNullFields=False
     matches the reference's explicit nulls (command_utils.go:56-66 keeps
-    int64-safe values; Spark writes longs as JSON numbers losslessly)."""
-    _with_extras(df, extra_fields).write.mode("overwrite").option(
+    int64-safe values; Spark writes longs as JSON numbers losslessly).
+    ``mode="append"`` is the streaming micro-batch contract."""
+    _with_extras(df, extra_fields).write.mode(mode).option(
         "ignoreNullFields", "false"
     ).json(path)
 
 
 def export_parquet(
-    df: DataFrame, path: str, extra_fields: dict[str, object] | None = None
+    df: DataFrame,
+    path: str,
+    extra_fields: dict[str, object] | None = None,
+    mode: str = "overwrite",
 ) -> None:
-    _with_extras(df, extra_fields).write.mode("overwrite").parquet(path)
+    _with_extras(df, extra_fields).write.mode(mode).parquet(path)
 
 
 def batch_dir_name(start: int, end: int, entity: str) -> str:

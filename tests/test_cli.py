@@ -88,3 +88,31 @@ class TestCli:
         ])
         rng = json.loads(out.strip().splitlines()[-1])
         assert (rng["start"], rng["end"]) == (3, 5)
+
+    def test_streamed_transactions_equal_batch(self, xdr_dir, tmp_path):
+        """--stream now generalizes to every export subcommand: the
+        streaming tail feeds the identical transactions pipeline per
+        micro-batch (append mode), so the union of streamed batches must
+        equal the batch export row-for-row."""
+        batch_out, stream_out = str(tmp_path / "b"), str(tmp_path / "s")
+        _run([
+            "export_transactions", "--ledgers-dir", xdr_dir,
+            "--output", batch_out,
+        ])
+        _run([
+            "export_transactions", "--stream", "--ledgers-dir", xdr_dir,
+            "--output", stream_out,
+        ])
+
+        def rows(base):
+            out = []
+            for f in glob.glob(
+                os.path.join(base, "transactions.jsonl", "part-*")
+            ):
+                with open(f) as fh:
+                    out += [json.loads(l) for l in fh if l.strip()]
+            return sorted(out, key=lambda r: r["id"])
+
+        b, s = rows(batch_out), rows(stream_out)
+        assert len(b) > 0
+        assert b == s
