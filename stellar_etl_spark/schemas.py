@@ -17,7 +17,7 @@ LEDGERS_DDL = f"""
     ledger_header string, closed_at timestamp, total_coins long, fee_pool long,
     base_fee long, base_reserve long, max_tx_set_size long, protocol_version long,
     soroban_fee_write_1kb long, total_byte_size_of_bucket_list long,
-    node_id string, signature string
+    node_id string, signature string, ledger_header_history string
 """
 
 TRANSACTIONS_DDL = """

@@ -1343,7 +1343,10 @@ def decode_ledgers(bronze: DataFrame) -> DataFrame:
 
     from stellar_etl_spark.functions.strkey import VERSION_ACCOUNT, encode_strkey
     from stellar_etl_spark.schemas import LEDGERS_DDL
-    from stellar_etl_spark.sources.xdr import write_ledger_header
+    from stellar_etl_spark.sources.xdr import (
+        _write_header_entry,
+        write_ledger_header,
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
@@ -1352,6 +1355,7 @@ def decode_ledgers(bronze: DataFrame) -> DataFrame:
             "base_fee", "base_reserve", "max_tx_set_size",
             "protocol_version", "soroban_fee_write_1kb",
             "total_byte_size_of_bucket_list", "node_id", "signature",
+            "ledger_header_history",
         ]
         for pdf in batches:
             rows = []
@@ -1360,6 +1364,11 @@ def decode_ledgers(bronze: DataFrame) -> DataFrame:
                 h = meta["header"]
                 w = Writer()
                 write_ledger_header(w, h)
+                # the full LedgerHeaderHistoryEntry (hash + header + ext) —
+                # the ledger_transactions table's tx_ledger_history blob
+                # (ledger_transaction.go:37-40)
+                we = Writer()
+                _write_header_entry(we, meta["entry_hash"], h)
                 node_id = signature = None
                 if h.close_value_signature is not None:
                     nid, sig = h.close_value_signature
@@ -1382,6 +1391,7 @@ def decode_ledgers(bronze: DataFrame) -> DataFrame:
                         None,
                         node_id,
                         signature,
+                        base64.b64encode(we.bytes()).decode(),
                     )
                 )
             yield pd.DataFrame(rows, columns=cols)

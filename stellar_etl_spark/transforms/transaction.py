@@ -192,15 +192,21 @@ def transform_ledger_transaction(
 ) -> DataFrame:
     """Raw-XDR passthrough table (ledger_transaction.go:13-58) — narrow
     projection, no decode of operations (column pruning does the work).
-    ``closed_at`` comes from the broadcast ledger-header join when ``ledgers``
-    is given; null otherwise."""
+    ``closed_at`` and the ``tx_ledger_history`` LedgerHeaderHistoryEntry
+    blob (ledger_transaction.go:37-40) come from the broadcast
+    ledger-header join when ``ledgers`` is given; null otherwise."""
+    hdr_blob = F.lit(None).cast("string")
     if ledgers is not None:
-        hdr = F.broadcast(
-            ledgers.select(
-                F.col("sequence").alias("_seq"),
-                F.col("closed_at").alias("closed_at"),
+        cols = [
+            F.col("sequence").alias("_seq"),
+            F.col("closed_at").alias("closed_at"),
+        ]
+        if "ledger_header_history" in ledgers.columns:
+            cols.append(
+                F.col("ledger_header_history").alias("_hdr_hist")
             )
-        )
+            hdr_blob = F.col("_hdr_hist")
+        hdr = F.broadcast(ledgers.select(*cols))
         transactions = transactions.join(
             hdr, transactions.ledger_sequence == hdr._seq, "left"
         )
@@ -216,10 +222,11 @@ def transform_ledger_transaction(
         F.col("tx_result"),
         F.col("tx_meta"),
         F.col("tx_fee_meta"),
-        # TxLedgerHistory — the envelope+result+participation wrapper
-        # (ledger_transaction.go:40-47); rides through from the decode slot
-        # (falls back to the result blob when the decoder didn't supply one)
-        F.coalesce(F.col("tx_ledger_history"), F.col("tx_result")).alias(
+        # TxLedgerHistory = MarshalBase64(LedgerHeaderHistoryEntry)
+        # (ledger_transaction.go:37-40) — the ledger's own header entry,
+        # identical for every tx in the ledger; prefers the decoder-supplied
+        # per-tx blob when a source carries one
+        F.coalesce(F.col("tx_ledger_history"), hdr_blob).alias(
             "tx_ledger_history"
         ),
         F.col("closed_at"),

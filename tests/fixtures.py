@@ -43,6 +43,7 @@ def _ledger(seq, protocol=20, total_coins=10**12, fee_pool=100):
         0,
         ACCOUNT_A,
         "c2ln",
+        "aGRyaGlzdA==",  # b64("hdrhist") — LedgerHeaderHistoryEntry blob
     )
 
 

@@ -66,12 +66,24 @@ def assemble_golden_lcms() -> dict[int, bytes]:
         read_transaction_result,
     )
 
+    from stellar_etl_spark.sources.xdr import _read_header_entry
+
     headers: dict[int, tuple[LedgerHeader, bytes]] = {}
     for row in golden_rows("ledgers"):
         h = read_ledger_header(
             Reader(base64.b64decode(row["ledger_header"]))
         )
         headers[h.ledger_seq] = (h, bytes.fromhex(row["ledger_hash"]))
+    # the ledger_transactions goldens embed the FULL LedgerHeaderHistoryEntry
+    # (hash + header) — a second real-header source covering ledgers the
+    # ledgers goldens miss (30820015)
+    for row in golden_rows("ledger_transactions"):
+        if row["ledger_sequence"] in headers:
+            continue
+        entry_hash, h = _read_header_entry(
+            Reader(base64.b64decode(row["tx_ledger_history"]))
+        )
+        headers[h.ledger_seq] = (h, entry_hash)
 
     by_ledger: dict[int, list[dict]] = {}
     for row in golden_rows("transactions"):

@@ -312,6 +312,8 @@ class TestLedgerTransactionsMainnetParity:
             assert g["tx_result"] == m["tx_result"]
             assert g["tx_meta"] == m["tx_meta"]
             assert g["tx_fee_meta"] == m["tx_fee_meta"]
+            # the LedgerHeaderHistoryEntry blob re-encodes byte-identically
+            assert g["tx_ledger_history"] == m["tx_ledger_history"]
             assert g["closed_at"] == m["closed_at"].strftime(
                 "%Y-%m-%dT%H:%M:%SZ"
             )
