@@ -1353,3 +1353,28 @@ class TestHybridRRF:
         # fused order: doc 2 (both lists) first
         best = max(out.values(), key=lambda r: r.rrf_score)
         assert best.doc_id == 2
+
+
+class TestSemDeDupBlockCap:
+    def test_block_cap_bounds_neighborhood(self, spark):
+        """Clusters larger than block_cap split into id-ordered blocks;
+        domination is tested within a block — identical copies landing in
+        different blocks survive (the documented recall trade), while
+        in-block copies still dedup."""
+        from stellar_etl_spark.operators.similarity import semdedup
+
+        v = [1.0, 0.0]
+        rows = [(i, v) for i in range(6)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        out = {
+            r.vec_id: r.dropped
+            for r in semdedup(
+                df, k=1, iterations=1, tau_n=19, tau_d=20, block_cap=3
+            ).collect()
+        }
+        # block 1 = ids 0,1,2 (0 kept), block 2 = ids 3,4,5 (3 kept)
+        assert out == {
+            0: False, 1: True, 2: True, 3: False, 4: True, 5: True,
+        }
