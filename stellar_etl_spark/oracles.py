@@ -672,10 +672,34 @@ fp AS (
   SELECT doc_id,
     CAST(SUM(CASE WHEN tally > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id
+),
+-- pigeonhole band candidates with the operator's id-ordered 1024-member
+-- block cap (bands for bits=16, d=2: widths 6/5/5 at offsets 0/6/11) —
+-- the cap is part of the operator contract, so the oracle models it
+banded AS (
+  SELECT doc_id, band,
+    CASE band WHEN 0 THEN (simhash >> 0) & 63
+              WHEN 1 THEN (simhash >> 6) & 31
+              ELSE (simhash >> 11) & 31 END AS val
+  FROM fp, (SELECT unnest([0, 1, 2]) AS band) bs(band)
+),
+blocked AS (
+  SELECT doc_id, band, val,
+    (row_number() OVER (PARTITION BY band, val ORDER BY doc_id) - 1) // 1024
+      AS blk
+  FROM banded
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM blocked l JOIN blocked r
+    ON l.band = r.band AND l.val = r.val AND l.blk = r.blk
+   AND l.doc_id < r.doc_id
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+SELECT c.id_a, c.id_b,
   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+FROM cands c
+JOIN fp a ON c.id_a = a.doc_id
+JOIN fp b ON c.id_b = b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
 """,
     "tfidf_cosine_sim": """
