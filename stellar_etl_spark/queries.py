@@ -1991,27 +1991,30 @@ def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stellar_etl_spark.operators.graph import pagerank
 
     li = table(spark, sf_dir, "lineitem")
-    # distinct BEFORE the string building: the dedup shuffle moves two
-    # ints per row, not two concatenated strings (~4x narrower exchange)
+    # Iterate over INTEGER node ids (p→2k, s→2k+1): narrower exchanges and
+    # cheaper hashing than strings; the "p123"/"s45" labels the oracle uses
+    # are built only for the final 500 rows.  broadcast_ranks is valid here
+    # because |V| = |part|+|supplier| is dimension-sized (bounded catalog).
     fwd = (
         li.select("l_partkey", "l_suppkey")
         .distinct()
         .select(
-            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
     )
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    ranks = pagerank(edges, iterations=3, damping=0.85)
-    return (
-        ranks.select("node", F.round("rank", 6).alias("rank"))
-        .orderBy(F.col("rank").desc(), "node")
-        .limit(500)
+    ranks = pagerank(
+        edges, iterations=3, damping=0.85, broadcast_ranks=True, symmetric=True
     )
+    named = ranks.select(
+        F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("p")).otherwise(F.lit("s")),
+            F.shiftright("node", 1).cast("string"),
+        ).alias("node"),
+        F.round("rank", 6).alias("rank"),
+    )
+    return named.orderBy(F.col("rank").desc(), "node").limit(500)
 
 
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

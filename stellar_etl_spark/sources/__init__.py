@@ -13,6 +13,7 @@ from stellar_etl_spark.sources.sinks import (
     export_batches,
     export_jsonl,
     export_parquet,
+    export_with_stats,
     transform_stats,
 )
 
@@ -22,6 +23,7 @@ __all__ = [
     "export_batches",
     "export_jsonl",
     "export_parquet",
+    "export_with_stats",
     "fake_lcm_decoder",
     "read_ledger_files",
     "real_lcm_decoder",

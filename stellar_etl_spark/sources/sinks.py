@@ -71,16 +71,74 @@ def export_batches(
     writer.json(path) if fmt == "json" else writer.parquet(path)
 
 
-def transform_stats(attempted: DataFrame, successful: DataFrame) -> dict[str, int]:
-    """attempted/successful/failed counts (command_utils.go:90-103); two
-    cheap count jobs — at scale these are metadata-only when the DataFrames
-    are cached or parquet-backed."""
+def transform_stats(
+    attempted: DataFrame,
+    successful: DataFrame | None = None,
+    success: object | None = None,
+) -> dict[str, int]:
+    """attempted/successful/failed counts (``PrintTransformStats``,
+    command_utils.go:90-103).
+
+    Preferred single-job form: pass ``success`` (a boolean Column or column
+    name on ``attempted``) — one aggregate computes both counts.  The legacy
+    two-frame form (pre-split successful subset) costs two count jobs and is
+    kept for callers that only have the split frames."""
+    if success is not None:
+        pred = F.col(success) if isinstance(success, str) else success
+        row = attempted.agg(
+            F.count(F.lit(1)).alias("attempted"),
+            F.coalesce(
+                F.sum(pred.cast("int")), F.lit(0)
+            ).alias("successful"),
+        ).first()
+        return {
+            "attempted": row["attempted"],
+            "successful": row["successful"],
+            "failed": row["attempted"] - row["successful"],
+        }
     n_att = attempted.count()
     n_ok = successful.count()
     return {
         "attempted": n_att,
         "successful": n_ok,
         "failed": n_att - n_ok,
+    }
+
+
+def export_with_stats(
+    df: DataFrame,
+    path: str,
+    success: object,
+    fmt: str = "json",
+    extra_fields: dict[str, object] | None = None,
+    mode: str = "overwrite",
+) -> dict[str, int]:
+    """Export the successful subset AND produce transform stats in ONE job.
+
+    ``df.observe`` attaches the attempted/successful aggregates to the scan
+    *before* the success filter, so the write job itself yields the stats —
+    no second pass over the data (the reference's ExportEntry +
+    PrintTransformStats pairing, command_utils.go:55-103, without its
+    re-read).  ``success`` is a boolean Column or column name over ``df``.
+    """
+    from pyspark.sql import Observation
+
+    pred = F.col(success) if isinstance(success, str) else success
+    obs = Observation()
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("attempted"),
+        F.coalesce(F.sum(pred.cast("int")), F.lit(0)).alias("successful"),
+    ).where(pred)
+    out = _with_extras(observed, extra_fields).write.mode(mode).option(
+        "ignoreNullFields", "false"
+    )
+    out.json(path) if fmt == "json" else out.parquet(path)
+    got = obs.get
+    return {
+        "attempted": got["attempted"],
+        "successful": got["successful"],
+        "failed": got["attempted"] - got["successful"],
     }
 
 

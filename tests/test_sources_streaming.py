@@ -110,6 +110,32 @@ class TestSinks:
             "failed": 3,
         }
 
+    def test_transform_stats_single_pass(self, spark):
+        from pyspark.sql import functions as F
+
+        att = spark.range(10).withColumn("ok", F.col("id") < 7)
+        assert transform_stats(att, success="ok") == {
+            "attempted": 10,
+            "successful": 7,
+            "failed": 3,
+        }
+        assert transform_stats(att, success=F.col("id") < 3) == {
+            "attempted": 10,
+            "successful": 3,
+            "failed": 7,
+        }
+
+    def test_export_with_stats_one_job(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from stellar_etl_spark.sources import export_with_stats
+
+        df = spark.range(10).withColumn("ok", F.col("id") % 2 == 0)
+        stats = export_with_stats(df, str(tmp_path / "out"), "ok")
+        assert stats == {"attempted": 10, "successful": 5, "failed": 5}
+        back = spark.read.json(str(tmp_path / "out"))
+        assert back.count() == 5
+
 
 class TestStreaming:
     def test_stream_equals_batch(self, spark, tmp_path):
