@@ -61,6 +61,7 @@ OPERATIONS_DDL = f"""
     ledger_sequence long, tx_index int, op_index int, type int,
     source_account string, source_muxed string, tx_successful boolean,
     result_code string, trace_code string,
+    result_offer_id long,
     body struct<
         from:string, to:string, to_muxed:string, asset:{ASSET_DDL},
         amount:long,

@@ -600,6 +600,7 @@ def decode_operations(
                         )
                         res = op_results[oi] if oi < len(op_results) else None
                         atoms = []
+                        result_offer_id = None
                         if res is not None and res.get("inner_code") == 0:
                             succ = res.get("success") or {}
                             atoms = [
@@ -610,6 +611,12 @@ def decode_operations(
                                     or []
                                 )
                             ]
+                            # the resting offer of a manage-offer success —
+                            # its id is the REAL buying_offer_id for trades
+                            # (trade.go:116-118); absent for path payments
+                            # and fully-consumed offers (→ synthetic id)
+                            if isinstance(succ, dict) and succ.get("offer"):
+                                result_offer_id = succ["offer"]["offer_id"]
                         changes = (
                             [
                                 op_change_struct(pc)
@@ -639,6 +646,7 @@ def decode_operations(
                                     if res and res["code"] == 0
                                     else None
                                 ),
+                                result_offer_id=result_offer_id,
                                 body=_enrich_body(
                                     _op_body(op["type"], op["body"]),
                                     op["type"],
@@ -654,8 +662,8 @@ def decode_operations(
                 columns=[
                     "ledger_sequence", "tx_index", "op_index", "type",
                     "source_account", "source_muxed", "tx_successful",
-                    "result_code", "trace_code", "body", "claim_atoms",
-                    "changes",
+                    "result_code", "trace_code", "result_offer_id", "body",
+                    "claim_atoms", "changes",
                 ]
             )
 

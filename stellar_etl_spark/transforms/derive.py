@@ -330,6 +330,7 @@ def _op_frame_cols(type_col: Column, source: Column, body: Column,
         (k % 10 != 0).alias("tx_successful"),
         F.lit("OperationResultCodeOpInner").alias("result_code"),
         F.lit("success").alias("trace_code"),
+        F.lit(None).cast("long").alias("result_offer_id"),
         body.alias("body"),
         (atoms if atoms is not None else F.array().cast(f"array<{_ATOM_T}>")).alias(
             "claim_atoms"

@@ -94,6 +94,15 @@ def transform_trade(
         pool_pre_full["reserve_b"].alias("reserve_b"),
     )
 
+    # the resting buying offer's REAL id (trade.go:116-118), when the
+    # silver decode provides it; synthetic TOID-typed id otherwise.  Older
+    # frames without the column fall back to all-synthetic.
+    result_offer = (
+        F.col("result_offer_id")
+        if "result_offer_id" in tradable.columns
+        else F.lit(None).cast("long")
+    )
+
     exploded = (
         tradable.join(F.broadcast(hdr), tradable.ledger_sequence == hdr._seq)
         .select(
@@ -101,6 +110,7 @@ def transform_trade(
             "tx_index",
             "op_index",
             "type",
+            result_offer.alias("_result_offer_id"),
             offer_pres.alias("_offer_pres"),
             pool_pre_slim.alias("_pool_pre"),
             F.coalesce(F.col("source_account"), F.col("_tx_source")).alias(
@@ -186,6 +196,9 @@ def transform_trade(
         slippage.alias("rounding_slippage"),
         seller_is_exact.alias("seller_is_exact"),
         F.when(~is_lp, atom["offer_id"]).alias("selling_offer_id"),
-        # the buyer's "offer" is synthetic — a TOID-typed id (trade.go:116-120)
-        encode_offer_id(op_id, toid_type=True).alias("buying_offer_id"),
+        # real resting-offer id when the result carried one, else the
+        # synthetic TOID-typed id (trade.go:116-120)
+        F.coalesce(
+            F.col("_result_offer_id"), encode_offer_id(op_id, toid_type=True)
+        ).alias("buying_offer_id"),
     )

@@ -136,7 +136,7 @@ def _body(**kw):
 
 
 def _op(seq, tx, op, type_, body, successful=True, source=None, atoms=None,
-        changes=None):
+        changes=None, result_offer_id=None):
     return (
         seq,
         tx,
@@ -147,6 +147,7 @@ def _op(seq, tx, op, type_, body, successful=True, source=None, atoms=None,
         successful,
         "OperationResultCodeOpInner",
         "success",
+        result_offer_id,
         body,
         atoms or [],
         changes or [],

@@ -284,6 +284,147 @@ class TestTokenTransfersMainnetParity:
         assert monly == {}, f"mine-only: {list(monly)[:5]}"
 
 
+class TestTradesGoldenParity:
+    @pytest.fixture(scope="class")
+    def trade_frames(self, spark, tmp_path_factory):
+        from golden_trades import write_trade_ledger_dir
+
+        from stellar_etl_spark.sources.bronze import (
+            decode_ledger_files,
+            read_ledger_files,
+        )
+        from stellar_etl_spark.sources.silver import (
+            decode_ledgers,
+            decode_operations,
+            decode_transactions,
+        )
+
+        d = str(tmp_path_factory.mktemp("golden_trades"))
+        lcms = write_trade_ledger_dir(d)
+        bronze = decode_ledger_files(read_ledger_files(spark, d)).cache()
+        return {
+            "seqs": set(lcms),
+            "transactions": decode_transactions(bronze),
+            "operations": decode_operations(bronze),
+            "ledgers": decode_ledgers(bronze),
+        }
+
+    def test_all_trade_rows_recompute(self, trade_frames):
+        """Every golden history_trades row recomputes from wire bytes whose
+        trade content is the golden's own values (tests/golden_trades.py):
+        the reverse pre-change price scan skips the decoy entry and lands
+        on the golden (price_n, price_d); real resting-offer buying ids and
+        synthetic TOID-typed ids both reproduce; amounts, FarmHash asset
+        ids, strkeys, order and closed_at are exact.  Pins
+        trade.go:21-162 + 264-304 semantics on mainnet values."""
+        from golden_trades import unique_golden_trades
+
+        from stellar_etl_spark.transforms.trade import transform_trade
+
+        out = transform_trade(
+            trade_frames["operations"],
+            trade_frames["ledgers"],
+            transactions=trade_frames["transactions"],
+        ).collect()
+        mine = {int(r["history_operation_id"]): r.asDict() for r in out}
+
+        golden = unique_golden_trades()
+        assert len(golden) >= 5
+
+        missing = sorted(k for k in golden if k not in mine)
+        assert missing == [], f"trades missing: {missing}"
+        extra = sorted(k for k in mine if k not in golden)
+        assert extra == [], f"unexpected extra trades: {extra}"
+
+        for k, g in golden.items():
+            m = mine[k]
+            assert g["order"] == m["order"], k
+            assert g["ledger_closed_at"] == m["ledger_closed_at"].strftime(
+                "%Y-%m-%dT%H:%M:%SZ"
+            ), k
+            for field in (
+                "selling_account_address", "selling_asset_type",
+                "buying_account_address", "buying_asset_type",
+                "selling_asset_id", "buying_asset_id",
+                "price_n", "price_d", "trade_type",
+                "selling_offer_id", "buying_offer_id",
+                "liquidity_pool_fee", "rounding_slippage", "seller_is_exact",
+                "selling_liquidity_pool_id",
+                "selling_liquidity_pool_id_strkey",
+            ):
+                gv, mv = g.get(field), m.get(field)
+                if gv in ("", None) and mv in ("", None):
+                    continue
+                if isinstance(gv, (int, float)) and mv is not None:
+                    mv = type(gv)(mv)
+                assert gv == mv, (k, field, gv, mv)
+            for field in ("selling_asset_code", "selling_asset_issuer",
+                          "buying_asset_code", "buying_asset_issuer"):
+                gv, mv = g.get(field), m.get(field)
+                assert (gv or "") == (mv or ""), (k, field, gv, mv)
+            for field in ("selling_amount", "buying_amount"):
+                assert abs(g[field] - m[field]) <= 1e-12 * max(
+                    1.0, abs(g[field])
+                ), (k, field, g[field], m[field])
+
+
+class TestTradesMainnetConsistency:
+    def test_trades_match_golden_trade_effects(self, silver):
+        """transform_trade over the PURE-mainnet reassembled range
+        (30822015-25: real manage-offer results with real resting offers
+        and real pre-change metas) must agree with the reference's own
+        golden TRADE EFFECTS for the same ledgers: same atom count (each
+        trade emits a buyer+seller effect pair), and for every buyer-side
+        effect a trade row with the same operation, sold offer, seller and
+        both amounts."""
+        from decimal import Decimal
+
+        from stellar_etl_spark.transforms.trade import transform_trade
+
+        trades = transform_trade(
+            silver["operations"],
+            silver["ledgers"],
+            transactions=silver["transactions"],
+        ).collect()
+
+        by_op: dict = {}
+        for r in trades:
+            d = r.asDict()
+            by_op.setdefault(int(d["history_operation_id"]), []).append(d)
+
+        eff = [
+            row
+            for row in golden_rows("effects")
+            if row["ledger_sequence"] in silver["seqs"]
+            and row["type_string"] == "trade"
+        ]
+        assert len(eff) >= 8 and len(eff) % 2 == 0
+        n_trade_rows = sum(len(v) for v in by_op.values())
+        assert n_trade_rows == len(eff) // 2
+
+        matched = 0
+        for e in eff:
+            det = e["details"]
+            cands = by_op.get(int(e["operation_id"]), [])
+            assert cands, f"no trade rows for op {e['operation_id']}"
+            # buyer-side effect: counterparty seller + sold offer id match
+            hits = [
+                t
+                for t in cands
+                if t["selling_offer_id"] == det["offer_id"]
+                and t["selling_account_address"] == det["seller"]
+                and Decimal(det["bought_amount"])
+                == Decimal(str(t["selling_amount"]))
+                and Decimal(det["sold_amount"])
+                == Decimal(str(t["buying_amount"]))
+                and e["address"] == t["buying_account_address"]
+            ]
+            if hits:
+                matched += 1
+        # exactly the buyer-side half of the pairs fully matches a trade row
+        assert matched == len(eff) // 2
+
+
 class TestLedgerTransactionsMainnetParity:
     def test_blob_columns_roundtrip(self, silver):
         """transform_ledger_transaction's four XDR blob columns must equal
