@@ -368,7 +368,7 @@ SELECT
     CASE WHEN uid % 2 = 0 THEN 'ISS1' ELSE 'ISS2' END END AS asset_issuer,
   CASE WHEN pool THEN 'TLP' || CAST(uid % 10 AS VARCHAR) END AS liquidity_pool_id,
   CAST((eid % 1000000000) + b AS DOUBLE) / 10000000.0 AS balance,
-  CAST((eid % 100000000) + 100 AS DOUBLE) / 10000000.0 AS trust_line_limit,
+  CAST((eid % 100000000) + 100 AS BIGINT) AS trust_line_limit,
   eid % 16 AS flags,
   CAST(eid % 1000 AS DOUBLE) / 10000000.0 AS buying_liabilities,
   CAST(eid % 500 AS DOUBLE) / 10000000.0 AS selling_liabilities,
@@ -443,6 +443,13 @@ WITH e AS (
   FROM events WHERE event_id % 4 = 0
 ),
 s AS (
+  -- SignerSummary(): the master key is a signer row at thresholds[0]
+  -- (always 1 in the fixture, > 0 => included)
+  SELECT eid, uid, seq, ct,
+    'A' || CAST(uid AS VARCHAR) AS skey,
+    CAST(1 AS BIGINT) AS weight, CAST(NULL AS VARCHAR) AS ssponsor
+  FROM e
+  UNION ALL
   SELECT eid, uid, seq, ct,
     'K' || CAST(uid % 50 AS VARCHAR) AS skey,
     CAST(eid % 7 AS BIGINT) AS weight, CAST(NULL AS VARCHAR) AS ssponsor
@@ -588,7 +595,7 @@ SELECT
   seq AS ledger_sequence,
   1704067200 + seq * 5 AS closed_at_unix,
   seq AS last_modified_ledger,
-  'SLK' || CAST(eid AS VARCHAR) AS ledger_entry_key,
+  to_base64(encode('SLK' || CAST(eid AS VARCHAR))) AS ledger_entry_key,
   CASE WHEN eid % 6 = 0 THEN 'SP' || CAST(uid AS VARCHAR) END AS sponsor,
   (ct = 2) AS deleted
 FROM e
@@ -635,12 +642,12 @@ SELECT
   'VkFM' || CAST(eid AS VARCHAR) AS val,
   '{"val":' || CAST(eid AS VARCHAR) || '}' AS val_decoded,
   'Q0RY' || CAST(eid AS VARCHAR) AS contract_data_xdr,
-  upper(sha256('SLK' || CAST(eid AS VARCHAR))) AS ledger_key_hash,
-  to_base64(unhex(sha256('SLK' || CAST(eid AS VARCHAR)))) AS ledger_key_hash_base_64,
+  sha256('SLK' || CAST(eid AS VARCHAR)) AS ledger_key_hash,
+  to_base64(encode('SLK' || CAST(eid AS VARCHAR))) AS ledger_key_hash_base_64,
   seq AS ledger_sequence,
   1704067200 + seq * 5 AS closed_at_unix,
   seq AS last_modified_ledger,
-  'SLK' || CAST(eid AS VARCHAR) AS ledger_entry_key,
+  to_base64(encode('SLK' || CAST(eid AS VARCHAR))) AS ledger_entry_key,
   CASE WHEN eid % 6 = 0 THEN 'SP' || CAST(uid AS VARCHAR) END AS sponsor,
   (ct = 2) AS deleted
 FROM v
@@ -667,12 +674,12 @@ SELECT
   CASE WHEN v1 THEN eid % 30 END AS n_imports,
   CASE WHEN v1 THEN eid % 25 END AS n_exports,
   CASE WHEN v1 THEN eid % 4096 END AS n_data_segment_bytes,
-  upper(sha256('SLK' || CAST(eid AS VARCHAR))) AS ledger_key_hash,
-  to_base64(unhex(sha256('SLK' || CAST(eid AS VARCHAR)))) AS ledger_key_hash_base_64,
+  sha256('SLK' || CAST(eid AS VARCHAR)) AS ledger_key_hash,
+  to_base64(encode('SLK' || CAST(eid AS VARCHAR))) AS ledger_key_hash_base_64,
   seq AS ledger_sequence,
   1704067200 + seq * 5 AS closed_at_unix,
   seq AS last_modified_ledger,
-  'SLK' || CAST(eid AS VARCHAR) AS ledger_entry_key,
+  to_base64(encode('SLK' || CAST(eid AS VARCHAR))) AS ledger_entry_key,
   CASE WHEN eid % 6 = 0 THEN 'SP' || CAST(uid AS VARCHAR) END AS sponsor,
   (ct = 2) AS deleted
 FROM e
@@ -701,7 +708,7 @@ SELECT
   seq AS ledger_sequence,
   1704067200 + seq * 5 AS closed_at_unix,
   seq AS last_modified_ledger,
-  'SLK' || CAST(eid AS VARCHAR) AS ledger_entry_key,
+  to_base64(encode('SLK' || CAST(eid AS VARCHAR))) AS ledger_entry_key,
   CASE WHEN eid % 6 = 0 THEN 'SP' || CAST(uid AS VARCHAR) END AS sponsor,
   (ct = 2) AS deleted
 FROM e
@@ -720,7 +727,7 @@ SELECT
   seq AS ledger_sequence,
   1704067200 + seq * 5 AS closed_at_unix,
   seq AS last_modified_ledger,
-  'SLK' || CAST(eid AS VARCHAR) AS ledger_entry_key,
+  to_base64(encode('SLK' || CAST(eid AS VARCHAR))) AS ledger_entry_key,
   CASE WHEN eid % 6 = 0 THEN 'SP' || CAST(uid AS VARCHAR) END AS sponsor,
   (ct = 2) AS deleted
 FROM e
@@ -780,11 +787,28 @@ FROM f
 
 ENTITY_ORACLES.update(SOROBAN_ORACLES)
 
-STAR_ORACLES: dict[str, str] = {
-    # FNV-64a re-derived in DuckDB as a HUGEINT list_reduce fold over the
-    # UTF-8 code points (ASCII inputs), sign-folded to int64 — bit-exact
-    # vs functions/hashes.py fnv64a (offer_normalized.go:108-113).
-    "offer_star_fact": """
+def _fnv_sql(expr: str) -> str:
+    """FNV-64a of a VARCHAR expression re-derived in DuckDB: a HUGEINT
+    list_reduce fold over the UTF-8 code points (ASCII inputs), sign-folded
+    to int64 — bit-exact vs functions/hashes.py fnv64a
+    (offer_normalized.go fnv.New64a)."""
+    fold = (
+        "list_reduce("
+        "list_concat([CAST(14695981039346656037 AS HUGEINT)], "
+        f"list_transform(range(1, length({expr}) + 1), "
+        f"i -> CAST(ascii(substr({expr}, i, 1)) AS HUGEINT))), "
+        "(h, c) -> CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)"
+        " * 1099511628211 % 18446744073709551616)"
+    )
+    return (
+        f"CAST(CASE WHEN {fold} >= 9223372036854775808 "
+        f"THEN {fold} - 18446744073709551616 ELSE {fold} END AS BIGINT)"
+    )
+
+
+# shared derived-offer CTE: same modular formulas as derive.py offers
+# (amount raw stroops; repr columns are the "code:issuer" forms)
+_STAR_BASE = """
 WITH e AS (
   SELECT event_id AS eid, user_id AS uid,
     event_id // 500 + 2 AS seq,
@@ -804,109 +828,64 @@ WITH e AS (
   FROM e
 ), s AS (
   SELECT *,
-    CASE WHEN sell_repr <= buy_repr THEN sell_repr || '/' || buy_repr
-      ELSE buy_repr || '/' || sell_repr END AS pair,
-    printf('%d/%d/%.6f', offer_id, amount,
+    least(sell_repr, buy_repr) AS base_repr,
+    greatest(sell_repr, buy_repr) AS counter_repr,
+    least(sell_repr, buy_repr) || '/' || greatest(sell_repr, buy_repr) AS pair,
+    CASE WHEN sell_repr <= buy_repr THEN 's' ELSE 'b' END AS action,
+    CAST(price_n AS DOUBLE) / price_d AS price,
+    CAST(amount AS DOUBLE) / 10000000.0 AS real_amount,
+    printf('%d/%f/%f', offer_id,
+           CAST(amount AS DOUBLE) / 10000000.0,
            CAST(price_n AS DOUBLE) / price_d) AS offer_repr
   FROM o
 )
+"""
+
+STAR_ORACLES: dict[str, str] = {
+    # fact_offer_events: (ledger_id, offer_instance_id) only
+    # (schema.go FactOfferEvent); the instance id is FNV-64a of the
+    # "%d/%f/%f" (id, REAL amount, price) preimage (extractDimOffer)
+    "offer_star_fact": _STAR_BASE + f"""
 SELECT
   ledger_sequence AS ledger_id,
-  CAST(CASE WHEN list_reduce(
-    list_concat([CAST(14695981039346656037 AS HUGEINT)],
-                list_transform(range(1, length(offer_repr) + 1),
-                               i -> CAST(ascii(substr(offer_repr, i, 1)) AS HUGEINT))),
-    (h, c) -> CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
-              * 1099511628211 % 18446744073709551616) >= 9223372036854775808 THEN list_reduce(
-    list_concat([CAST(14695981039346656037 AS HUGEINT)],
-                list_transform(range(1, length(offer_repr) + 1),
-                               i -> CAST(ascii(substr(offer_repr, i, 1)) AS HUGEINT))),
-    (h, c) -> CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
-              * 1099511628211 % 18446744073709551616) - 18446744073709551616 ELSE list_reduce(
-    list_concat([CAST(14695981039346656037 AS HUGEINT)],
-                list_transform(range(1, length(offer_repr) + 1),
-                               i -> CAST(ascii(substr(offer_repr, i, 1)) AS HUGEINT))),
-    (h, c) -> CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
-              * 1099511628211 % 18446744073709551616) END AS BIGINT) AS offer_instance_id,
-  CAST(CASE WHEN list_reduce(
-    list_concat([CAST(14695981039346656037 AS HUGEINT)],
-                list_transform(range(1, length(pair) + 1),
-                               i -> CAST(ascii(substr(pair, i, 1)) AS HUGEINT))),
-    (h, c) -> CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
-              * 1099511628211 % 18446744073709551616) >= 9223372036854775808 THEN list_reduce(
-    list_concat([CAST(14695981039346656037 AS HUGEINT)],
-                list_transform(range(1, length(pair) + 1),
-                               i -> CAST(ascii(substr(pair, i, 1)) AS HUGEINT))),
-    (h, c) -> CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
-              * 1099511628211 % 18446744073709551616) - 18446744073709551616 ELSE list_reduce(
-    list_concat([CAST(14695981039346656037 AS HUGEINT)],
-                list_transform(range(1, length(pair) + 1),
-                               i -> CAST(ascii(substr(pair, i, 1)) AS HUGEINT))),
-    (h, c) -> CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
-              * 1099511628211 % 18446744073709551616) END AS BIGINT) AS market_id,
-  CAST(CASE WHEN list_reduce(
-    list_concat([CAST(14695981039346656037 AS HUGEINT)],
-                list_transform(range(1, length(seller_id) + 1),
-                               i -> CAST(ascii(substr(seller_id, i, 1)) AS HUGEINT))),
-    (h, c) -> CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
-              * 1099511628211 % 18446744073709551616) >= 9223372036854775808 THEN list_reduce(
-    list_concat([CAST(14695981039346656037 AS HUGEINT)],
-                list_transform(range(1, length(seller_id) + 1),
-                               i -> CAST(ascii(substr(seller_id, i, 1)) AS HUGEINT))),
-    (h, c) -> CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
-              * 1099511628211 % 18446744073709551616) - 18446744073709551616 ELSE list_reduce(
-    list_concat([CAST(14695981039346656037 AS HUGEINT)],
-                list_transform(range(1, length(seller_id) + 1),
-                               i -> CAST(ascii(substr(seller_id, i, 1)) AS HUGEINT))),
-    (h, c) -> CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
-              * 1099511628211 % 18446744073709551616) END AS BIGINT) AS account_id
+  {_fnv_sql('offer_repr')} AS offer_instance_id
 FROM s
 """,
-    "offer_star_dims": """
-WITH e AS (
-  SELECT event_id AS eid, user_id AS uid,
-    event_id // 500 + 2 AS seq,
-    CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END AS b
-  FROM events WHERE event_id % 4 = 2
-), o AS (
-  SELECT seq AS ledger_sequence,
-    'SEL' || CAST(uid AS VARCHAR) AS seller_id,
-    eid AS offer_id,
-    (eid % 10000000) + b AS amount,
-    eid % 9 + 1 AS price_n,
-    eid % 7 + 1 AS price_d,
-    CASE uid % 3 WHEN 0 THEN 'native:' WHEN 1 THEN 'USD:ISS1'
-      ELSE 'LONGCODE:ISS2' END AS sell_repr,
-    CASE (uid + 1) % 3 WHEN 0 THEN 'native:' WHEN 1 THEN 'USD:ISS1'
-      ELSE 'LONGCODE:ISS2' END AS buy_repr
-  FROM e
-), s AS (
-  SELECT *,
-    CASE WHEN sell_repr <= buy_repr THEN sell_repr || '/' || buy_repr
-      ELSE buy_repr || '/' || sell_repr END AS pair,
-    printf('%d/%d/%.6f', offer_id, amount,
-           CAST(price_n AS DOUBLE) / price_d) AS offer_repr
-  FROM o
-)
+    "offer_star_dims": _STAR_BASE + f"""
 SELECT
-  CAST(CASE WHEN list_reduce(
-    list_concat([CAST(14695981039346656037 AS HUGEINT)],
-                list_transform(range(1, length(seller_id) + 1),
-                               i -> CAST(ascii(substr(seller_id, i, 1)) AS HUGEINT))),
-    (h, c) -> CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
-              * 1099511628211 % 18446744073709551616) >= 9223372036854775808 THEN list_reduce(
-    list_concat([CAST(14695981039346656037 AS HUGEINT)],
-                list_transform(range(1, length(seller_id) + 1),
-                               i -> CAST(ascii(substr(seller_id, i, 1)) AS HUGEINT))),
-    (h, c) -> CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
-              * 1099511628211 % 18446744073709551616) - 18446744073709551616 ELSE list_reduce(
-    list_concat([CAST(14695981039346656037 AS HUGEINT)],
-                list_transform(range(1, length(seller_id) + 1),
-                               i -> CAST(ascii(substr(seller_id, i, 1)) AS HUGEINT))),
-    (h, c) -> CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
-              * 1099511628211 % 18446744073709551616) END AS BIGINT) AS account_id,
+  {_fnv_sql('seller_id')} AS account_id,
   seller_id AS address
 FROM (SELECT DISTINCT seller_id FROM s) _dedup(seller_id)
+""",
+    # dim_offers: the full DimOffer column set (schema.go:317-326) —
+    # action, maker id, base/counter REAL amounts
+    "offer_star_offers": _STAR_BASE + f"""
+SELECT horizon_offer_id, dim_offer_id, market_id, maker_id, action,
+       base_amount, counter_amount, price
+FROM (
+  SELECT
+    offer_id AS horizon_offer_id,
+    {_fnv_sql('offer_repr')} AS dim_offer_id,
+    {_fnv_sql('pair')} AS market_id,
+    {_fnv_sql('seller_id')} AS maker_id,
+    action,
+    real_amount AS base_amount,
+    real_amount * price AS counter_amount,
+    price,
+    ROW_NUMBER() OVER (PARTITION BY {_fnv_sql('offer_repr')}
+                       ORDER BY offer_id) AS rn
+  FROM s
+) WHERE rn = 1
+""",
+    # dim_markets: sorted base/counter code+issuer split (extractDimMarket)
+    "offer_star_markets": _STAR_BASE + f"""
+SELECT DISTINCT
+  {_fnv_sql('pair')} AS market_id,
+  string_split(base_repr, ':')[1] AS base_code,
+  string_split(base_repr, ':')[2] AS base_issuer,
+  string_split(counter_repr, ':')[1] AS counter_code,
+  string_split(counter_repr, ':')[2] AS counter_issuer
+FROM s
 """,
 }
 

@@ -624,11 +624,10 @@ def _derived_offers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def offer_star_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """transform_offer_normalized fact table (offer_normalized.go:16-57):
-    all three FNV-64a surrogate ids — sorted-asset-pair market id
-    (102-136), "{id}/{amount}/{price:.6f}" offer dim id (139-147), seller
-    account dim id (172-183) — re-derived bit-exactly by the oracle with a
-    HUGEINT list_reduce FNV fold."""
+    """transform_offer_normalized fact table (schema.go FactOfferEvent:
+    ledger + offer instance id only); the instance id is FNV-64a of the
+    "%d/%f/%f" (id, REAL amount, price) preimage (extractDimOffer) —
+    re-derived bit-exactly by the oracle with a HUGEINT list_reduce fold."""
     from stellar_etl_spark.transforms.offer_normalized import (
         transform_offer_normalized,
     )
@@ -636,7 +635,7 @@ def offer_star_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = transform_offer_normalized(_derived_offers(spark, sf_dir))[
         "fact_offer_events"
     ]
-    return out.select("ledger_id", "offer_instance_id", "market_id", "account_id")
+    return out.select("ledger_id", "offer_instance_id")
 
 
 def offer_star_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -650,6 +649,39 @@ def offer_star_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim_accounts"
     ]
     return out.select("account_id", "address")
+
+
+def offer_star_offers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform_offer_normalized dim_offers — the full DimOffer column set
+    (schema.go:317-326): horizon id, FNV dim/market/maker ids, 's'/'b'
+    action by sorted-base membership, REAL base/counter amounts, price."""
+    from stellar_etl_spark.transforms.offer_normalized import (
+        transform_offer_normalized,
+    )
+
+    out = transform_offer_normalized(_derived_offers(spark, sf_dir))[
+        "dim_offers"
+    ]
+    return out.select(
+        "horizon_offer_id", "dim_offer_id", "market_id", "maker_id",
+        "action", "base_amount", "counter_amount", "price",
+    )
+
+
+def offer_star_markets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform_offer_normalized dim_markets — sorted base/counter
+    code+issuer split (extractDimMarket)."""
+    from stellar_etl_spark.transforms.offer_normalized import (
+        transform_offer_normalized,
+    )
+
+    out = transform_offer_normalized(_derived_offers(spark, sf_dir))[
+        "dim_markets"
+    ]
+    return out.select(
+        "market_id", "base_code", "base_issuer",
+        "counter_code", "counter_issuer",
+    )
 
 
 ENTITY_QUERIES = {

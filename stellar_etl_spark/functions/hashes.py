@@ -207,6 +207,28 @@ def fnv64a_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda v: fnv64a(v) if v is not None else None)
 
 
+@pandas_udf(LongType())
+def fnv64a_offer_dim_udf(
+    offer_id: pd.Series, amount: pd.Series, price: pd.Series
+) -> pd.Series:
+    """FNV-64a of Go's ``fmt.Sprintf("%d/%f/%f", id, amount, price)``
+    (offer_normalized.go extractDimOffer).  The 6-dp %f MUST round the
+    exact binary double (Go/C semantics, which Python shares) — Java's
+    ``format_string`` rounds the shortest decimal repr HALF_UP instead and
+    diverges on values like 135 stroops = 0.0000135 (exact-binary
+    0.0000134999… → ``0.000013``, Java → ``0.000014``), hence the
+    Python-side formatting."""
+    return pd.Series(
+        [
+            None
+            if i is None
+            else fnv64a("%d/%f/%f" % (int(i), float(a), float(p)))
+            for i, a, p in zip(offer_id, amount, price)
+        ],
+        dtype="object",
+    )
+
+
 def asset_id_series(code: pd.Series, issuer: pd.Series, asset_type: pd.Series) -> pd.Series:
     out = []
     for c, i, t in zip(code, issuer, asset_type):

@@ -2275,3 +2275,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_outliers": value_outliers,
     "decile_transition_matrix": decile_transition_matrix,
 }
+
+# round-3 additions go at the END so the driver's rotating correctness
+# sample keeps its established ordering for pre-existing keys
+from stellar_etl_spark.entity_queries import (  # noqa: E402
+    offer_star_markets,
+    offer_star_offers,
+)
+
+QUERIES["offer_star_offers"] = offer_star_offers
+QUERIES["offer_star_markets"] = offer_star_markets

@@ -510,6 +510,37 @@ def _predicate_json(p: dict) -> str:
     return _json.dumps(p, separators=(",", ":"), default=lambda x: x.hex() if isinstance(x, bytes) else str(x))
 
 
+def _json_dumps_compact(v) -> str:
+    import json as _json
+
+    return _json.dumps(v, separators=(",", ":"))
+
+
+def predicate_ref_json(p: dict) -> dict:
+    """Decoded ClaimPredicate → the reference's JSON shape (Go xdr
+    MarshalJSON as seen in testdata/changes/claimable_balances.golden):
+    ``{"unconditional":true}``, ``{"and":[...]}``, ``{"not":{...}}``,
+    ``{"abs_before":"<RFC3339>","abs_before_epoch":"<unix-string>"}``."""
+    from datetime import datetime, timezone
+
+    t = p["type"]
+    if t == "unconditional":
+        return {"unconditional": True}
+    if t in ("and", "or"):
+        return {t: [predicate_ref_json(q) for q in p["preds"]]}
+    if t == "not":
+        return {"not": predicate_ref_json(p["pred"]) if p["pred"] else None}
+    if t == "before_absolute_time":
+        ts = p["abs_before"]
+        iso = datetime.fromtimestamp(ts, tz=timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        )
+        return {"abs_before": iso, "abs_before_epoch": str(ts)}
+    if t == "before_relative_time":
+        return {"rel_before": str(p["rel_before"])}
+    raise ValueError(f"bad predicate type {t}")
+
+
 def _match_processing(meta: dict, passphrase: str) -> list[tuple]:
     """Pair each envelope with its TransactionResultMeta by NETWORK TX HASH
     (txProcessing is in apply order, the tx set in its own order — the
@@ -744,13 +775,22 @@ _OP_RESULT_CODE_NAMES = {
 
 def sc_val_json(v) -> object:
     """JSON-able rendering of a decoded SCVal, matching the reference's
-    xdrjson shape (bytes as hex, recursive vec/map)."""
+    xdrjson shape (bytes as hex, recursive vec/map, SCAddress as its
+    strkey string — testdata/changes/contract_data.golden key_decoded)."""
     import json as _json
 
     def conv(x):
         if isinstance(x, bytes):
             return x.hex()
         if isinstance(x, dict):
+            if set(x) == {"address"} and isinstance(x["address"], dict):
+                s = _addr_str(x["address"])
+                if s is not None:
+                    return {"address": s}
+            # void union arms render as the bare arm name (Go xdr JSON:
+            # key_decoded "ledger_key_contract_instance" in the goldens)
+            if len(x) == 1 and next(iter(x.values())) is None:
+                return next(iter(x))
             return {k: conv(val) for k, val in x.items()}
         if isinstance(x, list):
             return [conv(e) for e in x]
@@ -964,7 +1004,10 @@ def entry_struct(e: dict | None) -> dict | None:
             "claimants": [
                 {
                     "destination": _acct(c["destination"]),
-                    "predicate": sc_val_json(c["predicate"]),
+                    # reference-shape predicate JSON (Go xdr MarshalJSON)
+                    "predicate": _json_dumps_compact(
+                        predicate_ref_json(c["predicate"])
+                    ),
                 }
                 for c in d["claimants"]
             ],
@@ -1004,7 +1047,13 @@ def entry_struct(e: dict | None) -> dict | None:
             ),
             "contract_id_bytes": cid_bytes,
             "key_type": _SCVAL_TYPE_NAMES[next(iter(d["key"]))],
-            "durability": "persistent" if d["durability"] == 1 else "temporary",
+            # Go xdr.ContractDataDurability.String() spelling
+            # (contract_data.go:112)
+            "durability": (
+                "ContractDataDurabilityPersistent"
+                if d["durability"] == 1
+                else "ContractDataDurabilityTemporary"
+            ),
             "key_xdr": base64.b64encode(wk.bytes()).decode(),
             "val_xdr": base64.b64encode(wv.bytes()).decode(),
             "key_decoded": sc_val_json(d["key"]),

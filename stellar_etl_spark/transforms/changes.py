@@ -33,14 +33,15 @@ def _pool_strkey(pool_id: Column) -> Column:
 
 
 def _ledger_key_hash_cols() -> list[Column]:
-    """``ledger_key_hash`` (hex) + ``ledger_key_hash_base_64`` over the
-    serialized ledger key (utils.LedgerEntryToLedgerKeyHash,
-    contract_data.go:68 / contract_code.go:47) — sha256 of the key bytes,
-    all JVM-side."""
-    raw = F.unhex(F.sha2(F.col("ledger_key").cast("binary"), 256))
+    """``ledger_key_hash`` = lowercase-hex sha256 of the serialized ledger
+    KEY bytes (utils.LedgerEntryToLedgerKeyHash, main.go:960-967);
+    ``ledger_key_hash_base_64`` = base64 of the key bytes themselves
+    (xdr.MarshalBase64(ledgerKey), contract_code.go:38) — NOT of the hash.
+    The ``ledger_key`` column is already the base64 key, so the second is a
+    passthrough and the first hashes its decoded bytes, all JVM-side."""
     return [
-        F.hex(raw).alias("ledger_key_hash"),
-        F.base64(raw).alias("ledger_key_hash_base_64"),
+        F.sha2(F.unbase64(F.col("ledger_key")), 256).alias("ledger_key_hash"),
+        F.col("ledger_key").alias("ledger_key_hash_base_64"),
     ]
 
 
@@ -109,10 +110,29 @@ def transform_account(changes: DataFrame) -> DataFrame:
 def transform_signers(changes: DataFrame) -> DataFrame:
     """account_signers fan-out (account_signer.go:14-55): explode the signer
     array — previously sorted by weight (line 53) — keeping per-signer
-    sponsors.  ``sort_array`` on (weight, key) keeps deterministic order."""
+    sponsors.  ``SignerSummary()`` semantics: the MASTER key (the account id
+    itself, at the master weight = thresholds[0]) is included as a signer
+    row whenever its weight is positive (stellar/go AccountEntry
+    .SignerSummary, used at account_signer.go:35).  ``sort_array`` on
+    (weight, key) keeps deterministic order where the reference's map
+    iteration + weight-only sort is nondeterministic among equal weights."""
     e = extract_entry_from_change(changes)
+    master_w = F.element_at(F.col("entry")["thresholds"], 1)
+    master_row = F.struct(
+        F.col("entry")["account_id"].alias("key"),
+        master_w.cast("int").alias("weight"),
+        F.lit(None).cast("string").alias("sponsor"),
+    )
+    explicit = F.coalesce(
+        F.col("entry")["signers"],
+        F.array().cast("array<struct<key:string,weight:int,sponsor:string>>"),
+    )
+    with_master = F.when(
+        master_w > 0, F.concat(F.array(master_row), explicit)
+    ).otherwise(explicit)
+    e = e.withColumn("_all_signers", with_master)
     sorted_signers = F.expr(
-        "array_sort(entry.signers, (l, r) -> "
+        "array_sort(_all_signers, (l, r) -> "
         "CASE WHEN l.weight < r.weight THEN -1 WHEN l.weight > r.weight THEN 1 "
         "WHEN l.key < r.key THEN -1 WHEN l.key > r.key THEN 1 ELSE 0 END)"
     )
@@ -142,14 +162,35 @@ def transform_signers(changes: DataFrame) -> DataFrame:
     )
 
 
+_RAW_ASSET_TYPE_STRINGS = {
+    "native": "AssetTypeAssetTypeNative",
+    "credit_alphanum4": "AssetTypeAssetTypeCreditAlphanum4",
+    "credit_alphanum12": "AssetTypeAssetTypeCreditAlphanum12",
+}
+
+
+def _raw_asset_type(canonical: Column) -> Column:
+    """Canonical asset type → the Go xdr.AssetType.String() enum spelling.
+    Unknown/synthetic-fixture spellings pass through unchanged."""
+    out = F.lit(None).cast("string")
+    for k, v in _RAW_ASSET_TYPE_STRINGS.items():
+        out = F.when(canonical == k, F.lit(v)).otherwise(out)
+    return F.coalesce(out, canonical)
+
+
 def transform_trustline(changes: DataFrame) -> DataFrame:
     """trust_lines (trustline.go:18-91): pool-share branch when pool_id is
-    set (lines 43-55); the asset id hashes the RAW type string — the
-    reference's quirk (trustline.go:57) — which our fixture asset_type
-    already is."""
+    set (lines 43-55); the asset id hashes the RAW Go enum type string —
+    the reference's quirk (trustline.go:57: ``asset.Type.String()``), with
+    empty code/issuer for pool shares; the limit stays RAW int64
+    (trustline.go ``TrustlineLimit: int64(trustEntry.Limit)``), unlike the
+    stroops→real balances."""
     e = extract_entry_from_change(changes)
     entry = F.col("entry")
     is_pool = entry["pool_id"].isNotNull()
+    raw_type = F.when(
+        is_pool, F.lit("AssetTypeAssetTypePoolShare")
+    ).otherwise(_raw_asset_type(entry["asset"]["asset_type"]))
     return e.select(
         F.col("ledger_key").alias("ledger_key"),
         entry["account_id"].alias("account_id"),
@@ -158,11 +199,15 @@ def transform_trustline(changes: DataFrame) -> DataFrame:
         .alias("asset_type"),
         F.when(~is_pool, entry["asset"]["asset_code"]).alias("asset_code"),
         F.when(~is_pool, entry["asset"]["asset_issuer"]).alias("asset_issuer"),
-        F.when(~is_pool, _aid(entry["asset"])).alias("asset_id"),
+        asset_id(
+            F.coalesce(entry["asset"]["asset_code"], F.lit("")),
+            F.coalesce(entry["asset"]["asset_issuer"], F.lit("")),
+            raw_type,
+        ).alias("asset_id"),
         entry["pool_id"].alias("liquidity_pool_id"),
         _pool_strkey(entry["pool_id"]).alias("liquidity_pool_id_strkey"),
         stroops_to_real(entry["balance"]).alias("balance"),
-        stroops_to_real(entry["limit"]).alias("trust_line_limit"),
+        entry["limit"].alias("trust_line_limit"),
         entry["flags"].alias("flags"),
         stroops_to_real(F.coalesce(entry["liabilities"]["buying"], F.lit(0))).alias(
             "buying_liabilities"
@@ -233,13 +278,16 @@ def transform_claimable_balance(changes: DataFrame) -> DataFrame:
     e = extract_entry_from_change(changes)
     entry = F.col("entry")
     raw_bid = F.unhex(entry["balance_id"])
+    # BalanceId.MustEncodeToStrkey() (claimable_balance.go:40): the strkey
+    # payload is the 1-byte type discriminant + 32-byte hash (33 bytes),
+    # i.e. the serialized 4-byte-BE type collapses to its low byte
+    strkey_payload = F.substring(raw_bid, 4, 33)
     return e.select(
         entry["balance_id"].alias("balance_id"),
-        # 'B' strkey over the serialized balance id bytes
-        # (claimable_balance.go:36-43); null for non-hex fixture ids
-        F.when(F.length(raw_bid) > 0, strkey_claimable_udf(raw_bid)).alias(
-            "balance_id_strkey"
-        ),
+        # null for non-hex fixture ids
+        F.when(
+            F.length(raw_bid) == 36, strkey_claimable_udf(strkey_payload)
+        ).alias("balance_id_strkey"),
         entry["claimants"].alias("claimants"),
         entry["asset"]["asset_type"].alias("asset_type"),
         entry["asset"]["asset_code"].alias("asset_code"),

@@ -975,7 +975,11 @@ def _soroban_changes_cols() -> tuple:
         entity.alias("entry_type"),
         change_type.alias("change_type"),
         (eid % 8).cast("int").alias("change_index"),
-        F.concat(F.lit("SLK"), eid.cast("string")).alias("ledger_key"),
+        # valid-base64 keys: transform ledger_key_hash cols sha256 the
+        # base64-DECODED key bytes (utils.LedgerEntryToLedgerKeyHash)
+        F.base64(F.concat(F.lit("SLK"), eid.cast("string")).cast("binary")).alias(
+            "ledger_key"
+        ),
         seq.alias("last_modified_ledger"),
         F.when(eid % 6 == 0, F.concat(F.lit("SP"), uid.cast("string"))).alias("sponsor"),
         F.when(change_type >= 1, entry(1)).otherwise(null_entry).alias("pre"),

@@ -12,8 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from stellar_etl_spark.functions.hashes import fnv64a_udf
-from stellar_etl_spark.functions.scalars import price_to_float
+from stellar_etl_spark.functions.hashes import fnv64a_offer_dim_udf, fnv64a_udf
+from stellar_etl_spark.functions.scalars import price_to_float, stroops_to_real
 
 
 def _asset_repr(asset: Column) -> Column:
@@ -33,48 +33,70 @@ def transform_offer_normalized(offers: DataFrame) -> dict[str, DataFrame]:
     output of transforms.changes.transform_offer pre-projection inputs).
 
     Expects columns: seller_id, offer_id, selling struct, buying struct,
-    amount, price_n, price_d, ledger_sequence.
+    amount (raw stroops), price_n, price_d, ledger_sequence.
+
+    Output columns mirror NormalizedOfferOutput (schema.go:310-348):
+    - dim_markets: market_id + base/counter code+issuer split from the
+      SORTED "code:issuer" pair (extractDimMarket, offer_normalized.go
+      sorted assets → base = assets[0])
+    - dim_offers: horizon_offer_id, dim_offer_id over the "%d/%f/%f"
+      preimage of (offer id, REAL-unit amount, price) — extractDimOffer;
+      formatted in the Python UDF because Go/C %f rounds the exact binary
+      double while Java's format_string rounds the shortest decimal repr —
+      maker_id, action 's' when the selling asset is the sorted base else
+      'b', base_amount (real units), counter_amount = base*price, price
+    - dim_accounts: FNV of the seller strkey + address
+    - fact_offer_events: (ledger_id, offer_instance_id) only
     """
     price = price_to_float(F.col("price_n"), F.col("price_d"))
+    real_amount = stroops_to_real(F.col("amount"))
     # market id hashes the SORTED asset pair (offer_normalized.go:102-136)
     sell_repr = _asset_repr(F.col("selling"))
     buy_repr = _asset_repr(F.col("buying"))
-    pair = F.when(
-        sell_repr <= buy_repr, F.concat_ws("/", sell_repr, buy_repr)
-    ).otherwise(F.concat_ws("/", buy_repr, sell_repr))
+    base_repr = F.least(sell_repr, buy_repr)
+    counter_repr = F.greatest(sell_repr, buy_repr)
+    pair = F.concat_ws("/", base_repr, counter_repr)
 
     base = offers.select(
         F.col("ledger_sequence"),
         F.col("seller_id"),
         F.col("offer_id"),
-        F.col("amount"),
-        F.col("price_n"),
-        F.col("price_d"),
+        real_amount.alias("amount"),
         price.alias("price"),
-        sell_repr.alias("selling_repr"),
-        buy_repr.alias("buying_repr"),
+        base_repr.alias("base_repr"),
+        counter_repr.alias("counter_repr"),
+        # action: 's' when the SELLING asset is the sorted base
+        # (extractDimOffer)
+        F.when(sell_repr == base_repr, F.lit("s"))
+        .otherwise(F.lit("b"))
+        .alias("action"),
         fnv64a_udf(pair).alias("market_id"),
-        # offer dim id over "{offer_id}/{amount}/{price}" (139-147)
-        fnv64a_udf(
-            F.format_string(
-                "%d/%d/%.6f", F.col("offer_id"), F.col("amount"), price
-            )
+        # offer dim id over "%d/%f/%f" of (id, real amount, price)
+        # (extractDimOffer importantFields); formatted Python-side — Go/C
+        # %f rounds the exact binary double, Java's format_string doesn't
+        fnv64a_offer_dim_udf(
+            F.col("offer_id"), real_amount, price
         ).alias("offer_dim_id"),
-        # account dim id over the seller strkey (172-183)
+        # account dim id over the seller strkey (extractDimAccount)
         fnv64a_udf(F.col("seller_id")).alias("account_dim_id"),
     )
 
     dim_markets = base.select(
         F.col("market_id"),
-        F.col("selling_repr").alias("base_asset"),
-        F.col("buying_repr").alias("counter_asset"),
+        F.split(F.col("base_repr"), ":").getItem(0).alias("base_code"),
+        F.split(F.col("base_repr"), ":").getItem(1).alias("base_issuer"),
+        F.split(F.col("counter_repr"), ":").getItem(0).alias("counter_code"),
+        F.split(F.col("counter_repr"), ":").getItem(1).alias("counter_issuer"),
     ).dropDuplicates(["market_id"])
 
     dim_offers = base.select(
+        F.col("offer_id").alias("horizon_offer_id"),
         F.col("offer_dim_id").alias("dim_offer_id"),
-        F.col("offer_id").alias("horizon_id"),
         F.col("market_id"),
-        F.col("amount"),
+        F.col("account_dim_id").alias("maker_id"),
+        F.col("action"),
+        F.col("amount").alias("base_amount"),
+        (F.col("amount") * F.col("price")).alias("counter_amount"),
         F.col("price"),
     ).dropDuplicates(["dim_offer_id"])
 
@@ -86,8 +108,6 @@ def transform_offer_normalized(offers: DataFrame) -> dict[str, DataFrame]:
     fact_offer_events = base.select(
         F.col("ledger_sequence").alias("ledger_id"),
         F.col("offer_dim_id").alias("offer_instance_id"),
-        F.col("market_id"),
-        F.col("account_dim_id").alias("account_id"),
     )
 
     return {

@@ -425,6 +425,520 @@ class TestTradesMainnetConsistency:
         assert matched == len(eff) // 2
 
 
+def _norm(v):
+    """Golden empty-string/zero vs our null normalization."""
+    return None if v in ("", None) else v
+
+
+@pytest.fixture(scope="module")
+def change_frames(spark, tmp_path_factory):
+    from golden_changes import collect_change_goldens, write_change_ledger_dir
+
+    from stellar_etl_spark.sources.bronze import (
+        decode_ledger_files,
+        read_ledger_files,
+    )
+    from stellar_etl_spark.sources.silver import decode_changes
+
+    d = str(tmp_path_factory.mktemp("golden_changes"))
+    write_change_ledger_dir(d)
+    bronze = decode_ledger_files(read_ledger_files(spark, d))
+    return {
+        "changes": decode_changes(bronze).cache(),
+        "golden": collect_change_goldens(),
+    }
+
+
+class TestChangesGoldenParity:
+    """Every change-export golden row recomputes from wire bytes whose
+    entry content is the golden's own values (tests/golden_changes.py):
+    bronze → decode_changes → per-entity transform, row-keyed compare.
+    Pins export_ledger_entry_changes.go:116-259 + the per-entity transform
+    files on mainnet values (1749 pools, 245 claimable balances, all 14
+    config arms, contract code/data, ttl, plus the accounts / signers /
+    trustlines bucket families).  The offers bucket golden only carries
+    FarmHash asset ids (not invertible) — documented skip in
+    golden_changes.py."""
+
+    def _routed(self, change_frames, name):
+        from stellar_etl_spark.transforms.changes import route_change
+
+        return route_change(change_frames["changes"], name).collect()
+
+    def test_pools_recompute(self, change_frames):
+        rows = self._routed(change_frames, "liquidity_pools")
+        mine = {
+            (r["ledger_sequence"], r["liquidity_pool_id"]): r.asDict()
+            for r in rows
+        }
+        golden = change_frames["golden"]["pools"]
+        assert len(golden) >= 1700
+        for g in golden:
+            k = (g["ledger_sequence"], g["liquidity_pool_id"])
+            assert k in mine, k
+            m = mine[k]
+            for f in (
+                "liquidity_pool_id_strkey", "type", "fee", "trustline_count",
+                "asset_a_type", "asset_a_code", "asset_a_issuer", "asset_a_id",
+                "asset_b_type", "asset_b_code", "asset_b_issuer", "asset_b_id",
+                "last_modified_ledger", "ledger_entry_change", "deleted",
+            ):
+                gv, mv = _norm(g.get(f)), _norm(m.get(f))
+                if isinstance(gv, (int, float)) and mv is not None:
+                    mv = type(gv)(mv)
+                assert gv == mv, (k, f, gv, mv)
+            for f in ("pool_share_count", "asset_a_amount", "asset_b_amount"):
+                assert abs(g[f] - m[f]) <= 1e-12 * max(1.0, abs(g[f])), (k, f)
+            assert g["closed_at"] == m["closed_at"].strftime(
+                "%Y-%m-%dT%H:%M:%SZ"
+            ), k
+
+    def test_claimable_balances_recompute(self, change_frames):
+        rows = self._routed(change_frames, "claimable_balances")
+        mine = {
+            (r["ledger_sequence"], r["balance_id"]): r.asDict() for r in rows
+        }
+        golden = change_frames["golden"]["claimable_balances"]
+        assert len(golden) >= 240
+        for g in golden:
+            k = (g["ledger_sequence"], g["balance_id"])
+            assert k in mine, k
+            m = mine[k]
+            assert g["balance_id_strkey"] == m["balance_id_strkey"], k
+            assert _norm(g.get("sponsor")) == _norm(m.get("sponsor")), k
+            assert g["flags"] == (m["flags"] or 0), k
+            assert g["asset_id"] == m["asset_id"], k
+            assert _norm(g["asset_code"]) == _norm(m["asset_code"]), k
+            assert _norm(g["asset_issuer"]) == _norm(m["asset_issuer"]), k
+            assert g["asset_type"] == m["asset_type"], k
+            assert abs(g["asset_amount"] - m["asset_amount"]) <= 1e-12 * max(
+                1.0, abs(g["asset_amount"])
+            ), k
+            assert g["deleted"] == m["deleted"], k
+            assert g["ledger_entry_change"] == m["ledger_entry_change"], k
+            gcl = [
+                (c["destination"], json.dumps(c["predicate"], sort_keys=True))
+                for c in g["claimants"]
+            ]
+            mcl = [
+                (c["destination"], json.dumps(
+                    json.loads(c["predicate"]), sort_keys=True
+                ))
+                for c in (m["claimants"] or [])
+            ]
+            assert gcl == mcl, k
+
+    def test_config_settings_recompute(self, change_frames):
+        rows = self._routed(change_frames, "config_settings")
+        mine = {r["config_setting_id"]: r.asDict() for r in rows}
+        golden = change_frames["golden"]["config_setting"]
+        assert len(golden) == 14  # all union arms 0-13
+        for g in golden:
+            cid = g["config_setting_id"]
+            assert cid in mine, cid
+            m = mine[cid]
+            for f, gv in g.items():
+                if f not in m or f in ("closed_at",):
+                    continue
+                mv = m[f]
+                if f in (
+                    "contract_cost_params_cpu_insns",
+                    "contract_cost_params_mem_bytes",
+                ):
+                    parsed = [json.loads(p) for p in (mv or [])]
+                    assert [int(p["ConstTerm"]) for p in gv] == [
+                        p["const_term"] for p in parsed
+                    ], (cid, f)
+                    assert [int(p["LinearTerm"]) for p in gv] == [
+                        p["linear_term"] for p in parsed
+                    ], (cid, f)
+                    continue
+                if f == "bucket_list_size_window":
+                    assert [int(x) for x in gv] == list(mv or []), (cid, f)
+                    continue
+                if isinstance(gv, bool):
+                    mv = bool(mv)
+                elif isinstance(gv, (int, float)) and mv is not None:
+                    mv = type(gv)(mv)
+                if _norm(gv) in (None, 0) and _norm(mv) in (None, 0):
+                    continue
+                assert gv == mv, (cid, f, gv, mv)
+
+    def test_contract_code_recompute(self, change_frames):
+        rows = self._routed(change_frames, "contract_code")
+        mine = {
+            (r["ledger_sequence"], r["contract_code_hash"]): r.asDict()
+            for r in rows
+        }
+        for g in change_frames["golden"]["contract_code"]:
+            k = (g["ledger_sequence"], g["contract_code_hash"])
+            assert k in mine, k
+            m = mine[k]
+            # the two derived key columns: hex sha256 of the KEY bytes and
+            # base64 of the key bytes themselves (main.go:960-967)
+            assert g["ledger_key_hash"] == m["ledger_key_hash"], k
+            assert (
+                g["ledger_key_hash_base_64"] == m["ledger_key_hash_base_64"]
+            ), k
+            assert g["contract_code_ext_v"] == (m["contract_code_ext_v"] or 0)
+            for f in (
+                "n_instructions", "n_functions", "n_globals",
+                "n_table_entries", "n_types", "n_data_segments",
+                "n_elem_segments", "n_imports", "n_exports",
+                "n_data_segment_bytes",
+            ):
+                assert (g.get(f) or 0) == (m.get(f) or 0), (k, f)
+            assert g["deleted"] == m["deleted"], k
+
+    def test_contract_data_recompute(self, change_frames):
+        rows = self._routed(change_frames, "contract_data")
+        mine = {
+            (r["ledger_sequence"], r["ledger_key_hash"]): r.asDict()
+            for r in rows
+        }
+        golden = change_frames["golden"]["contract_data"]
+        assert len(golden) >= 9
+        for g in golden:
+            k = (g["ledger_sequence"], g["ledger_key_hash"])
+            assert k in mine, k
+            m = mine[k]
+            assert g["contract_id"] == m["contract_id"], k
+            assert g["contract_key_type"] == m["contract_key_type"], k
+            assert g["contract_durability"] == m["contract_durability"], k
+            assert g["key"] == m["key"], k
+            assert g["val"] == m["val"], k
+            assert g["contract_data_xdr"] == m["contract_data_xdr"], k
+            assert (
+                g["ledger_key_hash_base_64"] == m["ledger_key_hash_base_64"]
+            ), k
+            for f in ("asset_code", "asset_issuer", "asset_type",
+                      "balance", "balance_holder"):
+                assert _norm(g.get(f)) == _norm(m.get(f)), (k, f)
+            gd = g.get("key_decoded")
+            md = m.get("key_decoded")
+            if gd is not None and md is not None:
+                assert _details_equal(gd, json.loads(md)), k
+
+    def test_ttl_recompute(self, change_frames):
+        rows = self._routed(change_frames, "ttls")
+        mine = {
+            (r["ledger_sequence"], r["key_hash"]): r.asDict() for r in rows
+        }
+        for g in change_frames["golden"]["ttl"]:
+            k = (g["ledger_sequence"], g["key_hash"])
+            assert k in mine, k
+            m = mine[k]
+            assert g["live_until_ledger_seq"] == m["live_until_ledger_seq"], k
+            assert g["last_modified_ledger"] == m["last_modified_ledger"], k
+            assert g["deleted"] == m["deleted"], k
+
+    def test_accounts_recompute(self, change_frames):
+        rows = self._routed(change_frames, "accounts")
+        mine = {r["account_id"]: r.asDict() for r in rows}
+        golden = {
+            g["account_id"]: g for g in change_frames["golden"]["accounts"]
+        }
+        assert len(golden) >= 12
+        for aid, g in golden.items():
+            assert aid in mine, aid
+            m = mine[aid]
+            # legacy bucket golden stores stroops raw; current schema is
+            # real-unit float64 (like the reference), so giant balances
+            # carry double rounding — compare at double precision
+            import math
+
+            for rawf, realf in (
+                ("balance", "balance"),
+                ("buying_liabilities", "buying_liabilities"),
+                ("selling_liabilities", "selling_liabilities"),
+            ):
+                assert math.isclose(
+                    g[rawf], m[realf] * 1e7, rel_tol=1e-12, abs_tol=0.5
+                ), (aid, rawf, g[rawf], m[realf])
+            assert g["sequence_number"] == m["sequence_number"], aid
+            assert g["num_subentries"] == m["num_subentries"], aid
+            assert _norm(g["inflation_destination"]) == _norm(
+                m["inflation_destination"]
+            ), aid
+            assert g["flags"] == m["flags"], aid
+            assert _norm(g["home_domain"]) == _norm(m["home_domain"]), aid
+            assert g["master_weight"] == m["master_weight"], aid
+            assert g["threshold_low"] == m["threshold_low"], aid
+            assert g["threshold_medium"] == m["threshold_medium"], aid
+            assert g["threshold_high"] == m["threshold_high"], aid
+            assert g["last_modified_ledger"] == m["last_modified_ledger"], aid
+            assert g["deleted"] == m["deleted"], aid
+
+    def test_signers_recompute(self, change_frames):
+        """SignerSummary() semantics on real bucket data: the master key is
+        a signer row iff master weight > 0, plus every explicit signer."""
+        rows = self._routed(change_frames, "account_signers")
+        mine = sorted(
+            (r["account_id"], r["signer"], r["weight"], r["sponsor"])
+            for r in rows
+        )
+        seen = set()
+        golden = []
+        for s in change_frames["golden"]["signers"]:
+            k = (s["account_id"], s["signer"], s["weight"], s["sponsor"])
+            if k not in seen:
+                seen.add(k)
+                golden.append(k)
+        assert sorted(golden) == mine
+
+    def test_trustlines_recompute(self, change_frames):
+        rows = self._routed(change_frames, "trustlines")
+        mine = {
+            (r["last_modified_ledger"], r["ledger_key"]): r.asDict()
+            for r in rows
+        }
+        tmap = {0: "native", 1: "credit_alphanum4", 2: "credit_alphanum12"}
+        golden = {}
+        for g in change_frames["golden"]["trustlines"]:
+            golden[(g["last_modified_ledger"], g["ledger_key"])] = g
+        assert len(golden) >= 4
+        for lk, g in golden.items():
+            # the golden ledger_key is the REAL serialized trustline key —
+            # matching on it proves our key serialization byte-exact
+            assert lk in mine, lk
+            m = mine[lk]
+            assert g["account_id"] == m["account_id"], lk
+            assert tmap[g["asset_type"]] == m["asset_type"], lk
+            assert g["asset_code"] == m["asset_code"], lk
+            assert g["asset_issuer"] == m["asset_issuer"], lk
+            import math
+
+            assert math.isclose(
+                g["balance"], m["balance"] * 1e7, rel_tol=1e-12, abs_tol=0.5
+            ), lk
+            # raw int64 limit (trustline.go TrustlineLimit)
+            assert g["trust_line_limit"] == m["trust_line_limit"], lk
+            assert math.isclose(
+                g["buying_liabilities"], m["buying_liabilities"] * 1e7,
+                rel_tol=1e-12, abs_tol=0.5,
+            ), lk
+            assert math.isclose(
+                g["selling_liabilities"], m["selling_liabilities"] * 1e7,
+                rel_tol=1e-12, abs_tol=0.5,
+            ), lk
+            assert g["flags"] == m["flags"], lk
+            assert g["last_modified_ledger"] == m["last_modified_ledger"], lk
+            assert g["deleted"] == m["deleted"], lk
+
+
+class TestOrderbookGoldenParity:
+    """The orderbooks golden (testdata/orderbooks/single_ledger.golden:
+    testnet ledger 5000000's 33 live offers as the star schema) pins the
+    FNV dim ids on real data.  The golden's own dim tables carry every
+    offer's seller, market assets, amount and price, so the offer ENTRIES
+    are reconstructible into wire bytes and the whole
+    bronze → decode_changes → transform_offer_normalized path replays.
+
+    dim_offer_id is NOT compared against the golden: that file predates
+    the reference's stroops→real conversion (its base_amount/preimage use
+    raw stroops; current extractDimOffer formats offer.Amount, a
+    real-units float — verified by matching fnv64a("1/10000123/100.000000")
+    against the golden id).  Market/account ids, actions, horizon ids and
+    amounts are era-stable and compared exactly; our fact↔dim id
+    referential integrity is asserted instead."""
+
+    @pytest.fixture(scope="class")
+    def star(self, spark, tmp_path_factory):
+        from fractions import Fraction
+
+        from golden_changes import _changes_for, _ed
+
+        from stellar_etl_spark.sources import xdr_ledger as XL
+        from stellar_etl_spark.sources.bronze import (
+            decode_ledger_files,
+            read_ledger_files,
+        )
+        from stellar_etl_spark.sources.silver import decode_changes
+        from stellar_etl_spark.sources.xdr import (
+            LedgerHeader,
+            encode_ledger_close_meta_v0,
+            transaction_hash,
+        )
+        from stellar_etl_spark.transforms.offer_normalized import (
+            transform_offer_normalized,
+        )
+
+        rows = []
+        with open(
+            "/root/reference/testdata/orderbooks/single_ledger.golden"
+        ) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("{"):
+                    rows.append(json.loads(line))
+        # golden FNV ids are printed as uint64; our columns are int64
+        def _i64(v):
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        for r in rows:
+            for f in ("market_id", "account_id", "maker_id",
+                      "dim_offer_id", "offer_instance_id"):
+                if f in r:
+                    r[f] = _i64(r[f])
+        markets = {r["market_id"]: r for r in rows if "base_code" in r}
+        accounts = {r["account_id"]: r["address"] for r in rows if "address" in r}
+        offers = [r for r in rows if "action" in r]
+        facts = [r for r in rows if "ledger_id" in r]
+        # single_ledger + large_range overlap; keep the 5000000 snapshot
+        seq = 5000000
+        offers = {o["dim_offer_id"]: o for o in offers}.values()
+
+        def asset(code, issuer):
+            if code == "native" and not issuer:
+                return {"type": "native"}
+            t = "credit_alphanum4" if len(code) <= 4 else "credit_alphanum12"
+            return {"type": t, "code": code, "issuer": _ed(issuer)}
+
+        changes = []
+        for o in offers:
+            mk = markets[o["market_id"]]
+            base = asset(mk["base_code"], mk["base_issuer"])
+            counter = asset(mk["counter_code"], mk["counter_issuer"])
+            selling, buying = (
+                (base, counter) if o["action"] == "s" else (counter, base)
+            )
+            fr = Fraction(o["price"]).limit_denominator(10**9)
+            assert float(fr) == o["price"]
+            data = {
+                "seller_id": _ed(accounts[o["maker_id"]]),
+                "offer_id": o["horizon_offer_id"],
+                "selling": selling,
+                "buying": buying,
+                "amount": int(o["base_amount"]),
+                "price": (fr.numerator, fr.denominator),
+                "flags": 0,
+            }
+            changes.extend(
+                _changes_for(XL.ENTRY_OFFER, data, 0, seq, None)
+            )
+
+        env = {
+            "type": "v0",
+            "tx": {
+                "source": {"ed25519": b"\x09" * 32, "id": None},
+                "fee": 100,
+                "seq_num": 1,
+                "preconditions": {},
+                "memo": {"type": "none"},
+                "operations": [
+                    {"source": None, "type": 11, "body": {"bump_to": 1}}
+                ],
+            },
+            "signatures": [],
+        }
+        processing = [
+            {
+                "result": {
+                    "transaction_hash": transaction_hash(
+                        env, "Public Global Stellar Network ; September 2015"
+                    ),
+                    "result": {
+                        "fee_charged": 100,
+                        "code": 0,
+                        "op_results": [
+                            {"code": 0, "type": 11, "inner_code": 0}
+                        ],
+                    },
+                },
+                "fee_changes": [],
+                "meta": {
+                    "version": 1,
+                    "tx_changes_before": [],
+                    "operations": [{"changes": changes}],
+                    "tx_changes_after": [],
+                    "soroban": None,
+                },
+            }
+        ]
+        raw = encode_ledger_close_meta_v0(
+            LedgerHeader(ledger_seq=seq, close_time=1_580_000_000),
+            [env],
+            entry_hash=b"\x55" * 32,
+            tx_processing=processing,
+        )
+        d = tmp_path_factory.mktemp("golden_orderbooks")
+        (d / f"{seq}.xdr").write_bytes(raw)
+
+        from pyspark.sql import functions as F
+
+        ch = decode_changes(
+            decode_ledger_files(read_ledger_files(spark, str(d)))
+        ).where(F.col("entry_type") == "offer")
+        frame = ch.select(
+            "ledger_sequence",
+            F.col("post")["seller_id"].alias("seller_id"),
+            F.col("post")["offer_id"].alias("offer_id"),
+            F.col("post")["selling"].alias("selling"),
+            F.col("post")["buying"].alias("buying"),
+            F.col("post")["amount"].alias("amount"),
+            F.col("post")["price_n"].alias("price_n"),
+            F.col("post")["price_d"].alias("price_d"),
+        )
+        out = transform_offer_normalized(frame)
+        return {
+            "golden": {
+                "markets": markets,
+                "accounts": accounts,
+                "offers": list(offers),
+                "facts": facts,
+            },
+            "dim_markets": out["dim_markets"].collect(),
+            "dim_accounts": out["dim_accounts"].collect(),
+            "dim_offers": out["dim_offers"].collect(),
+            "fact": out["fact_offer_events"].collect(),
+        }
+
+    def test_market_and_account_dims_exact(self, star):
+        mine_m = {
+            r["market_id"]: r.asDict() for r in star["dim_markets"]
+        }
+        for mid, g in star["golden"]["markets"].items():
+            assert mid in mine_m, mid
+            m = mine_m[mid]
+            for f in ("base_code", "base_issuer", "counter_code",
+                      "counter_issuer"):
+                assert g[f] == (m[f] or ""), (mid, f)
+        assert len(mine_m) == len(star["golden"]["markets"]) == 4
+
+        mine_a = {r["account_id"]: r["address"] for r in star["dim_accounts"]}
+        assert mine_a == star["golden"]["accounts"]
+        assert len(mine_a) == 7
+
+    def test_offer_dims_and_fact(self, star):
+        import math
+
+        mine = {r["horizon_offer_id"]: r.asDict() for r in star["dim_offers"]}
+        golden = {o["horizon_offer_id"]: o for o in star["golden"]["offers"]}
+        assert set(mine) == set(golden) and len(mine) == 33
+        for hid, g in golden.items():
+            m = mine[hid]
+            assert g["market_id"] == m["market_id"], hid
+            assert g["maker_id"] == m["maker_id"], hid
+            assert g["action"] == m["action"], hid
+            assert g["price"] == m["price"], hid
+            assert math.isclose(
+                g["base_amount"], m["base_amount"] * 1e7,
+                rel_tol=1e-12, abs_tol=0.5,
+            ), hid
+            assert math.isclose(
+                g["counter_amount"], m["counter_amount"] * 1e7,
+                rel_tol=1e-9, abs_tol=0.5,
+            ), hid
+        # fact: one event per offer at the snapshot ledger; instance ids
+        # referentially match our dim ids
+        fact = star["fact"]
+        assert len(fact) == 33
+        assert {r["ledger_id"] for r in fact} == {5000000}
+        assert {r["offer_instance_id"] for r in fact} == {
+            r["dim_offer_id"] for r in star["dim_offers"]
+        }
+
+
 class TestLedgerTransactionsMainnetParity:
     def test_blob_columns_roundtrip(self, silver):
         """transform_ledger_transaction's four XDR blob columns must equal

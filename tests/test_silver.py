@@ -415,7 +415,9 @@ class TestFullDecode:
         assert o.offer_id == 42 and (o.pricen, o.priced) == (1, 2)
         assert o.seller_id == GB
         signers = routed["account_signers"].collect()
-        assert {s.signer for s in signers} == {GB}
+        # SignerSummary(): the master key (GA @ weight 1) joins the
+        # explicit signer GB (account_signer.go:35)
+        assert {s.signer for s in signers} == {GA, GB}
 
 
 class TestContractEventsFromMeta:

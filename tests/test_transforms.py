@@ -286,21 +286,35 @@ class TestChangesFamily:
         rows = transform_signers(
             data["changes"].where("entry_type = 'account' and change_type = 1")
         ).collect()
+        # SignerSummary(): the master key (account id @ master weight 1)
+        # is itself a signer row (account_signer.go:35)
         assert [(r.signer, r.weight) for r in rows] == [
+            (fx.ACCOUNT_A, 1),
             (fx.ACCOUNT_C, 5),
             (fx.ACCOUNT_B, 20),
         ]
-        assert rows[0].sponsor == fx.ACCOUNT_B
+        assert rows[0].sponsor is None
+        assert rows[1].sponsor == fx.ACCOUNT_B
 
     def test_trustline_pool_share_branch(self, data):
         out = {r.account_id: r for r in transform_trustline(
             data["changes"].where("entry_type = 'trustline'")).collect()}
         usd = out[fx.ACCOUNT_A]
-        assert usd.asset_type == "credit_alphanum4" and usd.asset_id == USD_ID
-        assert usd.balance == 7.0 and usd.trust_line_limit == 100.0
+        # trustline asset ids hash the RAW Go enum type string
+        # (trustline.go:57 asset.Type.String()), unlike every other table
+        assert usd.asset_type == "credit_alphanum4"
+        assert usd.asset_id == farmhash_fingerprint64(
+            "USD" + fx.ACCOUNT_B + "AssetTypeAssetTypeCreditAlphanum4"
+        )
+        # the limit stays RAW stroops (TrustlineLimit: int64(...))
+        assert usd.balance == 7.0 and usd.trust_line_limit == 1_000_000_000
         pool = out[fx.ACCOUNT_B]
         assert pool.asset_type == "pool_share"
-        assert pool.asset_id is None and pool.liquidity_pool_id == "POOL1"
+        # pool-share rows still get an id: farmhash(""+""+raw pool type)
+        assert pool.asset_id == farmhash_fingerprint64(
+            "AssetTypeAssetTypePoolShare"
+        )
+        assert pool.liquidity_pool_id == "POOL1"
 
     def test_offer_pool_cb_ttl_code(self, data):
         offer = transform_offer(
