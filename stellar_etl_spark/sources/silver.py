@@ -1319,7 +1319,11 @@ def decode_contract_events(
     def _row(h, ti, th, successful, ev, event_type_name, in_call, op_index):
         import pandas as pd  # noqa: F811
 
+        # the XDR blob is the DIAGNOSTIC event (bool + event) — the
+        # reference marshals GetDiagnosticEvents() elements
+        # (contract_events.go:75), which are always diagnostic-wrapped
         we = Writer()
+        we.bool(in_call)
         _write_contract_event(we, ev)
         sac = _classify_sac_event(ev["topics"], ev["data"])
         return dict(
@@ -1361,13 +1365,21 @@ def decode_contract_events(
                     if not soroban:
                         continue
                     ok = _result_successful(proc["result"]["result"])
-                    for ev in soroban["events"]:
-                        rows.append(
-                            _row(h, ti, th, ok, ev,
-                                 type_names.get(ev["type"], "contract"),
-                                 True, 0)
-                        )
-                    for d in soroban["diagnostic_events"]:
+                    # stellar/go GetDiagnosticEvents(): when diagnostic
+                    # events exist they ALREADY include the contract
+                    # events — emit only those; otherwise wrap the bare
+                    # contract events as diagnostic-successful
+                    if soroban["diagnostic_events"]:
+                        diags = soroban["diagnostic_events"]
+                    else:
+                        diags = [
+                            {
+                                "in_successful_contract_call": ok,
+                                "event": ev,
+                            }
+                            for ev in soroban["events"]
+                        ]
+                    for d in diags:
                         rows.append(
                             _row(h, ti, th, ok, d["event"],
                                  type_names.get(d["event"]["type"], "diagnostic"),

@@ -469,12 +469,20 @@ class TestContractEventsFromMeta:
                 "tx_changes_before": [],
                 "operations": [{"changes": []}],
                 "tx_changes_after": [],
+                # GetDiagnosticEvents() semantics: when diagnostics exist
+                # they already CONTAIN the contract events (stellar-core
+                # emits the wrapped contract event plus the extra
+                # diagnostics), so the fixture mirrors that wire shape
                 "soroban": {
                     "fees": None,
                     "events": [transfer_ev],
                     "return_value": {"void": None},
                     "diagnostic_events": [
-                        {"in_successful_contract_call": True, "event": diag_ev}
+                        {
+                            "in_successful_contract_call": True,
+                            "event": transfer_ev,
+                        },
+                        {"in_successful_contract_call": True, "event": diag_ev},
                     ],
                 },
             },
