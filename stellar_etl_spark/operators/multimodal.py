@@ -3,12 +3,11 @@
 Pattern: media ride as opaque ``binary`` payloads with a typed metadata
 struct; per-item compute (decode / feature-extract / resize / frame-sample)
 runs as Arrow-batched pandas iterators over ``mapInPandas`` — the same shape
-used for XDR decode in sources.bronze.  The actual image/audio codecs are NOT
-in this container, so the codec step is a clearly-marked stub
-(``decode_image``/``decode_audio`` raise NotImplementedError unless the lib
-is importable); everything Spark-side — schema, batching, partitioning, the
-1→N frame fan-out — is real and tested with deterministic byte-level
-features.
+used for XDR decode in sources.bronze.  ``decode_image``/``decode_audio``
+are REAL decoders backed by the stdlib-only PNG/WAV codecs in
+functions/codecs.py (zlib inflate + five-filter scanline reconstruction;
+RIFF PCM16 chunk walk) — no external imaging/audio library needed; heavier
+codecs (JPEG/MP3/video) would slot into the same mapInPandas shape.
 
 Scale shape: all operators are per-row/narrow (no shuffle); frame sampling
 fans out via ``posexplode`` exactly like the reference's tx→operations
@@ -46,25 +45,135 @@ def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image(media: DataFrame):
-    """Image decode → height/width/channels + pixel tensor.  STUB: requires
-    an imaging library not present in this environment."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "image decode requires PIL/pillow (not available in this "
-            "container); the binary plumbing path is media_byte_features / "
-            "frame_sample"
-        ) from exc
-    raise NotImplementedError("wire PIL.Image.open over mapInPandas batches")
+def attach_png_media(docs: DataFrame, filter_type: int = 4) -> DataFrame:
+    """documents → real PNG payloads (deterministic 8x8 RGB per doc_id,
+    Paeth-filtered by default so the decode path is non-trivial) — the
+    generator twin of ``decode_image`` for tests/queries."""
+    import pandas as pd
+
+    from stellar_etl_spark.functions.codecs import synth_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image/png",
+                    "payload": [
+                        synth_png(int(d), filter_type) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, media_type string, payload binary"
+    )
 
 
-def decode_audio(media: DataFrame):
-    """Audio decode → sample rate / waveform.  STUB (no codec lib here)."""
-    raise NotImplementedError(
-        "audio decode requires soundfile/librosa (not available); use "
-        "media_byte_features for the tested plumbing path"
+def attach_wav_media(docs: DataFrame) -> DataFrame:
+    """documents → real 16-bit PCM WAV payloads (64 deterministic samples
+    per doc_id) — the generator twin of ``decode_audio``."""
+    import pandas as pd
+
+    from stellar_etl_spark.functions.codecs import synth_wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "audio/wav",
+                    "payload": [synth_wav(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, media_type string, payload binary"
+    )
+
+
+def decode_image(media: DataFrame) -> DataFrame:
+    """REAL image decode over mapInPandas: the stdlib-only PNG codec
+    (functions/codecs.py — IHDR parse, IDAT inflate, full five-filter
+    scanline reconstruction) → per-image dimensions + pixel aggregates.
+
+    Output: doc_id, width, height, channels, n_pixel_bytes, pixel_sum
+    (exact int over all components), pixel_first/pixel_last.  Narrow
+    per-row compute, Arrow-batched — the plug-in slot for any heavier
+    vision featurizer at 100 TB.
+    """
+    import pandas as pd
+
+    from stellar_etl_spark.functions.codecs import png_decode
+
+    out_schema = (
+        "doc_id long, width int, height int, channels int, "
+        "n_pixel_bytes long, pixel_sum long, pixel_first int, pixel_last int"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, c, px = png_decode(bytes(p))
+                a = np.frombuffer(px, dtype=np.uint8)
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "n_pixel_bytes": len(px),
+                        "pixel_sum": int(a.sum(dtype=np.int64)),
+                        "pixel_first": int(a[0]) if len(a) else None,
+                        "pixel_last": int(a[-1]) if len(a) else None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        decode, schema=out_schema
+    )
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """REAL audio decode over mapInPandas: the stdlib-only RIFF/WAVE PCM16
+    reader (functions/codecs.py) → per-clip sample aggregates.
+
+    Output: doc_id, sample_rate, n_channels, n_samples, sample_sum (exact
+    int), sample_min, sample_max.
+    """
+    import pandas as pd
+
+    from stellar_etl_spark.functions.codecs import wav_decode
+
+    out_schema = (
+        "doc_id long, sample_rate int, n_channels int, n_samples long, "
+        "sample_sum long, sample_min int, sample_max int"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                sr, ch, samples = wav_decode(bytes(p))
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "sample_rate": sr,
+                        "n_channels": ch,
+                        "n_samples": len(samples),
+                        "sample_sum": sum(samples),
+                        "sample_min": min(samples) if samples else None,
+                        "sample_max": max(samples) if samples else None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        decode, schema=out_schema
     )
 
 

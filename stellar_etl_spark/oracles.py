@@ -2055,3 +2055,46 @@ FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 from stellar_etl_spark.entity_oracles import ENTITY_ORACLES  # noqa: E402
 
 ORACLES.update(ENTITY_ORACLES)
+
+# round-3 additions (keys appended after the entity merge, matching the
+# registry tail order in queries.py)
+
+ORACLES["media_decode_image"] = """
+WITH d AS (
+  SELECT doc_id, (3 * doc_id) % 251 AS a FROM documents
+)
+SELECT doc_id,
+  CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS channels,
+  CAST(192 AS BIGINT) AS n_pixel_bytes,
+  -- sum of (a+i) mod 251 over i in [0,192): wraps at most once
+  CAST(CASE WHEN a + 192 <= 251
+    THEN 192 * a + (192 * 191) / 2
+    ELSE (251 - a) * (a + 250) / 2
+         + (192 - (251 - a) - 1) * (192 - (251 - a)) / 2
+  END AS BIGINT) AS pixel_sum,
+  CAST(a AS INTEGER) AS pixel_first,
+  CAST((a + 191) % 251 AS INTEGER) AS pixel_last
+FROM d
+"""
+
+ORACLES["media_decode_audio"] = """
+WITH d AS (
+  SELECT doc_id, (7 * doc_id) % 2001 AS b FROM documents
+)
+SELECT doc_id,
+  CAST(8000 AS INTEGER) AS sample_rate,
+  CAST(1 AS INTEGER) AS n_channels,
+  CAST(64 AS BIGINT) AS n_samples,
+  -- sum of ((b+i) mod 2001) - 1000 over i in [0,64): wraps at most once
+  CAST(CASE WHEN b + 64 <= 2001
+    THEN 64 * b + (64 * 63) / 2
+    ELSE (2001 - b) * (b + 2000) / 2
+         + (64 - (2001 - b) - 1) * (64 - (2001 - b)) / 2
+  END - 64000 AS BIGINT) AS sample_sum,
+  CAST(CASE WHEN b + 64 <= 2001 THEN b - 1000 ELSE -1000 END
+       AS INTEGER) AS sample_min,
+  CAST(CASE WHEN b + 64 <= 2001 THEN b - 937 ELSE 1000 END
+       AS INTEGER) AS sample_max
+FROM d
+"""

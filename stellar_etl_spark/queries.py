@@ -2285,3 +2285,42 @@ from stellar_etl_spark.entity_queries import (  # noqa: E402
 
 QUERIES["offer_star_offers"] = offer_star_offers
 QUERIES["offer_star_markets"] = offer_star_markets
+
+
+def media_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end: deterministic Paeth-filtered 8x8 RGB
+    payloads per document → stdlib codec decode (functions/codecs.py) →
+    per-image dimension + exact pixel aggregates.  The oracle re-derives
+    pixel_sum/first/last in closed form from the generator formula
+    pixel_i = (3*doc_id + i) mod 251 — the decode must invert the real
+    zlib+filter encoding bit-exactly to match."""
+    from stellar_etl_spark.operators.multimodal import (
+        attach_png_media,
+        decode_image,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_image(attach_png_media(docs)).select(
+        "doc_id", "width", "height", "channels", "n_pixel_bytes",
+        "pixel_sum", "pixel_first", "pixel_last",
+    )
+
+
+def media_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAVE PCM16 decode end-to-end: 64 deterministic samples per
+    document → stdlib codec decode → per-clip aggregates; oracle re-derives
+    them from sample_i = ((7*doc_id + i) mod 2001) - 1000."""
+    from stellar_etl_spark.operators.multimodal import (
+        attach_wav_media,
+        decode_audio,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_audio(attach_wav_media(docs)).select(
+        "doc_id", "sample_rate", "n_channels", "n_samples",
+        "sample_sum", "sample_min", "sample_max",
+    )
+
+
+QUERIES["media_decode_image"] = media_decode_image
+QUERIES["media_decode_audio"] = media_decode_audio

@@ -64,12 +64,15 @@ class TestMultimodal:
         )
         assert idx3 == [0, 2]
 
-    def test_codec_stubs_raise(self, spark):
+    def test_decoders_reject_non_media_payloads(self, spark):
+        """decode_image/decode_audio are REAL now (stdlib PNG/WAV codecs);
+        feeding them the text-bytes media table must fail loudly, not
+        produce rows."""
         media = attach_media(_docs(spark))
-        with pytest.raises(NotImplementedError):
-            decode_image(media)
-        with pytest.raises(NotImplementedError):
-            decode_audio(media)
+        with pytest.raises(Exception, match="PNG|signature"):
+            decode_image(media).collect()
+        with pytest.raises(Exception, match="RIFF|WAVE"):
+            decode_audio(media).collect()
 
 
 class TestWaveformWindows:
@@ -109,3 +112,114 @@ class TestWaveformWindows:
         rows = waveform_window_stats(df).collect()
         # doc 1: one usable sample (trailing odd byte dropped); doc 2: none
         assert [(r.doc_id, r.n_samples) for r in rows] == [(1, 1)]
+
+
+class TestStdlibCodecs:
+    """The real PNG/WAV codecs (functions/codecs.py) and the decode
+    operators wired over them."""
+
+    def test_png_roundtrip_all_filters_and_channels(self):
+        import random
+
+        from stellar_etl_spark.functions.codecs import png_decode, png_encode
+
+        rnd = random.Random(7)
+        for channels in (1, 2, 3, 4):
+            px = bytes(rnd.randrange(256) for _ in range(6 * 5 * channels))
+            for ft in range(5):
+                data = png_encode(6, 5, px, channels, ft)
+                assert png_decode(data) == (6, 5, channels, px), (channels, ft)
+
+    def test_png_filter_bytes_match_spec(self):
+        """Pin the encoder's filtered scanlines against hand-computed spec
+        values (RFC 2083 §6), so a mirrored encoder/decoder bug cannot
+        cancel out in the roundtrip."""
+        import struct
+        import zlib
+
+        from stellar_etl_spark.functions.codecs import png_encode
+
+        # 2x2 gray image: rows (10, 20), (15, 240)
+        px = bytes([10, 20, 15, 240])
+
+        def raw_stream(data: bytes) -> bytes:
+            pos, idat = 8, b""
+            while pos + 8 <= len(data):
+                (length,) = struct.unpack(">I", data[pos : pos + 4])
+                tag = data[pos + 4 : pos + 8]
+                if tag == b"IDAT":
+                    idat += data[pos + 8 : pos + 8 + length]
+                pos += 12 + length
+            return zlib.decompress(idat)
+
+        # filter 1 (Sub): x - left  -> rows [10, 10], [15, 225]
+        assert raw_stream(png_encode(2, 2, px, 1, 1)) == bytes(
+            [1, 10, 10, 1, 15, 225]
+        )
+        # filter 2 (Up): x - above -> rows [10, 20], [5, 220]
+        assert raw_stream(png_encode(2, 2, px, 1, 2)) == bytes(
+            [2, 10, 20, 2, 5, 220]
+        )
+        # filter 3 (Average): x - (left+above)//2
+        #   row1: [10-0, 20-5] ; row2: [15-5, 240-(15+20)//2]
+        assert raw_stream(png_encode(2, 2, px, 1, 3)) == bytes(
+            [3, 10, 15, 3, 10, 240 - 17]
+        )
+        # filter 4 (Paeth): row1 predictor = left; row2: for x=0 pred=up(10);
+        #   for x=1: a=15,b=20,c=10 -> p=25, pa=10,pb=5,pc=15 -> pred=b=20
+        assert raw_stream(png_encode(2, 2, px, 1, 4)) == bytes(
+            [4, 10, 10, 4, 5, 220]
+        )
+
+    def test_wav_matches_stdlib_wave_reader(self):
+        import io
+        import wave
+
+        from stellar_etl_spark.functions.codecs import synth_wav, wav_decode
+
+        data = synth_wav(42)
+        wf = wave.open(io.BytesIO(data), "rb")
+        assert wf.getframerate() == 8000
+        assert wf.getnchannels() == 1
+        assert wf.getsampwidth() == 2
+        assert wf.getnframes() == 64
+        sr, ch, samples = wav_decode(data)
+        import struct
+
+        assert samples == list(
+            struct.unpack("<64h", wf.readframes(64))
+        )
+
+    def test_decode_operators_over_spark(self, spark):
+        from stellar_etl_spark.operators.multimodal import (
+            attach_png_media,
+            attach_wav_media,
+            decode_audio,
+            decode_image,
+        )
+
+        docs = spark.createDataFrame(
+            [(i,) for i in (0, 5, 123456)], "doc_id long"
+        )
+        img = {r.doc_id: r for r in decode_image(attach_png_media(docs)).collect()}
+        for d, r in img.items():
+            assert (r.width, r.height, r.channels) == (8, 8, 3)
+            expected = sum((3 * d + i) % 251 for i in range(192))
+            assert r.pixel_sum == expected, d
+            assert r.pixel_first == (3 * d) % 251
+        aud = {r.doc_id: r for r in decode_audio(attach_wav_media(docs)).collect()}
+        for d, r in aud.items():
+            samples = [((7 * d + i) % 2001) - 1000 for i in range(64)]
+            assert r.sample_rate == 8000 and r.n_samples == 64
+            assert r.sample_sum == sum(samples), d
+            assert (r.sample_min, r.sample_max) == (min(samples), max(samples))
+
+    def test_decode_rejects_garbage(self):
+        import pytest as _pytest
+
+        from stellar_etl_spark.functions.codecs import png_decode, wav_decode
+
+        with _pytest.raises(ValueError):
+            png_decode(b"not a png at all")
+        with _pytest.raises(ValueError):
+            wav_decode(b"RIFFxxxxNOPE")
