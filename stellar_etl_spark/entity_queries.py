@@ -62,6 +62,38 @@ def _jfields(*fields: tuple) -> list[F.Column]:
     return out
 
 
+def _cached_input(spark, sf_dir: str, name: str, build):
+    """Optionally materialize a derived synthetic-input frame to parquet
+    ONCE per (sf_dir, name) and read it back.
+
+    Enabled by ``SPARK_GRAFT_CACHE_DERIVED=1`` (bench.py sets it): the
+    entity-transform BENCH timings then measure the transform expression
+    trees over a parquet scan — the shape a real deployment has — instead
+    of re-paying the synthetic-input construction per run, making
+    regressions attributable (round-2 advice item 9).  Correctness runs
+    leave the flag unset and build inline; rows are identical either way
+    (derive.py is deterministic).
+    """
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_CACHE_DERIVED") != "1":
+        return build()
+    import hashlib as _hashlib
+
+    key = _hashlib.md5(f"{sf_dir}:{name}".encode()).hexdigest()[:16]
+    path = f"/tmp/stellar_etl_derived/{name}-{key}"
+    if not _os.path.isdir(path):
+        tmp = f"{path}.tmp{_os.getpid()}"
+        build().write.mode("overwrite").parquet(tmp)
+        try:
+            _os.rename(tmp, path)
+        except OSError:  # concurrent builder won the race
+            import shutil as _shutil
+
+            _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
 def _wide(df: DataFrame) -> DataFrame:
     """Fan a CPU-heavy derived stage out to full cluster width.
 
@@ -132,7 +164,9 @@ def op_details_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     out = transform_operation(
-        derived_operations_details(_wide(li)), derived_transactions(orders)
+        _cached_input(spark, sf_dir, "ops_details",
+                      lambda: derived_operations_details(_wide(li))),
+        derived_transactions(orders)
     )
     d = F.col("details")
     return out.select(
@@ -178,7 +212,9 @@ def op_sponsorship_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     out = transform_operation(
-        derived_operations_sponsorship(_wide(li)), derived_transactions(orders)
+        _cached_input(spark, sf_dir, "ops_sponsorship",
+                      lambda: derived_operations_sponsorship(_wide(li))),
+        derived_transactions(orders)
     )
     d = F.col("details")
     return out.select(
@@ -204,7 +240,9 @@ def trade_atoms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transform — a third exercises every branch at a third the build cost
     li = li.where(F.col("l_orderkey") % 3 == 1)
     out = transform_trade(
-        derived_operations_trades(_wide(li)), derived_ledgers(orders)
+        _cached_input(spark, sf_dir, "ops_trades",
+                      lambda: derived_operations_trades(_wide(li))),
+        derived_ledgers(orders)
     )
     return out.select(
         "history_operation_id",
@@ -234,7 +272,9 @@ def effects_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     out = transform_effects(
-        derived_operations_effects(_wide(li)), derived_transactions(orders)
+        _cached_input(spark, sf_dir, "ops_effects",
+                      lambda: derived_operations_effects(_wide(li))),
+        derived_transactions(orders)
     )
     return out.select(
         "id",
@@ -273,7 +313,7 @@ def changes_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stellar_etl_spark.transforms.changes import route_change
 
     ev = table(spark, sf_dir, "events")
-    out = route_change(derived_changes(ev), "accounts")
+    out = route_change(_cached_input(spark, sf_dir, "changes", lambda: derived_changes(ev)), "accounts")
     return out.select(
         "account_id",
         "balance",
@@ -299,7 +339,7 @@ def changes_trustlines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stellar_etl_spark.transforms.changes import route_change
 
     ev = table(spark, sf_dir, "events")
-    out = route_change(derived_changes(ev), "trustlines")
+    out = route_change(_cached_input(spark, sf_dir, "changes", lambda: derived_changes(ev)), "trustlines")
     return out.select(
         "account_id",
         "asset_type",
@@ -321,7 +361,7 @@ def changes_offers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stellar_etl_spark.transforms.changes import route_change
 
     ev = table(spark, sf_dir, "events")
-    out = route_change(derived_changes(ev), "offers")
+    out = route_change(_cached_input(spark, sf_dir, "changes", lambda: derived_changes(ev)), "offers")
     return out.select(
         "seller_id",
         "offer_id",
@@ -341,7 +381,7 @@ def changes_pools(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stellar_etl_spark.transforms.changes import route_change
 
     ev = table(spark, sf_dir, "events")
-    out = route_change(derived_changes(ev), "liquidity_pools")
+    out = route_change(_cached_input(spark, sf_dir, "changes", lambda: derived_changes(ev)), "liquidity_pools")
     return out.select(
         "liquidity_pool_id",
         "type",
@@ -362,7 +402,7 @@ def signers_weight_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stellar_etl_spark.transforms.changes import route_change
 
     ev = table(spark, sf_dir, "events")
-    out = route_change(derived_changes(ev), "account_signers")
+    out = route_change(_cached_input(spark, sf_dir, "changes", lambda: derived_changes(ev)), "account_signers")
     return out.select(
         "account_id",
         "signer",
@@ -393,7 +433,10 @@ def token_transfer_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     events = derive_token_transfer_events(
-        derived_token_ops(_wide(li)),
+        _cached_input(
+            spark, sf_dir, "ops_token",
+            lambda: derived_token_ops(_wide(li)),
+        ),
         derived_transactions(orders),
         ledgers=derived_ledgers(orders),
     )

@@ -37,6 +37,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # the entity transforms are single giant projections (52-kind
+        # effects array, 27-type details switch) whose operators carry
+        # >100 fields — the default codegen.maxFields=100 silently drops
+        # them to interpreted evaluation (measured 2x slower on
+        # effects_fanout); Janino still guards the 64KB method limit with
+        # a per-stage fallback, so raising the field cap is safe
+        .config("spark.sql.codegen.maxFields", "800")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
