@@ -596,3 +596,145 @@ def kmeans_fixed(
         )
         assigned = assign(pts, upd)
     return assigned.select(F.col(id_col), "cid", "dist2")
+
+
+def pq_ann(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d: int = 64,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 2,
+    scale: int = 1000,
+    query_id: int = 0,
+    top: int = 20,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PAMI 2011) — the codebook
+    technique that makes billion-vector search tractable: each vector is
+    ``m`` sub-vectors, each sub-space gets its own ``k``-centroid codebook
+    (Lloyd, same exact-integer arithmetic as :func:`kmeans_fixed`), a
+    vector compresses to ``m`` small codes, and a query scores the whole
+    corpus from an m×k distance TABLE (asymmetric distance computation) —
+    no full-vector math per candidate.
+
+    Execution shape (all m sub-spaces in ONE plan — no per-subspace
+    driver loop):
+
+    - points explode to (id, sub, sub-vector): narrow, m× rows;
+    - codebooks: per-(sub) Lloyd with k lowest-id init; each iteration is
+      one broadcast of the m·k centroid table + one (m·k·dsub)-key
+      partial-agg shuffle — identical scaling to kmeans_fixed;
+    - encode: the final assignment IS the code (ties → lowest cid);
+    - ADC: the query row's m sub-vectors join the m·k centroid table into
+      an m×k distance table (broadcast), one equi-join on (sub, cid) + a
+      per-id sum scores every vector — at 100 TB this is the scan-speed
+    path, with the codebook + table always broadcast-sized.
+
+    Exact integer arithmetic end-to-end (quantize → integer L2 →
+    round(sum/count) updates), so the full top-``top`` result
+    hash-matches the unrolled SQL oracle.  Returns
+    (vec_id, adc_dist2, codes) ordered by (adc_dist2, vec_id).
+    """
+    dsub = d // m
+    q = F.transform(
+        _as_double(F.col(vec_col)), lambda x: F.round(x * scale).cast("long")
+    )
+    subs = F.array(*[F.slice(q, j * dsub + 1, dsub) for j in range(m)])
+    pts = embeddings.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.posexplode(subs).alias("sub", "_q"),
+    )
+
+    w = Window.partitionBy("sub").orderBy("vid")
+    cents = (
+        pts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("sub", (F.col("_rn") - 1).alias("cid"), F.col("_q").alias("_c"))
+    )
+
+    def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+        packed = centroids.groupBy("sub").agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("cid"), F.col("_c")))
+            ).alias("_cents")
+        )
+        dist = lambda c: F.aggregate(  # noqa: E731
+            F.zip_with(F.col("_q"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        best = F.aggregate(
+            F.col("_cents"),
+            F.struct(
+                F.lit(-1).alias("bid"), F.lit(None).cast("long").alias("bd")
+            ),
+            lambda acc, c: F.when(
+                acc["bd"].isNull() | (dist(c["_c"]) < acc["bd"]),
+                F.struct(c["cid"].alias("bid"), dist(c["_c"]).alias("bd")),
+            ).otherwise(acc),
+        )
+        return points.join(F.broadcast(packed), "sub").select(
+            "vid", "sub", "_q", best["bid"].alias("cid")
+        )
+
+    assigned = assign(pts, cents)
+    final_cents = cents
+    for _ in range(iterations - 1):
+        upd = (
+            assigned.select(
+                "sub", "cid", F.posexplode(F.col("_q")).alias("dim", "val")
+            )
+            .groupBy("sub", "cid", "dim")
+            .agg(
+                F.round(F.sum("val").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cval")
+            )
+            .groupBy("sub", "cid")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("dim"), F.col("cval")))
+                    ),
+                    lambda s: s["cval"],
+                ).alias("_c")
+            )
+        )
+        final_cents = upd
+        assigned = assign(pts, upd)
+
+    # ADC distance table: query sub-vectors × final codebook
+    qsubs = pts.where(F.col("vid") == query_id).select(
+        "sub", F.col("_q").alias("_qq")
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("_qq"), F.col("_c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    table = final_cents.join(F.broadcast(qsubs), "sub").select(
+        "sub", "cid", l2.alias("td")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(table), ["sub", "cid"])
+        .groupBy("vid")
+        .agg(
+            F.sum("td").alias("adc_dist2"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("sub"), F.col("cid")))
+                    ),
+                    lambda s: s["cid"].cast("string"),
+                ),
+                "-",
+            ).alias("codes"),
+        )
+    )
+    return (
+        scored.select(F.col("vid").alias(id_col), "adc_dist2", "codes")
+        .orderBy("adc_dist2", id_col)
+        .limit(top)
+    )

@@ -592,3 +592,115 @@ def dsir_importance(
             (F.col("importance_scaled") > 0).alias("selected"),
         )
     )
+
+
+def bpe_learn(
+    docs: DataFrame,
+    text_col: str = "text",
+    steps: int = 3,
+) -> DataFrame:
+    """Distributed BPE merge learning (Sennrich et al., ACL 2016) — the
+    tokenizer-training primitive: per step, count adjacent symbol pairs
+    over the whole corpus (weighted by word frequency), pick the most
+    frequent pair, and merge it everywhere; repeat.
+
+    Execution shape per step (all DataFrame ops, no driver-side corpus
+    state):
+
+    - pair counting: explode (symbol, next-symbol) per distinct word
+      weighted by its count — one partial-agg shuffle over the pair key;
+    - argmax: a 1-row TakeOrdered broadcast (count DESC, pair ASC
+      tie-break);
+    - merge application: symbols ride as a space-delimited string, so the
+      merge is one JVM ``replace(' a b ', ' ab ')`` over the distinct-word
+      table — no per-token Python.
+
+    SELF-PAIRS (x,x) are excluded from merge candidates, which makes the
+    merge set unambiguous: with x != y, a pair site can never start at two
+    consecutive token positions, so EVERY " x y " adjacency merges.  The
+    space-delimited replace consumes a site's trailing space and thereby
+    breaks an immediately following site, so the replace is applied TWICE:
+    pass 1 merges the odd sites of any chain, leaving the even sites
+    isolated with both delimiters intact, and pass 2 merges those — two
+    passes provably reach the fixpoint, identically in every engine with
+    left-to-right non-overlapping replace (Spark, DuckDB, Python).
+    Classic BPE with self-merges needs a sequential scanner instead.
+
+    Returns one row per learned merge: (step, left, right, merged,
+    pair_count, corpus_tokens_after) — the last column re-counts the
+    corpus symbol total after applying that step's merge, so the rows
+    double as a compression curve.
+    """
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+")
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # "h e l l o" with sentinel spaces: ' h e l l o ' (global per-char
+    # regexp_replace — identical spelling in DuckDB for the oracle)
+    seq = F.concat(F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 "))
+    state = words.select("w", "freq", seq.alias("seq"))
+
+    out_rows = []
+    for step in range(1, steps + 1):
+        toks = F.split(F.trim(F.col("seq")), " ")
+        pairs = state.select(
+            "freq",
+            F.explode(
+                F.filter(
+                    F.zip_with(
+                        toks,
+                        F.slice(toks, 2, 1_000_000),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    ),
+                    lambda p: p["r"].isNotNull() & (p["l"] != p["r"]),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .select("l", "r", "cnt", F.lit(step).alias("step"))
+        )
+        pat = F.concat(
+            F.lit(" "), F.col("l"), F.lit(" "), F.col("r"), F.lit(" ")
+        )
+        rep = F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit(" "))
+        merged = state.crossJoin(F.broadcast(best)).select(
+            "w",
+            "freq",
+            # two passes: see docstring (chained sites share a delimiter)
+            F.replace(F.replace(F.col("seq"), pat, rep), pat, rep).alias(
+                "seq"
+            ),
+            "l", "r", "cnt", "step",
+        )
+        stats = merged.agg(
+            F.first("step").alias("step"),
+            F.first("l").alias("left"),
+            F.first("r").alias("right"),
+            F.concat(F.first("l"), F.first("r")).alias("merged"),
+            F.first("cnt").alias("pair_count"),
+            F.sum(
+                F.size(F.split(F.trim(F.col("seq")), " ")) * F.col("freq")
+            ).alias("corpus_tokens_after"),
+        )
+        out_rows.append(stats)
+        state = merged.select("w", "freq", "seq")
+
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        F.col("step").cast("long").alias("step"),
+        "left", "right", "merged",
+        F.col("pair_count").cast("long").alias("pair_count"),
+        F.col("corpus_tokens_after").cast("long").alias("corpus_tokens_after"),
+    )

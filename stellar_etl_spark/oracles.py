@@ -2098,3 +2098,115 @@ SELECT doc_id,
        AS INTEGER) AS sample_max
 FROM d
 """
+
+ORACLES["pq_ann_search"] = """
+WITH pts AS (
+  SELECT CAST(vec_id AS BIGINT) AS vid,
+    list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+spts AS (
+  SELECT vid, s.sub, q[s.sub*8+1 : s.sub*8+8] AS sq
+  FROM pts, (SELECT unnest(generate_series(0, 7)) AS sub) s
+),
+init AS (
+  SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY vid) - 1 AS cid,
+         sq AS c
+  FROM spts QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vid) <= 16
+),
+d1 AS (
+  SELECT p.vid, p.sub, p.sq, i.cid,
+    row_number() OVER (PARTITION BY p.vid, p.sub
+      ORDER BY list_sum(list_transform(generate_series(1, 8),
+        j -> (p.sq[j] - i.c[j]) * (p.sq[j] - i.c[j]))), i.cid) AS rn
+  FROM spts p JOIN init i USING (sub)
+),
+a1 AS (SELECT vid, sub, sq, cid FROM d1 WHERE rn = 1),
+l1 AS (
+  SELECT sub, cid, unnest(generate_series(1, 8)) AS dim, unnest(sq) AS val
+  FROM a1
+),
+u1 AS (
+  SELECT sub, cid, dim,
+    CAST(round(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
+  FROM l1 GROUP BY sub, cid, dim
+),
+c1 AS (SELECT sub, cid, list(cval ORDER BY dim) AS c FROM u1 GROUP BY sub, cid),
+d2 AS (
+  SELECT p.vid, p.sub, i.cid,
+    row_number() OVER (PARTITION BY p.vid, p.sub
+      ORDER BY list_sum(list_transform(generate_series(1, 8),
+        j -> (p.sq[j] - i.c[j]) * (p.sq[j] - i.c[j]))), i.cid) AS rn
+  FROM spts p JOIN c1 i USING (sub)
+),
+a2 AS (SELECT vid, sub, cid FROM d2 WHERE rn = 1),
+qv AS (SELECT sub, sq AS qq FROM spts WHERE vid = 0),
+tab AS (
+  SELECT c1.sub, c1.cid,
+    list_sum(list_transform(generate_series(1, 8),
+      j -> (qv.qq[j] - c1.c[j]) * (qv.qq[j] - c1.c[j]))) AS td
+  FROM c1 JOIN qv USING (sub)
+),
+adc AS (
+  SELECT a2.vid, CAST(SUM(t.td) AS BIGINT) AS adc_dist2,
+    string_agg(CAST(a2.cid AS VARCHAR), '-' ORDER BY a2.sub) AS codes
+  FROM a2 JOIN tab t USING (sub, cid)
+  GROUP BY a2.vid
+)
+SELECT vid AS vec_id, adc_dist2, codes
+FROM adc ORDER BY adc_dist2, vid LIMIT 20
+"""
+
+# one BPE step: state(w,freq,seq) -> merge row + next state (self-pairs
+# excluded; double replace reaches the chain fixpoint — see
+# operators/text.py bpe_learn)
+_BPE_STEP = """
+p{K} AS (
+  SELECT l, r, SUM(freq) AS cnt FROM (
+    SELECT s.freq,
+      toks[i] AS l, toks[i+1] AS r
+    FROM (SELECT freq, string_split(trim(seq), ' ') AS toks FROM s{J}) s,
+         LATERAL (SELECT unnest(generate_series(1, len(s.toks) - 1)) AS i) t
+    WHERE toks[i] <> toks[i+1]
+  ) GROUP BY l, r
+),
+b{K} AS (SELECT l, r, cnt FROM p{K} ORDER BY cnt DESC, l, r LIMIT 1),
+s{K} AS (
+  SELECT w, freq,
+    replace(replace(seq, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' '),
+            ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ') AS seq
+  FROM s{J} CROSS JOIN b{K}
+),
+row{K} AS (
+  SELECT {K} AS step, b.l AS "left", b.r AS "right", b.l || b.r AS merged,
+    b.cnt AS pair_count,
+    (SELECT SUM(len(string_split(trim(seq), ' ')) * freq) FROM s{K})
+      AS corpus_tokens_after
+  FROM b{K} b
+)
+"""
+
+ORACLES["bpe_learn_merges"] = (
+    """
+WITH s0 AS (
+  SELECT w, COUNT(*) AS freq,
+    ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq
+  FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents
+  ) WHERE w <> ''
+  GROUP BY w
+),
+"""
+    + ",\n".join(
+        _BPE_STEP.format(K=k, J=k - 1).strip() for k in (1, 2, 3)
+    )
+    + """
+SELECT CAST(step AS BIGINT) AS step, "left", "right", merged,
+  CAST(pair_count AS BIGINT) AS pair_count,
+  CAST(corpus_tokens_after AS BIGINT) AS corpus_tokens_after
+FROM (SELECT * FROM row1 UNION ALL SELECT * FROM row2
+      UNION ALL SELECT * FROM row3)
+"""
+)

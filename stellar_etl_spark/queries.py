@@ -2324,3 +2324,33 @@ def media_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["media_decode_image"] = media_decode_image
 QUERIES["media_decode_audio"] = media_decode_audio
+
+
+def pq_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN over the embeddings table: per-subspace
+    exact-integer codebooks (2 Lloyd iterations, 8 subspaces x 16
+    centroids over 64 dims), PQ codes, and an ADC top-20 for the query
+    vector vec_id=0 — the billion-scale ANN pattern; the oracle unrolls
+    the identical integer pipeline in SQL."""
+    from stellar_etl_spark.operators.similarity import pq_ann
+
+    emb = table(spark, sf_dir, "embeddings")
+    return pq_ann(emb, d=64, m=8, k=16, iterations=2, query_id=0, top=20)
+
+
+QUERIES["pq_ann_search"] = pq_ann_search
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning over the documents corpus: three
+    steps of corpus-weighted pair counting → argmax → everywhere-merge,
+    with a per-step compression curve; the oracle unrolls the identical
+    pipeline (pair explode, tie-broken argmax, double space-delimited
+    replace) in SQL."""
+    from stellar_etl_spark.operators.text import bpe_learn
+
+    docs = table(spark, sf_dir, "documents")
+    return bpe_learn(docs, steps=3)
+
+
+QUERIES["bpe_learn_merges"] = bpe_learn_merges

@@ -1378,3 +1378,110 @@ class TestSemDeDupBlockCap:
         assert out == {
             0: False, 1: True, 2: True, 3: False, 4: True, 5: True,
         }
+
+
+class TestPQAnn:
+    def test_codes_and_adc_on_tiny_grid(self, spark):
+        from stellar_etl_spark.operators.similarity import pq_ann
+
+        # 6 vectors in 4-dim, m=2 subspaces of 2 dims, k=2 centroids.
+        # Subvectors cluster around (0,0) and (10,10) in both subspaces.
+        vecs = [
+            (0, [0.0, 0.0, 10.0, 10.0]),
+            (1, [10.0, 10.0, 0.0, 0.0]),
+            (2, [0.1, 0.0, 10.0, 9.9]),
+            (3, [9.9, 10.1, 0.2, 0.0]),
+            (4, [0.0, 0.2, 0.1, 0.0]),
+            (5, [10.0, 9.8, 10.1, 10.0]),
+        ]
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<double>"
+        )
+        out = pq_ann(
+            df, d=4, m=2, k=2, iterations=2, scale=10, query_id=0, top=6
+        ).collect()
+        rows = {r.vec_id: r for r in out}
+        # query is vec 0: itself must rank first with its own codes
+        assert out[0].vec_id == 0
+        # vec 2 ~ vec 0 -> same codes, tiny ADC distance
+        assert rows[2].codes == rows[0].codes
+        assert rows[2].adc_dist2 <= rows[1].adc_dist2
+        # vec 1 is the mirror image -> opposite codes
+        assert rows[1].codes != rows[0].codes
+        # determinism: full ordering is (adc, id)
+        pairs = [(r.adc_dist2, r.vec_id) for r in out]
+        assert pairs == sorted(pairs)
+
+    def test_matches_exact_distance_when_codebook_is_lossless(self, spark):
+        """With k >= distinct subvectors, PQ is exact: ADC distance equals
+        the true squared L2 to the query."""
+        from stellar_etl_spark.operators.similarity import pq_ann
+
+        vecs = [(i, [float(i), float(2 * i)]) for i in range(4)]
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<double>"
+        )
+        out = pq_ann(
+            df, d=2, m=2, k=4, iterations=2, scale=1, query_id=0, top=4
+        ).collect()
+        got = {r.vec_id: r.adc_dist2 for r in out}
+        assert got == {i: i * i + 4 * i * i for i in range(4)}
+
+
+class TestBpeLearn:
+    def test_merge_choice_and_chain_fixpoint(self, spark):
+        from stellar_etl_spark.operators.text import bpe_learn
+
+        # "ababab" has three chained (a,b) sites: the double-replace must
+        # reach the full fixpoint in one step (tokens 6 -> 3 per word)
+        docs = spark.createDataFrame(
+            [(1, "ababab ababab"), (2, "ababab")], "doc_id long, text string"
+        )
+        out = {r.step: r for r in bpe_learn(docs, steps=2).collect()}
+        assert (out[1].left, out[1].right, out[1].merged) == ("a", "b", "ab")
+        assert out[1].pair_count == 9  # 3 sites x 3 word occurrences
+        assert out[1].corpus_tokens_after == 9  # 3 tokens x 3 words
+        # step 2 merges the new (ab, ab)? no — self-pairs excluded; the
+        # only remaining non-self pair is none, so step 2 falls to the
+        # highest remaining cross pair... with only 'ab' symbols left
+        # there is no candidate; the row must still exist with a null/err?
+        # -> corpus of one distinct word collapses; use richer corpus:
+        docs2 = spark.createDataFrame(
+            [(1, "hello hello help")], "doc_id long, text string"
+        )
+        rows = bpe_learn(docs2, steps=3).collect()
+        assert [r.step for r in rows] == [1, 2, 3]
+        # 'hello' x2 + 'help': pairs (h,e)x3 (e,l)x3 (l,l)x2-excluded? (l,l)
+        # is a self-pair -> excluded; (l,o)x2 (l,p)x1. argmax tie between
+        # (e,l) and (h,e) at 3 -> lexicographic: (e,l)
+        assert (rows[0].left, rows[0].right) == ("e", "l")
+
+    def test_oracle_twin_agrees_on_fixture(self, spark):
+        """Cross-engine pin on a corpus with chained sites (the
+        double-replace path) — the full registry oracle runs at driver
+        scale; this is the focused twin."""
+        import duckdb
+
+        from stellar_etl_spark.operators.text import bpe_learn
+        from stellar_etl_spark.oracles import ORACLES
+
+        data = [(1, "banana bandana"), (2, "banana banana cabana")]
+        docs = spark.createDataFrame(data, "doc_id long, text string")
+        mine = [
+            (r.step, r.left, r.right, r.pair_count, r.corpus_tokens_after)
+            for r in bpe_learn(docs, steps=3).collect()
+        ]
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, '{t}')" for i, t in data)
+            + ") t(doc_id, text)"
+        )
+        oracle = [
+            (int(s), l, r, int(c), int(n))
+            for s, l, r, _m, c, n in con.execute(
+                ORACLES["bpe_learn_merges"]
+            ).fetchall()
+        ]
+        assert mine == oracle
