@@ -557,15 +557,15 @@ def kmeans_fixed(
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        best = F.aggregate(
-            F.col("_cents"),
-            F.struct(
-                F.lit(-1).alias("bid"), F.lit(None).cast("long").alias("bd")
-            ),
-            lambda acc, c: F.when(
-                acc["bd"].isNull() | (dist(c["_c"]) < acc["bd"]),
-                F.struct(c["cid"].alias("bid"), dist(c["_c"]).alias("bd")),
-            ).otherwise(acc),
+        # one distance evaluation per centroid; lexicographic struct min
+        # implements argmin with lowest-cid tie-break
+        best = F.array_min(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    dist(c["_c"]).alias("bd"), c["cid"].alias("bid")
+                ),
+            )
         )
         return points.crossJoin(F.broadcast(packed)).select(
             F.col(id_col), F.col("_q"), best["bid"].alias("cid"),
@@ -646,11 +646,20 @@ def pq_ann(
         F.posexplode(subs).alias("sub", "_q"),
     )
 
-    w = Window.partitionBy("sub").orderBy("vid")
-    cents = (
-        pts.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .select("sub", (F.col("_rn") - 1).alias("cid"), F.col("_q").alias("_c"))
+    # init = the k lowest-id vectors' subvectors.  TakeOrdered over the ids
+    # (O(n), no full sort) then a broadcast semi-join — NOT a row_number
+    # window over all (id, sub) rows, which would globally sort the
+    # exploded corpus.
+    init_ids = (
+        embeddings.select(F.col(id_col).cast("long").alias("vid"))
+        .orderBy("vid")
+        .limit(k)
+        .withColumn(
+            "cid", F.row_number().over(Window.orderBy("vid")) - 1
+        )
+    )
+    cents = pts.join(F.broadcast(init_ids), "vid").select(
+        "sub", "cid", F.col("_q").alias("_c")
     )
 
     def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -664,15 +673,16 @@ def pq_ann(
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        best = F.aggregate(
-            F.col("_cents"),
-            F.struct(
-                F.lit(-1).alias("bid"), F.lit(None).cast("long").alias("bd")
-            ),
-            lambda acc, c: F.when(
-                acc["bd"].isNull() | (dist(c["_c"]) < acc["bd"]),
-                F.struct(c["cid"].alias("bid"), dist(c["_c"]).alias("bd")),
-            ).otherwise(acc),
+        # array_min over (dist, cid) structs: one distance evaluation per
+        # centroid and the lexicographic struct order IS the
+        # lowest-cid-on-tie rule
+        best = F.array_min(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    dist(c["_c"]).alias("d"), c["cid"].alias("bid")
+                ),
+            )
         )
         return points.join(F.broadcast(packed), "sub").select(
             "vid", "sub", "_q", best["bid"].alias("cid")
