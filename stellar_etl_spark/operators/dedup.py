@@ -559,3 +559,129 @@ def segment_dedup(
             F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
         )
     )
+
+
+def dedup_against_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_new: Column,
+    n: int = 3,
+    num_perm: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup screening: test each NEW document against an
+    existing INDEX corpus — the streaming-ingestion pattern (a landed batch
+    must not re-admit near-copies of the corpus it joins), distinct from
+    :func:`near_dup_pairs`' all-pairs-within-one-set shape.
+
+    The MinHash signature subtree is computed ONCE over the union and
+    persisted; the LSH band join then runs NEW × INDEX only (no new-new or
+    index-index candidates), exact n-gram Jaccard verifies, and each new
+    document keeps its best match (max Jaccard, min index id tie-break).
+
+    Scale shape: one banded equi-join keyed by (band, bucket) — at 100 TB
+    the index side's bands are a materialized table the batch probes; here
+    both derive from one frame.  Returns one row per NEW document:
+    (id, is_dup, dup_of, jaccard).
+    """
+    from pyspark import StorageLevel
+
+    from stellar_etl_spark.operators.util import fan_out_small
+
+    base = fan_out_small(df.select(F.col(id_col), F.col(text_col), is_new.alias("_new")))
+    with_sh = (
+        base.select(
+            F.col(id_col),
+            F.col("_new"),
+            shingles(F.col(text_col), n).alias("shingle_set"),
+        )
+        .withColumn(
+            "_base_hashes",
+            F.transform(
+                F.col("shingle_set"),
+                lambda s: _hex15_to_long(F.md5(s)) % MINHASH_PRIME,
+            ),
+        )
+        .withColumn(
+            "minhash_sig", minhash_from_hashes(F.col("_base_hashes"), num_perm)
+        )
+        .drop("_base_hashes")
+        .where(F.size("shingle_set") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    banded = with_sh.select(
+        F.col(id_col),
+        F.col("_new"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(b),
+                            *[
+                                F.element_at(
+                                    "minhash_sig", b * rows_per_band + r + 1
+                                )
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    new_b = banded.where(F.col("_new")).select(
+        F.col(id_col).alias("_nid"), "band_id", "band_key"
+    )
+    idx_b = banded.where(~F.col("_new")).select(
+        F.col(id_col).alias("_iid"), "band_id", "band_key"
+    )
+    cands = new_b.join(idx_b, ["band_id", "band_key"]).select(
+        "_nid", "_iid"
+    ).distinct()
+
+    sh_new = with_sh.where(F.col("_new")).select(
+        F.col(id_col).alias("_nid"), F.col("shingle_set").alias("sh_n")
+    )
+    sh_idx = with_sh.where(~F.col("_new")).select(
+        F.col(id_col).alias("_iid"), F.col("shingle_set").alias("sh_i")
+    )
+    verified = (
+        cands.join(sh_new, "_nid")
+        .join(sh_idx, "_iid")
+        .select(
+            "_nid",
+            "_iid",
+            (
+                F.size(F.array_intersect("sh_n", "sh_i")).cast("double")
+                / F.size(F.array_union("sh_n", "sh_i")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+    best = verified.groupBy("_nid").agg(
+        F.max(
+            F.struct(F.col("jaccard"), (-F.col("_iid")).alias("_neg"))
+        ).alias("_b")
+    )
+    news = base.where(F.col("_new")).select(F.col(id_col))
+    return news.join(
+        best.select(
+            F.col("_nid").alias(id_col),
+            (-F.col("_b")["_neg"]).alias("dup_of"),
+            F.col("_b")["jaccard"].alias("jaccard"),
+        ),
+        id_col,
+        "left",
+    ).select(
+        F.col(id_col),
+        F.col("dup_of").isNotNull().alias("is_dup"),
+        "dup_of",
+        "jaccard",
+    )

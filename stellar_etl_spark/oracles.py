@@ -2210,3 +2210,73 @@ FROM (SELECT * FROM row1 UNION ALL SELECT * FROM row2
       UNION ALL SELECT * FROM row3)
 """
 )
+
+ORACLES["incremental_dedup"] = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT doc_id, (doc_id % 7 = 3) AS is_new,
+    CASE WHEN len(words) >= 3
+      THEN list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                          FOR i IN generate_series(1, len(words) - 2)])
+      ELSE [] END AS shingle_set
+  FROM docs
+),
+sig AS (
+  SELECT doc_id, is_new, shingle_set,
+    [list_min([
+       ((2*p + 1) * (('0x' || substring(md5(s), 1, 15))::BIGINT % 2147483647)
+        + 98765*p + 12345) % 2147483647
+       FOR s IN shingle_set])
+     FOR p IN generate_series(0, 7)] AS ms
+  FROM sh WHERE len(shingle_set) > 0
+),
+banded AS (
+  SELECT doc_id, is_new, b AS band_id,
+    md5(concat_ws('|', b, ms[2*b + 1], ms[2*b + 2])) AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) AS bands(b)
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS nid, i.doc_id AS iid
+  FROM banded n JOIN banded i
+    ON n.band_id = i.band_id AND n.band_key = i.band_key
+  WHERE n.is_new AND NOT i.is_new
+),
+verified AS (
+  SELECT nid, iid,
+    CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set)))
+             AS DOUBLE) AS jaccard
+  FROM cand
+  JOIN sh a ON a.doc_id = nid
+  JOIN sh b ON b.doc_id = iid
+  WHERE CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set)))
+             AS DOUBLE) >= 0.5
+),
+best AS (
+  SELECT nid, iid, jaccard,
+    row_number() OVER (PARTITION BY nid ORDER BY jaccard DESC, iid) AS rn
+  FROM verified
+)
+SELECT d.doc_id,
+  (b.iid IS NOT NULL) AS is_dup,
+  b.iid AS dup_of,
+  b.jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 3) d
+LEFT JOIN (SELECT nid, iid, jaccard FROM best WHERE rn = 1) b
+  ON b.nid = d.doc_id
+"""
+
+ORACLES["epoch_shuffle"] = """
+WITH k AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':7') AS key
+  FROM documents
+)
+SELECT
+  CAST((('0x' || substring(key, 1, 8))::BIGINT % 8) AS INTEGER) AS shard,
+  CAST(row_number() OVER (
+    PARTITION BY ('0x' || substring(key, 1, 8))::BIGINT % 8
+    ORDER BY key, doc_id) - 1 AS BIGINT) AS position,
+  doc_id
+FROM k
+"""

@@ -2354,3 +2354,48 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["bpe_learn_merges"] = bpe_learn_merges
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening: documents with doc_id % 7 == 3 play
+    the NEW batch; the rest are the existing INDEX.  MinHash-LSH bands join
+    new x index only, exact n-gram Jaccard verifies, and each new doc keeps
+    its best match (max Jaccard, min index id) — the streaming-ingestion
+    dedup shape."""
+    from stellar_etl_spark.operators.dedup import dedup_against_index
+
+    docs = table(spark, sf_dir, "documents")
+    return dedup_against_index(
+        docs, "doc_id", "text", is_new=F.col("doc_id") % 7 == 3
+    )
+
+
+QUERIES["incremental_dedup"] = incremental_dedup
+
+
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle: every document gets a
+    pseudorandom but reproducible (shard, position) for a given epoch via
+    an md5 hash of (doc_id, epoch) — the serving-side op that turns a
+    static corpus into differently-ordered epochs with balanced shards,
+    with no RNG state and no global sort (positions are per-shard
+    windows).  Epoch 7, 8 shards."""
+    docs = table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":7")))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % 8
+    ).cast("int")
+    from pyspark.sql.window import Window
+
+    shuffled = docs.select(
+        F.col("doc_id"), key.alias("_key"), shard.alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("_key", "doc_id")
+    return shuffled.select(
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("position"),
+        "doc_id",
+    )
+
+
+QUERIES["epoch_shuffle"] = epoch_shuffle

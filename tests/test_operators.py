@@ -1485,3 +1485,47 @@ class TestBpeLearn:
             ).fetchall()
         ]
         assert mine == oracle
+
+
+class TestIncrementalDedup:
+    def test_new_matches_index_only(self, spark):
+        from pyspark.sql import functions as F
+
+        from stellar_etl_spark.operators.dedup import dedup_against_index
+
+        text = "the quick brown fox jumps over the lazy dog tonight"
+        rows = [
+            (1, text),                       # index
+            (2, "completely different words in this unrelated doc here"),
+            (103, text),                     # new: dup of index doc 1
+            (104, text),                     # new: dup of 1 AND of new 103
+            (105, "nothing like anything else at all in any way shape"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in dedup_against_index(
+                df, "doc_id", "text", is_new=F.col("doc_id") >= 100
+            ).collect()
+        }
+        assert set(out) == {103, 104, 105}  # one row per NEW doc
+        assert out[103].is_dup and out[103].dup_of == 1
+        # 104 duplicates new-doc 103 too, but only INDEX matches count
+        assert out[104].is_dup and out[104].dup_of == 1
+        assert not out[105].is_dup and out[105].dup_of is None
+        assert out[103].jaccard == 1.0
+
+    def test_best_match_tie_break(self, spark):
+        from pyspark.sql import functions as F
+
+        from stellar_etl_spark.operators.dedup import dedup_against_index
+
+        text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        df = spark.createDataFrame(
+            [(5, text), (9, text), (200, text)], "doc_id long, text string"
+        )
+        [r] = dedup_against_index(
+            df, "doc_id", "text", is_new=F.col("doc_id") >= 100
+        ).collect()
+        # two equally-perfect index matches: lowest index id wins
+        assert (r.doc_id, r.dup_of, r.jaccard) == (200, 5, 1.0)
