@@ -704,3 +704,73 @@ def bpe_learn(
         F.col("pair_count").cast("long").alias("pair_count"),
         F.col("corpus_tokens_after").cast("long").alias("corpus_tokens_after"),
     )
+
+
+def bpe_encode_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    steps: int = 3,
+) -> DataFrame:
+    """Apply BPE merges learned by :func:`bpe_learn` back to the corpus —
+    the tokenizer-application half: per document, the word/char token
+    counts before and after the learned merges (the numbers a training
+    pipeline budgets sequences with).
+
+    Shape: the merge table (``steps`` rows) pivots to ONE broadcast row of
+    (l_k, r_k) pairs; the distinct-word table replays the same
+    double-replace chain once per word; documents then explode to words
+    and join the per-word token counts — the merge learning cost is paid
+    on distinct words, the application on the corpus is one join + sum.
+    """
+    merges = bpe_learn(docs, text_col=text_col, steps=steps)
+    pivot = merges.agg(
+        *[
+            F.max(F.when(F.col("step") == k, F.col(c))).alias(f"{c}{k}")
+            for k in range(1, steps + 1)
+            for c in ("left", "right")
+        ]
+    )
+
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+")
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    seq = F.concat(F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 "))
+    encoded = words.crossJoin(F.broadcast(pivot)).select(
+        "w", seq.alias("seq"), *[F.col(f"{c}{k}") for k in range(1, steps + 1) for c in ("left", "right")]
+    )
+    col = F.col("seq")
+    for k in range(1, steps + 1):
+        pat = F.concat(
+            F.lit(" "), F.col(f"left{k}"), F.lit(" "), F.col(f"right{k}"),
+            F.lit(" "),
+        )
+        rep = F.concat(
+            F.lit(" "), F.col(f"left{k}"), F.col(f"right{k}"), F.lit(" ")
+        )
+        col = F.replace(F.replace(col, pat, rep), pat, rep)
+    word_tokens = encoded.select(
+        "w",
+        F.length(F.col("w")).alias("n_chars"),
+        F.size(F.split(F.trim(col), " ")).alias("n_tokens"),
+    )
+
+    doc_words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w"),
+    ).where(F.col("w") != "")
+    return (
+        doc_words.join(word_tokens, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )

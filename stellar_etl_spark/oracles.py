@@ -2280,3 +2280,38 @@ SELECT
   doc_id
 FROM k
 """
+
+ORACLES["bpe_encode_docs"] = (
+    """
+WITH s0 AS (
+  SELECT w, COUNT(*) AS freq,
+    ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq
+  FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents
+  ) WHERE w <> ''
+  GROUP BY w
+),
+"""
+    + ",\n".join(
+        _BPE_STEP.format(K=k, J=k - 1).strip() for k in (1, 2, 3)
+    )
+    + """,
+word_tokens AS (
+  SELECT w, length(w) AS n_chars,
+    len(string_split(trim(seq), ' ')) AS n_tokens
+  FROM s3
+),
+doc_words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+  FROM documents
+)
+SELECT d.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(t.n_chars) AS BIGINT) AS n_chars,
+  CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens
+FROM doc_words d JOIN word_tokens t USING (w)
+WHERE d.w <> ''
+GROUP BY d.doc_id
+"""
+)

@@ -2399,3 +2399,17 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["epoch_shuffle"] = epoch_shuffle
+
+
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application: replay the 3 learned BPE merges over the
+    corpus and report per-document word/char/token counts — merge learning
+    runs on distinct words, application is one join + sum over the
+    corpus."""
+    from stellar_etl_spark.operators.text import bpe_encode_corpus
+
+    docs = table(spark, sf_dir, "documents")
+    return bpe_encode_corpus(docs, steps=3)
+
+
+QUERIES["bpe_encode_docs"] = bpe_encode_docs
