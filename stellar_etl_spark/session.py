@@ -44,6 +44,15 @@ def get_spark(
         # effects_fanout); Janino still guards the 64KB method limit with
         # a per-stage fallback, so raising the field cap is safe
         .config("spark.sql.codegen.maxFields", "800")
+        # ...and those generated classes are big: a long session (the
+        # 137-query bench) fills the default 240 MB JVM code cache, the
+        # JIT disables itself, and late queries run interpreted (measured
+        # 2.2x on effects_fanout after 40 heavy queries).  Applies when
+        # this factory launches the JVM; inert on an existing session.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g",
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
