@@ -223,3 +223,51 @@ class TestStdlibCodecs:
             png_decode(b"not a png at all")
         with _pytest.raises(ValueError):
             wav_decode(b"RIFFxxxxNOPE")
+
+
+class TestCodecProperties:
+    """Property-based roundtrips for the stdlib codecs: any pixel/sample
+    content, any dimensions/filter/channel combination."""
+
+    def test_png_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from stellar_etl_spark.functions.codecs import png_decode, png_encode
+
+        @settings(max_examples=80, deadline=None)
+        @given(
+            st.integers(min_value=1, max_value=9),
+            st.integers(min_value=1, max_value=9),
+            st.sampled_from([1, 2, 3, 4]),
+            st.sampled_from([0, 1, 2, 3, 4]),
+            st.randoms(use_true_random=False),
+        )
+        def roundtrip(w, h, channels, ft, rnd):
+            px = bytes(rnd.randrange(256) for _ in range(w * h * channels))
+            assert png_decode(png_encode(w, h, px, channels, ft)) == (
+                w, h, channels, px,
+            )
+
+        roundtrip()
+
+    def test_wav_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from stellar_etl_spark.functions.codecs import wav_decode, wav_encode
+
+        @settings(max_examples=80, deadline=None)
+        @given(
+            st.lists(
+                st.integers(min_value=-32768, max_value=32767),
+                min_size=0,
+                max_size=200,
+            ),
+            st.integers(min_value=1, max_value=192000),
+        )
+        def roundtrip(samples, rate):
+            sr, ch, out = wav_decode(wav_encode(rate, samples))
+            assert (sr, ch, out) == (rate, 1, samples)
+
+        roundtrip()
