@@ -2315,3 +2315,32 @@ WHERE d.w <> ''
 GROUP BY d.doc_id
 """
 )
+
+ORACLES["length_bucket_batches"] = """
+WITH t AS (
+  SELECT least(len(string_split(text, ' ')), 1024) AS n FROM documents
+),
+b AS (
+  SELECT n,
+    CASE WHEN n <= 1 THEN 1 WHEN n <= 2 THEN 2 WHEN n <= 4 THEN 4
+         WHEN n <= 8 THEN 8 WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+         WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256
+         WHEN n <= 512 THEN 512 ELSE 1024 END AS bucket
+  FROM t
+),
+agg AS (
+  SELECT CAST(bucket AS BIGINT) AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n) AS BIGINT) AS real_tokens
+  FROM b GROUP BY bucket
+)
+SELECT bucket, n_docs, real_tokens,
+  bucket * n_docs AS padded_tokens,
+  -- exact_ratio_round6 twin: scaled-integer half-away division
+  CAST(CASE WHEN real_tokens >= 0 THEN 1 ELSE -1 END AS DOUBLE)
+    * CAST(((abs(real_tokens) * 2000000 + bucket * n_docs)
+            - ((abs(real_tokens) * 2000000 + bucket * n_docs)
+               % (bucket * n_docs * 2))) AS DOUBLE)
+    / CAST(bucket * n_docs * 2 AS DOUBLE) / 1000000.0 AS fill_ratio
+FROM agg
+"""

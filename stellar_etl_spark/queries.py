@@ -2413,3 +2413,40 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["bpe_encode_docs"] = bpe_encode_docs
+
+
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: documents fall into power-of-two
+    token buckets (cap 1024); per bucket, the padded-token cost of
+    batching at the bucket boundary vs the real token count — the padding
+    waste a training dataloader pays, computed with exact integer ratios.
+    One hash aggregate; scales as a plain groupBy."""
+    from stellar_etl_spark.operators.util import exact_ratio_round6
+
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    capped = F.least(n_tok, F.lit(1024))
+    # next power of two >= capped as an exact integer when-chain (libm
+    # log2 of exact powers is not portable enough for a hash-compared key)
+    bucket = F.lit(1024).cast("long")
+    for b in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        bucket = F.when(capped <= b, F.lit(b).cast("long")).otherwise(bucket)
+    agg = (
+        docs.select(capped.alias("n"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("real_tokens"),
+        )
+    )
+    padded = F.col("bucket") * F.col("n_docs")
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "real_tokens",
+        padded.alias("padded_tokens"),
+        exact_ratio_round6(F.col("real_tokens"), padded).alias("fill_ratio"),
+    )
+
+
+QUERIES["length_bucket_batches"] = length_bucket_batches
