@@ -685,3 +685,74 @@ def dedup_against_index(
         "dup_of",
         "jaccard",
     )
+
+
+def dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Exact repeated-substring detection (the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" shape, at word grain):
+    every word ``n``-gram that occurs more than once ANYWHERE in the corpus
+    marks its occurrences; per document, overlapping/adjacent marked
+    windows merge into maximal duplicated spans.
+
+    Returns one row per document that contains at least one duplicated
+    window: ``(id, n_spans, dup_words)`` where ``dup_words`` is the total
+    word count covered by merged spans.
+
+    Scale shape: positional shingles explode (narrow), one hash-aggregate
+    on the 128-bit gram digest to find global ``count > 1`` grams (map-side
+    combinable), a semi-join back on the digest (AQE handles hot grams —
+    boilerplate n-grams are exactly the skewed keys), then the span merge
+    is a per-document gaps-and-islands window — partitioned by document id,
+    never global.  No driver state; the heavy shuffle is the digest
+    aggregate, keyed uniformly by md5.
+    """
+    words = tokenize_words(F.col(text_col))
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_w") - (n - 1), F.lit(1))),
+        lambda i: F.md5(F.array_join(F.slice(F.col("_w"), i, n), " ")),
+    )
+    grams = (
+        df.select(
+            F.col(id_col).cast("long").alias("_id"),
+            words.alias("_w"),
+        )
+        .select(
+            "_id",
+            F.posexplode(
+                F.when(F.size("_w") >= n, gram_arr).otherwise(
+                    F.slice(F.col("_w"), 1, 0)
+                )
+            ).alias("pos", "_g"),
+        )
+    )
+    dup_grams = (
+        grams.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") > 1)
+        .select("_g")
+    )
+    hits = grams.join(dup_grams, "_g").select("_id", "pos")
+
+    w = Window.partitionBy("_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "_new_island",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    ).withColumn(
+        "_island",
+        F.sum("_new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = flagged.groupBy("_id", "_island").agg(
+        (F.max(F.col("pos") + n) - F.min("pos")).alias("_span_words")
+    )
+    return spans.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("_span_words").cast("long").alias("dup_words"),
+    )

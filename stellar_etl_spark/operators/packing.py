@@ -67,6 +67,89 @@ def pack_next_fit(
     return src.groupBy(group_col).applyInPandas(fold, out_schema)
 
 
+def concat_chunk_blocks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_chars: int = 2048,
+    coarse: int = 4096,
+) -> DataFrame:
+    """GPT-style concat-then-chunk: conceptually concatenate every document
+    in ``id_col`` order into one character stream, then cut the stream into
+    fixed ``block_chars`` blocks that freely cross document boundaries (the
+    standard causal-LM pretraining layout, vs :func:`pack_next_fit` which
+    never splits a document).
+
+    Per block it reports how many documents contribute, how many characters
+    land in the block, and the first/last contributing document — the audit a
+    dataloader needs to map a training block back to its provenance.
+
+    Scale shape: the global running offset is a TWO-PHASE cumulative sum —
+    documents coarse-bucket by ``id_col // coarse`` (order-preserving for the
+    dense non-negative ids the catalog guarantees), per-bucket totals cumsum
+    on a frame ``coarse``× smaller than the corpus, and the tiny offset frame
+    broadcast-joins back so the within-bucket window runs parallel per
+    bucket.  No global window, no driver action; the block fan-out is a
+    bounded ``sequence`` explode (a document touches at most
+    ``len/block_chars + 1`` blocks).
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.length(F.col(text_col)).cast("long").alias("_len"),
+    ).where(F.col("_len") > 0)
+    base = base.withColumn("_bkt", (F.col("_id") / F.lit(coarse)).cast("long"))
+
+    from pyspark.sql.window import Window
+
+    per_bucket = base.groupBy("_bkt").agg(F.sum("_len").alias("_bsum"))
+    w_buckets = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.select(
+        "_bkt",
+        F.coalesce(F.sum("_bsum").over(w_buckets), F.lit(0)).alias("_off"),
+    )
+
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        base.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            "_start",
+            F.col("_off") + F.coalesce(F.sum("_len").over(w_in), F.lit(0)),
+        )
+        .withColumn("_end", F.col("_start") + F.col("_len"))
+    )
+
+    C = F.lit(int(block_chars)).cast("long")
+    blocks = placed.select(
+        "_id",
+        "_start",
+        "_end",
+        F.explode(
+            F.sequence(
+                (F.col("_start") / C).cast("long"),
+                ((F.col("_end") - 1) / C).cast("long"),
+            )
+        ).alias("block_id"),
+    )
+    lo = F.greatest(F.col("_start"), F.col("block_id") * C)
+    hi = F.least(F.col("_end"), (F.col("block_id") + 1) * C)
+    return (
+        blocks.select("block_id", "_id", (hi - lo).alias("_chars"))
+        .groupBy("block_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_chars").cast("long").alias("n_chars"),
+            F.min("_id").alias("first_doc"),
+            F.max("_id").alias("last_doc"),
+        )
+    )
+
+
 def pack_stats(packed: DataFrame, group_col: str = "source", budget: int = 512) -> DataFrame:
     """Per-shard packing efficiency: bins used, mean fill fraction."""
     per_bin = packed.groupBy(group_col, "bin_id").agg(

@@ -2344,3 +2344,142 @@ SELECT bucket, n_docs, real_tokens,
     / CAST(bucket * n_docs * 2 AS DOUBLE) / 1000000.0 AS fill_ratio
 FROM agg
 """
+
+ORACLES["concat_chunk_blocks"] = """
+WITH d AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS len
+  FROM documents WHERE length(text) > 0
+),
+placed AS (
+  SELECT doc_id, len,
+    COALESCE(SUM(len) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM d
+),
+blocks AS (
+  SELECT doc_id, s, s + len AS e,
+    unnest(generate_series(CAST(s // 2048 AS BIGINT),
+                           CAST((s + len - 1) // 2048 AS BIGINT))) AS block_id
+  FROM placed
+)
+SELECT CAST(block_id AS BIGINT) AS block_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(least(e, (block_id + 1) * 2048)
+         - greatest(s, block_id * 2048)) AS BIGINT) AS n_chars,
+  MIN(doc_id) AS first_doc,
+  MAX(doc_id) AS last_doc
+FROM blocks GROUP BY block_id
+"""
+
+ORACLES["dup_span_detection"] = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+7], ' ')) AS g
+  FROM d, LATERAL unnest(generate_series(1, len(w) - 7)) AS t(i)
+  WHERE len(w) >= 8
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1),
+hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+flagged AS (
+  SELECT doc_id, pos,
+    CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS new_island
+  FROM (
+    SELECT doc_id, pos,
+      MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM hits
+  )
+),
+isl AS (
+  SELECT doc_id, pos,
+    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, island, MAX(pos + 8) - MIN(pos) AS span_words
+  FROM isl GROUP BY doc_id, island
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_spans,
+  CAST(SUM(span_words) AS BIGINT) AS dup_words
+FROM spans GROUP BY doc_id
+"""
+
+ORACLES["token_budget_mixture"] = """
+WITH s AS (
+  SELECT source, doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM s
+)
+SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= 600
+"""
+
+ORACLES["cluster_keep_best"] = """
+WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3
+      THEN list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                          FOR i IN generate_series(1, len(words) - 2)])
+      ELSE [] END AS shingle_set
+  FROM docs
+),
+sig AS (
+  SELECT doc_id, shingle_set,
+    [list_min([
+       ((2*p + 1) * (('0x' || substring(md5(s), 1, 15))::BIGINT % 2147483647)
+        + 98765*p + 12345) % 2147483647
+       FOR s IN shingle_set])
+     FOR p IN generate_series(0, 7)] AS ms
+  FROM sh WHERE len(shingle_set) > 0
+),
+banded AS (
+  SELECT doc_id, b AS band_id,
+    md5(concat_ws('|', b, ms[2*b + 1], ms[2*b + 2])) AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) AS bands(b)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+edges AS (
+  SELECT id_a, id_b FROM cand
+  JOIN sh a ON a.doc_id = id_a
+  JOIN sh b ON b.doc_id = id_b
+  WHERE CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE) >= 0.5
+),
+und AS (
+  SELECT id_a AS s, id_b AS d FROM edges
+  UNION ALL SELECT id_b, id_a FROM edges
+),
+reach(node, label) AS (
+  SELECT DISTINCT s, s FROM und
+  UNION
+  SELECT u.s, r.label FROM und u JOIN reach r ON u.d = r.node
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+),
+member AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars
+  FROM clusters c JOIN documents d USING (doc_id)
+)
+SELECT cluster_id, survivor_doc_id, survivor_chars, cluster_size FROM (
+  SELECT cluster_id, doc_id AS survivor_doc_id, n_chars AS survivor_chars,
+    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+    row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+  FROM member
+) WHERE rn = 1
+"""

@@ -2450,3 +2450,88 @@ def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["length_bucket_batches"] = length_bucket_batches
+
+
+def concat_chunk_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk pretraining layout: the corpus,
+    concatenated in doc_id order, cut into fixed 2048-char blocks that
+    cross document boundaries; per block the contributing doc count, chars
+    and first/last provenance ids.  The global offset is a TWO-PHASE
+    distributed cumsum (coarse id-range buckets -> broadcast offsets), so
+    no global window exists anywhere in the plan."""
+    from stellar_etl_spark.operators.packing import concat_chunk_blocks as op
+
+    return op(table(spark, sf_dir, "documents"), block_chars=2048)
+
+
+QUERIES["concat_chunk_blocks"] = concat_chunk_blocks
+
+
+def dup_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring audit (Lee et al. dedup shape, word grain):
+    8-gram windows occurring more than once corpus-wide, merged per
+    document into maximal duplicated spans.  Heavy shuffle = one md5-keyed
+    hash aggregate; span merge is per-document gaps-and-islands."""
+    from stellar_etl_spark.operators.dedup import dup_spans
+
+    return dup_spans(table(spark, sf_dir, "documents"), n=8)
+
+
+QUERIES["dup_span_detection"] = dup_span_detection
+
+
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained data mixture: per source, admit documents in
+    quality order (n_chars desc, doc_id tiebreak) while the running token
+    total stays within a 600-token budget — the greedy per-domain
+    selection a mixture-weighted training run makes.  The window is
+    partitioned by source, so selection parallelizes across domains;
+    skewed domains sub-shard upstream."""
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    scored = docs.select(
+        "source", "doc_id", "n_chars", n_tok.alias("n_tokens")
+    ).withColumn(
+        "cum_tokens",
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return scored.where(F.col("cum_tokens") <= 600).select(
+        "source", "doc_id", "n_tokens", "cum_tokens"
+    )
+
+
+QUERIES["token_budget_mixture"] = token_budget_mixture
+
+
+def cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivor selection: connected near-dup clusters (same verified
+    MinHash graph as near_dup_clusters) keep exactly one survivor — the
+    longest document, doc_id tiebreak.  The survivor argmax is a single
+    max(struct) aggregate per cluster, not a window."""
+    from stellar_etl_spark.operators.dedup import dedup_clusters
+
+    docs = table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(docs, "doc_id", "text", threshold=0.5)
+    member = clusters.join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    best = member.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        F.max(
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("_neg"))
+        ).alias("_b"),
+    )
+    return best.select(
+        "cluster_id",
+        (-F.col("_b")["_neg"]).cast("long").alias("survivor_doc_id"),
+        F.col("_b")["n_chars"].alias("survivor_chars"),
+        "cluster_size",
+    )
+
+
+QUERIES["cluster_keep_best"] = cluster_keep_best

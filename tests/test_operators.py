@@ -1529,3 +1529,95 @@ class TestIncrementalDedup:
         ).collect()
         # two equally-perfect index matches: lowest index id wins
         assert (r.doc_id, r.dup_of, r.jaccard) == (200, 5, 1.0)
+
+
+class TestConcatChunkBlocks:
+    def test_blocks_cross_doc_boundaries(self, spark):
+        from stellar_etl_spark.operators.packing import concat_chunk_blocks
+
+        # lengths 6,6,6 with block_chars=10: stream [0,18) -> block0 [0,10)
+        # holds doc0 fully + doc1 partially; block1 [10,18) holds doc1 tail
+        # + doc2.
+        df = spark.createDataFrame(
+            [(0, "aaaaaa"), (1, "bbbbbb"), (2, "cccccc")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.block_id: r
+            for r in concat_chunk_blocks(df, block_chars=10).collect()
+        }
+        assert out[0].n_docs == 2 and out[0].n_chars == 10
+        assert out[0].first_doc == 0 and out[0].last_doc == 1
+        assert out[1].n_docs == 2 and out[1].n_chars == 8
+        assert out[1].first_doc == 1 and out[1].last_doc == 2
+
+    def test_char_totals_conserved_and_empty_docs_skipped(self, spark):
+        from stellar_etl_spark.operators.packing import concat_chunk_blocks
+
+        rows = [(i, "x" * (i * 7 % 23 + (0 if i % 5 else -(i * 7 % 23)))) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = concat_chunk_blocks(df, block_chars=16).collect()
+        total = sum(len(t) for _, t in rows)
+        assert sum(r.n_chars for r in out) == total
+        # every block except possibly the last is exactly full
+        full = sorted(r.block_id for r in out)[:-1]
+        by_id = {r.block_id: r.n_chars for r in out}
+        assert all(by_id[b] == 16 for b in full)
+
+    def test_two_phase_cumsum_matches_tiny_coarse(self, spark):
+        from stellar_etl_spark.operators.packing import concat_chunk_blocks
+
+        rows = [(i, "y" * (3 + i % 11)) for i in range(64)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = {
+            (r.block_id, r.n_docs, r.n_chars, r.first_doc, r.last_doc)
+            for r in concat_chunk_blocks(df, block_chars=32, coarse=4).collect()
+        }
+        b = {
+            (r.block_id, r.n_docs, r.n_chars, r.first_doc, r.last_doc)
+            for r in concat_chunk_blocks(df, block_chars=32, coarse=4096).collect()
+        }
+        assert a == b
+
+
+class TestDupSpans:
+    def test_merges_overlapping_windows(self, spark):
+        from stellar_etl_spark.operators.dedup import dup_spans
+
+        shared = "one two three four five six seven eight nine"  # 9 words
+        df = spark.createDataFrame(
+            [
+                (0, shared + " tail0 tail1"),
+                (1, "head0 head1 " + shared),
+                (2, "totally different words without any repeats here now ok"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dup_spans(df, n=8).collect()}
+        # 9 shared words -> two overlapping 8-gram hits merging to one
+        # 9-word span in each sharing doc; doc 2 emits nothing.
+        assert set(out) == {0, 1}
+        assert out[0].n_spans == 1 and out[0].dup_words == 9
+        assert out[1].n_spans == 1 and out[1].dup_words == 9
+
+    def test_short_docs_emit_no_grams(self, spark):
+        from stellar_etl_spark.operators.dedup import dup_spans
+
+        df = spark.createDataFrame(
+            [(0, "a b c"), (1, "a b c"), (2, "a b c d e f g")],
+            "doc_id long, text string",
+        )
+        assert dup_spans(df, n=8).count() == 0
+
+    def test_disjoint_spans_counted_separately(self, spark):
+        from stellar_etl_spark.operators.dedup import dup_spans
+
+        s1 = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+        s2 = "uno dos tres cuatro cinco seis siete ocho"  # 8 words
+        gap = "g1 g2 g3 g4 g5 g6 g7 g8 g9 g10"
+        df = spark.createDataFrame(
+            [(0, s1 + " " + gap + " " + s2), (1, s1), (2, s2)],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dup_spans(df, n=8).collect()}
+        assert out[0].n_spans == 2 and out[0].dup_words == 16
