@@ -748,3 +748,98 @@ def pq_ann(
         .orderBy("adc_dist2", id_col)
         .limit(top)
     )
+
+
+def pca_top_component(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    scale: int = 100,
+    iterations: int = 3,
+) -> DataFrame:
+    """Top principal direction of an embedding corpus (un-centered — the
+    dominant right-singular vector of the quantized data matrix) via POWER
+    ITERATION expressed entirely as DataFrame programs: the curation-side
+    "main axis" used for spectral filtering / outlier projection.
+
+    Exactness contract (same scheme as :func:`kmeans_fixed`): vectors
+    quantize once to the integer grid ``round(x·scale)``; the d×d Gram
+    matrix is an exact integer aggregate; the iterated vector stays in
+    DECIMAL(38,0) integer arithmetic (no normalization until the very end,
+    so no float drift accumulates); only the final unit-normalization runs
+    in double — one fixed-order fold + one correctly-rounded sqrt/divide,
+    identical in both engines.
+
+    Magnitude bound: |v_k| ≤ (d·G_max)^k with G_max = corpus·(scale·|x|)².
+    With scale=100, d=64, 3 iterations the bound stays inside DECIMAL(38)
+    up to ~10^9 rows; beyond that, rescale (divide the Gram by a power of
+    ten — the eigenvector is scale-invariant) or lower ``scale``.
+
+    Scale shape: the Gram matrix is computed as PER-ARROW-BATCH numpy
+    ``Mᵀ·M`` partials (d² rows each) reduced by one (i,j)-keyed aggregate
+    — one narrow mapInPandas pass over the corpus + a 4096-key shuffle.
+    Iterations then run on the d²-row Gram frame and d-row vectors: tiny
+    joins, no driver collect anywhere.
+    """
+    import pandas as pd
+
+    q = F.transform(
+        _as_double(F.col(vec_col)),
+        lambda x: F.round(x * scale).cast("long"),
+    )
+    pts = embeddings.select(q.alias("_q")).where(F.size("_q") == dims)
+
+    def gram_partials(batches):
+        import numpy as np
+
+        idx = np.arange(dims)
+        ii = np.repeat(idx, dims)
+        jj = np.tile(idx, dims)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["_q"].to_numpy()).astype(np.int64)
+            G = M.T @ M
+            yield pd.DataFrame({"i": ii, "j": jj, "g": G.ravel()})
+
+    gram = (
+        pts.mapInPandas(gram_partials, "i int, j int, g long")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("g").cast("decimal(20,0)")).alias("g"))
+    )
+
+    spark = embeddings.sparkSession
+    v = spark.range(dims).select(
+        F.col("id").cast("int").alias("i"),
+        F.lit(1).cast("decimal(38,0)").alias("val"),
+    )
+    for _ in range(iterations):
+        v = (
+            gram.join(
+                v.select(F.col("i").alias("j"), F.col("val")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("val")).alias("val"))
+        )
+
+    packed = v.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("i", "val"))).alias("_a")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("_a"),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["val"].cast("double") * x["val"].cast("double"),
+        )
+    )
+    return (
+        packed.select(norm.alias("_norm"), F.explode("_a").alias("_x"))
+        .select(
+            F.col("_x")["i"].alias("i"),
+            F.round(
+                F.col("_x")["val"].cast("double") / F.col("_norm"), 6
+            ).alias("loading"),
+        )
+    )

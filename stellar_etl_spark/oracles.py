@@ -2483,3 +2483,122 @@ SELECT cluster_id, survivor_doc_id, survivor_chars, cluster_size FROM (
   FROM member
 ) WHERE rn = 1
 """
+
+ORACLES["pca_power_iteration"] = """
+WITH base AS (
+  SELECT [CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT) FOR x IN embedding] AS q
+  FROM embeddings WHERE len(embedding) = 64
+),
+dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+g AS (
+  SELECT d1.i - 1 AS i, d2.i - 1 AS j,
+    CAST(SUM(q[d1.i] * q[d2.i]) AS HUGEINT) AS g
+  FROM base, dims d1, dims d2
+  GROUP BY d1.i, d2.i
+),
+v1 AS (SELECT i, CAST(SUM(g) AS HUGEINT) AS val FROM g GROUP BY i),
+v2 AS (
+  SELECT g.i, CAST(SUM(g.g * CAST(v1.val AS HUGEINT)) AS HUGEINT) AS val
+  FROM g JOIN v1 ON g.j = v1.i GROUP BY g.i
+),
+v3 AS (
+  SELECT g.i, CAST(SUM(g.g * CAST(v2.val AS HUGEINT)) AS HUGEINT) AS val
+  FROM g JOIN v2 ON g.j = v2.i GROUP BY g.i
+),
+packed AS (
+  SELECT list(i ORDER BY i) AS idx, list(CAST(val AS DOUBLE) ORDER BY i) AS vals
+  FROM v3
+),
+n AS (
+  SELECT idx, vals,
+    sqrt(list_reduce([v * v FOR v IN vals], (a, b) -> a + b)) AS nrm
+  FROM packed
+)
+SELECT CAST(idx[k] AS INT) AS i, round(vals[k] / nrm, 6) AS loading
+FROM n, LATERAL unnest(generate_series(1, 64)) AS t(k)
+"""
+
+ORACLES["source_contamination"] = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3
+      THEN list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                          FOR i IN generate_series(1, len(words) - 2)])
+      ELSE [] END AS shingle_set
+  FROM docs
+),
+sig AS (
+  SELECT doc_id, shingle_set,
+    [list_min([
+       ((2*p + 1) * (('0x' || substring(md5(s), 1, 15))::BIGINT % 2147483647)
+        + 98765*p + 12345) % 2147483647
+       FOR s IN shingle_set])
+     FOR p IN generate_series(0, 7)] AS ms
+  FROM sh WHERE len(shingle_set) > 0
+),
+banded AS (
+  SELECT doc_id, b AS band_id,
+    md5(concat_ws('|', b, ms[2*b + 1], ms[2*b + 2])) AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) AS bands(b)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  JOIN sh a ON a.doc_id = id_a
+  JOIN sh b ON b.doc_id = id_b
+  WHERE CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE) >= 0.5
+)
+SELECT least(da.source, db.source) AS source_a,
+  greatest(da.source, db.source) AS source_b,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs
+JOIN documents da ON da.doc_id = id_a
+JOIN documents db ON db.doc_id = id_b
+GROUP BY 1, 2
+"""
+
+ORACLES["feature_correlations"] = """
+WITH m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS s_q,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS s_e,
+    CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS s_d,
+    CAST(SUM(CAST(l_tax AS DECIMAL(6,4))) AS DOUBLE) AS s_t,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS p_qq,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS p_ee,
+    CAST(SUM(CAST(l_discount AS DECIMAL(6,4)) * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS p_dd,
+    CAST(SUM(CAST(l_tax AS DECIMAL(6,4)) * CAST(l_tax AS DECIMAL(6,4))) AS DOUBLE) AS p_tt,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS p_qe,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS p_qd,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_tax AS DECIMAL(6,4))) AS DOUBLE) AS p_qt,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS p_ed,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_tax AS DECIMAL(6,4))) AS DOUBLE) AS p_et,
+    CAST(SUM(CAST(l_discount AS DECIMAL(6,4)) * CAST(l_tax AS DECIMAL(6,4))) AS DOUBLE) AS p_dt
+  FROM lineitem
+)
+SELECT feature_a, feature_b, pearson_r FROM (
+  SELECT 'quantity' AS feature_a, 'extendedprice' AS feature_b,
+    round((n * p_qe - s_q * s_e) / (sqrt(n * p_qq - s_q * s_q) * sqrt(n * p_ee - s_e * s_e)), 6) AS pearson_r FROM m
+  UNION ALL
+  SELECT 'quantity', 'discount',
+    round((n * p_qd - s_q * s_d) / (sqrt(n * p_qq - s_q * s_q) * sqrt(n * p_dd - s_d * s_d)), 6) FROM m
+  UNION ALL
+  SELECT 'quantity', 'tax',
+    round((n * p_qt - s_q * s_t) / (sqrt(n * p_qq - s_q * s_q) * sqrt(n * p_tt - s_t * s_t)), 6) FROM m
+  UNION ALL
+  SELECT 'extendedprice', 'discount',
+    round((n * p_ed - s_e * s_d) / (sqrt(n * p_ee - s_e * s_e) * sqrt(n * p_dd - s_d * s_d)), 6) FROM m
+  UNION ALL
+  SELECT 'extendedprice', 'tax',
+    round((n * p_et - s_e * s_t) / (sqrt(n * p_ee - s_e * s_e) * sqrt(n * p_tt - s_t * s_t)), 6) FROM m
+  UNION ALL
+  SELECT 'discount', 'tax',
+    round((n * p_dt - s_d * s_t) / (sqrt(n * p_dd - s_d * s_d) * sqrt(n * p_tt - s_t * s_t)), 6) FROM m
+)
+"""

@@ -2535,3 +2535,100 @@ def cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["cluster_keep_best"] = cluster_keep_best
+
+
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by exact-integer
+    power iteration: Arrow-batched numpy Gram partials reduced by one
+    (i,j)-keyed aggregate, three DECIMAL(38) matrix-vector iterations on
+    the tiny Gram frame, one final double normalization (fixed-order fold
+    + correctly-rounded sqrt).  No collect, no normalization drift."""
+    from stellar_etl_spark.operators.similarity import pca_top_component
+
+    return pca_top_component(table(spark, sf_dir, "embeddings"))
+
+
+QUERIES["pca_power_iteration"] = pca_power_iteration
+
+
+def source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: verified MinHash near-dup pairs
+    rolled up to unordered source pairs — the per-domain leakage audit run
+    before mixing corpora.  Rides the existing banded LSH + exact-Jaccard
+    verify; the rollup adds two dimension joins and one hash aggregate."""
+    from stellar_etl_spark.operators.dedup import near_dup_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+    src = docs.select("doc_id", "source")
+    j = pairs.join(
+        src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")),
+        "id_a",
+    ).join(
+        src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")),
+        "id_b",
+    )
+    return (
+        j.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+QUERIES["source_contamination"] = source_contamination
+
+
+def feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the four lineitem measures from
+    EXACT decimal moment components (one map-side-partial aggregate row:
+    sums, squares, cross-products), then one identical IEEE double formula
+    per pair — never corr()/stddev over raw doubles, which are
+    summation-order-dependent."""
+    li = table(spark, sf_dir, "lineitem")
+    cols = {
+        "quantity": _dec("l_quantity"),
+        "extendedprice": _dec("l_extendedprice"),
+        "discount": _dec("l_discount", 6, 4),
+        "tax": _dec("l_tax", 6, 4),
+    }
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    names = list(cols)
+    for a in names:
+        aggs.append(F.sum(cols[a]).alias(f"_s_{a}"))
+    for ai, a in enumerate(names):
+        for b in names[ai:]:
+            aggs.append(F.sum(cols[a] * cols[b]).alias(f"_p_{a}_{b}"))
+    m = li.agg(*aggs)
+
+    def corr(a: str, b: str):
+        n = F.col("_n").cast("double")
+        sa, sb = F.col(f"_s_{a}").cast("double"), F.col(f"_s_{b}").cast("double")
+        sab = F.col(f"_p_{a}_{b}").cast("double")
+        saa = F.col(f"_p_{a}_{a}").cast("double")
+        sbb = F.col(f"_p_{b}_{b}").cast("double")
+        return (n * sab - sa * sb) / (
+            F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+        )
+
+    pairs = [
+        (a, b) for ai, a in enumerate(names) for b in names[ai + 1 :]
+    ]
+    # one aggregate row -> explode the 6 pair structs (the aggregate subtree
+    # appears once in the plan, not once per pair)
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("feature_a"),
+                F.lit(b).alias("feature_b"),
+                F.round(corr(a, b), 6).alias("pearson_r"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return m.select(F.explode(pair_structs).alias("_x")).select("_x.*")
+
+
+QUERIES["feature_correlations"] = feature_correlations

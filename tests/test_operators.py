@@ -1621,3 +1621,80 @@ class TestDupSpans:
         )
         out = {r.doc_id: r for r in dup_spans(df, n=8).collect()}
         assert out[0].n_spans == 2 and out[0].dup_words == 16
+
+
+class TestPcaPowerIteration:
+    def test_matches_numpy_replica_on_fixture(self, spark):
+        import numpy as np
+
+        from stellar_etl_spark.operators.similarity import pca_top_component
+
+        vecs = [
+            [1.0, 0.05, 0.0, 0.0],
+            [0.9, 0.10, 0.0, 0.02],
+            [1.0, 0.00, 0.01, 0.0],
+            [0.95, 0.07, 0.0, 0.01],
+        ]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        out = {
+            r.i: r.loading
+            for r in pca_top_component(df, dims=4, scale=100).collect()
+        }
+
+        # exact replica of the contract: integer grid -> integer Gram ->
+        # 3 integer matvecs -> one double normalization
+        Q = np.array(
+            [[round(x * 100) for x in v] for v in vecs], dtype=object
+        )
+        G = Q.T @ Q
+        v = np.array([1, 1, 1, 1], dtype=object)
+        for _ in range(3):
+            v = G @ v
+        vf = v.astype(np.float64)
+        acc = 0.0
+        for x in vf:
+            acc = acc + x * x
+        expect = vf / np.sqrt(acc)
+        for i in range(4):
+            assert out[i] == round(float(expect[i]), 6)
+
+    def test_dominant_axis_recovered(self, spark):
+        from stellar_etl_spark.operators.similarity import pca_top_component
+
+        df = spark.createDataFrame(
+            [(i, [1.0, 0.01 * (i % 3), 0.0]) for i in range(12)],
+            "vec_id long, embedding array<double>",
+        )
+        out = {r.i: r.loading for r in pca_top_component(df, dims=3).collect()}
+        assert out[0] > 0.999
+        assert abs(out[2]) < 1e-6
+
+
+class TestSourceContamination:
+    def test_cross_source_pairs_counted_once(self, spark):
+        import stellar_etl_spark.queries as q
+
+        dup = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+        rows = [
+            (0, dup, "en", "srcA", len(dup)),
+            (1, dup, "en", "srcB", len(dup)),
+            (2, dup + " extra", "en", "srcB", len(dup) + 6),
+            (3, "all different words entirely here ok fine yes", "en", "srcC", 44),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as d:
+            df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+            out = {
+                (r.source_a, r.source_b): r.n_pairs
+                for r in q.source_contamination(spark, d).collect()
+            }
+        assert out[("srcA", "srcB")] == 2  # 0-1 and 0-2
+        assert out[("srcB", "srcB")] == 1  # 1-2
+        assert not any("srcC" in k for pair in out for k in pair)
