@@ -2602,3 +2602,36 @@ SELECT feature_a, feature_b, pearson_r FROM (
     round((n * p_dt - s_d * s_t) / (sqrt(n * p_dd - s_d * s_d) * sqrt(n * p_tt - s_t * s_t)), 6) FROM m
 )
 """
+
+ORACLES["dataset_diff"] = """
+WITH cur AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents
+),
+prev AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 10 = 3 THEN md5('old:' || text) ELSE md5(text) END AS h
+  FROM documents WHERE doc_id % 10 <> 7
+),
+j AS (
+  SELECT COALESCE(c.source, p.source) AS source,
+    CASE WHEN p.doc_id IS NULL THEN 'added'
+         WHEN c.doc_id IS NULL THEN 'removed'
+         WHEN p.h <> c.h THEN 'changed'
+         ELSE 'unchanged' END AS status
+  FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id
+)
+SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM j GROUP BY source, status
+"""
+
+ORACLES["label_balanced_sample"] = """
+WITH counts AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+m AS (SELECT MIN(n) AS m FROM counts),
+ranked AS (
+  SELECT label, vec_id,
+    CAST(row_number() OVER (PARTITION BY label
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+  FROM embeddings
+)
+SELECT label, vec_id, rk FROM ranked, m WHERE rk <= m.m
+"""

@@ -2632,3 +2632,72 @@ def feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["feature_correlations"] = feature_correlations
+
+
+def dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff: the previous dataset version (deterministically
+    derived — docs with ``doc_id % 10 == 7`` not yet present, docs with
+    ``doc_id % 10 == 3`` carrying an older text revision) full-outer-joined
+    against the current version by doc_id, content compared by md5 — the
+    added/removed/changed/unchanged audit run between dataset releases.
+    One doc_id-keyed shuffle join + one hash aggregate; content hashes are
+    computed map-side so the join carries 32-byte digests, not documents."""
+    docs = table(spark, sf_dir, "documents")
+    cur = docs.select("doc_id", "source", F.md5("text").alias("_h"))
+    prev = (
+        docs.where(F.col("doc_id") % 10 != 7)
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                F.col("doc_id") % 10 == 3, F.md5(F.concat(F.lit("old:"), "text"))
+            )
+            .otherwise(F.md5("text"))
+            .alias("_h"),
+        )
+    )
+    j = prev.alias("p").join(
+        cur.alias("c"), F.col("p.doc_id") == F.col("c.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("p.doc_id").isNull(), F.lit("added"))
+        .when(F.col("c.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("p._h") != F.col("c._h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("c.source"), F.col("p.source")).alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+QUERIES["dataset_diff"] = dataset_diff
+
+
+def label_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-balanced deterministic downsample: every label keeps exactly
+    min-class-count vectors, chosen by md5(vec_id) order (reproducible, no
+    RNG state) — the class-rebalancing step before training a classifier
+    head.  The min count is a 1-row broadcast; ranking windows partition by
+    label so the selection parallelizes across classes."""
+    emb = table(spark, sf_dir, "embeddings")
+    from pyspark.sql.window import Window
+
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("_n"))
+    m = counts.agg(F.min("_n").alias("_m"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    ranked = emb.select("label", "vec_id").withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    )
+    return ranked.join(F.broadcast(m), ranked["rk"] <= m["_m"]).select(
+        "label", "vec_id", "rk"
+    )
+
+
+QUERIES["label_balanced_sample"] = label_balanced_sample
