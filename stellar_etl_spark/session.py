@@ -53,6 +53,12 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g",
         )
+        # the generated-CLASS cache (Janino output) defaults to 100 entries;
+        # a 147-query session churns it and a re-run of an evicted giant
+        # plan re-pays its multi-second Janino compile (observed: the same
+        # effects_fanout plan at 3.5 s steady vs 13-16 s when recompiled).
+        # Static conf — applies when this factory launches the JVM.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
