@@ -774,3 +774,173 @@ def bpe_encode_corpus(
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+def char_entropy_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-document character-distribution entropy (nats) — the classic
+    gibberish / low-diversity quality gate (boilerplate, base64 blobs and
+    keyboard-mash all sit far below natural text's ~4 nats).
+
+    Shape: a pure per-row column program (split → distinct → per-char count
+    via higher-order functions) — NO shuffle, no UDF; at 100 TB this is a
+    map-only stage that pipelines into the scan.  Per-row cost is
+    O(|alphabet|·len); alphabets are small by definition.
+
+    Determinism: H = ln(N) − (1/N)·Σ c·ln(c) is assembled from
+    integer-scaled logs (``round(scale·ln(x))`` — the repo-wide idiom), so
+    the per-row sum is exact integer arithmetic and the single edge divide
+    is the shared exact-ratio helper.  Cross-engine bit-equality holds
+    because every ln argument is a small positive integer.
+    """
+    from stellar_etl_spark.operators.util import exact_ratio_round6
+
+    cs = F.split(F.col(text_col), "")
+    n = F.size(cs)
+    counts = F.transform(
+        F.array_distinct(cs),
+        lambda ch: F.size(F.filter(cs, lambda x: x == ch)),
+    )
+    # Σ c·round(scale·ln c) — exact integer under any evaluation order.
+    si = F.aggregate(
+        counts,
+        F.lit(0).cast("long"),
+        lambda acc, c: acc
+        + c.cast("long")
+        * F.round(F.log(c.cast("double")) * scale).cast("long"),
+    )
+    h_num = (
+        F.round(F.log(n.cast("double")) * scale).cast("long") * n.cast("long")
+        - si
+    )
+    out = df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        h_num.alias("_hn"),
+    ).where(F.col("n_chars") > 0)
+    entropy = exact_ratio_round6(
+        F.col("_hn"), F.col("n_chars") * F.lit(scale)
+    )
+    return out.select(
+        id_col,
+        "n_chars",
+        entropy.alias("entropy"),
+        (entropy < F.lit(2.5)).alias("low_entropy"),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct word
+    n-grams that appear in NO other document — high novelty marks original
+    content, near-zero novelty marks templated/mirrored text (the dedup
+    family's soft sibling: a score, not a drop decision).
+
+    Shape: distinct-shingle explode → one hash aggregate keyed by gram
+    (doc-frequency) → gram-keyed equi-join back → per-doc integer sums.
+    Linear in shingle volume, no self-join, no window — scales like
+    exact dedup.  Novelty is an exact integer ratio (bit-identical across
+    engines).
+    """
+    from stellar_etl_spark.operators.util import (
+        exact_ratio_round6,
+        fan_out_small,
+    )
+
+    ex = (
+        fan_out_small(df)
+        .select(
+            F.col(id_col),
+            F.explode(shingles(F.col(text_col), n)).alias("_g"),
+        )
+    )
+    dfreq = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        ex.join(dfreq, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_novel",
+        exact_ratio_round6("n_novel", "n_grams").alias("novelty"),
+    )
+
+
+def source_token_kl(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    scale: int = 1000,
+) -> DataFrame:
+    """KL divergence of each group's unigram distribution from the corpus
+    distribution — the standard domain-shift / mixture-audit signal (a
+    source whose KL spikes is drifting away from the training mixture).
+
+    KL(p_s ‖ q) = Σ_t (c_st/T_s)·ln(c_st·T / (T_s·c_t)), all counts exact
+    integers.  Per-term logs are integer-scaled once (round(scale·ln·)), so
+    the per-group sum is exact; corpus totals ride in as one broadcast row.
+    Bound: |Σ c_st·lw| ≤ T_s·scale·max|ln ratio| — with scale=1000 the
+    exact-ratio helper's 2^53 headroom holds to ~10^9 tokens per group;
+    beyond that, lower the scale (it is a determinism knob, not accuracy).
+
+    Shape: explode → two hash aggregates (group×token, token) → token
+    equi-join → group aggregate.  One shuffle keyed by token; never by row.
+    """
+    from stellar_etl_spark.operators.util import (
+        exact_ratio_round6,
+        fan_out_small,
+    )
+
+    toks = fan_out_small(df).select(
+        F.col(group_col).alias("_grp"),
+        F.explode(tokenize_words(F.col(text_col))).alias("_t"),
+    )
+    gt = toks.groupBy("_grp", "_t").agg(F.count(F.lit(1)).alias("_cst"))
+    ct = gt.groupBy("_t").agg(F.sum("_cst").alias("_ct"))
+    gtot = gt.groupBy("_grp").agg(F.sum("_cst").alias("_ts"))
+    tot = ct.agg(F.sum("_ct").alias("_tt"))
+    terms = (
+        gt.join(ct, "_t")
+        .join(F.broadcast(gtot), "_grp")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_grp",
+            "_cst",
+            "_ts",
+            F.round(
+                F.log(
+                    (F.col("_cst").cast("double") * F.col("_tt"))
+                    / (F.col("_ts").cast("double") * F.col("_ct"))
+                )
+                * scale
+            )
+            .cast("long")
+            .alias("_lw"),
+        )
+    )
+    agg = terms.groupBy(F.col("_grp").alias(group_col)).agg(
+        F.max("_ts").alias("n_tokens"),
+        F.sum(F.col("_cst") * F.col("_lw")).alias("_kl_num"),
+    )
+    return agg.select(
+        group_col,
+        "n_tokens",
+        exact_ratio_round6(
+            F.col("_kl_num"), F.col("n_tokens") * F.lit(scale)
+        ).alias("kl_from_corpus"),
+    )

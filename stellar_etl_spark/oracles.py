@@ -2635,3 +2635,79 @@ ranked AS (
 )
 SELECT label, vec_id, rk FROM ranked, m WHERE rk <= m.m
 """
+
+ORACLES["char_entropy_quality"] = """
+WITH cs AS (
+  SELECT doc_id, string_split(text, '') AS chars FROM documents
+),
+st AS (
+  SELECT doc_id, len(chars) AS n_chars,
+    list_sum(list_transform(list_distinct(chars),
+      ch -> len(list_filter(chars, x -> x = ch))
+            * CAST(round(ln(len(list_filter(chars, x -> x = ch))) * 1000)
+                   AS BIGINT))) AS si
+  FROM cs WHERE len(chars) > 0
+),
+hn AS (
+  SELECT doc_id, n_chars,
+    CAST(round(ln(n_chars) * 1000) AS BIGINT) * n_chars - si AS h_num
+  FROM st
+),
+e AS (
+  SELECT doc_id, n_chars,
+    (CASE WHEN h_num < 0 THEN -1 ELSE 1 END *
+     ((abs(h_num) * 2000000 + (n_chars * 1000))
+       // (2 * (n_chars * 1000)))) / 1000000.0 AS entropy
+  FROM hn
+)
+SELECT doc_id, n_chars, entropy, entropy < 2.5 AS low_entropy FROM e
+"""
+
+ORACLES["ngram_novelty_score"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3
+      THEN list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                          FOR i IN generate_series(1, len(words) - 2)])
+      ELSE [] END AS grams
+  FROM w
+),
+ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+dfreq AS (SELECT gram, COUNT(*) AS df FROM ex GROUP BY gram),
+per_doc AS (
+  SELECT ex.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_grams,
+    CAST(SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM ex JOIN dfreq USING (gram) GROUP BY ex.doc_id
+)
+SELECT doc_id, n_grams, n_novel,
+  ((n_novel * 2000000 + n_grams) // (2 * n_grams)) / 1000000.0 AS novelty
+FROM per_doc
+"""
+
+ORACLES["source_kl_drift"] = """
+WITH tok AS (
+  SELECT source AS grp, unnest(string_split(text, ' ')) AS t FROM documents
+),
+gt AS (SELECT grp, t, COUNT(*) AS cst FROM tok GROUP BY grp, t),
+ct AS (SELECT t, SUM(cst) AS ct FROM gt GROUP BY t),
+gtot AS (SELECT grp, SUM(cst) AS ts FROM gt GROUP BY grp),
+tot AS (SELECT SUM(ct) AS tt FROM ct),
+terms AS (
+  SELECT gt.grp, gt.cst, gtot.ts,
+    CAST(round(ln((CAST(gt.cst AS DOUBLE) * tot.tt)
+                  / (CAST(gtot.ts AS DOUBLE) * ct.ct)) * 1000) AS BIGINT)
+      AS lw
+  FROM gt JOIN ct USING (t) JOIN gtot USING (grp), tot
+),
+agg AS (
+  SELECT grp AS source, MAX(ts) AS n_tokens, SUM(cst * lw) AS kl_num
+  FROM terms GROUP BY grp
+)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+  (CASE WHEN kl_num < 0 THEN -1 ELSE 1 END *
+   ((abs(kl_num) * 2000000 + (n_tokens * 1000))
+     // (2 * (n_tokens * 1000)))) / 1000000.0 AS kl_from_corpus
+FROM agg
+"""

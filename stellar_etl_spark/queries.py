@@ -2701,3 +2701,41 @@ def label_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["label_balanced_sample"] = label_balanced_sample
+
+
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality gate per document — a shuffle-free map-only
+    column program (split → distinct → per-char count via higher-order
+    functions); the gibberish/boilerplate filter of the quality family."""
+    from stellar_etl_spark.operators.text import char_entropy_stats
+
+    docs = table(spark, sf_dir, "documents")
+    return char_entropy_stats(docs)
+
+
+QUERIES["char_entropy_quality"] = char_entropy_quality
+
+
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty (share of shingles unique to the doc) —
+    one doc-frequency hash aggregate plus a gram-keyed join; the soft
+    scoring sibling of the dedup family."""
+    from stellar_etl_spark.operators.text import ngram_novelty
+
+    docs = table(spark, sf_dir, "documents")
+    return ngram_novelty(docs)
+
+
+QUERIES["ngram_novelty_score"] = ngram_novelty_score
+
+
+def source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram KL divergence of each source from the corpus mixture — the
+    domain-shift audit; integer-scaled logs keep it bit-deterministic."""
+    from stellar_etl_spark.operators.text import source_token_kl
+
+    docs = table(spark, sf_dir, "documents")
+    return source_token_kl(docs)
+
+
+QUERIES["source_kl_drift"] = source_kl_drift

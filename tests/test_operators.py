@@ -1698,3 +1698,57 @@ class TestSourceContamination:
         assert out[("srcA", "srcB")] == 2  # 0-1 and 0-2
         assert out[("srcB", "srcB")] == 1  # 1-2
         assert not any("srcC" in k for pair in out for k in pair)
+
+
+class TestTextQualitySignals:
+    def test_char_entropy_uniform_vs_repetitive(self, spark):
+        import math
+
+        from stellar_etl_spark.operators.text import char_entropy_stats
+
+        df = spark.createDataFrame(
+            [(1, "aaaaaaaa"), (2, "abcdefghijklmnop")], DOCS_SCHEMA
+        )
+        out = {r.doc_id: r for r in char_entropy_stats(df).collect()}
+        assert out[1].entropy == 0.0 and out[1].low_entropy
+        assert abs(out[2].entropy - math.log(16)) < 1e-3
+        assert not out[2].low_entropy
+
+    def test_ngram_novelty_shared_vs_unique(self, spark):
+        from stellar_etl_spark.operators.text import ngram_novelty
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d"),        # grams: "a b c", "b c d"
+                (2, "a b c x"),        # shares "a b c" with doc 1
+            ],
+            DOCS_SCHEMA,
+        )
+        out = {r.doc_id: r for r in ngram_novelty(df).collect()}
+        # doc 1: "b c d" unique, "a b c" shared -> 1/2
+        assert (out[1].n_grams, out[1].n_novel, out[1].novelty) == (2, 1, 0.5)
+        assert (out[2].n_grams, out[2].n_novel, out[2].novelty) == (2, 1, 0.5)
+
+    def test_source_kl_zero_for_identical_distributions(self, spark):
+        from stellar_etl_spark.operators.text import source_token_kl
+
+        df = spark.createDataFrame(
+            [("s1", "a b"), ("s2", "a b")],
+            "source string, text string",
+        )
+        out = {r.source: r for r in source_token_kl(df).collect()}
+        assert out["s1"].kl_from_corpus == 0.0
+        assert out["s2"].kl_from_corpus == 0.0
+        assert out["s1"].n_tokens == 2
+
+    def test_source_kl_positive_for_skewed_source(self, spark):
+        from stellar_etl_spark.operators.text import source_token_kl
+
+        df = spark.createDataFrame(
+            [("s1", "a a a a"), ("s2", "b b b b")],
+            "source string, text string",
+        )
+        out = {r.source: r for r in source_token_kl(df).collect()}
+        # each source concentrates all mass on its own token: KL = ln 2
+        assert abs(out["s1"].kl_from_corpus - 0.693147) < 1e-3
+        assert abs(out["s2"].kl_from_corpus - 0.693147) < 1e-3
