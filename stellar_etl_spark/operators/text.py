@@ -944,3 +944,61 @@ def source_token_kl(
             F.col("_kl_num"), F.col("n_tokens") * F.lit(scale)
         ).alias("kl_from_corpus"),
     )
+
+
+def hashed_ngram_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+) -> DataFrame:
+    """FastText-style hashed bag-of-ngrams linear classifier inference —
+    the model-based quality-filter stage (CCNet/GPT-3 style): each word
+    unigram and bigram hashes into one of ``buckets`` feature slots, the
+    doc's score is the mean slot weight, and docs with score ≤ 0 drop.
+
+    The weight table is a deterministic integer function of the slot
+    (Knuth multiplicative scramble, scaled ×10⁶) standing in for trained
+    parameters — a real pipeline broadcasts its learned vector; the plan
+    shape (explode → per-feature weight lookup as a pure column expression
+    → per-doc integer sum) is identical, and at 100 TB it is one map-side
+    projection plus a doc-keyed hash aggregate.  No UDF: the feature hash
+    is the first 8 hex chars of md5 (both engines agree byte-for-byte),
+    and all arithmetic before the single edge divide is exact integer.
+    """
+    from stellar_etl_spark.operators.util import (
+        exact_ratio_round6,
+        fan_out_small,
+    )
+
+    words = tokenize_words(F.col(text_col))
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.array_join(F.slice(words, i, 2), " "),
+        ),
+    ).otherwise(F.slice(words, 1, 0))
+    feats = fan_out_small(df).select(
+        F.col(id_col), F.explode(F.concat(words, bigrams)).alias("_g")
+    )
+    slot = (
+        F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast("long")
+        % buckets
+    )
+    wt = (slot * F.lit(2654435761) + F.lit(12345)) % F.lit(2000001) - F.lit(
+        1000000
+    )
+    agg = feats.select(F.col(id_col), wt.alias("_w")).groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_features"),
+        F.sum("_w").alias("_s"),
+    )
+    score = exact_ratio_round6(
+        F.col("_s"), F.col("n_features") * F.lit(1_000_000)
+    )
+    return agg.select(
+        id_col,
+        "n_features",
+        score.alias("score"),
+        (score > 0).alias("keep"),
+    )

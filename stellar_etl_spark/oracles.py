@@ -2711,3 +2711,54 @@ SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
      // (2 * (n_tokens * 1000)))) / 1000000.0 AS kl_from_corpus
 FROM agg
 """
+
+ORACLES["quality_classifier_filter"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+f AS (
+  SELECT doc_id, unnest(list_concat(words,
+    CASE WHEN len(words) >= 2
+      THEN [words[i] || ' ' || words[i+1]
+            FOR i IN generate_series(1, len(words) - 1)]
+      ELSE [] END)) AS g
+  FROM w
+),
+h AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 1024 AS slot
+  FROM f
+),
+sw AS (
+  SELECT doc_id,
+    (slot * 2654435761 + 12345) % 2000001 - 1000000 AS wt
+  FROM h
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features, SUM(wt) AS s
+  FROM sw GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, n_features,
+    (CASE WHEN s < 0 THEN -1 ELSE 1 END *
+     ((abs(s) * 2000000 + (n_features * 1000000))
+       // (2 * (n_features * 1000000)))) / 1000000.0 AS score
+  FROM agg
+)
+SELECT doc_id, n_features, score, score > 0 AS keep FROM scored
+"""
+
+ORACLES["curriculum_stages"] = """
+WITH d AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS difficulty
+  FROM documents
+),
+staged AS (
+  SELECT doc_id, difficulty,
+    CAST(ntile(5) OVER (ORDER BY difficulty, doc_id) AS BIGINT) AS stage
+  FROM d
+)
+SELECT doc_id, difficulty, stage,
+  CAST(row_number() OVER (PARTITION BY stage
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS stage_pos
+FROM staged
+"""

@@ -2739,3 +2739,50 @@ def source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["source_kl_drift"] = source_kl_drift
+
+
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (fastText/CCNet-style): hashed
+    bag-of-ngrams linear scorer over every document — explode → pure-column
+    weight lookup → doc-keyed integer aggregate; the classifier-inference
+    slot of the filtering family."""
+    from stellar_etl_spark.operators.text import hashed_ngram_score
+
+    docs = table(spark, sf_dir, "documents")
+    return hashed_ngram_score(docs)
+
+
+QUERIES["quality_classifier_filter"] = quality_classifier_filter
+
+
+def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-based curriculum schedule: rank docs by token count into 5
+    difficulty stages (exact ANSI ntile via the two-phase distributed rank
+    — no single-partition window), then give each doc a deterministic
+    within-stage position by md5 order (the epoch-shuffle idiom).  Output
+    is the training order a curriculum loader would consume."""
+    from pyspark.sql.window import Window
+
+    from stellar_etl_spark.operators.dedup import tokenize_words
+    from stellar_etl_spark.operators.ranking import distributed_ntile
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokenize_words(F.col("text"))).alias("difficulty")
+    )
+    staged = distributed_ntile(
+        docs, "difficulty", ["doc_id"], k=5, out="stage"
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("stage").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return staged.select(
+        "doc_id",
+        F.col("difficulty").cast("long").alias("difficulty"),
+        "stage",
+        pos.cast("long").alias("stage_pos"),
+    )
+
+
+QUERIES["curriculum_stages"] = curriculum_stages

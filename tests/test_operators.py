@@ -1752,3 +1752,39 @@ class TestTextQualitySignals:
         # each source concentrates all mass on its own token: KL = ln 2
         assert abs(out["s1"].kl_from_corpus - 0.693147) < 1e-3
         assert abs(out["s2"].kl_from_corpus - 0.693147) < 1e-3
+
+    def test_hashed_ngram_score_deterministic(self, spark):
+        from stellar_etl_spark.operators.text import hashed_ngram_score
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c"), (3, "z")], DOCS_SCHEMA
+        )
+        out = {r.doc_id: r for r in hashed_ngram_score(df).collect()}
+        # unigrams + bigrams: "a b c" -> 3 + 2 = 5 features; "z" -> 1
+        assert out[1].n_features == 5 and out[3].n_features == 1
+        # identical text -> identical score and keep decision
+        assert out[1].score == out[2].score
+        assert out[1].keep == out[2].keep
+        assert -1.0 <= out[3].score <= 1.0
+
+    def test_curriculum_stages_orders_by_length(self, spark):
+        from stellar_etl_spark.queries import curriculum_stages
+
+        out = curriculum_stages(
+            spark.sparkSession if hasattr(spark, "sparkSession") else spark,
+            "/root/testdata/sf0.001",
+        ).collect()
+        by_stage = {}
+        for r in out:
+            by_stage.setdefault(r.stage, []).append(r)
+        assert set(by_stage) == {1, 2, 3, 4, 5}
+        # every doc in stage k is no harder than any doc in stage k+1
+        for k in range(1, 5):
+            assert max(r.difficulty for r in by_stage[k]) <= min(
+                r.difficulty for r in by_stage[k + 1]
+            )
+        # within-stage positions are a 1..n permutation
+        for rows in by_stage.values():
+            assert sorted(r.stage_pos for r in rows) == list(
+                range(1, len(rows) + 1)
+            )
