@@ -786,32 +786,59 @@ def char_entropy_stats(
     gibberish / low-diversity quality gate (boilerplate, base64 blobs and
     keyboard-mash all sit far below natural text's ~4 nats).
 
-    Shape: a pure per-row column program (split → distinct → per-char count
-    via higher-order functions) — NO shuffle, no UDF; at 100 TB this is a
-    map-only stage that pipelines into the scan.  Per-row cost is
-    O(|alphabet|·len); alphabets are small by definition.
+    Shape: a pure per-row column program — NO shuffle, no UDF; at 100 TB
+    this is a map-only stage that pipelines into the scan.  Char counts
+    come from ONE ``aggregate`` fold over the sorted char array (run-length
+    state machine: prev char, current run, accumulated sum), so per-row
+    cost is O(len·log len) for the sort plus O(len) for the fold.  The
+    naive distinct×filter HOF spelling is O(|alphabet|·len) at best — and
+    because Spark inlines outer-scope expressions into HOF lambdas rather
+    than CSE-ing them, a lambda that references the array rebuilds it per
+    element, degrading to O(len²) (measured: hung at sf0.1).  Keep lambdas
+    self-contained: they may touch only their own arguments.
 
     Determinism: H = ln(N) − (1/N)·Σ c·ln(c) is assembled from
     integer-scaled logs (``round(scale·ln(x))`` — the repo-wide idiom), so
-    the per-row sum is exact integer arithmetic and the single edge divide
+    the per-row fold is exact integer arithmetic and the single edge divide
     is the shared exact-ratio helper.  Cross-engine bit-equality holds
-    because every ln argument is a small positive integer.
+    because every ln argument is a small positive integer (run lengths),
+    independent of the oracle's own counting strategy.
     """
     from stellar_etl_spark.operators.util import exact_ratio_round6
 
     cs = F.split(F.col(text_col), "")
     n = F.size(cs)
-    counts = F.transform(
-        F.array_distinct(cs),
-        lambda ch: F.size(F.filter(cs, lambda x: x == ch)),
+
+    # closed run contributes run·round(scale·ln run); ln(0) is guarded
+    def run_term(run):
+        return F.when(run == 0, F.lit(0).cast("long")).otherwise(
+            run * F.round(F.log(run.cast("double")) * scale).cast("long")
+        )
+
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("si"),
     )
-    # Σ c·round(scale·ln c) — exact integer under any evaluation order.
+    # Σ c·round(scale·ln c) — exact integer, one pass over the sorted chars.
     si = F.aggregate(
-        counts,
-        F.lit(0).cast("long"),
-        lambda acc, c: acc
-        + c.cast("long")
-        * F.round(F.log(c.cast("double")) * scale).cast("long"),
+        F.array_sort(cs),
+        zero,
+        lambda acc, c: F.when(
+            c == acc["prev"],
+            F.struct(
+                acc["prev"].alias("prev"),
+                (acc["run"] + 1).alias("run"),
+                acc["si"].alias("si"),
+            ),
+        ).otherwise(
+            F.struct(
+                c.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                (acc["si"] + run_term(acc["run"])).alias("si"),
+            )
+        ),
+        lambda acc: acc["si"] + run_term(acc["run"]),
     )
     h_num = (
         F.round(F.log(n.cast("double")) * scale).cast("long") * n.cast("long")
