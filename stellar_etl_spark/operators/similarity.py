@@ -843,3 +843,68 @@ def pca_top_component(
             ).alias("loading"),
         )
     )
+
+
+def truncation_energy_audit(
+    df: DataFrame,
+    dims: tuple[int, ...] = (8, 16, 32, 64),
+    full_dim: int = 64,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Matryoshka-style truncation audit: for each prefix length k, the
+    share of a vector's squared norm captured by its first k dimensions,
+    averaged per label — the standard diagnostic before serving truncated
+    embeddings (MRL, Kusupati et al. 2022).
+
+    Shape: one map-only projection (per-row left-fold energies over array
+    slices — lambdas touch only their own arguments, per the HOF-inlining
+    rule) followed by a single hash aggregate on (k, label).  Explode
+    fan-out is |dims| (4), not the vector width.
+
+    Determinism: per-row ratios are rounded ONCE into integer micro-units
+    (round(e_k/e_full·10⁶) — both engines fold squares left-to-right from
+    a zero init, so the doubles agree bit-for-bit), the group sum is exact
+    integer, and the final mean is the exact-ratio helper.  Headroom: the
+    2⁵³ bound needs n_vecs·10⁶ per (k,label) group under ~4×10⁹ — fine to
+    ~4 billion vectors per label; shard the mean beyond that.
+    """
+    from pyspark.sql import functions as F
+
+    from stellar_etl_spark.operators.util import exact_ratio_round6
+
+    v = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+
+    def energy(k: int):
+        return F.aggregate(
+            F.slice(v, 1, k), F.lit(0.0), lambda a, x: a + x * x
+        )
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("k"),
+                F.round(energy(k) / energy(full_dim) * 1_000_000)
+                .cast("long")
+                .alias("micro"),
+            )
+            for k in dims
+        ]
+    )
+    ex = (
+        df.where(energy(full_dim) > 0)
+        .select(F.col(label_col), F.explode(pairs).alias("p"))
+        .select(label_col, F.col("p.k").alias("k"), F.col("p.micro").alias("micro"))
+    )
+    agg = ex.groupBy("k", label_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("micro").alias("_s"),
+    )
+    return agg.select(
+        "k",
+        label_col,
+        "n_vecs",
+        exact_ratio_round6(
+            F.col("_s"), F.col("n_vecs") * F.lit(1_000_000)
+        ).alias("avg_energy_ratio"),
+    )

@@ -2762,3 +2762,27 @@ SELECT doc_id, difficulty, stage,
     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS stage_pos
 FROM staged
 """
+
+ORACLES["embedding_truncation_audit"] = """
+WITH base AS (
+  SELECT label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+),
+e AS (
+  SELECT label, k,
+    CAST(ROUND(
+      list_reduce([v[i] * v[i] FOR i IN generate_series(1, k)], (a, b) -> a + b)
+      / list_reduce([v[i] * v[i] FOR i IN generate_series(1, 64)], (a, b) -> a + b)
+      * 1000000) AS BIGINT) AS micro
+  FROM base, (SELECT unnest([8, 16, 32, 64]) AS k) ks
+  WHERE list_reduce([v[i] * v[i] FOR i IN generate_series(1, 64)], (a, b) -> a + b) > 0
+),
+agg AS (
+  SELECT CAST(k AS BIGINT) AS k, label,
+    CAST(COUNT(*) AS BIGINT) AS n_vecs, SUM(micro) AS s
+  FROM e GROUP BY k, label
+)
+SELECT k, label, n_vecs,
+  ((s * 2000000 + (n_vecs * 1000000)) // (2 * (n_vecs * 1000000)))
+    / 1000000.0 AS avg_energy_ratio
+FROM agg
+"""

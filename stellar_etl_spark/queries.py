@@ -2786,3 +2786,16 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["curriculum_stages"] = curriculum_stages
+
+
+def embedding_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation-energy audit per label: what fraction of the
+    embedding norm survives truncation to 8/16/32 dims — map-only fold plus
+    one (k, label) hash aggregate."""
+    from stellar_etl_spark.operators.similarity import truncation_energy_audit
+
+    emb = table(spark, sf_dir, "embeddings")
+    return truncation_energy_audit(emb)
+
+
+QUERIES["embedding_truncation_audit"] = embedding_truncation_audit

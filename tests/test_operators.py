@@ -1788,3 +1788,25 @@ class TestTextQualitySignals:
             assert sorted(r.stage_pos for r in rows) == list(
                 range(1, len(rows) + 1)
             )
+
+    def test_truncation_energy_monotone(self, spark):
+        from stellar_etl_spark.operators.similarity import (
+            truncation_energy_audit,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "a", [1.0] * 64), (1, "a", [2.0] * 32 + [0.0] * 32)],
+            EMB_SCHEMA,
+        )
+        out = {
+            r.k: r.avg_energy_ratio
+            for r in truncation_energy_audit(
+                df, label_col="label"
+            ).collect()
+        }
+        # uniform vector: prefix-k energy is k/64; front-loaded vector: 1.0
+        # for k>=32 -> averages are monotone in k and end at exactly 1.0
+        assert out[64] == 1.0
+        assert out[8] < out[16] < out[32] < out[64]
+        # doc 0 contributes 8/64=0.125, doc 1 contributes 0.25 at k=8
+        assert abs(out[8] - (0.125 + 0.25) / 2) < 1e-6
