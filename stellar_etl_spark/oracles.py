@@ -2786,3 +2786,81 @@ SELECT k, label, n_vecs,
     / 1000000.0 AS avg_energy_ratio
 FROM agg
 """
+
+ORACLES["ann_recall_audit"] = """
+WITH base AS (
+  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv,
+    sqrt(list_reduce([v[i] * v[i] FOR i IN generate_series(1, 64)], (a, b) -> a + b)) AS qn
+  FROM base WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+exact_scored AS (
+  SELECT q.query_id, b.vec_id AS nbr_id,
+    ROUND(
+      list_reduce([qv[i] * b.v[i] FOR i IN generate_series(1, 64)], (a, b) -> a + b)
+      / (qn * sqrt(list_reduce([b.v[i] * b.v[i] FOR i IN generate_series(1, 64)], (a, b) -> a + b))),
+      6) AS cosine_sim
+  FROM q, base b WHERE b.vec_id <> q.query_id
+),
+exact_top AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT query_id, nbr_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, nbr_id) AS rnk
+    FROM exact_scored
+  ) WHERE rnk <= 5
+),
+cent AS (
+  SELECT label, i, ROUND(AVG(v[i]), 6) AS cv
+  FROM base, (SELECT unnest(generate_series(1, 64)) AS i) dims(i)
+  GROUP BY label, i
+),
+cent_vec AS (
+  SELECT label AS cell, list(cv ORDER BY i) AS cvec FROM cent GROUP BY label
+),
+cell_scored AS (
+  SELECT q.query_id, q.qv, q.qn, c.cell,
+    list_reduce([qv[i] * cvec[i] FOR i IN generate_series(1, 64)], (a, b) -> a + b)
+    / (qn * sqrt(list_reduce([cvec[i] * cvec[i] FOR i IN generate_series(1, 64)], (a, b) -> a + b)))
+      AS cell_sim
+  FROM q, cent_vec c
+),
+probes AS (
+  SELECT query_id, qv, qn, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cell_sim DESC, cell) AS pr
+    FROM cell_scored
+  ) WHERE pr <= 3
+),
+approx_scored AS (
+  SELECT p.query_id, b.vec_id AS nbr_id,
+    ROUND(
+      list_reduce([qv[i] * b.v[i] FOR i IN generate_series(1, 64)], (a, b) -> a + b)
+      / (qn * sqrt(list_reduce([b.v[i] * b.v[i] FOR i IN generate_series(1, 64)], (a, b) -> a + b))),
+      6) AS cosine_sim
+  FROM probes p JOIN base b ON b.label = p.cell
+  WHERE b.vec_id <> p.query_id
+),
+approx_top AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT query_id, nbr_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, nbr_id) AS rnk
+    FROM approx_scored
+  ) WHERE rnk <= 5
+),
+hits AS (
+  SELECT e.query_id,
+    CASE WHEN a.nbr_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM exact_top e
+  LEFT JOIN approx_top a
+    ON a.query_id = e.query_id AND a.nbr_id = e.nbr_id
+),
+agg AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k,
+    CAST(SUM(hit) AS BIGINT) AS n_hits
+  FROM hits GROUP BY query_id
+)
+SELECT query_id, k, n_hits,
+  ((n_hits * 2000000 + k) // (2 * k)) / 1000000.0 AS recall
+FROM agg
+"""

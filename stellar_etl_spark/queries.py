@@ -2799,3 +2799,50 @@ def embedding_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["embedding_truncation_audit"] = embedding_truncation_audit
+
+
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF approximate kNN against the exact brute-force
+    ground truth, per query — the standard ANN quality gate before trading
+    exactness for the nprobe/ncells scan reduction.  Composes the two
+    existing operators (each deterministic with a tie-broken rank order)
+    and scores the overlap as an exact integer ratio; the join keys are
+    (query, neighbor) over two k-bounded result sets, so cost is the two
+    kNN plans plus a trivial join."""
+    from stellar_etl_spark.operators.similarity import (
+        cosine_topk,
+        lsh_bucket_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = cosine_topk(emb, query_ids=qids, k=5).select(
+        "query_id", "nbr_id"
+    )
+    approx = lsh_bucket_topk(emb, query_ids=qids, k=5, nprobe=3).select(
+        "query_id", F.col("nbr_id").alias("a_nbr_id")
+    )
+    from stellar_etl_spark.operators.util import exact_ratio_round6
+
+    hits = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["nbr_id"] == approx["a_nbr_id"]),
+        "left",
+    ).select(
+        exact["query_id"].alias("query_id"),
+        F.when(F.col("a_nbr_id").isNotNull(), 1).otherwise(0).alias("_hit"),
+    )
+    agg = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("_hit").cast("long").alias("n_hits"),
+    )
+    return agg.select(
+        "query_id",
+        "k",
+        "n_hits",
+        exact_ratio_round6("n_hits", "k").alias("recall"),
+    )
+
+
+QUERIES["ann_recall_audit"] = ann_recall_audit

@@ -1810,3 +1810,12 @@ class TestTextQualitySignals:
         assert out[8] < out[16] < out[32] < out[64]
         # doc 0 contributes 8/64=0.125, doc 1 contributes 0.25 at k=8
         assert abs(out[8] - (0.125 + 0.25) / 2) < 1e-6
+
+    def test_ann_recall_bounds_and_self_consistency(self, spark):
+        from stellar_etl_spark.queries import ann_recall_audit
+
+        out = ann_recall_audit(spark, "/root/testdata/sf0.001").collect()
+        assert {r.query_id for r in out} == {0, 1, 2, 3, 4}
+        for r in out:
+            assert r.k == 5 and 0 <= r.n_hits <= 5
+            assert r.recall == round(r.n_hits / r.k, 6)
