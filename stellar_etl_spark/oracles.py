@@ -2864,3 +2864,31 @@ SELECT query_id, k, n_hits,
   ((n_hits * 2000000 + k) // (2 * k)) / 1000000.0 AS recall
 FROM agg
 """
+
+ORACLES["shard_manifest"] = """
+WITH packed AS (
+WITH RECURSIVE d AS (
+  SELECT source, doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+p AS (
+  SELECT source, doc_id, rn, n_tokens, CAST(0 AS BIGINT) AS bin_id,
+    n_tokens AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.doc_id, d.rn, d.n_tokens,
+    CASE WHEN p.fill + d.n_tokens > 512 THEN p.bin_id + 1
+         ELSE p.bin_id END AS bin_id,
+    CASE WHEN p.fill + d.n_tokens > 512 THEN d.n_tokens
+         ELSE p.fill + d.n_tokens END AS fill
+  FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1
+)
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id, n_tokens, bin_id FROM p
+)
+SELECT source, bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS content_digest
+FROM packed GROUP BY source, bin_id
+"""

@@ -2846,3 +2846,31 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_recall_audit"] = ann_recall_audit
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export manifest over the packed corpus: one row per (source, bin)
+    with doc/token counts and an order-independent md5 content digest —
+    the bookkeeping a training loader uses to verify shard integrity.
+    One hash aggregate over the packing output; the digest sorts the
+    member list inside the row, so it is partitioning-independent."""
+    packed = sequence_packing(spark, sf_dir)
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("content_digest"),
+        )
+    )
+
+
+QUERIES["shard_manifest"] = shard_manifest

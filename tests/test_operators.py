@@ -1819,3 +1819,26 @@ class TestTextQualitySignals:
         for r in out:
             assert r.k == 5 and 0 <= r.n_hits <= 5
             assert r.recall == round(r.n_hits / r.k, 6)
+
+    def test_shard_manifest_partitioning_independent(self, spark):
+        from stellar_etl_spark.queries import sequence_packing, shard_manifest
+
+        man = {
+            (r.source, r.bin_id): r
+            for r in shard_manifest(spark, "/root/testdata/sf0.001").collect()
+        }
+        packed = sequence_packing(spark, "/root/testdata/sf0.001").collect()
+        agg = {}
+        for r in packed:
+            k = (r.source, r.bin_id)
+            agg.setdefault(k, []).append((r.doc_id, r.n_tokens))
+        assert set(man) == set(agg)
+        import hashlib
+        for k, members in agg.items():
+            ids = sorted(d for d, _ in members)
+            digest = hashlib.md5(
+                ",".join(str(i) for i in ids).encode()
+            ).hexdigest()
+            assert man[k].n_docs == len(members)
+            assert man[k].bin_tokens == sum(t for _, t in members)
+            assert man[k].content_digest == digest
