@@ -1029,3 +1029,77 @@ def hashed_ngram_score(
         score.alias("score"),
         (score > 0).alias("keep"),
     )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1000,
+) -> DataFrame:
+    """Bigram language-model score per document (add-one smoothing) — the
+    KenLM-style upgrade of :func:`unigram_logprob_score`: train bigram
+    conditionals on the corpus itself, then score each doc by its mean
+    log P(w₂|w₁).  Gibberish and shuffled text score far below natural
+    prose even when their unigram profile is normal.
+
+    Shape: bigram explode → two hash aggregates (bigram, unigram counts)
+    → bigram-keyed equi-join back → doc aggregate; the vocabulary size
+    rides in as one broadcast row.  Per-pair logs are integer-scaled once
+    (the repo-wide determinism idiom), so every aggregate is exact integer
+    under any partitioning.
+    """
+    from stellar_etl_spark.operators.util import (
+        exact_ratio_round6,
+        fan_out_small,
+    )
+
+    words = tokenize_words(F.col(text_col))
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.array_join(F.slice(words, i, 2), " "),
+        ),
+    ).otherwise(F.slice(words, 1, 0))
+    uni = fan_out_small(df).select(
+        F.col(id_col), F.explode(words).alias("_t")
+    )
+    bi = fan_out_small(df).select(
+        F.col(id_col), F.explode(bigrams).alias("_b")
+    )
+    c1 = uni.groupBy("_t").agg(F.count(F.lit(1)).alias("_c1"))
+    c12 = bi.groupBy("_b").agg(F.count(F.lit(1)).alias("_c12"))
+    v = c1.agg(F.count(F.lit(1)).alias("_v"))
+    lp = (
+        c12.withColumn("_t", F.split(F.col("_b"), " ").getItem(0))
+        .join(c1, "_t")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "_b",
+            F.round(
+                F.log(
+                    (F.col("_c12") + 1).cast("double")
+                    / (F.col("_c1") + F.col("_v")).cast("double")
+                )
+                * scale
+            )
+            .cast("long")
+            .alias("_lp"),
+        )
+    )
+    agg = (
+        bi.join(lp, "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("_lp").alias("_si"),
+        )
+    )
+    return agg.select(
+        id_col,
+        "n_bigrams",
+        exact_ratio_round6(
+            F.col("_si"), F.col("n_bigrams") * F.lit(scale)
+        ).alias("avg_logprob"),
+    )

@@ -2892,3 +2892,34 @@ SELECT source, bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
   md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS content_digest
 FROM packed GROUP BY source, bin_id
 """
+
+ORACLES["bigram_lm_quality"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+bi AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(words) >= 2
+      THEN [words[i] || ' ' || words[i+1]
+            FOR i IN generate_series(1, len(words) - 1)]
+      ELSE [] END) AS b
+  FROM w
+),
+uni AS (SELECT doc_id, unnest(words) AS t FROM w),
+c1 AS (SELECT t, COUNT(*) AS c1 FROM uni GROUP BY t),
+c12 AS (SELECT b, COUNT(*) AS c12 FROM bi GROUP BY b),
+v AS (SELECT COUNT(*) AS v FROM c1),
+lp AS (
+  SELECT b,
+    CAST(ROUND(ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))
+               * 1000) AS BIGINT) AS lp
+  FROM c12 JOIN c1 ON c1.t = string_split(c12.b, ' ')[1], v
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, SUM(lp) AS si
+  FROM bi JOIN lp USING (b) GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+  (CASE WHEN si < 0 THEN -1 ELSE 1 END *
+   ((abs(si) * 2000000 + (n_bigrams * 1000))
+     // (2 * (n_bigrams * 1000)))) / 1000000.0 AS avg_logprob
+FROM agg
+"""

@@ -2874,3 +2874,16 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["shard_manifest"] = shard_manifest
+
+
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality score per doc (add-one smoothing, corpus-trained)
+    — the KenLM-style conditional-probability signal; integer-scaled logs
+    keep every aggregate exact."""
+    from stellar_etl_spark.operators.text import bigram_logprob_score
+
+    docs = table(spark, sf_dir, "documents")
+    return bigram_logprob_score(docs)
+
+
+QUERIES["bigram_lm_quality"] = bigram_lm_quality

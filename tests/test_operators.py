@@ -1842,3 +1842,15 @@ class TestTextQualitySignals:
             assert man[k].n_docs == len(members)
             assert man[k].bin_tokens == sum(t for _, t in members)
             assert man[k].content_digest == digest
+
+    def test_bigram_lm_prefers_natural_repetition(self, spark):
+        from stellar_etl_spark.operators.text import bigram_logprob_score
+
+        # "a b" appears 3x in the corpus, "a z" once -> doc 1 scores higher
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b a z"), (3, "q")], DOCS_SCHEMA
+        )
+        out = {r.doc_id: r for r in bigram_logprob_score(df).collect()}
+        assert out[1].n_bigrams == 3 and out[2].n_bigrams == 3
+        assert out[1].avg_logprob > out[2].avg_logprob
+        assert 3 not in out  # single-token doc has no bigrams
