@@ -991,3 +991,71 @@ class TestStreamCrashRecovery:
             r.sequence for r in spark.read.parquet(out).collect()
         )
         assert third == [2, 3, 4, 5, 6]
+
+
+class TestStreamingIngest:
+    def test_stream_ingest_equals_batch_replay(self, spark, tmp_path):
+        import os
+        import time as _time
+
+        from stellar_etl_spark.streaming.ingest import (
+            ingest_batch,
+            stream_ingest_corpus,
+        )
+
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(60)
+            .collect()
+        )
+        # 3 landing files = 3 micro-batches; batch 2 re-lands 5 exact
+        # copies of batch-1 docs (new ids) that the screen must reject
+        batches = [docs[0:20], docs[20:40], docs[40:60]]
+        batches[2] = batches[2] + [
+            type(r)(doc_id=r.doc_id + 100000, text=r.text)
+            for r in docs[0:5]
+        ]
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(
+                [(r.doc_id, r.text) for r in rows], "doc_id long, text string"
+            ).coalesce(1).write.parquet(str(landing / f"b{i}"))
+            _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(landing / "b*"))
+        )
+        index_dir = str(tmp_path / "corpus")
+        q = stream_ingest_corpus(
+            stream, index_dir, checkpoint_dir=str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(180)
+        streamed = {
+            r.doc_id for r in spark.read.parquet(index_dir).collect()
+        }
+
+        # batch replay: same operators, same batch boundaries
+        index = None
+        admitted_all = set()
+        for rows in batches:
+            bdf = spark.createDataFrame(
+                [(r.doc_id, r.text) for r in rows], "doc_id long, text string"
+            )
+            adm = ingest_batch(bdf, index)
+            admitted_all |= {r.doc_id for r in adm.collect()}
+            index = spark.createDataFrame(
+                [(d, t) for d, t in [
+                    (r.doc_id, r.text)
+                    for rs in batches for r in rs
+                    if r.doc_id in admitted_all
+                ]],
+                "doc_id long, text string",
+            )
+        assert streamed == admitted_all
+        # the re-landed exact copies were rejected
+        assert not {d for d in streamed if d >= 100000}
