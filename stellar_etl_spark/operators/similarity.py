@@ -908,3 +908,70 @@ def truncation_energy_audit(
             F.col("_s"), F.col("n_vecs") * F.lit(1_000_000)
         ).alias("avg_energy_ratio"),
     )
+
+
+def hard_negative_mining(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_ids: list[int] | None = None,
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor, the
+    top-k most-similar vectors carrying a DIFFERENT label — the examples a
+    contrastive loss learns the most from (and the standard retrieval-
+    training data-prep step).
+
+    Same execution shape as :func:`cosine_topk`: the bounded anchor set
+    broadcasts, the corpus streams (no corpus shuffle), norms precompute
+    per row, and the rank window partitions by anchor.  The label
+    inequality is just one more pushed predicate on the pair stream.
+    """
+    aids = anchor_ids or list(range(20))
+    corpus = embeddings.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("neg_label"),
+        _as_double(F.col(vec_col)).alias("n_vec"),
+    ).withColumn("n_norm", norm(F.col("n_vec")))
+    anchors = (
+        embeddings.where(F.col(id_col).isin(aids))
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(label_col).alias("anchor_label"),
+            _as_double(F.col(vec_col)).alias("a_vec"),
+        )
+        .withColumn("a_norm", norm(F.col("a_vec")))
+    )
+    scored = (
+        F.broadcast(anchors)
+        .crossJoin(corpus)
+        .where(F.col("anchor_label") != F.col("neg_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            "neg_label",
+            F.round(
+                dot(F.col("a_vec"), F.col("n_vec"))
+                / (F.col("a_norm") * F.col("n_norm")),
+                round_digits,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neg_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("rank").cast("long").alias("rank"),
+            "neg_id",
+            "neg_label",
+            "cosine_sim",
+        )
+    )

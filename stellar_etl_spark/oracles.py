@@ -2923,3 +2923,28 @@ SELECT doc_id, n_bigrams,
      // (2 * (n_bigrams * 1000)))) / 1000000.0 AS avg_logprob
 FROM agg
 """
+
+ORACLES["hard_negatives"] = """
+WITH base AS (
+  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+),
+a AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, v AS av,
+    sqrt(list_reduce([v[i] * v[i] FOR i IN generate_series(1, 64)], (x, y) -> x + y)) AS an
+  FROM base WHERE vec_id BETWEEN 0 AND 19
+),
+scored AS (
+  SELECT a.anchor_id, a.anchor_label, b.vec_id AS neg_id, b.label AS neg_label,
+    ROUND(
+      list_reduce([av[i] * b.v[i] FOR i IN generate_series(1, 64)], (x, y) -> x + y)
+      / (an * sqrt(list_reduce([b.v[i] * b.v[i] FOR i IN generate_series(1, 64)], (x, y) -> x + y))),
+      6) AS cosine_sim
+  FROM a, base b WHERE b.label <> a.anchor_label
+)
+SELECT anchor_id, anchor_label, rank, neg_id, neg_label, cosine_sim FROM (
+  SELECT anchor_id, anchor_label, neg_id, neg_label, cosine_sim,
+    CAST(row_number() OVER (PARTITION BY anchor_id
+      ORDER BY cosine_sim DESC, neg_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""

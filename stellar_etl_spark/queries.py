@@ -2887,3 +2887,16 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["bigram_lm_quality"] = bigram_lm_quality
+
+
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: top-3 different-label neighbors
+    for 20 anchors — broadcast anchors over the streamed corpus, label
+    inequality as a pair-stream predicate."""
+    from stellar_etl_spark.operators.similarity import hard_negative_mining
+
+    emb = table(spark, sf_dir, "embeddings")
+    return hard_negative_mining(emb, anchor_ids=list(range(20)), k=3)
+
+
+QUERIES["hard_negatives"] = hard_negatives

@@ -1854,3 +1854,23 @@ class TestTextQualitySignals:
         assert out[1].n_bigrams == 3 and out[2].n_bigrams == 3
         assert out[1].avg_logprob > out[2].avg_logprob
         assert 3 not in out  # single-token doc has no bigrams
+
+    def test_hard_negatives_exclude_anchor_label(self, spark):
+        from stellar_etl_spark.operators.similarity import (
+            hard_negative_mining,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (0, "a", [1.0, 0.0]),
+                (1, "a", [1.0, 0.001]),   # same label: must never appear
+                (2, "b", [1.0, 0.01]),    # closest different-label
+                (3, "b", [0.0, 1.0]),
+                (4, "c", [-1.0, 0.0]),
+            ],
+            EMB_SCHEMA,
+        )
+        out = hard_negative_mining(df, anchor_ids=[0], k=2).collect()
+        assert [r.neg_id for r in out] == [2, 3]
+        assert all(r.neg_label != "a" for r in out)
+        assert out[0].rank == 1 and out[0].cosine_sim > 0.99
