@@ -2825,7 +2825,9 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stellar_etl_spark.operators.util import exact_ratio_round6
 
     hits = exact.join(
-        approx,
+        # both sides are k-bounded result sets; broadcast keeps the tiny
+        # overlap join out of sort-merge (plan hygiene, PLANS.md)
+        F.broadcast(approx),
         (exact["query_id"] == approx["query_id"])
         & (exact["nbr_id"] == approx["a_nbr_id"]),
         "left",
