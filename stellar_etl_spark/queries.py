@@ -2002,6 +2002,10 @@ def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_partkey") * 2).alias("src"),
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
+        # the union below references this subtree twice and ReuseExchange
+        # does not collapse the two distinct aggregates; a LAZY checkpoint
+        # executes it once (measured 3.3 s -> 2.3 s steady at sf0.1)
+        .localCheckpoint(eager=False)
     )
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ranks = pagerank(
