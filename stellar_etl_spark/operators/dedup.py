@@ -756,3 +756,65 @@ def dup_spans(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum("_span_words").cast("long").alias("dup_words"),
     )
+
+
+def _bloom_positions(key: Column, m: int, k: int) -> Column:
+    """``k`` bit positions for ``key`` from disjoint 8-hex-char (32-bit)
+    slices of ONE md5 digest — a single digest per key keeps the map stage
+    cheap, and each slice is an independent uniform 32-bit hash.  Requires
+    ``k <= 4`` (md5 yields 32 hex chars)."""
+    assert k <= 4, "md5 provides four disjoint 32-bit slices"
+    hx = F.md5(key)
+    return F.array(
+        *[
+            (F.conv(F.substring(hx, 1 + 8 * i, 8), 16, 10).cast("long") % m)
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_screen(
+    build: DataFrame,
+    probe: DataFrame,
+    id_col: str,
+    key_col: str,
+    m: int = 2048,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom-filter membership screen: flag probe rows whose ``key_col``
+    *may* exist in ``build`` (no false negatives; false-positive rate set
+    by m/k vs the build cardinality).
+
+    The filter is materialized as the DISTINCT set of occupied bit
+    positions (<= ``m`` rows) — broadcast to every probe task, so the
+    probe side is one narrow x``k`` explode plus a broadcast join: no
+    shuffle of the corpus.  At 100 TB you raise ``m`` (10^9 bits is still
+    a broadcastable packed bitmap; the plan shape — build-side bit
+    aggregate + broadcast probe join — is unchanged).  This is the cheap
+    first-pass screen in an incremental-ingest dedup: only bloom hits
+    proceed to the exact (shuffling) membership join.
+
+    Returns one row per probe row: ``id_col``, ``n_set_hits`` (how many of
+    the k positions are occupied), ``bloom_hit`` (all k occupied).
+    """
+    bits = (
+        build.select(
+            F.explode(_bloom_positions(F.col(key_col), m, k)).alias("pos")
+        )
+        .distinct()
+        .withColumn("_in", F.lit(1))
+    )
+    probed = probe.select(
+        F.col(id_col),
+        F.explode(_bloom_positions(F.col(key_col), m, k)).alias("pos"),
+    )
+    return (
+        probed.join(F.broadcast(bits), "pos", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("_in").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_set_hits")
+        )
+        .withColumn("bloom_hit", F.col("n_set_hits") == F.lit(k))
+    )

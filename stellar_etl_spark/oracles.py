@@ -2948,3 +2948,117 @@ SELECT anchor_id, anchor_label, rank, neg_id, neg_label, cosine_sim FROM (
   FROM scored
 ) WHERE rank <= 3
 """
+
+ORACLES["bloom_dedup_screen"] = """
+WITH build AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+probe AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+bits AS (
+  SELECT DISTINCT CAST('0x' || substr(md5(text), 1 + 8 * i, 8) AS BIGINT) % 2048 AS pos
+  FROM build, generate_series(0, 3) t(i)
+),
+pp AS (
+  SELECT doc_id, CAST('0x' || substr(md5(text), 1 + 8 * i, 8) AS BIGINT) % 2048 AS pos
+  FROM probe, generate_series(0, 3) t(i)
+),
+hits AS (
+  SELECT pp.doc_id,
+         CAST(SUM(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_set_hits
+  FROM pp LEFT JOIN bits ON pp.pos = bits.pos
+  GROUP BY pp.doc_id
+)
+SELECT h.doc_id, h.n_set_hits, h.n_set_hits = 4 AS bloom_hit,
+       bt.text IS NOT NULL AS exact_dup
+FROM hits h
+JOIN probe p ON p.doc_id = h.doc_id
+LEFT JOIN (SELECT DISTINCT text FROM build) bt ON p.text = bt.text
+"""
+
+ORACLES["kmv_source_overlap"] = """
+WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT DISTINCT source, unnest(
+    CASE WHEN len(words) >= 3
+      THEN [words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]
+            FOR i IN generate_series(1, len(words) - 2)]
+      ELSE [] END) AS g
+  FROM w
+),
+h AS (SELECT source, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS hv FROM sh),
+surv AS (SELECT * FROM h WHERE hv < (1::BIGINT << 58)),
+sk AS (
+  SELECT source, hv FROM (
+    SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+    FROM surv) WHERE rn <= 64
+),
+srcs AS (SELECT DISTINCT source FROM documents),
+pairs AS (SELECT a.source AS s1, b.source AS s2 FROM srcs a, srcs b WHERE a.source < b.source),
+m AS (
+  SELECT s1, s2, hv, MAX(in1) AS in1, MAX(in2) AS in2 FROM (
+    SELECT p.s1, p.s2, x.hv, 1 AS in1, 0 AS in2 FROM pairs p JOIN sk x ON x.source = p.s1
+    UNION ALL
+    SELECT p.s1, p.s2, y.hv, 0 AS in1, 1 AS in2 FROM pairs p JOIN sk y ON y.source = p.s2
+  ) GROUP BY s1, s2, hv
+),
+topu AS (
+  SELECT * FROM (
+    SELECT m.*, row_number() OVER (PARTITION BY s1, s2 ORDER BY hv) AS rn FROM m)
+  WHERE rn <= 64
+),
+est AS (
+  SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS k_union,
+         CAST(SUM(in1 * in2) AS BIGINT) AS n_both
+  FROM topu GROUP BY s1, s2
+),
+inter AS (
+  SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source)
+SELECT e.s1, e.s2, e.k_union, e.n_both,
+  ((e.n_both * 2000000 + e.k_union) // (2 * e.k_union)) / 1000000.0 AS j_est,
+  CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+  ((CAST(COALESCE(i.n_inter, 0) AS BIGINT) * 2000000
+      + (z1.n + z2.n - CAST(COALESCE(i.n_inter, 0) AS BIGINT)))
+    // (2 * (z1.n + z2.n - CAST(COALESCE(i.n_inter, 0) AS BIGINT)))) / 1000000.0 AS j_exact
+FROM est e
+LEFT JOIN inter i ON i.s1 = e.s1 AND i.s2 = e.s2
+JOIN sizes z1 ON z1.source = e.s1
+JOIN sizes z2 ON z2.source = e.s2
+"""
+
+ORACLES["peak_concurrency"] = """
+WITH pts AS (
+  SELECT epoch_us(ts) AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS t, -1 AS delta
+  FROM events
+),
+d AS (SELECT t, delta, t // 86400000000 AS day FROM pts),
+run AS (
+  SELECT day, delta,
+    SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+  FROM d
+),
+per_day AS (
+  SELECT day, CAST(SUM(delta) AS BIGINT) AS day_net,
+         CAST(MAX(r) AS BIGINT) AS in_day_peak,
+         CAST(COUNT(*) AS BIGINT) AS n_points
+  FROM run GROUP BY day
+)
+SELECT day, n_points,
+  CAST(COALESCE(SUM(day_net) OVER (ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS carry_in,
+  CAST(COALESCE(SUM(day_net) OVER (ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + in_day_peak AS BIGINT)
+    AS peak_concurrency
+FROM per_day
+"""
+
+ORACLES["bottom_k_sample"] = """
+SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS sample_key
+FROM documents
+ORDER BY sample_key
+LIMIT 100
+"""

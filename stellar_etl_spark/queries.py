@@ -2906,3 +2906,113 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["hard_negatives"] = hard_negatives
+
+
+def bloom_dedup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership screen over a split corpus: a 2048-bit /
+    4-hash filter built on the even-doc_id half, probed by the odd half,
+    with the exact membership join alongside so false positives are
+    visible.  Build side collapses to <=2048 occupied bit positions
+    (broadcast); probe side is a x4 explode + broadcast join — the corpus
+    itself never shuffles for the screen, only the (tiny) exact-check
+    join does."""
+    from stellar_etl_spark.operators.dedup import bloom_screen
+
+    docs = table(spark, sf_dir, "documents")
+    build = docs.where(F.col("doc_id") % 2 == 0)
+    probe = docs.where(F.col("doc_id") % 2 == 1)
+    screened = bloom_screen(build, probe, "doc_id", "text", m=2048, k=4)
+    build_texts = build.select(F.col("text").alias("_bt")).distinct()
+    exact = probe.join(
+        build_texts, probe["text"] == F.col("_bt"), "left"
+    ).select("doc_id", F.col("_bt").isNotNull().alias("exact_dup"))
+    return screened.join(exact, "doc_id").select(
+        "doc_id", "n_set_hits", "bloom_hit", "exact_dup"
+    )
+
+
+QUERIES["bloom_dedup_screen"] = bloom_dedup_screen
+
+
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix: KMV (k=64 minimum hash values)
+    Jaccard estimate per source pair, audited against the exact
+    intersection/union — the sketch-based answer to "which crawl sources
+    duplicate each other" that at 100 TB replaces the quadratic exact
+    join with O(sources^2 * k) sketch rows."""
+    from stellar_etl_spark.operators.sketch import kmv_source_overlap as kmv
+
+    docs = table(spark, sf_dir, "documents")
+    return kmv(docs, k=64, shingle_n=3, survivor_bits=2)
+
+
+QUERIES["kmv_source_overlap"] = kmv_source_overlap
+
+
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily peak concurrency via the classic sweep line: each event spans
+    [ts, ts + value seconds); +1/-1 boundary points, running sum, max.
+    Scale shape: the running sum is windowed PER DAY (bounded partitions,
+    parallel across days) and the cross-day carry-in comes from a
+    <=#days-row aggregate of per-day nets — the only unpartitioned window
+    runs over that tiny frame, never the event stream.  Duration is
+    derived as floor(value * 1e6) microseconds: floor of an identical
+    IEEE multiply is bit-deterministic across engines (no rounding-
+    boundary trap)."""
+    ev = table(spark, sf_dir, "events")
+    t_us = F.expr("ts div 1000")
+    dur_us = F.floor(F.col("value") * F.lit(1000000.0)).cast("long")
+    starts = ev.select(t_us.alias("t"), F.lit(1).alias("delta"))
+    ends = ev.select((t_us + dur_us).alias("t"), F.lit(-1).alias("delta"))
+    pts = starts.union(ends).withColumn("day", F.expr("t div 86400000000"))
+    from pyspark.sql.window import Window as W
+
+    per_day_w = (
+        W.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    run = pts.withColumn("_run", F.sum("delta").over(per_day_w))
+    per_day = run.groupBy("day").agg(
+        F.sum("delta").cast("long").alias("_day_net"),
+        F.max("_run").cast("long").alias("_in_day_peak"),
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+    )
+    # <= #days rows from here on: the global window is benign by bound.
+    days_w = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    return (
+        per_day.withColumn(
+            "carry_in",
+            F.coalesce(F.sum("_day_net").over(days_w), F.lit(0)).cast("long"),
+        )
+        .select(
+            "day",
+            "n_points",
+            "carry_in",
+            (F.col("carry_in") + F.col("_in_day_peak"))
+            .cast("long")
+            .alias("peak_concurrency"),
+        )
+    )
+
+
+QUERIES["peak_concurrency"] = peak_concurrency
+
+
+def bottom_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-100-row uniform sample via bottom-k order statistics on a
+    per-row content hash.  ORDER BY hash LIMIT k compiles to
+    TakeOrderedAndProject: each partition keeps a local k, the driver
+    merges k*partitions candidates — no global sort, no shuffle of the
+    corpus; the complement to the hash-THRESHOLD samplers already in the
+    registry (those give an exact rate, this gives an exact SIZE)."""
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("sample_key"),
+    )
+    return keyed.orderBy("sample_key").limit(100)
+
+
+QUERIES["bottom_k_sample"] = bottom_k_sample

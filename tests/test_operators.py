@@ -1874,3 +1874,128 @@ class TestTextQualitySignals:
         assert [r.neg_id for r in out] == [2, 3]
         assert all(r.neg_label != "a" for r in out)
         assert out[0].rank == 1 and out[0].cosine_sim > 0.99
+
+
+class TestBloomScreen:
+    def test_no_false_negatives_and_hit_flags(self, spark):
+        from stellar_etl_spark.operators.dedup import bloom_screen
+
+        build = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta")], DOCS_SCHEMA
+        )
+        probe = spark.createDataFrame(
+            [(10, "alpha beta"), (11, "totally new text")], DOCS_SCHEMA
+        )
+        out = {r.doc_id: r for r in
+               bloom_screen(build, probe, "doc_id", "text").collect()}
+        # a key present in the build side MUST hit (no false negatives)
+        assert out[10].bloom_hit and out[10].n_set_hits == 4
+        assert 0 <= out[11].n_set_hits <= 4
+
+    def test_tiny_m_saturates_to_all_hits(self, spark):
+        from stellar_etl_spark.operators.dedup import bloom_screen
+
+        build = spark.createDataFrame(
+            [(i, f"doc number {i}") for i in range(64)], DOCS_SCHEMA
+        )
+        probe = spark.createDataFrame(
+            [(100, "unseen one"), (101, "unseen two")], DOCS_SCHEMA
+        )
+        out = bloom_screen(build, probe, "doc_id", "text", m=2, k=2).collect()
+        # 64 keys x 2 hashes into 2 bits: the filter is full -> every probe hits
+        assert all(r.bloom_hit for r in out)
+
+
+class TestKmvSourceOverlap:
+    def test_identical_sources_estimate_full_overlap(self, spark):
+        from stellar_etl_spark.operators.sketch import kmv_source_overlap
+
+        text = " ".join(f"w{i}" for i in range(40))
+        df = spark.createDataFrame(
+            [("a", text), ("b", text)], "source string, text string"
+        )
+        # survivor_bits=0 disables the pre-filter on this tiny fixture
+        row = kmv_source_overlap(df, k=16, survivor_bits=0).collect()[0]
+        assert (row.s1, row.s2) == ("a", "b")
+        assert row.j_est == 1.0 and row.j_exact == 1.0
+        assert row.n_both == row.k_union
+
+    def test_disjoint_sources_estimate_zero(self, spark):
+        from stellar_etl_spark.operators.sketch import kmv_source_overlap
+
+        t1 = " ".join(f"x{i}" for i in range(40))
+        t2 = " ".join(f"y{i}" for i in range(40))
+        df = spark.createDataFrame(
+            [("a", t1), ("b", t2)], "source string, text string"
+        )
+        row = kmv_source_overlap(df, k=16, survivor_bits=0).collect()[0]
+        assert row.j_est == 0.0 and row.j_exact == 0.0 and row.n_inter == 0
+
+    def test_estimate_tracks_exact_on_half_overlap(self, spark):
+        from stellar_etl_spark.operators.sketch import kmv_source_overlap
+
+        shared = " ".join(f"s{i}" for i in range(60))
+        df = spark.createDataFrame(
+            [
+                ("a", shared + " " + " ".join(f"a{i}" for i in range(60))),
+                ("b", shared + " " + " ".join(f"b{i}" for i in range(60))),
+            ],
+            "source string, text string",
+        )
+        row = kmv_source_overlap(df, k=32, survivor_bits=0).collect()[0]
+        # true Jaccard ~ 1/3 (shared block + source-unique blocks)
+        assert 0.1 < row.j_exact < 0.6
+        assert abs(row.j_est - row.j_exact) < 0.35  # k=32 sketch tolerance
+
+
+class TestPeakConcurrency:
+    def test_hand_computed_overlap(self, spark, tmp_path):
+        import datetime as dt
+
+        # three events on one day: [0s,100s), [50s,150s), [120s,130s)
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, base, 7, "a", 100.0, "{}"),
+            (2, base + dt.timedelta(seconds=50), 7, "a", 100.0, "{}"),
+            (3, base + dt.timedelta(seconds=120), 7, "a", 10.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        p = str(tmp_path / "events.parquet")
+        df.coalesce(1).write.parquet(p)
+
+        from stellar_etl_spark.queries import peak_concurrency
+
+        out = peak_concurrency(spark, str(tmp_path)).collect()
+        assert len(out) == 1
+        r = out[0]
+        # overlap structure: 1@[0,50) 2@[50,100) ... max 2 concurrent
+        assert r.peak_concurrency == 2
+        assert r.carry_in == 0 and r.n_points == 6
+
+    def test_cross_day_carry_in(self, spark, tmp_path):
+        import datetime as dt
+
+        # one event starting 23:59:00 lasting 2h -> day 2 inherits it
+        base = dt.datetime(2024, 1, 1, 23, 59, 0)
+        rows = [
+            (1, base, 7, "a", 7200.0, "{}"),
+            (2, base + dt.timedelta(hours=1), 7, "a", 60.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+        from stellar_etl_spark.queries import peak_concurrency
+
+        out = {r.day: r for r in peak_concurrency(spark, str(tmp_path)).collect()}
+        d1, d2 = sorted(out)
+        assert out[d1].carry_in == 0 and out[d1].peak_concurrency == 1
+        # day 2 starts with the long event still open
+        assert out[d2].carry_in == 1 and out[d2].peak_concurrency == 2
