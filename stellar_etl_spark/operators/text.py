@@ -1103,3 +1103,74 @@ def bigram_logprob_score(
             F.col("_si"), F.col("n_bigrams") * F.lit(scale)
         ).alias("avg_logprob"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-``k`` adjacent-word collocations by pointwise mutual information,
+    the classic phrase-detection signal (word2vec phrase pass): PMI =
+    ln(c_ab·N / (c_a·c_b)) over the corpus bigram stream, with first/second
+    marginals taken FROM the same stream so the probabilities are a proper
+    joint.  ``min_count`` suppresses the low-frequency PMI explosion.
+
+    Shape: one bigram explode + one hash agg over the corpus; both
+    marginals are re-aggregations of the (already vocabulary-sized)
+    bigram-count table, not of the corpus; scoring is a pure column
+    program; the final cut is a total-order TakeOrdered (no global sort).
+    Determinism: one ln of an exact-long ratio, integer-scaled (repo
+    idiom).  Products stay < 2^53 while c_ab·N < 9e15 — beyond that,
+    pre-divide to per-million rates before the log.
+    """
+    from stellar_etl_spark.operators.util import fan_out_small
+
+    words = tokenize_words(F.col(text_col))
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.array_join(F.slice(words, i, 2), " "),
+        ),
+    ).otherwise(F.slice(words, 1, 0))
+    bi = fan_out_small(df).select(F.explode(bigrams).alias("_b"))
+    c12 = (
+        bi.groupBy("_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .select(
+            F.split(F.col("_b"), " ").getItem(0).alias("w1"),
+            F.split(F.col("_b"), " ").getItem(1).alias("w2"),
+            "c_ab",
+        )
+    )
+    n = c12.agg(F.sum("c_ab").cast("long").alias("_n"))
+    c1 = c12.groupBy("w1").agg(F.sum("c_ab").cast("long").alias("c_w1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c_ab").cast("long").alias("c_w2"))
+    scored = (
+        c12.where(F.col("c_ab") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_w1",
+            "c_w2",
+            F.round(
+                F.log(
+                    (F.col("c_ab") * F.col("_n")).cast("double")
+                    / (F.col("c_w1") * F.col("c_w2")).cast("double")
+                )
+                * scale
+            )
+            .cast("long")
+            .alias("pmi_scaled"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_scaled").desc(), "w1", "w2"
+    ).limit(k)

@@ -3062,3 +3062,114 @@ FROM documents
 ORDER BY sample_key
 LIMIT 100
 """
+
+ORACLES["copurchase_triangles"] = """
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+agg AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+         (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+         n_triangles
+  FROM tri
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+  ((3 * n_triangles * 2000000 + GREATEST(n_wedges, 1))
+     // (2 * GREATEST(n_wedges, 1))) / 1000000.0 AS global_clustering
+FROM agg
+"""
+
+ORACLES["pmi_top_collocations"] = """
+WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+bi AS (
+  SELECT unnest(
+    CASE WHEN len(words) >= 2
+      THEN [words[i] || ' ' || words[i + 1] FOR i IN generate_series(1, len(words) - 1)]
+      ELSE [] END) AS b
+  FROM w
+),
+c12 AS (
+  SELECT string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2,
+         CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM bi GROUP BY b
+),
+n AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM c12),
+c1 AS (SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c_w1 FROM c12 GROUP BY w1),
+c2 AS (SELECT w2, CAST(SUM(c_ab) AS BIGINT) AS c_w2 FROM c12 GROUP BY w2)
+SELECT c12.w1, c12.w2, c_ab, c_w1, c_w2,
+  CAST(ROUND(ln(CAST(c_ab * n.n AS DOUBLE) / CAST(c_w1 * c_w2 AS DOUBLE))
+             * 1000000) AS BIGINT) AS pmi_scaled
+FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), n
+WHERE c_ab >= 5
+ORDER BY pmi_scaled DESC, w1, w2
+LIMIT 50
+"""
+
+ORACLES["ohlc_daily_bars"] = """
+WITH base AS (
+  SELECT event_type, value, event_id, epoch_us(ts) AS t_us,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY day, event_type ORDER BY t_us, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY day, event_type) AS n
+  FROM base
+)
+SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+  MAX(CASE WHEN rn = 1 THEN value END) AS open,
+  MAX(value) AS high,
+  MIN(value) AS low,
+  MAX(CASE WHEN rn = n THEN value END) AS close,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 3) AS DOUBLE) AS sum_value
+FROM r GROUP BY day, event_type
+"""
+
+ORACLES["nation_revenue_trend"] = f"""
+WITH monthly AS (
+  SELECT n_name,
+    CAST((year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1 AS BIGINT) AS m,
+    CAST(ROUND(SUM({_DISC_PRICE}), 2) * 100 AS BIGINT) AS y_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, m
+),
+s AS (
+  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_months,
+         CAST(SUM(m) AS BIGINT) AS sx, CAST(SUM(m * m) AS BIGINT) AS sxx,
+         CAST(SUM(y_cents) AS BIGINT) AS total_cents,
+         CAST(SUM(m * y_cents) AS BIGINT) AS sxy
+  FROM monthly GROUP BY n_name
+),
+f AS (
+  SELECT *,
+    CAST(n_months AS HUGEINT) * CAST(sxy AS HUGEINT)
+      - CAST(sx AS HUGEINT) * CAST(total_cents AS HUGEINT) AS num,
+    CAST(n_months AS HUGEINT) * CAST(sxx AS HUGEINT)
+      - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS den
+  FROM s
+)
+SELECT n_name, n_months, total_cents,
+  CASE WHEN den = 0 THEN NULL
+       ELSE (CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END)
+            * CAST((abs(num) * 2000000 + den) // (2 * den) AS DOUBLE) / 1000000.0
+  END AS slope_cents_per_month
+FROM f
+"""

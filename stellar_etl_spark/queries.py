@@ -3016,3 +3016,148 @@ def bottom_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["bottom_k_sample"] = bottom_k_sample
+
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts appearing in
+    the same order are adjacent; every 4th order sampled so the graph has
+    a fixed measurable density).  Pair expansion is the per-order
+    self-join — bounded at 7 lines/order, so O(21)·|orders| edge rows —
+    and the census itself is the degree-ordered-orientation operator
+    (out-degree capped at O(√E), no hub-quadratic wedge blowup)."""
+    from stellar_etl_spark.operators.graph import triangle_stats
+
+    lp = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = lp.alias("x"), lp.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(
+        F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+    )
+    return triangle_stats(edges, "a", "b")
+
+
+QUERIES["copurchase_triangles"] = copurchase_triangles
+
+
+def pmi_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by PMI over the corpus bigram stream (min count
+    5) — the word2vec-style phrase-detection pass.  One corpus explode +
+    hash agg; marginals re-aggregate the bigram-count table; TakeOrdered
+    cut with a total-order tie-break."""
+    from stellar_etl_spark.operators.text import pmi_collocations
+
+    docs = table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5, k=50)
+
+
+QUERIES["pmi_top_collocations"] = pmi_top_collocations
+
+
+def ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event type: open/close by (ts, event_id) order
+    inside BOUNDED (day, type) window partitions — parallel across days,
+    no global sort — high/low/count as plain aggregates, and the value
+    sum rounded in the exact decimal domain (repo money idiom)."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.expr("ts div 1000").alias("t_us"),
+    ).withColumn("day", F.expr("t_us div 86400000000"))
+    w = W.partitionBy("day", "event_type").orderBy("t_us", "event_id")
+    wp = W.partitionBy("day", "event_type")
+    r = base.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wp)
+    )
+    return r.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max(F.when(F.col("_rn") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("_rn") == F.col("_n"), F.col("value"))).alias(
+            "close"
+        ),
+        F.round(F.sum(_dec("value", 18, 6)), 3).cast("double").alias(
+            "sum_value"
+        ),
+    )
+
+
+QUERIES["ohlc_daily_bars"] = ohlc_daily_bars
+
+
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation monthly revenue trend: closed-form OLS slope over
+    (month index, monthly revenue cents), every moment an exact integer
+    (monthly revenue rounded once in the decimal domain → cents long;
+    slope numerator/denominator as DECIMAL(38,0) products — a long
+    n·Σxy overflows — and the final divide via the exact scaled-integer
+    `div` so both engines round the identical rational).  Shape: one
+    broadcast-dim join, two hash aggregates; the regression itself runs
+    on ≤ nations × months rows."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = _dec("l_extendedprice") * (_one() - _dec("l_discount", 6, 4))
+    m = (
+        (_year("l_shipdate") - F.lit(1995)) * 12
+        + F.month(_ts("l_shipdate"))
+        - 1
+    ).cast("long")
+    monthly = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name", m.alias("m"))
+        .agg(
+            (F.round(F.sum(rev), 2) * 100).cast("long").alias("y_cents")
+        )
+    )
+    s = monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum("m").cast("long").alias("_sx"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("_sxx"),
+        F.sum("y_cents").cast("long").alias("total_cents"),
+        F.sum(F.col("m") * F.col("y_cents")).cast("long").alias("_sxy"),
+    )
+    d38 = "decimal(38,0)"
+    num = F.col("n_months").cast(d38) * F.col("_sxy").cast(d38) - F.col(
+        "_sx"
+    ).cast(d38) * F.col("total_cents").cast(d38)
+    den = F.col("n_months").cast(d38) * F.col("_sxx").cast(d38) - F.col(
+        "_sx"
+    ).cast(d38) * F.col("_sx").cast(d38)
+    sgn = F.when(num < 0, F.lit(-1)).otherwise(F.lit(1)).cast("double")
+    q = (F.abs(num) * 2_000_000 + den).cast(d38)
+    slope = (
+        sgn
+        * F.expr(
+            "CAST(_q div (2 * _den) AS DOUBLE)"
+        )
+        / F.lit(1_000_000.0)
+    )
+    return (
+        s.withColumn("_q", q)
+        .withColumn("_den", den)
+        .select(
+            "n_name",
+            "n_months",
+            "total_cents",
+            F.when(F.col("_den") == 0, F.lit(None).cast("double"))
+            .otherwise(slope)
+            .alias("slope_cents_per_month"),
+        )
+    )
+
+
+QUERIES["nation_revenue_trend"] = nation_revenue_trend

@@ -1999,3 +1999,55 @@ class TestPeakConcurrency:
         assert out[d1].carry_in == 0 and out[d1].peak_concurrency == 1
         # day 2 starts with the long event still open
         assert out[d2].carry_in == 1 and out[d2].peak_concurrency == 2
+
+
+class TestTriangleStats:
+    def test_hand_counted_census(self, spark):
+        from stellar_etl_spark.operators.graph import triangle_stats
+
+        # triangles {1,2,3} and {2,3,4}; node 5 dangles off 4.
+        # degrees 2,3,3,3,1 -> wedges 1+3+3+3+0 = 10; clustering 6/10.
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5),
+             (2, 1), (3, 2)],  # reversed duplicates must canonicalize away
+            "a long, b long",
+        )
+        row = triangle_stats(edges).collect()[0]
+        assert row.n_nodes == 5 and row.n_edges == 6
+        assert row.n_wedges == 10 and row.n_triangles == 2
+        assert row.global_clustering == 0.6
+
+    def test_triangle_free_graph(self, spark):
+        from stellar_etl_spark.operators.graph import triangle_stats
+
+        star = spark.createDataFrame(
+            [(0, i) for i in range(1, 6)], "a long, b long"
+        )
+        row = triangle_stats(star).collect()[0]
+        assert row.n_triangles == 0 and row.n_wedges == 10
+        assert row.global_clustering == 0.0
+
+
+class TestPmiCollocations:
+    def test_tied_pmi_breaks_by_word(self, spark):
+        import math
+
+        from stellar_etl_spark.operators.text import pmi_collocations
+
+        docs = spark.createDataFrame(
+            [(i, "p q") for i in range(5)]
+            + [(5, "r s r s r s r s r s")],
+            DOCS_SCHEMA,
+        )
+        out = pmi_collocations(docs, min_count=5, k=10).collect()
+        # bigrams: "p q" x5, "r s" x5, "s r" x4 (below min_count); N=14
+        assert [(r.w1, r.w2) for r in out] == [("p", "q"), ("r", "s")]
+        expect = round(math.log(5 * 14 / (5 * 5)) * 1_000_000)
+        assert out[0].pmi_scaled == expect == out[1].pmi_scaled
+        assert out[0].c_ab == 5 and out[0].c_w1 == 5 and out[0].c_w2 == 5
+
+    def test_min_count_filters(self, spark):
+        from stellar_etl_spark.operators.text import pmi_collocations
+
+        docs = spark.createDataFrame([(0, "a b c d")], DOCS_SCHEMA)
+        assert pmi_collocations(docs, min_count=2, k=10).count() == 0
