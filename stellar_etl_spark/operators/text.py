@@ -1174,3 +1174,69 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("pmi_scaled").desc(), "w1", "w2"
     ).limit(k)
+
+
+def winnowing_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """MOSS-style winnowing (Schleimer et al., SIGMOD'03): hash every word
+    ``k``-gram, then keep the minimum hash of each sliding window of ``w``
+    consecutive k-gram hashes — the guaranteed-overlap fingerprint set used
+    for plagiarism / near-copy detection at corpus scale.
+
+    Shape: ONE shuffle (posexplode on the doc key), then two window passes
+    over the same (doc, pos) sort — k-gram assembly via ``lead`` and the
+    sliding min via ``rowsBetween(0, w-1)`` — so Spark sorts each doc
+    partition once and reuses it.  No higher-order-function lambdas touch an
+    outer array (the HOF-inlining pitfall documented on char_entropy_stats),
+    and every per-doc window is bounded by that doc's token count.  Docs
+    shorter than ``k`` words keep a row with an empty fingerprint set."""
+    from pyspark.sql.window import Window
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col), F.posexplode(words).alias("pos", "_w")
+    )
+    order = Window.partitionBy(id_col).orderBy("pos")
+    gram = F.concat_ws(
+        " ",
+        F.col("_w"),
+        *[F.lead("_w", i).over(order) for i in range(1, k)],
+    )
+    grams = (
+        base.withColumn("_nw", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        .withColumn("_g", gram)
+        .where(F.col("pos") <= F.col("_nw") - k)
+        .withColumn(
+            "_h",
+            F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast("long"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        grams.withColumn("_m", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        .withColumn("_wmin", F.min("_h").over(win))
+        .where(F.col("pos") <= F.greatest(F.col("_m") - w, F.lit(0)))
+        .groupBy(id_col)
+        .agg(
+            F.max("_m").cast("int").alias("n_kgrams"),
+            F.size(F.array_distinct(F.collect_list("_wmin"))).alias("n_selected"),
+            F.min("_wmin").alias("min_fp"),
+            F.max("_wmin").alias("max_fp"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(sel, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_kgrams", F.lit(0)).alias("n_kgrams"),
+            F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
+            "min_fp",
+            "max_fp",
+        )
+    )

@@ -3173,3 +3173,120 @@ SELECT n_name, n_months, total_cents,
   END AS slope_cents_per_month
 FROM f
 """
+
+ORACLES["winnowing_fingerprint"] = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents
+),
+k AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= 4 THEN
+      [CAST('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 8) AS BIGINT)
+       FOR i IN generate_series(1, len(ws) - 3)]
+    ELSE [] END AS hs
+  FROM w
+),
+sel AS (
+  SELECT doc_id, len(hs) AS m,
+    CASE WHEN len(hs) = 0 THEN []
+    ELSE [list_min(hs[i:i+4]) FOR i IN generate_series(1, greatest(len(hs) - 4, 1))]
+    END AS wins
+  FROM k
+)
+SELECT doc_id,
+  CAST(m AS INT) AS n_kgrams,
+  CAST(len(list_distinct(wins)) AS INT) AS n_selected,
+  list_min(wins) AS min_fp,
+  list_max(wins) AS max_fp
+FROM sel
+"""
+
+ORACLES["session_error_overlap"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+gaps AS (
+  SELECT user_id, event_id, ts_us,
+    CASE WHEN lag(ts_us) OVER w IS NULL
+           OR ts_us - lag(ts_us) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM gaps
+),
+agg AS (
+  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+    MIN(ts_us) AS session_start_us,
+    MAX(ts_us) AS session_end_us,
+    COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, session_idx
+),
+err AS (SELECT event_id, ts_us FROM e WHERE event_type = 'error')
+SELECT a.user_id, a.session_idx, a.session_start_us, a.session_end_us,
+  CAST(a.n_events AS BIGINT) AS n_events,
+  CAST(COUNT(err.event_id) AS BIGINT) AS n_errors_during
+FROM agg a LEFT JOIN err
+  ON err.ts_us BETWEEN a.session_start_us AND a.session_end_us
+GROUP BY a.user_id, a.session_idx, a.session_start_us, a.session_end_us, a.n_events
+"""
+
+ORACLES["quantile_normalized_tokens"] = """
+WITH d AS (
+  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS r,
+    count(*) OVER (PARTITION BY source) AS ns
+  FROM d
+),
+g AS (
+  SELECT n_tokens AS norm_tokens,
+    row_number() OVER (ORDER BY n_tokens, doc_id) AS p
+  FROM d
+),
+t AS (SELECT count(*) AS n_total FROM d)
+SELECT s.doc_id, s.source, s.n_tokens, CAST(s.r AS BIGINT) AS src_rank,
+  g.norm_tokens
+FROM s, t
+JOIN g ON g.p = CASE WHEN s.ns = 1 THEN (n_total + 1) // 2
+                     ELSE 1 + ((s.r - 1) * (n_total - 1) * 2 + (s.ns - 1))
+                              // (2 * (s.ns - 1)) END
+"""
+
+ORACLES["mad_value_outliers"] = """
+WITH v AS (
+  SELECT event_type,
+    CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+    median(c) AS median_cents,
+    CAST(2 * median(c) AS BIGINT) AS med2
+  FROM v GROUP BY event_type
+),
+d AS (
+  SELECT v.event_type, ABS(2 * v.c - m.med2) AS d2
+  FROM v JOIN m USING (event_type)
+),
+md AS (
+  SELECT event_type,
+    CAST(2 * median(d2) AS BIGINT) AS mad4,
+    CAST(MAX(d2) AS BIGINT) AS max_abs_dev2
+  FROM d GROUP BY event_type
+)
+SELECT m.event_type, m.n_rows, m.median_cents,
+  CAST(md.mad4 AS DOUBLE) / 4.0 AS mad_cents,
+  CAST(SUM(CASE WHEN CAST(d.d2 AS DOUBLE) / 2.0
+                     > 4.4478 * (CAST(md.mad4 AS DOUBLE) / 4.0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  md.max_abs_dev2
+FROM d JOIN m USING (event_type) JOIN md USING (event_type)
+GROUP BY m.event_type, m.n_rows, m.median_cents, md.mad4, md.max_abs_dev2
+"""

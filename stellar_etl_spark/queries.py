@@ -3161,3 +3161,137 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["nation_revenue_trend"] = nation_revenue_trend
+
+
+def winnowing_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (k=4 word-grams, window w=5) per document
+    — the guaranteed-overlap near-copy fingerprint set.  One shuffle, two
+    reused per-doc window passes (see operators/text.winnowing_fingerprint)."""
+    from stellar_etl_spark.operators.text import winnowing_fingerprint
+
+    return winnowing_fingerprint(table(spark, sf_dir, "documents"))
+
+
+QUERIES["winnowing_fingerprint"] = winnowing_fingerprint_q
+
+
+HOUR_US = 3_600_000_000
+
+
+def session_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap (range) join at scale: for every user session
+    (gap-based, 30 min), count the platform-wide ``error`` events that fired
+    during it.  A naive range join is an O(sessions × errors) nested loop;
+    here both sides are bucketed to the hour — sessions explode to their
+    covered hour buckets (bounded: gap-based sessions span few hours), errors
+    hash to exactly one bucket — so the overlap test becomes an EQUI-join on
+    the bucket plus a residual BETWEEN, and each (session, error) pair meets
+    exactly once (an error has one bucket).  Zero-error sessions are kept by
+    the final left join."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    from stellar_etl_spark.operators.sessionize import session_stats
+
+    sess = session_stats(ev.select("user_id", "event_id", "ts_us"))
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts_us").alias("err_us"),
+        F.expr("(ts_us div 3600000000)").alias("b"),
+    )
+    sess_b = sess.withColumn(
+        "b",
+        F.explode(
+            F.sequence(
+                F.expr("session_start_us div 3600000000"),
+                F.expr("session_end_us div 3600000000"),
+            )
+        ),
+    )
+    hits = (
+        sess_b.join(errors, "b")
+        .where(F.col("err_us").between(F.col("session_start_us"), F.col("session_end_us")))
+        .groupBy("user_id", "session_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_errors_during"))
+    )
+    return sess.join(hits, ["user_id", "session_idx"], "left").select(
+        "user_id",
+        "session_idx",
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        F.coalesce("n_errors_during", F.lit(0)).cast("long").alias("n_errors_during"),
+    )
+
+
+QUERIES["session_error_overlap"] = session_error_overlap
+
+
+def quantile_normalized_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of the token-count signal — each
+    doc's within-source quantile is mapped onto the GLOBAL token-count
+    distribution (the standard cross-source score calibration before
+    quality-filtering a mixed corpus).  Every step is exact integer
+    arithmetic: per-source ranks are bounded windows, the global rank uses
+    the two-phase distributed ranking (no global window), and the target
+    position ``1 + round((r-1)(N-1)/(n_s-1))`` is computed with scaled
+    integer division — so the lookup is an equi-join on an integer rank."""
+    from pyspark.sql.window import Window as W
+
+    from stellar_etl_spark.operators.ranking import distributed_row_number
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    ws = W.partitionBy("source").orderBy("n_tokens", "doc_id")
+    ranked = docs.withColumn("src_rank", F.row_number().over(ws)).withColumn(
+        "_ns", F.count(F.lit(1)).over(W.partitionBy("source"))
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("_N"))
+    ranked = ranked.crossJoin(F.broadcast(tot))
+    p = F.when(
+        F.col("_ns") == 1, F.expr("(_N + 1) div 2")
+    ).otherwise(
+        1
+        + F.expr(
+            "((src_rank - 1) * (_N - 1) * 2 + (_ns - 1)) div (2 * (_ns - 1))"
+        )
+    )
+    lookup = distributed_row_number(docs, "n_tokens", ["doc_id"], out="_g").select(
+        F.col("_g"), F.col("n_tokens").alias("norm_tokens")
+    )
+    return (
+        ranked.withColumn("_g", p.cast("long"))
+        .join(lookup, "_g")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.col("src_rank").cast("long").alias("src_rank"),
+            "norm_tokens",
+        )
+    )
+
+
+QUERIES["quantile_normalized_tokens"] = quantile_normalized_tokens
+
+
+def mad_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier profile per event type — the
+    breakdown-point-0.5 twin of the z-score pass (value_outliers).  Exact
+    medians come from VALUE-FREQUENCY tables (operators/robust.py), never a
+    per-group sorted buffer: the shuffled state is bounded by the distinct
+    cent-value domain, so five giant groups cannot OOM an aggregator at
+    100 TB.  All order statistics stay integer (2×median, 4×MAD); the only
+    doubles are exact halvings."""
+    from stellar_etl_spark.operators.robust import mad_outlier_stats
+
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value").cast("decimal(18,6)") * 100, 0).cast("long")
+    return mad_outlier_stats(ev, "event_type", cents)
+
+
+QUERIES["mad_value_outliers"] = mad_value_outliers

@@ -2051,3 +2051,97 @@ class TestPmiCollocations:
 
         docs = spark.createDataFrame([(0, "a b c d")], DOCS_SCHEMA)
         assert pmi_collocations(docs, min_count=2, k=10).count() == 0
+
+
+class TestWinnowingFingerprint:
+    def test_hand_winnowed_selection(self, spark):
+        import hashlib
+
+        from stellar_etl_spark.operators.text import winnowing_fingerprint
+
+        words = [f"w{i}" for i in range(10)]  # 10 words -> 7 4-grams -> 3 windows
+        docs = spark.createDataFrame([(1, " ".join(words))], DOCS_SCHEMA)
+        row = winnowing_fingerprint(docs, k=4, w=5).collect()[0]
+
+        def h(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+
+        hs = [h(" ".join(words[i : i + 4])) for i in range(7)]
+        wins = [min(hs[i : i + 5]) for i in range(3)]
+        assert row.n_kgrams == 7
+        assert row.n_selected == len(set(wins))
+        assert row.min_fp == min(wins) and row.max_fp == max(wins)
+
+    def test_short_docs_keep_rows(self, spark):
+        from stellar_etl_spark.operators.text import winnowing_fingerprint
+
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a b c d e")], DOCS_SCHEMA
+        )
+        rows = {r.doc_id: r for r in winnowing_fingerprint(docs).collect()}
+        assert rows[1].n_kgrams == 0 and rows[1].n_selected == 0
+        assert rows[1].min_fp is None
+        # 5 words -> 2 kgrams, fewer than w -> ONE window (min of both)
+        assert rows[2].n_kgrams == 2 and rows[2].n_selected == 1
+
+
+class TestMadOutliers:
+    def test_hand_computed_median_mad(self, spark):
+        from pyspark.sql import functions as F
+
+        from stellar_etl_spark.operators.robust import mad_outlier_stats
+
+        # group g: cents [1, 2, 2, 4, 100] -> median 2, deviations
+        # [1, 0, 0, 2, 98] -> MAD 1; outlier cutoff 4.4478 -> only 98.
+        df = spark.createDataFrame(
+            [("g", c) for c in [1, 2, 2, 4, 100]], "grp string, c long"
+        )
+        row = mad_outlier_stats(df, "grp", F.col("c")).collect()[0]
+        assert row.n_rows == 5
+        assert row.median_cents == 2.0 and row.mad_cents == 1.0
+        assert row.n_outliers == 1
+        assert row.max_abs_dev2 == 196
+
+    def test_even_count_interpolates(self, spark):
+        from pyspark.sql import functions as F
+
+        from stellar_etl_spark.operators.robust import mad_outlier_stats
+
+        # [1, 2, 3, 10] -> median 2.5; devs [1.5, .5, .5, 7.5] -> MAD 1.0
+        df = spark.createDataFrame(
+            [("g", c) for c in [1, 2, 3, 10]], "grp string, c long"
+        )
+        row = mad_outlier_stats(df, "grp", F.col("c")).collect()[0]
+        assert row.median_cents == 2.5 and row.mad_cents == 1.0
+        assert row.n_outliers == 1  # 7.5 > 4.4478
+
+    def test_zero_mad_group(self, spark):
+        from pyspark.sql import functions as F
+
+        from stellar_etl_spark.operators.robust import mad_outlier_stats
+
+        # constant group: MAD 0 -> any deviation would be an outlier; none is.
+        df = spark.createDataFrame(
+            [("g", 7)] * 4, "grp string, c long"
+        )
+        row = mad_outlier_stats(df, "grp", F.col("c")).collect()[0]
+        assert row.mad_cents == 0.0 and row.n_outliers == 0
+
+
+class TestSessionErrorOverlap:
+    def test_hour_bucketing_counts_each_pair_once(self, spark, sf_dir):
+        """Bucketed range join == DuckDB's direct range join is oracle-checked;
+        here: a multi-hour session must not double-count an error."""
+        from stellar_etl_spark.queries import QUERIES
+
+        out = QUERIES["session_error_overlap"](spark, sf_dir)
+        agg = out.agg(
+            F.sum("n_errors_during").alias("tot"),
+            F.count(F.lit(1)).alias("n_sessions"),
+        ).collect()[0]
+        assert agg.n_sessions > 0 and agg.tot >= 0
+        # sessions partition their user's events exactly
+        from stellar_etl_spark.catalog import table as cat_table
+
+        n_events = cat_table(spark, sf_dir, "events").count()
+        assert out.agg(F.sum("n_events")).collect()[0][0] == n_events
