@@ -3290,3 +3290,109 @@ SELECT m.event_type, m.n_rows, m.median_cents,
 FROM d JOIN m USING (event_type) JOIN md USING (event_type)
 GROUP BY m.event_type, m.n_rows, m.median_cents, md.mad4, md.max_abs_dev2
 """
+
+ORACLES["lang_source_independence"] = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+),
+r AS (SELECT lang, SUM(o) AS r_tot FROM cells GROUP BY lang),
+c AS (SELECT source, SUM(o) AS c_tot FROM cells GROUP BY source),
+n AS (SELECT SUM(o) AS n_tot FROM cells),
+j AS (
+  SELECT cells.*, r.r_tot, c.c_tot, n.n_tot,
+    CAST(o * n_tot - r_tot * c_tot AS HUGEINT) AS dev,
+    CAST(r_tot * c_tot AS HUGEINT) * CAST(n_tot AS HUGEINT) AS den
+  FROM cells JOIN r USING (lang) JOIN c USING (source), n
+),
+per AS (
+  SELECT
+    CAST((dev * dev * 2000000 + den) // (2 * den) AS BIGINT) AS chi,
+    o * CAST(ROUND(ln(CAST(o * n_tot AS DOUBLE)
+                      / CAST(r_tot * c_tot AS DOUBLE)) * 1000000)
+             AS BIGINT) AS mi
+  FROM j
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_cells,
+  CAST(SUM(chi) AS BIGINT) AS chi2_scaled,
+  CAST(SUM(mi) AS BIGINT) AS mi_scaled,
+  (SELECT CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1)
+               AS BIGINT) FROM documents) AS dof
+FROM per
+"""
+
+ORACLES["vocab_growth_curve"] = """
+WITH sliced AS (
+  SELECT doc_id, text, CAST(ntile(10) OVER (ORDER BY doc_id) AS BIGINT) AS slc
+  FROM documents
+),
+toks AS (
+  SELECT slc, unnest(string_split(text, ' ')) AS tok FROM sliced
+),
+first_seen AS (
+  SELECT tok, MIN(slc) AS first_slice FROM toks GROUP BY tok
+),
+newt AS (
+  SELECT first_slice, CAST(COUNT(*) AS BIGINT) AS new_tokens
+  FROM first_seen GROUP BY first_slice
+),
+occ AS (
+  SELECT slc, CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM toks GROUP BY slc
+)
+SELECT occ.slc AS slice, occ.n_occurrences,
+  COALESCE(newt.new_tokens, 0) AS new_tokens,
+  CAST(SUM(COALESCE(newt.new_tokens, 0))
+       OVER (ORDER BY occ.slc ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+FROM occ LEFT JOIN newt ON newt.first_slice = occ.slc
+"""
+
+ORACLES["association_rules"] = """
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+),
+pairs AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b
+  FROM lp x JOIN lp y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+),
+cab AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM pairs GROUP BY a, b
+),
+ci AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c_item FROM lp GROUP BY l_partkey
+),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM lp),
+rr AS (
+  SELECT cab.a, cab.b, cab.c_ab, ca.c_item AS c_a, cb.c_item AS c_b, n.n_baskets
+  FROM cab JOIN ci ca ON ca.l_partkey = cab.a
+           JOIN ci cb ON cb.l_partkey = cab.b, n
+  WHERE cab.c_ab >= 2
+)
+SELECT a, b, c_ab, c_a, c_b, n_baskets,
+  CAST((c_ab * 2000000 + n_baskets) // (2 * n_baskets) AS DOUBLE) / 1000000.0
+    AS support,
+  CAST((c_ab * 2000000 + c_a) // (2 * c_a) AS DOUBLE) / 1000000.0
+    AS confidence,
+  CAST((c_ab * n_baskets * 2000000 + c_a * c_b) // (2 * c_a * c_b) AS DOUBLE)
+    / 1000000.0 AS lift
+FROM rr
+"""
+
+ORACLES["event_type_trigrams"] = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+tri AS (
+  SELECT user_id, event_type AS e1,
+    lead(event_type, 1) OVER w AS e2,
+    lead(event_type, 2) OVER w AS e3
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM tri WHERE e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n DESC, e1, e2, e3
+LIMIT 20
+"""

@@ -3295,3 +3295,206 @@ def mad_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["mad_value_outliers"] = mad_value_outliers
+
+
+def lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square + mutual-information independence audit of the (lang,
+    source) contingency table — the standard check that a corpus's language
+    mix is not confounded with its source mix before domain-weighted
+    sampling.  The contingency table is one hash aggregate (≤ |langs|·
+    |sources| cells); marginals re-aggregate it.  Both statistics are
+    summed as EXACT integers: the chi-square cell is the exact rational
+    (O·N − r·c)² / (r·c·N) rounded half-up in DECIMAL(38) scaled-integer
+    arithmetic (a long overflows at the 2e6 scale), and the MI cell uses the
+    repo's integer-scaled-log convention — so the cross-cell sums are
+    order-independent on both engines."""
+    docs = table(spark, sf_dir, "documents")
+    # the contingency table is tiny (|langs|·|sources| cells) and feeds four
+    # consumers — the lazy checkpoint keeps the corpus scan single-pass
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    ).localCheckpoint(eager=False)
+    r = cells.groupBy("lang").agg(F.sum("o").alias("r_tot"))
+    c = cells.groupBy("source").agg(F.sum("o").alias("c_tot"))
+    n = cells.agg(F.sum("o").alias("n_tot"))
+    j = (
+        cells.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    d38 = "decimal(38,0)"
+    dev = (F.col("o") * F.col("n_tot") - F.col("r_tot") * F.col("c_tot")).cast(d38)
+    den = (F.col("r_tot") * F.col("c_tot")).cast(d38) * F.col("n_tot").cast(d38)
+    chi_cell = F.expr(
+        "CAST((_num * 2000000 + _den) div (2 * _den) AS LONG)"
+    )
+    mi_cell = F.col("o") * F.round(
+        F.log(
+            (F.col("o") * F.col("n_tot")).cast("double")
+            / (F.col("r_tot") * F.col("c_tot")).cast("double")
+        )
+        * 1_000_000
+    ).cast("long")
+    per = (
+        j.withColumn("_num", dev * dev)
+        .withColumn("_den", den)
+        .select(
+            "lang",
+            "source",
+            chi_cell.alias("_chi"),
+            mi_cell.alias("_mi"),
+        )
+    )
+    dims = r.agg(F.count(F.lit(1)).alias("_nr")).crossJoin(
+        c.agg(F.count(F.lit(1)).alias("_nc"))
+    )
+    return (
+        per.agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("_chi").cast("long").alias("chi2_scaled"),
+            F.sum("_mi").cast("long").alias("mi_scaled"),
+        )
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "n_cells",
+            "chi2_scaled",
+            "mi_scaled",
+            ((F.col("_nr") - 1) * (F.col("_nc") - 1)).cast("long").alias("dof"),
+        )
+    )
+
+
+QUERIES["lang_source_independence"] = lang_source_independence
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: the corpus is cut into 10 equal doc-count
+    slices (ANSI ntile over doc_id via the two-phase distributed rank — no
+    global window), each token is attributed to the FIRST slice it appears in
+    (a min aggregate — the trick that makes 'cumulative distinct' a single
+    hash agg instead of 10 overlapping counts), and the running vocabulary
+    size is a cumulative sum over the 10-row result."""
+    from pyspark.sql.window import Window as W
+
+    from stellar_etl_spark.operators.ranking import distributed_ntile
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    sliced = distributed_ntile(docs, "doc_id", [], 10, out="slice")
+    toks = sliced.select(
+        "slice", F.explode(F.split("text", " ")).alias("tok")
+    )
+    # ONE pass over the token stream: the (slice, token) frequency table is
+    # bounded by vocab × 10 and feeds both the occurrence totals and the
+    # first-seen attribution; the lazy checkpoint stops its two consumers
+    # from re-running the corpus tokenization.
+    tok_slice = toks.groupBy("slice", "tok").agg(
+        F.count(F.lit(1)).alias("_f")
+    ).localCheckpoint(eager=False)
+    first_seen = tok_slice.groupBy("tok").agg(F.min("slice").alias("first_slice"))
+    new_per_slice = first_seen.groupBy("first_slice").agg(
+        F.count(F.lit(1)).cast("long").alias("new_tokens")
+    )
+    occ = tok_slice.groupBy("slice").agg(
+        F.sum("_f").cast("long").alias("n_occurrences")
+    )
+    out = occ.join(
+        new_per_slice, occ.slice == new_per_slice.first_slice, "left"
+    ).select(
+        F.col("slice").cast("long").alias("slice"),
+        "n_occurrences",
+        F.coalesce("new_tokens", F.lit(0)).cast("long").alias("new_tokens"),
+    )
+    wc = W.orderBy("slice").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return out.withColumn(
+        "cum_vocab", F.sum("new_tokens").over(wc).cast("long")
+    )
+
+
+QUERIES["vocab_growth_curve"] = vocab_growth_curve
+
+
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over the co-purchase pair stream
+    (every 4th order, parts-per-order bounded at 7 so the per-basket pair
+    expansion is O(21)): support / confidence / lift for every directed rule
+    a→b with pair support ≥ 2, each ratio computed with the exact
+    scaled-integer division so both engines round the identical rational.
+    Shape: one basket self-join bounded per order, two hash aggregates, a
+    broadcast 1-row total."""
+    from stellar_etl_spark.operators.util import exact_ratio_round6
+
+    lp = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        # four consumers (both self-join sides, item counts, basket total):
+        # checkpoint the 2-column projection once instead of 4 scans
+        .localCheckpoint(eager=False)
+    )
+    x, y = lp.alias("x"), lp.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") != F.col("y.l_partkey")),
+    ).select(
+        F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+    )
+    c_ab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    c_item = lp.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("c_item")
+    )
+    n = lp.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_baskets")
+    )
+    ca = c_item.select(F.col("l_partkey").alias("a"), F.col("c_item").alias("c_a"))
+    cb = c_item.select(F.col("l_partkey").alias("b"), F.col("c_item").alias("c_b"))
+    out = (
+        c_ab.where(F.col("c_ab") >= 2)
+        .join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(n))
+    )
+    return out.select(
+        "a",
+        "b",
+        "c_ab",
+        "c_a",
+        "c_b",
+        "n_baskets",
+        exact_ratio_round6(F.col("c_ab"), F.col("n_baskets")).alias("support"),
+        exact_ratio_round6(F.col("c_ab"), F.col("c_a")).alias("confidence"),
+        exact_ratio_round6(
+            F.col("c_ab") * F.col("n_baskets"), F.col("c_a") * F.col("c_b")
+        ).alias("lift"),
+    )
+
+
+QUERIES["association_rules"] = association_rules
+
+
+def event_type_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: the top-20 per-user event-type trigrams
+    (ordered by ts, event_id) — the n-gram-over-event-streams primitive
+    behind next-action models.  Two ``lead``s over bounded per-user windows
+    (no arrays, no HOFs), one hash aggregate, a total-order TakeOrdered cut."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    tri = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    counts = tri.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    return counts.orderBy(F.col("n").desc(), "e1", "e2", "e3").limit(20)
+
+
+QUERIES["event_type_trigrams"] = event_type_trigrams

@@ -2145,3 +2145,59 @@ class TestSessionErrorOverlap:
 
         n_events = cat_table(spark, sf_dir, "events").count()
         assert out.agg(F.sum("n_events")).collect()[0][0] == n_events
+
+
+class TestCorpusAudits:
+    def test_vocab_growth_totals(self, spark, sf_dir):
+        from stellar_etl_spark.catalog import table as cat_table
+        from stellar_etl_spark.queries import QUERIES
+
+        out = QUERIES["vocab_growth_curve"](spark, sf_dir).collect()
+        assert [r.slice for r in sorted(out, key=lambda r: r.slice)] == list(
+            range(1, 11)
+        )
+        docs = cat_table(spark, sf_dir, "documents")
+        total_vocab = (
+            docs.select(F.explode(F.split("text", " ")).alias("t"))
+            .select("t")
+            .distinct()
+            .count()
+        )
+        assert max(r.cum_vocab for r in out) == total_vocab
+        # monotone non-decreasing cumulative curve
+        curve = [r.cum_vocab for r in sorted(out, key=lambda r: r.slice)]
+        assert curve == sorted(curve)
+
+    def test_trigram_total_identity(self, spark, sf_dir):
+        from stellar_etl_spark.catalog import table as cat_table
+        from stellar_etl_spark.queries import QUERIES
+
+        out = QUERIES["event_type_trigrams"](spark, sf_dir)
+        rows = out.collect()
+        assert len(rows) == 20
+        # counts sorted desc with the declared total-order tie-break
+        ns = [r.n for r in rows]
+        assert ns == sorted(ns, reverse=True)
+
+    def test_chi2_hand_example(self, spark, tmp_path, sf_dir):
+        """2x2 balanced table -> chi2 = 0, MI = 0, dof = 1 (independence)."""
+        import pandas as pd
+
+        d = str(tmp_path / "sf")
+        import os
+
+        os.makedirs(d)
+        pd.DataFrame(
+            {
+                "doc_id": range(8),
+                "text": ["x"] * 8,
+                "lang": ["en", "en", "fr", "fr"] * 2,
+                "source": ["s1", "s2"] * 4,
+                "n_chars": [1] * 8,
+            }
+        ).to_parquet(os.path.join(d, "documents.parquet"))
+        from stellar_etl_spark.queries import QUERIES
+
+        row = QUERIES["lang_source_independence"](spark, d).collect()[0]
+        assert row.n_cells == 4 and row.dof == 1
+        assert row.chi2_scaled == 0 and row.mi_scaled == 0
