@@ -210,3 +210,53 @@ def triangle_stats(
             F.col("n_triangles") * 3, F.greatest(F.col("n_wedges"), F.lit(1))
         ).alias("global_clustering"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    adopts the most frequent label among its neighbors each round, ties
+    broken by the SMALLEST label — fully deterministic, so an unrolled SQL
+    twin reproduces it exactly.  Distinct from min-label connected
+    components (dedup_clusters): LPA's mode update splits dense regions
+    into communities instead of flooding whole components.
+
+    Shape per iteration: one labels⋈edges join + one (node, label) hash
+    aggregate + one argmax-by-struct aggregate — all shuffles keyed on the
+    node id.  The mode-argmax uses ``max(struct(cnt, -label))`` so the
+    count-then-smallest-label order needs NO window.  Like pagerank's
+    default, the plan stays LAZY and unrolled — Catalyst's ReuseExchange
+    collapses the repeated edge-subtree shuffles, and bounded iteration
+    counts keep lineage shallow (checkpoint per-k-rounds only pays off
+    past ~5 iterations, measured on pagerank).  Isolated nodes keep their
+    own id via the final left join."""
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # the symmetrized edge list appears in every iteration AND inside each
+    # label frame's lineage — a lazy checkpoint caps the otherwise
+    # multiplicative logical-plan growth (the labels chain still unrolls)
+    sym = fwd.union(rev).distinct().localCheckpoint(eager=False)
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iterations):
+        neigh = sym.join(
+            labels.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "label")
+        counted = neigh.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        picked = counted.groupBy("node").agg(
+            F.max(F.struct(F.col("_c"), (-F.col("label")).alias("_nl"))).alias("_m")
+        ).select("node", (-F.col("_m._nl")).alias("label"))
+        labels = nodes.join(picked, "node", "left").select(
+            "node", F.coalesce("label", F.col("node")).alias("label")
+        )
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("node").cast("long").alias("min_node"),
+        F.max("node").cast("long").alias("max_node"),
+    )

@@ -56,3 +56,28 @@ def exact_ratio_round6(num, den):
     b = den * F.lit(2)
     trunc_div = (a - a % b).cast("double") / b.cast("double")  # exact multiple
     return (sgn.cast("double") * trunc_div) / F.lit(1_000_000.0)
+
+
+def exact_ratio_round6_wide(num, den):
+    """``exact_ratio_round6`` for numerators past its 2^53/2e6 bound: the
+    scaled-integer rounding runs in DECIMAL(38,0) (Spark) / HUGEINT (oracle
+    twins), so segment-level cent sums (∼10^10 and up) still divide exactly.
+    The quotient itself must stay under 2^53 for the final double cast —
+    true whenever the real ratio is under ~9·10^9."""
+    from pyspark.sql import Column, functions as F
+
+    if not isinstance(num, Column):
+        num = F.col(num)
+    if not isinstance(den, Column):
+        den = F.col(den)
+    d38 = "decimal(38,0)"
+    num, den = num.cast(d38), den.cast(d38)
+    sgn = F.when(num < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    q = (F.abs(num) * 2_000_000 + den).cast(d38)
+    b = (den * 2).cast(d38)
+    # (q - q%b) is an exact multiple of b; dividing IN THE DECIMAL DOMAIN
+    # keeps the integer quotient exact (a premature double cast of the
+    # ~10^16 numerator rounds past 2^53), and the final double cast of the
+    # ≤2^53 quotient is exact.
+    trunc = ((q - q % b) / b).cast("double")
+    return sgn * trunc / F.lit(1_000_000.0)

@@ -3396,3 +3396,119 @@ GROUP BY e1, e2, e3
 ORDER BY n DESC, e1, e2, e3
 LIMIT 20
 """
+
+ORACLES["user_behavior_entropy"] = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, event_type
+),
+t AS (
+  SELECT *, CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS n FROM c
+)
+SELECT user_id,
+  CAST(MAX(n) AS BIGINT) AS n_events,
+  CAST(COUNT(*) AS BIGINT) AS n_types,
+  CAST(SUM(c * CAST(ROUND(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000)
+                    AS BIGINT)) AS BIGINT) AS entropy_scaled
+FROM t GROUP BY user_id
+"""
+
+ORACLES["revenue_gini"] = """
+WITH cust AS (
+  SELECT o_custkey,
+    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) * 100 AS BIGINT)
+      AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS i FROM cust
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+    CAST(SUM(cents) AS BIGINT) AS total_cents,
+    SUM(CAST(i AS HUGEINT) * CAST(cents AS HUGEINT)) AS s1
+  FROM ranked
+),
+f AS (
+  SELECT *,
+    2 * s1 - CAST(n_customers + 1 AS HUGEINT) * CAST(total_cents AS HUGEINT)
+      AS num,
+    CAST(n_customers AS HUGEINT) * CAST(total_cents AS HUGEINT) AS den
+  FROM s
+)
+SELECT n_customers, total_cents,
+  (CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END)
+  * CAST((abs(num) * 2000000 + den) // (2 * den) AS DOUBLE) / 1000000.0 AS gini
+FROM f
+"""
+
+ORACLES["rfm_segments"] = """
+WITH cust AS (
+  SELECT o_custkey,
+    CAST(epoch_us(MAX(o_orderdate)) // 86400000000 AS BIGINT) AS last_day,
+    CAST(COUNT(*) AS BIGINT) AS freq,
+    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) * 100 AS BIGINT)
+      AS cents
+  FROM orders GROUP BY o_custkey
+),
+q AS (
+  SELECT *,
+    CAST(ntile(5) OVER (ORDER BY last_day, o_custkey) AS BIGINT) AS r_q,
+    CAST(ntile(5) OVER (ORDER BY freq, o_custkey) AS BIGINT) AS f_q,
+    CAST(ntile(5) OVER (ORDER BY cents, o_custkey) AS BIGINT) AS m_q
+  FROM cust
+)
+SELECT r_q, f_q, m_q,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(cents) AS BIGINT) AS segment_cents,
+  CAST((SUM(cents) * 2000000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+    / 1000000.0 AS avg_cents
+FROM q GROUP BY r_q, f_q, m_q
+"""
+
+ORACLES["copurchase_communities"] = """
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+),
+e0 AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lp x JOIN lp y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+sym AS (
+  SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0
+),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+l0 AS (SELECT node, node AS label FROM nodes),
+p1 AS (
+  SELECT s.u AS node, l.label, COUNT(*) AS c
+  FROM sym s JOIN l0 l ON l.node = s.v GROUP BY s.u, l.label
+  QUALIFY row_number() OVER (PARTITION BY s.u ORDER BY c DESC, l.label) = 1
+),
+l1 AS (
+  SELECT n.node, COALESCE(p.label, n.node) AS label
+  FROM nodes n LEFT JOIN p1 p USING (node)
+),
+p2 AS (
+  SELECT s.u AS node, l.label, COUNT(*) AS c
+  FROM sym s JOIN l1 l ON l.node = s.v GROUP BY s.u, l.label
+  QUALIFY row_number() OVER (PARTITION BY s.u ORDER BY c DESC, l.label) = 1
+),
+l2 AS (
+  SELECT n.node, COALESCE(p.label, n.node) AS label
+  FROM nodes n LEFT JOIN p2 p USING (node)
+),
+p3 AS (
+  SELECT s.u AS node, l.label, COUNT(*) AS c
+  FROM sym s JOIN l2 l ON l.node = s.v GROUP BY s.u, l.label
+  QUALIFY row_number() OVER (PARTITION BY s.u ORDER BY c DESC, l.label) = 1
+),
+l3 AS (
+  SELECT n.node, COALESCE(p.label, n.node) AS label
+  FROM nodes n LEFT JOIN p3 p USING (node)
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+  CAST(MIN(node) AS BIGINT) AS min_node,
+  CAST(MAX(node) AS BIGINT) AS max_node
+FROM l3 GROUP BY label HAVING COUNT(*) >= 2
+"""

@@ -3498,3 +3498,149 @@ def event_type_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["event_type_trigrams"] = event_type_trigrams
+
+
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral profile: event count, distinct action types, and
+    the Shannon entropy of the user's event-type distribution — the
+    user-segmentation feature (explorers vs single-action users).  Entropy
+    is carried as the EXACT integer Σ c·round(1e6·ln(n/c)) (count-weighted
+    scaled logs — the repo's integer-log convention), so the per-user sum is
+    order-independent on both engines.  Shape: one (user, type) hash agg,
+    a ≤|types|-row per-user window for the total, one final hash agg."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    counts = counts.withColumn(
+        "n", F.sum("c").over(W.partitionBy("user_id")).cast("long")
+    )
+    term = F.col("c") * F.round(
+        F.log(F.col("n").cast("double") / F.col("c").cast("double")) * 1_000_000
+    ).cast("long")
+    return counts.groupBy("user_id").agg(
+        F.max("n").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(term).cast("long").alias("entropy_scaled"),
+    )
+
+
+QUERIES["user_behavior_entropy"] = user_behavior_entropy
+
+
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration:
+    G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over ascending-ranked customer
+    totals — the inequality audit run before revenue-weighted decisions.
+    Ranks come from the two-phase distributed rank (no global window); the
+    moments are exact DECIMAL(38) integers and the final divide uses the
+    scaled-integer half-up rounding, so the statistic is bit-identical
+    cross-engine."""
+    from stellar_etl_spark.operators.ranking import distributed_row_number
+
+    orders = table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        (F.round(F.sum(_dec("o_totalprice", 18, 2)), 2) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = distributed_row_number(cust, "cents", ["o_custkey"], out="i")
+    d38 = "decimal(38,0)"
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.col("i").cast(d38) * F.col("cents").cast(d38)).alias("_s1"),
+    )
+    num = (
+        F.lit(2).cast(d38) * F.col("_s1")
+        - (F.col("n_customers") + 1).cast(d38) * F.col("total_cents").cast(d38)
+    )
+    den = F.col("n_customers").cast(d38) * F.col("total_cents").cast(d38)
+    return (
+        s.withColumn("_num", num)
+        .withColumn("_den", den)
+        .select(
+            "n_customers",
+            "total_cents",
+            (
+                F.when(F.col("_num") < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+                * F.expr(
+                    "CAST((abs(_num) * 2000000 + _den) div (2 * _den) AS DOUBLE)"
+                )
+                / F.lit(1_000_000.0)
+            ).alias("gini"),
+        )
+    )
+
+
+QUERIES["revenue_gini"] = revenue_gini
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation — the
+    classic customer-scoring cube.  Each dimension is ranked with the
+    two-phase distributed ANSI ntile (ties broken by custkey), so no global
+    window ever serializes; the output is the ≤125-row segment cube with
+    exact per-segment averages (scaled-integer division)."""
+    from stellar_etl_spark.operators.ranking import distributed_ntile
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+
+    orders = table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.max(F.expr("o_orderdate div 86400000000000")).cast("long").alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        (F.round(F.sum(_dec("o_totalprice", 18, 2)), 2) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    # three ntile passes × three ranking phases each would re-derive the
+    # orders aggregate 9×; checkpoint the per-customer frame once
+    cust = cust.localCheckpoint(eager=False)
+    # checkpoint between the chained ntiles too: each ranking is 3 passes
+    # over its input, so an unbroken chain re-derives the previous ranking
+    # 3x (9x for the third) and the logical plan grows multiplicatively
+    cust = distributed_ntile(cust, "last_day", ["o_custkey"], 5, out="r_q")
+    cust = cust.localCheckpoint(eager=False)
+    cust = distributed_ntile(cust, "freq", ["o_custkey"], 5, out="f_q")
+    cust = cust.localCheckpoint(eager=False)
+    cust = distributed_ntile(cust, "cents", ["o_custkey"], 5, out="m_q")
+    return cust.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("segment_cents"),
+        exact_ratio_round6_wide(F.sum("cents"), F.count(F.lit(1))).alias(
+            "avg_cents"
+        ),
+    )
+
+
+QUERIES["rfm_segments"] = rfm_segments
+
+
+def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the part co-purchase graph (every
+    4th order, ≤7 parts/basket → bounded pair expansion), 3 synchronous
+    rounds with deterministic smallest-label tie-breaks — exactly
+    unrollable in the oracle.  Output: communities with ≥2 members."""
+    from stellar_etl_spark.operators.graph import label_propagation
+
+    lp = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = lp.alias("x"), lp.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(
+        F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+    ).distinct()
+    out = label_propagation(edges, iterations=3)
+    return out.where(F.col("n_members") >= 2)
+
+
+QUERIES["copurchase_communities"] = copurchase_communities
