@@ -111,3 +111,66 @@ def mad_outlier_stats(
             "max_abs_dev2",
         )
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    cents: Column,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Per-group winsorized profile: the exact ``lo_pct``/``hi_pct`` order
+    statistics (lower-quantile convention — the value at position
+    ``ceil(n·p/100)``, no interpolation) and the mean AFTER clamping into
+    that band, plus how many rows each tail clamped.  Same scale discipline
+    as ``mad_outlier_stats``: ONE pass over the raw rows builds the
+    (group, cents, count) frequency table; quantile lookup, clamping, and
+    the clamped sum all run over that bounded table, and the mean divides
+    exactly in the DECIMAL domain (``exact_ratio_round6_wide``)."""
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+
+    vals = df.select(F.col(group_col), cents.alias("_c"))
+    freq = vals.groupBy(group_col, "_c").agg(
+        F.count(F.lit(1)).alias("_f")
+    ).localCheckpoint(eager=False)
+
+    w = Window.partitionBy(group_col).orderBy("_c")
+    cum = freq.withColumn("_cum", F.sum("_f").over(w))
+    totals = cum.groupBy(group_col).agg(F.sum("_f").cast("long").alias("_n"))
+    j = cum.join(totals, group_col)
+    pos_lo = F.expr(f"(_n * {lo_pct} + 99) div 100")  # ceil(n*p/100)
+    pos_hi = F.expr(f"(_n * {hi_pct} + 99) div 100")
+    q = j.groupBy(group_col).agg(
+        F.max("_n").alias("_n"),
+        F.min(F.when(F.col("_cum") >= F.greatest(pos_lo, F.lit(1)), F.col("_c"))).alias("_q_lo"),
+        F.min(F.when(F.col("_cum") >= F.greatest(pos_hi, F.lit(1)), F.col("_c"))).alias("_q_hi"),
+    )
+    clamped = freq.join(F.broadcast(q), group_col).groupBy(group_col).agg(
+        F.max("_n").cast("long").alias("n_rows"),
+        F.max("_q_lo").cast("long").alias("q_lo_cents"),
+        F.max("_q_hi").cast("long").alias("q_hi_cents"),
+        F.sum(
+            F.col("_f")
+            * F.greatest(F.least(F.col("_c"), F.col("_q_hi")), F.col("_q_lo"))
+        )
+        .cast("long")
+        .alias("_wsum"),
+        F.sum(F.when(F.col("_c") < F.col("_q_lo"), F.col("_f")).otherwise(0))
+        .cast("long")
+        .alias("n_clamped_low"),
+        F.sum(F.when(F.col("_c") > F.col("_q_hi"), F.col("_f")).otherwise(0))
+        .cast("long")
+        .alias("n_clamped_high"),
+    )
+    return clamped.select(
+        group_col,
+        "n_rows",
+        "q_lo_cents",
+        "q_hi_cents",
+        exact_ratio_round6_wide(F.col("_wsum"), F.col("n_rows")).alias(
+            "winsorized_mean_cents"
+        ),
+        "n_clamped_low",
+        "n_clamped_high",
+    )

@@ -3512,3 +3512,98 @@ SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
   CAST(MAX(node) AS BIGINT) AS max_node
 FROM l3 GROUP BY label HAVING COUNT(*) >= 2
 """
+
+ORACLES["dau_cumulative_unique"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+daily AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM e GROUP BY day
+),
+first AS (SELECT user_id, MIN(day) AS first_day FROM e GROUP BY user_id),
+newu AS (
+  SELECT first_day, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM first GROUP BY first_day
+)
+SELECT d.day, d.dau, d.n_events,
+  COALESCE(n.new_users, 0) AS new_users,
+  CAST(SUM(COALESCE(n.new_users, 0))
+       OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS cum_unique_users
+FROM daily d LEFT JOIN newu n ON n.first_day = d.day
+"""
+
+ORACLES["winsorized_value_stats"] = """
+WITH v AS (
+  SELECT event_type,
+    CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+freq AS (
+  SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS f
+  FROM v GROUP BY event_type, c
+),
+cum AS (
+  SELECT *, SUM(f) OVER (PARTITION BY event_type ORDER BY c
+                         ROWS UNBOUNDED PRECEDING) AS cumf,
+    SUM(f) OVER (PARTITION BY event_type) AS n
+  FROM freq
+),
+q AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_rows,
+    MIN(CASE WHEN cumf >= greatest((n * 5 + 99) // 100, 1) THEN c END)
+      AS q_lo,
+    MIN(CASE WHEN cumf >= greatest((n * 95 + 99) // 100, 1) THEN c END)
+      AS q_hi
+  FROM cum GROUP BY event_type
+)
+SELECT f.event_type, q.n_rows,
+  CAST(q.q_lo AS BIGINT) AS q_lo_cents,
+  CAST(q.q_hi AS BIGINT) AS q_hi_cents,
+  CAST((SUM(f.f * greatest(least(f.c, q.q_hi), q.q_lo)) * 2000000 + q.n_rows)
+       // (2 * q.n_rows) AS DOUBLE) / 1000000.0 AS winsorized_mean_cents,
+  CAST(SUM(CASE WHEN f.c < q.q_lo THEN f.f ELSE 0 END) AS BIGINT)
+    AS n_clamped_low,
+  CAST(SUM(CASE WHEN f.c > q.q_hi THEN f.f ELSE 0 END) AS BIGINT)
+    AS n_clamped_high
+FROM freq f JOIN q USING (event_type)
+GROUP BY f.event_type, q.n_rows, q.q_lo, q.q_hi
+"""
+
+ORACLES["incremental_agg_merge"] = """
+WITH v AS (
+  SELECT event_type,
+    CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100, 0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(cents) AS BIGINT) AS total_cents,
+  CAST(MIN(cents) AS BIGINT) AS min_cents,
+  CAST(MAX(cents) AS BIGINT) AS max_cents,
+  CAST((SUM(cents) * 2000000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+    / 1000000.0 AS avg_cents
+FROM v GROUP BY event_type
+"""
+
+ORACLES["cusum_changepoint"] = """
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+    CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+daily AS (SELECT day, CAST(SUM(cents) AS BIGINT) AS x FROM e GROUP BY day),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS t FROM daily
+),
+scan AS (
+  SELECT day, tot.n,
+    tot.n * SUM(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+      - (row_number() OVER (ORDER BY day)) * tot.t AS cusum_scaled
+  FROM daily, tot
+)
+SELECT day AS changepoint_day, n AS n_days, CAST(cusum_scaled AS BIGINT) AS cusum_scaled
+FROM scan ORDER BY abs(cusum_scaled) DESC, day LIMIT 1
+"""

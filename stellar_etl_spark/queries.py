@@ -3644,3 +3644,151 @@ def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["copurchase_communities"] = copurchase_communities
+
+
+def dau_cumulative_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, new users, and the CUMULATIVE unique-user curve —
+    the growth dashboard staple.  'Cumulative distinct' is NOT computed as
+    |days| overlapping distincts: each user is attributed to their
+    first-seen day (one min aggregate), so the whole curve is two hash
+    aggregates plus a cumsum over the ≤|days|-row result."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 86400000000000").alias("day")
+    )
+    daily = ev.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    newu = first.groupBy("first_day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    out = daily.join(newu, daily.day == newu.first_day, "left").select(
+        "day",
+        "dau",
+        "n_events",
+        F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"),
+    )
+    wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return out.withColumn(
+        "cum_unique_users", F.sum("new_users").over(wc).cast("long")
+    )
+
+
+QUERIES["dau_cumulative_unique"] = dau_cumulative_unique
+
+
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clamped) per-type value profile — the
+    outlier-robust mean used when raw means are tail-dominated.  Exact
+    order statistics from the value-frequency table (one raw pass, bounded
+    shuffled state — operators/robust.winsorized_stats)."""
+    from stellar_etl_spark.operators.robust import winsorized_stats
+
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value").cast("decimal(18,6)") * 100, 0).cast("long")
+    return winsorized_stats(ev, "event_type", cents)
+
+
+QUERIES["winsorized_value_stats"] = winsorized_value_stats
+
+
+SPLIT_DAY = 19738  # 2024-01-16: midpoint of the synthetic events range
+
+
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a 'stored' base snapshot of
+    per-type partial states (count / sum / min / max over days before the
+    split) merged with a delta batch (days at/after it) WITHOUT touching
+    base rows again — the mergeable-state property that makes 100 TB
+    rollups incremental.  The oracle recomputes from scratch; equality
+    proves the merge is lossless.  Shape: two partial hash aggs + one
+    ≤|types|-row merge agg; avg divides exactly in the DECIMAL domain."""
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts div 86400000000000").alias("day"),
+        F.round(F.col("value").cast("decimal(18,6)") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+
+    def state(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+            F.min("cents").cast("long").alias("mn"),
+            F.max("cents").cast("long").alias("mx"),
+        )
+
+    base = state(ev.where(F.col("day") < SPLIT_DAY))
+    delta = state(ev.where(F.col("day") >= SPLIT_DAY))
+    merged = base.unionByName(delta).groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum("s").cast("long").alias("total_cents"),
+        F.min("mn").cast("long").alias("min_cents"),
+        F.max("mx").cast("long").alias("max_cents"),
+    )
+    return merged.select(
+        "event_type",
+        "n_events",
+        "total_cents",
+        "min_cents",
+        "max_cents",
+        exact_ratio_round6_wide(F.col("total_cents"), F.col("n_events")).alias(
+            "avg_cents"
+        ),
+    )
+
+
+QUERIES["incremental_agg_merge"] = incremental_agg_merge
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over the daily revenue series: the day
+    maximizing |n·S_k − k·T| (the integer-scaled cumulative deviation from
+    the mean — the classic level-shift statistic, kept EXACT by clearing
+    the mean's denominator).  Daily totals are one hash agg; the cumulative
+    scan is a ≤|days|-row window; the argmax is a 1-row TakeOrdered with a
+    smallest-day tie-break."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        F.expr("ts div 86400000000000").alias("day"),
+        F.round(F.col("value").cast("decimal(18,6)") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = ev.groupBy("day").agg(F.sum("cents").cast("long").alias("x"))
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("x").cast("long").alias("_t"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    scan = (
+        daily.withColumn("_s", F.sum("x").over(w).cast("long"))
+        .withColumn("_k", F.count(F.lit(1)).over(w).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "_n",
+            (F.col("_n") * F.col("_s") - F.col("_k") * F.col("_t")).alias(
+                "cusum_scaled"
+            ),
+        )
+    )
+    return (
+        scan.orderBy(F.abs(F.col("cusum_scaled")).desc(), "day")
+        .limit(1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            F.col("_n").alias("n_days"),
+            "cusum_scaled",
+        )
+    )
+
+
+QUERIES["cusum_changepoint"] = cusum_changepoint

@@ -2257,3 +2257,71 @@ class TestRevenueGini:
         row = QUERIES["revenue_gini"](spark, d).collect()[0]
         assert row.n_customers == 3 and row.total_cents == 400
         assert row.gini == 0.166667
+
+
+class TestWinsorizedStats:
+    def test_hand_computed_clamp(self, spark):
+        from pyspark.sql import functions as F
+
+        from stellar_etl_spark.operators.robust import winsorized_stats
+
+        # 10 values 1..9 + 1000; p05 pos = ceil(0.5)=1 -> q_lo=1,
+        # p95 pos = ceil(9.5)=10 -> q_hi=1000 (nothing clamps high with
+        # n=10 at 95%); tighten with 10/90 instead: pos 1 and 9 -> q_hi=9
+        df = spark.createDataFrame(
+            [("g", float(c)) for c in list(range(1, 10)) + [1000]],
+            "grp string, v double",
+        )
+        cents = F.round(F.col("v").cast("decimal(18,6)") * 100, 0).cast("long")
+        row = winsorized_stats(df, "grp", cents, lo_pct=10, hi_pct=90).collect()[0]
+        assert row.q_lo_cents == 100 and row.q_hi_cents == 900
+        assert row.n_clamped_low == 0 and row.n_clamped_high == 1
+        # clamped sum = (1+..+9)*100 + 900 = 5400 -> mean 540
+        assert row.winsorized_mean_cents == 540.0
+
+    def test_single_value_group(self, spark):
+        from pyspark.sql import functions as F
+
+        from stellar_etl_spark.operators.robust import winsorized_stats
+
+        df = spark.createDataFrame([("g", 5.0)], "grp string, v double")
+        cents = F.round(F.col("v").cast("decimal(18,6)") * 100, 0).cast("long")
+        row = winsorized_stats(df, "grp", cents).collect()[0]
+        assert row.q_lo_cents == row.q_hi_cents == 500
+        assert row.winsorized_mean_cents == 500.0
+
+
+class TestIncrementalAggMerge:
+    def test_merge_equals_full_recompute(self, spark, sf_dir):
+        """The query merges base+delta partial states; the full recompute
+        (the oracle's formulation) must match on every component."""
+        from stellar_etl_spark.catalog import table as cat_table
+        from stellar_etl_spark.queries import QUERIES
+
+        merged = {
+            r.event_type: r
+            for r in QUERIES["incremental_agg_merge"](spark, sf_dir).collect()
+        }
+        ev = cat_table(spark, sf_dir, "events").select(
+            "event_type",
+            F.round(F.col("value").cast("decimal(18,6)") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        full = {
+            r.event_type: r
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("cents").cast("long").alias("s"),
+                F.min("cents").alias("mn"),
+                F.max("cents").alias("mx"),
+            )
+            .collect()
+        }
+        assert set(merged) == set(full)
+        for t, m in merged.items():
+            f = full[t]
+            assert (m.n_events, m.total_cents, m.min_cents, m.max_cents) == (
+                f.n, f.s, f.mn, f.mx
+            )
