@@ -3607,3 +3607,121 @@ scan AS (
 SELECT day AS changepoint_day, n AS n_days, CAST(cusum_scaled AS BIGINT) AS cusum_scaled
 FROM scan ORDER BY abs(cusum_scaled) DESC, day LIMIT 1
 """
+
+ORACLES["dow_seasonality"] = """
+WITH e AS (
+  SELECT event_type,
+    (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+    CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+cell AS (
+  SELECT event_type, CAST(dow AS BIGINT) AS dow,
+    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+  FROM e GROUP BY event_type, dow
+),
+tot AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_type,
+    CAST(SUM(s) AS BIGINT) AS s_type
+  FROM cell GROUP BY event_type
+)
+SELECT cell.event_type, cell.dow, cell.n, cell.s,
+  (CASE WHEN cell.s * tot.n_type < 0 THEN -1.0 ELSE 1.0 END)
+  * CAST((abs(CAST(cell.s AS HUGEINT) * tot.n_type) * 2000000
+          + CAST(cell.n AS HUGEINT) * tot.s_type)
+         // (2 * CAST(cell.n AS HUGEINT) * tot.s_type) AS DOUBLE)
+    / 1000000.0 AS seasonality_index
+FROM cell JOIN tot USING (event_type)
+"""
+
+ORACLES["cohort_ltv_matrix"] = """
+WITH e AS (
+  SELECT user_id, event_type,
+    epoch_us(ts) // 604800000000 AS week,
+    CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+first AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id),
+rev AS (
+  SELECT f.cohort_week, e.week - f.cohort_week AS age_weeks,
+    CAST(COUNT(*) AS BIGINT) AS n_purchases,
+    CAST(SUM(e.cents) AS BIGINT) AS revenue_cents
+  FROM e JOIN first f USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY f.cohort_week, e.week - f.cohort_week
+)
+SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+  CAST(age_weeks AS BIGINT) AS age_weeks, n_purchases, revenue_cents,
+  CAST(SUM(revenue_cents) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS cum_revenue_cents
+FROM rev
+"""
+
+ORACLES["zipf_slope"] = """
+WITH freqs AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok ORDER BY freq DESC, tok LIMIT 1000
+),
+ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY -freq, tok) AS rank FROM freqs
+),
+pts AS (
+  SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+    CAST(ROUND(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS y
+  FROM ranked
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+  FROM pts
+),
+f AS (
+  SELECT n_tokens,
+    CAST(n_tokens AS HUGEINT) * sxy - sx * sy AS num,
+    CAST(n_tokens AS HUGEINT) * sxx - sx * sx AS den
+  FROM s
+)
+SELECT n_tokens,
+  (CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END)
+  * CAST((abs(num) * 2000000 + den) // (2 * den) AS DOUBLE) / 1000000.0
+    AS zipf_slope
+FROM f
+"""
+
+ORACLES["referential_integrity_audit"] = """
+WITH checks AS (
+  SELECT 'lineitem->orders' AS relation,
+    (SELECT COUNT(*) FROM lineitem) AS n_rows,
+    (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+       ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS n_orphans
+  UNION ALL SELECT 'lineitem->part',
+    (SELECT COUNT(*) FROM lineitem),
+    (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p
+       ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+  UNION ALL SELECT 'lineitem->supplier',
+    (SELECT COUNT(*) FROM lineitem),
+    (SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s
+       ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)
+  UNION ALL SELECT 'orders->customer',
+    (SELECT COUNT(*) FROM orders),
+    (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+       ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+  UNION ALL SELECT 'customer->nation',
+    (SELECT COUNT(*) FROM customer),
+    (SELECT COUNT(*) FROM customer c LEFT JOIN nation n
+       ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+  UNION ALL SELECT 'supplier->nation',
+    (SELECT COUNT(*) FROM supplier),
+    (SELECT COUNT(*) FROM supplier s LEFT JOIN nation n
+       ON s.s_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+)
+SELECT relation, CAST(n_rows AS BIGINT) AS n_rows,
+  CAST(n_orphans AS BIGINT) AS n_orphans,
+  CAST((n_orphans * 2000000 + n_rows) // (2 * n_rows) AS DOUBLE) / 1000000.0
+    AS orphan_rate
+FROM checks
+"""

@@ -3792,3 +3792,185 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["cusum_changepoint"] = cusum_changepoint
+
+
+def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: each (type, dow) cell's
+    average value vs the type's overall average, as the exact scaled ratio
+    (avg_dow/avg_type = (s_dow·n_type)/(n_dow·s_type) — one rational, one
+    half-up rounding, zero float accumulation).  Two hash aggregates and a
+    broadcast join of the ≤|types|-row totals."""
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(ts div 86400000000000 + 4) % 7").alias("dow"),  # 1970-01-01 = Thu
+        F.round(F.col("value").cast("decimal(18,6)") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    cell = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    tot = cell.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_type"),
+        F.sum("s").cast("long").alias("s_type"),
+    )
+    return cell.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "dow",
+        "n",
+        "s",
+        exact_ratio_round6_wide(
+            F.col("s") * F.col("n_type"), F.col("n") * F.col("s_type")
+        ).alias("seasonality_index"),
+    )
+
+
+QUERIES["dow_seasonality"] = dow_seasonality
+
+
+def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: users grouped by first-seen WEEK,
+    purchase revenue accumulated by weeks-since-signup — the standard
+    retention-economics matrix.  First-seen is one min aggregate; the
+    matrix is one hash agg over (cohort, age); the cumulative curve is a
+    window bounded by the ≤|weeks| ages inside each cohort row-group."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("ts div 604800000000000").alias("week"),
+        F.round(F.col("value").cast("decimal(18,6)") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("age_weeks"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+    wc = W.partitionBy("cohort_week").orderBy("age_weeks").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return rev.withColumn(
+        "cum_revenue_cents", F.sum("revenue_cents").over(wc).cast("long")
+    )
+
+
+QUERIES["cohort_ltv_matrix"] = cohort_ltv_matrix
+
+
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the top-1000 token frequencies: OLS slope of
+    (ln rank, ln freq) — the corpus-health check that catches boilerplate
+    floods (slope ≫ −1) and tokenizer damage.  Composition of the repo's
+    exactness conventions: bounded TakeOrdered cut with total-order
+    tie-break, two-phase distributed rank, integer-scaled logs, DECIMAL(38)
+    OLS moments, scaled-integer final divide."""
+    from stellar_etl_spark.operators.ranking import distributed_row_number
+
+    docs = table(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(1000)
+    )
+    # rank 1 = most frequent: rank ascending on (-freq, tok)
+    ranked = distributed_row_number(
+        freqs.withColumn("_nf", -F.col("freq")), "_nf", ["tok"], out="rank"
+    )
+    pts = ranked.select(
+        (F.round(F.log(F.col("rank").cast("double")) * 1_000_000).cast("long")).alias("x"),
+        (F.round(F.log(F.col("freq").cast("double")) * 1_000_000).cast("long")).alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("x").cast(d38).alias("_sx"),
+        F.sum("y").cast(d38).alias("_sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38)).alias("_sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y").cast(d38)).alias("_sxy"),
+    )
+    num = F.col("n_tokens").cast(d38) * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.col("n_tokens").cast(d38) * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    sgn = F.when(num < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return (
+        s.withColumn("_num", num)
+        .withColumn("_den", den)
+        .select(
+            "n_tokens",
+            (
+                sgn
+                * F.expr(
+                    "CAST((abs(_num) * 2000000 + _den) div (2 * _den) AS DOUBLE)"
+                )
+                / F.lit(1_000_000.0)
+            ).alias("zipf_slope"),
+        )
+    )
+
+
+QUERIES["zipf_slope"] = zipf_slope
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key health audit across the star schema: orphan counts for
+    lineitem→orders, lineitem→part, lineitem→supplier, orders→customer,
+    customer→nation, supplier→nation — each one LEFT ANTI join (broadcast
+    for dimension keys), emitted as one relation-per-row report with exact
+    orphan rates.  The data-quality gate that runs before any pipeline
+    promotes a snapshot."""
+    from stellar_etl_spark.operators.util import exact_ratio_round6
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    part = table(spark, sf_dir, "part")
+    supplier = table(spark, sf_dir, "supplier")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+
+    def audit(name, child, fk, parent, pk, bcast):
+        p = parent.select(pk).distinct()
+        if bcast:
+            p = F.broadcast(p)
+        orphans = child.join(p, child[fk] == p[pk], "left_anti")
+        return (
+            child.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+            .crossJoin(
+                orphans.agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+            )
+            .select(
+                F.lit(name).alias("relation"),
+                "n_rows",
+                "n_orphans",
+                exact_ratio_round6(F.col("n_orphans"), F.col("n_rows")).alias(
+                    "orphan_rate"
+                ),
+            )
+        )
+
+    checks = [
+        audit("lineitem->orders", li, "l_orderkey", orders, "o_orderkey", False),
+        audit("lineitem->part", li, "l_partkey", part, "p_partkey", True),
+        audit("lineitem->supplier", li, "l_suppkey", supplier, "s_suppkey", True),
+        audit("orders->customer", orders, "o_custkey", customer, "c_custkey", True),
+        audit("customer->nation", customer, "c_nationkey", nation, "n_nationkey", True),
+        audit("supplier->nation", supplier, "s_nationkey", nation, "n_nationkey", True),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+QUERIES["referential_integrity_audit"] = referential_integrity_audit
