@@ -3725,3 +3725,96 @@ SELECT relation, CAST(n_rows AS BIGINT) AS n_rows,
     AS orphan_rate
 FROM checks
 """
+
+ORACLES["daily_value_median_trend"] = """
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+    CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100, 0) AS BIGINT) AS c
+  FROM events
+)
+SELECT CAST(day AS BIGINT) AS day, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  median(c) AS median_cents
+FROM e GROUP BY day, event_type
+"""
+
+ORACLES["fulfillment_sla_histogram"] = """
+WITH last AS (
+  SELECT l_orderkey,
+    MAX(epoch_us(l_shipdate) // 86400000000) AS last_rday
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderpriority,
+    last.last_rday - (epoch_us(o.o_orderdate) // 86400000000) AS gap_days
+  FROM orders o JOIN last ON o.o_orderkey = last.l_orderkey
+)
+SELECT o_orderpriority,
+  CAST(least(gap_days // 30, 4) AS BIGINT) AS gap_bucket_30d,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+  CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+FROM j GROUP BY o_orderpriority, least(gap_days // 30, 4)
+"""
+
+ORACLES["active_streaks"] = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+isl AS (
+  SELECT user_id, day,
+    day - dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS island
+  FROM d
+),
+streaks AS (
+  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len,
+    CAST(MIN(day) AS BIGINT) AS streak_start
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id,
+  CAST(SUM(len) AS BIGINT) AS n_active_days,
+  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+  CAST(MAX(len) AS BIGINT) AS longest_streak,
+  CAST(MIN(streak_start) AS BIGINT) AS first_active_day
+FROM streaks GROUP BY user_id
+"""
+
+ORACLES["graph_degree_assortativity"] = """
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+),
+e0 AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lp x JOIN lp y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
+  GROUP BY v
+),
+sym AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+ed AS (
+  SELECT da.d AS da, db.d AS db
+  FROM sym JOIN deg da ON da.v = sym.a JOIN deg db ON db.v = sym.b
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+    SUM(CAST(da AS HUGEINT) * CAST(db AS HUGEINT)) AS sjk,
+    CAST(SUM(da) AS HUGEINT) AS sj,
+    SUM(CAST(da AS HUGEINT) * CAST(da AS HUGEINT)) AS sjj
+  FROM ed
+),
+f AS (
+  SELECT m2, CAST(m2 AS HUGEINT) * sjk - sj * sj AS num,
+    CAST(m2 AS HUGEINT) * sjj - sj * sj AS den
+  FROM s
+)
+SELECT m2,
+  CASE WHEN den = 0 THEN NULL
+       ELSE (CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END)
+            * CAST((abs(num) * 2000000 + den) // (2 * den) AS DOUBLE)
+            / 1000000.0
+  END AS assortativity
+FROM f
+"""

@@ -3974,3 +3974,164 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["referential_integrity_audit"] = referential_integrity_audit
+
+
+def daily_value_median_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type median-value trend — the robust centerline time
+    series.  Reuses the frequency-table exact-median machinery with a
+    (day, type) composite group: the shuffled state per day stays bounded
+    by the distinct cent domain, so the trend is computable over any
+    history length without per-group sorted buffers."""
+    from stellar_etl_spark.operators.robust import _median2_from_freq
+
+    ev = table(spark, sf_dir, "events").select(
+        F.concat_ws(
+            "|",
+            F.expr("ts div 86400000000000"),
+            F.col("event_type"),
+        ).alias("grp"),
+        F.round(F.col("value").cast("decimal(18,6)") * 100, 0)
+        .cast("long")
+        .alias("_c"),
+    )
+    freq = ev.groupBy("grp", "_c").agg(F.count(F.lit(1)).alias("_f"))
+    med = _median2_from_freq(freq, "grp", "_c", "_f")
+    parts = F.split(F.col("grp"), "\\|")
+    return med.select(
+        parts.getItem(0).cast("long").alias("day"),
+        parts.getItem(1).alias("event_type"),
+        F.col("_n").cast("long").alias("n_events"),
+        (F.col("_median2").cast("double") / 2.0).alias("median_cents"),
+    )
+
+
+QUERIES["daily_value_median_trend"] = daily_value_median_trend
+
+
+def fulfillment_sla_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment SLA distribution: days from order placement to the
+    LAST line shipment, bucketed per order priority — the operational-SLA
+    twin of tpch_q4 (the synthetic lineitem carries l_shipdate only).  One
+    lineitem max-ship aggregate, one fact join on the order key, exact
+    integer day gaps, then a (priority, gap-bucket) hash agg."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.expr("l_shipdate div 86400000000000").alias("rday")
+    )
+    last = li.groupBy("l_orderkey").agg(F.max("rday").alias("last_rday"))
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("o_orderdate div 86400000000000").alias("oday"),
+    )
+    j = orders.join(last, orders.o_orderkey == last.l_orderkey).select(
+        "o_orderpriority", (F.col("last_rday") - F.col("oday")).alias("gap_days")
+    )
+    bucket = F.least(F.expr("gap_days div 30"), F.lit(4)).cast("long")
+    return j.groupBy(
+        "o_orderpriority", bucket.alias("gap_bucket_30d")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("gap_days").cast("long").alias("min_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+    )
+
+
+QUERIES["fulfillment_sla_histogram"] = fulfillment_sla_histogram
+
+
+def active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-active-day streaks.  Island id
+    = day − dense_rank(day) (constant within a run of consecutive days) —
+    per-user windows bounded by that user's distinct active days; two hash
+    aggregates close the streak lengths.  Output: per-user activity summary
+    with the longest streak."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 86400000000000").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    isl = ev.withColumn(
+        "island", F.col("day") - F.dense_rank().over(w)
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("day").cast("long").alias("streak_start"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.min("streak_start").cast("long").alias("first_active_day"),
+    )
+
+
+QUERIES["active_streaks"] = active_streaks
+
+
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — Pearson correlation
+    of endpoint degrees over edges (Newman 2002), the structural audit that
+    distinguishes hub-and-spoke from peer-to-peer topologies.  Every moment
+    (Σ jk, Σ(j+k), Σ(j²+k²)) is an exact integer; the correlation's
+    numerator/denominator are assembled in DECIMAL(38) and divided with the
+    scaled-integer rounding.  Denominator under Newman's form: r =
+    (S1·Sjk − Sj·Sk-ish) — we use the symmetric form with both edge
+    directions, all integer."""
+    lp = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = lp.alias("x"), lp.alias("y")
+    e0 = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(
+        F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+    ).distinct().localCheckpoint(eager=False)
+    deg = (
+        e0.select(F.col("a").alias("v"))
+        .unionAll(e0.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    # symmetric edge stream (both directions) so the correlation is of the
+    # (source degree, target degree) pair distribution
+    sym = e0.unionAll(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    ed = (
+        sym.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    )
+    d38 = "decimal(38,0)"
+    s = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),  # 2|E|
+        F.sum(F.col("da").cast(d38) * F.col("db").cast(d38)).alias("_sjk"),
+        F.sum("da").cast(d38).alias("_sj"),
+        F.sum(F.col("da").cast(d38) * F.col("da").cast(d38)).alias("_sjj"),
+    )
+    # by symmetry Σdb = Σda and Σdb² = Σda² over the bidirectional stream
+    num = F.col("m2").cast(d38) * F.col("_sjk") - F.col("_sj") * F.col("_sj")
+    den = F.col("m2").cast(d38) * F.col("_sjj") - F.col("_sj") * F.col("_sj")
+    sgn = F.when(num < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return (
+        s.withColumn("_num", num)
+        .withColumn("_den", den)
+        .select(
+            F.col("m2"),
+            F.when(F.col("_den") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                sgn
+                * F.expr(
+                    "CAST((abs(_num) * 2000000 + _den) div (2 * _den) AS DOUBLE)"
+                )
+                / F.lit(1_000_000.0)
+            )
+            .alias("assortativity"),
+        )
+    )
+
+
+QUERIES["graph_degree_assortativity"] = graph_degree_assortativity
