@@ -1059,3 +1059,81 @@ class TestStreamingIngest:
         assert streamed == admitted_all
         # the re-landed exact copies were rejected
         assert not {d for d in streamed if d >= 100000}
+
+
+class TestStreamAggMaintenance:
+    def test_streamed_state_equals_full_aggregate(self, spark, tmp_path):
+        """Streaming partial states merged across epochs == one-shot batch
+        aggregate; maxFilesPerTrigger forces multiple epochs so the merge
+        actually exercises cross-epoch associativity."""
+        from stellar_etl_spark.streaming.agg_maintenance import (
+            merge_states,
+            partial_state,
+            read_merged_state,
+            stream_maintain_aggregate,
+        )
+
+        src = str(tmp_path / "landing")
+        rows = [
+            ("a", i % 7 - 3) for i in range(50)
+        ] + [("b", i % 11) for i in range(30)]
+        df = spark.createDataFrame(rows, "event_type string, cents long")
+        # several input files -> several micro-batches
+        df.repartition(4).write.mode("overwrite").parquet(src)
+
+        stream = (
+            spark.readStream.schema("event_type string, cents long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_maintain_aggregate(
+            stream,
+            state_dir=str(tmp_path / "state"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+        merged = {
+            r.event_type: r
+            for r in read_merged_state(spark, str(tmp_path / "state")).collect()
+        }
+        full = {
+            r.event_type: r
+            for r in merge_states(
+                partial_state(df, "event_type", "cents"), "event_type"
+            ).collect()
+        }
+        assert set(merged) == {"a", "b"} == set(full)
+        for t in full:
+            m, f = merged[t], full[t]
+            assert (m.n_events, m.total_cents, m.min_cents, m.max_cents) == (
+                f.n_events, f.total_cents, f.min_cents, f.max_cents
+            )
+        # multiple epochs actually happened
+        import os
+
+        epochs = [d for d in os.listdir(str(tmp_path / "state")) if d.startswith("epoch=")]
+        assert len(epochs) >= 2
+
+    def test_epoch_replay_is_idempotent(self, spark, tmp_path):
+        """Rewriting an epoch directory with the same batch (the replay
+        path after a crash between sink write and offset commit) leaves the
+        merged state unchanged."""
+        from stellar_etl_spark.streaming.agg_maintenance import (
+            partial_state,
+            read_merged_state,
+        )
+
+        state = str(tmp_path / "state")
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 5), ("b", -2)], "event_type string, cents long"
+        )
+        ps = partial_state(df, "event_type", "cents")
+        ps.write.mode("overwrite").parquet(state + "/epoch=0")
+        before = {r.event_type: r for r in read_merged_state(spark, state).collect()}
+        # replay: same epoch, same deterministic rows, overwrite
+        ps.write.mode("overwrite").parquet(state + "/epoch=0")
+        after = {r.event_type: r for r in read_merged_state(spark, state).collect()}
+        assert before.keys() == after.keys()
+        for t in before:
+            assert before[t] == after[t]
