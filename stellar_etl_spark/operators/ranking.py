@@ -124,3 +124,59 @@ def distributed_row_number(
     return ranked.withColumn(out, (F.col("_r0") + 1).cast("long")).drop(
         "_n", "_r0"
     )
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    value_col: str,
+    tie_cols: Sequence[str],
+    sum_col: str | None = None,
+    out: str = "cumsum",
+    descending: bool = False,
+    coarse: int = COARSE_BUCKETS,
+) -> DataFrame:
+    """Exact global running sum ``SUM(sum_col) OVER (ORDER BY value, *ties
+    ROWS UNBOUNDED PRECEDING)`` — without the single-partition global
+    window.  Same two-phase trick as the rank operators, but the per-bucket
+    side table carries SUMS: map-side coarse bucketing, a ≤``coarse``-row
+    per-bucket sum turned into broadcast prefix offsets, then a per-bucket
+    running sum (parallel across buckets) + offset.
+
+    ``descending=True`` orders by the negated (numeric) sort key — the
+    Pareto/Lorenz direction (largest contributors first).  ``sum_col``
+    defaults to the sort value itself.  The 1-based global rank is emitted
+    alongside as ``{out}_rank`` (callers almost always need both)."""
+    sum_col = sum_col or value_col
+    work = df
+    key = value_col
+    if descending:
+        key = f"_neg_{value_col}"
+        work = df.withColumn(key, -F.col(value_col))
+    ranked = _with_global_rank(work, key, tie_cols, coarse)
+    # FIXED number of rank-range blocks (like the value-range buckets of
+    # _with_global_rank): the offsets side table stays ≤``coarse`` rows at
+    # any data size, per-block running sums stay parallel across blocks.
+    block = F.least(
+        F.lit(coarse - 1),
+        F.floor(F.col("_r0") * coarse / F.greatest(F.col("_n"), F.lit(1))),
+    ).cast("long")
+    ranked = ranked.withColumn("_blk", block)
+    bsums = ranked.groupBy("_blk").agg(F.sum(sum_col).alias("_bs"))
+    a, b = bsums.alias("a"), bsums.alias("b")
+    offs = (
+        a.join(F.broadcast(b), F.col("b._blk") < F.col("a._blk"), "left")
+        .groupBy(F.col("a._blk").alias("_blk"))
+        .agg(F.coalesce(F.sum("b._bs"), F.lit(0)).alias("_soff"))
+    )
+    wl = Window.partitionBy("_blk").orderBy("_r0").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    result = (
+        ranked.join(F.broadcast(offs), "_blk")
+        .withColumn(out, (F.col("_soff") + F.sum(sum_col).over(wl)))
+        .withColumn(f"{out}_rank", (F.col("_r0") + 1).cast("long"))
+        .drop("_blk", "_soff", "_n", "_r0")
+    )
+    if descending:
+        result = result.drop(key)
+    return result

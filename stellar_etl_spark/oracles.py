@@ -3818,3 +3818,86 @@ SELECT m2,
   END AS assortativity
 FROM f
 """
+
+ORACLES["pareto_revenue_point"] = """
+WITH cust AS (
+  SELECT o_custkey,
+    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) * 100 AS BIGINT)
+      AS cents
+  FROM orders GROUP BY o_custkey
+),
+lorenz AS (
+  SELECT cents,
+    CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+    CAST(row_number() OVER (ORDER BY cents DESC, o_custkey) AS BIGINT)
+      AS cum_rank
+  FROM cust
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+    CAST(MAX(cum) AS BIGINT) AS total_cents
+  FROM lorenz
+),
+k AS (
+  SELECT CAST(MIN(cum_rank) AS BIGINT) AS k80
+  FROM lorenz, tot WHERE cum * 5 >= total_cents * 4
+),
+t10 AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS top10_cents
+  FROM lorenz, tot WHERE cum_rank * 10 <= n_customers
+)
+SELECT n_customers, total_cents, k80,
+  CAST((k80 * 2000000 + n_customers) // (2 * n_customers) AS DOUBLE)
+    / 1000000.0 AS k80_fraction,
+  CAST((CAST(top10_cents AS HUGEINT) * 2000000 + total_cents)
+       // (2 * CAST(total_cents AS HUGEINT)) AS DOUBLE) / 1000000.0
+    AS top10_share
+FROM tot, k, t10
+"""
+
+ORACLES["twap_daily"] = """
+WITH e AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+    epoch_us(ts) // 86400000000 AS day,
+    CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+d AS (
+  SELECT day, event_type, cents,
+    COALESCE(lead(ts_us) OVER (PARTITION BY day, event_type
+                               ORDER BY ts_us, event_id) - ts_us, 0) AS dur_us
+  FROM e
+),
+agg AS (
+  SELECT CAST(day AS BIGINT) AS day, event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(cents * dur_us) AS BIGINT) AS ws,
+    CAST(SUM(dur_us) AS BIGINT) AS wd
+  FROM d GROUP BY day, event_type
+)
+SELECT day, event_type, n_events,
+  CASE WHEN wd = 0 THEN NULL
+       ELSE (CASE WHEN ws < 0 THEN -1.0 ELSE 1.0 END)
+            * CAST((abs(CAST(ws AS HUGEINT)) * 2000000 + wd)
+                   // (2 * CAST(wd AS HUGEINT)) AS DOUBLE) / 1000000.0
+  END AS twap_cents
+FROM agg
+"""
+
+ORACLES["stage_transition_times"] = """
+WITH e AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events
+),
+tr AS (
+  SELECT lag(event_type) OVER w AS from_type,
+    event_type AS to_type,
+    (ts_us - lag(ts_us) OVER w) // 1000000 AS gap_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT from_type, to_type,
+  CAST(COUNT(*) AS BIGINT) AS n_transitions,
+  median(gap_s) AS median_gap_s
+FROM tr WHERE from_type IS NOT NULL
+GROUP BY from_type, to_type
+"""

@@ -4135,3 +4135,139 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["graph_degree_assortativity"] = graph_degree_assortativity
+
+
+def pareto_revenue_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) analysis of revenue concentration: how many top
+    customers cover 80% of revenue, and the top-decile share — computed on
+    the EXACT global Lorenz curve via ``distributed_cumsum`` (two-phase
+    prefix sums, fixed-size offset table, no single-partition window).
+    Every comparison is integer (cum·5 ≥ total·4), every ratio a scaled
+    exact division."""
+    from stellar_etl_spark.operators.ranking import distributed_cumsum
+    from stellar_etl_spark.operators.util import exact_ratio_round6, exact_ratio_round6_wide
+
+    orders = table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        (F.round(F.sum(_dec("o_totalprice", 18, 2)), 2) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    # three consumers (totals, the 80% threshold scan, the top-decile
+    # slice) — checkpoint the Lorenz frame so the multi-pass cumsum runs once
+    lorenz = distributed_cumsum(
+        cust, "cents", ["o_custkey"], out="cum", descending=True
+    ).localCheckpoint(eager=False)
+    tot = lorenz.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.max("cum").cast("long").alias("total_cents"),
+    )
+    j = lorenz.crossJoin(F.broadcast(tot))
+    k80 = j.where(F.col("cum") * 5 >= F.col("total_cents") * 4).agg(
+        F.min("cum_rank").cast("long").alias("k80")
+    )
+    top10 = j.where(
+        F.col("cum_rank") * 10 <= F.col("n_customers")
+    ).agg(F.sum("cents").cast("long").alias("top10_cents"))
+    return (
+        tot.crossJoin(F.broadcast(k80))
+        .crossJoin(F.broadcast(top10))
+        .select(
+            "n_customers",
+            "total_cents",
+            "k80",
+            exact_ratio_round6(F.col("k80"), F.col("n_customers")).alias(
+                "k80_fraction"
+            ),
+            exact_ratio_round6_wide(
+                F.col("top10_cents"), F.col("total_cents")
+            ).alias("top10_share"),
+        )
+    )
+
+
+QUERIES["pareto_revenue_point"] = pareto_revenue_point
+
+
+def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP) per (day, type): each observation
+    weighted by its holding interval to the next same-day event — the
+    finance-style aggregate where plain means are sampling-rate-biased.
+    Weights are exact integer microseconds, the weighted sum is one long
+    aggregate, and the divide is the scaled exact rational (DECIMAL
+    domain).  Per-(day,type) windows are bounded; single-event groups emit
+    NULL (zero holding time)."""
+    from pyspark.sql.window import Window as W
+
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.expr("ts div 86400000000000").alias("day"),
+        F.round(F.col("value").cast("decimal(18,6)") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    w = W.partitionBy("day", "event_type").orderBy("ts_us", "event_id")
+    durs = ev.withColumn(
+        "dur_us", F.coalesce(F.lead("ts_us").over(w) - F.col("ts_us"), F.lit(0))
+    )
+    agg = durs.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("cents") * F.col("dur_us")).cast("long").alias("_ws"),
+        F.sum("dur_us").cast("long").alias("_wd"),
+    )
+    return agg.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.when(F.col("_wd") == 0, F.lit(None).cast("double"))
+        .otherwise(exact_ratio_round6_wide(F.col("_ws"), F.col("_wd")))
+        .alias("twap_cents"),
+    )
+
+
+QUERIES["twap_daily"] = twap_daily
+
+
+def stage_transition_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median transition time between consecutive user actions, per
+    (from_type → to_type) pair — funnel-timing analysis.  Gaps are rounded
+    to whole seconds (bounding the value domain), so the exact median comes
+    from the frequency-table machinery: the shuffled state per pair is
+    ≤ the observation-window length in seconds, never the event count."""
+    from pyspark.sql.window import Window as W
+
+    from stellar_etl_spark.operators.robust import _median2_from_freq
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    tr = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+        ((F.col("ts_us") - F.lag("ts_us").over(w)))
+        .alias("_gap_us"),
+    ).where(F.col("from_type").isNotNull())
+    grp = tr.select(
+        F.concat_ws(">", "from_type", "to_type").alias("grp"),
+        F.expr("_gap_us div 1000000").alias("_c"),
+    )
+    freq = grp.groupBy("grp", "_c").agg(F.count(F.lit(1)).alias("_f"))
+    med = _median2_from_freq(freq, "grp", "_c", "_f")
+    parts = F.split(F.col("grp"), ">")
+    return med.select(
+        parts.getItem(0).alias("from_type"),
+        parts.getItem(1).alias("to_type"),
+        F.col("_n").cast("long").alias("n_transitions"),
+        (F.col("_median2").cast("double") / 2.0).alias("median_gap_s"),
+    )
+
+
+QUERIES["stage_transition_times"] = stage_transition_times

@@ -2325,3 +2325,40 @@ class TestIncrementalAggMerge:
             assert (m.n_events, m.total_cents, m.min_cents, m.max_cents) == (
                 f.n, f.s, f.mn, f.mx
             )
+
+
+class TestDistributedCumsum:
+    def test_matches_global_window(self, spark):
+        import random
+
+        from pyspark.sql.window import Window as W
+
+        from stellar_etl_spark.operators.ranking import distributed_cumsum
+
+        rng = random.Random(7)
+        rows = [(i, rng.randint(-50, 1000)) for i in range(500)]
+        df = spark.createDataFrame(rows, "k long, v long").repartition(13)
+        got = {
+            r.k: (r.cum, r.cum_rank)
+            for r in distributed_cumsum(df, "v", ["k"], out="cum").collect()
+        }
+        w = W.orderBy("v", "k").rowsBetween(W.unboundedPreceding, W.currentRow)
+        want = {
+            r.k: (r.cum, r.rn)
+            for r in df.withColumn("cum", F.sum("v").over(w))
+            .withColumn("rn", F.row_number().over(W.orderBy("v", "k")))
+            .collect()
+        }
+        assert got == want
+
+    def test_descending_lorenz(self, spark):
+        from stellar_etl_spark.operators.ranking import distributed_cumsum
+
+        df = spark.createDataFrame(
+            [(1, 100), (2, 50), (3, 30), (4, 20)], "k long, v long"
+        )
+        out = {
+            r.cum_rank: r.cum
+            for r in distributed_cumsum(df, "v", ["k"], out="cum", descending=True).collect()
+        }
+        assert out == {1: 100, 2: 150, 3: 180, 4: 200}
