@@ -3901,3 +3901,108 @@ SELECT from_type, to_type,
 FROM tr WHERE from_type IS NOT NULL
 GROUP BY from_type, to_type
 """
+
+ORACLES["revenue_share_hierarchy"] = """
+WITH nrev AS (
+  SELECT r.r_name, n.n_name,
+    CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) * 100 AS BIGINT)
+      AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+),
+rtot AS (
+  SELECT r_name, CAST(SUM(cents) AS BIGINT) AS region_cents
+  FROM nrev GROUP BY r_name
+),
+gtot AS (SELECT CAST(SUM(cents) AS BIGINT) AS global_cents FROM nrev)
+SELECT nrev.r_name, nrev.n_name, nrev.cents,
+  CAST((CAST(nrev.cents AS HUGEINT) * 2000000 + region_cents)
+       // (2 * CAST(region_cents AS HUGEINT)) AS DOUBLE) / 1000000.0
+    AS share_of_region,
+  CAST((CAST(nrev.cents AS HUGEINT) * 2000000 + global_cents)
+       // (2 * CAST(global_cents AS HUGEINT)) AS DOUBLE) / 1000000.0
+    AS share_of_global
+FROM nrev JOIN rtot USING (r_name), gtot
+"""
+
+ORACLES["column_profile_events"] = """
+WITH et AS (
+  SELECT event_type AS v, COUNT(*) AS f FROM events GROUP BY event_type
+),
+ui AS (
+  SELECT user_id AS v, COUNT(*) AS f FROM events GROUP BY user_id
+),
+ei AS (
+  SELECT event_id AS v, COUNT(*) AS f FROM events GROUP BY event_id
+)
+SELECT 'event_type' AS "column",
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM et WHERE v IS NOT NULL) AS n_distinct,
+  (SELECT CAST(COALESCE(SUM(f), 0) AS BIGINT) FROM et WHERE v IS NULL) AS n_nulls,
+  (SELECT v FROM et WHERE v IS NOT NULL ORDER BY f DESC, v LIMIT 1) AS mode_value,
+  (SELECT CAST(f AS BIGINT) FROM et WHERE v IS NOT NULL ORDER BY f DESC, v LIMIT 1) AS mode_count
+UNION ALL
+SELECT 'user_id',
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM ui WHERE v IS NOT NULL),
+  (SELECT CAST(COALESCE(SUM(f), 0) AS BIGINT) FROM ui WHERE v IS NULL),
+  (SELECT CAST(v AS VARCHAR) FROM ui WHERE v IS NOT NULL ORDER BY f DESC, v LIMIT 1),
+  (SELECT CAST(f AS BIGINT) FROM ui WHERE v IS NOT NULL ORDER BY f DESC, v LIMIT 1)
+UNION ALL
+SELECT 'event_id',
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM ei WHERE v IS NOT NULL),
+  (SELECT CAST(COALESCE(SUM(f), 0) AS BIGINT) FROM ei WHERE v IS NULL),
+  (SELECT CAST(v AS VARCHAR) FROM ei WHERE v IS NOT NULL ORDER BY f DESC, v LIMIT 1),
+  (SELECT CAST(f AS BIGINT) FROM ei WHERE v IS NOT NULL ORDER BY f DESC, v LIMIT 1)
+"""
+
+ORACLES["dn_retention"] = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+first AS (SELECT user_id, MIN(day) AS d0 FROM d GROUP BY user_id),
+cohort AS (
+  SELECT d0, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM first GROUP BY d0
+),
+r AS (
+  SELECT f.d0,
+    CAST(COUNT(CASE WHEN a.day = f.d0 + 1 THEN 1 END) AS BIGINT) AS r1,
+    CAST(COUNT(CASE WHEN a.day = f.d0 + 7 THEN 1 END) AS BIGINT) AS r7,
+    CAST(COUNT(CASE WHEN a.day = f.d0 + 14 THEN 1 END) AS BIGINT) AS r14
+  FROM first f JOIN d a USING (user_id)
+  GROUP BY f.d0
+)
+SELECT CAST(c.d0 AS BIGINT) AS cohort_day, c.cohort_size,
+  COALESCE(r.r1, 0) AS retained_d1,
+  COALESCE(r.r7, 0) AS retained_d7,
+  COALESCE(r.r14, 0) AS retained_d14,
+  CAST((COALESCE(r.r1, 0) * 2000000 + c.cohort_size) // (2 * c.cohort_size)
+       AS DOUBLE) / 1000000.0 AS d1_rate,
+  CAST((COALESCE(r.r7, 0) * 2000000 + c.cohort_size) // (2 * c.cohort_size)
+       AS DOUBLE) / 1000000.0 AS d7_rate,
+  CAST((COALESCE(r.r14, 0) * 2000000 + c.cohort_size) // (2 * c.cohort_size)
+       AS DOUBLE) / 1000000.0 AS d14_rate
+FROM cohort c LEFT JOIN r USING (d0)
+"""
+
+ORACLES["wow_growth"] = """
+WITH weekly AS (
+  SELECT epoch_us(o_orderdate) // 604800000000 AS week,
+    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) * 100 AS BIGINT)
+      AS cents
+  FROM orders GROUP BY week
+),
+l AS (
+  SELECT CAST(week AS BIGINT) AS week, cents,
+    lag(cents) OVER (ORDER BY week) AS prev
+  FROM weekly
+)
+SELECT week, cents,
+  CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+       ELSE (CASE WHEN cents - prev < 0 THEN -1.0 ELSE 1.0 END)
+            * CAST((abs(CAST(cents - prev AS HUGEINT)) * 2000000 + prev)
+                   // (2 * CAST(prev AS HUGEINT)) AS DOUBLE) / 1000000.0
+  END AS wow_growth
+FROM l
+"""

@@ -4271,3 +4271,182 @@ def stage_transition_times(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["stage_transition_times"] = stage_transition_times
+
+
+def revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent at two hierarchy levels: each nation's revenue as
+    an exact share of its region and of the world — the drill-down ratio
+    table every BI layer needs.  One fact aggregate at the nation grain;
+    region and global totals re-aggregate it (tiny frames, broadcast back);
+    every share is one exact scaled division."""
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nrev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            (F.round(F.sum(_dec("o_totalprice", 18, 2)), 2) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    rtot = nrev.groupBy("r_name").agg(
+        F.sum("cents").cast("long").alias("region_cents")
+    )
+    gtot = nrev.agg(F.sum("cents").cast("long").alias("global_cents"))
+    return (
+        nrev.join(F.broadcast(rtot), "r_name")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "r_name",
+            "n_name",
+            "cents",
+            exact_ratio_round6_wide(F.col("cents"), F.col("region_cents")).alias(
+                "share_of_region"
+            ),
+            exact_ratio_round6_wide(F.col("cents"), F.col("global_cents")).alias(
+                "share_of_global"
+            ),
+        )
+    )
+
+
+QUERIES["revenue_share_hierarchy"] = revenue_share_hierarchy
+
+
+def column_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling report over the events table: per column — distinct
+    count, null count, mode value and its frequency (argmax-by-struct with
+    a smallest-value tie-break, no window).  The schema-drift early-warning
+    profile a pipeline snapshots per partition; string-rendered mode keeps
+    the report schema uniform across column types."""
+    ev = table(spark, sf_dir, "events")
+
+    def profile(col, render):
+        c = F.col(col)
+        counted = ev.groupBy(c.alias("_v")).agg(F.count(F.lit(1)).alias("_f"))
+        nn = counted.where(F.col("_v").isNotNull())
+        return (
+            nn.agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+            .crossJoin(
+                F.broadcast(
+                    nn.orderBy(F.col("_f").desc(), F.col("_v").asc())
+                    .limit(1)
+                    .select(
+                        render(F.col("_v")).alias("mode_value"),
+                        F.col("_f").cast("long").alias("mode_count"),
+                    )
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    counted.where(F.col("_v").isNull())
+                    .agg(F.coalesce(F.sum("_f"), F.lit(0)).cast("long").alias("n_nulls"))
+                )
+            )
+            .select(
+                F.lit(col).alias("column"),
+                "n_distinct",
+                "n_nulls",
+                "mode_value",
+                "mode_count",
+            )
+        )
+
+    cols = [
+        ("event_type", lambda c: c),
+        ("user_id", lambda c: c.cast("string")),
+        ("event_id", lambda c: c.cast("string")),
+    ]
+    out = profile(*cols[0])
+    for spec in cols[1:]:
+        out = out.unionByName(profile(*spec))
+    return out
+
+
+QUERIES["column_profile_events"] = column_profile_events
+
+
+def dn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D7/D14 retention by signup-day cohort: of the users first seen on
+    day d, the exact fraction active exactly N days later — the product
+    dashboard curve.  First-seen is one min aggregate; each horizon is a
+    semi-join of (cohort user, day d+N) against the distinct activity set;
+    ratios are exact scaled divisions."""
+    from stellar_etl_spark.operators.util import exact_ratio_round6
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 86400000000000").alias("day")
+    ).distinct().localCheckpoint(eager=False)
+    first = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
+    cohort = first.groupBy("d0").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    out = cohort
+    for n in (1, 7, 14):
+        act = first.join(
+            ev,
+            (first.user_id == ev.user_id) & (ev.day == first.d0 + n),
+        ).groupBy("d0").agg(F.count(F.lit(1)).cast("long").alias(f"_r{n}"))
+        out = out.join(act, "d0", "left").withColumn(
+            f"_r{n}", F.coalesce(F.col(f"_r{n}"), F.lit(0))
+        )
+    return out.select(
+        F.col("d0").alias("cohort_day"),
+        "cohort_size",
+        F.col("_r1").alias("retained_d1"),
+        F.col("_r7").alias("retained_d7"),
+        F.col("_r14").alias("retained_d14"),
+        exact_ratio_round6(F.col("_r1"), F.col("cohort_size")).alias("d1_rate"),
+        exact_ratio_round6(F.col("_r7"), F.col("cohort_size")).alias("d7_rate"),
+        exact_ratio_round6(F.col("_r14"), F.col("cohort_size")).alias("d14_rate"),
+    )
+
+
+QUERIES["dn_retention"] = dn_retention
+
+
+def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth: weekly cents plus the exact growth
+    ratio vs the previous week (NULL for the first week / zero base).  The
+    weekly series is one hash agg; the lag runs over the ≤|weeks| result
+    rows."""
+    from pyspark.sql.window import Window as W
+
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+
+    ev = table(spark, sf_dir, "orders").select(
+        F.expr("o_orderdate div 604800000000000").alias("week"),
+        _dec("o_totalprice", 18, 2).alias("p"),
+    )
+    weekly = ev.groupBy("week").agg(
+        (F.round(F.sum("p"), 2) * 100).cast("long").alias("cents")
+    )
+    w = W.orderBy("week")
+    out = weekly.withColumn("_prev", F.lag("cents").over(w))
+    return out.select(
+        "week",
+        "cents",
+        F.when(
+            F.col("_prev").isNull() | (F.col("_prev") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            exact_ratio_round6_wide(
+                F.col("cents") - F.col("_prev"), F.col("_prev")
+            )
+        )
+        .alias("wow_growth"),
+    )
+
+
+QUERIES["wow_growth"] = wow_growth
