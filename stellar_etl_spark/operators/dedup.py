@@ -818,3 +818,82 @@ def bloom_screen(
         )
         .withColumn("bloom_hit", F.col("n_set_hits") == F.lit(k))
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """DIRECTED n-gram containment join: pairs where C(A→B) =
+    |A∩B| / |A| ≥ t — the asymmetric near-dup measure that catches
+    quotations and sub-documents Jaccard misses (a short doc fully embedded
+    in a long one has tiny Jaccard but containment 1).
+
+    Candidate completeness (prefix filter, containment form): if
+    C(A→B) ≥ t then A shares at least one of its
+    ``|A| − ceil(t·|A|) + 1`` rarest shingles with B — so joining A's
+    PREFIX against B's FULL shingle stream misses nothing; the
+    ``|B| ≥ t·|A|`` size bound prunes before exact verification.  Same
+    explode → count → equi-join shape as the Jaccard member; the right
+    side carries full shingle volume (the price of asymmetry).  The
+    containment itself is an exact integer ratio."""
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    from stellar_etl_spark.operators.util import exact_ratio_round6, fan_out_small
+
+    sh = (
+        fan_out_small(df)
+        .select(F.col(id_col), shingles(F.col(text_col), n).alias("shingle_set"))
+        .where(F.size("shingle_set") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ex = sh.select(
+        F.col(id_col),
+        F.size("shingle_set").alias("_n"),
+        F.explode("shingle_set").alias("_s"),
+    )
+    freq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_c"))
+    prefix_len = (
+        F.col("_n")
+        - F.ceil(F.lit(threshold) * F.col("_n")).cast("long")
+        + F.lit(1)
+    )
+    rn = F.row_number().over(Window.partitionBy(id_col).orderBy("_c", "_s"))
+    prefix = (
+        ex.join(freq, "_s")
+        .withColumn("_rn", rn)
+        .where(F.col("_rn") <= prefix_len)
+        .select(F.col(id_col), F.col("_s"), F.col("_n"))
+    )
+    full = ex.select(F.col(id_col).alias("id_b"), "_s", F.col("_n").alias("_nb"))
+    cands = (
+        prefix.alias("l")
+        .join(
+            full,
+            (F.col("l._s") == full["_s"])
+            & (F.col(f"l.{id_col}") != F.col("id_b"))
+            & (full["_nb"] >= F.lit(threshold) * F.col("l._n")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col("id_b"))
+        .distinct()
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size("sh_a").cast("long").alias("n_a"),
+            inter.cast("long").alias("n_common"),
+            exact_ratio_round6(inter, F.size("sh_a")).alias("containment"),
+        )
+        # filter on the round6-exact value so both engines cut identically
+        .where(F.col("containment") >= F.lit(threshold))
+    )

@@ -4006,3 +4006,124 @@ SELECT week, cents,
   END AS wow_growth
 FROM l
 """
+
+ORACLES["containment_pairs"] = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 6
+      THEN list_distinct([array_to_string(words[i:i+5], ' ')
+                          FOR i IN generate_series(1, len(words) - 5)])
+      ELSE [] END AS shingle_set
+  FROM docs
+),
+sized AS (SELECT doc_id, shingle_set FROM sh WHERE len(shingle_set) > 0),
+ex AS (SELECT doc_id, len(shingle_set) AS n, unnest(shingle_set) AS s
+       FROM sized),
+freq AS (SELECT s, COUNT(*) AS c FROM ex GROUP BY s),
+ranked AS (
+  SELECT doc_id, s, n,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c, s) AS rn
+  FROM ex JOIN freq USING (s)
+),
+prefix AS (
+  SELECT doc_id, s, n FROM ranked
+  WHERE rn <= n - CAST(CEIL(0.8 * n) AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM prefix l JOIN ex r
+    ON l.s = r.s AND l.doc_id <> r.doc_id AND r.n >= 0.8 * l.n
+),
+scored AS (
+  SELECT id_a, id_b,
+    CAST(len(a.shingle_set) AS BIGINT) AS n_a,
+    CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS BIGINT)
+      AS n_common
+  FROM cand
+  JOIN sized a ON a.doc_id = id_a
+  JOIN sized b ON b.doc_id = id_b
+)
+SELECT id_a, id_b, n_a, n_common,
+  CAST((n_common * 2000000 + n_a) // (2 * n_a) AS DOUBLE) / 1000000.0
+    AS containment
+FROM scored
+WHERE CAST((n_common * 2000000 + n_a) // (2 * n_a) AS DOUBLE) / 1000000.0
+      >= 0.8
+"""
+
+ORACLES["span_corruption_plan"] = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+base AS (
+  SELECT doc_id, len(words) AS n_tokens,
+    unnest(generate_series(0, len(words) - 1)) AS pos
+  FROM docs
+),
+sel AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+  FROM base
+  WHERE pos % 3 = 0 AND pos <= n_tokens - 3
+    AND CAST('0x' || substr(md5(doc_id || ':' || pos), 1, 8) AS BIGINT)
+        % 100 < 15
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(len(d.words) AS BIGINT) AS n_tokens,
+  COALESCE(s.n_spans, 0) AS n_spans,
+  COALESCE(s.n_spans, 0) * 3 AS n_masked,
+  CAST((COALESCE(s.n_spans, 0) * 3 * 2000000 + len(d.words))
+       // (2 * len(d.words)) AS DOUBLE) / 1000000.0 AS mask_ratio
+FROM docs d LEFT JOIN sel s USING (doc_id)
+"""
+
+ORACLES["negative_sampling_table"] = """
+WITH counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok ORDER BY c DESC, tok LIMIT 500
+),
+weighted AS (
+  SELECT tok, c,
+    CAST(ROUND(sqrt(sqrt(CAST(c * c * c AS DOUBLE))) * 1000000) AS BIGINT)
+      AS weight_scaled
+  FROM counts
+),
+tot AS (SELECT CAST(SUM(weight_scaled) AS BIGINT) AS t FROM weighted)
+SELECT tok, c, weight_scaled,
+  CAST((CAST(weight_scaled AS HUGEINT) * 2000000 + t)
+       // (2 * CAST(t AS HUGEINT)) AS DOUBLE) / 1000000.0 AS sample_prob
+FROM weighted, tot
+"""
+
+ORACLES["grouped_split_leakage_audit"] = """
+WITH tagged AS (
+  SELECT user_id, event_id,
+    CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 10 <= 7 THEN 'train'
+         WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 10 = 8 THEN 'val'
+         ELSE 'test' END AS split
+  FROM events
+),
+per_user AS (
+  SELECT user_id, COUNT(DISTINCT split) AS nsplits, MIN(split) AS split,
+    CAST(COUNT(*) AS BIGINT) AS nev
+  FROM tagged GROUP BY user_id
+),
+leaked AS (
+  SELECT CAST(SUM(CASE WHEN nsplits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_leaked_users
+  FROM per_user
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS te FROM tagged)
+SELECT split,
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(nev) AS BIGINT) AS n_events,
+  CAST((SUM(nev) * 2000000 + te) // (2 * te) AS DOUBLE) / 1000000.0
+    AS event_fraction,
+  n_leaked_users
+FROM per_user, tot, leaked
+GROUP BY split, te, n_leaked_users
+"""

@@ -4450,3 +4450,155 @@ def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["wow_growth"] = wow_growth
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment near-dup (C(A→B) = |A∩B|/|A| ≥ 0.8
+    over 6-gram shingles) — catches sub-document duplication (quotes,
+    embedded copies) that symmetric Jaccard under-scores.  Prefix-filtered
+    candidate join (complete, no false negatives), exact integer
+    verification.  6-grams + the 0.8 bar keep the asymmetric A-prefix ×
+    B-full join collision-bounded on low-entropy corpora (3-grams over this
+    vocab measured 3× slower; at 10× data the runtime is output-bound —
+    the replicated probe corpus has ~500k TRUE containment pairs)."""
+    from stellar_etl_spark.operators.dedup import ngram_containment_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, "doc_id", "text", n=6, threshold=0.8)
+
+
+QUERIES["containment_pairs"] = containment_pairs
+
+
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption planning: deterministic selection of
+    3-token mask spans (stride-3 starts, hash-gated at ~15%) with per-doc
+    masked-token accounting — the pre-tokenization pass a denoising
+    pretraining pipeline runs to budget its objective.  Selection is a pure
+    column hash (md5-prefix mod 100 < 15), so the plan is reproducible on
+    any engine and any partitioning.  One posexplode + one hash agg."""
+    from stellar_etl_spark.operators.util import exact_ratio_round6
+
+    docs = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id", F.size(words).alias("n_tokens"), F.posexplode(words)
+    )
+    gate = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.col("pos"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+        < 15
+    )
+    spans = base.where(
+        (F.col("pos") % 3 == 0) & (F.col("pos") <= F.col("n_tokens") - 3) & gate
+    ).groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_spans"))
+    return (
+        docs.select("doc_id", F.size(words).alias("n_tokens"))
+        .join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            (F.coalesce("n_spans", F.lit(0)) * 3).cast("long").alias("n_masked"),
+            exact_ratio_round6(
+                F.coalesce("n_spans", F.lit(0)) * 3, F.col("n_tokens")
+            ).alias("mask_ratio"),
+        )
+    )
+
+
+QUERIES["span_corruption_plan"] = span_corruption_plan
+
+
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling table: top-500 tokens weighted by
+    count^0.75.  The fractional power is computed as sqrt(sqrt(c³)) — both
+    sqrts are IEEE-754 correctly-rounded operations on BOTH engines,
+    unlike libm pow whose last ulp is implementation-defined — then scaled
+    to an integer weight; sampling probabilities are exact scaled ratios of
+    those integers.  Bounded TakeOrdered cut, 1-row broadcast total."""
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(500)
+    )
+    w = F.round(
+        F.sqrt(F.sqrt((F.col("c") * F.col("c") * F.col("c")).cast("double")))
+        * 1_000_000
+    ).cast("long")
+    weighted = counts.withColumn("weight_scaled", w).localCheckpoint(eager=False)
+    tot = weighted.agg(F.sum("weight_scaled").cast("long").alias("_t"))
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        "c",
+        "weight_scaled",
+        exact_ratio_round6_wide(F.col("weight_scaled"), F.col("_t")).alias(
+            "sample_prob"
+        ),
+    )
+
+
+QUERIES["negative_sampling_table"] = negative_sampling_table
+
+
+def grouped_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split + leakage audit: the split is a
+    deterministic hash of the GROUP key (user), so no user can straddle
+    splits — the audit proves it (cross-split user count must be 0) and
+    reports per-split user/event volumes with exact fractions.  This is the
+    contamination-safe alternative to row-hash splits for behavioral data."""
+    from stellar_etl_spark.operators.util import exact_ratio_round6
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    split = (
+        F.when(bucket <= 7, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    tagged = ev.withColumn("split", split)
+    per_user = tagged.groupBy("user_id").agg(
+        F.countDistinct("split").alias("_nsplits"),
+        F.min("split").alias("split"),
+        F.count(F.lit(1)).cast("long").alias("_nev"),
+    )
+    leaked = per_user.agg(
+        F.sum(F.when(F.col("_nsplits") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_leaked_users")
+    )
+    tot = tagged.agg(F.count(F.lit(1)).cast("long").alias("_te"))
+    return (
+        per_user.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("_nev").cast("long").alias("n_events"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(leaked))
+        .select(
+            "split",
+            "n_users",
+            "n_events",
+            exact_ratio_round6(F.col("n_events"), F.col("_te")).alias(
+                "event_fraction"
+            ),
+            "n_leaked_users",
+        )
+    )
+
+
+QUERIES["grouped_split_leakage_audit"] = grouped_split_leakage_audit
