@@ -4127,3 +4127,119 @@ SELECT split,
 FROM per_user, tot, leaked
 GROUP BY split, te, n_leaked_users
 """
+
+ORACLES["hapax_tail_stats"] = """
+WITH tok AS (
+  SELECT source, tok, COUNT(*) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY source, tok
+),
+s AS (
+  SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS vocab,
+    CAST(SUM(c) AS BIGINT) AS n_tokens,
+    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+  FROM tok GROUP BY source
+)
+SELECT source, vocab, n_tokens, hapax,
+  CAST((CAST(hapax AS HUGEINT) * 2000000 + vocab)
+       // (2 * CAST(vocab AS HUGEINT)) AS DOUBLE) / 1000000.0 AS hapax_rate,
+  CAST((CAST(vocab AS HUGEINT) * 2000000 + n_tokens)
+       // (2 * CAST(n_tokens AS HUGEINT)) AS DOUBLE) / 1000000.0
+    AS type_token_ratio
+FROM s
+"""
+
+ORACLES["event_halflife_fit"] = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, day
+),
+base AS (SELECT event_type, MIN(day) AS d0 FROM daily GROUP BY event_type),
+pts AS (
+  SELECT d.event_type, CAST(d.day - b.d0 AS BIGINT) AS x,
+    CAST(ROUND(ln(CAST(d.c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+  FROM daily d JOIN base b USING (event_type)
+),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+  FROM pts GROUP BY event_type
+),
+f AS (
+  SELECT event_type, n_days,
+    CAST(n_days AS HUGEINT) * sxy - sx * sy AS num,
+    CAST(n_days AS HUGEINT) * sxx - sx * sx AS den
+  FROM s
+),
+sl AS (
+  SELECT event_type, n_days,
+    CASE WHEN den = 0 THEN NULL
+         ELSE (CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END)
+              * CAST((abs(num) * 2000000 + den) // (2 * den) AS DOUBLE)
+              / 1000000.0
+    END AS slope_micronats_per_day
+  FROM f
+)
+SELECT event_type, n_days, slope_micronats_per_day,
+  CASE WHEN slope_micronats_per_day IS NULL
+         OR CAST(ROUND(slope_micronats_per_day * 1000000) AS BIGINT) >= 0
+       THEN NULL
+       ELSE CAST((693147000000::HUGEINT * 2000000
+                  + (-CAST(ROUND(slope_micronats_per_day * 1000000) AS BIGINT)))
+                 // (2 * (-CAST(ROUND(slope_micronats_per_day * 1000000)
+                                AS BIGINT))::HUGEINT) AS DOUBLE) / 1000000.0
+  END AS half_life_days
+FROM sl
+"""
+
+ORACLES["boolean_retrieval"] = """
+WITH d AS (
+  SELECT source, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT source,
+    (list_contains(toks, 'hash') AND list_contains(toks, 'join')) AS a,
+    list_contains(toks, 'vector') AS b
+  FROM d
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_and_matches,
+  CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_or_matches,
+  CAST(SUM(CASE WHEN a OR b THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+  CAST((SUM(CASE WHEN a OR b THEN 1 ELSE 0 END) * 2000000 + COUNT(*))
+       // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS match_rate
+FROM m GROUP BY source
+"""
+
+ORACLES["basket_size_variance"] = """
+WITH li AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderpriority, li.sz
+  FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+),
+s AS (
+  SELECT o_orderpriority,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(SUM(sz) AS BIGINT) AS total_lines,
+    SUM(CAST(sz AS HUGEINT) * CAST(sz AS HUGEINT)) AS sxx
+  FROM j GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n_orders, total_lines,
+  CAST((CAST(total_lines AS HUGEINT) * 2000000 + n_orders)
+       // (2 * CAST(n_orders AS HUGEINT)) AS DOUBLE) / 1000000.0 AS mean_lines,
+  CAST(((CAST(n_orders AS HUGEINT) * sxx
+         - CAST(total_lines AS HUGEINT) * CAST(total_lines AS HUGEINT))
+        * 2000000
+        + CAST(n_orders AS HUGEINT) * CAST(n_orders AS HUGEINT))
+       // (2 * CAST(n_orders AS HUGEINT) * CAST(n_orders AS HUGEINT))
+       AS DOUBLE) / 1000000.0 AS var_lines
+FROM s
+"""

@@ -4602,3 +4602,195 @@ def grouped_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["grouped_split_leakage_audit"] = grouped_split_leakage_audit
+
+
+def hapax_tail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-tail health per source: vocabulary size, hapax legomena
+    (once-seen tokens), hapax rate and type-token ratio — the corpus
+    diversity profile that flags template floods (TTR collapse) and OCR
+    noise (hapax explosion).  One (source, token) hash agg; every rate an
+    exact scaled ratio."""
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("hapax"),
+    ).select(
+        "source",
+        "vocab",
+        "n_tokens",
+        "hapax",
+        exact_ratio_round6_wide(F.col("hapax"), F.col("vocab")).alias(
+            "hapax_rate"
+        ),
+        exact_ratio_round6_wide(F.col("vocab"), F.col("n_tokens")).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+QUERIES["hapax_tail_stats"] = hapax_tail_stats
+
+
+def event_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type activity decay fit: OLS slope of ln(daily count) over days
+    (the log-linear exponential-decay model), with the implied half-life as
+    an exact rational of the integer-scaled slope (·ln 2 · 10⁶ = 693147
+    micro-nats).  Integer moments throughout; growing series emit NULL
+    half-life."""
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts div 86400000000000").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    base = daily.groupBy("event_type").agg(F.min("day").alias("d0"))
+    pts = daily.join(F.broadcast(base), "event_type").select(
+        "event_type",
+        (F.col("day") - F.col("d0")).cast("long").alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast(d38).alias("_sx"),
+        F.sum("y").cast(d38).alias("_sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38)).alias("_sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y").cast(d38)).alias("_sxy"),
+    )
+    num = F.col("n_days").cast(d38) * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.col("n_days").cast(d38) * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    sgn = F.when(num < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    slope = sgn * F.expr(
+        "CAST((abs(_num) * 2000000 + _den) div (2 * _den) AS DOUBLE)"
+    ) / F.lit(1_000_000.0)
+    out = (
+        s.withColumn("_num", num)
+        .withColumn("_den", den)
+        .withColumn(
+            "slope_micronats_per_day",
+            F.when(F.col("_den") == 0, F.lit(None).cast("double")).otherwise(
+                slope
+            ),
+        )
+        # slope is in micro-nats/day (already ×1e6): slope_scaled as long
+        .withColumn(
+            "_slope_scaled",
+            F.round(F.col("slope_micronats_per_day") * 1_000_000).cast("long"),
+        )
+    )
+    return out.select(
+        "event_type",
+        "n_days",
+        "slope_micronats_per_day",
+        F.when(
+            F.col("_slope_scaled").isNull() | (F.col("_slope_scaled") >= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            exact_ratio_round6_wide(
+                F.lit(693_147_000_000), -F.col("_slope_scaled")
+            )
+        )
+        .alias("half_life_days"),
+    )
+
+
+QUERIES["event_halflife_fit"] = event_halflife_fit
+
+
+def boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean IR over the corpus: (`hash` AND `join`) OR `vector`, with
+    per-clause match accounting — the exact-match retrieval layer under
+    BM25.  Token membership is a map-only array test (no join, no shuffle
+    until the final count); emits per-source match counts so the result is
+    bounded."""
+    from stellar_etl_spark.operators.util import exact_ratio_round6
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    has = lambda w: F.array_contains(toks, w)  # noqa: E731
+    clause_and = has("hash") & has("join")
+    clause_or = has("vector")
+    return docs.select(
+        "source",
+        clause_and.alias("_a"),
+        clause_or.alias("_b"),
+        (clause_and | clause_or).alias("_m"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("_a").cast("int")).cast("long").alias("n_and_matches"),
+        F.sum(F.col("_b").cast("int")).cast("long").alias("n_or_matches"),
+        F.sum(F.col("_m").cast("int")).cast("long").alias("n_matches"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_and_matches",
+        "n_or_matches",
+        "n_matches",
+        exact_ratio_round6(F.col("n_matches"), F.col("n_docs")).alias(
+            "match_rate"
+        ),
+    )
+
+
+QUERIES["boolean_retrieval"] = boolean_retrieval
+
+
+def basket_size_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact variance of basket size per order priority — population
+    variance assembled from integer moments (n·Σx² − (Σx)²) / n² as ONE
+    exact rational, never a float accumulation (the welford-vs-naive
+    cross-engine trap).  Two hash aggregates."""
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+
+    li = table(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    d38 = "decimal(38,0)"
+    s = j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("sz").cast("long").alias("total_lines"),
+        F.sum(F.col("sz").cast(d38) * F.col("sz").cast(d38)).alias("_sxx"),
+    )
+    num = (
+        F.col("n_orders").cast(d38) * F.col("_sxx")
+        - F.col("total_lines").cast(d38) * F.col("total_lines").cast(d38)
+    )
+    den = F.col("n_orders").cast(d38) * F.col("n_orders").cast(d38)
+    return (
+        s.withColumn("_num", num)
+        .withColumn("_den", den)
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "total_lines",
+            exact_ratio_round6_wide(F.col("total_lines"), F.col("n_orders")).alias(
+                "mean_lines"
+            ),
+            (
+                F.expr(
+                    "CAST((_num * 2000000 + _den) div (2 * _den) AS DOUBLE)"
+                )
+                / F.lit(1_000_000.0)
+            ).alias("var_lines"),
+        )
+    )
+
+
+QUERIES["basket_size_variance"] = basket_size_variance
