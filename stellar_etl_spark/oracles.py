@@ -4243,3 +4243,105 @@ SELECT o_orderpriority, n_orders, total_lines,
        AS DOUBLE) / 1000000.0 AS var_lines
 FROM s
 """
+
+ORACLES["embedding_drift_by_label"] = """
+WITH base AS (
+  SELECT label, vec_id % 2 AS half,
+    [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, half, i AS dim, ROUND(AVG(v[i]), 6) AS cv
+  FROM base, (SELECT unnest(generate_series(1, 64)) AS i) dims(i)
+  GROUP BY label, half, i
+),
+vecs AS (
+  SELECT label, half, list(cv ORDER BY dim) AS v
+  FROM cent GROUP BY label, half
+)
+SELECT a.label,
+  ROUND(
+    list_reduce(list_prepend(0.0, [a.v[i] * b.v[i] FOR i IN generate_series(1, 64)]),
+                (x, y) -> x + y)
+    / (sqrt(list_reduce(list_prepend(0.0, [a.v[i] * a.v[i] FOR i IN generate_series(1, 64)]),
+                        (x, y) -> x + y))
+       * sqrt(list_reduce(list_prepend(0.0, [b.v[i] * b.v[i] FOR i IN generate_series(1, 64)]),
+                          (x, y) -> x + y))),
+    6) AS centroid_cosine
+FROM vecs a JOIN vecs b ON a.label = b.label AND a.half = 0 AND b.half = 1
+"""
+
+ORACLES["resurrected_users"] = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+g AS (
+  SELECT user_id,
+    day - lag(day) OVER (PARTITION BY user_id ORDER BY day) AS gap
+  FROM d
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_active_days,
+  CAST(MAX(COALESCE(gap, 0)) AS BIGINT) AS max_gap_days,
+  CAST(SUM(CASE WHEN gap >= 7 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_resurrections
+FROM g GROUP BY user_id
+"""
+
+ORACLES["clv_features"] = """
+WITH cust AS (
+  SELECT o_custkey,
+    CAST(COUNT(*) AS BIGINT) AS frequency,
+    MIN(epoch_us(o_orderdate) // 86400000000) AS f,
+    MAX(epoch_us(o_orderdate) // 86400000000) AS l,
+    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) * 100 AS BIGINT)
+      AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+anchor AS (SELECT MAX(l) AS now FROM cust)
+SELECT o_custkey, frequency, monetary_cents,
+  CAST(now - l AS BIGINT) AS recency_days,
+  CAST(l - f AS BIGINT) AS tenure_days,
+  CAST((CAST(monetary_cents AS HUGEINT) * 2000000 + frequency)
+       // (2 * CAST(frequency AS HUGEINT)) AS DOUBLE) / 1000000.0
+    AS avg_order_cents,
+  CASE WHEN frequency <= 1 THEN NULL
+       ELSE CAST(((l - f) * 2000000 + (frequency - 1))
+                 // (2 * (frequency - 1)) AS DOUBLE) / 1000000.0
+  END AS mean_order_gap_days
+FROM cust, anchor
+"""
+
+ORACLES["seasonal_naive_forecast_error"] = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+    CAST(SUM(CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100, 0) AS BIGINT))
+         AS BIGINT) AS y
+  FROM events GROUP BY event_type, day
+),
+f AS (
+  SELECT event_type, y,
+    lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS yhat
+  FROM daily
+),
+e AS (
+  SELECT event_type, y, yhat,
+    (abs(y - yhat) * 2000000 + abs(y)) // (2 * abs(y)) AS ape
+  FROM f WHERE yhat IS NOT NULL AND y <> 0
+),
+s AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+    CAST(SUM(abs(y - yhat)) AS BIGINT) AS sae,
+    CAST(SUM(ape) AS BIGINT) AS sape
+  FROM e GROUP BY event_type
+)
+SELECT event_type, n_forecasts,
+  CAST((CAST(sae AS HUGEINT) * 2000000 + n_forecasts)
+       // (2 * CAST(n_forecasts AS HUGEINT)) AS DOUBLE) / 1000000.0
+    AS mae_cents,
+  CAST((CAST(sape AS HUGEINT) * 2000000 + CAST(n_forecasts AS HUGEINT) * 1000000)
+       // (2 * CAST(n_forecasts AS HUGEINT) * 1000000) AS DOUBLE) / 1000000.0
+    AS mape
+FROM s
+"""

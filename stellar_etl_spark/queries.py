@@ -4794,3 +4794,165 @@ def basket_size_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["basket_size_variance"] = basket_size_variance
+
+
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: per label, the cosine between
+    the centroid of even-id vectors and odd-id vectors (the A/B split a
+    drift monitor compares across snapshots).  Centroids are round-6 per
+    dimension (the repo's residual-double rule); the cosine folds the
+    ROUNDED 64-dim vectors left-to-right with ``F.aggregate`` from zero
+    init, so both engines execute the identical IEEE sequence."""
+    emb = table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select(
+            "label",
+            (F.col("vec_id") % 2).alias("half"),
+            F.posexplode(
+                F.transform(F.col("embedding"), lambda x: x.cast("double"))
+            ).alias("dim", "val"),
+        )
+        .groupBy("label", "half", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("cv"))
+        .groupBy("label", "half")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "cv"))
+            ).alias("_sc")
+        )
+        .select(
+            "label",
+            "half",
+            F.transform(F.col("_sc"), lambda s: s.getField("cv")).alias("v"),
+        )
+    )
+    a = cent.where(F.col("half") == 0).select("label", F.col("v").alias("v0"))
+    b = cent.where(F.col("half") == 1).select("label", F.col("v").alias("v1"))
+    j = a.join(b, "label")
+
+    def fold(expr):
+        return F.aggregate(expr, F.lit(0.0), lambda acc, x: acc + x)
+
+    dot = fold(F.zip_with("v0", "v1", lambda x, y: x * y))
+    n0 = fold(F.transform(F.col("v0"), lambda x: x * x))
+    n1 = fold(F.transform(F.col("v1"), lambda x: x * x))
+    return j.select(
+        "label",
+        F.round(dot / (F.sqrt(n0) * F.sqrt(n1)), 6).alias("centroid_cosine"),
+    )
+
+
+QUERIES["embedding_drift_by_label"] = embedding_drift_by_label
+
+
+def resurrected_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-and-resurrection audit: per user, the largest silence between
+    consecutive active days and how many ≥7-day silences they returned
+    from — the lifecycle metric between plain retention and streaks.
+    Bounded per-user lag windows over distinct active days; two hash
+    aggregates."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 86400000000000").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    gaps = ev.withColumn("_gap", F.col("day") - F.lag("day").over(w))
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_days"),
+        F.max(F.coalesce("_gap", F.lit(0))).cast("long").alias("max_gap_days"),
+        F.sum(F.when(F.col("_gap") >= 7, 1).otherwise(0))
+        .cast("long")
+        .alias("n_resurrections"),
+    )
+
+
+QUERIES["resurrected_users"] = resurrected_users
+
+
+def clv_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-ready customer-lifetime-value features: tenure, recency,
+    frequency, exact monetary totals, mean order value and mean inter-order
+    gap — the feature-engineering projection a churn/LTV model trains on.
+    One orders aggregate per customer; every ratio exact; gaps derive from
+    (max−min)/(n−1) in closed form (no window needed for the MEAN gap)."""
+    from stellar_etl_spark.operators.util import exact_ratio_round6, exact_ratio_round6_wide
+
+    orders = table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.min(F.expr("o_orderdate div 86400000000000")).cast("long").alias("_first"),
+        F.max(F.expr("o_orderdate div 86400000000000")).cast("long").alias("_last"),
+        (F.round(F.sum(_dec("o_totalprice", 18, 2)), 2) * 100)
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    anchor = cust.agg(F.max("_last").alias("_now"))
+    return cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        "frequency",
+        "monetary_cents",
+        (F.col("_now") - F.col("_last")).cast("long").alias("recency_days"),
+        (F.col("_last") - F.col("_first")).cast("long").alias("tenure_days"),
+        exact_ratio_round6_wide(F.col("monetary_cents"), F.col("frequency")).alias(
+            "avg_order_cents"
+        ),
+        F.when(F.col("frequency") <= 1, F.lit(None).cast("double"))
+        .otherwise(
+            exact_ratio_round6(
+                F.col("_last") - F.col("_first"), F.col("frequency") - 1
+            )
+        )
+        .alias("mean_order_gap_days"),
+    )
+
+
+QUERIES["clv_features"] = clv_features
+
+
+def seasonal_naive_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (ŷ_d = y_{d−7}) over daily
+    revenue per event type: MAE in exact cents and MAPE as the mean of
+    per-day exact scaled ratios — the baseline every forecasting system
+    must beat, evaluated with zero float accumulation.  Daily series is
+    one hash agg; the 7-day lag runs over ≤|days| rows per type."""
+    from pyspark.sql.window import Window as W
+
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts div 86400000000000").alias("day"),
+        F.round(F.col("value").cast("decimal(18,6)") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("cents").cast("long").alias("y")
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    f = daily.withColumn("yhat", F.lag("y", 7).over(w)).where(
+        F.col("yhat").isNotNull() & (F.col("y") != 0)
+    )
+    # per-day absolute percentage error as a scaled integer (round6·1e6)
+    ape = F.expr(
+        "CAST((abs(y - yhat) * 2000000 + abs(y)) div (2 * abs(y)) AS LONG)"
+    )
+    s = f.withColumn("_ape", ape).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_forecasts"),
+        F.sum(F.abs(F.col("y") - F.col("yhat"))).cast("long").alias("_sae"),
+        F.sum("_ape").cast("long").alias("_sape"),
+    )
+    return s.select(
+        "event_type",
+        "n_forecasts",
+        exact_ratio_round6_wide(F.col("_sae"), F.col("n_forecasts")).alias(
+            "mae_cents"
+        ),
+        exact_ratio_round6_wide(F.col("_sape"), F.col("n_forecasts") * 1_000_000).alias(
+            "mape"
+        ),
+    )
+
+
+QUERIES["seasonal_naive_forecast_error"] = seasonal_naive_forecast_error
