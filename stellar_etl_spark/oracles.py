@@ -4345,3 +4345,110 @@ SELECT event_type, n_forecasts,
     AS mape
 FROM s
 """
+
+ORACLES["theil_sen_trend"] = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+    CAST(SUM(CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100, 0) AS BIGINT))
+         AS BIGINT) AS y
+  FROM events GROUP BY event_type, day
+),
+pairs AS (
+  SELECT a.event_type AS grp,
+    (CASE WHEN b.y - a.y < 0 THEN -1 ELSE 1 END)
+    * ((abs((b.y - a.y) * 1000000) * 2 + (b.day - a.day))
+       // (2 * (b.day - a.day))) AS c
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+)
+SELECT grp AS event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  median(c) AS theil_sen_slope_scaled
+FROM pairs GROUP BY grp
+"""
+
+ORACLES["lorenz_deciles"] = """
+WITH cust AS (
+  SELECT o_custkey,
+    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) * 100 AS BIGINT)
+      AS cents
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT cents,
+    CAST(ntile(10) OVER (ORDER BY cents, o_custkey) AS BIGINT) AS decile
+  FROM cust
+),
+dec AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+    CAST(SUM(cents) AS BIGINT) AS decile_cents
+  FROM tiled GROUP BY decile
+),
+tot AS (SELECT CAST(SUM(decile_cents) AS BIGINT) AS t FROM dec)
+SELECT decile, n_customers, decile_cents,
+  CAST((CAST(decile_cents AS HUGEINT) * 2000000 + t)
+       // (2 * CAST(t AS HUGEINT)) AS DOUBLE) / 1000000.0 AS revenue_share
+FROM dec, tot
+"""
+
+# k-center greedy is deterministic (round-6 distances, vec_id ties), so the
+# oracle unrolls the identical 4 selection rounds.
+_KC_D2 = (
+    "ROUND(list_reduce(list_prepend(0.0, "
+    "[({L}.v[i] - {R}[i]) * ({L}.v[i] - {R}[i]) FOR i IN generate_series(1, 64)]), "
+    "(x, y) -> x + y), 6)"
+)
+
+ORACLES["kcenter_coreset"] = f"""
+WITH base AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+),
+c1 AS (SELECT vec_id AS center_id, v AS cv FROM base ORDER BY vec_id LIMIT 1),
+m1 AS (
+  SELECT b.vec_id, b.v, {_KC_D2.format(L='b', R='c1.cv')} AS md
+  FROM base b, c1
+),
+p2 AS (
+  SELECT vec_id, v, md FROM m1
+  WHERE vec_id NOT IN (SELECT center_id FROM c1)
+  ORDER BY md DESC, vec_id LIMIT 1
+),
+m2 AS (
+  SELECT m1.vec_id, m1.v,
+    LEAST(m1.md, {_KC_D2.format(L='m1', R='p2.v')}) AS md
+  FROM m1, p2
+),
+p3 AS (
+  SELECT vec_id, v, md FROM m2
+  WHERE vec_id NOT IN (SELECT center_id FROM c1)
+    AND vec_id NOT IN (SELECT vec_id FROM p2)
+  ORDER BY md DESC, vec_id LIMIT 1
+),
+m3 AS (
+  SELECT m2.vec_id, m2.v,
+    LEAST(m2.md, {_KC_D2.format(L='m2', R='p3.v')}) AS md
+  FROM m2, p3
+),
+p4 AS (
+  SELECT vec_id, v, md FROM m3
+  WHERE vec_id NOT IN (SELECT center_id FROM c1)
+    AND vec_id NOT IN (SELECT vec_id FROM p2)
+    AND vec_id NOT IN (SELECT vec_id FROM p3)
+  ORDER BY md DESC, vec_id LIMIT 1
+),
+m4 AS (
+  SELECT m3.vec_id,
+    LEAST(m3.md, {_KC_D2.format(L='m3', R='p4.v')}) AS md
+  FROM m3, p4
+),
+cov AS (SELECT MAX(md) AS coverage_d2 FROM m4),
+sel AS (
+  SELECT center_id, CAST(1 AS BIGINT) AS sel_order,
+    CAST(NULL AS DOUBLE) AS d2_at_selection FROM c1
+  UNION ALL SELECT vec_id, 2, md FROM p2
+  UNION ALL SELECT vec_id, 3, md FROM p3
+  UNION ALL SELECT vec_id, 4, md FROM p4
+)
+SELECT sel.center_id, sel.sel_order, sel.d2_at_selection, cov.coverage_d2
+FROM sel, cov
+"""

@@ -4956,3 +4956,161 @@ def seasonal_naive_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 QUERIES["seasonal_naive_forecast_error"] = seasonal_naive_forecast_error
+
+
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily revenue per event type: the MEDIAN
+    of all pairwise slopes — breakdown point 29%, immune to the outlier
+    days that wreck OLS.  The day series per type is bounded (≤|days|
+    rows), so the pairwise expansion is a bounded self-join (≤ |days|²/2
+    pairs per type); each slope becomes an exact scaled integer
+    (Δcents·10⁶ div Δdays) and the median comes from the frequency-table
+    machinery."""
+    from stellar_etl_spark.operators.robust import _median2_from_freq
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts div 86400000000000").alias("day"),
+        F.round(F.col("value").cast("decimal(18,6)") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("cents").cast("long").alias("y")
+    ).localCheckpoint(eager=False)
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("grp"),
+        # exact half-up rounding of (Δy·1e6)/Δx in integers
+        (
+            F.when(F.col("b.y") - F.col("a.y") < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr(
+                "(abs((b.y - a.y) * 1000000) * 2 + (b.day - a.day)) div (2 * (b.day - a.day))"
+            )
+        ).cast("long").alias("_c"),
+    )
+    freq = pairs.groupBy("grp", "_c").agg(F.count(F.lit(1)).alias("_f"))
+    med = _median2_from_freq(freq, "grp", "_c", "_f")
+    return med.select(
+        F.col("grp").alias("event_type"),
+        F.col("_n").cast("long").alias("n_pairs"),
+        (F.col("_median2").cast("double") / 2.0).alias(
+            "theil_sen_slope_scaled"
+        ),
+    )
+
+
+QUERIES["theil_sen_trend"] = theil_sen_trend
+
+
+def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz decile table: customers cut into revenue deciles (ANSI ntile,
+    two-phase), each decile's exact share of total revenue — the
+    concentration table behind the Gini scalar.  10 output rows, every
+    share an exact scaled ratio."""
+    from stellar_etl_spark.operators.ranking import distributed_ntile
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+
+    orders = table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        (F.round(F.sum(_dec("o_totalprice", 18, 2)), 2) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    tiled = distributed_ntile(cust, "cents", ["o_custkey"], 10, out="decile")
+    dec = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("decile_cents"),
+    ).localCheckpoint(eager=False)
+    tot = dec.agg(F.sum("decile_cents").cast("long").alias("_t"))
+    return dec.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        exact_ratio_round6_wide(F.col("decile_cents"), F.col("_t")).alias(
+            "revenue_share"
+        ),
+    )
+
+
+QUERIES["lorenz_deciles"] = lorenz_deciles
+
+
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal, k=4)
+    over the embedding corpus — the classic 2-approximation for diverse
+    data selection / facility location.  Seed = smallest vec_id; each round
+    adds the point FARTHEST from its nearest chosen center (round-6 squared
+    distance, vec_id tie-break — fully deterministic, so the oracle unrolls
+    the identical 4 rounds).  Per round: one ≤k-row broadcast join + a
+    1-row TakeOrdered — the corpus is scanned, never shuffled; the chosen
+    frame is lazily checkpointed so the unrolled plan stays shallow.
+    Output: the 4 centers in selection order plus the final coverage
+    radius (max over the corpus of min-distance-to-set)."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    ).localCheckpoint(eager=False)
+
+    def d2(a, b):
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    chosen = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("center_id"),
+            F.col("v").alias("cv"),
+            F.lit(1).cast("long").alias("sel_order"),
+            F.lit(None).cast("double").alias("d2_at_selection"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for i in range(2, 5):
+        md = (
+            emb.join(F.broadcast(chosen.select("center_id", "cv")), how="cross")
+            .select("vec_id", "v", d2(F.col("v"), F.col("cv")).alias("_d"))
+            .groupBy("vec_id")
+            .agg(F.min("_d").alias("_md"), F.first("v").alias("v"))
+        )
+        cand = (
+            md.join(
+                chosen.select(F.col("center_id").alias("vec_id")),
+                "vec_id",
+                "left_anti",
+            )
+            .orderBy(F.col("_md").desc(), "vec_id")
+            .limit(1)
+            .select(
+                F.col("vec_id").alias("center_id"),
+                F.col("v").alias("cv"),
+                F.lit(i).cast("long").alias("sel_order"),
+                F.col("_md").alias("d2_at_selection"),
+            )
+        )
+        chosen = chosen.unionByName(cand).localCheckpoint(eager=False)
+
+    coverage = (
+        emb.join(F.broadcast(chosen.select("center_id", "cv")), how="cross")
+        .select("vec_id", d2(F.col("v"), F.col("cv")).alias("_d"))
+        .groupBy("vec_id")
+        .agg(F.min("_d").alias("_md"))
+        .agg(F.max("_md").alias("coverage_d2"))
+    )
+    return chosen.select("center_id", "sel_order", "d2_at_selection").crossJoin(
+        F.broadcast(coverage)
+    )
+
+
+QUERIES["kcenter_coreset"] = kcenter_coreset
