@@ -4452,3 +4452,95 @@ sel AS (
 SELECT sel.center_id, sel.sel_order, sel.d2_at_selection, cov.coverage_d2
 FROM sel, cov
 """
+
+ORACLES["token_coverage_point"] = """
+WITH freqs AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+),
+cum AS (
+  SELECT c,
+    CAST(SUM(c) OVER (ORDER BY c DESC, tok ROWS UNBOUNDED PRECEDING)
+         AS BIGINT) AS cum,
+    CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS cum_rank
+  FROM freqs
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+    CAST(MAX(cum) AS BIGINT) AS total_occurrences
+  FROM cum
+)
+SELECT tot.vocab, tot.total_occurrences,
+  (SELECT CAST(MIN(cum_rank) AS BIGINT) FROM cum, tot
+   WHERE cum * 10 >= total_occurrences * 9) AS k90,
+  (SELECT CAST(MIN(cum_rank) AS BIGINT) FROM cum, tot
+   WHERE cum * 100 >= total_occurrences * 99) AS k99
+FROM tot
+"""
+
+ORACLES["error_exposure_conversion"] = """
+WITH per_user AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS exposed,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT exposed, CAST(COUNT(*) AS BIGINT) AS n_users,
+    CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM per_user GROUP BY exposed
+),
+rr AS (
+  SELECT CASE WHEN c.n_converted = 0 OR e.n_users = 0 THEN NULL
+    ELSE (CASE WHEN e.n_converted * c.n_users < 0 THEN -1.0 ELSE 1.0 END)
+         * CAST((abs(CAST(e.n_converted AS HUGEINT) * c.n_users) * 2000000
+                 + CAST(e.n_users AS HUGEINT) * c.n_converted)
+                // (2 * CAST(e.n_users AS HUGEINT) * c.n_converted) AS DOUBLE)
+           / 1000000.0
+    END AS risk_ratio
+  FROM (SELECT * FROM cells WHERE exposed = 1) e,
+       (SELECT * FROM cells WHERE exposed = 0) c
+)
+SELECT CAST(cells.exposed AS BIGINT) AS exposed, cells.n_users,
+  cells.n_converted,
+  CAST((cells.n_converted * 2000000 + cells.n_users)
+       // (2 * cells.n_users) AS DOUBLE) / 1000000.0 AS conversion_rate,
+  rr.risk_ratio
+FROM cells, rr
+"""
+
+ORACLES["priority_segment_cramers_v"] = """
+WITH cells AS (
+  SELECT o.o_orderpriority, c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY o.o_orderpriority, c.c_mktsegment
+),
+r AS (SELECT o_orderpriority, SUM(o) AS r_tot FROM cells GROUP BY 1),
+c AS (SELECT c_mktsegment, SUM(o) AS c_tot FROM cells GROUP BY 1),
+n AS (SELECT SUM(o) AS n_tot FROM cells),
+per AS (
+  SELECT
+    CAST((CAST(o * n_tot - r_tot * c_tot AS HUGEINT)
+          * CAST(o * n_tot - r_tot * c_tot AS HUGEINT) * 2000000
+          + CAST(r_tot * c_tot AS HUGEINT) * n_tot)
+         // (2 * CAST(r_tot * c_tot AS HUGEINT) * n_tot) AS BIGINT) AS chi,
+    n_tot
+  FROM cells JOIN r USING (o_orderpriority) JOIN c USING (c_mktsegment), n
+),
+dims AS (
+  SELECT (SELECT COUNT(*) FROM r) AS nr, (SELECT COUNT(*) FROM c) AS nc
+),
+s AS (
+  SELECT CAST(n_tot AS BIGINT) AS n_rows,
+    CAST(COUNT(*) AS BIGINT) AS n_cells,
+    CAST(SUM(chi) AS BIGINT) AS chi2_scaled
+  FROM per GROUP BY n_tot
+)
+SELECT s.n_rows, s.n_cells, s.chi2_scaled,
+  ROUND(sqrt((CAST(s.chi2_scaled AS DOUBLE) / 1000000.0)
+             / (CAST(s.n_rows AS DOUBLE)
+                * CAST(least(dims.nr - 1, dims.nc - 1) AS DOUBLE))), 6)
+    AS cramers_v
+FROM s, dims
+"""

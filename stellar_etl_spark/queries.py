@@ -5114,3 +5114,147 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["kcenter_coreset"] = kcenter_coreset
+
+
+def token_coverage_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage point: how many top tokens cover 90% / 99% of
+    all token occurrences — the vocab-size-vs-coverage trade a tokenizer
+    design starts from.  Exact Zipf-mass Lorenz curve via
+    ``distributed_cumsum`` (descending, two-phase prefix sums); thresholds
+    are integer comparisons."""
+    from stellar_etl_spark.operators.ranking import distributed_cumsum
+
+    docs = table(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cum = distributed_cumsum(
+        freqs, "c", ["tok"], out="cum", descending=True
+    ).localCheckpoint(eager=False)
+    tot = cum.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.max("cum").cast("long").alias("total_occurrences"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    k90 = j.where(F.col("cum") * 10 >= F.col("total_occurrences") * 9).agg(
+        F.min("cum_rank").cast("long").alias("k90")
+    )
+    k99 = j.where(F.col("cum") * 100 >= F.col("total_occurrences") * 99).agg(
+        F.min("cum_rank").cast("long").alias("k99")
+    )
+    return (
+        tot.crossJoin(F.broadcast(k90))
+        .crossJoin(F.broadcast(k99))
+        .select("vocab", "total_occurrences", "k90", "k99")
+    )
+
+
+QUERIES["token_coverage_point"] = token_coverage_point
+
+
+def error_exposure_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exposure analysis: purchase-conversion rate for users who hit ≥1
+    error vs those who never did, plus the exact risk ratio — the
+    treatment/control contingency read every incident review asks for.
+    One per-user flag aggregate, one 2-row contingency, exact rates; the
+    risk ratio is one rational of four integers."""
+    from stellar_etl_spark.operators.util import exact_ratio_round6, exact_ratio_round6_wide
+
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "error").cast("int")).alias("exposed"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted"),
+    )
+    cells = per_user.groupBy("exposed").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    ).localCheckpoint(eager=False)
+    rates = cells.select(
+        F.col("exposed").cast("long").alias("exposed"),
+        "n_users",
+        "n_converted",
+        exact_ratio_round6(F.col("n_converted"), F.col("n_users")).alias(
+            "conversion_rate"
+        ),
+    )
+    e = cells.where(F.col("exposed") == 1).select(
+        F.col("n_converted").alias("_ce"), F.col("n_users").alias("_ne")
+    )
+    c = cells.where(F.col("exposed") == 0).select(
+        F.col("n_converted").alias("_cc"), F.col("n_users").alias("_nc")
+    )
+    rr = e.crossJoin(c).select(
+        F.when(
+            (F.col("_cc") == 0) | (F.col("_ne") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            exact_ratio_round6_wide(
+                F.col("_ce") * F.col("_nc"), F.col("_ne") * F.col("_cc")
+            )
+        )
+        .alias("risk_ratio")
+    )
+    return rates.crossJoin(F.broadcast(rr))
+
+
+QUERIES["error_exposure_conversion"] = error_exposure_conversion
+
+
+def priority_segment_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for (order priority × customer market segment): the
+    normalized-association version of the chi-square audit, on the sales
+    side.  Chi-square cells are exact DECIMAL(38) rationals summed as
+    scaled integers; V = sqrt(chi²/(N·min(r−1,c−1))) is one
+    correctly-rounded sqrt of one exact rational — identical on both
+    engines."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    cells = j.groupBy("o_orderpriority", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    ).localCheckpoint(eager=False)
+    r = cells.groupBy("o_orderpriority").agg(F.sum("o").alias("r_tot"))
+    c = cells.groupBy("c_mktsegment").agg(F.sum("o").alias("c_tot"))
+    n = cells.agg(F.sum("o").alias("n_tot"))
+    d38 = "decimal(38,0)"
+    jj = (
+        cells.join(F.broadcast(r), "o_orderpriority")
+        .join(F.broadcast(c), "c_mktsegment")
+        .crossJoin(F.broadcast(n))
+    )
+    dev = (F.col("o") * F.col("n_tot") - F.col("r_tot") * F.col("c_tot")).cast(d38)
+    den = (F.col("r_tot") * F.col("c_tot")).cast(d38) * F.col("n_tot").cast(d38)
+    per = jj.withColumn("_num", dev * dev).withColumn("_den", den).select(
+        F.expr("CAST((_num * 2000000 + _den) div (2 * _den) AS LONG)").alias(
+            "_chi"
+        ),
+        "n_tot",
+    )
+    dims = r.agg(F.count(F.lit(1)).alias("_nr")).crossJoin(
+        c.agg(F.count(F.lit(1)).alias("_nc"))
+    )
+    s = per.groupBy("n_tot").agg(
+        F.sum("_chi").cast("long").alias("chi2_scaled"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    return s.crossJoin(F.broadcast(dims)).select(
+        F.col("n_tot").cast("long").alias("n_rows"),
+        "n_cells",
+        "chi2_scaled",
+        F.round(
+            F.sqrt(
+                (F.col("chi2_scaled").cast("double") / 1_000_000.0)
+                / (
+                    F.col("n_tot").cast("double")
+                    * F.least(F.col("_nr") - 1, F.col("_nc") - 1).cast("double")
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+QUERIES["priority_segment_cramers_v"] = priority_segment_cramers_v
