@@ -897,3 +897,83 @@ def ngram_containment_pairs(
         # filter on the round6-exact value so both engines cut identically
         .where(F.col("containment") >= F.lit(threshold))
     )
+
+
+def minhash_calibration(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """MinHash estimator calibration curve: for every LSH candidate pair,
+    the estimated similarity (matching signature slots / num_perm) bucketed
+    against the EXACT n-gram Jaccard — the measurement that justifies (or
+    re-tunes) the banding parameters on a new corpus.  Output: one row per
+    match-count bucket with pair count and the exact mean Jaccard (sums of
+    per-pair scaled exact ratios — no float accumulation)."""
+    from pyspark import StorageLevel
+
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide, fan_out_small
+
+    base = fan_out_small(df)
+    with_sh = (
+        base.select(F.col(id_col), shingles(F.col(text_col), n).alias("shingle_set"))
+        .withColumn(
+            "_base_hashes",
+            F.transform(
+                F.col("shingle_set"),
+                lambda s: _hex15_to_long(F.md5(s)) % MINHASH_PRIME,
+            ),
+        )
+        .withColumn(
+            "minhash_sig", minhash_from_hashes(F.col("_base_hashes"), num_perm)
+        )
+        .drop("_base_hashes")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cands = minhash_lsh_candidates(
+        with_sh, id_col, "minhash_sig", bands, rows_per_band
+    )
+    a = with_sh.select(
+        F.col(id_col).alias("id_a"),
+        F.col("shingle_set").alias("sh_a"),
+        F.col("minhash_sig").alias("ms_a"),
+    )
+    b = with_sh.select(
+        F.col(id_col).alias("id_b"),
+        F.col("shingle_set").alias("sh_b"),
+        F.col("minhash_sig").alias("ms_b"),
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("ms_a", "ms_b", lambda x, y: x == y), lambda v: v
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("long")
+    j_scaled = F.expr(
+        "(( _inter * 2000000 + _union) div (2 * _union))"
+    )
+    pairs = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("_inter", inter)
+        .withColumn("_union", union)
+        .select(
+            est.alias("est_matches"),
+            j_scaled.cast("long").alias("_js"),
+        )
+    )
+    return pairs.groupBy("est_matches").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("_js").cast("long").alias("_sj"),
+    ).select(
+        F.col("est_matches").cast("long").alias("est_matches"),
+        "n_pairs",
+        exact_ratio_round6_wide(
+            F.col("_sj"), F.col("n_pairs") * 1_000_000
+        ).alias("mean_exact_jaccard"),
+    )

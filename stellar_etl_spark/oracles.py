@@ -4544,3 +4544,143 @@ SELECT s.n_rows, s.n_cells, s.chi2_scaled,
     AS cramers_v
 FROM s, dims
 """
+
+ORACLES["minhash_calibration_curve"] = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3
+      THEN list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                          FOR i IN generate_series(1, len(words) - 2)])
+      ELSE [] END AS shingle_set
+  FROM docs
+),
+sig AS (
+  SELECT doc_id, shingle_set,
+    [list_min([
+       ((2*p + 1) * (('0x' || substring(md5(s), 1, 15))::BIGINT % 2147483647)
+        + 98765*p + 12345) % 2147483647
+       FOR s IN shingle_set])
+     FOR p IN generate_series(0, 7)] AS ms
+  FROM sh WHERE len(shingle_set) > 0
+),
+banded AS (
+  SELECT doc_id, b AS band_id,
+    md5(concat_ws('|', b, ms[2*b + 1], ms[2*b + 2])) AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) AS bands(b)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+pairs AS (
+  SELECT
+    len(list_filter([a.ms[i] = b.ms[i] FOR i IN generate_series(1, 8)],
+                    x -> x)) AS est_matches,
+    (CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS BIGINT)
+       * 2000000
+     + len(list_distinct(list_concat(a.shingle_set, b.shingle_set))))
+    // (2 * len(list_distinct(list_concat(a.shingle_set, b.shingle_set))))
+      AS js
+  FROM cand
+  JOIN sig a ON a.doc_id = id_a
+  JOIN sig b ON b.doc_id = id_b
+)
+SELECT CAST(est_matches AS BIGINT) AS est_matches,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST((CAST(SUM(js) AS HUGEINT) * 2000000
+        + CAST(COUNT(*) AS HUGEINT) * 1000000)
+       // (2 * CAST(COUNT(*) AS HUGEINT) * 1000000) AS DOUBLE) / 1000000.0
+    AS mean_exact_jaccard
+FROM pairs GROUP BY est_matches
+"""
+
+ORACLES["langid_confusion_eval"] = """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+s AS (
+  SELECT doc_id, lang,
+    len(list_filter(words, w -> list_contains(['the','a','of','and','to'], w))) AS score_en,
+    len(list_filter(words, w -> list_contains(['el','la','de','que','y'], w))) AS score_es,
+    len(list_filter(words, w -> list_contains(['le','la','et','les','des'], w))) AS score_fr,
+    len(list_filter(words, w -> list_contains(['der','die','und','das','ein'], w))) AS score_de,
+    len(list_filter(words, w -> list_contains(['de5','shi4','le5','zai4','he2'], w))) AS score_zh
+  FROM t
+),
+p AS (
+  SELECT lang,
+    CASE WHEN best > 0 AND score_en = best THEN 'en'
+         WHEN best > 0 AND score_es = best THEN 'es'
+         WHEN best > 0 AND score_fr = best THEN 'fr'
+         WHEN best > 0 AND score_de = best THEN 'de'
+         WHEN best > 0 AND score_zh = best THEN 'zh'
+         ELSE 'und' END AS lang_pred
+  FROM (SELECT *, greatest(score_en, score_es, score_fr, score_de, score_zh)
+               AS best FROM s)
+),
+conf AS (
+  SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+  FROM p GROUP BY lang, lang_pred
+),
+classes AS (
+  SELECT DISTINCT lang AS cls FROM conf
+  UNION SELECT DISTINCT lang_pred FROM conf
+),
+per AS (
+  SELECT c.cls,
+    CAST(COALESCE(SUM(CASE WHEN conf.lang = c.cls AND conf.lang_pred = c.cls
+                           THEN conf.n END), 0) AS BIGINT) AS tp,
+    CAST(COALESCE(SUM(CASE WHEN conf.lang_pred = c.cls AND conf.lang <> c.cls
+                           THEN conf.n END), 0) AS BIGINT) AS fp,
+    CAST(COALESCE(SUM(CASE WHEN conf.lang = c.cls AND conf.lang_pred <> c.cls
+                           THEN conf.n END), 0) AS BIGINT) AS fn
+  FROM classes c JOIN conf ON conf.lang = c.cls OR conf.lang_pred = c.cls
+  GROUP BY c.cls
+)
+SELECT cls, tp, fp, fn,
+  CAST((tp * 2000000 + greatest(tp + fp, 1)) // (2 * greatest(tp + fp, 1))
+       AS DOUBLE) / 1000000.0 AS precision,
+  CAST((tp * 2000000 + greatest(tp + fn, 1)) // (2 * greatest(tp + fn, 1))
+       AS DOUBLE) / 1000000.0 AS recall,
+  CAST((tp * 2 * 2000000 + greatest(tp * 2 + fp + fn, 1))
+       // (2 * greatest(tp * 2 + fp + fn, 1)) AS DOUBLE) / 1000000.0 AS f1
+FROM per
+"""
+
+ORACLES["ab_test_proportions"] = """
+WITH per_user AS (
+  SELECT user_id,
+    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
+              > COUNT(*) THEN 1 ELSE 0 END AS conv,
+    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2
+      AS arm
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS c
+  FROM per_user GROUP BY arm
+),
+j AS (
+  SELECT a.n AS n_a, a.c AS c_a, b.n AS n_b, b.c AS c_b
+  FROM (SELECT * FROM cells WHERE arm = 0) a,
+       (SELECT * FROM cells WHERE arm = 1) b
+),
+r AS (
+  SELECT *,
+    CAST((c_a * 2000000 + n_a) // (2 * n_a) AS DOUBLE) / 1000000.0 AS rate_a,
+    CAST((c_b * 2000000 + n_b) // (2 * n_b) AS DOUBLE) / 1000000.0 AS rate_b,
+    CAST(((c_a + c_b) * 2000000 + (n_a + n_b)) // (2 * (n_a + n_b))
+         AS DOUBLE) / 1000000.0 AS pool
+  FROM j
+)
+SELECT n_a, c_a, n_b, c_b, rate_a, rate_b,
+  CASE WHEN pool * (1.0 - pool)
+            * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)) <= 0
+       THEN NULL
+       ELSE ROUND((rate_a - rate_b)
+                  / sqrt(pool * (1.0 - pool)
+                         * (1.0 / CAST(n_a AS DOUBLE)
+                            + 1.0 / CAST(n_b AS DOUBLE))), 6)
+  END AS z_stat
+FROM r
+"""

@@ -5258,3 +5258,134 @@ def priority_segment_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["priority_segment_cramers_v"] = priority_segment_cramers_v
+
+
+def minhash_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-vs-truth calibration for the MinHash(8)/LSH(4×2) near-dup
+    pass: per matching-slot bucket, the pair count and the EXACT mean
+    Jaccard — the measurement that re-tunes banding on a new corpus (and
+    the honesty check on every approximate-dedup deployment)."""
+    from stellar_etl_spark.operators.dedup import minhash_calibration
+
+    return minhash_calibration(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+QUERIES["minhash_calibration_curve"] = minhash_calibration_curve
+
+
+def langid_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation at scale: the language-ID predictor scored
+    against the corpus's lang labels — per-class TP/FP/FN, precision,
+    recall and F1, every metric an exact integer ratio (F1 = 2TP/(2TP+FP+FN)
+    is one rational, no float P·R composition).  One confusion hash agg; the
+    per-class reductions run over the ≤|langs|² confusion cells."""
+    from stellar_etl_spark.operators.text import language_id
+    from stellar_etl_spark.operators.util import exact_ratio_round6
+
+    docs = table(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "lang_pred")
+    conf = (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    classes = conf.select(F.col("lang").alias("cls")).union(
+        conf.select(F.col("lang_pred").alias("cls"))
+    ).distinct()
+    j = classes.join(
+        conf,
+        (F.col("cls") == conf.lang) | (F.col("cls") == conf.lang_pred),
+    )
+    per = j.groupBy("cls").agg(
+        F.sum(
+            F.when((F.col("lang") == F.col("cls")) & (F.col("lang_pred") == F.col("cls")), F.col("n")).otherwise(0)
+        ).cast("long").alias("tp"),
+        F.sum(
+            F.when((F.col("lang_pred") == F.col("cls")) & (F.col("lang") != F.col("cls")), F.col("n")).otherwise(0)
+        ).cast("long").alias("fp"),
+        F.sum(
+            F.when((F.col("lang") == F.col("cls")) & (F.col("lang_pred") != F.col("cls")), F.col("n")).otherwise(0)
+        ).cast("long").alias("fn"),
+    )
+    nz = lambda c: F.greatest(c, F.lit(1))  # noqa: E731
+    return per.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        exact_ratio_round6(F.col("tp"), nz(F.col("tp") + F.col("fp"))).alias(
+            "precision"
+        ),
+        exact_ratio_round6(F.col("tp"), nz(F.col("tp") + F.col("fn"))).alias(
+            "recall"
+        ),
+        exact_ratio_round6(
+            F.col("tp") * 2, nz(F.col("tp") * 2 + F.col("fp") + F.col("fn"))
+        ).alias("f1"),
+    )
+
+
+QUERIES["langid_confusion_eval"] = langid_confusion_eval
+
+
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-test, arms assigned by a deterministic user
+    hash (md5 parity) — the experimentation primitive.  Outcome: the user's
+    purchase share exceeds the 1-in-5 base rate (ever-purchased saturates at
+    1.0 on this event density and degenerates the test).  Counts and rates
+    are exact; the z statistic is assembled from the exact rates with ONE
+    fixed IEEE expression sequence (identical on both engines), rounded at
+    the edge; a zero pooled variance emits NULL."""
+    from stellar_etl_spark.operators.util import exact_ratio_round6
+
+    ev = table(spark, sf_dir, "events")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    )
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) * 5
+            > F.count(F.lit(1))
+        )
+        .cast("int")
+        .alias("conv")
+    ).withColumn("arm", arm)
+    cells = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("c"),
+    ).localCheckpoint(eager=False)
+    a = cells.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("c").alias("c_a")
+    )
+    b = cells.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("c").alias("c_b")
+    )
+    j = a.crossJoin(b)
+    p_a = exact_ratio_round6(F.col("c_a"), F.col("n_a"))
+    p_b = exact_ratio_round6(F.col("c_b"), F.col("n_b"))
+    pool = exact_ratio_round6(F.col("c_a") + F.col("c_b"), F.col("n_a") + F.col("n_b"))
+    var = pool * (F.lit(1.0) - pool) * (
+        F.lit(1.0) / F.col("n_a").cast("double")
+        + F.lit(1.0) / F.col("n_b").cast("double")
+    )
+    z = F.when(var <= 0, F.lit(None).cast("double")).otherwise(
+        (p_a - p_b) / F.sqrt(var)
+    )
+    return j.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        p_a.alias("rate_a"),
+        p_b.alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+QUERIES["ab_test_proportions"] = ab_test_proportions
