@@ -4684,3 +4684,94 @@ SELECT n_a, c_a, n_b, c_b, rate_a, rate_b,
   END AS z_stat
 FROM r
 """
+
+ORACLES["value_percentile_grid"] = """
+WITH v AS (
+  SELECT event_type,
+    CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+freq AS (
+  SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS f
+  FROM v GROUP BY event_type, c
+),
+cum AS (
+  SELECT *, SUM(f) OVER (PARTITION BY event_type ORDER BY c
+                         ROWS UNBOUNDED PRECEDING) AS cumf,
+    SUM(f) OVER (PARTITION BY event_type) AS n
+  FROM freq
+)
+SELECT event_type,
+  CAST(MAX(n) AS BIGINT) AS n_events,
+  CAST(MIN(CASE WHEN cumf >= greatest((n * 10 + 99) // 100, 1) THEN c END)
+       AS BIGINT) AS p10_cents,
+  CAST(MIN(CASE WHEN cumf >= greatest((n * 25 + 99) // 100, 1) THEN c END)
+       AS BIGINT) AS p25_cents,
+  CAST(MIN(CASE WHEN cumf >= greatest((n * 50 + 99) // 100, 1) THEN c END)
+       AS BIGINT) AS p50_cents,
+  CAST(MIN(CASE WHEN cumf >= greatest((n * 75 + 99) // 100, 1) THEN c END)
+       AS BIGINT) AS p75_cents,
+  CAST(MIN(CASE WHEN cumf >= greatest((n * 90 + 99) // 100, 1) THEN c END)
+       AS BIGINT) AS p90_cents
+FROM cum GROUP BY event_type
+"""
+
+ORACLES["dedup_impact_report"] = """
+WITH d AS (
+  SELECT source, md5(text) AS h,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+fam AS (
+  SELECT source, h, CAST(COUNT(*) AS BIGINT) AS n, MAX(n_tok) AS tok
+  FROM d GROUP BY source, h
+),
+rep AS (
+  SELECT source,
+    CAST(SUM(n) AS BIGINT) AS n_docs,
+    CAST(COUNT(*) AS BIGINT) AS n_unique,
+    CAST(SUM((n - 1) * tok) AS BIGINT) AS tokens_removed,
+    CAST(MAX(n) AS BIGINT) AS largest_family
+  FROM fam GROUP BY source
+)
+SELECT source, n_docs, n_unique,
+  n_docs - n_unique AS n_removed,
+  tokens_removed, largest_family,
+  CAST((CAST(n_docs - n_unique AS HUGEINT) * 2000000 + n_docs)
+       // (2 * CAST(n_docs AS HUGEINT)) AS DOUBLE) / 1000000.0
+    AS removal_rate
+FROM rep
+"""
+
+ORACLES["conditional_entropy_bigram"] = """
+WITH base AS (
+  SELECT lang, doc_id, string_split(text, ' ') AS ws FROM documents
+),
+bi AS (
+  SELECT lang, ws[i] AS w1, ws[i+1] AS w2
+  FROM base, (SELECT unnest(generate_series(1, 100000)) AS i) idx(i)
+  WHERE i < len(ws)
+),
+c12 AS (
+  SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM bi GROUP BY lang, w1, w2
+),
+c1 AS (
+  SELECT lang, w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY lang, w1
+),
+s AS (
+  SELECT c12.lang,
+    CAST(SUM(c12.c12) AS BIGINT) AS n_bigrams,
+    CAST(SUM(c12.c12 * CAST(ROUND(ln(CAST(c1.c1 AS DOUBLE)
+                                     / CAST(c12.c12 AS DOUBLE)) * 1000000)
+                            AS BIGINT)) AS BIGINT) AS entropy_scaled_sum
+  FROM c12 JOIN c1 USING (lang, w1)
+  GROUP BY c12.lang
+)
+SELECT lang, n_bigrams, entropy_scaled_sum,
+  CAST((CAST(abs(entropy_scaled_sum) AS HUGEINT) * 2000000
+        + CAST(n_bigrams AS HUGEINT) * 1000000)
+       // (2 * CAST(n_bigrams AS HUGEINT) * 1000000) AS DOUBLE) / 1000000.0
+    AS cond_entropy_nats
+FROM s
+"""

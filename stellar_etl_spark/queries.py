@@ -5389,3 +5389,120 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ab_test_proportions"] = ab_test_proportions
+
+
+def value_percentile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p10/p25/p50/p75/p90 grid per event type from the
+    value-frequency table — multi-quantile profiling whose shuffled state
+    is bounded by the distinct cent domain (the percentile-buffer OOM shape
+    never appears).  Lower-order-statistic convention (value at
+    ceil(n·p/100)), all integer positions."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value").cast("decimal(18,6)") * 100, 0)
+        .cast("long")
+        .alias("_c"),
+    )
+    freq = ev.groupBy("event_type", "_c").agg(F.count(F.lit(1)).alias("_f"))
+    w = W.partitionBy("event_type").orderBy("_c")
+    cum = freq.withColumn("_cum", F.sum("_f").over(w))
+    tot = cum.groupBy("event_type").agg(F.sum("_f").cast("long").alias("_n"))
+    j = cum.join(F.broadcast(tot), "event_type")
+
+    def at(p):
+        pos = F.expr(f"greatest((_n * {p} + 99) div 100, 1)")
+        return F.min(F.when(F.col("_cum") >= pos, F.col("_c"))).cast("long")
+
+    return j.groupBy("event_type").agg(
+        F.max("_n").cast("long").alias("n_events"),
+        at(10).alias("p10_cents"),
+        at(25).alias("p25_cents"),
+        at(50).alias("p50_cents"),
+        at(75).alias("p75_cents"),
+        at(90).alias("p90_cents"),
+    )
+
+
+QUERIES["value_percentile_grid"] = value_percentile_grid
+
+
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Before/after report of exact dedup per source: documents and tokens
+    removed, largest duplicate family, exact removal rates — the
+    summary a dedup pass publishes with its output.  One content-hash
+    aggregate carrying token counts, one per-source reduction."""
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    fam = docs.groupBy("source", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("n_tok").alias("tok"),
+    )
+    rep = fam.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.sum((F.col("n") - 1) * F.col("tok")).cast("long").alias("tokens_removed"),
+        F.max("n").cast("long").alias("largest_family"),
+    )
+    return rep.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        (F.col("n_docs") - F.col("n_unique")).alias("n_removed"),
+        "tokens_removed",
+        "largest_family",
+        exact_ratio_round6_wide(
+            F.col("n_docs") - F.col("n_unique"), F.col("n_docs")
+        ).alias("removal_rate"),
+    )
+
+
+QUERIES["dedup_impact_report"] = dedup_impact_report
+
+
+def conditional_entropy_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram entropy H(w₂|w₁) per language — the LM branching
+    factor that separates natural text from templates.  Exact integer-scaled
+    form: Σ c₁₂·round(10⁶·ln(c₁/c₁₂)) per lang (count-weighted scaled logs),
+    emitted with the bigram total so the per-token entropy is one exact
+    ratio.  Two hash aggregates; no float accumulation."""
+    from pyspark.sql.window import Window as W
+
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+
+    docs = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    base = docs.select("lang", "doc_id", F.posexplode(words).alias("pos", "w"))
+    order = W.partitionBy("lang", "doc_id").orderBy("pos")
+    bi = base.select(
+        "lang", F.col("w").alias("w1"), F.lead("w").over(order).alias("w2")
+    ).where(F.col("w2").isNotNull())
+    c12 = bi.groupBy("lang", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    ).localCheckpoint(eager=False)
+    c1 = c12.groupBy("lang", "w1").agg(F.sum("c12").cast("long").alias("c1"))
+    term = F.col("c12") * F.round(
+        F.log(F.col("c1").cast("double") / F.col("c12").cast("double"))
+        * 1_000_000
+    ).cast("long")
+    s = c12.join(c1, ["lang", "w1"]).groupBy("lang").agg(
+        F.sum("c12").cast("long").alias("n_bigrams"),
+        F.sum(term).cast("long").alias("entropy_scaled_sum"),
+    )
+    return s.select(
+        "lang",
+        "n_bigrams",
+        "entropy_scaled_sum",
+        exact_ratio_round6_wide(
+            F.col("entropy_scaled_sum"), F.col("n_bigrams") * 1_000_000
+        ).alias("cond_entropy_nats"),
+    )
+
+
+QUERIES["conditional_entropy_bigram"] = conditional_entropy_bigram
