@@ -4775,3 +4775,67 @@ SELECT lang, n_bigrams, entropy_scaled_sum,
     AS cond_entropy_nats
 FROM s
 """
+
+ORACLES["source_quality_leaderboard"] = """
+WITH d AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+  FROM documents
+),
+s AS (
+  SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(x) AS BIGINT) AS sx,
+    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+  FROM d GROUP BY source
+),
+f AS (
+  SELECT source, n_docs, sx, sxx,
+    CAST(n_docs AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+      AS vnum,
+    CAST(n_docs AS HUGEINT) * CAST(n_docs AS HUGEINT) AS vden
+  FROM s
+)
+SELECT source, n_docs,
+  CAST((CAST(sx AS HUGEINT) * 2000000 + n_docs)
+       // (2 * CAST(n_docs AS HUGEINT)) AS DOUBLE) / 1000000.0 AS mean_tokens,
+  CAST((vnum * 2000000 + vden) // (2 * vden) AS DOUBLE) / 1000000.0
+    AS var_tokens,
+  ROUND(1.96 * sqrt((CAST((vnum * 2000000 + vden) // (2 * vden) AS DOUBLE)
+                     / 1000000.0) / CAST(n_docs AS DOUBLE)), 6)
+    AS ci95_halfwidth
+FROM f
+"""
+
+ORACLES["daily_revenue_autocorr"] = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+    CAST(SUM(CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100, 0) AS BIGINT))
+         AS BIGINT) AS y
+  FROM events GROUP BY day
+),
+pairs AS (
+  SELECT y, lag(y) OVER (ORDER BY day) AS x FROM daily
+  QUALIFY x IS NOT NULL
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+  FROM pairs
+),
+f AS (
+  SELECT n_pairs,
+    CAST(n_pairs AS HUGEINT) * sxy - sx * sy AS num,
+    CAST(n_pairs AS HUGEINT) * sxx - sx * sx AS dx,
+    CAST(n_pairs AS HUGEINT) * syy - sy * sy AS dy
+  FROM s
+)
+SELECT n_pairs,
+  CASE WHEN dx = 0 OR dy = 0 THEN NULL
+       ELSE ROUND(CAST(num AS DOUBLE)
+                  / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))), 6)
+  END AS lag1_autocorr
+FROM f
+"""

@@ -5506,3 +5506,112 @@ def conditional_entropy_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["conditional_entropy_bigram"] = conditional_entropy_bigram
+
+
+def source_quality_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source leaderboard with uncertainty: mean doc quality score per
+    source ± the 95% CI half-width — the ranked view a curation team acts
+    on, with error bars so near-ties aren't over-read.  The score is the
+    integer token count signal; mean and variance come from exact integer
+    moments, and the half-width is 1.96·sqrt(var/n) as one fixed IEEE
+    sequence over those exact inputs."""
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("x")
+    )
+    d38 = "decimal(38,0)"
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("x").cast("long").alias("_sx"),
+        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38)).alias("_sxx"),
+    )
+    mean = exact_ratio_round6_wide(F.col("_sx"), F.col("n_docs"))
+    var_num = (
+        F.col("n_docs").cast(d38) * F.col("_sxx")
+        - F.col("_sx").cast(d38) * F.col("_sx").cast(d38)
+    )
+    var_den = F.col("n_docs").cast(d38) * F.col("n_docs").cast(d38)
+    var = F.expr(
+        "CAST((_vnum * 2000000 + _vden) div (2 * _vden) AS DOUBLE)"
+    ) / F.lit(1_000_000.0)
+    return (
+        s.withColumn("_vnum", var_num)
+        .withColumn("_vden", var_den)
+        .select(
+            "source",
+            "n_docs",
+            mean.alias("mean_tokens"),
+            var.alias("var_tokens"),
+            F.round(
+                F.lit(1.96)
+                * F.sqrt(
+                    (
+                        F.expr(
+                            "CAST((_vnum * 2000000 + _vden) div (2 * _vden) AS DOUBLE)"
+                        )
+                        / F.lit(1_000_000.0)
+                    )
+                    / F.col("n_docs").cast("double")
+                ),
+                6,
+            ).alias("ci95_halfwidth"),
+        )
+    )
+
+
+QUERIES["source_quality_leaderboard"] = source_quality_leaderboard
+
+
+def daily_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily revenue series — the time-series
+    diagnostic that flags runaway trends (r→1) or alternation (r<0) before
+    forecasting.  The (y_t, y_{t−1}) pairs come from a ≤|days| window; the
+    correlation is assembled from exact DECIMAL(38) integer moments with one
+    correctly-rounded sqrt at the edge."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        F.expr("ts div 86400000000000").alias("day"),
+        F.round(F.col("value").cast("decimal(18,6)") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = ev.groupBy("day").agg(F.sum("cents").cast("long").alias("y"))
+    w = W.orderBy("day")
+    pairs = daily.withColumn("x", F.lag("y").over(w)).where(
+        F.col("x").isNotNull()
+    )
+    d38 = "decimal(38,0)"
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast(d38).alias("_sx"),
+        F.sum("y").cast(d38).alias("_sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38)).alias("_sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y").cast(d38)).alias("_syy"),
+        F.sum(F.col("x").cast(d38) * F.col("y").cast(d38)).alias("_sxy"),
+    )
+    n = F.col("n_pairs").cast(d38)
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    dx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    r = F.col("_num").cast("double") / (
+        F.sqrt(F.col("_dx").cast("double")) * F.sqrt(F.col("_dy").cast("double"))
+    )
+    return (
+        s.withColumn("_num", num)
+        .withColumn("_dx", dx)
+        .withColumn("_dy", dy)
+        .select(
+            "n_pairs",
+            F.when(
+                (F.col("_dx") == 0) | (F.col("_dy") == 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(F.round(r, 6))
+            .alias("lag1_autocorr"),
+        )
+    )
+
+
+QUERIES["daily_revenue_autocorr"] = daily_revenue_autocorr
