@@ -4839,3 +4839,101 @@ SELECT n_pairs,
   END AS lag1_autocorr
 FROM f
 """
+
+# 12 unrolled quantized power iterations over the <=25-cell chain — a
+# recursive CTE with an iteration counter keeps the SQL twin compact.
+ORACLES["event_markov_stationary"] = """
+WITH RECURSIVE e AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events
+),
+tr AS (
+  SELECT lag(event_type) OVER w AS a, event_type AS b
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+counts AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tr WHERE a IS NOT NULL GROUP BY a, b
+),
+row_tot AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ra FROM counts GROUP BY a),
+p AS (
+  SELECT counts.a, counts.b,
+    CAST((c * 2000000 + ra) // (2 * ra) AS BIGINT) AS p6
+  FROM counts JOIN row_tot USING (a)
+),
+states AS (
+  SELECT DISTINCT s FROM (SELECT a AS s FROM counts UNION ALL SELECT b FROM counts)
+),
+it AS (
+  SELECT 0 AS k, s, CAST(200000 AS BIGINT) AS w FROM states
+  UNION ALL
+  SELECT k + 1, b AS s,
+    CAST((SUM(w * p6) + 500000) // 1000000 AS BIGINT) AS w
+  FROM (SELECT it.k, p.b, it.w, p.p6
+        FROM it JOIN p ON p.a = it.s WHERE it.k < 12) step
+  GROUP BY k, b
+),
+pi AS (SELECT s, w FROM it WHERE k = 12),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS t FROM pi)
+SELECT s AS event_type, w AS pi_scaled,
+  CAST((CAST(w AS HUGEINT) * 2000000 + t) // (2 * CAST(t AS HUGEINT))
+       AS DOUBLE) / 1000000.0 AS pi_normalized
+FROM pi, tot
+"""
+
+ORACLES["interevent_time_histogram"] = """
+WITH e AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events
+),
+g AS (
+  SELECT event_type,
+    ts_us - lag(ts_us) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts_us, event_id) AS gap_us
+  FROM e
+),
+s AS (
+  SELECT event_type, gap_us // 1000000 AS gap_s FROM g WHERE gap_us IS NOT NULL
+)
+SELECT event_type,
+  CAST(CASE WHEN gap_s <= 0 THEN 0
+            ELSE length(printf('%b', gap_s)) END AS BIGINT) AS log2_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+  CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+  CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+FROM s
+GROUP BY event_type, CASE WHEN gap_s <= 0 THEN 0
+                          ELSE length(printf('%b', gap_s)) END
+"""
+
+ORACLES["new_vs_returning_revenue"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+    CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+first AS (SELECT user_id, MIN(day) AS d0 FROM e GROUP BY user_id),
+j AS (
+  SELECT e.day, e.cents, e.user_id,
+    CASE WHEN e.day = f.d0 THEN 1 ELSE 0 END AS is_new
+  FROM e JOIN first f USING (user_id)
+),
+daily AS (
+  SELECT CAST(day AS BIGINT) AS day,
+    CAST(SUM(cents) AS BIGINT) AS total_cents,
+    CAST(SUM(CASE WHEN is_new = 1 THEN cents ELSE 0 END) AS BIGINT)
+      AS new_user_cents,
+    CAST(COUNT(DISTINCT CASE WHEN is_new = 1 THEN user_id END) AS BIGINT)
+      AS n_new_users
+  FROM j GROUP BY day
+)
+SELECT day, total_cents, new_user_cents,
+  total_cents - new_user_cents AS returning_cents,
+  n_new_users,
+  CASE WHEN total_cents = 0 THEN NULL
+       ELSE (CASE WHEN new_user_cents < 0 THEN -1.0 ELSE 1.0 END)
+            * CAST((abs(CAST(new_user_cents AS HUGEINT)) * 2000000
+                    + total_cents)
+                   // (2 * CAST(total_cents AS HUGEINT)) AS DOUBLE)
+              / 1000000.0
+  END AS new_revenue_share
+FROM daily
+"""

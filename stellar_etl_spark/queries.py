@@ -5615,3 +5615,139 @@ def daily_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["daily_revenue_autocorr"] = daily_revenue_autocorr
+
+
+def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — where user
+    behavior settles in the long run.  Transition counts are one lag
+    aggregate; the chain itself is a ≤|types|² cell table, so the 12 power
+    iterations run on a broadcast-sized frame with EXACT integer-quantized
+    probabilities each round (round(1e6·Σ πᵢ·pᵢⱼ) — the k-means quantized-
+    iteration convention), making the fixed point reproducible in an
+    unrolled oracle."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    tr = ev.select(
+        F.lag("event_type").over(w).alias("a"),
+        F.col("event_type").alias("b"),
+    ).where(F.col("a").isNotNull())
+    counts = tr.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=False)
+    row_tot = counts.groupBy("a").agg(F.sum("c").cast("long").alias("ra"))
+    # transition prob as an exact scaled integer (round half-up at 1e6)
+    p = counts.join(F.broadcast(row_tot), "a").select(
+        "a",
+        "b",
+        F.expr("(c * 2000000 + ra) div (2 * ra)").cast("long").alias("p6"),
+    ).localCheckpoint(eager=False)
+    states = counts.select(F.col("a").alias("s")).union(
+        counts.select("b")
+    ).distinct()
+    pi = states.select("s", F.lit(200_000).cast("long").alias("w"))  # 1e6/5
+    for _ in range(12):
+        pi = (
+            p.join(pi.withColumnRenamed("s", "a"), "a")
+            .groupBy(F.col("b").alias("s"))
+            .agg(
+                # half-up re-quantization in PURE integer arithmetic
+                F.expr("(sum(w * p6) + 500000) div 1000000").cast("long").alias("w")
+            )
+        )
+    tot = pi.agg(F.sum("w").alias("_t"))
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+
+    return pi.crossJoin(F.broadcast(tot)).select(
+        F.col("s").alias("event_type"),
+        F.col("w").alias("pi_scaled"),
+        exact_ratio_round6_wide(F.col("w"), F.col("_t")).alias("pi_normalized"),
+    )
+
+
+QUERIES["event_markov_stationary"] = event_markov_stationary
+
+
+def interevent_time_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram of inter-event gaps per event type — the
+    log-scale latency/arrival profile.  The bucket is the BINARY LENGTH of
+    the gap in seconds (``conv(x,10,2)`` string length == DuckDB
+    ``printf('%b')`` length) — no floating log2, whose libm form returns
+    2.999… at exact powers of two and flips buckets between engines."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("_gap_us"),
+    ).where(F.col("_gap_us").isNotNull())
+    gap_s = F.expr("_gap_us div 1000000")
+    bucket = F.when(gap_s <= 0, F.lit(0)).otherwise(
+        F.length(F.conv(gap_s.cast("string"), 10, 2))
+    ).cast("long")
+    return gaps.groupBy(
+        "event_type", bucket.alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min(gap_s).cast("long").alias("min_gap_s"),
+        F.max(gap_s).cast("long").alias("max_gap_s"),
+    )
+
+
+QUERIES["interevent_time_histogram"] = interevent_time_histogram
+
+
+def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue split between first-day (new) users and returning
+    users — the acquisition-vs-retention revenue mix.  First-seen day is
+    one min aggregate joined back on the user key; the split is one hash
+    agg with exact cents and exact shares."""
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 86400000000000").alias("day"),
+        F.round(F.col("value").cast("decimal(18,6)") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
+    j = ev.join(first, "user_id").withColumn(
+        "is_new", (F.col("day") == F.col("d0")).cast("int")
+    )
+    daily = j.groupBy("day").agg(
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.when(F.col("is_new") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("new_user_cents"),
+        F.countDistinct(F.when(F.col("is_new") == 1, F.col("user_id")))
+        .cast("long")
+        .alias("n_new_users"),
+    )
+    return daily.select(
+        "day",
+        "total_cents",
+        "new_user_cents",
+        (F.col("total_cents") - F.col("new_user_cents")).alias("returning_cents"),
+        "n_new_users",
+        F.when(F.col("total_cents") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            exact_ratio_round6_wide(F.col("new_user_cents"), F.col("total_cents"))
+        )
+        .alias("new_revenue_share"),
+    )
+
+
+QUERIES["new_vs_returning_revenue"] = new_vs_returning_revenue
