@@ -1108,7 +1108,7 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer for a float-free global ordering
     s = s.withColumn(
         "avg_micro", F.round(F.col("avg_logprob") * 1000000).cast("long")
-    )
+    ).localCheckpoint(eager=False)  # the LM-score subtree feeds 3 rank passes
     b = distributed_ntile(s, "avg_micro", ["doc_id"], 10, out="bucket")
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
