@@ -80,7 +80,16 @@ def _cached_input(spark, sf_dir: str, name: str, build):
         return build()
     import hashlib as _hashlib
 
-    key = _hashlib.md5(f"{sf_dir}:{name}".encode()).hexdigest()[:16]
+    # the derive-code version rides in the key: a derive.py edit must MISS
+    # the cache, not silently serve rows from the previous code (round-3
+    # advice — stale /tmp entries survived code changes)
+    derive_src = _os.path.join(_os.path.dirname(__file__), "transforms", "derive.py")
+    try:
+        with open(derive_src, "rb") as fh:
+            code_ver = _hashlib.md5(fh.read()).hexdigest()[:8]
+    except OSError:
+        code_ver = "nocode"
+    key = _hashlib.md5(f"{sf_dir}:{name}:{code_ver}".encode()).hexdigest()[:16]
     path = f"/tmp/stellar_etl_derived/{name}-{key}"
     if not _os.path.isdir(path):
         tmp = f"{path}.tmp{_os.getpid()}"

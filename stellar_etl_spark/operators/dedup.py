@@ -37,16 +37,30 @@ def tokenize_words(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def word_ngrams(words: Column, n: int) -> Column:
+    """Positional word n-grams via SELF-CONTAINED lambdas: ``n`` aligned
+    slices of ``words`` folded pairwise with ``zip_with(concat_ws)``.
+
+    The obvious spelling — ``transform(sequence(1, len-n+1),
+    i -> array_join(slice(words, i, n)))`` — captures the outer ``words``
+    expression inside the lambda, and Spark INLINES captured expressions per
+    element rather than CSE-ing them, so an unprojected ``split(text)``
+    re-tokenizes the whole document for every gram: O(len²) per row (the
+    char_entropy lesson).  Here every lambda touches only its own arguments;
+    the slices sit outside and cost O(n·len) per row total.  Empty result
+    for < n words (slice length max(len-n+1, 0))."""
+    m = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    acc = F.slice(words, 1, m)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(words, k + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return acc
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of ``text`` (empty array if < n words)."""
-    words = tokenize_words(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
-    )
-    return F.array_distinct(
-        F.when(F.size(words) >= n, grams).otherwise(F.slice(words, 1, 0))
-    )
+    return F.array_distinct(word_ngrams(tokenize_words(text), n))
 
 
 MINHASH_PRIME = 2147483647  # 2^31-1: (2p+1)*h + b stays far below int64
@@ -149,7 +163,7 @@ def near_dup_pairs(
     """
     from pyspark import StorageLevel
 
-    from stellar_etl_spark.operators.util import fan_out_small
+    from stellar_etl_spark.operators.util import fan_out_small, materialize_release
 
     df = fan_out_small(df)
 
@@ -180,7 +194,7 @@ def near_dup_pairs(
     )
     a = with_sh.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("sh_a"))
     b = with_sh.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("sh_b"))
-    return (
+    pairs = (
         cands.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -193,6 +207,7 @@ def near_dup_pairs(
         )
         .where(F.col("jaccard") >= F.lit(threshold))
     )
+    return materialize_release(pairs, with_sh)
 
 
 def _hex15_to_long(hex_col: Column) -> Column:
@@ -315,7 +330,7 @@ def simhash_near_dup_pairs(
     )
     a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"))
     b = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"))
-    return (
+    pairs = (
         cands.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -327,6 +342,9 @@ def simhash_near_dup_pairs(
         )
         .where(F.col("hamming") <= F.lit(max_distance))
     )
+    from stellar_etl_spark.operators.util import materialize_release
+
+    return materialize_release(pairs, fp)
 
 
 def dedup_clusters(
@@ -475,7 +493,7 @@ def ngram_jaccard_pairs(
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("sh_b"))
-    return (
+    pairs = (
         cands.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -488,6 +506,9 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= F.lit(threshold))
     )
+    from stellar_etl_spark.operators.util import materialize_release
+
+    return materialize_release(pairs, sh)
 
 
 def segment_dedup(
@@ -511,15 +532,21 @@ def segment_dedup(
     doc.  Skew: segment keys are near-unique outside pathological
     boilerplate; AQE handles residual hot keys.
     """
-    words = F.split(F.col(text_col), " ")
-    n_seg = F.ceil(F.size(words) / F.lit(segment_words)).cast("int")
+    # project the split ONCE: the segment lambda then slices an attribute
+    # instead of re-splitting the document per segment (the HOF-inlining
+    # pitfall — captured expressions re-evaluate per array element)
+    with_words = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
+    )
+    wcol = F.col("_w")
+    n_seg = F.ceil(F.size(wcol) / F.lit(segment_words)).cast("int")
     segments = F.transform(
         F.sequence(F.lit(0), n_seg - 1),
         lambda i: F.array_join(
-            F.slice(words, i * segment_words + 1, segment_words), " "
+            F.slice(wcol, i * segment_words + 1, segment_words), " "
         ),
     )
-    exploded = df.select(
+    exploded = with_words.select(
         F.col(id_col), F.posexplode(segments).alias("pos", "segment")
     )
     # packed global rank: doc_id * 2^20 + pos (pos < 2^20 for any document
@@ -671,7 +698,7 @@ def dedup_against_index(
         ).alias("_b")
     )
     news = base.where(F.col("_new")).select(F.col(id_col))
-    return news.join(
+    screened = news.join(
         best.select(
             F.col("_nid").alias(id_col),
             (-F.col("_b")["_neg"]).alias("dup_of"),
@@ -685,6 +712,9 @@ def dedup_against_index(
         "dup_of",
         "jaccard",
     )
+    from stellar_etl_spark.operators.util import materialize_release
+
+    return materialize_release(screened, with_sh)
 
 
 def dup_spans(
@@ -884,7 +914,7 @@ def ngram_containment_pairs(
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
+    pairs = (
         cands.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -897,6 +927,9 @@ def ngram_containment_pairs(
         # filter on the round6-exact value so both engines cut identically
         .where(F.col("containment") >= F.lit(threshold))
     )
+    from stellar_etl_spark.operators.util import materialize_release
+
+    return materialize_release(pairs, sh)
 
 
 def minhash_calibration(
@@ -967,7 +1000,7 @@ def minhash_calibration(
             j_scaled.cast("long").alias("_js"),
         )
     )
-    return pairs.groupBy("est_matches").agg(
+    curve = pairs.groupBy("est_matches").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum("_js").cast("long").alias("_sj"),
     ).select(
@@ -977,3 +1010,6 @@ def minhash_calibration(
             F.col("_sj"), F.col("n_pairs") * 1_000_000
         ).alias("mean_exact_jaccard"),
     )
+    from stellar_etl_spark.operators.util import materialize_release
+
+    return materialize_release(curve, with_sh)

@@ -201,7 +201,7 @@ def triangle_stats(
         .crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
         .crossJoin(tri)
     )
-    return summary.select(
+    out = summary.select(
         "n_nodes",
         "n_edges",
         "n_wedges",
@@ -210,6 +210,9 @@ def triangle_stats(
             F.col("n_triangles") * 3, F.greatest(F.col("n_wedges"), F.lit(1))
         ).alias("global_clustering"),
     )
+    from stellar_etl_spark.operators.util import materialize_release
+
+    return materialize_release(out, e, o)
 
 
 def label_propagation(

@@ -27,6 +27,15 @@ def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("words", tokenize_words(F.col(text_col)))
 
 
+def _adjacent_bigrams(words: Column) -> Column:
+    """Space-joined adjacent word pairs via the self-contained-lambda n-gram
+    assembly (see :func:`~stellar_etl_spark.operators.dedup.word_ngrams` for
+    why the naive transform-over-sequence spelling is O(len²) per row)."""
+    from stellar_etl_spark.operators.dedup import word_ngrams
+
+    return word_ngrams(words, 2)
+
+
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document token statistics (whitespace tokenization)."""
     words = tokenize_words(F.col(text_col))
@@ -217,13 +226,7 @@ def repetition_stats(
 
     df = fan_out_small(df)
     words = tokenize_words(F.col(text_col))
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(1))),
-            lambda i: F.array_join(F.slice(words, i, 2), " "),
-        ),
-    ).otherwise(F.slice(words, 1, 0))
+    bigrams = _adjacent_bigrams(words)
 
     def top_count(arr: Column) -> Column:
         # Max multiplicity = longest equal-run in the sorted array: one
@@ -844,11 +847,17 @@ def char_entropy_stats(
         F.round(F.log(n.cast("double")) * scale).cast("long") * n.cast("long")
         - si
     )
-    out = df.select(
-        F.col(id_col),
-        n.cast("long").alias("n_chars"),
-        h_num.alias("_hn"),
-    ).where(F.col("n_chars") > 0)
+    # Gate on the RAW string length: split('', '') yields [''] (size 1), so a
+    # post-split gate would admit empty docs with a sentinel run of '' and
+    # report entropy 0 instead of excluding them.
+    out = (
+        df.where(F.length(F.col(text_col)) > 0)
+        .select(
+            F.col(id_col),
+            n.cast("long").alias("n_chars"),
+            h_num.alias("_hn"),
+        )
+    )
     entropy = exact_ratio_round6(
         F.col("_hn"), F.col("n_chars") * F.lit(scale)
     )
@@ -998,16 +1007,14 @@ def hashed_ngram_score(
         fan_out_small,
     )
 
-    words = tokenize_words(F.col(text_col))
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.array_join(F.slice(words, i, 2), " "),
-        ),
-    ).otherwise(F.slice(words, 1, 0))
-    feats = fan_out_small(df).select(
-        F.col(id_col), F.explode(F.concat(words, bigrams)).alias("_g")
+    toks = fan_out_small(df).select(
+        F.col(id_col), tokenize_words(F.col(text_col)).alias("_words")
+    )
+    feats = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(F.col("_words"), _adjacent_bigrams(F.col("_words")))
+        ).alias("_g"),
     )
     slot = (
         F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast("long")
@@ -1054,19 +1061,13 @@ def bigram_logprob_score(
         fan_out_small,
     )
 
-    words = tokenize_words(F.col(text_col))
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.array_join(F.slice(words, i, 2), " "),
-        ),
-    ).otherwise(F.slice(words, 1, 0))
-    uni = fan_out_small(df).select(
-        F.col(id_col), F.explode(words).alias("_t")
+    toks = fan_out_small(df).select(
+        F.col(id_col), tokenize_words(F.col(text_col)).alias("_words")
     )
-    bi = fan_out_small(df).select(
-        F.col(id_col), F.explode(bigrams).alias("_b")
+    uni = toks.select(F.col(id_col), F.explode("_words").alias("_t"))
+    bi = toks.select(
+        F.col(id_col),
+        F.explode(_adjacent_bigrams(F.col("_words"))).alias("_b"),
     )
     c1 = uni.groupBy("_t").agg(F.count(F.lit(1)).alias("_c1"))
     c12 = bi.groupBy("_b").agg(F.count(F.lit(1)).alias("_c12"))
@@ -1128,15 +1129,12 @@ def pmi_collocations(
     """
     from stellar_etl_spark.operators.util import fan_out_small
 
-    words = tokenize_words(F.col(text_col))
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.array_join(F.slice(words, i, 2), " "),
-        ),
-    ).otherwise(F.slice(words, 1, 0))
-    bi = fan_out_small(df).select(F.explode(bigrams).alias("_b"))
+    toks = fan_out_small(df).select(
+        tokenize_words(F.col(text_col)).alias("_words")
+    )
+    bi = toks.select(
+        F.explode(_adjacent_bigrams(F.col("_words"))).alias("_b")
+    )
     c12 = (
         bi.groupBy("_b")
         .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))

@@ -5,6 +5,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def materialize_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Eagerly checkpoint ``result``, then unpersist the operator's cached
+    intermediate frames.
+
+    Returning a LAZY frame that still references a persisted subtree forces
+    a choice between recompute (unpersist now) and a leak (CacheManager
+    entries are never GC-cleaned, so blocks accumulate across invocations in
+    long multi-query sessions — the round-3 advisor found six such sites).
+    ``localCheckpoint(eager=True)`` materializes the result off the cache
+    first; checkpoint blocks ARE reclaimed by the ContextCleaner once the
+    frame goes out of scope, so nothing outlives the caller.  Plan-audit
+    paths (tools/plan_report.py, tests/test_plans.plan_of) no-op the
+    checkpoint to keep full lineage visible.
+    """
+    result = result.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    return result
+
+
 def fan_out_small(df: DataFrame) -> DataFrame:
     """Repartition tiny inputs up to the cluster's default parallelism before
     CPU-heavy per-row work.

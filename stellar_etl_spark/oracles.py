@@ -2638,7 +2638,8 @@ SELECT label, vec_id, rk FROM ranked, m WHERE rk <= m.m
 
 ORACLES["char_entropy_quality"] = """
 WITH cs AS (
-  SELECT doc_id, string_split(text, '') AS chars FROM documents
+  SELECT doc_id, string_split(text, '') AS chars
+  FROM documents WHERE length(text) > 0
 ),
 st AS (
   SELECT doc_id, len(chars) AS n_chars,

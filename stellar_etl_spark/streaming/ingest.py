@@ -11,10 +11,12 @@ the repo-wide streaming pattern.
 Scale stance: the per-batch work is one classifier projection plus one
 banded NEW×INDEX LSH join (never index×index); the index side is a
 materialized parquet table the batch probes, exactly the deployment shape.
-Exactly-once: the corpus append rides foreachBatch's epoch semantics — a
-replayed epoch re-reads the same index state only if the append is made
-idempotent downstream (batch-id partition dirs, as the sinks module does
-for ledger exports); the parity test covers the clean path.
+Exactly-once: each micro-batch's admitted rows land under an
+``epoch=<epoch_id>`` partition directory with OVERWRITE semantics, so a
+replayed epoch (failure between the write and the checkpoint commit)
+rewrites its own directory instead of appending duplicates — the same
+idempotence discipline as streaming/agg_maintenance.py.  The index is read
+from the partitioned root, so partition discovery unions the epoch dirs.
 """
 
 from __future__ import annotations
@@ -77,7 +79,12 @@ def stream_ingest_corpus(
         admitted = ingest_batch(
             batch_df, index, id_col=id_col, text_col=text_col
         )
-        admitted.write.mode("append").parquet(index_dir)
+        # epoch-keyed overwrite = replay-idempotent: a re-run of this epoch
+        # after a crash-before-commit replaces its own partition instead of
+        # double-appending the batch into the corpus
+        admitted.write.mode("overwrite").parquet(
+            f"{index_dir}/epoch={int(epoch_id)}"
+        )
 
     writer = (
         stream.writeStream.foreachBatch(process)

@@ -13,7 +13,18 @@ def plan_of(spark, sf_dir, name: str) -> str:
     import contextlib
     import io
 
-    df = QUERIES[name](spark, sf_dir)
+    from pyspark.sql import DataFrame
+
+    # Audit with FULL lineage: localCheckpoint (used by iterative operators
+    # and the cache-release discipline in operators/util.materialize_release)
+    # cuts the plan at a LogicalRDD, which would make these assertions
+    # vacuous for every checkpointed query.
+    orig = DataFrame.localCheckpoint
+    DataFrame.localCheckpoint = lambda self, eager=True: self  # type: ignore[method-assign]
+    try:
+        df = QUERIES[name](spark, sf_dir)
+    finally:
+        DataFrame.localCheckpoint = orig
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
