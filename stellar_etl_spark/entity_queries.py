@@ -41,25 +41,28 @@ def _jget(path: str, typ: str | None = None) -> F.Column:
     return c.cast(typ) if typ else c
 
 
-def _jfields(*fields: tuple) -> list[F.Column]:
-    """Typed probes into the details JSON via ONE parse: each
-    ``get_json_object`` re-parses the whole blob, so N probes cost N
-    parses/row — ``from_json`` against an explicit schema parses once and
-    the field pulls are free struct accesses.
+def _select_jfields(df: DataFrame, base_cols: list, *fields: tuple) -> DataFrame:
+    """Typed probes into the details JSON via ONE parse PER ROW: the parsed
+    struct is projected into its own column first, so the field pulls are
+    attribute accesses.  Building ``from_json(...)[field]`` per output
+    column looks like one parse but is N — unprojected identical subtrees
+    are NOT CSE'd across a Project's output columns (measured: 2.45 s →
+    1.03 s at sf0.1 for effects_fanout's 6 fields).  ``get_json_object``
+    would likewise re-parse the blob per probe.
 
     Each field is ``(name, json_type)`` or ``(name, json_type, cast)`` —
     the 3-form parses as ``json_type`` then casts (amounts are JSON
     STRINGS in the reference's details — ``from_json`` with a numeric
     type nulls quoted numbers, so parse string + cast)."""
     schema = ", ".join(f"{f[0]} {f[1]}" for f in fields)
-    parsed = F.from_json(F.col("details"), schema)
-    out = []
+    parsed = df.withColumn("_pd", F.from_json(F.col("details"), schema))
+    cols = list(base_cols)
     for f in fields:
-        c = parsed[f[0]]
+        c = F.col("_pd")[f[0]]
         if len(f) == 3:
             c = c.cast(f[2])
-        out.append(c.alias(f"d_{f[0]}"))
-    return out
+        cols.append(c.alias(f"d_{f[0]}"))
+    return parsed.select(*cols)
 
 
 def _cached_input(spark, sf_dir: str, name: str, build):
@@ -285,23 +288,24 @@ def effects_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
                       lambda: derived_operations_effects(_wide(li))),
         derived_transactions(orders)
     )
-    return out.select(
-        "id",
-        "operation_id",
-        F.col("index").cast("long").alias("index"),
-        F.col("type").cast("long").alias("type"),
-        "type_string",
-        "address",
-        "ledger_sequence",
-        F.col("operation_type").cast("long").alias("operation_type"),
-        *_jfields(
-            ("amount", "string", "double"),
-            ("asset_type", "string"),
-            ("asset_code", "string"),
-            ("starting_balance", "string", "double"),
-            ("name", "string"),
-            ("new_seq", "long"),
-        ),
+    return _select_jfields(
+        out,
+        [
+            "id",
+            "operation_id",
+            F.col("index").cast("long").alias("index"),
+            F.col("type").cast("long").alias("type"),
+            "type_string",
+            "address",
+            "ledger_sequence",
+            F.col("operation_type").cast("long").alias("operation_type"),
+        ],
+        ("amount", "string", "double"),
+        ("asset_type", "string"),
+        ("asset_code", "string"),
+        ("starting_balance", "string", "double"),
+        ("name", "string"),
+        ("new_seq", "long"),
     )
 
 

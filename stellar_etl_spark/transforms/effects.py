@@ -143,18 +143,38 @@ def _amt_str(c: Column) -> Column:
     )
 
 
-@lru_cache(maxsize=8)
-def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
+@lru_cache(maxsize=32)
+def _effects_array_expr(
+    changes_type: str,
+    atoms_type: str,
+    present: frozenset | None = None,
+    has_changes: bool = True,
+    has_atoms: bool = True,
+) -> Column:
     """The full per-operation effects array as ONE unresolved column
     expression.  Building it costs thousands of py4j round trips
     (~seconds of driver time), but the expression only references
     column NAMES — it is reusable across any input DataFrame with the
     operations schema, so it is built once per schema and cached
     (keyed by the simpleString of the changes/claim-atoms types used
-    for the null-coalesce casts)."""
+    for the null-coalesce casts, plus the pruning context).
+
+    Pruning: ``present`` (the set of op-type ids actually in the input,
+    None = assume all), ``has_changes`` / ``has_atoms`` (whether any row
+    carries a non-empty changes / claim-atoms array).  A branch whose op
+    type cannot occur — or a change/atom scan over provably-empty arrays —
+    is simply not built: the emitted rows are IDENTICAL (those branches
+    produce empty arrays), but the expression tree shrinks from ~350 KB of
+    generated code (beyond JIT's compilable-method size, so it ran
+    interpreted) to just the families the data can hit.  transform_effects
+    derives the pruning context with one column-pruned probe aggregate."""
     body = F.col("body")
     source = F.coalesce(F.col("source_account"), F.col("_tx_source"))
     t = F.col("type")
+
+    def pr(*type_ids: int) -> bool:
+        """True if any of these op types can occur in the input."""
+        return present is None or any(x in present for x in type_ids)
 
     _amt = _amt_str
 
@@ -268,197 +288,237 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
 
         return F.flatten(F.transform(live_atoms, per_atom))
 
-    # ---- set_options helpers (effects.go:520-635) -------------------------
-    set_flags = F.coalesce(body["set_flags"], F.array().cast("array<int>"))
-    clear_flags = F.coalesce(body["clear_flags"], F.array().cast("array<int>"))
-
-    def _flag_detail(bit: int):
-        return (
-            F.when(F.array_contains(set_flags, bit), F.lit(True))
-            .when(F.array_contains(clear_flags, bit), F.lit(False))
+    # ---- set_options helpers (effects.go:520-635); built only when a
+    # set_options op (t=5) can occur ----------------------------------------
+    if pr(5):
+        set_flags = F.coalesce(body["set_flags"], F.array().cast("array<int>"))
+        clear_flags = F.coalesce(
+            body["clear_flags"], F.array().cast("array<int>")
         )
 
-    flags_details = _j(
-        auth_required_flag=_flag_detail(1),
-        auth_revocable_flag=_flag_detail(2),
-        auth_immutable_flag=_flag_detail(4),
-        auth_clawback_enabled_flag=_flag_detail(8),
-    )
-    any_known_flag = F.exists(
-        F.array_union(set_flags, clear_flags), lambda b: b.isin(1, 2, 4, 8)
-    )
+        def _flag_detail(bit: int):
+            return (
+                F.when(F.array_contains(set_flags, bit), F.lit(True))
+                .when(F.array_contains(clear_flags, bit), F.lit(False))
+            )
 
-    # signer diffs from account changes (SignerSummary diff, effects.go:569-634);
-    # falls back to the op body's signer field when the fixture/source carries
-    # no account signer lists.
-    def _signer_map(signers):
-        return F.map_from_entries(
-            F.transform(
-                F.coalesce(
-                    signers,
-                    F.array().cast(
-                        "array<struct<key:string,weight:int,sponsor:string>>"
+        flags_details = _j(
+            auth_required_flag=_flag_detail(1),
+            auth_revocable_flag=_flag_detail(2),
+            auth_immutable_flag=_flag_detail(4),
+            auth_clawback_enabled_flag=_flag_detail(8),
+        )
+        any_known_flag = F.exists(
+            F.array_union(set_flags, clear_flags), lambda b: b.isin(1, 2, 4, 8)
+        )
+
+        # signer diffs from account changes (SignerSummary diff,
+        # effects.go:569-634); falls back to the op body's signer field when
+        # the fixture/source carries no account signer lists.
+        def _signer_map(signers):
+            return F.map_from_entries(
+                F.transform(
+                    F.coalesce(
+                        signers,
+                        F.array().cast(
+                            "array<struct<key:string,weight:int,sponsor:string>>"
+                        ),
                     ),
+                    lambda s: F.struct(s["key"], s["weight"]),
+                )
+            )
+
+        def _signer_diff(c):
+            before, after = (
+                _signer_map(c["pre"]["signers"]),
+                _signer_map(c["post"]["signers"]),
+            )
+            before_keys = F.array_sort(F.map_keys(before))
+            after_keys = F.array_sort(F.map_keys(after))
+            removed_updated = F.flatten(
+                F.transform(
+                    before_keys,
+                    lambda k: F.when(
+                        F.try_element_at(after, k).isNull(),
+                        F.array(
+                            _effect("signer_removed", source, _j(public_key=k))
+                        ),
+                    )
+                    .when(
+                        F.try_element_at(after, k) != F.try_element_at(before, k),
+                        F.array(
+                            _effect(
+                                "signer_updated",
+                                source,
+                                _j(
+                                    public_key=k,
+                                    weight=F.try_element_at(after, k),
+                                ),
+                            )
+                        ),
+                    )
+                    .otherwise(empty),
+                )
+            )
+            created = F.flatten(
+                F.transform(
+                    after_keys,
+                    lambda k: F.when(
+                        F.try_element_at(before, k).isNull(),
+                        F.array(
+                            _effect(
+                                "signer_created",
+                                source,
+                                _j(
+                                    public_key=k,
+                                    weight=F.try_element_at(after, k),
+                                ),
+                            )
+                        ),
+                    ).otherwise(empty),
+                )
+            )
+            return F.concat(removed_updated, created)
+
+        body_fallback_signers = (
+            F.when(
+                body["signer_key"].isNotNull() & (body["signer_weight"] > 0),
+                F.array(
+                    _effect(
+                        "signer_created",
+                        source,
+                        _j(
+                            public_key=body["signer_key"],
+                            weight=body["signer_weight"],
+                        ),
+                    )
                 ),
-                lambda s: F.struct(s["key"], s["weight"]),
             )
-        )
-
-    def _signer_diff(c):
-        before, after = _signer_map(c["pre"]["signers"]), _signer_map(c["post"]["signers"])
-        before_keys = F.array_sort(F.map_keys(before))
-        after_keys = F.array_sort(F.map_keys(after))
-        removed_updated = F.flatten(
-            F.transform(
-                before_keys,
-                lambda k: F.when(
-                    F.try_element_at(after, k).isNull(),
-                    F.array(_effect("signer_removed", source, _j(public_key=k))),
-                )
-                .when(
-                    F.try_element_at(after, k) != F.try_element_at(before, k),
-                    F.array(
-                        _effect(
-                            "signer_updated",
-                            source,
-                            _j(public_key=k, weight=F.try_element_at(after, k)),
-                        )
-                    ),
-                )
-                .otherwise(empty),
+            .when(
+                body["signer_key"].isNotNull() & (body["signer_weight"] == 0),
+                F.array(
+                    _effect(
+                        "signer_removed",
+                        source,
+                        _j(public_key=body["signer_key"]),
+                    )
+                ),
             )
+            .otherwise(empty)
         )
-        created = F.flatten(
-            F.transform(
-                after_keys,
-                lambda k: F.when(
-                    F.try_element_at(before, k).isNull(),
-                    F.array(
-                        _effect(
-                            "signer_created",
-                            source,
-                            _j(public_key=k, weight=F.try_element_at(after, k)),
-                        )
-                    ),
-                ).otherwise(empty),
+        if has_changes:
+            acct_signer_changes = F.filter(
+                chg,
+                lambda c: (c["entry_type"] == "account")
+                & c["pre"].isNotNull()
+                & c["post"].isNotNull()
+                & (
+                    c["pre"]["signers"].isNotNull()
+                    | c["post"]["signers"].isNotNull()
+                ),
             )
-        )
-        return F.concat(removed_updated, created)
-
-    acct_signer_changes = F.filter(
-        chg,
-        lambda c: (c["entry_type"] == "account")
-        & c["pre"].isNotNull()
-        & c["post"].isNotNull()
-        & (c["pre"]["signers"].isNotNull() | c["post"]["signers"].isNotNull()),
-    )
-    change_driven_signers = F.flatten(F.transform(acct_signer_changes, _signer_diff))
-    body_fallback_signers = (
-        F.when(
-            body["signer_key"].isNotNull() & (body["signer_weight"] > 0),
-            F.array(
-                _effect(
-                    "signer_created",
-                    source,
-                    _j(public_key=body["signer_key"], weight=body["signer_weight"]),
-                )
-            ),
-        )
-        .when(
-            body["signer_key"].isNotNull() & (body["signer_weight"] == 0),
-            F.array(_effect("signer_removed", source, _j(public_key=body["signer_key"]))),
-        )
-        .otherwise(empty)
-    )
-    signer_effects = F.when(
-        F.size(acct_signer_changes) > 0, change_driven_signers
-    ).otherwise(body_fallback_signers)
+            change_driven_signers = F.flatten(
+                F.transform(acct_signer_changes, _signer_diff)
+            )
+            signer_effects = F.when(
+                F.size(acct_signer_changes) > 0, change_driven_signers
+            ).otherwise(body_fallback_signers)
+        else:
+            # no row carries changes → the change-driven arm can never fire
+            signer_effects = body_fallback_signers
 
     # ---- change_trust: change-driven created/updated/removed --------------
     # (effects.go:637-696; first trustline change whose pool-ness matches the
     # op line wins; an op with changes but no matching trustline change emits
     # nothing — the account-trusts-itself regression, effects_test.go:2029).
-    line_is_pool = F.coalesce(
-        body["line"]["asset_type"] == "pool_share", F.lit(False)
-    )
-
-    def _tl_is_pool(c):
-        e = _entry(c)
-        return e["pool_id"].isNotNull() | F.coalesce(
-            e["asset"]["asset_type"] == "pool_share", F.lit(False)
+    if pr(6):
+        line_is_pool = F.coalesce(
+            body["line"]["asset_type"] == "pool_share", F.lit(False)
         )
 
-    tl_matches = F.filter(
-        chg,
-        lambda c: (c["entry_type"] == "trustline")
-        & (_tl_is_pool(c) == line_is_pool),
-    )
-    first_tl = F.try_element_at(tl_matches, F.lit(1))
-    tl_verb = (
-        F.when(first_tl["pre"].isNull(), F.lit("trustline_created"))
-        .when(first_tl["post"].isNull(), F.lit("trustline_removed"))
-        .otherwise(F.lit("trustline_updated"))
-    )
-    tl_details = F.when(
-        line_is_pool,
-        _j(
-            limit=_amt_str(body["limit"]),
-            asset_type=F.lit("liquidity_pool_shares"),
-            liquidity_pool_id=body["pool_id"],
-        ),
-    ).otherwise(
-        _j(
-            limit=_amt_str(body["limit"]),
-            asset_type=body["line"]["asset_type"],
-            asset_code=body["line"]["asset_code"],
-            asset_issuer=body["line"]["asset_issuer"],
+        def _tl_is_pool(c):
+            e = _entry(c)
+            return e["pool_id"].isNotNull() | F.coalesce(
+                e["asset"]["asset_type"] == "pool_share", F.lit(False)
+            )
+
+        # legacy limit heuristic when the source carries no change list at all
+        change_trust_legacy = (
+            F.when(
+                body["limit"] > 0,
+                F.array(
+                    _effect(
+                        "trustline_created",
+                        source,
+                        _j(
+                            asset_type=body["line"]["asset_type"],
+                            asset_code=body["line"]["asset_code"],
+                            asset_issuer=body["line"]["asset_issuer"],
+                            limit=_amt_str(body["limit"]),
+                        ),
+                    )
+                ),
+            )
+            .when(
+                body["limit"] == 0,
+                F.array(
+                    _effect(
+                        "trustline_removed",
+                        source,
+                        _j(
+                            asset_type=body["line"]["asset_type"],
+                            asset_code=body["line"]["asset_code"],
+                            asset_issuer=body["line"]["asset_issuer"],
+                        ),
+                    )
+                ),
+            )
+            .otherwise(empty)
         )
-    )
-    change_trust_driven = F.when(
-        first_tl.isNotNull(),
-        F.array(_effect_dyn(tl_verb, source, tl_details)),
-    ).otherwise(empty)
-    # legacy limit heuristic when the source carries no change list at all
-    change_trust_legacy = (
-        F.when(
-            body["limit"] > 0,
-            F.array(
-                _effect(
-                    "trustline_created",
-                    source,
-                    _j(
-                        asset_type=body["line"]["asset_type"],
-                        asset_code=body["line"]["asset_code"],
-                        asset_issuer=body["line"]["asset_issuer"],
-                        limit=_amt_str(body["limit"]),
-                    ),
+        if has_changes:
+            tl_matches = F.filter(
+                chg,
+                lambda c: (c["entry_type"] == "trustline")
+                & (_tl_is_pool(c) == line_is_pool),
+            )
+            first_tl = F.try_element_at(tl_matches, F.lit(1))
+            tl_verb = (
+                F.when(first_tl["pre"].isNull(), F.lit("trustline_created"))
+                .when(first_tl["post"].isNull(), F.lit("trustline_removed"))
+                .otherwise(F.lit("trustline_updated"))
+            )
+            tl_details = F.when(
+                line_is_pool,
+                _j(
+                    limit=_amt_str(body["limit"]),
+                    asset_type=F.lit("liquidity_pool_shares"),
+                    liquidity_pool_id=body["pool_id"],
+                ),
+            ).otherwise(
+                _j(
+                    limit=_amt_str(body["limit"]),
+                    asset_type=body["line"]["asset_type"],
+                    asset_code=body["line"]["asset_code"],
+                    asset_issuer=body["line"]["asset_issuer"],
                 )
-            ),
-        )
-        .when(
-            body["limit"] == 0,
-            F.array(
-                _effect(
-                    "trustline_removed",
-                    source,
-                    _j(
-                        asset_type=body["line"]["asset_type"],
-                        asset_code=body["line"]["asset_code"],
-                        asset_issuer=body["line"]["asset_issuer"],
-                    ),
-                )
-            ),
-        )
-        .otherwise(empty)
-    )
-    change_trust_effects = F.when(F.size(chg) == 0, change_trust_legacy).otherwise(
-        change_trust_driven
-    )
+            )
+            change_trust_driven = F.when(
+                first_tl.isNotNull(),
+                F.array(_effect_dyn(tl_verb, source, tl_details)),
+            ).otherwise(empty)
+            change_trust_effects = F.when(
+                F.size(chg) == 0, change_trust_legacy
+            ).otherwise(change_trust_driven)
+        else:
+            # size(chg) == 0 on every row → always the legacy arm
+            change_trust_effects = change_trust_legacy
 
     # ---- liquidity-pool revocation (effects.go:1142-1266, simplified) -----
     # allow_trust / set_trust_line_flags revoking pool-share trustlines create
     # claimable balances for the redeemed reserves; emit CB-created effects
-    # then liquidity_pool_revoked with the revoked reserves.
+    # then liquidity_pool_revoked with the revoked reserves.  Entirely
+    # change-driven: with no changes anywhere it is provably empty.
+    lp_revocation_possible = pr(7, 21) and has_changes
     cb_created_changes = F.filter(
         chg,
         lambda c: (c["entry_type"] == "claimable_balance")
@@ -506,37 +566,45 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
             ),
         )
 
-    lp_revoked_effects = F.when(
-        (F.size(cb_created_changes) > 0) & lp_pre_change.isNotNull(),
-        F.concat(
-            F.flatten(F.transform(cb_created_changes, _cb_created_effects)),
-            F.array(
-                _effect(
-                    "liquidity_pool_revoked",
-                    source,
-                    _j(
-                        liquidity_pool_id=lp_pre_change["pre"]["pool_id"],
-                        shares_revoked=_amt_str(
-                            lp_pre_change["pre"]["total_shares"]
-                            - F.coalesce(
-                                lp_pre_change["post"]["total_shares"], F.lit(0)
-                            )
-                        ),
-                        reserves_revoked=F.transform(
-                            cb_created_changes,
-                            lambda c: F.struct(
-                                _canonical(c["post"]["asset"]).alias("asset"),
-                                _amt_str(c["post"]["amount"]).alias("amount"),
-                                c["post"]["balance_id"].alias(
-                                    "claimable_balance_id"
+    if lp_revocation_possible:
+        lp_revoked_effects = F.when(
+            (F.size(cb_created_changes) > 0) & lp_pre_change.isNotNull(),
+            F.concat(
+                F.flatten(F.transform(cb_created_changes, _cb_created_effects)),
+                F.array(
+                    _effect(
+                        "liquidity_pool_revoked",
+                        source,
+                        _j(
+                            liquidity_pool_id=lp_pre_change["pre"]["pool_id"],
+                            shares_revoked=_amt_str(
+                                lp_pre_change["pre"]["total_shares"]
+                                - F.coalesce(
+                                    lp_pre_change["post"]["total_shares"],
+                                    F.lit(0),
+                                )
+                            ),
+                            reserves_revoked=F.transform(
+                                cb_created_changes,
+                                lambda c: F.struct(
+                                    _canonical(c["post"]["asset"]).alias(
+                                        "asset"
+                                    ),
+                                    _amt_str(c["post"]["amount"]).alias(
+                                        "amount"
+                                    ),
+                                    c["post"]["balance_id"].alias(
+                                        "claimable_balance_id"
+                                    ),
                                 ),
                             ),
                         ),
-                    ),
-                )
+                    )
+                ),
             ),
-        ),
-    ).otherwise(empty)
+        ).otherwise(empty)
+    else:
+        lp_revoked_effects = empty
 
     # ---- allow_trust / set_trust_line_flags details (effects.go:697-729,
     # 1091-1127) ------------------------------------------------------------
@@ -546,7 +614,7 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
         trustor=body["trustor"],
         **_asset_kv(body["asset"]),
     )
-    auth_flags = F.coalesce(body["authorize_flags"], F.lit(0))
+    auth_flags = F.coalesce(body["authorize_flags"], F.lit(0))  # t=7 only
     # setTrustLineFlagDetails with the reference's own key spelling —
     # "authorized_to_maintain_liabilites" is their typo, preserved for
     # byte-level parity with schema.go / the goldens.
@@ -590,18 +658,32 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
     )
 
     # ---- footprint ops: affected ttl entries (effects.go:1432-1513) -------
-    ttl_entries = F.transform(
-        F.filter(
-            chg,
-            lambda c: (c["entry_type"] == "ttl") & c["post"].isNotNull(),
-        ),
-        lambda c: c["post"]["key_hash"],
+    # with no changes anywhere the filter is provably [] — emit the same
+    # empty list without the per-row scan
+    ttl_entries = (
+        F.transform(
+            F.filter(
+                chg,
+                lambda c: (c["entry_type"] == "ttl") & c["post"].isNotNull(),
+            ),
+            lambda c: c["post"]["key_hash"],
+        )
+        if has_changes
+        else F.array().cast("array<string>")
     )
 
-    effects_array = (
-        # create_account → account_created + account_debited + signer_created
-        # (effects.go:401-427)
-        F.when(
+    # ---- the op-type switch, as a PRUNED branch list: only families whose
+    # op type can occur are built (absent branches provably yield empty
+    # arrays, so the emitted rows are identical) ----------------------------
+    branches: list[tuple[Column, Column]] = []
+
+    def _br(cond: Column, val: Column) -> None:
+        branches.append((cond, val))
+
+    # create_account → account_created + account_debited + signer_created
+    # (effects.go:401-427)
+    if pr(0):
+        _br(
             t == 0,
             F.array(
                 _effect(
@@ -624,8 +706,9 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                 ),
             ),
         )
-        # payment → credited(dest) + debited(source) (effects.go:429-445)
-        .when(
+    # payment → credited(dest) + debited(source) (effects.go:429-445)
+    if pr(1):
+        _br(
             t == 1,
             F.array(
                 _effect("account_credited", body["to"], asset_json),
@@ -636,10 +719,11 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                 ),
             ),
         )
-        # path_payment_strict_receive → credited(dest, op.DestAmount) +
-        # debited(source, result.SendAmount) (effects.go:447-472); the trade
-        # family appends below
-        .when(
+    # path_payment_strict_receive → credited(dest, op.DestAmount) +
+    # debited(source, result.SendAmount) (effects.go:447-472); the trade
+    # family appends below
+    if pr(2):
+        _br(
             t == 2,
             F.array(
                 _effect(
@@ -660,10 +744,11 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                 ),
             ),
         )
-        # path_payment_strict_send → credited(dest, result.DestAmount) +
-        # debited(source, op.SendAmount) (effects.go:474-489); silver fills
-        # body.amount from the result, body.source_amount from the op
-        .when(
+    # path_payment_strict_send → credited(dest, result.DestAmount) +
+    # debited(source, op.SendAmount) (effects.go:474-489); silver fills
+    # body.amount from the result, body.source_amount from the op
+    if pr(13):
+        _br(
             t == 13,
             F.array(
                 _effect(
@@ -684,9 +769,10 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                 ),
             ),
         )
-        # account_merge → debited(src, result.sourceAccountBalance) +
-        # credited(dest) + removed(src, {}) (effects.go:730-743)
-        .when(
+    # account_merge → debited(src, result.sourceAccountBalance) +
+    # credited(dest) + removed(src, {}) (effects.go:730-743)
+    if pr(8):
+        _br(
             t == 8,
             F.array(
                 _effect(
@@ -708,12 +794,14 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                 _effect("account_removed", source, F.lit("{}")),
             ),
         )
-        # change_trust → created/updated/removed (effects.go:637-696)
-        .when(t == 6, change_trust_effects)
-        # allow_trust → TWO trustline_flags_updated effects, both addressed
-        # to the SOURCE (the issuer): the legacy details {trustor, asset}
-        # and the forward-compat flag effect (effects.go:697-729)
-        .when(
+    # change_trust → created/updated/removed (effects.go:637-696)
+    if pr(6):
+        _br(t == 6, change_trust_effects)
+    # allow_trust → TWO trustline_flags_updated effects, both addressed
+    # to the SOURCE (the issuer): the legacy details {trustor, asset}
+    # and the forward-compat flag effect (effects.go:697-729)
+    if pr(7):
+        _br(
             t == 7,
             F.concat(
                 F.array(
@@ -731,9 +819,10 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                 lp_revoked_effects,
             ),
         )
-        # set_trust_line_flags → one flags effect from the op's set/clear
-        # masks (addSetTrustLineFlagsEffects, effects.go:1091-1096)
-        .when(
+    # set_trust_line_flags → one flags effect from the op's set/clear
+    # masks (addSetTrustLineFlagsEffects, effects.go:1091-1096)
+    if pr(21):
+        _br(
             t == 21,
             F.concat(
                 F.array(
@@ -746,9 +835,10 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                 lp_revoked_effects,
             ),
         )
-        # set_options → home domain / thresholds / flags / inflation dest /
-        # signer effects, in reference order (effects.go:520-635)
-        .when(
+    # set_options → home domain / thresholds / flags / inflation dest /
+    # signer effects, in reference order (effects.go:520-635)
+    if pr(5):
+        _br(
             t == 5,
             F.concat(
                 F.when(
@@ -794,8 +884,9 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                 signer_effects,
             ),
         )
-        # inflation → one account_credited per payout (effects.go:745-755)
-        .when(
+    # inflation → one account_credited per payout (effects.go:745-755)
+    if pr(9):
+        _br(
             t == 9,
             F.transform(
                 F.coalesce(
@@ -814,23 +905,41 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                 ),
             ),
         )
-        # manage_data → data created/removed/updated (effects.go:757-797)
-        .when(
-            (t == 10) & body["data_value"].isNotNull(),
-            F.array(
-                _effect(
-                    "data_created",
-                    source,
-                    _j(name=body["data_name"], value=body["data_value"]),
+    # manage_data → data created/removed/updated (effects.go:757-797): the
+    # FIRST data-entry change decides the verb (before==nil → created,
+    # after==nil → removed, both → updated); the body's value nullity is the
+    # fallback heuristic when the source carries no change list (it cannot
+    # distinguish created from updated — change-less fixtures only).
+    if pr(10):
+        data_details = _j(name=body["data_name"], value=body["data_value"])
+        body_verb = F.when(
+            body["data_value"].isNotNull(), F.lit("data_created")
+        ).otherwise(F.lit("data_removed"))
+        if has_changes:
+            first_data = F.try_element_at(
+                F.filter(chg, lambda c: c["entry_type"] == "data"), F.lit(1)
+            )
+            data_verb = (
+                F.when(first_data.isNull(), body_verb)
+                .when(
+                    first_data["pre"].isNull() & first_data["post"].isNotNull(),
+                    F.lit("data_created"),
                 )
-            ),
+                .when(
+                    first_data["pre"].isNotNull() & first_data["post"].isNull(),
+                    F.lit("data_removed"),
+                )
+                .otherwise(F.lit("data_updated"))
+            )
+        else:
+            data_verb = body_verb
+        _br(
+            t == 10,
+            F.array(_effect_dyn(data_verb, source, data_details)),
         )
-        .when(
-            (t == 10) & body["data_value"].isNull(),
-            F.array(_effect("data_removed", source, _j(name=body["data_name"]))),
-        )
-        # bump_sequence → sequence_bumped (effects.go:798-832)
-        .when(
+    # bump_sequence → sequence_bumped (effects.go:798-832)
+    if pr(11):
+        _br(
             t == 11,
             F.array(
                 _effect(
@@ -838,9 +947,10 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                 )
             ),
         )
-        # create_claimable_balance → created + one claimant effect per claimant
-        # (effects.go:833-905)
-        .when(
+    # create_claimable_balance → created + one claimant effect per claimant
+    # (effects.go:833-905)
+    if pr(14):
+        _br(
             t == 14,
             F.concat(
                 F.array(
@@ -860,9 +970,10 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                 ),
             ),
         )
-        # claim_claimable_balance → claimed{balance_id, asset, amount} +
-        # account_credited (effects.go:906-964)
-        .when(
+    # claim_claimable_balance → claimed{balance_id, asset, amount} +
+    # account_credited (effects.go:906-964)
+    if pr(15):
+        _br(
             t == 15,
             F.concat(
                 F.array(
@@ -884,18 +995,20 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                 ).otherwise(empty),
             ),
         )
-        # clawback → credited(issuer=source) THEN debited(from)
-        # (effects.go:1033-1055 order)
-        .when(
+    # clawback → credited(issuer=source) THEN debited(from)
+    # (effects.go:1033-1055 order)
+    if pr(19):
+        _br(
             t == 19,
             F.array(
                 _effect("account_credited", source, asset_json),
                 _effect("account_debited", body["from"], asset_json),
             ),
         )
-        # clawback_claimable_balance → clawed_back + credited from the removed
-        # CB entry (effects.go:1057-1089)
-        .when(
+    # clawback_claimable_balance → clawed_back + credited from the removed
+    # CB entry (effects.go:1057-1089)
+    if pr(20):
+        _br(
             t == 20,
             F.concat(
                 F.array(
@@ -930,8 +1043,9 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                 ).otherwise(empty),
             ),
         )
-        # liquidity pool deposit / withdraw (effects.go:1268-1318)
-        .when(
+    # liquidity pool deposit / withdraw (effects.go:1268-1318)
+    if pr(22):
+        _br(
             t == 22,
             F.array(
                 _effect(
@@ -944,7 +1058,8 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                 )
             ),
         )
-        .when(
+    if pr(23):
+        _br(
             t == 23,
             F.array(
                 _effect(
@@ -957,8 +1072,9 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                 )
             ),
         )
-        # extend_footprint_ttl / restore_footprint (effects.go:1432-1513)
-        .when(
+    # extend_footprint_ttl / restore_footprint (effects.go:1432-1513)
+    if pr(25):
+        _br(
             t == 25,
             F.array(
                 _effect(
@@ -968,25 +1084,30 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
                 )
             ),
         )
-        .when(
+    if pr(26):
+        _br(
             t == 26,
             F.array(
                 _effect("restore_footprint", source, _j(entries=ttl_entries))
             ),
         )
-        # begin/end/revoke sponsoring, manage offers, invoke host fn: direct
-        # effects come only from changes / atoms / events (effects.go:105-107)
-        .otherwise(empty)
-    )
+    # begin/end/revoke sponsoring, manage offers, invoke host fn: direct
+    # effects come only from changes / atoms / events (effects.go:105-107)
+    chain = None
+    for _cond, _val in branches:
+        chain = F.when(_cond, _val) if chain is None else chain.when(_cond, _val)
+    effects_array = chain.otherwise(empty) if chain is not None else empty
 
     # trade-capable ops append the per-atom effect family
-    # (addIngestTradeEffects; offer_created skipped for strict-send)
-    effects_array = F.concat(
-        effects_array,
-        F.when(t == 13, _trade_family(skip_offer_created=True))
-        .when(t.isin(2, 3, 4, 12), _trade_family(skip_offer_created=False))
-        .otherwise(empty),
-    )
+    # (addIngestTradeEffects; offer_created skipped for strict-send) — built
+    # only when a trade-capable op type AND a non-empty atom list can occur
+    if has_atoms and pr(2, 3, 4, 12, 13):
+        trade_part = F.when(
+            t == 13, _trade_family(skip_offer_created=True)
+        ).when(
+            t.isin(2, 3, 4, 12), _trade_family(skip_offer_created=False)
+        ).otherwise(empty)
+        effects_array = F.concat(effects_array, trade_part)
 
     # ---- change-driven sponsorship state machine (effects.go:197-368) -----
     # per entry change: entry-family sponsorship transition, then per-signer
@@ -1147,15 +1268,18 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
             )
         )
 
-    effects_array = F.concat(
-        effects_array,
-        F.flatten(
-            F.transform(
-                chg,
-                lambda c: F.concat(_entry_sponsorship(c), _signer_sponsorship(c)),
-            )
-        ),
-    )
+    if has_changes:
+        effects_array = F.concat(
+            effects_array,
+            F.flatten(
+                F.transform(
+                    chg,
+                    lambda c: F.concat(
+                        _entry_sponsorship(c), _signer_sponsorship(c)
+                    ),
+                )
+            ),
+        )
 
     # ---- liquidity-pool entry lifecycle (effects.go:370-399) --------------
     def _lp_entry_effects(c):
@@ -1198,9 +1322,10 @@ def _effects_array_expr(changes_type: str, atoms_type: str) -> Column:
             .otherwise(empty)
         )
 
-    effects_array = F.concat(
-        effects_array, F.flatten(F.transform(chg, _lp_entry_effects))
-    )
+    if has_changes:
+        effects_array = F.concat(
+            effects_array, F.flatten(F.transform(chg, _lp_entry_effects))
+        )
 
     return effects_array
 
@@ -1233,9 +1358,30 @@ def transform_effects(
     else:
         ops = ops.withColumn("_closed_at", F.lit(None).cast("timestamp"))
 
+    # One column-pruned probe derives the pruning context: which op types
+    # occur, and whether ANY row carries changes / claim atoms.  The builder
+    # then skips families that provably emit nothing, collapsing the
+    # generated projection from ~350 KB (beyond JIT's compile threshold →
+    # interpreted) to just the reachable families.  Streams can't be
+    # probed — they get the full expression.
+    if operations.isStreaming:
+        present, has_changes, has_atoms = None, True, True
+    else:
+        prow = operations.agg(
+            F.collect_set("type").alias("_ts"),
+            F.max(F.size("changes")).alias("_mc"),
+            F.max(F.size("claim_atoms")).alias("_ma"),
+        ).first()
+        present = frozenset(int(x) for x in (prow["_ts"] or []))
+        has_changes = (prow["_mc"] or 0) > 0
+        has_atoms = (prow["_ma"] or 0) > 0
+
     effects_array = _effects_array_expr(
         operations.schema["changes"].dataType.simpleString(),
         operations.schema["claim_atoms"].dataType.simpleString(),
+        present,
+        has_changes,
+        has_atoms,
     )
     source = F.coalesce(F.col("source_account"), F.col("_tx_source"))
 
