@@ -164,6 +164,40 @@ def main() -> None:
     for name in bench_list:
         times[name] = min(run(name), run(name))
 
+    # ---- data-proportional scale point (round-3 verdict item 3) ----------
+    # sf0.1 numbers are fixed-cost dominated (~0.5-1 s scan/plan/codegen per
+    # query), hiding data-proportional regressions.  Re-run the heaviest
+    # queries on a key-shifted 10x replica (salted doc texts, so near-dup
+    # outputs scale with the corpus, not quadratically with replication —
+    # tools/make_scale_probe.py) and record both points.
+    times_10x: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_10X", "1") != "0":
+        from tools.make_scale_probe import build as build_probe
+
+        probe_dir = os.environ.get(
+            "SPARK_GRAFT_10X_DIR", "/tmp/spark_graft_probe_10x"
+        )
+        build_probe(sf_dir, probe_dir, 10)
+        heavy = [
+            "tpch_q1_pricing_summary", "tpch_q5_region_revenue",
+            "tpch_q9_product_profit", "tpch_q21_waiting_supplier",
+            "effects_fanout", "op_details_switch", "token_transfer_classify",
+            "sessionize_events", "word_explode_counts", "minhash_near_dup",
+            "ngram_jaccard_near_dup", "simhash_near_dup", "semantic_dedup",
+            "pq_ann_search", "sequence_packing",
+        ]
+        for name in heavy:
+            t0 = time.time()
+            QUERIES[name](spark, probe_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            first = round(time.time() - t0, 3)
+            t0 = time.time()
+            QUERIES[name](spark, probe_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            times_10x[name] = min(first, round(time.time() - t0, 3))
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -177,22 +211,28 @@ def main() -> None:
     # contract holds without blowing the tail budget.
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_queries.json"), "w") as fh:
-        json.dump({"sf": sf_val, "queries": times}, fh, indent=1, sort_keys=True)
+        json.dump(
+            {"sf": sf_val, "queries": times, "queries_10x": times_10x},
+            fh, indent=1, sort_keys=True,
+        )
 
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_sec",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "n_queries": len(times),
-                "queries": slowest,
-                "queries_file": "bench_queries.json",
-                "sf": sf_val,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_wall_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "n_queries": len(times),
+        "queries": slowest,
+        "queries_file": "bench_queries.json",
+        "sf": sf_val,
+    }
+    if times_10x:
+        record["value_10x"] = round(sum(times_10x.values()), 3)
+        record["n_queries_10x"] = len(times_10x)
+        record["queries_10x"] = {
+            k: v for k, v in sorted(times_10x.items(), key=lambda kv: -kv[1])[:10]
+        }
+    print(json.dumps(record))
     spark.stop()
 
 

@@ -71,37 +71,22 @@ def export_batches(
     writer.json(path) if fmt == "json" else writer.parquet(path)
 
 
-def transform_stats(
-    attempted: DataFrame,
-    successful: DataFrame | None = None,
-    success: object | None = None,
-) -> dict[str, int]:
+def transform_stats(attempted: DataFrame, success: object) -> dict[str, int]:
     """attempted/successful/failed counts (``PrintTransformStats``,
-    command_utils.go:90-103).
-
-    Preferred single-job form: pass ``success`` (a boolean Column or column
-    name on ``attempted``) — one aggregate computes both counts.  The legacy
-    two-frame form (pre-split successful subset) costs two count jobs and is
-    kept for callers that only have the split frames."""
-    if success is not None:
-        pred = F.col(success) if isinstance(success, str) else success
-        row = attempted.agg(
-            F.count(F.lit(1)).alias("attempted"),
-            F.coalesce(
-                F.sum(pred.cast("int")), F.lit(0)
-            ).alias("successful"),
-        ).first()
-        return {
-            "attempted": row["attempted"],
-            "successful": row["successful"],
-            "failed": row["attempted"] - row["successful"],
-        }
-    n_att = attempted.count()
-    n_ok = successful.count()
+    command_utils.go:90-103) in ONE aggregate job: ``success`` is a boolean
+    Column or column name over ``attempted``.  (The legacy two-frame form —
+    a pre-split successful subset costing a second count job — was removed;
+    pass the predicate instead, or use :func:`export_with_stats` to fold the
+    stats into the export job itself.)"""
+    pred = F.col(success) if isinstance(success, str) else success
+    row = attempted.agg(
+        F.count(F.lit(1)).alias("attempted"),
+        F.coalesce(F.sum(pred.cast("int")), F.lit(0)).alias("successful"),
+    ).first()
     return {
-        "attempted": n_att,
-        "successful": n_ok,
-        "failed": n_att - n_ok,
+        "attempted": row["attempted"],
+        "successful": row["successful"],
+        "failed": row["attempted"] - row["successful"],
     }
 
 

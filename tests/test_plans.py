@@ -13,22 +13,87 @@ def plan_of(spark, sf_dir, name: str) -> str:
     import contextlib
     import io
 
-    from pyspark.sql import DataFrame
+    from stellar_etl_spark.plans.audit import no_lineage_cut
 
     # Audit with FULL lineage: localCheckpoint (used by iterative operators
     # and the cache-release discipline in operators/util.materialize_release)
     # cuts the plan at a LogicalRDD, which would make these assertions
     # vacuous for every checkpointed query.
-    orig = DataFrame.localCheckpoint
-    DataFrame.localCheckpoint = lambda self, eager=True: self  # type: ignore[method-assign]
-    try:
+    with no_lineage_cut():
         df = QUERIES[name](spark, sf_dir)
-    finally:
-        DataFrame.localCheckpoint = orig
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+class TestClusterShape:
+    """Cluster-shape rehearsal (round-3 verdict item 4): re-plan
+    representative queries with shuffle.partitions=2000 and AQE off — the
+    cheapest local approximation of a 1000-executor deployment — and assert
+    no plan flips to a nested-loop join or loses its map-side partial
+    aggregate.  AQE-off matters: locally AQE can rescue a bad static plan
+    by runtime re-planning, but the static plan is what a cost regression
+    first corrupts."""
+
+    # queries with NO deliberate 1-row scalar crossJoin (those plan as
+    # BroadcastNestedLoop by design and are allowlisted out of this guard)
+    GUARDED = [
+        "tpch_q1_pricing_summary",
+        "tpch_q3_top_orders",
+        "tpch_q5_region_revenue",
+        "tpch_q9_product_profit",
+        "tpch_q18_large_orders",
+        "tpch_q21_waiting_supplier",
+        "top_customers_per_nation",
+        "sessionize_events",
+        "minhash_near_dup",
+        "ngram_jaccard_near_dup",
+        "simhash_near_dup",
+        "exact_dedup",
+        "word_explode_counts",
+        "effects_fanout",
+        "inverted_index",
+        "sequence_packing",
+        "asof_attribution",
+        "errors_in_sessions",
+        "dormant_customers",
+    ]
+    # subset whose default plan carries a partial (map-side) aggregate —
+    # scaling the shuffle width must not drop it
+    PARTIAL_AGG = {
+        "tpch_q1_pricing_summary",
+        "tpch_q3_top_orders",
+        "tpch_q5_region_revenue",
+        "tpch_q9_product_profit",
+        "tpch_q18_large_orders",
+        "tpch_q21_waiting_supplier",
+        "sessionize_events",
+        "exact_dedup",
+        "word_explode_counts",
+        "inverted_index",
+        "errors_in_sessions",
+        "dormant_customers",
+    }
+
+    def test_plans_cluster_shape(self, spark, sf_dir):
+        conf = spark.conf
+        saved = {
+            k: conf.get(k)
+            for k in ("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
+        }
+        conf.set("spark.sql.shuffle.partitions", "2000")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            for name in self.GUARDED:
+                plan = plan_of(spark, sf_dir, name)
+                assert "BroadcastNestedLoop" not in plan, f"{name} flipped to BNLJ"
+                assert "CartesianProduct" not in plan, f"{name} went cartesian"
+                if name in self.PARTIAL_AGG:
+                    assert "partial_" in plan, f"{name} lost its partial aggregate"
+        finally:
+            for k, v in saved.items():
+                conf.set(k, v)
 
 
 class TestPushdown:

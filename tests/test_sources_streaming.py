@@ -101,15 +101,6 @@ class TestSinks:
         }
         assert dirs == {"_batch=0", "_batch=1"}
 
-    def test_transform_stats(self, spark):
-        att = spark.range(10)
-        ok = spark.range(7)
-        assert transform_stats(att, ok) == {
-            "attempted": 10,
-            "successful": 7,
-            "failed": 3,
-        }
-
     def test_transform_stats_single_pass(self, spark):
         from pyspark.sql import functions as F
 
