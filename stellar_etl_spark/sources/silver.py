@@ -773,10 +773,34 @@ _OP_RESULT_CODE_NAMES = {
 }
 
 
+# ScError type/code ordinals → the snake_case names stellar-xdr's serde
+# emits (Stellar-contract.x SCErrorType / SCErrorCode, in declaration order)
+_SC_ERROR_TYPES = (
+    "contract", "wasm_vm", "context", "storage", "object",
+    "crypto", "events", "budget", "value", "auth",
+)
+_SC_ERROR_CODES = (
+    "arith_domain", "index_bounds", "invalid_input", "missing_value",
+    "existing_value", "exceeded_limit", "invalid_action", "internal_error",
+    "unexpected_type", "unexpected_size",
+)
+
+
 def sc_val_json(v) -> object:
     """JSON-able rendering of a decoded SCVal, matching the reference's
     xdrjson shape (bytes as hex, recursive vec/map, SCAddress as its
-    strkey string — testdata/changes/contract_data.golden key_decoded)."""
+    strkey string — testdata/changes/contract_data.golden key_decoded /
+    val_decoded).  The wire dicts (read_sc_val) keep faithful XDR field
+    names and raw integers; the JSON-shape adaptations live HERE:
+
+    - ScString renders as a UTF-8 JSON string, not hex (golden storage
+      keys: ``{"key":{"string":"admin"}}``);
+    - ScContractInstance renders as ``contract_instance`` with executable
+      ``{"wasm": <hex>}`` / ``"stellar_asset"`` (golden val_decoded);
+    - U/Int256Parts render as the four named u64 limbs (hi_hi signed for
+      i256), per the public stellar-xdr serde shape;
+    - ScError renders as ``{"<type>": <contract_code|code_name>}``.
+    """
     import json as _json
 
     def conv(x):
@@ -787,6 +811,40 @@ def sc_val_json(v) -> object:
                 s = _addr_str(x["address"])
                 if s is not None:
                     return {"address": s}
+            if set(x) == {"string"} and isinstance(x["string"], (bytes, bytearray)):
+                return {"string": x["string"].decode("utf-8", errors="replace")}
+            if set(x) == {"u256"} and isinstance(x["u256"], list):
+                a, b, c, d = x["u256"]
+                return {"u256": {"hi_hi": a, "hi_lo": b, "lo_hi": c, "lo_lo": d}}
+            if set(x) == {"i256"} and isinstance(x["i256"], list):
+                a, b, c, d = x["i256"]
+                if a >= 1 << 63:  # hi_hi is the signed limb
+                    a -= 1 << 64
+                return {"i256": {"hi_hi": a, "hi_lo": b, "lo_hi": c, "lo_lo": d}}
+            if (
+                set(x) == {"error"}
+                and isinstance(x["error"], dict)
+                and "type" in x["error"]
+            ):
+                e = x["error"]
+                tname = _SC_ERROR_TYPES[e["type"]]
+                if e["type"] == 0:
+                    return {"error": {tname: e["contract_code"]}}
+                return {"error": {tname: _SC_ERROR_CODES[e["code"]]}}
+            if set(x) == {"instance"} and isinstance(x["instance"], dict):
+                inst = x["instance"]
+                ex = inst["executable"]
+                ex_out = (
+                    {"wasm": ex["wasm_hash"].hex()}
+                    if "wasm_hash" in ex
+                    else "stellar_asset"
+                )
+                return {
+                    "contract_instance": {
+                        "executable": ex_out,
+                        "storage": conv(inst["storage"]),
+                    }
+                }
             # void union arms render as the bare arm name (Go xdr JSON:
             # key_decoded "ledger_key_contract_instance" in the goldens)
             if len(x) == 1 and next(iter(x.values())) is None:

@@ -614,10 +614,15 @@ class TestChangesGoldenParity:
             for f in ("asset_code", "asset_issuer", "asset_type",
                       "balance", "balance_holder"):
                 assert _norm(g.get(f)) == _norm(m.get(f)), (k, f)
-            gd = g.get("key_decoded")
-            md = m.get("key_decoded")
-            if gd is not None and md is not None:
-                assert _details_equal(gd, json.loads(md)), k
+            # decoded ScVal JSON parity at FULL depth: the golden
+            # val_decoded rows carry contract_instance / string-keyed
+            # storage maps / nested vec-of-symbol shapes (round-3 verdict
+            # item 6 — key_decoded alone never exercised those arms)
+            for side in ("key_decoded", "val_decoded"):
+                gd = g.get(side)
+                md = m.get(side)
+                if gd is not None and md is not None:
+                    assert _details_equal(gd, json.loads(md)), (k, side)
 
     def test_ttl_recompute(self, change_frames):
         rows = self._routed(change_frames, "ttls")

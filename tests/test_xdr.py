@@ -346,3 +346,129 @@ class TestBronzeIntegration:
         assert rows[3].tx_count == 2
         assert rows[3].protocol_version == 20
         assert rows[4].closed_at.timestamp() == 1_704_067_220
+
+
+class TestScValArmParity:
+    """Byte-level + JSON-shape checks for the ScVal arms the mainnet/change
+    goldens never exercise (round-3 verdict item 6): u256/i256 limbs, both
+    SCError union arms, timepoint/duration, and a nested map-of-vectors.
+    The wire bytes are HAND-PACKED here (not produced by the writer under
+    test), so decode, re-encode, and the xdrjson-shaped rendering are each
+    checked independently."""
+
+    @staticmethod
+    def _arm(raw: bytes):
+        import json
+
+        from stellar_etl_spark.sources.xdr import Reader, Writer
+        from stellar_etl_spark.sources.xdr_ledger import (
+            read_sc_val,
+            write_sc_val,
+        )
+        from stellar_etl_spark.sources.silver import sc_val_json
+
+        v = read_sc_val(Reader(raw))
+        w = Writer()
+        write_sc_val(w, v)
+        assert w.bytes() == raw, "re-encode is not byte-exact"
+        return json.loads(sc_val_json(v))
+
+    def test_u256_named_limbs(self):
+        import struct
+
+        raw = struct.pack(">I4Q", 11, 1, 2, 3, 4)
+        assert self._arm(raw) == {
+            "u256": {"hi_hi": 1, "hi_lo": 2, "lo_hi": 3, "lo_lo": 4}
+        }
+
+    def test_i256_signed_hi_limb(self):
+        import struct
+
+        # hi_hi = -1 as two's-complement u64 on the wire
+        raw = struct.pack(">I4Q", 12, (1 << 64) - 1, 2, 3, 4)
+        assert self._arm(raw) == {
+            "i256": {"hi_hi": -1, "hi_lo": 2, "lo_hi": 3, "lo_lo": 4}
+        }
+
+    def test_error_contract_arm(self):
+        import struct
+
+        raw = struct.pack(">IiI", 2, 0, 5)  # SCE_CONTRACT, contractCode 5
+        assert self._arm(raw) == {"error": {"contract": 5}}
+
+    def test_error_code_arm(self):
+        import struct
+
+        # SCE_WASM_VM (1) + SCEC_EXCEEDED_LIMIT (5)
+        raw = struct.pack(">Iii", 2, 1, 5)
+        assert self._arm(raw) == {"error": {"wasm_vm": "exceeded_limit"}}
+
+    def test_timepoint_and_duration(self):
+        import struct
+
+        assert self._arm(struct.pack(">IQ", 7, 1714314460)) == {
+            "timepoint": 1714314460
+        }
+        assert self._arm(struct.pack(">IQ", 8, 3600)) == {"duration": 3600}
+
+    def test_string_renders_utf8(self):
+        import struct
+
+        raw = struct.pack(">II", 14, 5) + b"admin\x00\x00\x00"
+        assert self._arm(raw) == {"string": "admin"}
+
+    def test_nested_map_of_vectors(self):
+        import struct
+
+        def sym(s: str) -> bytes:
+            pad = (4 - len(s) % 4) % 4
+            return struct.pack(">II", 15, len(s)) + s.encode() + b"\x00" * pad
+
+        # map{ "assets" -> vec[ symbol "USD", i128{0, 7} ] }
+        val = (
+            struct.pack(">III", 17, 1, 1)  # map, some, 1 entry
+            + sym("assets")
+            + struct.pack(">III", 16, 1, 2)  # vec, some, 2 elems
+            + sym("USD")
+            + struct.pack(">IqQ", 10, 0, 7)  # i128 hi=0 lo=7
+        )
+        assert self._arm(val) == {
+            "map": [
+                {
+                    "key": {"symbol": "assets"},
+                    "val": {
+                        "vec": [
+                            {"symbol": "USD"},
+                            {"i128": {"hi": 0, "lo": 7}},
+                        ]
+                    },
+                }
+            ]
+        }
+
+    def test_contract_instance_rendering(self):
+        import struct
+
+        # SCV_CONTRACT_INSTANCE, wasm executable, storage some-empty
+        raw = (
+            struct.pack(">II", 19, 0)
+            + bytes(range(32))
+            + struct.pack(">II", 1, 0)
+        )
+        assert self._arm(raw) == {
+            "contract_instance": {
+                "executable": {"wasm": bytes(range(32)).hex()},
+                "storage": [],
+            }
+        }
+
+    def test_stellar_asset_executable(self):
+        import struct
+
+        raw = struct.pack(">III", 19, 1, 0)  # stellar_asset, storage None
+        assert self._arm(raw) == {
+            "contract_instance": {
+                "executable": "stellar_asset",
+                "storage": None,
+            }
+        }
