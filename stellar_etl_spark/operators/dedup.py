@@ -9,6 +9,17 @@ DataFrame programs:
   - LSH banding turns the quadratic all-pairs problem into an equi-join on
     (band_id, band_key): at 100 TB that is one shuffle keyed by band hash,
     with AQE skew-splitting hot buckets; no driver-side state anywhere.
+
+Sizing the verify stage before running it (the 10× probe lesson): the
+candidate/output volume of every near-dup operator is bounded below by the
+TRUE answer size, and for a corpus whose duplicate groups have sizes c_1,
+c_2, … the pair count is Σ c_i·(c_i−1)/2 — quadratic in GROUP size, not
+corpus size.  A corpus of n docs with duplication rate d spread over
+many small groups yields ≈ n·d pairs; the same rate concentrated in few
+giant groups yields ≈ (n·d)² / (2·#groups).  Estimate Σ c_i² cheaply
+first (one exact-dedup hash aggregate → ``sum(dup_count²)``) and budget
+the verify join for that output — a plan that is linear in candidates
+cannot be sublinear in the answer it must emit.
 """
 
 from __future__ import annotations
