@@ -237,6 +237,24 @@ def label_propagation(
     counts keep lineage shallow (checkpoint per-k-rounds only pays off
     past ~5 iterations, measured on pagerank).  Isolated nodes keep their
     own id via the final left join."""
+    labels = label_propagation_labels(edges, src, dst, iterations)
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("node").cast("long").alias("min_node"),
+        F.max("node").cast("long").alias("max_node"),
+    )
+
+
+def label_propagation_labels(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    iterations: int = 3,
+) -> DataFrame:
+    """Per-node (node, label) assignment from synchronous LPA — the label
+    frame :func:`label_propagation` aggregates; exposed separately so
+    partition-quality metrics (modularity) can reuse the identical
+    deterministic rounds."""
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     # the symmetrized edge list appears in every iteration AND inside each
@@ -258,8 +276,127 @@ def label_propagation(
         labels = nodes.join(picked, "node", "left").select(
             "node", F.coalesce("label", F.col("node")).alias("label")
         )
-    return labels.groupBy("label").agg(
-        F.count(F.lit(1)).cast("long").alias("n_members"),
-        F.min("node").cast("long").alias("min_node"),
-        F.max("node").cast("long").alias("max_node"),
+    return labels
+
+
+def modularity_summary(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Newman modularity of a node partition over an undirected simple
+    graph, in EXACT integer arithmetic:
+
+        Q = Σ_c [ e_c/m − (d_c / 2m)² ]  =  (4m·Σe_c − Σd_c²) / (4m²)
+
+    with e_c = intra-community edge count, d_c = total degree of community
+    c, m = |edges|.  Everything up to the single edge divide is integer
+    (Σd_c² via the wide-decimal ratio helper, since d_c² sums can pass
+    2^53 on power-law graphs).  One summary row — the partition-quality
+    gate for any community detection run.
+
+    Scale shape: one broadcast-or-shuffle join of edges against the label
+    frame (twice, once per endpoint), two label-keyed aggregates, no
+    windows.
+    """
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+
+    la = labels.select(
+        F.col("node").alias(src), F.col("label").alias("_la")
     )
+    lb = labels.select(
+        F.col("node").alias(dst), F.col("label").alias("_lb")
+    )
+    tagged = edges.select(src, dst).join(la, src).join(lb, dst)
+    m_intra = tagged.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.when(F.col("_la") == F.col("_lb"), 1).otherwise(0))
+        .cast("long")
+        .alias("sum_intra"),
+    )
+    deg = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    dc = deg.join(labels, "node").groupBy("label").agg(
+        F.sum("d").cast("long").alias("d_c")
+    )
+    dsq = dc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum(F.col("d_c") * F.col("d_c")).cast("long").alias("sum_dsq"),
+    )
+    q_num = (
+        F.lit(4).cast("long") * F.col("m") * F.col("sum_intra")
+        - F.col("sum_dsq")
+    )
+    return (
+        m_intra.crossJoin(dsq)
+        .select(
+            "m",
+            "n_communities",
+            "sum_intra",
+            exact_ratio_round6_wide(
+                q_num, F.lit(4).cast("long") * F.col("m") * F.col("m")
+            ).alias("modularity"),
+        )
+    )
+
+
+def k_core_peel(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 4,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Bounded k-core peeling: each round drops nodes of degree < ``k``
+    (over the surviving subgraph) and the edges touching them; output is
+    one row per round with the surviving node/edge counts — the standard
+    degeneracy screen for graph cleanup (spam rings, bot clusters, dense
+    subgraph mining).
+
+    The round count is FIXED, not run-to-fixpoint, so the oracle can
+    unroll the identical peel: both engines compute the same bounded
+    program, and the per-round curve itself shows whether the peel
+    converged (equal consecutive rows).  Per round: one degree aggregate +
+    two semi-join-shaped filters, all keyed by node id; lineage is cut per
+    round with a lazy checkpoint so the unrolled plan stays additive.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    summaries = []
+    for r in range(1, rounds + 1):
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("_d"))
+        )
+        keep = deg.where(F.col("_d") >= k).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "u"), "u")
+            .join(keep.withColumnRenamed("n", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        nodes = e.select(F.col("u").alias("n")).unionAll(
+            e.select(F.col("v").alias("n"))
+        )
+        summaries.append(
+            e.agg(
+                F.lit(r).cast("int").alias("round"),
+                F.count(F.lit(1)).cast("long").alias("edges_remaining"),
+            ).crossJoin(
+                nodes.agg(
+                    F.count_distinct(F.col("n"))
+                    .cast("long")
+                    .alias("nodes_remaining")
+                )
+            )
+        )
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    return out.select("round", "nodes_remaining", "edges_remaining")

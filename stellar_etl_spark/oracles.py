@@ -4938,3 +4938,295 @@ SELECT day, total_cents, new_user_cents,
   END AS new_revenue_share
 FROM daily
 """
+
+ORACLES["media_image_phash_dedup"] = """
+WITH d AS (
+  SELECT doc_id, (3 * doc_id) % 251 AS a FROM documents
+),
+lum AS (
+  SELECT doc_id, y.y, x.x,
+    ((a + y.y*24 + x.x*3) % 251) + ((a + y.y*24 + x.x*3 + 1) % 251)
+      + ((a + y.y*24 + x.x*3 + 2) % 251) AS l
+  FROM d,
+    (SELECT unnest(generate_series(0, 7)) AS y) y,
+    (SELECT unnest(generate_series(0, 7)) AS x) x
+),
+bits AS (
+  SELECT l1.doc_id, l1.y, l1.x,
+    CASE WHEN l2.l > l1.l THEN 1 ELSE 0 END AS b
+  FROM lum l1
+  JOIN lum l2 ON l1.doc_id = l2.doc_id AND l1.y = l2.y AND l2.x = l1.x + 1
+  WHERE l1.x < 7
+),
+h AS (
+  SELECT doc_id,
+    CAST(SUM(b * (CAST(1 AS BIGINT) << (y*7 + x))) AS BIGINT) AS dhash
+  FROM bits GROUP BY doc_id
+)
+SELECT dhash, CAST(COUNT(*) AS BIGINT) AS n_images,
+  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM h GROUP BY dhash
+"""
+
+ORACLES["media_audio_activity"] = """
+WITH d AS (
+  SELECT doc_id, (7 * doc_id) % 2001 AS b FROM documents
+),
+s AS (
+  SELECT doc_id, i.i, ((b + i.i) % 2001) - 1000 AS v
+  FROM d, (SELECT unnest(generate_series(0, 63)) AS i) i
+),
+p AS (
+  SELECT doc_id, i, v,
+    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s
+)
+SELECT doc_id,
+  CAST(64 AS BIGINT) AS n_samples,
+  CAST(SUM(CASE WHEN pv IS NOT NULL AND pv * v < 0 THEN 1 ELSE 0 END)
+       AS BIGINT) AS zero_crossings,
+  CAST(SUM(CASE WHEN abs(v) < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_silence,
+  CAST(MAX(abs(v)) AS INTEGER) AS peak
+FROM p GROUP BY doc_id
+"""
+
+ORACLES["group_disjoint_split"] = """
+WITH d AS (
+  SELECT source,
+    CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 10 AS bucket,
+    len(string_split(text, ' ')) AS nt
+  FROM documents
+),
+s AS (
+  SELECT CASE WHEN bucket < 8 THEN 'train'
+              WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split,
+         source, nt
+  FROM d
+)
+SELECT split,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(nt) AS BIGINT) AS n_tokens
+FROM s GROUP BY split
+"""
+
+ORACLES["k_anonymity_audit"] = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+    CAST(COUNT(*) AS BIGINT) AS sz
+  FROM customer GROUP BY 1, 2, 3
+),
+ks AS (SELECT unnest([2, 5, 10, 25]) AS k)
+SELECT k,
+  CAST(COUNT(*) AS BIGINT) AS n_classes,
+  CAST(SUM(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_k,
+  CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+  CAST(MIN(sz) AS BIGINT) AS min_class_size
+FROM classes, ks GROUP BY k
+"""
+
+ORACLES["community_modularity"] = """
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+),
+e0 AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lp x JOIN lp y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+sym AS (
+  SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0
+),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+l0 AS (SELECT node, node AS label FROM nodes),
+p1 AS (
+  SELECT s.u AS node, l.label, COUNT(*) AS c
+  FROM sym s JOIN l0 l ON l.node = s.v GROUP BY s.u, l.label
+  QUALIFY row_number() OVER (PARTITION BY s.u ORDER BY c DESC, l.label) = 1
+),
+l1 AS (
+  SELECT n.node, COALESCE(p.label, n.node) AS label
+  FROM nodes n LEFT JOIN p1 p USING (node)
+),
+p2 AS (
+  SELECT s.u AS node, l.label, COUNT(*) AS c
+  FROM sym s JOIN l1 l ON l.node = s.v GROUP BY s.u, l.label
+  QUALIFY row_number() OVER (PARTITION BY s.u ORDER BY c DESC, l.label) = 1
+),
+l2 AS (
+  SELECT n.node, COALESCE(p.label, n.node) AS label
+  FROM nodes n LEFT JOIN p2 p USING (node)
+),
+p3 AS (
+  SELECT s.u AS node, l.label, COUNT(*) AS c
+  FROM sym s JOIN l2 l ON l.node = s.v GROUP BY s.u, l.label
+  QUALIFY row_number() OVER (PARTITION BY s.u ORDER BY c DESC, l.label) = 1
+),
+l3 AS (
+  SELECT n.node, COALESCE(p.label, n.node) AS label
+  FROM nodes n LEFT JOIN p3 p USING (node)
+),
+tagged AS (
+  SELECT e.a, e.b, la.label AS lab_a, lb.label AS lab_b
+  FROM e0 e JOIN l3 la ON la.node = e.a JOIN l3 lb ON lb.node = e.b
+),
+mi AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+    CAST(SUM(CASE WHEN lab_a = lab_b THEN 1 ELSE 0 END) AS BIGINT)
+      AS sum_intra
+  FROM tagged
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+  GROUP BY node
+),
+dc AS (
+  SELECT l.label, CAST(SUM(deg.d) AS BIGINT) AS d_c
+  FROM deg JOIN l3 l ON l.node = deg.node GROUP BY l.label
+),
+ds AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+    CAST(SUM(d_c * d_c) AS BIGINT) AS sum_dsq
+  FROM dc
+)
+SELECT m, n_communities, sum_intra,
+  (CASE WHEN (4 * CAST(m AS HUGEINT) * sum_intra - sum_dsq) < 0
+        THEN -1.0 ELSE 1.0 END)
+  * CAST((abs(4 * CAST(m AS HUGEINT) * sum_intra - sum_dsq) * 2000000
+          + (4 * CAST(m AS HUGEINT) * m))
+         // (2 * (4 * CAST(m AS HUGEINT) * m)) AS DOUBLE) / 1000000.0
+  AS modularity
+FROM mi, ds
+"""
+
+ORACLES["k_core_decomposition"] = """
+WITH lp AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+  FROM lp x JOIN lp y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+deg1 AS MATERIALIZED (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+  GROUP BY n
+),
+keep1 AS MATERIALIZED (SELECT n FROM deg1 WHERE d >= 25),
+e1 AS MATERIALIZED (
+  SELECT e.u, e.v FROM e0 e
+  JOIN keep1 ku ON ku.n = e.u
+  JOIN keep1 kv ON kv.n = e.v
+),
+deg2 AS MATERIALIZED (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1)
+  GROUP BY n
+),
+keep2 AS MATERIALIZED (SELECT n FROM deg2 WHERE d >= 25),
+e2 AS MATERIALIZED (
+  SELECT e.u, e.v FROM e1 e
+  JOIN keep2 ku ON ku.n = e.u
+  JOIN keep2 kv ON kv.n = e.v
+),
+deg3 AS MATERIALIZED (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2)
+  GROUP BY n
+),
+keep3 AS MATERIALIZED (SELECT n FROM deg3 WHERE d >= 25),
+e3 AS MATERIALIZED (
+  SELECT e.u, e.v FROM e2 e
+  JOIN keep3 ku ON ku.n = e.u
+  JOIN keep3 kv ON kv.n = e.v
+),
+deg4 AS MATERIALIZED (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3)
+  GROUP BY n
+),
+keep4 AS MATERIALIZED (SELECT n FROM deg4 WHERE d >= 25),
+e4 AS MATERIALIZED (
+  SELECT e.u, e.v FROM e3 e
+  JOIN keep4 ku ON ku.n = e.u
+  JOIN keep4 kv ON kv.n = e.v
+)
+SELECT CAST(1 AS INTEGER) AS round,
+  CAST((SELECT COUNT(DISTINCT n)
+        FROM (SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1))
+       AS BIGINT) AS nodes_remaining,
+  CAST((SELECT COUNT(*) FROM e1) AS BIGINT) AS edges_remaining
+UNION ALL
+SELECT CAST(2 AS INTEGER) AS round,
+  CAST((SELECT COUNT(DISTINCT n)
+        FROM (SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2))
+       AS BIGINT) AS nodes_remaining,
+  CAST((SELECT COUNT(*) FROM e2) AS BIGINT) AS edges_remaining
+UNION ALL
+SELECT CAST(3 AS INTEGER) AS round,
+  CAST((SELECT COUNT(DISTINCT n)
+        FROM (SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3))
+       AS BIGINT) AS nodes_remaining,
+  CAST((SELECT COUNT(*) FROM e3) AS BIGINT) AS edges_remaining
+UNION ALL
+SELECT CAST(4 AS INTEGER) AS round,
+  CAST((SELECT COUNT(DISTINCT n)
+        FROM (SELECT u AS n FROM e4 UNION ALL SELECT v FROM e4))
+       AS BIGINT) AS nodes_remaining,
+  CAST((SELECT COUNT(*) FROM e4) AS BIGINT) AS edges_remaining
+"""
+
+ORACLES["temperature_mixture_weights"] = """
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+s AS (
+  SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+    AS sq
+  FROM per
+),
+t AS (SELECT CAST(SUM(sq) AS BIGINT) AS tot FROM s)
+SELECT source, n_docs, n_tokens,
+  CAST((CAST(sq AS HUGEINT) * 2000000 + tot) // (2 * CAST(tot AS HUGEINT))
+       AS DOUBLE) / 1000000.0 AS mix_weight,
+  CAST((CAST(sq AS HUGEINT) * 1000000) // CAST(tot AS HUGEINT) AS BIGINT)
+    AS token_budget
+FROM s, t
+"""
+
+ORACLES["text_tiling_segments"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+blk AS (
+  SELECT doc_id,
+    [list_distinct(ws[i*20+1 : i*20+20])
+     FOR i IN generate_series(0, CAST(ceil(len(ws)/20.0) AS BIGINT) - 1)]
+    AS bs
+  FROM w
+),
+sc AS (
+  SELECT doc_id, len(bs) AS n_blocks,
+    [len(list_intersect(bs[i], bs[i+1]))
+     FOR i IN generate_series(1, len(bs) - 1)] AS its,
+    [len(list_distinct(list_concat(bs[i], bs[i+1])))
+     FOR i IN generate_series(1, len(bs) - 1)] AS uns
+  FROM blk WHERE len(bs) >= 2
+),
+a AS (
+  SELECT doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
+    CAST(list_sum([CASE WHEN its[j] * 2 < uns[j] THEN 1 ELSE 0 END
+                   FOR j IN generate_series(1, len(its))]) AS BIGINT)
+      AS n_boundaries,
+    CAST(list_sum(its) AS BIGINT) AS si,
+    CAST(list_sum(uns) AS BIGINT) AS su
+  FROM sc
+)
+SELECT doc_id, n_blocks, COALESCE(n_boundaries, 0) AS n_boundaries,
+  CAST((CAST(si AS HUGEINT) * 2000000 + su) // (2 * CAST(su AS HUGEINT))
+       AS DOUBLE) / 1000000.0 AS mean_cohesion
+FROM a
+"""

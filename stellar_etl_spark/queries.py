@@ -5751,3 +5751,292 @@ def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["new_vs_returning_revenue"] = new_vs_returning_revenue
+
+
+def media_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over REAL PNG decode: dHash (integer-luma
+    horizontal gradient signs, 56 bits) per image, then hash-keyed dup
+    groups — the image twin of exact text dedup.  The oracle re-derives
+    every luma value arithmetically from the deterministic pixel generator
+    (pixel_i = (3*doc_id + i) mod 251), so the decode must invert the real
+    zlib+filter encoding bit-exactly before the hash can match."""
+    from stellar_etl_spark.operators.multimodal import (
+        attach_png_media,
+        image_dhash,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    h = image_dhash(attach_png_media(docs))
+    return h.groupBy("dhash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+QUERIES["media_image_phash_dedup"] = media_image_phash_dedup
+
+
+def media_audio_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio activity screens over REAL RIFF/PCM16 decode: zero-crossing
+    count, silence-sample count (|s| < 100) and peak per clip — the oracle
+    re-derives all 64 samples per clip from the generator formula
+    sample_i = ((7*doc_id + i) mod 2001) - 1000."""
+    from stellar_etl_spark.operators.multimodal import (
+        attach_wav_media,
+        audio_activity_stats,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return audio_activity_stats(attach_wav_media(docs))
+
+
+QUERIES["media_audio_activity"] = media_audio_activity
+
+
+def group_disjoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-disjoint train/val/test split: membership hashes the SOURCE
+    (the leakage unit), not the document, so no source ever spans two
+    splits — the speaker/site-holdout discipline that row-level splits
+    (train_val_test_split) cannot give.  Per split: source count, doc
+    count, token count.  Pure hash projection + one aggregate; the split
+    assignment is reproducible on any engine/partitioning."""
+    from stellar_etl_spark.operators.dedup import tokenize_words
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 10
+    split = (
+        F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            F.col("source"),
+            F.size(tokenize_words(F.col("text"))).alias("_nt"),
+        )
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+QUERIES["group_disjoint_split"] = group_disjoint_split
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (nation, market segment,
+    account-balance thousand-bucket): equivalence-class sizes → how many
+    classes/rows sit below k for the standard k ladder.  The
+    privacy-screen every dataset release needs; one hash aggregate over
+    the QI tuple, then a tiny re-aggregation per k — output is 4 rows
+    regardless of scale."""
+    cust = table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    ks = spark.range(0, 4).select(
+        F.element_at(
+            F.array(F.lit(2), F.lit(5), F.lit(10), F.lit(25)),
+            F.col("id").cast("int") + 1,
+        ).alias("k")
+    )
+    return (
+        classes.crossJoin(F.broadcast(ks))
+        .groupBy(F.col("k").cast("int").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(F.when(F.col("sz") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("classes_below_k"),
+            F.sum(F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.min("sz").cast("long").alias("min_class_size"),
+        )
+    )
+
+
+QUERIES["k_anonymity_audit"] = k_anonymity_audit
+
+
+def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 3-round LPA partition over the part
+    co-purchase graph — the quality gate that tells you whether a
+    community run is better than random (Q > 0).  Exact integers to the
+    single edge divide; the oracle unrolls the identical LPA rounds and
+    the Q formula in HUGEINT."""
+    from stellar_etl_spark.operators.graph import (
+        label_propagation_labels,
+        modularity_summary,
+    )
+
+    lp = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = lp.alias("x"), lp.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(
+        F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+    ).distinct()
+    edges = edges.localCheckpoint(eager=False)
+    labels = label_propagation_labels(edges, iterations=3)
+    return modularity_summary(edges, labels)
+
+
+QUERIES["community_modularity"] = community_modularity
+
+
+def k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 25-core peel of the part co-purchase graph: 4 rounds of
+    drop-degree-<25 nodes (k sits near the median co-purchase degree, so
+    the peel actually cascades), reporting the surviving node/edge counts per
+    round — the degeneracy screen for dense-subgraph mining.  The round
+    count is fixed so the oracle unrolls the identical peel; equal
+    consecutive rows show convergence."""
+    from stellar_etl_spark.operators.graph import k_core_peel
+
+    lp = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = lp.alias("x"), lp.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(
+        F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+    ).distinct()
+    return k_core_peel(edges.localCheckpoint(eager=False), k=25, rounds=4)
+
+
+QUERIES["k_core_decomposition"] = k_core_decomposition
+
+
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax/mT5-style temperature-sampled mixture weights: per source,
+    w_s = n_s^α / Σ n_t^α with α = 0.5 — upweights small sources relative
+    to proportional sampling without flattening to uniform.  α = 0.5 keeps
+    the whole pipeline cross-engine-exact: sqrt is IEEE-754
+    correctly-rounded in BOTH engines (libm pow is not — the round-3
+    negative-sampling lesson), so round(1e6·sqrt(n)) is bit-stable, the
+    weight is an exact integer ratio, and the per-source token budget is
+    one more exact-ratio round.  One partial aggregate + a 1-row
+    broadcast — scale-free."""
+    from stellar_etl_spark.operators.dedup import tokenize_words
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+
+    budget = 1_000_000  # target total training tokens
+    docs = table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokenize_words(F.col("text")))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    scaled = per_src.withColumn(
+        "_sq",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000).cast(
+            "long"
+        ),
+    )
+    tot = scaled.agg(F.sum("_sq").cast("long").alias("_tot"))
+    return (
+        scaled.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            exact_ratio_round6_wide(F.col("_sq"), F.col("_tot")).alias(
+                "mix_weight"
+            ),
+            # integer token budget: floor of the exact product
+            F.expr(
+                f"CAST((CAST(_sq AS DECIMAL(38,0)) * {budget}) div "
+                "CAST(_tot AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("token_budget"),
+        )
+    )
+
+
+QUERIES["temperature_mixture_weights"] = temperature_mixture_weights
+
+
+def text_tiling_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling-lite topic segmentation: 20-word blocks per document,
+    adjacent-block vocabulary Jaccard as the cohesion signal, and a
+    boundary wherever 2·|∩| < |∪| — the lexical-cohesion dip detector
+    (Hearst '97) as a pure column program.  Per doc: block count, boundary
+    count, and the exact mean adjacent-block Jaccard.
+
+    HOF discipline: the word array is PROJECTED first so the block-slicing
+    lambda holds an attribute, and cohesion pairs come from a per-doc lag
+    window over the exploded blocks (bounded by doc length, never global).
+    """
+    from stellar_etl_spark.operators.dedup import tokenize_words
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+    from pyspark.sql.window import Window
+
+    B = 20
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", tokenize_words(F.col("text")).alias("_w")
+    )
+    wcol = F.col("_w")
+    nblk = F.ceil(F.size(wcol) / F.lit(B)).cast("int")
+    blocks = w.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nblk - 1),
+                lambda i: F.array_distinct(F.slice(wcol, i * B + 1, B)),
+            )
+        ).alias("bi", "bset"),
+    )
+    lagw = Window.partitionBy("doc_id").orderBy("bi")
+    paired = blocks.withColumn("_prev", F.lag("bset").over(lagw)).where(
+        F.col("_prev").isNotNull()
+    )
+    inter = F.size(F.array_intersect("bset", "_prev")).cast("long")
+    union = F.size(F.array_union("bset", "_prev")).cast("long")
+    scored = paired.select(
+        "doc_id",
+        inter.alias("_i"),
+        union.alias("_u"),
+        F.when(inter * 2 < union, 1).otherwise(0).alias("_bnd"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            (F.count(F.lit(1)) + 1).cast("long").alias("n_blocks"),
+            F.sum("_bnd").cast("long").alias("n_boundaries"),
+            F.sum("_i").cast("long").alias("_si"),
+            F.sum("_u").cast("long").alias("_su"),
+        )
+        .select(
+            "doc_id",
+            "n_blocks",
+            "n_boundaries",
+            exact_ratio_round6_wide(F.col("_si"), F.col("_su")).alias(
+                "mean_cohesion"
+            ),
+        )
+    )
+
+
+QUERIES["text_tiling_segments"] = text_tiling_segments
