@@ -271,3 +271,69 @@ class TestCodecProperties:
             assert (sr, ch, out) == (rate, 1, samples)
 
         roundtrip()
+
+
+class TestImageDhash:
+    def test_dhash_matches_reference_computation(self, spark):
+        """The dHash from the real decode path equals an independent
+        numpy-free recomputation from the generator formula."""
+        from stellar_etl_spark.operators.multimodal import (
+            attach_png_media,
+            image_dhash,
+        )
+
+        docs = spark.createDataFrame([(7,), (13,)], "doc_id long")
+        out = {
+            r.doc_id: r.dhash
+            for r in image_dhash(attach_png_media(docs)).collect()
+        }
+
+        def expected(d):
+            a = (3 * d) % 251
+            lum = [
+                [
+                    sum((a + y * 24 + x * 3 + c) % 251 for c in range(3))
+                    for x in range(8)
+                ]
+                for y in range(8)
+            ]
+            h = 0
+            for y in range(8):
+                for x in range(7):
+                    if lum[y][x + 1] > lum[y][x]:
+                        h |= 1 << (y * 7 + x)
+            return h
+
+        assert out == {7: expected(7), 13: expected(13)}
+
+    def test_identical_images_share_hash(self, spark):
+        # doc ids congruent mod 251 generate identical pixel streams
+        from stellar_etl_spark.operators.multimodal import (
+            attach_png_media,
+            image_dhash,
+        )
+
+        docs = spark.createDataFrame([(1,), (252,)], "doc_id long")
+        hs = [
+            r.dhash for r in image_dhash(attach_png_media(docs)).collect()
+        ]
+        assert hs[0] == hs[1]
+
+
+class TestAudioActivity:
+    def test_zero_crossings_and_silence(self, spark):
+        from stellar_etl_spark.operators.multimodal import (
+            attach_wav_media,
+            audio_activity_stats,
+        )
+
+        docs = spark.createDataFrame([(3,)], "doc_id long")
+        [r] = audio_activity_stats(attach_wav_media(docs)).collect()
+        samples = [((7 * 3 + i) % 2001) - 1000 for i in range(64)]
+        zc = sum(
+            1 for i in range(1, 64) if samples[i - 1] * samples[i] < 0
+        )
+        assert r.n_samples == 64
+        assert r.zero_crossings == zc
+        assert r.n_silence == sum(1 for s in samples if abs(s) < 100)
+        assert r.peak == max(abs(s) for s in samples)

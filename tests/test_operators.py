@@ -2362,3 +2362,49 @@ class TestDistributedCumsum:
             for r in distributed_cumsum(df, "v", ["k"], out="cum", descending=True).collect()
         }
         assert out == {1: 100, 2: 150, 3: 180, 4: 200}
+
+
+class TestKCorePeel:
+    def test_peel_removes_low_degree_cascade(self, spark):
+        from stellar_etl_spark.operators.graph import k_core_peel
+
+        # path graph 1-2-3-4 + triangle 5-6-7: the 2-core is the triangle,
+        # and the path dissolves over two rounds (endpoints first)
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7)],
+            "a long, b long",
+        )
+        rows = {
+            r.round: (r.nodes_remaining, r.edges_remaining)
+            for r in k_core_peel(edges, k=2, rounds=3).collect()
+        }
+        assert rows[1] == (5, 4)  # endpoints 1 and 4 dropped, 2 edges gone
+        assert rows[2] == (3, 3)  # the rest of the path dissolved
+        assert rows[3] == (3, 3)  # converged on the triangle
+
+
+class TestModularity:
+    def test_two_cliques_high_q_single_block_zero_q(self, spark):
+        from stellar_etl_spark.operators.graph import modularity_summary
+
+        # two disjoint triangles with the natural partition: the textbook
+        # Q = 1/2 - 2*(9/36)/... compute exactly: m=6, intra=6,
+        # d_c = 6 each -> Q = (4*6*6 - 72)/(4*36) = 72/144 = 0.5
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)],
+            "a long, b long",
+        )
+        labels = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)],
+            "node long, label long",
+        )
+        [r] = modularity_summary(edges, labels).collect()
+        assert (r.m, r.n_communities, r.sum_intra) == (6, 2, 6)
+        assert r.modularity == 0.5
+
+        # everything in ONE community: Q = (4*6*6 - 144)/144 = 0
+        one = spark.createDataFrame(
+            [(n, 1) for n in range(1, 7)], "node long, label long"
+        )
+        [r1] = modularity_summary(edges, one).collect()
+        assert r1.modularity == 0.0
