@@ -5230,3 +5230,163 @@ SELECT doc_id, n_blocks, COALESCE(n_boundaries, 0) AS n_boundaries,
        AS DOUBLE) / 1000000.0 AS mean_cohesion
 FROM a
 """
+
+ORACLES["markov_removal_attribution"] = """
+WITH RECURSIVE e AS (
+  SELECT user_id, event_type, event_id,
+    epoch_us(ts) // 86400000000 AS day, epoch_us(ts) AS ts_us
+  FROM events
+),
+rn AS (
+  SELECT *, row_number() OVER w AS rn
+  FROM e WINDOW w AS (PARTITION BY user_id, day ORDER BY ts_us, event_id)
+),
+fp AS (
+  SELECT user_id, day, MIN(rn) AS fp_rn
+  FROM rn WHERE event_type = 'purchase' GROUP BY user_id, day
+),
+j AS (
+  SELECT rn.*, fp.fp_rn FROM rn LEFT JOIN fp USING (user_id, day)
+),
+pre AS (
+  SELECT * FROM j
+  WHERE event_type <> 'purchase' AND (fp_rn IS NULL OR rn < fp_rn)
+),
+inner_tr AS (
+  SELECT COALESCE(lag(event_type) OVER w2, 'START') AS a, event_type AS b
+  FROM pre WINDOW w2 AS (PARTITION BY user_id, day ORDER BY rn)
+),
+last_pre AS (
+  SELECT user_id, day, arg_max(event_type, rn) AS last_t
+  FROM pre GROUP BY user_id, day
+),
+journeys AS (
+  SELECT user_id, day, MAX(fp_rn IS NOT NULL) AS conv
+  FROM j GROUP BY user_id, day
+),
+terminal AS (
+  SELECT COALESCE(lp.last_t, 'START') AS a,
+    CASE WHEN jo.conv THEN 'CONV' ELSE 'NULL' END AS b
+  FROM journeys jo LEFT JOIN last_pre lp USING (user_id, day)
+),
+counts AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT a, b FROM inner_tr UNION ALL SELECT a, b FROM terminal)
+  GROUP BY a, b
+),
+row_tot AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ra FROM counts GROUP BY a),
+p AS (
+  SELECT counts.a, counts.b,
+    CAST((c * 2000000 + ra) // (2 * ra) AS BIGINT) AS p6
+  FROM counts JOIN row_tot USING (a)
+),
+scen AS (
+  SELECT unnest(['none', 'view', 'click', 'signup', 'error']) AS removed
+),
+base AS MATERIALIZED (
+  SELECT scen.removed, p.a, p.b, p.p6
+  FROM p, scen WHERE p.a <> scen.removed AND p.b <> scen.removed
+),
+it AS (
+  SELECT 0 AS k, removed, 'CONV' AS s, CAST(1000000 AS BIGINT) AS w FROM scen
+  UNION ALL
+  SELECT k, removed, s, w FROM (
+    SELECT step.k + 1 AS k, step.removed, step.a AS s,
+      CAST((SUM(step.p6 * step.w) + 500000) // 1000000 AS BIGINT) AS w
+    FROM (SELECT it.k, base.removed, base.a, base.p6, it.w
+          FROM it JOIN base
+            ON base.b = it.s AND base.removed = it.removed
+          WHERE it.k < 10) step
+    GROUP BY step.k, step.removed, step.a
+    UNION ALL
+    SELECT DISTINCT k + 1 AS k, removed, 'CONV' AS s,
+      CAST(1000000 AS BIGINT) AS w
+    FROM it WHERE k < 10
+  )
+),
+pconv AS (
+  SELECT removed, w AS p_scaled FROM it WHERE k = 10 AND s = 'START'
+),
+fullp AS (
+  SELECT p_scaled AS p_full_scaled FROM pconv WHERE removed = 'none'
+),
+per_ch AS (
+  SELECT pconv.removed AS channel, fullp.p_full_scaled,
+    pconv.p_scaled AS p_removed_scaled,
+    fullp.p_full_scaled - pconv.p_scaled AS drp
+  FROM pconv, fullp WHERE pconv.removed <> 'none'
+),
+td AS (SELECT CAST(SUM(drp) AS BIGINT) AS tdrop FROM per_ch)
+SELECT channel, p_full_scaled, p_removed_scaled,
+  (CASE WHEN drp < 0 THEN -1.0 ELSE 1.0 END)
+  * CAST((abs(CAST(drp AS HUGEINT)) * 2000000
+          + greatest(p_full_scaled, 1))
+         // (2 * CAST(greatest(p_full_scaled, 1) AS HUGEINT)) AS DOUBLE)
+    / 1000000.0 AS removal_effect,
+  (CASE WHEN drp < 0 THEN -1.0 ELSE 1.0 END)
+  * CAST((abs(CAST(drp AS HUGEINT)) * 2000000 + greatest(tdrop, 1))
+         // (2 * CAST(greatest(tdrop, 1) AS HUGEINT)) AS DOUBLE)
+    / 1000000.0 AS attribution_share
+FROM per_ch, td
+"""
+
+ORACLES["orders_nested_export"] = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+    l_linenumber || ':' || l_partkey || ':' || CAST(l_quantity AS BIGINT)
+      AS item
+  FROM lineitem WHERE l_orderkey % 50 = 0
+)
+SELECT l_orderkey,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  md5(string_agg(item, '|' ORDER BY l_linenumber, item)) AS items_digest,
+  min({'ln': l_linenumber, 'it': item}).it AS first_item,
+  max({'ln': l_linenumber, 'it': item}).it AS last_item
+FROM li GROUP BY l_orderkey
+"""
+
+ORACLES["benford_digit_audit"] = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+              1, 1) AS INTEGER) AS digit
+  FROM orders
+),
+obs AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed
+  FROM d WHERE digit BETWEEN 1 AND 9 GROUP BY digit
+),
+tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM obs),
+p AS (
+  SELECT obs.digit, obs.observed, tot.n,
+    tot.n * ([301029996, 176091259, 124938737, 96910013, 79181246,
+              66946790, 57991947, 51152522, 45757491][obs.digit]) AS np_s
+  FROM obs, tot
+)
+SELECT digit, observed,
+  CAST(np_s // 1000000000 AS BIGINT) AS expected,
+  CAST(((CAST(1000000000 AS HUGEINT) * observed - np_s)
+        * (CAST(1000000000 AS HUGEINT) * observed - np_s) * 2000000
+        + (CAST(np_s AS HUGEINT) * 1000000000))
+       // (2 * (CAST(np_s AS HUGEINT) * 1000000000)) AS DOUBLE)
+    / 1000000.0 AS chi2_term
+FROM p
+"""
+
+ORACLES["frequent_event_paths"] = """
+WITH e AS (
+  SELECT user_id, event_type, event_id,
+    epoch_us(ts) // 86400000000 AS day, epoch_us(ts) AS ts_us
+  FROM events
+),
+tri AS (
+  SELECT lag(event_type, 2) OVER w AS s1,
+         lag(event_type, 1) OVER w AS s2,
+         event_type AS s3
+  FROM e WINDOW w AS (PARTITION BY user_id, day ORDER BY ts_us, event_id)
+)
+SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM tri WHERE s1 IS NOT NULL
+GROUP BY s1, s2, s3
+ORDER BY n_paths DESC, s1, s2, s3
+LIMIT 20
+"""

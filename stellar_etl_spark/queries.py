@@ -6040,3 +6040,255 @@ def text_tiling_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["text_tiling_segments"] = text_tiling_segments
+
+
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov removal-effect attribution (the Shapley-lite
+    standard for multi-touch channel credit): build per-(user, day)
+    journeys START → touchpoints → CONV/NULL (conversion = purchase), fit
+    the transition matrix, then for each channel ask "how much conversion
+    probability disappears if this channel becomes untraversable?" —
+    removal = clamp the channel's absorption value to 0, which equals
+    redirecting all of its inbound transitions to NULL.
+
+    Determinism: transition probabilities are half-up integer-quantized at
+    1e6 (the markov_stationary convention) and the 10 value-iteration
+    rounds per scenario are pure integer arithmetic, so the fixed point is
+    engine-independent; the 5 scenarios (none + 4 channels) ride as a key
+    column through ONE shared iteration loop.  Scale: journeys are two
+    windows over (user, day); the chain itself is a ≤7² cell broadcast
+    frame — iteration cost is independent of data size."""
+    from pyspark.sql.window import Window as W
+
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("(ts div 1000) div 86400000000").alias("day"),
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    w = W.partitionBy("user_id", "day").orderBy("ts_us", "event_id")
+    rn = ev.withColumn("rn", F.row_number().over(w))
+    fp = rn.where(F.col("event_type") == "purchase").groupBy(
+        "user_id", "day"
+    ).agg(F.min("rn").alias("fp_rn"))
+    j = rn.join(fp, ["user_id", "day"], "left")
+    pre = j.where(
+        (F.col("event_type") != "purchase")
+        & (F.col("fp_rn").isNull() | (F.col("rn") < F.col("fp_rn")))
+    )
+    w2 = W.partitionBy("user_id", "day").orderBy("rn")
+    inner = pre.select(
+        F.coalesce(F.lag("event_type").over(w2), F.lit("START")).alias("a"),
+        F.col("event_type").alias("b"),
+    )
+    last_pre = pre.groupBy("user_id", "day").agg(
+        F.max_by("event_type", F.col("rn")).alias("last_t")
+    )
+    journeys = j.groupBy("user_id", "day").agg(
+        F.max(F.col("fp_rn").isNotNull()).alias("conv")
+    )
+    terminal = journeys.join(last_pre, ["user_id", "day"], "left").select(
+        F.coalesce(F.col("last_t"), F.lit("START")).alias("a"),
+        F.when(F.col("conv"), F.lit("CONV")).otherwise(F.lit("NULL")).alias("b"),
+    )
+    counts = (
+        inner.unionByName(terminal)
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    row_tot = counts.groupBy("a").agg(F.sum("c").cast("long").alias("ra"))
+    p6 = counts.join(F.broadcast(row_tot), "a").select(
+        "a",
+        "b",
+        F.expr("(c * 2000000 + ra) div (2 * ra)").cast("long").alias("p6"),
+    )
+    channels = ["view", "click", "signup", "error"]
+    scen = spark.createDataFrame(
+        [("none",)] + [(ch,) for ch in channels], "removed string"
+    )
+    base = (
+        p6.crossJoin(F.broadcast(scen))
+        .where(
+            (F.col("a") != F.col("removed")) & (F.col("b") != F.col("removed"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    conv_rows = scen.select(
+        "removed", F.lit("CONV").alias("s"), F.lit(1_000_000).cast("long").alias("w")
+    )
+    v = conv_rows
+    for i in range(10):
+        step = base.join(
+            v.select(F.col("removed").alias("_r"), F.col("s").alias("_s"), "w"),
+            (F.col("b") == F.col("_s")) & (F.col("removed") == F.col("_r")),
+        )
+        nv = step.groupBy("removed", F.col("a").alias("s")).agg(
+            F.expr("(sum(p6 * w) + 500000) div 1000000").cast("long").alias("w")
+        )
+        v = nv.unionByName(conv_rows)
+        if (i + 1) % 5 == 0:
+            v = v.localCheckpoint(eager=False)
+    pconv = v.where(F.col("s") == "START").select(
+        "removed", F.col("w").alias("p_scaled")
+    )
+    full = pconv.where(F.col("removed") == "none").select(
+        F.col("p_scaled").alias("p_full_scaled")
+    )
+    per_ch = (
+        pconv.where(F.col("removed") != "none")
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.col("removed").alias("channel"),
+            "p_full_scaled",
+            F.col("p_scaled").alias("p_removed_scaled"),
+            (F.col("p_full_scaled") - F.col("p_scaled")).alias("_drop"),
+        )
+    )
+    tot_drop = per_ch.agg(F.sum("_drop").cast("long").alias("_td"))
+    return per_ch.crossJoin(F.broadcast(tot_drop)).select(
+        "channel",
+        "p_full_scaled",
+        "p_removed_scaled",
+        exact_ratio_round6_wide(
+            F.col("_drop"), F.greatest(F.col("p_full_scaled"), F.lit(1))
+        ).alias("removal_effect"),
+        exact_ratio_round6_wide(
+            F.col("_drop"), F.greatest(F.col("_td"), F.lit(1))
+        ).alias("attribution_share"),
+    )
+
+
+QUERIES["markov_removal_attribution"] = markov_removal_attribution
+
+
+def orders_nested_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-many nested export (the document-store / feature-store
+    shape): each order carries its line items as a POSITION-SORTED nested
+    array, verified through a deterministic digest — md5 over the sorted
+    "linenumber:partkey:quantity" item strings — plus first/last item
+    columns.  The digest pins the assembly order exactly, so a regression
+    in the sort-before-collect discipline (collect_list is otherwise
+    partition-order-dependent!) breaks the hash."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 50 == 0)
+    items = li.select(
+        "l_orderkey",
+        F.concat_ws(
+            ":",
+            F.col("l_linenumber"),
+            F.col("l_partkey"),
+            F.col("l_quantity").cast("long"),
+        ).alias("_item"),
+        "l_linenumber",
+    )
+    return (
+        items.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("l_linenumber"), F.col("_item"))
+                        )
+                    ).getField("_item"),
+                    "|",
+                )
+            ).alias("items_digest"),
+            # linenumbers can repeat within an order in this synthetic
+            # data — the tie-break must be total (min over the full struct)
+            F.min(F.struct(F.col("l_linenumber"), F.col("_item")))[
+                "_item"
+            ].alias("first_item"),
+            F.max(F.struct(F.col("l_linenumber"), F.col("_item")))[
+                "_item"
+            ].alias("last_item"),
+        )
+    )
+
+
+QUERIES["orders_nested_export"] = orders_nested_export
+
+
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fabricated-data screen.  One row per digit: observed count, Benford
+    expectation, and the chi-square contribution.  The 9 Benford
+    probabilities are shared LITERALS (scaled 1e9), so no libm log10
+    enters either engine; the per-digit statistic is computed row-local
+    (never float-summed across rows), keeping every value bit-stable."""
+    # round(1e9 * log10(1 + 1/d)) for d = 1..9 — fixed public constants
+    benford9 = [
+        301029996, 176091259, 124938737, 96910013, 79181246,
+        66946790, 57991947, 51152522, 45757491,
+    ]
+    orders = table(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.substring(F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    ).where(F.col("digit").between(1, 9))
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+
+    obs = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    tot = obs.agg(F.sum("observed").cast("long").alias("n"))
+    pmap = F.element_at(
+        F.array(*[F.lit(p) for p in benford9]), F.col("digit")
+    ).cast("long")
+    # all chi-square inputs stay EXACT integers at 1e-9 scale:
+    # chi2 = drop^2 / (n*p) = drop_s^2 / (1e9 * np_s) with
+    # drop_s = 1e9*observed - np_s; the square is formed in DECIMAL(38)
+    np_s = (F.col("n") * pmap).alias("_np")
+    with_np = obs.crossJoin(F.broadcast(tot)).select(
+        "digit", "observed", F.col("n"), np_s
+    )
+    drop_s = (
+        F.col("observed") * F.lit(1_000_000_000) - F.col("_np")
+    ).cast("decimal(38,0)")
+    return with_np.select(
+        "digit",
+        "observed",
+        F.expr("CAST(_np div 1000000000 AS BIGINT)").alias("expected"),
+        exact_ratio_round6_wide(
+            drop_s * drop_s,
+            F.col("_np").cast("decimal(38,0)") * F.lit(1_000_000_000),
+        ).alias("chi2_term"),
+    )
+
+
+QUERIES["benford_digit_audit"] = benford_digit_audit
+
+
+def frequent_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 frequent 3-step behavioral paths (event-type trigrams within
+    a user-day journey) — the path-mining staple behind funnel discovery.
+    Two lag windows + one hash aggregate + a total-order TakeOrdered."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("(ts div 1000) div 86400000000").alias("day"),
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    w = W.partitionBy("user_id", "day").orderBy("ts_us", "event_id")
+    tri = ev.select(
+        F.lag("event_type", 2).over(w).alias("s1"),
+        F.lag("event_type", 1).over(w).alias("s2"),
+        F.col("event_type").alias("s3"),
+    ).where(F.col("s1").isNotNull())
+    return (
+        tri.groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "s1", "s2", "s3")
+        .limit(20)
+    )
+
+
+QUERIES["frequent_event_paths"] = frequent_event_paths
