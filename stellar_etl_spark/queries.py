@@ -5892,7 +5892,12 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
     ).distinct()
     edges = edges.localCheckpoint(eager=False)
-    labels = label_propagation_labels(edges, iterations=3)
+    # modularity_summary consumes the label frame THREE times (both edge
+    # endpoints + the degree join) — cut the 3-round LPA lineage once or
+    # every consumer re-derives it (the rfm/pareto plan-explosion lesson)
+    labels = label_propagation_labels(edges, iterations=3).localCheckpoint(
+        eager=False
+    )
     return modularity_summary(edges, labels)
 
 
