@@ -170,6 +170,27 @@ def main() -> None:
     # queries on a key-shifted 10x replica (salted doc texts, so near-dup
     # outputs scale with the corpus, not quadratically with replication —
     # tools/make_scale_probe.py) and record both points.
+    # Emit the sf0.1 record IMMEDIATELY (flushed): if anything kills the
+    # process during the 10x stage below, the driver's tail still holds a
+    # complete JSON line; on success the combined record printed last
+    # supersedes it.
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
+    record = {
+        "metric": "headline_queries_total_wall_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "n_queries": len(times),
+        "queries": slowest,
+        "queries_file": "bench_queries.json",
+        "sf": sf_val,
+    }
+    print(json.dumps(record), flush=True)
+
     times_10x: dict[str, float] = {}
     sweep_elapsed = sum(times.values())
     if (
@@ -207,17 +228,9 @@ def main() -> None:
             ).save()
             times_10x[name] = round(time.time() - t0, 3)
 
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    try:
-        sf_val: float | str = float(sf)
-    except ValueError:
-        sf_val = sf
-
-    # Full per-query map goes to a sidecar file; stdout gets ONE compact
+    # Full per-query map goes to a sidecar file; stdout gets the compact
     # line LAST (the driver keeps only a bounded tail of output, so the
-    # parseable record must be short and final).  The compact line still
-    # carries a "queries" map — the 10 slowest — so the driver format
-    # contract holds without blowing the tail budget.
+    # parseable record must be short and final).
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_queries.json"), "w") as fh:
         json.dump(
@@ -225,16 +238,6 @@ def main() -> None:
             fh, indent=1, sort_keys=True,
         )
 
-    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
-    record = {
-        "metric": "headline_queries_total_wall_sec",
-        "value": round(sum(times.values()), 3),
-        "unit": "sec",
-        "n_queries": len(times),
-        "queries": slowest,
-        "queries_file": "bench_queries.json",
-        "sf": sf_val,
-    }
     if times_10x:
         record["value_10x"] = round(sum(times_10x.values()), 3)
         record["n_queries_10x"] = len(times_10x)
