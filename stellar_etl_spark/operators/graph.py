@@ -400,3 +400,76 @@ def k_core_peel(
     for s in summaries[1:]:
         out = out.unionByName(s)
     return out.select("round", "nodes_remaining", "edges_remaining")
+
+
+def harmonic_centrality_bounded(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    seed_mod: int = 100,
+    max_depth: int = 3,
+) -> DataFrame:
+    """Harmonic centrality H(s) = Σ_{d(s,u) ≤ D} 1/d(s,u) for a HASH-CHOSEN
+    seed set, via multi-source frontier BFS — the reachability-weighted
+    importance measure that, unlike closeness, handles disconnected graphs.
+
+    All-pairs BFS is |V|²-unsafe; seeding by ``node % seed_mod == 0`` keeps
+    the frontier table (seed, node, dist) bounded by |seeds|·|reach| while
+    preserving a deterministic, engine-independent sample.  Per round: one
+    frontier⋈edges join + an anti-join against the visited set, both keyed
+    by node id.  The harmonic sum uses integer 1/d weights at 1e6 scale
+    (round(1e6/d) — exact integers, no float accumulation).
+    """
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seeds = (
+        sym.select(F.col("u").alias("s"))
+        .distinct()
+        .where(F.col("s") % seed_mod == 0)
+    )
+    visited = seeds.select("s", F.col("s").alias("node"))
+    frontier = visited
+    counts = []
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(sym, frontier.node == sym.u)
+            .select("s", F.col("v").alias("node"))
+            .distinct()
+        )
+        new = nxt.join(visited, ["s", "node"], "left_anti").localCheckpoint(
+            eager=False
+        )
+        counts.append(
+            new.groupBy("s").agg(
+                F.count(F.lit(1)).cast("long").alias(f"n_d{d}")
+            )
+        )
+        visited = visited.unionByName(new).localCheckpoint(eager=False)
+        frontier = new
+    out = seeds
+    for c in counts:
+        out = out.join(c, "s", "left")
+    filled = out.select(
+        "s",
+        *[
+            F.coalesce(F.col(f"n_d{d}"), F.lit(0)).cast("long").alias(f"n_d{d}")
+            for d in range(1, max_depth + 1)
+        ],
+    )
+    weights = {d: round(1_000_000 / d) for d in range(1, max_depth + 1)}
+    h_scaled = None
+    for d in range(1, max_depth + 1):
+        term = F.col(f"n_d{d}") * F.lit(weights[d])
+        h_scaled = term if h_scaled is None else h_scaled + term
+    return filled.select(
+        F.col("s").alias("seed"),
+        *[f"n_d{d}" for d in range(1, max_depth + 1)],
+        h_scaled.cast("long").alias("harmonic_scaled"),
+        exact_ratio_round6_wide(h_scaled, F.lit(1_000_000)).alias("harmonic"),
+    )

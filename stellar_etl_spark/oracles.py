@@ -5390,3 +5390,140 @@ GROUP BY s1, s2, s3
 ORDER BY n_paths DESC, s1, s2, s3
 LIMIT 20
 """
+
+ORACLES["rolling_7day_distinct_users"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+b AS (SELECT MIN(day) AS dmin FROM ud),
+fan AS (
+  SELECT DISTINCT user_id, day + i.i AS wday
+  FROM ud, (SELECT unnest(generate_series(0, 6)) AS i) i
+),
+pd AS (SELECT wday, CAST(COUNT(*) AS BIGINT) AS wau FROM fan GROUP BY wday),
+daily AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day)
+SELECT d.day, d.dau, p.wau AS wau_7d
+FROM daily d JOIN pd p ON p.wday = d.day, b
+WHERE d.day >= b.dmin + 6
+"""
+
+ORACLES["score_drift_psi"] = """
+WITH e AS (
+  SELECT event_id, epoch_us(ts) AS ts_us,
+    CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+),
+mid AS (SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS m FROM e),
+ref AS (SELECT e.* FROM e, mid WHERE ts_us < m),
+cur AS (SELECT e.* FROM e, mid WHERE ts_us >= m),
+dec AS (
+  SELECT v, ntile(10) OVER (ORDER BY v, event_id) AS bin FROM ref
+),
+edges AS (
+  SELECT bin, MAX(v) AS hi FROM dec WHERE bin < 10 GROUP BY bin
+),
+rc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_ref FROM dec GROUP BY bin),
+cb AS (
+  SELECT 1 + (SELECT COUNT(*) FROM edges WHERE edges.hi < cur.v) AS bin
+  FROM cur
+),
+cc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_cur FROM cb GROUP BY bin),
+tr AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr FROM rc),
+tc AS (SELECT CAST(SUM(n_cur) AS BIGINT) AS tc FROM cc),
+j AS (
+  SELECT COALESCE(rc.bin, cc.bin) AS bin,
+    COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+  FROM rc FULL OUTER JOIN cc ON rc.bin = cc.bin
+),
+s AS (
+  SELECT j.*, tr.tr, tc.tc,
+    (n_ref * 2000000 + tr) // (2 * tr) AS p_s,
+    (n_cur * 2000000 + tc) // (2 * tc) AS q_s,
+    CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+      CAST(round(ln((CAST(n_ref AS DOUBLE) * tc)
+                    / (CAST(n_cur AS DOUBLE) * tr)) * 1000000) AS BIGINT)
+    ELSE 0 END AS ln_s
+  FROM j, tr, tc
+)
+SELECT bin, n_ref, n_cur,
+  CAST((CAST(n_ref AS HUGEINT) * 2000000 + tr) // (2 * CAST(tr AS HUGEINT))
+       AS DOUBLE) / 1000000.0 AS p_ref,
+  CAST((CAST(n_cur AS HUGEINT) * 2000000 + tc) // (2 * CAST(tc AS HUGEINT))
+       AS DOUBLE) / 1000000.0 AS p_cur,
+  (CASE WHEN (p_s - q_s) * ln_s < 0 THEN -1.0 ELSE 1.0 END)
+  * CAST((abs(CAST((p_s - q_s) * ln_s AS HUGEINT)) * 2000000
+          + 1000000000000)
+         // (2 * CAST(1000000000000 AS HUGEINT)) AS DOUBLE) / 1000000.0
+  AS psi_term
+FROM s
+"""
+
+ORACLES["harmonic_centrality_seeds"] = """
+WITH lp AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+  FROM lp x JOIN lp y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+sym AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+),
+seeds AS MATERIALIZED (
+  SELECT DISTINCT u AS s FROM sym WHERE u % 100 = 0
+),
+v0 AS MATERIALIZED (SELECT s, s AS node FROM seeds),
+f1 AS MATERIALIZED (
+  SELECT DISTINCT f.s, sym.v AS node
+  FROM v0 f JOIN sym ON sym.u = f.node
+),
+n1 AS MATERIALIZED (
+  SELECT f1.s, f1.node FROM f1
+  LEFT JOIN v0 ON v0.s = f1.s AND v0.node = f1.node
+  WHERE v0.s IS NULL
+),
+v1 AS MATERIALIZED (
+  SELECT s, node FROM v0 UNION ALL SELECT s, node FROM n1
+),
+f2 AS MATERIALIZED (
+  SELECT DISTINCT f.s, sym.v AS node
+  FROM n1 f JOIN sym ON sym.u = f.node
+),
+n2 AS MATERIALIZED (
+  SELECT f2.s, f2.node FROM f2
+  LEFT JOIN v1 ON v1.s = f2.s AND v1.node = f2.node
+  WHERE v1.s IS NULL
+),
+v2 AS MATERIALIZED (
+  SELECT s, node FROM v1 UNION ALL SELECT s, node FROM n2
+),
+f3 AS MATERIALIZED (
+  SELECT DISTINCT f.s, sym.v AS node
+  FROM n2 f JOIN sym ON sym.u = f.node
+),
+n3 AS MATERIALIZED (
+  SELECT f3.s, f3.node FROM f3
+  LEFT JOIN v2 ON v2.s = f3.s AND v2.node = f3.node
+  WHERE v2.s IS NULL
+),
+c1 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_d1 FROM n1 GROUP BY s),
+c2 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_d2 FROM n2 GROUP BY s),
+c3 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_d3 FROM n3 GROUP BY s),
+o AS (
+  SELECT seeds.s, COALESCE(c1.n_d1, 0) AS n_d1,
+    COALESCE(c2.n_d2, 0) AS n_d2, COALESCE(c3.n_d3, 0) AS n_d3
+  FROM seeds
+  LEFT JOIN c1 ON c1.s = seeds.s
+  LEFT JOIN c2 ON c2.s = seeds.s
+  LEFT JOIN c3 ON c3.s = seeds.s
+)
+SELECT s AS seed, n_d1, n_d2, n_d3,
+  CAST(n_d1 * 1000000 + n_d2 * 500000 + n_d3 * 333333 AS BIGINT)
+    AS harmonic_scaled,
+  CAST((CAST(n_d1 * 1000000 + n_d2 * 500000 + n_d3 * 333333 AS HUGEINT)
+        * 2000000 + 1000000)
+       // (2 * CAST(1000000 AS HUGEINT)) AS DOUBLE) / 1000000.0
+    AS harmonic
+FROM o
+"""

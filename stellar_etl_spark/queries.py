@@ -6297,3 +6297,158 @@ def frequent_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["frequent_event_paths"] = frequent_event_paths
+
+
+def rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling 7-day distinct active users per day — the DAU/WAU
+    dashboard metric that naive `COUNT(DISTINCT) OVER (RANGE 6 PRECEDING)`
+    cannot compute at scale (distinct doesn't decompose over sliding
+    windows).  Shape: dedup to (user, day) grain, fan each user-day out to
+    the ≤7 window-end days it supports (a bounded map-side explode), then
+    ONE (window_day, user)-keyed distinct + count — two hash aggregates,
+    no windows, no per-day re-scan.  At 100 TB the fan-out factor is the
+    window length, independent of data volume."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.expr("(ts div 1000) div 86400000000").alias("day")
+    )
+    user_days = ev.distinct()
+    bounds = user_days.agg(
+        F.min("day").alias("_dmin"), F.max("day").alias("_dmax")
+    )
+    fan = user_days.select(
+        "user_id",
+        "day",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("wday"),
+    )
+    per_day = (
+        fan.select("user_id", "wday").distinct()
+        .groupBy("wday")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau_7d"))
+    )
+    daily = user_days.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    return (
+        daily.join(per_day, daily.day == per_day.wday)
+        .crossJoin(F.broadcast(bounds))
+        # trailing windows are only complete once 7 days exist
+        .where(F.col("day") >= F.col("_dmin") + 6)
+        .select("day", "dau", "wau_7d")
+    )
+
+
+QUERIES["rolling_7day_distinct_users"] = rolling_7day_distinct_users
+
+
+def score_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution between
+    the first and second half of the time range — the model-monitoring
+    drift gate (PSI > 0.2 = investigate).  Bin edges are fixed from the
+    REFERENCE population's exact deciles (distributed_ntile — no global
+    sort), the comparison population is bucketed by those edges via a
+    broadcast range join, and PSI = Σ (p_i − q_i)·ln(p_i/q_i) assembles
+    from integer-scaled logs so every aggregate is exact under any
+    partitioning.  One row per decile bin plus exact per-bin shares."""
+    from stellar_etl_spark.operators.ranking import distributed_ntile
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    mid = ev.agg(
+        ((F.min("ts_us") + F.max("ts_us")) / 2).cast("long").alias("_mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(mid)).withColumn(
+        "_ref", F.col("ts_us") < F.col("_mid")
+    )
+    ref = tagged.where(F.col("_ref"))
+    cur = tagged.where(~F.col("_ref"))
+    deciled = distributed_ntile(ref, "v", ["event_id"], 10, out="bin")
+    # decile upper edges from the reference half (max value per bin)
+    edges = deciled.groupBy("bin").agg(F.max("v").alias("hi")).where(
+        F.col("bin") < 10
+    )
+    ref_counts = deciled.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ref")
+    )
+    # bucket the current half by the broadcast edges: bin = 1 + #edges below v
+    e = edges.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("bin", "hi"))).alias("_e")
+    )
+    cur_binned = cur.crossJoin(F.broadcast(e)).select(
+        (
+            F.lit(1)
+            + F.size(F.filter(F.col("_e"), lambda s: s["hi"] < F.col("v")))
+        ).alias("bin")
+    )
+    cur_counts = cur_binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cur")
+    )
+    totals_r = ref_counts.agg(F.sum("n_ref").cast("long").alias("tr"))
+    totals_c = cur_counts.agg(F.sum("n_cur").cast("long").alias("tc"))
+    j = (
+        ref_counts.join(cur_counts, "bin", "full")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+        .crossJoin(F.broadcast(totals_r))
+        .crossJoin(F.broadcast(totals_c))
+    )
+    # integer-scaled shares and log-ratio: round(1e6*ln(p/q)) with p/q as
+    # exact count ratios — ln of a ratio of positive ints, repo idiom
+    p_s = F.expr("(n_ref * 2000000 + tr) div (2 * tr)").cast("long")
+    q_s = F.expr("(n_cur * 2000000 + tc) div (2 * tc)").cast("long")
+    ln_s = F.when(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+        F.round(
+            F.log(
+                (F.col("n_ref").cast("double") * F.col("tc").cast("double"))
+                / (F.col("n_cur").cast("double") * F.col("tr").cast("double"))
+            )
+            * 1_000_000
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    return j.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        exact_ratio_round6_wide(F.col("n_ref"), F.col("tr")).alias("p_ref"),
+        exact_ratio_round6_wide(F.col("n_cur"), F.col("tc")).alias("p_cur"),
+        exact_ratio_round6_wide(
+            (p_s - q_s) * ln_s, F.lit(1_000_000_000_000)
+        ).alias("psi_term"),
+    )
+
+
+QUERIES["score_drift_psi"] = score_drift_psi
+
+
+def harmonic_centrality_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth (≤3) harmonic centrality of hash-chosen seed parts in
+    the co-purchase graph — multi-source frontier BFS with integer 1/d
+    weights; the oracle unrolls the same three expansion/anti-join rounds
+    with MATERIALIZED CTEs."""
+    from stellar_etl_spark.operators.graph import harmonic_centrality_bounded
+
+    lp = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = lp.alias("x"), lp.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(
+        F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+    ).distinct()
+    return harmonic_centrality_bounded(edges, seed_mod=100, max_depth=3)
+
+
+QUERIES["harmonic_centrality_seeds"] = harmonic_centrality_seeds
