@@ -58,6 +58,14 @@ class TestClusterShape:
         "asof_attribution",
         "errors_in_sessions",
         "dormant_customers",
+        # round-4 additions (rolling_7day / k_anonymity excluded: their
+        # 1-row bounds/k-ladder crossJoins are deliberate scalar BNLJs)
+        "media_image_phash_dedup",
+        "media_audio_activity",
+        "orders_nested_export",
+        "frequent_event_paths",
+        "group_disjoint_split",
+        "text_tiling_segments",
     ]
     # subset whose default plan carries a partial (map-side) aggregate —
     # scaling the shuffle width must not drop it
@@ -74,6 +82,11 @@ class TestClusterShape:
         "inverted_index",
         "errors_in_sessions",
         "dormant_customers",
+        "media_image_phash_dedup",
+        "orders_nested_export",
+        "frequent_event_paths",
+        "group_disjoint_split",
+        "text_tiling_segments",
     }
 
     def test_plans_cluster_shape(self, spark, sf_dir):
