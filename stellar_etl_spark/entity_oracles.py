@@ -120,7 +120,7 @@ SELECT
   ln + 1 AS application_order,
   CASE WHEN pk % 3 <> 0 THEN 'GOP' || CAST(sk AS VARCHAR)
        ELSE 'GACC' || CAST(k % 997 AS VARCHAR) END AS source_account,
-  t AS type,
+  CAST(t AS BIGINT) AS type,
   CASE t WHEN 0 THEN 'create_account' WHEN 1 THEN 'payment'
     WHEN 3 THEN 'manage_sell_offer' WHEN 6 THEN 'change_trust'
     WHEN 10 THEN 'manage_data' ELSE 'bump_sequence' END AS type_string,
@@ -177,7 +177,7 @@ WITH base AS (
 )
 SELECT
   (seq << 32) | (txi << 12) | (ln + 1) AS id,
-  CASE WHEN ln = 1 THEN 16 ELSE 17 END AS type,
+  CAST(CASE WHEN ln = 1 THEN 16 ELSE 17 END AS BIGINT) AS type,
   CASE WHEN ln = 1 THEN 'begin_sponsoring_future_reserves'
        ELSE 'end_sponsoring_future_reserves' END AS type_string,
   CASE WHEN ln = 1 THEN 'BEG' || CAST(k AS VARCHAR)
@@ -313,7 +313,7 @@ eff AS (
 SELECT CAST(op_id AS VARCHAR) || '-' || CAST(idx AS VARCHAR) AS id,
   op_id AS operation_id, CAST(idx AS BIGINT) AS "index",
   CAST(tid AS BIGINT) AS type, tstr AS type_string, addr AS address,
-  seq AS ledger_sequence, t AS operation_type,
+  seq AS ledger_sequence, CAST(t AS BIGINT) AS operation_type,
   d_amount, d_asset_type, d_asset_code, d_starting_balance, d_name, d_new_seq
 FROM eff
 """,
@@ -693,7 +693,8 @@ WITH e AS (
   FROM events WHERE event_id % 5 = 3
 )
 SELECT
-  CASE arm WHEN 0 THEN 0 WHEN 1 THEN 6 ELSE 11 END AS config_setting_id,
+  CAST(CASE arm WHEN 0 THEN 0 WHEN 1 THEN 6 ELSE 11 END AS BIGINT)
+    AS config_setting_id,
   CASE WHEN arm = 0 THEN (eid % 65536) + b ELSE 0 END AS contract_max_size_bytes,
   CAST(0 AS BIGINT) AS ledger_max_instructions,
   CAST(0 AS BIGINT) AS tx_max_instructions,

@@ -202,10 +202,18 @@ def image_dhash(media: DataFrame) -> DataFrame:
                 w, h, c, px = png_decode(bytes(p))
                 a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c)
                 luma = a.sum(axis=2, dtype=np.int64)
-                bits = (luma[:, 1:] > luma[:, :-1]).astype(np.int64)
+                # classic dHash fixes the grid BEFORE comparing: sample a
+                # deterministic 8x8 nearest-neighbor grid of the luma plane
+                # (identity when the input is already 8x8), so every image
+                # size yields a valid 56-bit hash — without this, shifts of
+                # h*(w-1)-1 >= 64 bits overflow int64 into garbage hashes
+                grid = luma[
+                    np.ix_((np.arange(8) * h) // 8, (np.arange(8) * w) // 8)
+                ]
+                bits = (grid[:, 1:] > grid[:, :-1]).astype(np.int64)
                 weights = (
                     np.int64(1)
-                    << (np.arange(h)[:, None] * (w - 1) + np.arange(w - 1))
+                    << (np.arange(8)[:, None] * 7 + np.arange(7))
                 )
                 rows.append(
                     {"doc_id": d, "dhash": int((bits * weights).sum())}

@@ -543,7 +543,7 @@ def kmeans_fixed(
     cent = (
         pts.orderBy(id_col)
         .limit(k)
-        .select((F.row_number().over(w) - 1).alias("cid"), F.col("_q").alias("_c"))
+        .select((F.row_number().over(w) - 1).cast("long").alias("cid"), F.col("_q").alias("_c"))
     )
 
     def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:

@@ -259,7 +259,7 @@ def repetition_stats(
     ).otherwise(F.lit(0.0))
     return df.select(
         F.col(id_col),
-        n_tok.alias("n_tokens"),
+        n_tok.cast("long").alias("n_tokens"),
         top_uni_frac.alias("top_unigram_frac"),
         top_bi_frac.alias("top_bigram_frac"),
         ((top_uni_frac > 0.2) | (top_bi_frac > 0.2)).alias("repetitive"),

@@ -1203,7 +1203,7 @@ survivors AS (
 )
 SELECT lang, COUNT(*) AS n_docs,
   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-  SUM(n_chars) AS total_chars
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 JOIN q USING (doc_id)
 WHERE score >= 2 AND doc_id IN (SELECT doc_id FROM survivors)
@@ -1228,10 +1228,10 @@ WITH stats AS (
 )
 SELECT source,
   COUNT(*) AS docs_kept,
-  SUM(n_chars) AS tokens_kept,
-  MIN(source_tokens) AS source_tokens,
+  CAST(SUM(n_chars) AS BIGINT) AS tokens_kept,
+  CAST(MIN(source_tokens) AS BIGINT) AS source_tokens,
   MIN(source_docs) AS source_docs,
-  MIN(budget) AS token_budget
+  CAST(MIN(budget) AS BIGINT) AS token_budget
 FROM kept GROUP BY source
 """,
     "stratified_sample": """
@@ -1309,7 +1309,7 @@ scored AS (
 bucketed AS (
   SELECT *, ntile(10) OVER (ORDER BY micro, doc_id) AS bucket FROM scored
 )
-SELECT bucket, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
   MIN(micro) / 1000000.0 AS min_score,
   MAX(micro) / 1000000.0 AS max_score
 FROM bucketed GROUP BY bucket
@@ -1322,7 +1322,7 @@ cf AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
 vocab AS (SELECT t FROM cf ORDER BY c DESC, t LIMIT 100),
 agg AS (
   SELECT tok.doc_id, COUNT(*) AS n_tokens,
-    SUM(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END) AS n_oov
+    CAST(SUM(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
   FROM tok LEFT JOIN vocab ON tok.t = vocab.t
   GROUP BY tok.doc_id
 )
@@ -1377,7 +1377,7 @@ SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
     "corpus_stats_by_source": """
 SELECT source,
   COUNT(*) AS n_docs,
-  SUM(n_chars) AS total_chars,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
   ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
   ROUND(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
   COUNT(DISTINCT lang) AS n_langs
@@ -1432,10 +1432,10 @@ WHERE cost = min_cost
 """,
     "tpch_q12_late_shipments": """
 SELECT l_linestatus,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-    AS high_line_count,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
-    AS low_line_count
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+    AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
 GROUP BY l_linestatus
@@ -1485,9 +1485,9 @@ scrubbed AS (
   FROM seeded
 )
 SELECT source, COUNT(*) AS n_docs,
-  SUM(n_emails) AS emails_redacted,
-  SUM(n_phones) AS phones_redacted,
-  SUM(chars_delta) AS chars_delta_total
+  CAST(SUM(n_emails) AS BIGINT) AS emails_redacted,
+  CAST(SUM(n_phones) AS BIGINT) AS phones_redacted,
+  CAST(SUM(chars_delta) AS BIGINT) AS chars_delta_total
 FROM scrubbed GROUP BY source
 """,
     "repetition_quality": """
@@ -1548,8 +1548,8 @@ per_doc AS (
   GROUP BY doc_id
 )
 SELECT source, COUNT(*) AS n_docs,
-  SUM(CASE WHEN CAST(n_contaminated AS DOUBLE) / n_grams >= 0.02
-      THEN 1 ELSE 0 END) AS n_contaminated,
+  CAST(SUM(CASE WHEN CAST(n_contaminated AS DOUBLE) / n_grams >= 0.02
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
   ((((SUM(n_contaminated)) * 2000000 + (SUM(n_grams))) // (2 * (SUM(n_grams)))) / 1000000.0)
     AS overlap_frac
 FROM per_doc GROUP BY source
@@ -1692,7 +1692,7 @@ w AS (
   FROM counts, totals
 )
 SELECT bt.doc_id, COUNT(*) AS n_tokens,
-  SUM(w.lw) AS importance_scaled,
+  CAST(SUM(w.lw) AS BIGINT) AS importance_scaled,
   (SUM(w.lw) > 0) AS selected
 FROM bt JOIN w ON bt.b = w.b
 WHERE NOT bt.t
@@ -1707,7 +1707,7 @@ WITH per_doc AS (
   FROM documents
 )
 SELECT lang, source, COUNT(*) AS n_docs,
-  SUM(n_bpe) AS total_bpe_tokens,
+  CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
   CAST((2000000 * SUM(n_bpe) + SUM(n_words)) // (2 * SUM(n_words))
        AS DOUBLE) / 1000000.0 AS fertility,
   CAST((2000000 * SUM(n_bytes) + SUM(n_bpe)) // (2 * SUM(n_bpe))
@@ -1772,7 +1772,7 @@ FROM asg LEFT JOIN dom ON asg.vec_id = dom.vec_id
 """,
     "variant_props_profile": """
 SELECT event_type, COUNT(*) AS n_events,
-  SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
   MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
   MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
   COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_distinct_k

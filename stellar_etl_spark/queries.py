@@ -76,7 +76,9 @@ def _ts(col: str):
 
 
 def _year(col: str):
-    return F.year(_ts(col))
+    # long, not int: DuckDB year() is BIGINT and the driver hash is
+    # representation-sensitive — keep output-year columns width-aligned
+    return F.year(_ts(col)).cast("long")
 
 
 def _one():
@@ -220,7 +222,7 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 3)
         .select("n_name", "rnk", "c_name", "c_acctbal")
     )

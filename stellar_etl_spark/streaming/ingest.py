@@ -11,16 +11,24 @@ the repo-wide streaming pattern.
 Scale stance: the per-batch work is one classifier projection plus one
 banded NEW×INDEX LSH join (never index×index); the index side is a
 materialized parquet table the batch probes, exactly the deployment shape.
-Exactly-once: each micro-batch's admitted rows land under an
-``epoch=<epoch_id>`` partition directory with OVERWRITE semantics, so a
-replayed epoch (failure between the write and the checkpoint commit)
-rewrites its own directory instead of appending duplicates — the same
-idempotence discipline as streaming/agg_maintenance.py.  The index is read
-from the partitioned root, so partition discovery unions the epoch dirs.
+
+Exactly-once: each micro-batch's admitted rows land under a
+``run=<query_id>/epoch=<epoch_id>`` partition directory with OVERWRITE
+semantics.  Epoch ids are only unique within one checkpoint lineage, so the
+epoch dir is namespaced by the streaming query id (read from the
+checkpoint's own metadata file): a replayed epoch (failure between the
+write and the checkpoint commit) rewrites its own directory instead of
+appending duplicates, while a RESET checkpoint — whose epoch ids restart at
+0 — gets a fresh ``run=`` namespace instead of silently deleting prior
+admissions.  The index is read from the partitioned root, so partition
+discovery unions every run's epoch dirs.
 """
 
 from __future__ import annotations
 
+import json
+
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
@@ -56,6 +64,77 @@ def ingest_batch(
     )
 
 
+def _hadoop_path(spark: SparkSession, uri: str):
+    """(Path, FileSystem) for any Hadoop-supported scheme — local fs in
+    tests, the cluster FS in deployment."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return path, fs
+
+
+def _run_token(spark: SparkSession, checkpoint_dir: str) -> str:
+    """The streaming query id from the checkpoint's own metadata file.
+
+    Stable across restarts of the SAME checkpoint (replayed epochs map to
+    the same dir → overwrite is idempotent) and fresh whenever the
+    checkpoint is reset (epoch ids restart at 0 but land under a NEW
+    ``run=`` namespace instead of clobbering prior admissions).  Spark
+    writes ``<checkpoint>/metadata`` at query start, before the first
+    batch, so it is always present inside ``foreachBatch``.
+    """
+    path, fs = _hadoop_path(spark, f"{checkpoint_dir}/metadata")
+    stream = fs.open(path)
+    try:
+        raw = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return str(json.loads(raw.decode("utf-8"))["id"])
+
+
+def _validate_index_layout(spark: SparkSession, index_dir: str) -> None:
+    """Refuse to start over an index_dir holding non-``run=`` entries.
+
+    A corpus written by a flat-file layout (or the pre-namespace ``epoch=``
+    layout) mixed with ``run=`` dirs makes Spark's partition discovery fail
+    with "conflicting directory structures" at read time — deep inside a
+    micro-batch.  Failing at start() with an actionable message is the
+    contract instead."""
+    path, fs = _hadoop_path(spark, index_dir)
+    if not fs.exists(path):
+        return
+    bad = []
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if name.startswith(("run=", "_", ".")):
+            continue
+        bad.append(name)
+    if bad:
+        raise ValueError(
+            f"index_dir {index_dir!r} contains non-run= entries "
+            f"{sorted(bad)[:5]}: it was written by a different corpus "
+            "layout. Point the stream at a fresh index_dir (or migrate the "
+            "existing corpus under a run=<id>/epoch=<n>/ layout) — mixing "
+            "layouts breaks parquet partition discovery."
+        )
+
+
+def _is_path_not_found(exc: AnalysisException) -> bool:
+    cond = ""
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, attr, None)
+        if callable(fn):
+            try:
+                cond = fn() or ""
+            except Exception:
+                cond = ""
+            if cond:
+                break
+    return "PATH_NOT_FOUND" in cond or "PATH_NOT_FOUND" in str(exc)
+
+
 def stream_ingest_corpus(
     stream: DataFrame,
     index_dir: str,
@@ -66,7 +145,11 @@ def stream_ingest_corpus(
 ):
     """Run the ingestion as a Structured Streaming query: each micro-batch
     is screened against the corpus parquet at ``index_dir`` as of batch
-    start, and survivors are appended there."""
+    start, and survivors are appended there (run/epoch-keyed — see module
+    docstring for the exactly-once story)."""
+    spark = stream.sparkSession
+    _validate_index_layout(spark, index_dir)
+    token_cache: dict[str, str] = {}
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -74,16 +157,24 @@ def stream_ingest_corpus(
             index = spark.read.parquet(index_dir).select(id_col, text_col)
             if not index.head(1):
                 index = None
-        except Exception:
+        except AnalysisException as exc:
+            # ONLY "corpus not written yet" means empty index; a layout or
+            # schema error must surface, not silently disable the near-dup
+            # screen and admit duplicates
+            if not _is_path_not_found(exc):
+                raise
             index = None
         admitted = ingest_batch(
             batch_df, index, id_col=id_col, text_col=text_col
         )
-        # epoch-keyed overwrite = replay-idempotent: a re-run of this epoch
-        # after a crash-before-commit replaces its own partition instead of
-        # double-appending the batch into the corpus
+        if "run" not in token_cache:
+            token_cache["run"] = _run_token(spark, checkpoint_dir)
+        # run/epoch-keyed overwrite = replay-idempotent within this
+        # checkpoint lineage: a re-run of this epoch after a
+        # crash-before-commit replaces its own partition instead of
+        # double-appending, and a reset checkpoint writes under a new run=
         admitted.write.mode("overwrite").parquet(
-            f"{index_dir}/epoch={int(epoch_id)}"
+            f"{index_dir}/run={token_cache['run']}/epoch={int(epoch_id)}"
         )
 
     writer = (

@@ -1334,8 +1334,20 @@ def transform_effects(
     operations: DataFrame,
     transactions: DataFrame,
     ledgers: DataFrame | None = None,
+    prune: bool = True,
 ) -> DataFrame:
-    """One row per emitted effect; only successful txs emit (effects.go:55-57)."""
+    """One row per emitted effect; only successful txs emit (effects.go:55-57).
+
+    ``prune=True`` (the default) runs one column-pruned aggregate over
+    ``operations`` FIRST and builds only the effect families that snapshot
+    can reach.  This requires ``operations`` to be STATIC between the probe
+    action and the main job: a non-deterministic or re-resolved input
+    (e.g. a view over files being rewritten) could grow new op types after
+    the probe and those ops would silently emit zero effects.  For such
+    inputs pass ``prune=False`` (or cache/checkpoint the frame before
+    calling) — the full 52-family expression is built unconditionally, the
+    same path streaming inputs always take.
+    """
     tx_src = transactions.select(
         F.col("ledger_sequence").alias("_ls"),
         F.col("tx_index").alias("_ti"),
@@ -1364,7 +1376,7 @@ def transform_effects(
     # generated projection from ~350 KB (beyond JIT's compile threshold →
     # interpreted) to just the reachable families.  Streams can't be
     # probed — they get the full expression.
-    if operations.isStreaming:
+    if operations.isStreaming or not prune:
         present, has_changes, has_atoms = None, True, True
     else:
         prow = operations.agg(

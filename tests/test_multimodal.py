@@ -319,6 +319,34 @@ class TestImageDhash:
         ]
         assert hs[0] == hs[1]
 
+    def test_large_images_hash_via_8x8_grid(self, spark):
+        """Non-8x8 inputs downsample to a fixed 8x8 nearest-neighbor grid
+        (classic dHash) — previously h*(w-1) > 64 silently overflowed the
+        int64 bit shifts.  A 16x16 image must hash exactly like the 8x8
+        image holding its sampled grid, and the 8x8 path is the identity
+        (regression-pinned by test_dhash_matches_reference_computation)."""
+        from stellar_etl_spark.functions.codecs import png_encode
+        from stellar_etl_spark.operators.multimodal import image_dhash
+
+        w = h = 16
+        big = bytes((7 * i) % 251 for i in range(w * h * 3))
+        grid_px = bytearray()
+        for y in range(8):
+            for x in range(8):
+                sy, sx = (y * h) // 8, (x * w) // 8
+                off = (sy * w + sx) * 3
+                grid_px += big[off : off + 3]
+        media = spark.createDataFrame(
+            [
+                (1, bytearray(png_encode(w, h, big))),
+                (2, bytearray(png_encode(8, 8, bytes(grid_px)))),
+            ],
+            "doc_id long, payload binary",
+        )
+        out = {r.doc_id: r.dhash for r in image_dhash(media).collect()}
+        assert out[1] == out[2]
+        assert 0 <= out[1] < (1 << 56)
+
 
 class TestAudioActivity:
     def test_zero_crossings_and_silence(self, spark):

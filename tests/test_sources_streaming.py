@@ -1133,6 +1133,74 @@ class TestStreamingIngest:
         # the re-landed exact copies were rejected
         assert not {d for d in streamed if d >= 100000}
 
+    def test_checkpoint_reset_does_not_clobber_prior_admissions(
+        self, spark, tmp_path
+    ):
+        """A reset checkpoint restarts epoch ids at 0; the run=<queryId>
+        namespace must keep the new epoch-0 overwrite away from the old
+        run's epoch-0 data (the old layout silently DELETED it)."""
+        from stellar_etl_spark.streaming.ingest import stream_ingest_corpus
+
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(20)
+            .collect()
+        )
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        spark.createDataFrame(
+            [(r.doc_id, r.text) for r in docs], "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(landing / "b0"))
+
+        def run(ckpt: str):
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .parquet(str(landing / "b*"))
+            )
+            q = stream_ingest_corpus(
+                stream, index_dir, checkpoint_dir=str(tmp_path / ckpt)
+            )
+            q.awaitTermination(120)
+
+        index_dir = str(tmp_path / "corpus")
+        run("ckpt1")
+        first = {r.doc_id for r in spark.read.parquet(index_dir).collect()}
+        assert first  # something was admitted
+
+        # fresh checkpoint over the same landing files: epoch ids restart
+        # at 0, every doc is an exact dup of the existing corpus
+        run("ckpt2")
+        after = {r.doc_id for r in spark.read.parquet(index_dir).collect()}
+        assert after == first  # nothing deleted, nothing re-admitted
+        runs = {
+            r["run"]
+            for r in spark.read.parquet(index_dir).select("run").collect()
+        }
+        assert len(runs) == 1  # second run admitted zero rows
+
+    def test_refuses_foreign_index_layout(self, spark, tmp_path):
+        """index_dir holding non-run= entries (flat corpus files or the
+        pre-namespace epoch= layout) must fail at start(), not silently
+        skip dedup mid-stream."""
+        import pytest
+
+        from stellar_etl_spark.streaming.ingest import stream_ingest_corpus
+
+        index_dir = str(tmp_path / "corpus")
+        spark.createDataFrame(
+            [(1, "legacy")], "doc_id long, text string"
+        ).write.parquet(index_dir)  # flat layout
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(tmp_path / "nothing*"))
+        )
+        with pytest.raises(ValueError, match="non-run= entries"):
+            stream_ingest_corpus(
+                stream, index_dir, checkpoint_dir=str(tmp_path / "ckpt")
+            )
+
 
 class TestStreamAggMaintenance:
     def test_streamed_state_equals_full_aggregate(self, spark, tmp_path):

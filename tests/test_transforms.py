@@ -386,6 +386,20 @@ class TestChangesFamily:
 
 
 class TestEffects:
+    def test_prune_false_matches_pruned_output(self, data):
+        """prune=False (the escape hatch for non-static inputs) builds the
+        full 52-family expression; on a static batch input it must emit
+        exactly the rows the pruned default emits."""
+        pruned = transform_effects(
+            data["operations"], data["transactions"]
+        ).collect()
+        full = transform_effects(
+            data["operations"], data["transactions"], prune=False
+        ).collect()
+        key = lambda r: r["id"]  # noqa: E731
+        assert sorted(map(tuple, pruned)) == sorted(map(tuple, full))
+        assert len(pruned) > 0
+
     def _by_op(self, data):
         rows = transform_effects(data["operations"], data["transactions"]).collect()
         by_op: dict[int, list] = {}

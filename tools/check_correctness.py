@@ -33,6 +33,28 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _dtype_split(sv: pd.Series, ov: pd.Series) -> str | None:
+    """Representation mismatch that the driver's format-sensitive value hash
+    would flag even when every value is numerically identical.
+
+    Round 4 lesson: DuckDB types SUM(<integer>) as HUGEINT, which pandas
+    renders as float64 while Spark returns int64 — ``123`` vs ``123.0`` hash
+    differently.  Fail on int-vs-float splits; also fail on integer-width
+    splits (int32 vs int64) as cheap insurance against a driver hash that
+    includes dtype.  Bool-vs-bool and float32-vs-float64 are left to the
+    value comparison (Spark floats round-trip as float64 via toPandas).
+    """
+    s_int = pd.api.types.is_integer_dtype(sv)
+    o_int = pd.api.types.is_integer_dtype(ov)
+    s_flt = pd.api.types.is_float_dtype(sv)
+    o_flt = pd.api.types.is_float_dtype(ov)
+    if (s_int and o_flt) or (s_flt and o_int):
+        return f"dtype split int-vs-float: spark={sv.dtype} oracle={ov.dtype}"
+    if s_int and o_int and sv.dtype != ov.dtype:
+        return f"dtype split int width: spark={sv.dtype} oracle={ov.dtype}"
+    return None
+
+
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_df) != len(oracle_df):
@@ -46,6 +68,9 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
     s, o = normalize(spark_df), normalize(oracle_df)
     for col in s.columns:
         sv, ov = s[col], o[col]
+        split = _dtype_split(sv, ov)
+        if split:
+            problems.append(f"col {col}: {split}")
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
             a = sv.astype(float).to_numpy()
             b = ov.astype(float).to_numpy()
