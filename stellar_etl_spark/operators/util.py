@@ -101,3 +101,138 @@ def exact_ratio_round6_wide(num, den):
     # ≤2^53 quotient is exact.
     trunc = ((q - q % b) / b).cast("double")
     return sgn * trunc / F.lit(1_000_000.0)
+
+
+def fixed_ln_micro(a, b):
+    """``round(1e6 * ln(a/b))`` computed in EXACT integer fixed-point —
+    bit-identical across engines, unlike libm.
+
+    ``java.lang.Math.log`` permits 1 ulp of error and need not agree with
+    DuckDB's libm, so ``round(1e6*log(x))`` can flip the rounded integer at
+    a near-half-way value and break bit-exact parity (the same reason the
+    repo avoids ``pow``).  This helper quantizes the log DETERMINISTICALLY:
+
+    1. normalize ``r = a/b ≥ 1`` (record the sign), split ``log2 r`` into
+       the integer exponent ``e`` (double estimate, then corrected with
+       exact integer comparisons — the double can be off by at most 1) and
+       a Q30 mantissa ``m ∈ [2^30, 2^31)`` (three 10-bit long-division
+       chunks, no intermediate exceeds 2^60);
+    2. extract 25 fractional bits of ``log2 m`` by repeated
+       square-and-normalize (the classical binary-digit algorithm; every
+       step is ``(m*m) >> 30`` on values < 2^31, exact in int64) with the
+       (mantissa, bits) state packed into one long for the fold;
+    3. scale by ``ln2`` as the integer constant round(ln2 * 1e6 * 2^12)
+       and round-half-up in integer arithmetic.
+
+    The result differs from ``round(1e6*ln(a/b))`` by at most 1 on ~1% of
+    inputs (measured; absolute error vs the true value < 0.56 micro-units)
+    but is a pure function of the integers (a, b) — both engines computing
+    this formula ALWAYS agree.  The DuckDB twin is
+    :data:`stellar_etl_spark.oracles.FIXED_LN_MICRO_SQL`.
+
+    Inputs must be integer columns with 0 < a, b < 2^49 (long-division
+    headroom); rows violating that yield engine-dependent garbage, so gate
+    callers accordingly.
+    """
+    from pyspark.sql import Column, functions as F
+
+    if not isinstance(a, Column):
+        a = F.col(a)
+    if not isinstance(b, Column):
+        b = F.col(b)
+
+    def let(bound, fn):
+        # let-binding inside one Column expression: evaluate ``bound`` ONCE
+        # and pass it to ``fn``.  Without this every reuse of an
+        # intermediate duplicates its whole subtree in the plan (the
+        # _select_jfields class of blow-up), turning an 11-row query into
+        # seconds of analyzer/codegen work.
+        return F.transform(F.array(bound), fn)[0]
+
+    pow2 = lambda ex: F.power(F.lit(2.0), ex).cast("long")  # noqa: E731
+    half = F.lit((1 << 32) - 1)
+
+    def step(state, _i):
+        m = state.bitwiseAND(half)
+        acc = F.shiftright(state, 32)
+        m2 = F.shiftright(m * m, 30)
+        bit = (m2 >= F.lit(1 << 31)).cast("long")
+        m_next = F.when(bit == 1, F.shiftright(m2, 1)).otherwise(m2)
+        return (acc * 2 + bit) * F.lit(1 << 32).cast("long") + m_next
+
+    def with_pq(pq):
+        p, q = pq["p"], pq["q"]
+        e0 = F.floor(
+            F.log(p.cast("double") / q.cast("double"))
+            / F.lit(0.6931471805599453)
+        ).cast("int")
+
+        def with_e(e):
+            def with_qs(qs):
+                def with_rem_t1(t1):
+                    def with_d1r1(dr):
+                        def with_d2r2(dr2):
+                            d3 = F.round(
+                                (dr2["r2"] * 1024
+                                 - F.pmod(dr2["r2"] * 1024, qs)) / qs
+                            ).cast("long")
+                            m0 = (
+                                F.lit(1 << 30).cast("long")
+                                + dr["d1"] * (1 << 20)
+                                + dr2["d2"] * 1024
+                                + d3
+                            )
+                            folded = F.aggregate(
+                                F.sequence(F.lit(1), F.lit(25)), m0, step
+                            )
+                            acc25 = F.shiftright(folded, 32)
+                            e2 = (
+                                e.cast("long") * F.lit(1 << 25).cast("long")
+                                + acc25
+                            )
+                            x = e2 * F.lit(2839130852).cast("long")
+                            return F.shiftright(
+                                x + F.lit(1 << 36).cast("long"), 37
+                            )
+
+                        t2 = dr["r1"] * 1024
+                        return let(
+                            F.struct(
+                                F.round(
+                                    (t2 - F.pmod(t2, qs)) / qs
+                                ).cast("long").alias("d2"),
+                                F.pmod(t2, qs).alias("r2"),
+                            ),
+                            with_d2r2,
+                        )
+
+                    return let(
+                        F.struct(
+                            F.round(
+                                (t1 - F.pmod(t1, qs)) / qs
+                            ).cast("long").alias("d1"),
+                            F.pmod(t1, qs).alias("r1"),
+                        ),
+                        with_d1r1,
+                    )
+
+                return let((p - qs) * 1024, with_rem_t1)
+
+            return let(q * pow2(e), with_qs)
+
+        e_expr = (
+            F.when(q * pow2(e0 + 1) <= p, e0 + 1)
+            .when(q * pow2(e0) <= p, e0)
+            .otherwise(e0 - 1)
+        )
+        return let(e_expr, with_e)
+
+    sgn = F.when(a >= b, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+    mag = let(
+        F.struct(
+            F.greatest(a, b).cast("long").alias("p"),
+            F.least(a, b).cast("long").alias("q"),
+        ),
+        with_pq,
+    )
+    return sgn * mag

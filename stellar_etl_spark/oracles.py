@@ -12,6 +12,54 @@ _DISC_PRICE = (
     "(CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))"
 )
 
+
+def fixed_ln_micro_sql(a: str, b: str) -> str:
+    """DuckDB twin of ``operators.util.fixed_ln_micro(a, b)``: the
+    engine-deterministic integer quantization of ``round(1e6 * ln(a/b))``.
+    Same algorithm, same constants — see the Spark helper's docstring for
+    the derivation and the 0 < a, b < 2^49 input contract.  ``a``/``b``
+    are SQL sub-expressions (typically column names)."""
+    sgn = f"(CASE WHEN ({a}) >= ({b}) THEN 1 ELSE -1 END)"
+    p = f"GREATEST(CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+    q = f"LEAST(CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+    e0 = (
+        f"CAST(floor(ln(CAST({p} AS DOUBLE) / CAST({q} AS DOUBLE))"
+        " / 0.6931471805599453) AS BIGINT)"
+    )
+
+    def pow2(x: str) -> str:
+        return f"CAST(power(2.0, {x}) AS BIGINT)"
+
+    e = (
+        f"(CASE WHEN {q} * {pow2(f'{e0} + 1')} <= {p} THEN {e0} + 1"
+        f" WHEN {q} * {pow2(e0)} <= {p} THEN {e0}"
+        f" ELSE {e0} - 1 END)"
+    )
+    qs = f"({q} * {pow2(e)})"
+    rem = f"({p} - {qs})"
+    d1 = f"(({rem} * 1024) // {qs})"
+    r1 = f"(({rem} * 1024) % {qs})"
+    d2 = f"(({r1} * 1024) // {qs})"
+    r2 = f"(({r1} * 1024) % {qs})"
+    d3 = f"(({r2} * 1024) // {qs})"
+    m0 = f"(1073741824 + {d1} * 1048576 + {d2} * 1024 + {d3})"
+    step = (
+        "CASE WHEN ((acc % 4294967296) * (acc % 4294967296))"
+        " // 1073741824 >= 2147483648"
+        " THEN ((acc // 4294967296) * 2 + 1) * 4294967296"
+        " + (((acc % 4294967296) * (acc % 4294967296)) // 1073741824) // 2"
+        " ELSE ((acc // 4294967296) * 2) * 4294967296"
+        " + ((acc % 4294967296) * (acc % 4294967296)) // 1073741824 END"
+    )
+    folded = (
+        f"list_reduce(list_prepend(CAST({m0} AS BIGINT),"
+        " list_transform(generate_series(1, 25), i -> CAST(0 AS BIGINT))),"
+        f" (acc, x) -> {step})"
+    )
+    e2 = f"({e} * 33554432 + {folded} // 4294967296)"
+    return f"({sgn} * (({e2} * 2839130852 + 68719476736) // 137438953472))"
+
+
 ORACLES: dict[str, str] = {
     # ------------------------------------------------------------------
     "tpch_q1_pricing_summary": f"""
@@ -5439,9 +5487,9 @@ s AS (
   SELECT j.*, tr.tr, tc.tc,
     (n_ref * 2000000 + tr) // (2 * tr) AS p_s,
     (n_cur * 2000000 + tc) // (2 * tc) AS q_s,
+    -- fixed-point deterministic ln twin (see fixed_ln_micro_sql):
     CASE WHEN n_ref > 0 AND n_cur > 0 THEN
-      CAST(round(ln((CAST(n_ref AS DOUBLE) * tc)
-                    / (CAST(n_cur AS DOUBLE) * tr)) * 1000000) AS BIGINT)
+      ((CASE WHEN ((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END)) >= ((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END)) THEN 1 ELSE -1 END) * ((((CASE WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1 WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT)) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) ELSE CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) - 1 END) * 33554432 + list_reduce(list_prepend(CAST((1073741824 + (((GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) - (LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, (CASE WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1 WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT)) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) ELSE CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) - 1 END)) AS BIGINT))) * 1024) // (LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, (CASE WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1 WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT)) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) ELSE CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) - 1 END)) AS BIGINT))) * 1048576 + (((((GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) - (LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, (CASE WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1 WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT)) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) ELSE CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) - 1 END)) AS BIGINT))) * 1024) % (LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, (CASE WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1 WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT)) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) ELSE CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) - 1 END)) AS BIGINT))) * 1024) // (LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, (CASE WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1 WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT)) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) ELSE CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) - 1 END)) AS BIGINT))) * 1024 + (((((((GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) - (LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, (CASE WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1 WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT)) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) ELSE CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) - 1 END)) AS BIGINT))) * 1024) % (LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, (CASE WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1 WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT)) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) ELSE CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) - 1 END)) AS BIGINT))) * 1024) % (LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, (CASE WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1 WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT)) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) ELSE CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) - 1 END)) AS BIGINT))) * 1024) // (LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, (CASE WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1 WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT)) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) ELSE CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) - 1 END)) AS BIGINT)))) AS BIGINT), list_transform(generate_series(1, 25), i -> CAST(0 AS BIGINT))), (acc, x) -> CASE WHEN ((acc % 4294967296) * (acc % 4294967296)) // 1073741824 >= 2147483648 THEN ((acc // 4294967296) * 2 + 1) * 4294967296 + (((acc % 4294967296) * (acc % 4294967296)) // 1073741824) // 2 ELSE ((acc // 4294967296) * 2) * 4294967296 + ((acc % 4294967296) * (acc % 4294967296)) // 1073741824 END) // 4294967296) * 2839130852 + 68719476736) // 137438953472))
     ELSE 0 END AS ln_s
   FROM j, tr, tc
 )

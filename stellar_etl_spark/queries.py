@@ -6401,18 +6401,22 @@ def score_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(totals_c))
     )
     # integer-scaled shares and log-ratio: round(1e6*ln(p/q)) with p/q as
-    # exact count ratios — ln of a ratio of positive ints, repo idiom
+    # exact count ratios.  The log goes through fixed_ln_micro, NOT libm:
+    # java.lang.Math.log and DuckDB's libm may differ by 1 ulp, which can
+    # flip the rounded integer at a near-half-way value — the fixed-point
+    # quantization is a pure function of the integer counts, so both
+    # engines always agree bit-for-bit.
+    from stellar_etl_spark.operators.util import fixed_ln_micro
+
     p_s = F.expr("(n_ref * 2000000 + tr) div (2 * tr)").cast("long")
     q_s = F.expr("(n_cur * 2000000 + tc) div (2 * tc)").cast("long")
+    ok = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
     ln_s = F.when(
-        (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
-        F.round(
-            F.log(
-                (F.col("n_ref").cast("double") * F.col("tc").cast("double"))
-                / (F.col("n_cur").cast("double") * F.col("tr").cast("double"))
-            )
-            * 1_000_000
-        ).cast("long"),
+        ok,
+        fixed_ln_micro(
+            F.when(ok, F.col("n_ref") * F.col("tc")).otherwise(F.lit(1)),
+            F.when(ok, F.col("n_cur") * F.col("tr")).otherwise(F.lit(1)),
+        ),
     ).otherwise(F.lit(0))
     return j.select(
         "bin",

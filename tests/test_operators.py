@@ -2408,3 +2408,90 @@ class TestModularity:
         )
         [r1] = modularity_summary(edges, one).collect()
         assert r1.modularity == 0.0
+
+
+class TestFixedLnMicro:
+    """Engine-deterministic round(1e6*ln(a/b)): Spark == DuckDB == the
+    Python reference on randomized + boundary inputs.  libm round() can
+    flip near .5 boundaries between JVMs/libcs; this quantization is a pure
+    function of the integers, so parity is structural, not probabilistic."""
+
+    @staticmethod
+    def _ref(A, B):
+        import math
+
+        sgn = 1
+        if A < B:
+            A, B, sgn = B, A, -1
+        e0 = int(math.floor(math.log(A / B) / math.log(2)))
+        if (B << (e0 + 1)) <= A:
+            e = e0 + 1
+        elif (B << e0) <= A:
+            e = e0
+        else:
+            e = e0 - 1
+        qs = B << e
+        rem = A - qs
+        d1, r1 = divmod(rem * 1024, qs)
+        d2, r2 = divmod(r1 * 1024, qs)
+        d3 = (r2 * 1024) // qs
+        m = (1 << 30) + (d1 << 20) + (d2 << 10) + d3
+        acc = 0
+        for _ in range(25):
+            m2 = (m * m) >> 30
+            if m2 >= (1 << 31):
+                m2 >>= 1
+                acc = acc * 2 + 1
+            else:
+                acc *= 2
+            m = m2
+        return sgn * (((e * (1 << 25) + acc) * 2839130852 + (1 << 36)) >> 37)
+
+    def _pairs(self):
+        import random
+
+        rng = random.Random(1234)
+        pairs = [
+            (rng.randint(1, 1 << 49), rng.randint(1, 1 << 49))
+            for _ in range(150)
+        ]
+        pairs += [(rng.randint(1, 500), rng.randint(1, 500)) for _ in range(150)]
+        pairs += [
+            (1, 1), (2, 1), (1, 2), (3, 7), (1000000, 999999),
+            (1, (1 << 49) - 1), ((1 << 49) - 1, 1), (1 << 48, 1 << 24),
+        ]
+        return pairs
+
+    def test_spark_matches_reference_and_stays_within_a_micro_ulp(self, spark):
+        import math
+
+        from stellar_etl_spark.operators.util import fixed_ln_micro
+
+        pairs = self._pairs()
+        df = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(pairs)],
+            "i long, a long, b long",
+        )
+        got = {
+            r.i: r.v
+            for r in df.select(
+                "i", fixed_ln_micro("a", "b").alias("v")
+            ).collect()
+        }
+        for i, (a, b) in enumerate(pairs):
+            assert got[i] == self._ref(a, b), (a, b)
+            # quantization quality: within 0.56 micro-units of true ln
+            assert abs(got[i] - 1e6 * math.log(a / b)) < 0.56, (a, b)
+
+    def test_duckdb_twin_matches_reference(self):
+        import duckdb
+
+        from stellar_etl_spark.oracles import fixed_ln_micro_sql
+
+        pairs = self._pairs()
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(a BIGINT, b BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
+        expr = fixed_ln_micro_sql("a", "b")
+        got = [r[0] for r in con.execute(f"SELECT {expr} FROM t").fetchall()]
+        assert got == [self._ref(a, b) for a, b in pairs]
