@@ -397,8 +397,10 @@ def dedup_clusters(
             "label", F.col("node")
         )
     )
-    labels = labels.localCheckpoint(eager=False)
-    for _ in range(max_iterations):
+    from stellar_etl_spark.operators.util import lineage_cut
+
+    labels = lineage_cut(labels)
+    for _round in range(max_iterations):
         nbr = adj.join(labels, adj.dst == labels.node).select(
             F.col("src").alias("node"), F.col("label")
         )
@@ -407,8 +409,8 @@ def dedup_clusters(
             .union(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)
         )
+        new_labels = lineage_cut(new_labels, round_no=_round)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from stellar_etl_spark.operators.util import lineage_cut
+
 
 def pagerank(
     edges: DataFrame,
@@ -118,7 +120,8 @@ def pagerank(
         if (i + 1) % ckpt_interval == 0 and (i + 1) < iterations:
             # bound lineage depth for long runs; lazy — materializes with
             # the caller's action, blocks reclaimed by the ContextCleaner
-            ranks = ranks.localCheckpoint(eager=False)
+            # (reliable checkpoint instead when a checkpoint dir is set)
+            ranks = lineage_cut(ranks)
     if persist_edges:
         # Materialize the final iteration so the persisted edge list / node
         # set can be released here instead of leaking across invocations in
@@ -260,7 +263,7 @@ def label_propagation_labels(
     # the symmetrized edge list appears in every iteration AND inside each
     # label frame's lineage — a lazy checkpoint caps the otherwise
     # multiplicative logical-plan growth (the labels chain still unrolls)
-    sym = fwd.union(rev).distinct().localCheckpoint(eager=False)
+    sym = lineage_cut(fwd.union(rev).distinct())
     nodes = sym.select(F.col("u").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(iterations):
@@ -379,8 +382,10 @@ def k_core_peel(
             e.join(keep.withColumnRenamed("n", "u"), "u")
             .join(keep.withColumnRenamed("n", "v"), "v")
             .select("u", "v")
-            .localCheckpoint(eager=False)
         )
+        # per-round cut keeps the unrolled peel additive; reliable mode
+        # (checkpoint dir set) survives executor loss on long peels
+        e = lineage_cut(e, round_no=r - 1)
         nodes = e.select(F.col("u").alias("n")).unionAll(
             e.select(F.col("v").alias("n"))
         )
@@ -426,8 +431,8 @@ def harmonic_centrality_bounded(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    sym = lineage_cut(sym)
     seeds = (
         sym.select(F.col("u").alias("s"))
         .distinct()
@@ -442,15 +447,15 @@ def harmonic_centrality_bounded(
             .select("s", F.col("v").alias("node"))
             .distinct()
         )
-        new = nxt.join(visited, ["s", "node"], "left_anti").localCheckpoint(
-            eager=False
+        new = lineage_cut(
+            nxt.join(visited, ["s", "node"], "left_anti"), round_no=d - 1
         )
         counts.append(
             new.groupBy("s").agg(
                 F.count(F.lit(1)).cast("long").alias(f"n_d{d}")
             )
         )
-        visited = visited.unionByName(new).localCheckpoint(eager=False)
+        visited = lineage_cut(visited.unionByName(new), round_no=d - 1)
         frontier = new
     out = seeds
     for c in counts:

@@ -236,3 +236,33 @@ def fixed_ln_micro(a, b):
         with_pq,
     )
     return sgn * mag
+
+
+def lineage_cut(df: DataFrame, eager: bool = False, round_no: int | None = None,
+                every: int = 4) -> DataFrame:
+    """Cut lineage inside an iterative operator, cluster-safely.
+
+    Default (no checkpoint dir configured): lazy ``localCheckpoint`` every
+    call — the fast single-node path; blocks live on executors and are
+    reclaimed by the ContextCleaner.
+
+    Opt-in reliable mode: when the session has a checkpoint directory
+    (``spark.sparkContext.setCheckpointDir(...)`` — on a real cluster,
+    point it at the cluster FS), iterative loops switch to RELIABLE
+    ``checkpoint()`` every ``every`` rounds instead.  localCheckpoint
+    blocks are unreplicated: on a 1000-executor cluster a single executor
+    loss mid-peel kills the whole job once lineage has been truncated.
+    Reliable checkpoints survive executor loss at the cost of a cluster-FS
+    write per cut — hence every K rounds, with lineage growing only K
+    rounds deep between cuts (see SCALE.md "Iterative lineage").
+
+    ``round_no`` is the 0-based loop index; None means a one-shot cut
+    (always cut).  Callers keep their exact current behavior when no
+    checkpoint dir is set.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        return df.localCheckpoint(eager=eager)
+    if round_no is None or round_no % every == every - 1:
+        return df.checkpoint(eager=eager)
+    return df

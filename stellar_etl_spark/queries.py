@@ -5101,7 +5101,9 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("_md").alias("d2_at_selection"),
             )
         )
-        chosen = chosen.unionByName(cand).localCheckpoint(eager=False)
+        from stellar_etl_spark.operators.util import lineage_cut
+
+        chosen = lineage_cut(chosen.unionByName(cand), round_no=i)
 
     coverage = (
         emb.join(F.broadcast(chosen.select("center_id", "cv")), how="cross")
@@ -6138,7 +6140,9 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         v = nv.unionByName(conv_rows)
         if (i + 1) % 5 == 0:
-            v = v.localCheckpoint(eager=False)
+            from stellar_etl_spark.operators.util import lineage_cut
+
+            v = lineage_cut(v)
     pconv = v.where(F.col("s") == "START").select(
         "removed", F.col("w").alias("p_scaled")
     )

@@ -2495,3 +2495,51 @@ class TestFixedLnMicro:
         expr = fixed_ln_micro_sql("a", "b")
         got = [r[0] for r in con.execute(f"SELECT {expr} FROM t").fetchall()]
         assert got == [self._ref(a, b) for a, b in pairs]
+
+
+class TestReliableCheckpoint:
+    """lineage_cut switches the iterative operators' lazy localCheckpoint
+    to a RELIABLE checkpoint() when the session has a checkpoint dir —
+    the cluster-safe mode (localCheckpoint blocks are unreplicated; an
+    executor loss mid-iteration kills the job).  Results must be identical
+    in both modes, and the reliable run must actually write checkpoint
+    data to the configured dir."""
+
+    def test_reliable_mode_matches_local_mode(self, spark, tmp_path):
+        import os
+
+        from stellar_etl_spark.operators.graph import (
+            harmonic_centrality_bounded,
+            k_core_peel,
+        )
+
+        edges = spark.createDataFrame(
+            [(a, b) for a in range(0, 40) for b in range(a + 1, 40)
+             if (a * 7 + b * 13) % 3 != 0],
+            "a long, b long",
+        )
+        def run_both(fn):
+            local = {tuple(r) for r in fn().collect()}
+            sc = spark.sparkContext
+            assert sc.getCheckpointDir() is None
+            ckpt = str(tmp_path / "ckpt")
+            sc.setCheckpointDir(ckpt)
+            try:
+                reliable = {tuple(r) for r in fn().collect()}
+            finally:
+                # only way to unset from pyspark: clear the JVM-side field
+                # ($-mangled Scala setter, so getattr)
+                getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                    sc._jvm.scala.Option.apply(None)
+                )
+            assert sc.getCheckpointDir() is None
+            assert local == reliable
+            return ckpt
+
+        ckpt = run_both(lambda: k_core_peel(edges, k=20, rounds=5))
+        # the 5-round peel crosses the every=4 interval → reliable data
+        wrote = any(files for _, _, files in os.walk(ckpt))
+        assert wrote, "reliable checkpoint dir is empty"
+        run_both(
+            lambda: harmonic_centrality_bounded(edges, seed_mod=7, max_depth=3)
+        )
