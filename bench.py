@@ -218,6 +218,10 @@ def main() -> None:
             "sessionize_events", "word_explode_counts", "minhash_near_dup",
             "exact_dedup", "bm25_keyword_search", "semantic_dedup",
             "pq_ann_search", "sequence_packing",
+            # graph iteratives: the least-linear scale behavior in the
+            # registry — exactly the ones the 10x point must watch
+            "harmonic_centrality_seeds", "k_core_decomposition",
+            "community_modularity", "markov_removal_attribution",
         ]
         # single run per query: the session is already warm from the sf0.1
         # sweep, and the 10x stage must not double the bench wall time

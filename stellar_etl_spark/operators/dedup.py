@@ -28,6 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stellar_etl_spark.operators.util import lineage_cut
+
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup by content hash: keep the lowest id per md5(text).
@@ -172,9 +174,8 @@ def near_dup_pairs(
     Jaccard is exact set overlap of distinct shingles — an integer ratio, so
     bit-identical across engines.
     """
-    from pyspark import StorageLevel
 
-    from stellar_etl_spark.operators.util import fan_out_small, materialize_release
+    from stellar_etl_spark.operators.util import fan_out_small
 
     df = fan_out_small(df)
 
@@ -196,9 +197,12 @@ def near_dup_pairs(
         .drop("_base_hashes")
     )
     # The signature subtree feeds 4 branches (both sides of the LSH self-join
-    # and both sides of the verify join); persist so shingling+md5 runs once.
-    # MEMORY_AND_DISK: spills instead of OOM at 100 TB-scale partitions.
-    with_sh = with_sh.persist(StorageLevel.MEMORY_AND_DISK)
+    # and both sides of the verify join); cut it eagerly so shingling+md5
+    # runs once and the RESULT stays lazy (streams straight to the caller's
+    # sink — an eager cut of the result instead cost a full extra pass,
+    # measured +20% on the bench).  lineage_cut: localCheckpoint here,
+    # reliable checkpoint when the session has a checkpoint dir.
+    with_sh = lineage_cut(with_sh, eager=True)
 
     cands = minhash_lsh_candidates(
         with_sh, id_col, "minhash_sig", bands, rows_per_band
@@ -218,7 +222,7 @@ def near_dup_pairs(
         )
         .where(F.col("jaccard") >= F.lit(threshold))
     )
-    return materialize_release(pairs, with_sh)
+    return pairs
 
 
 def _hex15_to_long(hex_col: Column) -> Column:
@@ -292,7 +296,7 @@ def simhash_near_dup_pairs(
     over a 500 k corpus put ~15 k docs in every bucket).  Buckets under
     the cap — every oracle-checked scale — pair exactly as before.
     """
-    fp = simhash(df, id_col, text_col, bits).persist()
+    fp = lineage_cut(simhash(df, id_col, text_col, bits), eager=True)
     n_bands = max_distance + 1
     width = bits // n_bands
     bands = []
@@ -353,9 +357,7 @@ def simhash_near_dup_pairs(
         )
         .where(F.col("hamming") <= F.lit(max_distance))
     )
-    from stellar_etl_spark.operators.util import materialize_release
-
-    return materialize_release(pairs, fp)
+    return pairs
 
 
 def dedup_clusters(
@@ -397,8 +399,6 @@ def dedup_clusters(
             "label", F.col("node")
         )
     )
-    from stellar_etl_spark.operators.util import lineage_cut
-
     labels = lineage_cut(labels)
     for _round in range(max_iterations):
         nbr = adj.join(labels, adj.dst == labels.node).select(
@@ -455,7 +455,6 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, jaccard), jaccard an exact integer ratio —
     bit-identical across engines.
     """
-    from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
     from stellar_etl_spark.operators.util import fan_out_small
@@ -465,7 +464,9 @@ def ngram_jaccard_pairs(
         .select(F.col(id_col), shingles(F.col(text_col), n).alias("shingle_set"))
         .where(F.size("shingle_set") > 0)
     )
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    # shingle sets feed the frequency pass, the prefix pass and both verify
+    # sides: one eager cut, lazy result (see near_dup_pairs)
+    sh = lineage_cut(sh, eager=True)
 
     ex = sh.select(
         F.col(id_col),
@@ -519,9 +520,7 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= F.lit(threshold))
     )
-    from stellar_etl_spark.operators.util import materialize_release
-
-    return materialize_release(pairs, sh)
+    return pairs
 
 
 def segment_dedup(
@@ -627,7 +626,6 @@ def dedup_against_index(
     both derive from one frame.  Returns one row per NEW document:
     (id, is_dup, dup_of, jaccard).
     """
-    from pyspark import StorageLevel
 
     from stellar_etl_spark.operators.util import fan_out_small
 
@@ -650,8 +648,8 @@ def dedup_against_index(
         )
         .drop("_base_hashes")
         .where(F.size("shingle_set") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    with_sh = lineage_cut(with_sh, eager=True)
 
     banded = with_sh.select(
         F.col(id_col),
@@ -725,9 +723,7 @@ def dedup_against_index(
         "dup_of",
         "jaccard",
     )
-    from stellar_etl_spark.operators.util import materialize_release
-
-    return materialize_release(screened, with_sh)
+    return screened
 
 
 def dup_spans(
@@ -883,16 +879,15 @@ def ngram_containment_pairs(
     explode → count → equi-join shape as the Jaccard member; the right
     side carries full shingle volume (the price of asymmetry).  The
     containment itself is an exact integer ratio."""
-    from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
     from stellar_etl_spark.operators.util import exact_ratio_round6, fan_out_small
 
-    sh = (
+    sh = lineage_cut(
         fan_out_small(df)
         .select(F.col(id_col), shingles(F.col(text_col), n).alias("shingle_set"))
-        .where(F.size("shingle_set") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .where(F.size("shingle_set") > 0),
+        eager=True,
     )
     ex = sh.select(
         F.col(id_col),
@@ -940,9 +935,7 @@ def ngram_containment_pairs(
         # filter on the round6-exact value so both engines cut identically
         .where(F.col("containment") >= F.lit(threshold))
     )
-    from stellar_etl_spark.operators.util import materialize_release
-
-    return materialize_release(pairs, sh)
+    return pairs
 
 
 def minhash_calibration(
@@ -960,7 +953,6 @@ def minhash_calibration(
     re-tunes) the banding parameters on a new corpus.  Output: one row per
     match-count bucket with pair count and the exact mean Jaccard (sums of
     per-pair scaled exact ratios — no float accumulation)."""
-    from pyspark import StorageLevel
 
     from stellar_etl_spark.operators.util import exact_ratio_round6_wide, fan_out_small
 
@@ -978,8 +970,8 @@ def minhash_calibration(
             "minhash_sig", minhash_from_hashes(F.col("_base_hashes"), num_perm)
         )
         .drop("_base_hashes")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    with_sh = lineage_cut(with_sh, eager=True)
     cands = minhash_lsh_candidates(
         with_sh, id_col, "minhash_sig", bands, rows_per_band
     )
@@ -1023,6 +1015,4 @@ def minhash_calibration(
             F.col("_sj"), F.col("n_pairs") * 1_000_000
         ).alias("mean_exact_jaccard"),
     )
-    from stellar_etl_spark.operators.util import materialize_release
-
-    return materialize_release(curve, with_sh)
+    return curve

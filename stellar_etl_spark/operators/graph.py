@@ -164,8 +164,11 @@ def triangle_stats(
         )
         .where(F.col("_a") != F.col("_b"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # e feeds the degree agg, the orientation join and the edge count:
+    # eager cut once, result stays lazy (reliable checkpoint in cluster
+    # mode — see lineage_cut)
+    e = lineage_cut(e, eager=True)
     deg = (
         e.select(F.col("_a").alias("v"))
         .unionAll(e.select(F.col("_b").alias("v")))
@@ -183,7 +186,9 @@ def triangle_stats(
         F.when(fwd, F.col("_a")).otherwise(F.col("_b")).alias("src"),
         F.when(fwd, F.col("_b")).otherwise(F.col("_a")).alias("dst"),
         F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dd"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # the oriented edge list feeds both wedge sides and the closing join
+    o = lineage_cut(o, eager=True)
     # wedge at src: two out-neighbors ordered by the SAME (degree, id) total
     # order the orientation used, so the closing edge is oriented x -> y
     w1, w2 = o.alias("w1"), o.alias("w2")
@@ -213,9 +218,7 @@ def triangle_stats(
             F.col("n_triangles") * 3, F.greatest(F.col("n_wedges"), F.lit(1))
         ).alias("global_clustering"),
     )
-    from stellar_etl_spark.operators.util import materialize_release
-
-    return materialize_release(out, e, o)
+    return out
 
 
 def label_propagation(

@@ -9,6 +9,13 @@ def materialize_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Eagerly checkpoint ``result``, then unpersist the operator's cached
     intermediate frames.
 
+    SUPERSEDED for the dedup/graph operators by ``lineage_cut(intermediate,
+    eager=True)``: cutting the REUSED intermediate keeps the result lazy
+    (it streams once to the caller's sink) where this helper pays a full
+    extra materialize-then-reread pass of the result — measured +15-25% on
+    the five heaviest bench queries in round 4.  Still the right tool when
+    an operator's result itself must be consumed repeatedly by the caller.
+
     Returning a LAZY frame that still references a persisted subtree forces
     a choice between recompute (unpersist now) and a leak (CacheManager
     entries are never GC-cleaned, so blocks accumulate across invocations in
