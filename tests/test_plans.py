@@ -473,3 +473,38 @@ class TestDistributedRanking:
         out = distributed_ntile(df, "v", ["id"], 10, out="b").collect()
         got = {r.id: r.b for r in out}
         assert got == {2: 1, 3: 2, 1: 3}
+
+
+class TestIterativeLineageBudget:
+    """The EXECUTED plans of the iterative operators (checkpoint cuts
+    active, unlike plan_of's full-lineage audit) must stay under a fixed
+    exchange budget: round-3 caught an unbounded-lineage regression where
+    each k-core round re-derived the whole peel (9360 exchanges uncut).
+    Budgets are ~2x the measured post-cut counts, so a future edit that
+    silently drops a lineage cut (or re-multiplies a subtree) fails here
+    before it reaches the bench."""
+
+    BUDGETS = {
+        "k_core_decomposition": 64,        # measured 32
+        "community_modularity": 48,        # measured 20
+        "event_markov_stationary": 160,    # measured 104 (cut every 5 of 10)
+        "harmonic_centrality_seeds": 24,   # measured 8
+        "supplier_part_pagerank": 52,      # measured 26
+        "copurchase_communities": 52,      # measured 26
+    }
+
+    @pytest.mark.parametrize("name", sorted(BUDGETS))
+    def test_executed_plan_exchange_budget(self, spark, sf_dir, name):
+        import contextlib
+        import io
+
+        df = QUERIES[name](spark, sf_dir)  # real path: cuts ACTIVE
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        n = buf.getvalue().count("Exchange")
+        assert n <= self.BUDGETS[name], (
+            f"{name}: {n} exchanges in the executed plan exceeds the "
+            f"budget {self.BUDGETS[name]} — a lineage cut was probably "
+            "dropped or a shared subtree re-multiplied"
+        )
