@@ -14,6 +14,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stellar_etl_spark.operators.util import fixed_ln_micro
+
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -261,9 +263,9 @@ def tfidf_cosine_pairs(
         .where(F.col("df") <= F.lit(max_df_ratio) * F.col("n_docs"))
         .select(
             "t",
-            F.round(F.log(F.col("n_docs") / F.col("df")) * 1000)
-            .cast("long")
-            .alias("idf"),
+            fixed_ln_micro(
+                F.col("n_docs").cast("long"), F.col("df"), 1000
+            ).alias("idf"),
         )
     )
     w = tf.join(kept, "t").select(

@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from stellar_etl_spark.operators.dedup import shingles, tokenize_words
+from stellar_etl_spark.operators.util import fixed_ln_micro
 
 # Marker stopwords per language for the n-gram/stopword heuristic.  Order is
 # the deterministic tie-break (first wins on equal scores).
@@ -316,18 +317,32 @@ def bm25_search(
             for w in terms
         ]
     )
-    scored = (
-        piv.join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-        .crossJoin(F.broadcast(dfs))
+    # idf per TERM in the 1-row constants frame, not per scored doc-row:
+    # (n-df+0.5)/(df+0.5) + 1 == (2n+2)/(2df+1), one integer ratio, so the
+    # Robertson-Sparck-Jones idf quantizes engine-deterministically — and
+    # the fixed-point fold runs |terms| times total instead of once per
+    # (doc, term).  NULL df (term matches nothing) propagates to NULL idf,
+    # zeroed by the per-term coalesce below, same as ln() did.
+    consts = stats.crossJoin(dfs).select(
+        F.col("n"),
+        F.col("avgdl"),
+        *[F.col(f"df_{w}") for w in terms],
+        *[
+            (
+                fixed_ln_micro(
+                    2 * F.col("n").cast("long") + 2,
+                    2 * F.col(f"df_{w}").cast("long") + 1,
+                ).cast("double")
+                / F.lit(1_000_000.0)
+            ).alias(f"idf_{w}")
+            for w in terms
+        ],
     )
+    scored = piv.join(dl, id_col).crossJoin(F.broadcast(consts))
 
     def term_score(w: str):
         tf_c = F.col(f"tf_{w}").cast("double")
-        df_c = F.col(f"df_{w}").cast("double")
-        idf = F.log(
-            (F.col("n") - df_c + F.lit(0.5)) / (df_c + F.lit(0.5)) + F.lit(1.0)
-        )
+        idf = F.col(f"idf_{w}")
         denom = tf_c + F.lit(k1) * (
             F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
         )
@@ -441,11 +456,7 @@ def unigram_logprob_score(
     tot = toks.agg(F.count(F.lit(1)).alias("total"))
     lp = cf.crossJoin(F.broadcast(tot)).select(
         "t",
-        F.round(
-            F.log(F.col("c").cast("double") / F.col("total")) * scale
-        )
-        .cast("long")
-        .alias("lp"),
+        fixed_ln_micro(F.col("c"), F.col("total"), scale).alias("lp"),
     )
     s = (
         tf.join(lp, "t")
@@ -561,24 +572,15 @@ def dsir_importance(
     totals = counts.agg(
         F.sum("tc").alias("tt"), F.sum("rc").alias("rt")
     )
-    # ln( ((tc+1)/(tt+B)) / ((rc+1)/(rt+B)) ), integer-scaled once per bucket
+    # ln( ((tc+1)/(tt+B)) / ((rc+1)/(rt+B)) ) = ln of ONE integer ratio
+    # ((tc+1)(rt+B)) / ((tt+B)(rc+1)), quantized engine-deterministically
     w = counts.crossJoin(F.broadcast(totals)).select(
         "b",
-        F.round(
-            (
-                F.log(
-                    (F.col("tc") + 1).cast("double")
-                    / (F.col("tt") + F.lit(buckets))
-                )
-                - F.log(
-                    (F.col("rc") + 1).cast("double")
-                    / (F.col("rt") + F.lit(buckets))
-                )
-            )
-            * scale
-        )
-        .cast("long")
-        .alias("lw"),
+        fixed_ln_micro(
+            (F.col("tc") + 1) * (F.col("rt") + F.lit(buckets)),
+            (F.col("tt") + F.lit(buckets)) * (F.col("rc") + 1),
+            scale,
+        ).alias("lw"),
     )
     return (
         bt.where(~F.col("_t"))
@@ -812,7 +814,14 @@ def char_entropy_stats(
     cs = F.split(F.col(text_col), "")
     n = F.size(cs)
 
-    # closed run contributes run·round(scale·ln run); ln(0) is guarded
+    # closed run contributes run·round(scale·ln run); ln(0) is guarded.
+    # Deliberately libm, NOT fixed_ln_micro: the argument is a SINGLE small
+    # integer (a run length), and for all n ≤ 2e7 the value 1000·ln(n) sits
+    # ≥ ~30000 ulps away from every rounding half-boundary (exhaustively
+    # verified; pinned by TestFixedLnMicro::test_single_integer_libm_margin),
+    # so a 1-ulp libm disagreement can never flip the round — and keeping
+    # libm avoids nesting the 25-step fixed-point fold inside this per-char
+    # aggregate lambda.
     def run_term(run):
         return F.when(run == 0, F.lit(0).cast("long")).otherwise(
             run * F.round(F.log(run.cast("double")) * scale).cast("long")
@@ -958,15 +967,11 @@ def source_token_kl(
             "_grp",
             "_cst",
             "_ts",
-            F.round(
-                F.log(
-                    (F.col("_cst").cast("double") * F.col("_tt"))
-                    / (F.col("_ts").cast("double") * F.col("_ct"))
-                )
-                * scale
-            )
-            .cast("long")
-            .alias("_lw"),
+            fixed_ln_micro(
+                F.col("_cst") * F.col("_tt"),
+                F.col("_ts") * F.col("_ct"),
+                scale,
+            ).alias("_lw"),
         )
     )
     agg = terms.groupBy(F.col("_grp").alias(group_col)).agg(
@@ -1078,15 +1083,9 @@ def bigram_logprob_score(
         .crossJoin(F.broadcast(v))
         .select(
             "_b",
-            F.round(
-                F.log(
-                    (F.col("_c12") + 1).cast("double")
-                    / (F.col("_c1") + F.col("_v")).cast("double")
-                )
-                * scale
-            )
-            .cast("long")
-            .alias("_lp"),
+            fixed_ln_micro(
+                F.col("_c12") + 1, F.col("_c1") + F.col("_v"), scale
+            ).alias("_lp"),
         )
     )
     agg = (
@@ -1158,15 +1157,11 @@ def pmi_collocations(
             "c_ab",
             "c_w1",
             "c_w2",
-            F.round(
-                F.log(
-                    (F.col("c_ab") * F.col("_n")).cast("double")
-                    / (F.col("c_w1") * F.col("c_w2")).cast("double")
-                )
-                * scale
-            )
-            .cast("long")
-            .alias("pmi_scaled"),
+            fixed_ln_micro(
+                F.col("c_ab") * F.col("_n"),
+                F.col("c_w1") * F.col("c_w2"),
+                scale,
+            ).alias("pmi_scaled"),
         )
     )
     return scored.orderBy(

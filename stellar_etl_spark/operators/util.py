@@ -110,9 +110,10 @@ def exact_ratio_round6_wide(num, den):
     return sgn * trunc / F.lit(1_000_000.0)
 
 
-def fixed_ln_micro(a, b):
-    """``round(1e6 * ln(a/b))`` computed in EXACT integer fixed-point —
-    bit-identical across engines, unlike libm.
+def fixed_ln_micro(a, b, scale: int = 1_000_000):
+    """``round(scale * ln(a/b))`` computed in EXACT integer fixed-point —
+    bit-identical across engines, unlike libm (``scale`` defaults to the
+    repo-wide 1e6 micro-unit; the token-LM family uses 1e3).
 
     ``java.lang.Math.log`` permits 1 ulp of error and need not agree with
     DuckDB's libm, so ``round(1e6*log(x))`` can flip the rounded integer at
@@ -128,18 +129,19 @@ def fixed_ln_micro(a, b):
        square-and-normalize (the classical binary-digit algorithm; every
        step is ``(m*m) >> 30`` on values < 2^31, exact in int64) with the
        (mantissa, bits) state packed into one long for the fold;
-    3. scale by ``ln2`` as the integer constant round(ln2 * 1e6 * 2^12)
+    3. scale by ``ln2`` as the integer constant round(ln2 * scale * 2^12)
        and round-half-up in integer arithmetic.
 
-    The result differs from ``round(1e6*ln(a/b))`` by at most 1 on ~1% of
-    inputs (measured; absolute error vs the true value < 0.56 micro-units)
+    The result differs from ``round(scale*ln(a/b))`` by at most 1 on ~1% of
+    inputs (measured; absolute error vs the true value < 0.56 scale-units)
     but is a pure function of the integers (a, b) — both engines computing
     this formula ALWAYS agree.  The DuckDB twin is
     :data:`stellar_etl_spark.oracles.FIXED_LN_MICRO_SQL`.
 
-    Inputs must be integer columns with 0 < a, b < 2^49 (long-division
-    headroom); rows violating that yield engine-dependent garbage, so gate
-    callers accordingly.
+    Inputs must be integer columns with 0 < a, b < 2^51 (long-division
+    headroom: the normalized remainder times 2^10 must stay under 2^63);
+    rows violating that yield engine-dependent garbage, so gate callers
+    accordingly.  ``scale`` must be <= 1e6 (the error budget of step 3).
     """
     from pyspark.sql import Column, functions as F
 
@@ -189,15 +191,24 @@ def fixed_ln_micro(a, b):
                                 + dr2["d2"] * 1024
                                 + d3
                             )
+                            # 15 bits suffice at coarse scales: error
+                            # ~scale*ln2*2^-k stays << 0.5 for scale<=4096
                             folded = F.aggregate(
-                                F.sequence(F.lit(1), F.lit(25)), m0, step
+                                F.sequence(F.lit(1), F.lit(iters)), m0, step
                             )
-                            acc25 = F.shiftright(folded, 32)
+                            # acc holds `iters` fractional bits; rescale
+                            # to the fixed Q25 frame the ln2 constant uses
+                            acc25 = F.shiftright(folded, 32) * F.lit(
+                                1 << (25 - iters)
+                            ).cast("long")
                             e2 = (
                                 e.cast("long") * F.lit(1 << 25).cast("long")
                                 + acc25
                             )
-                            x = e2 * F.lit(2839130852).cast("long")
+                            lconst = round(
+                                0.6931471805599453094 * scale * 4096
+                            )
+                            x = e2 * F.lit(lconst).cast("long")
                             return F.shiftright(
                                 x + F.lit(1 << 36).cast("long"), 37
                             )
@@ -234,6 +245,7 @@ def fixed_ln_micro(a, b):
         )
         return let(e_expr, with_e)
 
+    iters = 25 if scale > 4096 else 15
     sgn = F.when(a >= b, F.lit(1)).otherwise(F.lit(-1)).cast("long")
     mag = let(
         F.struct(

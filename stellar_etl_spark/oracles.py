@@ -13,11 +13,11 @@ _DISC_PRICE = (
 )
 
 
-def fixed_ln_micro_sql(a: str, b: str) -> str:
-    """DuckDB twin of ``operators.util.fixed_ln_micro(a, b)``: the
-    engine-deterministic integer quantization of ``round(1e6 * ln(a/b))``.
+def fixed_ln_micro_sql(a: str, b: str, scale: int = 1_000_000) -> str:
+    """DuckDB twin of ``operators.util.fixed_ln_micro(a, b, scale)``: the
+    engine-deterministic integer quantization of ``round(scale * ln(a/b))``.
     Same algorithm, same constants — see the Spark helper's docstring for
-    the derivation and the 0 < a, b < 2^49 input contract.  ``a``/``b``
+    the derivation and the 0 < a, b < 2^51 input contract.  ``a``/``b``
     are SQL sub-expressions (typically column names)."""
     sgn = f"(CASE WHEN ({a}) >= ({b}) THEN 1 ELSE -1 END)"
     p = f"GREATEST(CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
@@ -51,13 +51,15 @@ def fixed_ln_micro_sql(a: str, b: str) -> str:
         " ELSE ((acc // 4294967296) * 2) * 4294967296"
         " + ((acc % 4294967296) * (acc % 4294967296)) // 1073741824 END"
     )
+    iters = 25 if scale > 4096 else 15
     folded = (
         f"list_reduce(list_prepend(CAST({m0} AS BIGINT),"
-        " list_transform(generate_series(1, 25), i -> CAST(0 AS BIGINT))),"
+        f" list_transform(generate_series(1, {iters}), i -> CAST(0 AS BIGINT))),"
         f" (acc, x) -> {step})"
     )
-    e2 = f"({e} * 33554432 + {folded} // 4294967296)"
-    return f"({sgn} * (({e2} * 2839130852 + 68719476736) // 137438953472))"
+    e2 = f"({e} * 33554432 + ({folded} // 4294967296) * {1 << (25 - iters)})"
+    lconst = round(0.6931471805599453094 * scale * 4096)
+    return f"({sgn} * (({e2} * {lconst} + 68719476736) // 137438953472))"
 
 
 ORACLES: dict[str, str] = {
@@ -366,7 +368,7 @@ WHERE CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
     / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE)
     >= 0.5
 """,
-    "bm25_keyword_search": """
+    "bm25_keyword_search": f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
 ),
@@ -400,19 +402,19 @@ dfs AS (
 ),
 scored AS (
   SELECT piv.doc_id,
-    COALESCE(ln((n - CAST(df_hash AS DOUBLE) + 0.5) / (CAST(df_hash AS DOUBLE) + 0.5) + 1.0)
+    COALESCE((CAST({fixed_ln_micro_sql('2*n + 2', '2*df_hash + 1', 1000000)} AS DOUBLE) / 1000000.0)
       * (CAST(tf_hash AS DOUBLE) * 2.2)
       / (CAST(tf_hash AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
-    + COALESCE(ln((n - CAST(df_join AS DOUBLE) + 0.5) / (CAST(df_join AS DOUBLE) + 0.5) + 1.0)
+    + COALESCE((CAST({fixed_ln_micro_sql('2*n + 2', '2*df_join + 1', 1000000)} AS DOUBLE) / 1000000.0)
       * (CAST(tf_join AS DOUBLE) * 2.2)
       / (CAST(tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
-    + COALESCE(ln((n - CAST(df_scan AS DOUBLE) + 0.5) / (CAST(df_scan AS DOUBLE) + 0.5) + 1.0)
+    + COALESCE((CAST({fixed_ln_micro_sql('2*n + 2', '2*df_scan + 1', 1000000)} AS DOUBLE) / 1000000.0)
       * (CAST(tf_scan AS DOUBLE) * 2.2)
       / (CAST(tf_scan AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
-    + COALESCE(ln((n - CAST(df_filter AS DOUBLE) + 0.5) / (CAST(df_filter AS DOUBLE) + 0.5) + 1.0)
+    + COALESCE((CAST({fixed_ln_micro_sql('2*n + 2', '2*df_filter + 1', 1000000)} AS DOUBLE) / 1000000.0)
       * (CAST(tf_filter AS DOUBLE) * 2.2)
       / (CAST(tf_filter AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
-    + COALESCE(ln((n - CAST(df_sort AS DOUBLE) + 0.5) / (CAST(df_sort AS DOUBLE) + 0.5) + 1.0)
+    + COALESCE((CAST({fixed_ln_micro_sql('2*n + 2', '2*df_sort + 1', 1000000)} AS DOUBLE) / 1000000.0)
       * (CAST(tf_sort AS DOUBLE) * 2.2)
       / (CAST(tf_sort AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
     AS score
@@ -421,7 +423,7 @@ scored AS (
 SELECT doc_id, ROUND(score, 6) AS bm25
 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
 """,
-    "hybrid_rrf_search": """
+    "hybrid_rrf_search": f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
 ),
@@ -455,19 +457,19 @@ dfs AS (
 ),
 scored AS (
   SELECT piv.doc_id,
-    COALESCE(ln((n - CAST(df_hash AS DOUBLE) + 0.5) / (CAST(df_hash AS DOUBLE) + 0.5) + 1.0)
+    COALESCE((CAST({fixed_ln_micro_sql('2*n + 2', '2*df_hash + 1', 1000000)} AS DOUBLE) / 1000000.0)
       * (CAST(tf_hash AS DOUBLE) * 2.2)
       / (CAST(tf_hash AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
-    + COALESCE(ln((n - CAST(df_join AS DOUBLE) + 0.5) / (CAST(df_join AS DOUBLE) + 0.5) + 1.0)
+    + COALESCE((CAST({fixed_ln_micro_sql('2*n + 2', '2*df_join + 1', 1000000)} AS DOUBLE) / 1000000.0)
       * (CAST(tf_join AS DOUBLE) * 2.2)
       / (CAST(tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
-    + COALESCE(ln((n - CAST(df_scan AS DOUBLE) + 0.5) / (CAST(df_scan AS DOUBLE) + 0.5) + 1.0)
+    + COALESCE((CAST({fixed_ln_micro_sql('2*n + 2', '2*df_scan + 1', 1000000)} AS DOUBLE) / 1000000.0)
       * (CAST(tf_scan AS DOUBLE) * 2.2)
       / (CAST(tf_scan AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
-    + COALESCE(ln((n - CAST(df_filter AS DOUBLE) + 0.5) / (CAST(df_filter AS DOUBLE) + 0.5) + 1.0)
+    + COALESCE((CAST({fixed_ln_micro_sql('2*n + 2', '2*df_filter + 1', 1000000)} AS DOUBLE) / 1000000.0)
       * (CAST(tf_filter AS DOUBLE) * 2.2)
       / (CAST(tf_filter AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
-    + COALESCE(ln((n - CAST(df_sort AS DOUBLE) + 0.5) / (CAST(df_sort AS DOUBLE) + 0.5) + 1.0)
+    + COALESCE((CAST({fixed_ln_micro_sql('2*n + 2', '2*df_sort + 1', 1000000)} AS DOUBLE) / 1000000.0)
       * (CAST(tf_sort AS DOUBLE) * 2.2)
       / (CAST(tf_sort AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
     AS score
@@ -750,7 +752,7 @@ JOIN fp a ON c.id_a = a.doc_id
 JOIN fp b ON c.id_b = b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
 """,
-    "tfidf_cosine_sim": """
+    "tfidf_cosine_sim": f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
 ),
@@ -758,7 +760,7 @@ tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
 n AS (SELECT COUNT(*) AS n FROM documents),
 dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
 kept AS (
-  SELECT t, CAST(ROUND(1000 * ln(CAST(n.n AS DOUBLE) / df)) AS BIGINT) AS idf
+  SELECT t, {fixed_ln_micro_sql('n.n', 'df', 1000)} AS idf
   FROM dfreq, n WHERE df <= 0.3 * n.n
 ),
 w AS (
@@ -1312,7 +1314,7 @@ SELECT vec_id, ROUND(scale, 6) AS scale,
     (a, b) -> a + b)), 6) AS l2_err
 FROM q
 """,
-    "lm_quality_score": """
+    "lm_quality_score": f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
 ),
@@ -1320,7 +1322,7 @@ tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
 cf AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
 tot AS (SELECT COUNT(*) AS total FROM tok),
 lp AS (
-  SELECT t, CAST(ROUND(ln(CAST(c AS DOUBLE) / total) * 1000) AS BIGINT) AS lp
+  SELECT t, {fixed_ln_micro_sql('c', 'total', 1000)} AS lp
   FROM cf, tot
 ),
 s AS (
@@ -1333,7 +1335,7 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
     AS avg_logprob
 FROM s
 """,
-    "perplexity_buckets": """
+    "perplexity_buckets": f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
 ),
@@ -1341,7 +1343,7 @@ tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
 cf AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
 tot AS (SELECT COUNT(*) AS total FROM tok),
 lp AS (
-  SELECT t, CAST(ROUND(ln(CAST(c AS DOUBLE) / total) * 1000) AS BIGINT) AS lp
+  SELECT t, {fixed_ln_micro_sql('c', 'total', 1000)} AS lp
   FROM cf, tot
 ),
 s AS (
@@ -1714,7 +1716,7 @@ d2 AS (
 SELECT vec_id, CAST(cid AS BIGINT) AS cid, CAST(dist AS BIGINT) AS dist2
 FROM d2 WHERE rn = 1
 """,
-    "dsir_selection": r"""
+    "dsir_selection": rf"""
 WITH toks AS (
   SELECT doc_id, (source = 'src0') AS t,
     unnest(string_split(text, ' ')) AS w
@@ -1734,9 +1736,7 @@ counts AS (
 totals AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM counts),
 w AS (
   SELECT b,
-    CAST(round((ln(CAST(tc + 1 AS DOUBLE) / (tt + 1024))
-              - ln(CAST(rc + 1 AS DOUBLE) / (rt + 1024))) * 1000)
-         AS BIGINT) AS lw
+    {fixed_ln_micro_sql('(tc + 1) * (rt + 1024)', '(tt + 1024) * (rc + 1)', 1000)} AS lw
   FROM counts, totals
 )
 SELECT bt.doc_id, COUNT(*) AS n_tokens,
@@ -2735,7 +2735,7 @@ SELECT doc_id, n_grams, n_novel,
 FROM per_doc
 """
 
-ORACLES["source_kl_drift"] = """
+ORACLES["source_kl_drift"] = f"""
 WITH tok AS (
   SELECT source AS grp, unnest(string_split(text, ' ')) AS t FROM documents
 ),
@@ -2745,9 +2745,7 @@ gtot AS (SELECT grp, SUM(cst) AS ts FROM gt GROUP BY grp),
 tot AS (SELECT SUM(ct) AS tt FROM ct),
 terms AS (
   SELECT gt.grp, gt.cst, gtot.ts,
-    CAST(round(ln((CAST(gt.cst AS DOUBLE) * tot.tt)
-                  / (CAST(gtot.ts AS DOUBLE) * ct.ct)) * 1000) AS BIGINT)
-      AS lw
+    {fixed_ln_micro_sql('gt.cst * tot.tt', 'gtot.ts * ct.ct', 1000)} AS lw
   FROM gt JOIN ct USING (t) JOIN gtot USING (grp), tot
 ),
 agg AS (
@@ -2942,7 +2940,7 @@ SELECT source, bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM packed GROUP BY source, bin_id
 """
 
-ORACLES["bigram_lm_quality"] = """
+ORACLES["bigram_lm_quality"] = f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
 bi AS (
   SELECT doc_id, unnest(
@@ -2958,8 +2956,7 @@ c12 AS (SELECT b, COUNT(*) AS c12 FROM bi GROUP BY b),
 v AS (SELECT COUNT(*) AS v FROM c1),
 lp AS (
   SELECT b,
-    CAST(ROUND(ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))
-               * 1000) AS BIGINT) AS lp
+    {fixed_ln_micro_sql('c12 + 1', 'c1.c1 + v.v', 1000)} AS lp
   FROM c12 JOIN c1 ON c1.t = string_split(c12.b, ' ')[1], v
 ),
 agg AS (
@@ -3143,7 +3140,7 @@ SELECT n_nodes, n_edges, n_wedges, n_triangles,
 FROM agg
 """
 
-ORACLES["pmi_top_collocations"] = """
+ORACLES["pmi_top_collocations"] = f"""
 WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
 bi AS (
   SELECT unnest(
@@ -3161,8 +3158,7 @@ n AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM c12),
 c1 AS (SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c_w1 FROM c12 GROUP BY w1),
 c2 AS (SELECT w2, CAST(SUM(c_ab) AS BIGINT) AS c_w2 FROM c12 GROUP BY w2)
 SELECT c12.w1, c12.w2, c_ab, c_w1, c_w2,
-  CAST(ROUND(ln(CAST(c_ab * n.n AS DOUBLE) / CAST(c_w1 * c_w2 AS DOUBLE))
-             * 1000000) AS BIGINT) AS pmi_scaled
+  {fixed_ln_micro_sql('c_ab * n.n', 'c_w1 * c_w2', 1000000)} AS pmi_scaled
 FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), n
 WHERE c_ab >= 5
 ORDER BY pmi_scaled DESC, w1, w2
@@ -3340,7 +3336,7 @@ FROM d JOIN m USING (event_type) JOIN md USING (event_type)
 GROUP BY m.event_type, m.n_rows, m.median_cents, md.mad4, md.max_abs_dev2
 """
 
-ORACLES["lang_source_independence"] = """
+ORACLES["lang_source_independence"] = f"""
 WITH cells AS (
   SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
   FROM documents GROUP BY lang, source
@@ -3357,9 +3353,7 @@ j AS (
 per AS (
   SELECT
     CAST((dev * dev * 2000000 + den) // (2 * den) AS BIGINT) AS chi,
-    o * CAST(ROUND(ln(CAST(o * n_tot AS DOUBLE)
-                      / CAST(r_tot * c_tot AS DOUBLE)) * 1000000)
-             AS BIGINT) AS mi
+    o * {fixed_ln_micro_sql('o * n_tot', 'r_tot * c_tot', 1000000)} AS mi
   FROM j
 )
 SELECT
@@ -3446,7 +3440,7 @@ ORDER BY n DESC, e1, e2, e3
 LIMIT 20
 """
 
-ORACLES["user_behavior_entropy"] = """
+ORACLES["user_behavior_entropy"] = f"""
 WITH c AS (
   SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
   FROM events GROUP BY user_id, event_type
@@ -3457,8 +3451,7 @@ t AS (
 SELECT user_id,
   CAST(MAX(n) AS BIGINT) AS n_events,
   CAST(COUNT(*) AS BIGINT) AS n_types,
-  CAST(SUM(c * CAST(ROUND(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000)
-                    AS BIGINT)) AS BIGINT) AS entropy_scaled
+  CAST(SUM(c * {fixed_ln_micro_sql('n', 'c', 1000000)}) AS BIGINT) AS entropy_scaled
 FROM t GROUP BY user_id
 """
 
@@ -3707,7 +3700,7 @@ SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
 FROM rev
 """
 
-ORACLES["zipf_slope"] = """
+ORACLES["zipf_slope"] = f"""
 WITH freqs AS (
   SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
   FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -3717,8 +3710,8 @@ ranked AS (
   SELECT freq, row_number() OVER (ORDER BY -freq, tok) AS rank FROM freqs
 ),
 pts AS (
-  SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
-    CAST(ROUND(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS y
+  SELECT {fixed_ln_micro_sql('rank', '1', 1000000)} AS x,
+    {fixed_ln_micro_sql('freq', '1', 1000000)} AS y
   FROM ranked
 ),
 s AS (
@@ -4199,7 +4192,7 @@ SELECT source, vocab, n_tokens, hapax,
 FROM s
 """
 
-ORACLES["event_halflife_fit"] = """
+ORACLES["event_halflife_fit"] = f"""
 WITH daily AS (
   SELECT event_type, epoch_us(ts) // 86400000000 AS day,
     CAST(COUNT(*) AS BIGINT) AS c
@@ -4208,7 +4201,7 @@ WITH daily AS (
 base AS (SELECT event_type, MIN(day) AS d0 FROM daily GROUP BY event_type),
 pts AS (
   SELECT d.event_type, CAST(d.day - b.d0 AS BIGINT) AS x,
-    CAST(ROUND(ln(CAST(d.c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+    {fixed_ln_micro_sql('d.c', '1', 1000000)} AS y
   FROM daily d JOIN base b USING (event_type)
 ),
 s AS (
@@ -4792,7 +4785,7 @@ SELECT source, n_docs, n_unique,
 FROM rep
 """
 
-ORACLES["conditional_entropy_bigram"] = """
+ORACLES["conditional_entropy_bigram"] = f"""
 WITH base AS (
   SELECT lang, doc_id, string_split(text, ' ') AS ws FROM documents
 ),
@@ -4811,9 +4804,8 @@ c1 AS (
 s AS (
   SELECT c12.lang,
     CAST(SUM(c12.c12) AS BIGINT) AS n_bigrams,
-    CAST(SUM(c12.c12 * CAST(ROUND(ln(CAST(c1.c1 AS DOUBLE)
-                                     / CAST(c12.c12 AS DOUBLE)) * 1000000)
-                            AS BIGINT)) AS BIGINT) AS entropy_scaled_sum
+    CAST(SUM(c12.c12 * {fixed_ln_micro_sql('c1.c1', 'c12.c12', 1000000)})
+         AS BIGINT) AS entropy_scaled_sum
   FROM c12 JOIN c1 USING (lang, w1)
   GROUP BY c12.lang
 )
@@ -5455,7 +5447,7 @@ FROM daily d JOIN pd p ON p.wday = d.day, b
 WHERE d.day >= b.dmin + 6
 """
 
-ORACLES["score_drift_psi"] = """
+ORACLES["score_drift_psi"] = f"""
 WITH e AS (
   SELECT event_id, epoch_us(ts) AS ts_us,
     CAST(value AS DECIMAL(18,6)) AS v
@@ -5489,7 +5481,7 @@ s AS (
     (n_cur * 2000000 + tc) // (2 * tc) AS q_s,
     -- fixed-point deterministic ln twin (see fixed_ln_micro_sql):
     CASE WHEN n_ref > 0 AND n_cur > 0 THEN
-      ((CASE WHEN ((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END)) >= ((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END)) THEN 1 ELSE -1 END) * ((((CASE WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1 WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT)) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) ELSE CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) - 1 END) * 33554432 + list_reduce(list_prepend(CAST((1073741824 + (((GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) - (LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, (CASE WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1 WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT)) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) ELSE CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) - 1 END)) AS BIGINT))) * 1024) // (LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, (CASE WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1 WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT)) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) ELSE CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) - 1 END)) AS BIGINT))) * 1048576 + (((((GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) - (LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, (CASE WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1 WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT)) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) ELSE CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) - 1 END)) AS BIGINT))) * 1024) % (LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, (CASE WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1 WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT)) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) ELSE CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) - 1 END)) AS BIGINT))) * 1024) // (LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, (CASE WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1 WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT)) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) ELSE CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) - 1 END)) AS BIGINT))) * 1024 + (((((((GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) - (LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, (CASE WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1 WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT)) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) ELSE CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) - 1 END)) AS BIGINT))) * 1024) % (LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, (CASE WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1 WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT)) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) ELSE CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) - 1 END)) AS BIGINT))) * 1024) % (LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, (CASE WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1 WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT)) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) ELSE CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) - 1 END)) AS BIGINT))) * 1024) // (LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, (CASE WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) + 1 WHEN LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) * CAST(power(2.0, CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT)) AS BIGINT) <= GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) THEN CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) ELSE CAST(floor(ln(CAST(GREATEST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE) / CAST(LEAST(CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END) AS BIGINT), CAST((CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END) AS BIGINT)) AS DOUBLE)) / 0.6931471805599453) AS BIGINT) - 1 END)) AS BIGINT)))) AS BIGINT), list_transform(generate_series(1, 25), i -> CAST(0 AS BIGINT))), (acc, x) -> CASE WHEN ((acc % 4294967296) * (acc % 4294967296)) // 1073741824 >= 2147483648 THEN ((acc // 4294967296) * 2 + 1) * 4294967296 + (((acc % 4294967296) * (acc % 4294967296)) // 1073741824) // 2 ELSE ((acc // 4294967296) * 2) * 4294967296 + ((acc % 4294967296) * (acc % 4294967296)) // 1073741824 END) // 4294967296) * 2839130852 + 68719476736) // 137438953472))
+      {fixed_ln_micro_sql('(CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END)', '(CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END)', 1000000)}
     ELSE 0 END AS ln_s
   FROM j, tr, tc
 )

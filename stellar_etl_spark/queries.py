@@ -3330,13 +3330,11 @@ def lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     chi_cell = F.expr(
         "CAST((_num * 2000000 + _den) div (2 * _den) AS LONG)"
     )
-    mi_cell = F.col("o") * F.round(
-        F.log(
-            (F.col("o") * F.col("n_tot")).cast("double")
-            / (F.col("r_tot") * F.col("c_tot")).cast("double")
-        )
-        * 1_000_000
-    ).cast("long")
+    from stellar_etl_spark.operators.util import fixed_ln_micro
+
+    mi_cell = F.col("o") * fixed_ln_micro(
+        F.col("o") * F.col("n_tot"), F.col("r_tot") * F.col("c_tot")
+    )
     per = (
         j.withColumn("_num", dev * dev)
         .withColumn("_den", den)
@@ -3519,9 +3517,9 @@ def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = counts.withColumn(
         "n", F.sum("c").over(W.partitionBy("user_id")).cast("long")
     )
-    term = F.col("c") * F.round(
-        F.log(F.col("n").cast("double") / F.col("c").cast("double")) * 1_000_000
-    ).cast("long")
+    from stellar_etl_spark.operators.util import fixed_ln_micro
+
+    term = F.col("c") * fixed_ln_micro(F.col("n"), F.col("c"))
     return counts.groupBy("user_id").agg(
         F.max("n").alias("n_events"),
         F.count(F.lit(1)).cast("long").alias("n_types"),
@@ -3891,9 +3889,11 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = distributed_row_number(
         freqs.withColumn("_nf", -F.col("freq")), "_nf", ["tok"], out="rank"
     )
+    from stellar_etl_spark.operators.util import fixed_ln_micro
+
     pts = ranked.select(
-        (F.round(F.log(F.col("rank").cast("double")) * 1_000_000).cast("long")).alias("x"),
-        (F.round(F.log(F.col("freq").cast("double")) * 1_000_000).cast("long")).alias("y"),
+        fixed_ln_micro(F.col("rank"), F.lit(1)).alias("x"),
+        fixed_ln_micro(F.col("freq"), F.lit(1)).alias("y"),
     )
     d38 = "decimal(38,0)"
     s = pts.agg(
@@ -4655,13 +4655,13 @@ def event_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("event_type", "day").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
+    from stellar_etl_spark.operators.util import fixed_ln_micro
+
     base = daily.groupBy("event_type").agg(F.min("day").alias("d0"))
     pts = daily.join(F.broadcast(base), "event_type").select(
         "event_type",
         (F.col("day") - F.col("d0")).cast("long").alias("x"),
-        F.round(F.log(F.col("c").cast("double")) * 1_000_000)
-        .cast("long")
-        .alias("y"),
+        fixed_ln_micro(F.col("c"), F.lit(1)).alias("y"),
     )
     d38 = "decimal(38,0)"
     s = pts.groupBy("event_type").agg(
@@ -5491,10 +5491,9 @@ def conditional_entropy_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("c12")
     ).localCheckpoint(eager=False)
     c1 = c12.groupBy("lang", "w1").agg(F.sum("c12").cast("long").alias("c1"))
-    term = F.col("c12") * F.round(
-        F.log(F.col("c1").cast("double") / F.col("c12").cast("double"))
-        * 1_000_000
-    ).cast("long")
+    from stellar_etl_spark.operators.util import fixed_ln_micro
+
+    term = F.col("c12") * fixed_ln_micro(F.col("c1"), F.col("c12"))
     s = c12.join(c1, ["lang", "w1"]).groupBy("lang").agg(
         F.sum("c12").cast("long").alias("n_bigrams"),
         F.sum(term).cast("long").alias("entropy_scaled_sum"),

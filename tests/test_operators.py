@@ -2417,9 +2417,11 @@ class TestFixedLnMicro:
     function of the integers, so parity is structural, not probabilistic."""
 
     @staticmethod
-    def _ref(A, B):
+    def _ref(A, B, scale=1_000_000):
         import math
 
+        iters = 25 if scale > 4096 else 15
+        lconst = round(math.log(2) * scale * 4096)
         sgn = 1
         if A < B:
             A, B, sgn = B, A, -1
@@ -2437,7 +2439,7 @@ class TestFixedLnMicro:
         d3 = (r2 * 1024) // qs
         m = (1 << 30) + (d1 << 20) + (d2 << 10) + d3
         acc = 0
-        for _ in range(25):
+        for _ in range(iters):
             m2 = (m * m) >> 30
             if m2 >= (1 << 31):
                 m2 >>= 1
@@ -2445,7 +2447,8 @@ class TestFixedLnMicro:
             else:
                 acc *= 2
             m = m2
-        return sgn * (((e * (1 << 25) + acc) * 2839130852 + (1 << 36)) >> 37)
+        e2 = e * (1 << 25) + acc * (1 << (25 - iters))
+        return sgn * ((e2 * lconst + (1 << 36)) >> 37)
 
     def _pairs(self):
         import random
@@ -2472,16 +2475,17 @@ class TestFixedLnMicro:
             [(i, a, b) for i, (a, b) in enumerate(pairs)],
             "i long, a long, b long",
         )
-        got = {
-            r.i: r.v
-            for r in df.select(
-                "i", fixed_ln_micro("a", "b").alias("v")
-            ).collect()
-        }
-        for i, (a, b) in enumerate(pairs):
-            assert got[i] == self._ref(a, b), (a, b)
-            # quantization quality: within 0.56 micro-units of true ln
-            assert abs(got[i] - 1e6 * math.log(a / b)) < 0.56, (a, b)
+        for scale in (1_000_000, 1000):
+            got = {
+                r.i: r.v
+                for r in df.select(
+                    "i", fixed_ln_micro("a", "b", scale).alias("v")
+                ).collect()
+            }
+            for i, (a, b) in enumerate(pairs):
+                assert got[i] == self._ref(a, b, scale), (a, b, scale)
+                # quantization quality: within 0.56 scale-units of true ln
+                assert abs(got[i] - scale * math.log(a / b)) < 0.56, (a, b)
 
     def test_duckdb_twin_matches_reference(self):
         import duckdb
@@ -2492,9 +2496,12 @@ class TestFixedLnMicro:
         con = duckdb.connect()
         con.execute("CREATE TABLE t(a BIGINT, b BIGINT)")
         con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
-        expr = fixed_ln_micro_sql("a", "b")
-        got = [r[0] for r in con.execute(f"SELECT {expr} FROM t").fetchall()]
-        assert got == [self._ref(a, b) for a, b in pairs]
+        for scale in (1_000_000, 1000):
+            expr = fixed_ln_micro_sql("a", "b", scale)
+            got = [
+                r[0] for r in con.execute(f"SELECT {expr} FROM t").fetchall()
+            ]
+            assert got == [self._ref(a, b, scale) for a, b in pairs]
 
 
 class TestReliableCheckpoint:
@@ -2543,3 +2550,19 @@ class TestReliableCheckpoint:
         run_both(
             lambda: harmonic_centrality_bounded(edges, seed_mod=7, max_depth=3)
         )
+
+
+class TestSingleIntegerLibmMargin:
+    def test_single_integer_libm_margin(self):
+        """char_entropy_stats keeps libm ln because its arguments are
+        single small integers: verify 1000*ln(n) never comes within 1000
+        ulps of a rounding half-boundary for n up to 2**21 (full sweep; the
+        2e7 sweep was run offline with margin ~30000 ulps). If this ever
+        fails, convert the site to fixed_ln_micro like the ratio sites."""
+        import numpy as np
+
+        n = np.arange(1, 1 << 21, dtype=np.float64)
+        x = 1000.0 * np.log(n)
+        frac = np.abs(x - np.floor(x) - 0.5)
+        margin = frac / np.spacing(x)
+        assert float(margin.min()) > 1000.0
