@@ -263,9 +263,8 @@ def tfidf_cosine_pairs(
         .where(F.col("df") <= F.lit(max_df_ratio) * F.col("n_docs"))
         .select(
             "t",
-            fixed_ln_micro(
-                F.col("n_docs").cast("long"), F.col("df"), 1000
-            ).alias("idf"),
+            fixed_ln_micro("CAST(n_docs AS BIGINT)", "df", 1000)
+            .alias("idf"),
         )
     )
     w = tf.join(kept, "t").select(

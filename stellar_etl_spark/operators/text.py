@@ -329,10 +329,7 @@ def bm25_search(
         *[F.col(f"df_{w}") for w in terms],
         *[
             (
-                fixed_ln_micro(
-                    2 * F.col("n").cast("long") + 2,
-                    2 * F.col(f"df_{w}").cast("long") + 1,
-                ).cast("double")
+                fixed_ln_micro("2 * n + 2", f"2 * df_{w} + 1").cast("double")
                 / F.lit(1_000_000.0)
             ).alias(f"idf_{w}")
             for w in terms
@@ -456,7 +453,7 @@ def unigram_logprob_score(
     tot = toks.agg(F.count(F.lit(1)).alias("total"))
     lp = cf.crossJoin(F.broadcast(tot)).select(
         "t",
-        fixed_ln_micro(F.col("c"), F.col("total"), scale).alias("lp"),
+        fixed_ln_micro("c", "total", scale).alias("lp"),
     )
     s = (
         tf.join(lp, "t")
@@ -577,8 +574,8 @@ def dsir_importance(
     w = counts.crossJoin(F.broadcast(totals)).select(
         "b",
         fixed_ln_micro(
-            (F.col("tc") + 1) * (F.col("rt") + F.lit(buckets)),
-            (F.col("tt") + F.lit(buckets)) * (F.col("rc") + 1),
+            f"(tc + 1) * (rt + {buckets})",
+            f"(tt + {buckets}) * (rc + 1)",
             scale,
         ).alias("lw"),
     )
@@ -967,11 +964,7 @@ def source_token_kl(
             "_grp",
             "_cst",
             "_ts",
-            fixed_ln_micro(
-                F.col("_cst") * F.col("_tt"),
-                F.col("_ts") * F.col("_ct"),
-                scale,
-            ).alias("_lw"),
+            fixed_ln_micro("_cst * _tt", "_ts * _ct", scale).alias("_lw"),
         )
     )
     agg = terms.groupBy(F.col("_grp").alias(group_col)).agg(
@@ -1083,9 +1076,7 @@ def bigram_logprob_score(
         .crossJoin(F.broadcast(v))
         .select(
             "_b",
-            fixed_ln_micro(
-                F.col("_c12") + 1, F.col("_c1") + F.col("_v"), scale
-            ).alias("_lp"),
+            fixed_ln_micro("_c12 + 1", "_c1 + _v", scale).alias("_lp"),
         )
     )
     agg = (
@@ -1157,11 +1148,8 @@ def pmi_collocations(
             "c_ab",
             "c_w1",
             "c_w2",
-            fixed_ln_micro(
-                F.col("c_ab") * F.col("_n"),
-                F.col("c_w1") * F.col("c_w2"),
-                scale,
-            ).alias("pmi_scaled"),
+            fixed_ln_micro("c_ab * _n", "c_w1 * c_w2", scale)
+            .alias("pmi_scaled"),
         )
     )
     return scored.orderBy(

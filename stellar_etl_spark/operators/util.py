@@ -110,6 +110,112 @@ def exact_ratio_round6_wide(num, den):
     return sgn * trunc / F.lit(1_000_000.0)
 
 
+def fixed_ln_sql(a: str, b: str, scale: int = 1_000_000,
+                 dialect: str = "duckdb") -> str:
+    """The fixed-point ``round(scale * ln(a/b))`` as ONE SQL expression —
+    the same algorithm as :func:`fixed_ln_micro`'s Column path, emitted for
+    either engine (``dialect`` = "duckdb" | "spark").
+
+    Intermediates are LET-BOUND through single-element transform lambdas
+    (exactly like the Column path), so each subexpression appears once: a
+    textually-expanded version of this expression is ~33 KB and costs
+    seconds of parse/analysis/codegen per query, this one is ~2 KB.  The
+    Spark dialect also avoids the ~100 py4j round-trips per call the
+    Column builder pays.  All forms are pinned equal by TestFixedLnMicro.
+    """
+    if dialect == "spark":
+        div, xform, sub1 = " div ", "transform", "[0]"
+
+        def arr(x: str) -> str:
+            return f"array({x})"
+
+        def mkstruct(**kv: str) -> str:
+            inner = ", ".join(f"'{k}', {v}" for k, v in kv.items())
+            return f"named_struct({inner})"
+    else:
+        div, xform, sub1 = " // ", "list_transform", "[1]"
+
+        def arr(x: str) -> str:
+            return f"[{x}]"
+
+        def mkstruct(**kv: str) -> str:
+            inner = ", ".join(f"{k} := {v}" for k, v in kv.items())
+            return f"struct_pack({inner})"
+
+    def let(bound: str, var: str, body: str) -> str:
+        return f"{xform}({arr(bound)}, {var} -> {body}){sub1}"
+
+    def pow2(x: str) -> str:
+        return f"CAST(power(2.0, {x}) AS BIGINT)"
+
+    iters = 25 if scale > 4096 else 15
+    lconst = round(0.6931471805599453094 * scale * 4096)
+    step = (
+        f"CASE WHEN ((acc % 4294967296) * (acc % 4294967296))"
+        f"{div}1073741824 >= 2147483648"
+        f" THEN ((acc{div}4294967296) * 2 + 1) * 4294967296"
+        f" + (((acc % 4294967296) * (acc % 4294967296)){div}1073741824)"
+        f"{div}2"
+        f" ELSE ((acc{div}4294967296) * 2) * 4294967296"
+        f" + ((acc % 4294967296) * (acc % 4294967296)){div}1073741824 END"
+    )
+    if dialect == "spark":
+        folded = (
+            "aggregate(sequence(1, {it}), CAST({m0} AS BIGINT),"
+            " (acc, x) -> {step})"
+        )
+    else:
+        folded = (
+            "list_reduce(list_prepend(CAST({m0} AS BIGINT),"
+            " list_transform(generate_series(1, {it}),"
+            " i -> CAST(0 AS BIGINT))),"
+            " (acc, x) -> {step})"
+        )
+
+    # innermost body: from (s.p, s.q, ev, qsv, d1, d2, r2v) to the result
+    m0 = f"(1073741824 + dr.d1 * 1048576 + dr.d2 * 1024 + (dr.r2 * 1024){div}qsv)"
+    fold_expr = folded.format(it=iters, m0=m0, step=step)
+    body = (
+        f"(ev * 33554432 + ({fold_expr}{div}4294967296)"
+        f" * {1 << (25 - iters)}) * {lconst}"
+    )
+    body = f"(({body} + 68719476736){div}137438953472)"
+    # bind dr = (d1, d2, r2) from t1/qsv (r1 referenced twice: bind it too)
+    body = let(
+        mkstruct(
+            d1="dr1.d1",
+            d2=f"(dr1.r1 * 1024){div}qsv",
+            r2="(dr1.r1 * 1024) % qsv",
+        ),
+        "dr", body,
+    )
+    body = let(
+        mkstruct(d1=f"t1{div}qsv", r1="t1 % qsv"), "dr1", body
+    )
+    body = let("(s.p - qsv) * 1024", "t1", body)
+    body = let("s.q * " + pow2("ev"), "qsv", body)
+    e0 = (
+        "CAST(floor(ln(CAST(s.p AS DOUBLE) / CAST(s.q AS DOUBLE))"
+        " / 0.6931471805599453) AS BIGINT)"
+    )
+    e_expr = (
+        f"CASE WHEN s.q * {pow2('(e0v + 1)')} <= s.p THEN e0v + 1"
+        f" WHEN s.q * {pow2('e0v')} <= s.p THEN e0v"
+        " ELSE e0v - 1 END"
+    )
+    body = let(e_expr, "ev", body)
+    body = let(e0, "e0v", body)
+    mag = let(
+        mkstruct(
+            p=f"GREATEST(CAST({a} AS BIGINT), CAST({b} AS BIGINT))",
+            q=f"LEAST(CAST({a} AS BIGINT), CAST({b} AS BIGINT))",
+        ),
+        "s", body,
+    )
+    sgn = f"(CASE WHEN ({a}) >= ({b}) THEN 1 ELSE -1 END)"
+    return f"({sgn} * {mag})"
+
+
 def fixed_ln_micro(a, b, scale: int = 1_000_000):
     """``round(scale * ln(a/b))`` computed in EXACT integer fixed-point —
     bit-identical across engines, unlike libm (``scale`` defaults to the
@@ -145,6 +251,11 @@ def fixed_ln_micro(a, b, scale: int = 1_000_000):
     """
     from pyspark.sql import Column, functions as F
 
+    if isinstance(a, str) and isinstance(b, str):
+        # fast path: ONE py4j call + JVM-side SQL parse, vs ~100 py4j
+        # round-trips building the Column tree below (~0.3 s driver time
+        # per call site, measured on bm25's five idf columns)
+        return F.expr(fixed_ln_sql(a, b, scale, dialect="spark"))
     if not isinstance(a, Column):
         a = F.col(a)
     if not isinstance(b, Column):

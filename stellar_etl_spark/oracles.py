@@ -14,52 +14,14 @@ _DISC_PRICE = (
 
 
 def fixed_ln_micro_sql(a: str, b: str, scale: int = 1_000_000) -> str:
-    """DuckDB twin of ``operators.util.fixed_ln_micro(a, b, scale)``: the
+    """DuckDB twin of ``operators.util.fixed_ln_micro(a, b, scale)`` — the
     engine-deterministic integer quantization of ``round(scale * ln(a/b))``.
-    Same algorithm, same constants — see the Spark helper's docstring for
-    the derivation and the 0 < a, b < 2^51 input contract.  ``a``/``b``
-    are SQL sub-expressions (typically column names)."""
-    sgn = f"(CASE WHEN ({a}) >= ({b}) THEN 1 ELSE -1 END)"
-    p = f"GREATEST(CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
-    q = f"LEAST(CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
-    e0 = (
-        f"CAST(floor(ln(CAST({p} AS DOUBLE) / CAST({q} AS DOUBLE))"
-        " / 0.6931471805599453) AS BIGINT)"
-    )
+    Delegates to the shared generator so the two dialects can never drift;
+    see the Spark helper's docstring for the derivation and the
+    0 < a, b < 2^51 input contract."""
+    from stellar_etl_spark.operators.util import fixed_ln_sql
 
-    def pow2(x: str) -> str:
-        return f"CAST(power(2.0, {x}) AS BIGINT)"
-
-    e = (
-        f"(CASE WHEN {q} * {pow2(f'{e0} + 1')} <= {p} THEN {e0} + 1"
-        f" WHEN {q} * {pow2(e0)} <= {p} THEN {e0}"
-        f" ELSE {e0} - 1 END)"
-    )
-    qs = f"({q} * {pow2(e)})"
-    rem = f"({p} - {qs})"
-    d1 = f"(({rem} * 1024) // {qs})"
-    r1 = f"(({rem} * 1024) % {qs})"
-    d2 = f"(({r1} * 1024) // {qs})"
-    r2 = f"(({r1} * 1024) % {qs})"
-    d3 = f"(({r2} * 1024) // {qs})"
-    m0 = f"(1073741824 + {d1} * 1048576 + {d2} * 1024 + {d3})"
-    step = (
-        "CASE WHEN ((acc % 4294967296) * (acc % 4294967296))"
-        " // 1073741824 >= 2147483648"
-        " THEN ((acc // 4294967296) * 2 + 1) * 4294967296"
-        " + (((acc % 4294967296) * (acc % 4294967296)) // 1073741824) // 2"
-        " ELSE ((acc // 4294967296) * 2) * 4294967296"
-        " + ((acc % 4294967296) * (acc % 4294967296)) // 1073741824 END"
-    )
-    iters = 25 if scale > 4096 else 15
-    folded = (
-        f"list_reduce(list_prepend(CAST({m0} AS BIGINT),"
-        f" list_transform(generate_series(1, {iters}), i -> CAST(0 AS BIGINT))),"
-        f" (acc, x) -> {step})"
-    )
-    e2 = f"({e} * 33554432 + ({folded} // 4294967296) * {1 << (25 - iters)})"
-    lconst = round(0.6931471805599453094 * scale * 4096)
-    return f"({sgn} * (({e2} * {lconst} + 68719476736) // 137438953472))"
+    return fixed_ln_sql(a, b, scale, dialect="duckdb")
 
 
 ORACLES: dict[str, str] = {
@@ -400,25 +362,36 @@ dfs AS (
     MAX(CASE WHEN t = 'sort' THEN df END) AS df_sort
   FROM dfq
 ),
+-- idf once per TERM (mirrors the engine's constants frame): the fixed-point
+-- fold must not run per scored doc-row
+idfs AS (
+  SELECT
+    (CAST({fixed_ln_micro_sql('2*n + 2', '2*df_hash + 1', 1000000)} AS DOUBLE) / 1000000.0) AS idf_hash,
+    (CAST({fixed_ln_micro_sql('2*n + 2', '2*df_join + 1', 1000000)} AS DOUBLE) / 1000000.0) AS idf_join,
+    (CAST({fixed_ln_micro_sql('2*n + 2', '2*df_scan + 1', 1000000)} AS DOUBLE) / 1000000.0) AS idf_scan,
+    (CAST({fixed_ln_micro_sql('2*n + 2', '2*df_filter + 1', 1000000)} AS DOUBLE) / 1000000.0) AS idf_filter,
+    (CAST({fixed_ln_micro_sql('2*n + 2', '2*df_sort + 1', 1000000)} AS DOUBLE) / 1000000.0) AS idf_sort
+  FROM stats, dfs
+),
 scored AS (
   SELECT piv.doc_id,
-    COALESCE((CAST({fixed_ln_micro_sql('2*n + 2', '2*df_hash + 1', 1000000)} AS DOUBLE) / 1000000.0)
+    COALESCE(idf_hash
       * (CAST(tf_hash AS DOUBLE) * 2.2)
       / (CAST(tf_hash AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
-    + COALESCE((CAST({fixed_ln_micro_sql('2*n + 2', '2*df_join + 1', 1000000)} AS DOUBLE) / 1000000.0)
+    + COALESCE(idf_join
       * (CAST(tf_join AS DOUBLE) * 2.2)
       / (CAST(tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
-    + COALESCE((CAST({fixed_ln_micro_sql('2*n + 2', '2*df_scan + 1', 1000000)} AS DOUBLE) / 1000000.0)
+    + COALESCE(idf_scan
       * (CAST(tf_scan AS DOUBLE) * 2.2)
       / (CAST(tf_scan AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
-    + COALESCE((CAST({fixed_ln_micro_sql('2*n + 2', '2*df_filter + 1', 1000000)} AS DOUBLE) / 1000000.0)
+    + COALESCE(idf_filter
       * (CAST(tf_filter AS DOUBLE) * 2.2)
       / (CAST(tf_filter AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
-    + COALESCE((CAST({fixed_ln_micro_sql('2*n + 2', '2*df_sort + 1', 1000000)} AS DOUBLE) / 1000000.0)
+    + COALESCE(idf_sort
       * (CAST(tf_sort AS DOUBLE) * 2.2)
       / (CAST(tf_sort AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
     AS score
-  FROM piv JOIN dl ON piv.doc_id = dl.doc_id, stats, dfs
+  FROM piv JOIN dl ON piv.doc_id = dl.doc_id, stats, idfs
 )
 SELECT doc_id, ROUND(score, 6) AS bm25
 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
@@ -455,25 +428,36 @@ dfs AS (
     MAX(CASE WHEN t = 'sort' THEN df END) AS df_sort
   FROM dfq
 ),
+-- idf once per TERM (mirrors the engine's constants frame): the fixed-point
+-- fold must not run per scored doc-row
+idfs AS (
+  SELECT
+    (CAST({fixed_ln_micro_sql('2*n + 2', '2*df_hash + 1', 1000000)} AS DOUBLE) / 1000000.0) AS idf_hash,
+    (CAST({fixed_ln_micro_sql('2*n + 2', '2*df_join + 1', 1000000)} AS DOUBLE) / 1000000.0) AS idf_join,
+    (CAST({fixed_ln_micro_sql('2*n + 2', '2*df_scan + 1', 1000000)} AS DOUBLE) / 1000000.0) AS idf_scan,
+    (CAST({fixed_ln_micro_sql('2*n + 2', '2*df_filter + 1', 1000000)} AS DOUBLE) / 1000000.0) AS idf_filter,
+    (CAST({fixed_ln_micro_sql('2*n + 2', '2*df_sort + 1', 1000000)} AS DOUBLE) / 1000000.0) AS idf_sort
+  FROM stats, dfs
+),
 scored AS (
   SELECT piv.doc_id,
-    COALESCE((CAST({fixed_ln_micro_sql('2*n + 2', '2*df_hash + 1', 1000000)} AS DOUBLE) / 1000000.0)
+    COALESCE(idf_hash
       * (CAST(tf_hash AS DOUBLE) * 2.2)
       / (CAST(tf_hash AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
-    + COALESCE((CAST({fixed_ln_micro_sql('2*n + 2', '2*df_join + 1', 1000000)} AS DOUBLE) / 1000000.0)
+    + COALESCE(idf_join
       * (CAST(tf_join AS DOUBLE) * 2.2)
       / (CAST(tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
-    + COALESCE((CAST({fixed_ln_micro_sql('2*n + 2', '2*df_scan + 1', 1000000)} AS DOUBLE) / 1000000.0)
+    + COALESCE(idf_scan
       * (CAST(tf_scan AS DOUBLE) * 2.2)
       / (CAST(tf_scan AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
-    + COALESCE((CAST({fixed_ln_micro_sql('2*n + 2', '2*df_filter + 1', 1000000)} AS DOUBLE) / 1000000.0)
+    + COALESCE(idf_filter
       * (CAST(tf_filter AS DOUBLE) * 2.2)
       / (CAST(tf_filter AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
-    + COALESCE((CAST({fixed_ln_micro_sql('2*n + 2', '2*df_sort + 1', 1000000)} AS DOUBLE) / 1000000.0)
+    + COALESCE(idf_sort
       * (CAST(tf_sort AS DOUBLE) * 2.2)
       / (CAST(tf_sort AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 0.0)
     AS score
-  FROM piv JOIN dl ON piv.doc_id = dl.doc_id, stats, dfs
+  FROM piv JOIN dl ON piv.doc_id = dl.doc_id, stats, idfs
 ),
 lex AS (
   SELECT doc_id, ROUND(score, 6) AS bm25 FROM scored

@@ -3332,9 +3332,7 @@ def lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from stellar_etl_spark.operators.util import fixed_ln_micro
 
-    mi_cell = F.col("o") * fixed_ln_micro(
-        F.col("o") * F.col("n_tot"), F.col("r_tot") * F.col("c_tot")
-    )
+    mi_cell = F.col("o") * fixed_ln_micro("o * n_tot", "r_tot * c_tot")
     per = (
         j.withColumn("_num", dev * dev)
         .withColumn("_den", den)
@@ -3519,7 +3517,7 @@ def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from stellar_etl_spark.operators.util import fixed_ln_micro
 
-    term = F.col("c") * fixed_ln_micro(F.col("n"), F.col("c"))
+    term = F.col("c") * fixed_ln_micro("n", "c")
     return counts.groupBy("user_id").agg(
         F.max("n").alias("n_events"),
         F.count(F.lit(1)).cast("long").alias("n_types"),
@@ -3892,8 +3890,8 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stellar_etl_spark.operators.util import fixed_ln_micro
 
     pts = ranked.select(
-        fixed_ln_micro(F.col("rank"), F.lit(1)).alias("x"),
-        fixed_ln_micro(F.col("freq"), F.lit(1)).alias("y"),
+        fixed_ln_micro("rank", "1").alias("x"),
+        fixed_ln_micro("freq", "1").alias("y"),
     )
     d38 = "decimal(38,0)"
     s = pts.agg(
@@ -4661,7 +4659,7 @@ def event_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = daily.join(F.broadcast(base), "event_type").select(
         "event_type",
         (F.col("day") - F.col("d0")).cast("long").alias("x"),
-        fixed_ln_micro(F.col("c"), F.lit(1)).alias("y"),
+        fixed_ln_micro("c", "1").alias("y"),
     )
     d38 = "decimal(38,0)"
     s = pts.groupBy("event_type").agg(
@@ -5493,7 +5491,7 @@ def conditional_entropy_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = c12.groupBy("lang", "w1").agg(F.sum("c12").cast("long").alias("c1"))
     from stellar_etl_spark.operators.util import fixed_ln_micro
 
-    term = F.col("c12") * fixed_ln_micro(F.col("c1"), F.col("c12"))
+    term = F.col("c12") * fixed_ln_micro("c1", "c12")
     s = c12.join(c1, ["lang", "w1"]).groupBy("lang").agg(
         F.sum("c12").cast("long").alias("n_bigrams"),
         F.sum(term).cast("long").alias("entropy_scaled_sum"),
@@ -6414,11 +6412,11 @@ def score_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_s = F.expr("(n_ref * 2000000 + tr) div (2 * tr)").cast("long")
     q_s = F.expr("(n_cur * 2000000 + tc) div (2 * tc)").cast("long")
     ok = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    guard = "CASE WHEN n_ref > 0 AND n_cur > 0 THEN {} ELSE 1 END"
     ln_s = F.when(
         ok,
         fixed_ln_micro(
-            F.when(ok, F.col("n_ref") * F.col("tc")).otherwise(F.lit(1)),
-            F.when(ok, F.col("n_cur") * F.col("tr")).otherwise(F.lit(1)),
+            guard.format("n_ref * tc"), guard.format("n_cur * tr")
         ),
     ).otherwise(F.lit(0))
     return j.select(
