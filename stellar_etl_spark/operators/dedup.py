@@ -202,7 +202,7 @@ def near_dup_pairs(
     # sink — an eager cut of the result instead cost a full extra pass,
     # measured +20% on the bench).  lineage_cut: localCheckpoint here,
     # reliable checkpoint when the session has a checkpoint dir.
-    with_sh = lineage_cut(with_sh, eager=True)
+    with_sh = lineage_cut(with_sh, eager=True, reliable=False)
 
     cands = minhash_lsh_candidates(
         with_sh, id_col, "minhash_sig", bands, rows_per_band
@@ -296,7 +296,9 @@ def simhash_near_dup_pairs(
     over a 500 k corpus put ~15 k docs in every bucket).  Buckets under
     the cap — every oracle-checked scale — pair exactly as before.
     """
-    fp = lineage_cut(simhash(df, id_col, text_col, bits), eager=True)
+    fp = lineage_cut(
+        simhash(df, id_col, text_col, bits), eager=True, reliable=False
+    )
     n_bands = max_distance + 1
     width = bits // n_bands
     bands = []
@@ -466,7 +468,7 @@ def ngram_jaccard_pairs(
     )
     # shingle sets feed the frequency pass, the prefix pass and both verify
     # sides: one eager cut, lazy result (see near_dup_pairs)
-    sh = lineage_cut(sh, eager=True)
+    sh = lineage_cut(sh, eager=True, reliable=False)
 
     ex = sh.select(
         F.col(id_col),
@@ -649,7 +651,7 @@ def dedup_against_index(
         .drop("_base_hashes")
         .where(F.size("shingle_set") > 0)
     )
-    with_sh = lineage_cut(with_sh, eager=True)
+    with_sh = lineage_cut(with_sh, eager=True, reliable=False)
 
     banded = with_sh.select(
         F.col(id_col),
@@ -888,6 +890,7 @@ def ngram_containment_pairs(
         .select(F.col(id_col), shingles(F.col(text_col), n).alias("shingle_set"))
         .where(F.size("shingle_set") > 0),
         eager=True,
+        reliable=False,
     )
     ex = sh.select(
         F.col(id_col),
@@ -971,7 +974,7 @@ def minhash_calibration(
         )
         .drop("_base_hashes")
     )
-    with_sh = lineage_cut(with_sh, eager=True)
+    with_sh = lineage_cut(with_sh, eager=True, reliable=False)
     cands = minhash_lsh_candidates(
         with_sh, id_col, "minhash_sig", bands, rows_per_band
     )

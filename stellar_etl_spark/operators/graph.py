@@ -168,7 +168,7 @@ def triangle_stats(
     # e feeds the degree agg, the orientation join and the edge count:
     # eager cut once, result stays lazy (reliable checkpoint in cluster
     # mode — see lineage_cut)
-    e = lineage_cut(e, eager=True)
+    e = lineage_cut(e, eager=True, reliable=False)
     deg = (
         e.select(F.col("_a").alias("v"))
         .unionAll(e.select(F.col("_b").alias("v")))
@@ -188,7 +188,7 @@ def triangle_stats(
         F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dd"),
     )
     # the oriented edge list feeds both wedge sides and the closing join
-    o = lineage_cut(o, eager=True)
+    o = lineage_cut(o, eager=True, reliable=False)
     # wedge at src: two out-neighbors ordered by the SAME (degree, id) total
     # order the orientation used, so the closing edge is oriented x -> y
     w1, w2 = o.alias("w1"), o.alias("w2")
@@ -266,7 +266,7 @@ def label_propagation_labels(
     # the symmetrized edge list appears in every iteration AND inside each
     # label frame's lineage — a lazy checkpoint caps the otherwise
     # multiplicative logical-plan growth (the labels chain still unrolls)
-    sym = lineage_cut(fwd.union(rev).distinct())
+    sym = lineage_cut(fwd.union(rev).distinct(), reliable=False)
     nodes = sym.select(F.col("u").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(iterations):

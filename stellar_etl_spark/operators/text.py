@@ -573,10 +573,9 @@ def dsir_importance(
     # ((tc+1)(rt+B)) / ((tt+B)(rc+1)), quantized engine-deterministically
     w = counts.crossJoin(F.broadcast(totals)).select(
         "b",
-        fixed_ln_micro(
-            f"(tc + 1) * (rt + {buckets})",
-            f"(tt + {buckets}) * (rc + 1)",
-            scale,
+        (
+            fixed_ln_micro("tc + 1", f"tt + {buckets}", scale)
+            + fixed_ln_micro(f"rt + {buckets}", "rc + 1", scale)
         ).alias("lw"),
     )
     return (
@@ -964,7 +963,10 @@ def source_token_kl(
             "_grp",
             "_cst",
             "_ts",
-            fixed_ln_micro("_cst * _tt", "_ts * _ct", scale).alias("_lw"),
+            (
+                fixed_ln_micro("_cst", "_ts", scale)
+                + fixed_ln_micro("_tt", "_ct", scale)
+            ).alias("_lw"),
         )
     )
     agg = terms.groupBy(F.col("_grp").alias(group_col)).agg(
@@ -1148,8 +1150,10 @@ def pmi_collocations(
             "c_ab",
             "c_w1",
             "c_w2",
-            fixed_ln_micro("c_ab * _n", "c_w1 * c_w2", scale)
-            .alias("pmi_scaled"),
+            (
+                fixed_ln_micro("c_ab", "c_w1", scale)
+                + fixed_ln_micro("_n", "c_w2", scale)
+            ).alias("pmi_scaled"),
         )
     )
     return scored.orderBy(

@@ -213,7 +213,12 @@ def fixed_ln_sql(a: str, b: str, scale: int = 1_000_000,
         "s", body,
     )
     sgn = f"(CASE WHEN ({a}) >= ({b}) THEN 1 ELSE -1 END)"
-    return f"({sgn} * {mag})"
+    # NULL in, NULL out — matching ln(): GREATEST/LEAST skip NULLs in both
+    # engines, so without this guard a NULL argument silently yielded 0
+    return (
+        f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN CAST(NULL AS BIGINT)"
+        f" ELSE {sgn} * {mag} END)"
+    )
 
 
 def fixed_ln_micro(a, b, scale: int = 1_000_000):
@@ -365,11 +370,14 @@ def fixed_ln_micro(a, b, scale: int = 1_000_000):
         ),
         with_pq,
     )
-    return sgn * mag
+    # NULL in, NULL out — matching ln() (greatest/least skip NULLs)
+    return F.when(
+        a.isNull() | b.isNull(), F.lit(None).cast("long")
+    ).otherwise(sgn * mag)
 
 
 def lineage_cut(df: DataFrame, eager: bool = False, round_no: int | None = None,
-                every: int = 4) -> DataFrame:
+                every: int = 4, reliable: bool = True) -> DataFrame:
     """Cut lineage inside an iterative operator, cluster-safely.
 
     Default (no checkpoint dir configured): lazy ``localCheckpoint`` every
@@ -389,9 +397,18 @@ def lineage_cut(df: DataFrame, eager: bool = False, round_no: int | None = None,
     ``round_no`` is the 0-based loop index; None means a one-shot cut
     (always cut).  Callers keep their exact current behavior when no
     checkpoint dir is set.
+
+    ``reliable=False`` opts a cut OUT of the reliable upgrade: one-shot
+    cuts of corpus-sized frames (shingle sets, oriented edge lists) must
+    not write the whole input to the cluster FS on every invocation — for
+    a single-pass operator, rerunning the query on executor loss is the
+    better trade.  Long ITERATIVE loops keep reliable=True: losing hours
+    of peeling to one preemption is the worse trade there.  The session
+    factory sets ``spark.cleaner.referenceTracking.cleanCheckpoints=true``
+    so reliable checkpoint files of GC'd frames are reclaimed.
     """
     sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is None:
+    if sc.getCheckpointDir() is None or not reliable:
         return df.localCheckpoint(eager=eager)
     if round_no is None or round_no % every == every - 1:
         return df.checkpoint(eager=eager)

@@ -1720,7 +1720,8 @@ counts AS (
 totals AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM counts),
 w AS (
   SELECT b,
-    {fixed_ln_micro_sql('(tc + 1) * (rt + 1024)', '(tt + 1024) * (rc + 1)', 1000)} AS lw
+    ({fixed_ln_micro_sql('tc + 1', 'tt + 1024', 1000)}
+     + {fixed_ln_micro_sql('rt + 1024', 'rc + 1', 1000)}) AS lw
   FROM counts, totals
 )
 SELECT bt.doc_id, COUNT(*) AS n_tokens,
@@ -2729,7 +2730,8 @@ gtot AS (SELECT grp, SUM(cst) AS ts FROM gt GROUP BY grp),
 tot AS (SELECT SUM(ct) AS tt FROM ct),
 terms AS (
   SELECT gt.grp, gt.cst, gtot.ts,
-    {fixed_ln_micro_sql('gt.cst * tot.tt', 'gtot.ts * ct.ct', 1000)} AS lw
+    ({fixed_ln_micro_sql('gt.cst', 'gtot.ts', 1000)}
+     + {fixed_ln_micro_sql('tot.tt', 'ct.ct', 1000)}) AS lw
   FROM gt JOIN ct USING (t) JOIN gtot USING (grp), tot
 ),
 agg AS (
@@ -3142,7 +3144,8 @@ n AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM c12),
 c1 AS (SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c_w1 FROM c12 GROUP BY w1),
 c2 AS (SELECT w2, CAST(SUM(c_ab) AS BIGINT) AS c_w2 FROM c12 GROUP BY w2)
 SELECT c12.w1, c12.w2, c_ab, c_w1, c_w2,
-  {fixed_ln_micro_sql('c_ab * n.n', 'c_w1 * c_w2', 1000000)} AS pmi_scaled
+  ({fixed_ln_micro_sql('c_ab', 'c_w1', 1000000)}
+   + {fixed_ln_micro_sql('n.n', 'c_w2', 1000000)}) AS pmi_scaled
 FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), n
 WHERE c_ab >= 5
 ORDER BY pmi_scaled DESC, w1, w2
@@ -3337,7 +3340,8 @@ j AS (
 per AS (
   SELECT
     CAST((dev * dev * 2000000 + den) // (2 * den) AS BIGINT) AS chi,
-    o * {fixed_ln_micro_sql('o * n_tot', 'r_tot * c_tot', 1000000)} AS mi
+    o * ({fixed_ln_micro_sql('o', 'r_tot', 1000000)}
+       + {fixed_ln_micro_sql('n_tot', 'c_tot', 1000000)}) AS mi
   FROM j
 )
 SELECT
@@ -5465,7 +5469,8 @@ s AS (
     (n_cur * 2000000 + tc) // (2 * tc) AS q_s,
     -- fixed-point deterministic ln twin (see fixed_ln_micro_sql):
     CASE WHEN n_ref > 0 AND n_cur > 0 THEN
-      {fixed_ln_micro_sql('(CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref * tc ELSE 1 END)', '(CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur * tr ELSE 1 END)', 1000000)}
+      ({fixed_ln_micro_sql('(CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_ref ELSE 1 END)', '(CASE WHEN n_ref > 0 AND n_cur > 0 THEN n_cur ELSE 1 END)', 1000000)}
+       + {fixed_ln_micro_sql('(CASE WHEN n_ref > 0 AND n_cur > 0 THEN tc ELSE 1 END)', '(CASE WHEN n_ref > 0 AND n_cur > 0 THEN tr ELSE 1 END)', 1000000)})
     ELSE 0 END AS ln_s
   FROM j, tr, tc
 )

@@ -3332,7 +3332,12 @@ def lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from stellar_etl_spark.operators.util import fixed_ln_micro
 
-    mi_cell = F.col("o") * fixed_ln_micro("o * n_tot", "r_tot * c_tot")
+    # ln((o*n_tot)/(r_tot*c_tot)) as a SUM of single-count logs: each
+    # argument stays one count (< 2^51 even at 100 TB corpora) instead of a
+    # product of two, which overflows the fixed-point divider's headroom
+    mi_cell = F.col("o") * (
+        fixed_ln_micro("o", "r_tot") + fixed_ln_micro("n_tot", "c_tot")
+    )
     per = (
         j.withColumn("_num", dev * dev)
         .withColumn("_den", den)
@@ -6413,11 +6418,11 @@ def score_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_s = F.expr("(n_cur * 2000000 + tc) div (2 * tc)").cast("long")
     ok = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
     guard = "CASE WHEN n_ref > 0 AND n_cur > 0 THEN {} ELSE 1 END"
+    # sum of single-count logs (overflow-safe at any corpus size)
     ln_s = F.when(
         ok,
-        fixed_ln_micro(
-            guard.format("n_ref * tc"), guard.format("n_cur * tr")
-        ),
+        fixed_ln_micro(guard.format("n_ref"), guard.format("n_cur"))
+        + fixed_ln_micro(guard.format("tc"), guard.format("tr")),
     ).otherwise(F.lit(0))
     return j.select(
         "bin",

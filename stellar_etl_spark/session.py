@@ -59,6 +59,12 @@ def get_spark(
         # effects_fanout plan at 3.5 s steady vs 13-16 s when recompiled).
         # Static conf — applies when this factory launches the JVM.
         .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # reliable checkpoint files (lineage_cut's cluster mode) of GC'd
+        # frames are deleted instead of accumulating on the cluster FS, and
+        # the periodic GC bounds how long dead localCheckpoint blocks from
+        # long foreachBatch streams can occupy executor storage
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        .config("spark.cleaner.periodicGC.interval", "10min")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

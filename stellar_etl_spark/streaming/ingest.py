@@ -153,8 +153,24 @@ def stream_ingest_corpus(
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        if "run" not in token_cache:
+            token_cache["run"] = _run_token(spark, checkpoint_dir)
+        run = token_cache["run"]
         try:
-            index = spark.read.parquet(index_dir).select(id_col, text_col)
+            index = spark.read.parquet(index_dir)
+            # A replayed epoch (crash AFTER the parquet write, BEFORE the
+            # checkpoint commit) must not screen against its own crashed
+            # write: the index would contain this very batch, every row
+            # would be flagged a dup of itself, and the "idempotent"
+            # overwrite would rewrite the epoch dir EMPTY — permanent
+            # loss.  Screen only against strictly-older data: prior runs
+            # entirely, and this run's earlier epochs.
+            if "run" in index.columns:
+                index = index.where(
+                    (F.col("run") != F.lit(run))
+                    | (F.col("epoch") < F.lit(int(epoch_id)))
+                )
+            index = index.select(id_col, text_col)
             if not index.head(1):
                 index = None
         except AnalysisException as exc:
@@ -167,14 +183,12 @@ def stream_ingest_corpus(
         admitted = ingest_batch(
             batch_df, index, id_col=id_col, text_col=text_col
         )
-        if "run" not in token_cache:
-            token_cache["run"] = _run_token(spark, checkpoint_dir)
         # run/epoch-keyed overwrite = replay-idempotent within this
         # checkpoint lineage: a re-run of this epoch after a
         # crash-before-commit replaces its own partition instead of
         # double-appending, and a reset checkpoint writes under a new run=
         admitted.write.mode("overwrite").parquet(
-            f"{index_dir}/run={token_cache['run']}/epoch={int(epoch_id)}"
+            f"{index_dir}/run={run}/epoch={int(epoch_id)}"
         )
 
     writer = (

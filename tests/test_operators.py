@@ -2475,17 +2475,39 @@ class TestFixedLnMicro:
             [(i, a, b) for i, (a, b) in enumerate(pairs)],
             "i long, a long, b long",
         )
+        from pyspark.sql import functions as F
+
+        # BOTH construction paths: string args (F.expr fast path) and Column
+        # args (the let-bound Column tree) must agree with the reference
+        variants = {
+            "expr": lambda scale: fixed_ln_micro("a", "b", scale),
+            "column": lambda scale: fixed_ln_micro(
+                F.col("a"), F.col("b"), scale
+            ),
+        }
         for scale in (1_000_000, 1000):
-            got = {
-                r.i: r.v
-                for r in df.select(
-                    "i", fixed_ln_micro("a", "b", scale).alias("v")
-                ).collect()
-            }
-            for i, (a, b) in enumerate(pairs):
-                assert got[i] == self._ref(a, b, scale), (a, b, scale)
-                # quantization quality: within 0.56 scale-units of true ln
-                assert abs(got[i] - scale * math.log(a / b)) < 0.56, (a, b)
+            for vname, build in variants.items():
+                got = {
+                    r.i: r.v
+                    for r in df.select(
+                        "i", build(scale).alias("v")
+                    ).collect()
+                }
+                for i, (a, b) in enumerate(pairs):
+                    assert got[i] == self._ref(a, b, scale), (
+                        vname, a, b, scale,
+                    )
+                    # quantization: within 0.56 scale-units of true ln
+                    assert abs(got[i] - scale * math.log(a / b)) < 0.56
+
+        # NULL in, NULL out (matching ln()) on both paths
+        ndf = spark.createDataFrame(
+            [(1, None, 5), (2, 5, None), (3, None, None)],
+            "i long, a long, b long",
+        )
+        for vname, build in variants.items():
+            vals = [r.v for r in ndf.select(build(1000).alias("v")).collect()]
+            assert vals == [None, None, None], vname
 
     def test_duckdb_twin_matches_reference(self):
         import duckdb
@@ -2502,6 +2524,14 @@ class TestFixedLnMicro:
                 r[0] for r in con.execute(f"SELECT {expr} FROM t").fetchall()
             ]
             assert got == [self._ref(a, b, scale) for a, b in pairs]
+        # NULL in, NULL out (matching ln())
+        con.execute("CREATE TABLE tn(a BIGINT, b BIGINT)")
+        con.executemany(
+            "INSERT INTO tn VALUES (?, ?)", [(None, 5), (5, None)]
+        )
+        expr = fixed_ln_micro_sql("a", "b", 1000)
+        assert [r[0] for r in con.execute(f"SELECT {expr} FROM tn").fetchall()] \
+            == [None, None]
 
 
 class TestReliableCheckpoint:

@@ -1180,6 +1180,54 @@ class TestStreamingIngest:
         }
         assert len(runs) == 1  # second run admitted zero rows
 
+    def test_crash_replay_does_not_empty_its_own_epoch(self, spark, tmp_path):
+        """Crash AFTER the epoch's parquet write but BEFORE the checkpoint
+        commit: the replayed epoch used to see its own crashed write in the
+        index, flag every row a self-dup, and overwrite the epoch dir EMPTY
+        (permanent loss).  The screen must exclude this run's >= epochs."""
+        import os
+
+        from stellar_etl_spark.streaming.ingest import stream_ingest_corpus
+
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(20)
+            .collect()
+        )
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        spark.createDataFrame(
+            [(r.doc_id, r.text) for r in docs], "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(landing / "b0"))
+        index_dir = str(tmp_path / "corpus")
+        ckpt = tmp_path / "ckpt"
+
+        def run():
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .parquet(str(landing / "b*"))
+            )
+            q = stream_ingest_corpus(stream, index_dir, checkpoint_dir=str(ckpt))
+            q.awaitTermination(120)
+
+        run()
+        first = {r.doc_id for r in spark.read.parquet(index_dir).collect()}
+        assert first
+
+        # simulate crash-before-commit: drop the commit marker so the same
+        # epoch replays against an index that already holds its own write
+        commit0 = ckpt / "commits" / "0"
+        assert commit0.exists()
+        os.remove(commit0)
+        crc = ckpt / "commits" / ".0.crc"
+        if crc.exists():  # local-fs checksum twin must go with the marker
+            os.remove(crc)
+        run()
+        after = {r.doc_id for r in spark.read.parquet(index_dir).collect()}
+        assert after == first  # replay rewrote the SAME rows, not zero rows
+
     def test_refuses_foreign_index_layout(self, spark, tmp_path):
         """index_dir holding non-run= entries (flat corpus files or the
         pre-namespace epoch= layout) must fail at start(), not silently
