@@ -159,10 +159,16 @@ def main() -> None:
     ]
 
     # best of 2: the first run pays codegen/JIT for that plan shape; the
-    # minimum reflects steady-state engine throughput
+    # minimum reflects steady-state engine throughput.  Both raw runs go to
+    # the sidecar so cross-round drift analysis can tell session noise
+    # (large run1-run2 spread) from a real plan regression (round 5 burned
+    # hours bisecting what turned out to be ordering/JIT variance).
     times: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
     for name in bench_list:
-        times[name] = min(run(name), run(name))
+        r1, r2 = run(name), run(name)
+        raw_runs[name] = [r1, r2]
+        times[name] = min(r1, r2)
 
     # ---- data-proportional scale point (round-3 verdict item 3) ----------
     # sf0.1 numbers are fixed-cost dominated (~0.5-1 s scan/plan/codegen per
@@ -238,7 +244,8 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_queries.json"), "w") as fh:
         json.dump(
-            {"sf": sf_val, "queries": times, "queries_10x": times_10x},
+            {"sf": sf_val, "queries": times, "queries_raw": raw_runs,
+             "queries_10x": times_10x},
             fh, indent=1, sort_keys=True,
         )
 

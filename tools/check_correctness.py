@@ -74,6 +74,14 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
             a = sv.astype(float).to_numpy()
             b = ov.astype(float).to_numpy()
+            # -0.0 == 0.0 compares equal but renders differently ("-0.0"
+            # vs "0.0"), which a format-sensitive value hash would flag
+            sz = (a == 0) & (b == 0) & (np.signbit(a) != np.signbit(b))
+            if sz.any():
+                problems.append(
+                    f"col {col}: {int(sz.sum())} signed-zero splits "
+                    "(-0.0 vs 0.0)"
+                )
             exact = (a == b) | (np.isnan(a) & np.isnan(b))
             if not exact.all():
                 bad = int((~exact).sum())
