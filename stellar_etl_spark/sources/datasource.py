@@ -70,7 +70,15 @@ DEFAULT_FILES_PER_TASK = 1000
 
 def _list_ledger_files(path: str, start: int, end: int) -> list[tuple[int, str]]:
     """Driver-side planning: name-parse + range-prune the listing.  Returns
-    ``(sequence, filepath)`` sorted by sequence."""
+    ``(sequence, filepath)`` sorted by sequence.
+
+    Listing uses the local filesystem API (a POSIX path, NFS mount or
+    FUSE-mounted bucket); direct ``gs://`` URIs go through the Hadoop
+    connector on the parquet/bronze path, not this source.  A missing
+    directory is an EMPTY datastore, not an error — the streaming tail
+    polls before the producer's first write."""
+    if not os.path.isdir(path):
+        return []
     out = []
     for name in os.listdir(path):
         stem = name.split(".")[0]
@@ -139,9 +147,19 @@ class LedgerStreamReader(SimpleDataSourceStreamReader):
     sequence.  Spark persists offsets in the checkpoint, giving the
     unbounded mode exactly-once file delivery."""
 
+    DEFAULT_MAX_FILES_PER_BATCH = 10_000
+
     def __init__(self, options: dict):
         self.path = options["path"]
         self.start = int(options.get("start", 0))
+        # cap the backlog one micro-batch may claim: starting a fresh
+        # stream over a years-deep datastore must not materialize every
+        # file's bytes in one driver-side list (the SimpleDataSourceStream
+        # protocol buffers read()'s rows on the driver) — the stream
+        # catches up over several batches instead
+        self.max_files_per_batch = int(
+            options.get("max_files_per_batch", self.DEFAULT_MAX_FILES_PER_BATCH)
+        )
 
     def initialOffset(self):
         return {"last_seq": self.start - 1}
@@ -149,6 +167,7 @@ class LedgerStreamReader(SimpleDataSourceStreamReader):
     def read(self, start_offset: dict):
         last = start_offset["last_seq"]
         files = _list_ledger_files(self.path, last + 1, (1 << 31) - 1)
+        files = files[: self.max_files_per_batch]
         rows = [_decode_file(seq, fp) for seq, fp in files]
         new_last = files[-1][0] if files else last
         return (iter(rows), {"last_seq": new_last})
@@ -237,6 +256,12 @@ class LedgerBatchFileWriter(DataSourceWriter):
         for row in iterator:
             d = row.asDict()
             seq = d.get("sequence")
+            if seq is None:
+                raise ValueError(
+                    "LedgerBatchFileWriter requires a non-null 'sequence' "
+                    "on every row: the {start}-{end} file-naming contract "
+                    "is keyed by it"
+                )
             lo = seq if lo is None else min(lo, seq)
             hi = seq if hi is None else max(hi, seq)
             d.pop("lcm_xdr", None)  # binary XDR stays in bronze parquet
@@ -284,8 +309,23 @@ class LedgerBatchFileWriter(DataSourceWriter):
         import os as _os
 
         manifest = [m.file for m in messages if getattr(m, "file", None)]
+        # {lo}-{hi}-{entity} names must be task-unique: ranges overlapping
+        # across tasks mean the input was NOT range-partitioned by
+        # sequence, and the colliding os.replace silently discarded one
+        # task's rows — fail the job loudly instead of committing a
+        # manifest that lies about the output
+        dupes = sorted({n for n in manifest if manifest.count(n) > 1})
+        if dupes:
+            raise ValueError(
+                f"batch-file name collision across write tasks: {dupes[:3]} "
+                "— partition the input by disjoint sequence ranges "
+                "(repartitionByRange('sequence')) before writing"
+            )
+        _os.makedirs(self.path, exist_ok=True)
         with open(_os.path.join(self.path, "_MANIFEST"), "w") as fh:
-            fh.write("\n".join(sorted(manifest)) + "\n")
+            fh.write("\n".join(sorted(manifest)))
+            if manifest:
+                fh.write("\n")
         self._sweep_tmp()
 
     def abort(self, messages):

@@ -55,8 +55,43 @@ def stream_maintain_aggregate(
     """Maintain the aggregate as a Structured Streaming query: one partial
     state per epoch, idempotent overwrite per epoch directory."""
 
+    token_cache: dict[str, str] = {}
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        out = os.path.join(state_dir, f"epoch={epoch_id}")
+        from stellar_etl_spark.streaming.ingest import (
+            _hadoop_path,
+            _run_token,
+        )
+
+        spark = batch_df.sparkSession
+        if "run" not in token_cache:
+            token_cache["run"] = _run_token(spark, checkpoint_dir)
+            # Additive partial states tolerate NO foreign epochs: a RESET
+            # checkpoint replays the source under restarted epoch ids, and
+            # merging its partials with a previous run's would double-count
+            # (while overwriting them with misaligned batch boundaries
+            # silently corrupts).  Refuse anything in state_dir not owned
+            # by THIS query id — same failure-at-start contract as
+            # ingest's layout guard.
+            path, fs = _hadoop_path(spark, state_dir)
+            if fs.exists(path):
+                foreign = [
+                    st.getPath().getName()
+                    for st in fs.listStatus(path)
+                    if not st.getPath().getName().startswith(
+                        ("_", ".", f"run={token_cache['run']}")
+                    )
+                ]
+                if foreign:
+                    raise ValueError(
+                        f"state_dir {state_dir!r} holds partial state from "
+                        f"another run/layout {sorted(foreign)[:3]}: merging "
+                        "would double-count. Point this stream at a fresh "
+                        "state_dir (or clear the old one)."
+                    )
+        out = os.path.join(
+            state_dir, f"run={token_cache['run']}", f"epoch={epoch_id}"
+        )
         partial_state(batch_df, key_col, cents_col).write.mode(
             "overwrite"
         ).parquet(out)
@@ -72,5 +107,9 @@ def stream_maintain_aggregate(
 def read_merged_state(
     spark: SparkSession, state_dir: str, key_col: str = "event_type"
 ) -> DataFrame:
-    """Current aggregate = one re-aggregate over all epoch partials."""
-    return merge_states(spark.read.parquet(state_dir), key_col)
+    """Current aggregate = one re-aggregate over the run's epoch partials
+    (partition discovery surfaces run/epoch as columns; merge ignores
+    them)."""
+    return merge_states(
+        spark.read.parquet(state_dir).select("*"), key_col
+    )

@@ -69,7 +69,6 @@ def stream_compacted_changes(
     writer = (
         changes_stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -119,7 +119,13 @@ def _make_session_fold(gap_us: int):
                 closed.append((key[0], s0, last, n))
                 s0, last, n = ts_us, ts_us, 1
             else:
-                last, n = ts_us, n + 1
+                # a late-but-in-gap event must never move the session END
+                # backwards (it would close the session early on the next
+                # gap test and fire the timeout prematurely) nor its START
+                # forwards — fold with min/max, not assignment
+                s0 = min(s0, ts_us)
+                last = max(last, ts_us)
+                n += 1
 
         state.update((s0, last, n))
         # finalize the open session when the event-time watermark passes

@@ -138,9 +138,15 @@ def enrich_with_dim(
     default for region/nation/asset lookups): the static side is planned as
     a broadcast per micro-batch — stateless, no watermark, no join state to
     evict, which is why dimension lookups should NEVER be expressed as
-    stream-stream joins.  The static side re-resolves per batch, so a dim
-    refreshed by an external writer (e.g. the snapshot_upsert MERGE output)
-    is picked up on the next trigger when read through a file source path.
+    stream-stream joins.
+
+    Refresh caveat: a plain ``spark.read.parquet(dir)`` dim captures its
+    FILE LISTING when the DataFrame is created — each micro-batch re-runs
+    the plan against that frozen snapshot, so files appended later are
+    invisible and files deleted by an external overwrite make batches
+    fail.  To pick up a dim maintained by an external writer, rebuild the
+    dim DataFrame per batch (foreachBatch) or read it through a table
+    format with snapshot refresh (a catalog table / Delta-style source).
     """
     from pyspark.sql import functions as F
 

@@ -624,6 +624,60 @@ class TestStreamSessionize:
         }
         assert got2 == got1 | {(2, us(t(13, 0)), us(t(13, 5)), 2)}
 
+    def test_late_in_gap_event_does_not_regress_session_end(
+        self, spark, tmp_path
+    ):
+        """A late-but-within-watermark event older than the stored session
+        end must not move `last` backwards: pre-fix, the fold assigned
+        last=ts, so a later event within gap of the REAL end closed the
+        session early and the timeout fired prematurely."""
+        from stellar_etl_spark.streaming.stateful import stream_sessionize
+
+        landing = str(tmp_path / "landing")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        t = self._t
+
+        def run():
+            stream = spark.readStream.schema(self.DDL).parquet(landing)
+            q = (
+                stream_sessionize(stream, gap_seconds=1800,
+                                  watermark="300 minutes")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        def us(dtv):
+            import datetime as dt
+
+            return int(
+                dtv.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+            )
+
+        # batch 1: one session spanning 10:00..10:20 (within the 30m gap)
+        spark.createDataFrame(
+            [(1, 1, t(10, 0)), (1, 2, t(10, 20))], self.DDL
+        ).coalesce(1).write.mode("append").parquet(landing)
+        run()
+        # batch 2: a LATE event at 10:10 (inside the session, within the
+        # generous watermark), then 10:45 — within 30m of the TRUE end
+        # 10:20, so the session must CONTINUE.  Pre-fix the fold regressed
+        # last to 10:10, making 10:45 look 35m away and closing the
+        # session early at 10:10.
+        spark.createDataFrame(
+            [(1, 3, t(10, 10)), (1, 4, t(10, 45))], self.DDL
+        ).coalesce(1).write.mode("append").parquet(landing)
+        run()
+        closed = {
+            (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert closed == set()  # the single session is still open
+
 
 class TestLedgerDataSource:
     """Python DataSource API source (sources/datasource.py): driver-side
@@ -923,12 +977,74 @@ class TestLedgerBatchFileWriter:
             row = _json.loads(fh.readline())
         assert "lcm_xdr" not in row and "sequence" in row
 
+    def test_overlapping_ranges_fail_loudly(self, spark, tmp_path):
+        """Two tasks producing the same {lo}-{hi} name means the input was
+        not range-partitioned — one task's os.replace would silently
+        discard the other's rows, so commit() must refuse the manifest."""
+        import pytest
+
+        from stellar_etl_spark.sources.datasource import LedgerDataSource
+
+        spark.dataSource.register(LedgerDataSource)
+        out = str(tmp_path / "export")
+        # same sequence duplicated into 2 hash partitions -> same file name
+        df = spark.createDataFrame(
+            [(7, None, 20, 1, bytearray(b"x")), (7, None, 20, 1, bytearray(b"y"))],
+            "sequence long, closed_at timestamp, protocol_version long, "
+            "tx_count long, lcm_xdr binary",
+        ).repartition(2)
+        with pytest.raises(Exception, match="name collision"):
+            (
+                df.write.format("stellar_ledgers")
+                .option("path", out)
+                .mode("append")
+                .save()
+            )
+
+    def test_empty_write_commits_valid_empty_manifest(self, spark, tmp_path):
+        from stellar_etl_spark.sources.datasource import LedgerDataSource
+
+        spark.dataSource.register(LedgerDataSource)
+        out = str(tmp_path / "export")
+        df = spark.createDataFrame(
+            [],
+            "sequence long, closed_at timestamp, protocol_version long, "
+            "tx_count long, lcm_xdr binary",
+        )
+        df.write.format("stellar_ledgers").option("path", out).mode(
+            "append"
+        ).save()
+        with open(out + "/_MANIFEST") as fh:
+            assert fh.read() == ""
+
 
 class TestStreamCrashRecovery:
     """Checkpointed restart of the custom streaming source: a stopped query
     resumed with the same checkpoint must deliver every ledger EXACTLY once
     across runs (offset log + readBetweenOffsets replay path,
     sources/datasource.py LedgerStreamReader)."""
+
+    def test_backlog_cap_catches_up_across_batches(self, tmp_path):
+        """A deep backlog is claimed max_files_per_batch at a time — the
+        first read() of a fresh stream must not materialize the whole
+        datastore on the driver."""
+        from stellar_etl_spark.sources.datasource import LedgerStreamReader
+
+        path = self._mk_files(tmp_path, list(range(1, 10)))
+        r = LedgerStreamReader({"path": path, "max_files_per_batch": "4"})
+        off = r.initialOffset()
+        seen = []
+        for _ in range(3):
+            rows, off = r.read(off)
+            seen.append([t[0] for t in rows])
+        assert seen == [[1, 2, 3, 4], [5, 6, 7, 8], [9]]
+
+    def test_missing_datastore_dir_is_empty_not_error(self, tmp_path):
+        from stellar_etl_spark.sources.datasource import LedgerStreamReader
+
+        r = LedgerStreamReader({"path": str(tmp_path / "nowhere")})
+        rows, off = r.read(r.initialOffset())
+        assert list(rows) == [] and off == {"last_seq": -1}
 
     def _mk_files(self, tmp_path, seqs):
         src = tmp_path / "store"
@@ -1301,8 +1417,44 @@ class TestStreamAggMaintenance:
         # multiple epochs actually happened
         import os
 
-        epochs = [d for d in os.listdir(str(tmp_path / "state")) if d.startswith("epoch=")]
+        [run_dir] = [
+            d for d in os.listdir(str(tmp_path / "state"))
+            if d.startswith("run=")
+        ]
+        epochs = [
+            d
+            for d in os.listdir(str(tmp_path / "state" / run_dir))
+            if d.startswith("epoch=")
+        ]
         assert len(epochs) >= 2
+
+    def test_foreign_state_dir_is_refused(self, spark, tmp_path):
+        """Additive partial states tolerate no foreign epochs: a reset
+        checkpoint replaying the source into a state_dir holding another
+        run's partials would double-count on merge — the stream must fail
+        at the first batch instead."""
+        from stellar_etl_spark.streaming.agg_maintenance import (
+            stream_maintain_aggregate,
+        )
+
+        state = tmp_path / "state"
+        (state / "run=deadbeef" / "epoch=0").mkdir(parents=True)
+        src_dir = tmp_path / "landing"
+        src_dir.mkdir()
+        spark.createDataFrame(
+            [("a", 100)], "event_type string, cents long"
+        ).write.parquet(str(src_dir / "b0"))
+        stream = (
+            spark.readStream.schema("event_type string, cents long")
+            .parquet(str(src_dir / "b*"))
+        )
+        q = stream_maintain_aggregate(
+            stream, str(state), checkpoint_dir=str(tmp_path / "ckpt")
+        )
+        import pytest
+
+        with pytest.raises(Exception, match="another run|double-count"):
+            q.awaitTermination(120)
 
     def test_epoch_replay_is_idempotent(self, spark, tmp_path):
         """Rewriting an epoch directory with the same batch (the replay
