@@ -145,6 +145,33 @@ _MEMO_TYPES = {
 }
 
 
+def _fee_account_refund(changes: list[dict] | None, fee_src: dict) -> int:
+    """Balance delta of the fee account across a LedgerEntryChanges list —
+    the reference's getAccountBalanceFromLedgerEntryChanges applied to
+    meta.txChangesAfter (transaction.go:173-175): STATE gives the start,
+    CREATED/UPDATED the end.  Mirrors the reference's muxed quirk exactly:
+    a muxed fee source's Address() is the M-form, which never equals the
+    account entry's G-address, so the scan finds nothing and the refund
+    is 0."""
+    if not changes or fee_src.get("id") is not None:
+        return 0
+    ed = fee_src["ed25519"]
+    start = end = None
+    for c in changes:
+        entry = c.get("entry")
+        if not entry or entry.get("type") != 0:
+            continue
+        if entry["data"]["account_id"] != ed:
+            continue
+        if c["change_type"] == 3:  # STATE
+            start = entry["data"]["balance"]
+        elif c["change_type"] in (0, 1):  # CREATED / UPDATED
+            end = entry["data"]["balance"]
+    if start is None or end is None:
+        return 0
+    return end - start
+
+
 def _tx_row(
     seq: int,
     closed_at_unix: int,
@@ -238,7 +265,19 @@ def _tx_row(
         soroban_resources_write_bytes=(
             (inner.get("soroban_data") or {}).get("write_bytes")
         ),
-        fee_refund=None,
+        # reference: refund computed whenever soroban data exists and the
+        # meta is V3+ (transaction.go:171-175), from the fee account's
+        # balance delta in txChangesAfter
+        fee_refund=(
+            _fee_account_refund(
+                proc["meta"].get("tx_changes_after"),
+                env["fee_source"] if is_bump else inner["source"],
+            )
+            if proc is not None
+            and inner.get("soroban_data") is not None
+            and proc["meta"].get("version", 0) >= 3
+            else None
+        ),
         fee_nonrefundable=(
             (proc["meta"].get("soroban") or {}).get("fees") or {}
         ).get("total_non_refundable_resource_fee_charged")
@@ -293,6 +332,14 @@ def _enrich_body(
         return body
     if t == 8 and "source_account_balance" in res:
         body["source_amount"] = res["source_account_balance"]
+    elif t == 9 and res.get("payouts") is not None:
+        # inflation payouts live only in the RESULT; the effect transform
+        # reads body.payouts for per-payout account_credited rows
+        # (effects.go:745-755)
+        body["payouts"] = [
+            {"destination": _acct(p["destination"]), "amount": p["amount"]}
+            for p in res["payouts"]
+        ]
     elif t in (2, 13) and res.get("success"):
         last_amount = res["success"]["last"]["amount"]
         if t == 13:
@@ -363,7 +410,7 @@ def _op_body(t: int, b: dict) -> dict:
             "home_domain": b["home_domain"],
         }
         if b["signer"]:
-            out["signer_key"] = _acct(b["signer"]["key"]["key"])
+            out["signer_key"] = _signer_key_address(b["signer"]["key"])
             out["signer_weight"] = b["signer"]["weight"]
     elif t == 6:
         out = {"line": _asset(b["line"]), "limit": b["limit"]}
@@ -405,7 +452,13 @@ def _op_body(t: int, b: dict) -> dict:
             "claimants": [
                 {
                     "destination": _acct(c["destination"]),
-                    "predicate": _predicate_json(c["predicate"]),
+                    # SAME JSON shape as the entry-side claimants
+                    # (silver.py predicate_ref_json): consumers joining op
+                    # claimants against claimable-balance entry claimants
+                    # must see one encoding, the reference's Go MarshalJSON
+                    "predicate": _json_dumps_compact(
+                        predicate_ref_json(c["predicate"])
+                    ),
                 }
                 for c in b["claimants"]
             ],
@@ -442,11 +495,7 @@ def _op_body(t: int, b: dict) -> dict:
         else:
             revoke = {
                 "signer_account_id": _acct(b["signer_account_id"]),
-                "signer_key": (
-                    _acct(b["signer_key"]["key"])
-                    if b["signer_key"]["type"] == 0
-                    else b["signer_key"]["key"].hex()
-                ),
+                "signer_key": _signer_key_address(b["signer_key"]),
             }
         out = {"revoke": revoke}
     elif t == 19:
@@ -504,12 +553,6 @@ def _op_body(t: int, b: dict) -> dict:
     return out
 
 
-def _predicate_json(p: dict) -> str:
-    import json as _json
-
-    return _json.dumps(p, separators=(",", ":"), default=lambda x: x.hex() if isinstance(x, bytes) else str(x))
-
-
 def _json_dumps_compact(v) -> str:
     import json as _json
 
@@ -550,13 +593,23 @@ def _match_processing(meta: dict, passphrase: str) -> list[tuple]:
     by_hash = {}
     for proc in meta["tx_processing"] or []:
         by_hash[proc["result"]["transaction_hash"]] = proc
+    have_processing = bool(meta["tx_processing"])
     out = []
     for env in meta["envelopes"]:
-        try:
-            th = transaction_hash(env, passphrase)
-        except Exception:
-            th = None
-        out.append((env, th, by_hash.get(th)))
+        th = transaction_hash(env, passphrase)
+        proc = by_hash.get(th)
+        if have_processing and proc is None:
+            # a silent None here would flow into _tx_row's no-results
+            # defaults (successful=True, fee_charged=max_fee) — recording
+            # an unmatched tx as a successful one.  Results-bearing LCMs
+            # must pair every envelope; anything else is corrupt input or
+            # a wrong passphrase, and the job should say so.
+            raise ValueError(
+                f"no TransactionResultMeta matches envelope hash "
+                f"{th.hex()} in ledger {meta['header'].ledger_seq} — "
+                "corrupt LCM or wrong network passphrase?"
+            )
+        out.append((env, th, proc))
     return out
 
 
@@ -928,10 +981,29 @@ def _entry_to_key(e: dict) -> dict:
     raise ValueError(f"bad entry type {t}")
 
 
-def _signer_str(key: dict) -> str:
-    if key["type"] == 0:
+def _signer_key_address(key: dict) -> str:
+    """SignerKey.Address() strkey rendering (the reference renders every
+    signer-key arm as its canonical strkey, not hex): ed25519 -> G,
+    preAuthTx -> T, hashX -> X, ed25519SignedPayload -> P (key + u32 len +
+    payload padded to 4)."""
+    t = key["type"]
+    if t == 0:
         return _acct(key["key"])
+    if t == 1:  # PRE_AUTH_TX -> 'T'
+        return encode_strkey(19 << 3, key["key"])
+    if t == 2:  # HASH_X -> 'X'
+        return encode_strkey(23 << 3, key["key"])
+    if t == 3:  # ED25519_SIGNED_PAYLOAD -> 'P'
+        payload = key["payload"]
+        padded = payload + b"\x00" * (-len(payload) % 4)
+        return encode_strkey(
+            15 << 3, key["key"] + struct.pack(">I", len(payload)) + padded
+        )
     return key["key"].hex()
+
+
+def _signer_str(key: dict) -> str:
+    return _signer_key_address(key)
 
 
 def _sac_instance_asset(val: dict) -> dict | None:
@@ -1154,9 +1226,17 @@ def entry_struct(e: dict | None) -> dict | None:
 
 def decode_changes(bronze: DataFrame) -> DataFrame:
     """One CHANGES_DDL row per paired ledger-entry change across fee
-    processing, every operation's apply meta, and the tx-level
-    before/after changes — the StreamChanges input surface
-    (export_ledger_entry_changes.go) decoded from raw LCM bytes."""
+    processing, every operation's apply meta, the tx-level before/after
+    changes, and ledger-upgrade metas — the StreamChanges input surface
+    (export_ledger_entry_changes.go) decoded from raw LCM bytes.
+
+    ``change_index`` follows stellar-core's APPLY order, which is what the
+    reference's LedgerChangeReader streams: ALL transactions' fee changes
+    first (fees for the whole ledger are charged before any tx applies),
+    then each tx's apply meta, then upgrade changes.  Interleaving fees
+    per-tx instead would let compaction pick a fee-phase state as an
+    entry's final state even though a later-indexed-tx's op had already
+    superseded it."""
     import pandas as pd
 
     from stellar_etl_spark.schemas import CHANGES_DDL
@@ -1170,44 +1250,53 @@ def decode_changes(bronze: DataFrame) -> DataFrame:
                 meta = parse_ledger_close_meta(bytes(raw))
                 h = meta["header"]
                 closed = pd.Timestamp(h.close_time, unit="s")
-                if not meta["tx_processing"]:
+                if not meta["tx_processing"] and not meta.get(
+                    "upgrades_processing"
+                ):
                     continue
                 idx = 0
-                for proc in meta["tx_processing"]:
-                    groups = [proc["fee_changes"]]
+                groups = [
+                    proc["fee_changes"]
+                    for proc in meta["tx_processing"] or []
+                ]
+                for proc in meta["tx_processing"] or []:
                     m = proc["meta"]
                     groups.append(m["tx_changes_before"])
                     groups.extend(op["changes"] for op in m["operations"])
                     groups.append(m["tx_changes_after"])
-                    for group in groups:
-                        for pc in pair_changes(group):
-                            entry = pc["post"] or pc["pre"]
-                            key = pc.get("key") or _entry_to_key(entry)
-                            wk = Writer()
-                            write_ledger_key(wk, key)
-                            rows.append(
-                                dict(
-                                    ledger_sequence=h.ledger_seq,
-                                    closed_at=closed,
-                                    entry_type=XL.ENTRY_TYPE_NAMES[entry["type"]],
-                                    change_type=pc["change_type"],
-                                    change_index=idx,
-                                    ledger_key=base64.b64encode(
-                                        wk.bytes()
-                                    ).decode(),
-                                    last_modified_ledger=entry[
-                                        "last_modified_ledger"
-                                    ],
-                                    sponsor=(
-                                        _acct(entry["sponsoring_id"])
-                                        if entry["sponsoring_id"]
-                                        else None
-                                    ),
-                                    pre=entry_struct(pc["pre"]),
-                                    post=entry_struct(pc["post"]),
-                                )
+                groups.extend(
+                    u["changes"]
+                    for u in meta.get("upgrades_processing") or []
+                )
+                for group in groups:
+                    for pc in pair_changes(group):
+                        entry = pc["post"] or pc["pre"]
+                        key = pc.get("key") or _entry_to_key(entry)
+                        wk = Writer()
+                        write_ledger_key(wk, key)
+                        rows.append(
+                            dict(
+                                ledger_sequence=h.ledger_seq,
+                                closed_at=closed,
+                                entry_type=XL.ENTRY_TYPE_NAMES[entry["type"]],
+                                change_type=pc["change_type"],
+                                change_index=idx,
+                                ledger_key=base64.b64encode(
+                                    wk.bytes()
+                                ).decode(),
+                                last_modified_ledger=entry[
+                                    "last_modified_ledger"
+                                ],
+                                sponsor=(
+                                    _acct(entry["sponsoring_id"])
+                                    if entry["sponsoring_id"]
+                                    else None
+                                ),
+                                pre=entry_struct(pc["pre"]),
+                                post=entry_struct(pc["post"]),
                             )
-                            idx += 1
+                        )
+                        idx += 1
             yield (
                 pd.DataFrame(rows)
                 if rows
@@ -1333,25 +1422,41 @@ def _classify_sac_event(topics: list[dict], data: dict) -> dict:
         raw = last.get("string")
         if raw is not None:
             asset = raw.decode() if isinstance(raw, bytes) else raw
+    def _addr_parts(a: dict) -> tuple[str | None, str | None, int | None]:
+        # (g_or_c_address, muxed_strkey, muxed_id): the reference's
+        # EventsProcessor splits a muxed destination into the base
+        # G-address plus to_muxed/to_muxed_id — joins key on the G form
+        if a["type"] == "muxed_account":
+            return (
+                _acct(a["ed25519"]),
+                _addr_str(a),
+                a["id"],
+            )
+        return _addr_str(a), None, None
+
     addrs = [
-        _addr_str(t.get("address"))
+        _addr_parts(t["address"])
         for t in topics[1:-1]
         if t.get("address") is not None
     ]
     amount = data.get("i128")
-    out.update(
-        sac_kind=kind,
-        sac_asset=asset,
-        sac_amount=(
-            (amount["hi"] << 64) | amount["lo"] if amount is not None else None
-        ),
-    )
+    if amount is not None:
+        # full i128 (hi signed); the long-typed schema clamps overflow the
+        # same way _exact_int64_frame does for u64 protocol fields — an
+        # unclamped Python int >= 2^63 would crash the Arrow conversion
+        # mid-job on one oversized SEP-41 amount
+        full = (amount["hi"] << 64) | amount["lo"]
+        sac_amount = max(-_I64_MAX - 1, min(full, _I64_MAX))
+    else:
+        sac_amount = None
+    out.update(sac_kind=kind, sac_asset=asset, sac_amount=sac_amount)
     if kind == "transfer" and len(addrs) >= 2:
-        out["sac_from"], out["sac_to"] = addrs[0], addrs[1]
+        out["sac_from"] = addrs[0][0]
+        out["sac_to"], out["sac_to_muxed"], out["sac_to_muxed_id"] = addrs[1]
     elif kind == "mint" and addrs:
-        out["sac_to"] = addrs[-1]
+        out["sac_to"], out["sac_to_muxed"], out["sac_to_muxed_id"] = addrs[-1]
     elif kind in ("burn", "clawback", "fee") and addrs:
-        out["sac_from"] = addrs[-1]
+        out["sac_from"] = addrs[-1][0]
     return out
 
 

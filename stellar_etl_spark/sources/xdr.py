@@ -1189,6 +1189,31 @@ def _write_header_entry(w: Writer, entry_hash: bytes, h: LedgerHeader):
     w.u32(0)
 
 
+def read_ledger_upgrade(r: Reader) -> dict:
+    """LedgerUpgrade union (Stellar-ledger.x): type discriminant + one
+    arm — u32 for VERSION/BASE_FEE/MAX_TX_SET_SIZE/BASE_RESERVE/FLAGS/
+    MAX_SOROBAN_TX_SET_SIZE, ConfigUpgradeSetKey (2x32 bytes) for CONFIG."""
+    t = r.u32()
+    if t == 6:  # LEDGER_UPGRADE_CONFIG
+        return {
+            "type": t,
+            "contract_id": r.opaque(32),
+            "content_hash": r.opaque(32),
+        }
+    if t in (1, 2, 3, 4, 5, 7):
+        return {"type": t, "value": r.u32()}
+    raise XdrError(f"unsupported LedgerUpgrade type {t}")
+
+
+def write_ledger_upgrade(w: Writer, u: dict):
+    w.u32(u["type"])
+    if u["type"] == 6:
+        w.opaque(u["contract_id"])
+        w.opaque(u["content_hash"])
+    else:
+        w.u32(u["value"])
+
+
 def parse_ledger_close_meta(raw: bytes, tx_processing: bool = True) -> dict:
     """Decode a LedgerCloseMeta V0/V1: header entry + flattened tx envelopes
     (the ledgers.go:33-50 normalization) and — when ``tx_processing`` —
@@ -1227,6 +1252,7 @@ def parse_ledger_close_meta(raw: bytes, tx_processing: bool = True) -> dict:
         raise XdrError(f"unsupported LedgerCloseMeta version {v}")
 
     processing = None
+    upgrades_processing: list[dict] = []
     if tx_processing and r.pos < len(raw):
         from stellar_etl_spark.sources.xdr_ledger import (
             read_ledger_entry_changes,
@@ -1241,6 +1267,19 @@ def parse_ledger_close_meta(raw: bytes, tx_processing: bool = True) -> dict:
                 "meta": read_transaction_meta(r),
             }
         )
+        # upgradesProcessing<UpgradeEntryMeta>: entry changes applied by
+        # ledger upgrades (protocol bumps, base-fee/reserve changes,
+        # Soroban config upgrades) — the reference's LedgerChangeReader
+        # streams these AFTER every tx's apply meta
+        # (export_ledger_entry_changes).  Absent in the synthetic test
+        # encodings (stream ends after txProcessing) -> empty.
+        if r.pos < len(raw):
+            upgrades_processing = r.array(
+                lambda: {
+                    "upgrade": read_ledger_upgrade(r),
+                    "changes": read_ledger_entry_changes(r),
+                }
+            )
     return {
         "version": v,
         "entry_hash": entry_hash,
@@ -1248,6 +1287,7 @@ def parse_ledger_close_meta(raw: bytes, tx_processing: bool = True) -> dict:
         "previous_ledger_hash_txset": prev,
         "envelopes": envelopes,
         "tx_processing": processing,
+        "upgrades_processing": upgrades_processing,
         "tail": r.tail(),
     }
 
@@ -1266,12 +1306,24 @@ def _write_tx_processing(w: Writer, processing: list[dict]):
         write_transaction_meta(w, p["meta"])
 
 
+def _write_upgrades_processing(w: Writer, ups: list[dict]):
+    from stellar_etl_spark.sources.xdr_ledger import (
+        write_ledger_entry_changes,
+    )
+
+    w.u32(len(ups))
+    for u in ups:
+        write_ledger_upgrade(w, u["upgrade"])
+        write_ledger_entry_changes(w, u["changes"])
+
+
 def encode_ledger_close_meta_v0(
     header: LedgerHeader,
     envelopes: list[dict],
     entry_hash: bytes = b"\x11" * 32,
     tx_processing: list[dict] | None = None,
     tail: bytes = b"",
+    upgrades_processing: list[dict] | None = None,
 ) -> bytes:
     w = Writer()
     w.u32(0)
@@ -1282,6 +1334,7 @@ def encode_ledger_close_meta_v0(
         write_transaction_envelope(w, e)
     if tx_processing is not None:
         _write_tx_processing(w, tx_processing)
+        _write_upgrades_processing(w, upgrades_processing or [])
     return w.bytes() + tail
 
 
@@ -1291,6 +1344,7 @@ def encode_ledger_close_meta_v1(
     entry_hash: bytes = b"\x22" * 32,
     tx_processing: list[dict] | None = None,
     tail: bytes = b"",
+    upgrades_processing: list[dict] | None = None,
 ) -> bytes:
     """V1 with one component per phase (the common shape)."""
     w = Writer()
@@ -1310,6 +1364,7 @@ def encode_ledger_close_meta_v1(
             write_transaction_envelope(w, e)
     if tx_processing is not None:
         _write_tx_processing(w, tx_processing)
+        _write_upgrades_processing(w, upgrades_processing or [])
     return w.bytes() + tail
 
 

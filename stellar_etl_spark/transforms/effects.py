@@ -1502,24 +1502,35 @@ def transform_sac_effects(
         .otherwise(F.array().cast(_EFFECT_STRUCT_DDL))
     )
 
-    # deterministic per-tx event order for effect indexes
+    # deterministic per-tx event order for effect indexes: anchor on the
+    # op position first (the real apply order the table carries), value
+    # columns only as the within-op tie-break
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("ledger_sequence", "tx_index").orderBy(
-        "contract_id", "sac_kind", "sac_from", "sac_to", "sac_amount"
+        "sac_op_index", "contract_id", "sac_kind", "sac_from", "sac_to",
+        "sac_amount",
     )
-    op_id = toid(F.col("ledger_sequence"), F.col("tx_index"), F.lit(1))
-    indexed = (
+    op_id = toid(
+        F.col("ledger_sequence"),
+        F.col("tx_index"),
+        F.coalesce(F.col("sac_op_index"), F.lit(0)) + 1,
+    )
+    exploded = (
         ev.withColumn("_ev_idx", F.row_number().over(w) - 1)
         .select(
             op_id.alias("operation_id"),
             F.col("ledger_sequence"),
+            F.col("closed_at"),
             F.lit(24).alias("operation_type"),
             F.col("_ev_idx"),
             F.posexplode(effects).alias("side_idx", "e"),
         )
-        .withColumn("index", F.col("_ev_idx") * 2 + F.col("side_idx"))
     )
+    # DENSE per-tx index over the emitted effects (single-effect kinds must
+    # not leave gaps: ids are the reference's contiguous numbering)
+    wi = Window.partitionBy("operation_id").orderBy("_ev_idx", "side_idx")
+    indexed = exploded.withColumn("index", F.row_number().over(wi) - 1)
     return indexed.select(
         F.concat_ws("-", F.col("operation_id"), F.col("index")).alias("id"),
         F.col("operation_id"),
@@ -1527,7 +1538,10 @@ def transform_sac_effects(
         F.col("e")["type"].alias("type"),
         F.col("e")["type_string"].alias("type_string"),
         F.col("e")["address"].alias("address"),
+        # union-compatible with transform_effects' output columns
+        F.lit(None).cast("string").alias("address_muxed"),
         F.col("e")["details_json"].alias("details"),
+        F.col("closed_at"),
         F.col("ledger_sequence"),
         F.col("operation_type"),
     )

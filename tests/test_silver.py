@@ -420,6 +420,132 @@ class TestFullDecode:
         assert {s.signer for s in signers} == {GA, GB}
 
 
+class TestChangeApplyOrder:
+    """decode_changes must stream changes in stellar-core's APPLY order:
+    every tx's fee changes first, then each tx's apply meta, then ledger
+    upgrades — the reference's LedgerChangeReader order.  Interleaving
+    fees per tx lets compaction pick a stale fee-phase state."""
+
+    @pytest.fixture(scope="class")
+    def bronze(self, spark, tmp_path_factory):
+        from stellar_etl_spark.sources.bronze import (
+            decode_ledger_files,
+            read_ledger_files,
+        )
+        from stellar_etl_spark.sources.xdr import transaction_hash
+
+        PUB = "Public Global Stellar Network ; September 2015"
+        tmp = tmp_path_factory.mktemp("order")
+
+        env1 = _env(ops=[PAYMENT], seq_num=21)
+        env2 = _env(ops=[PAYMENT], seq_num=22, memo={"type": "none"})
+
+        def proc(env, fee_changes, op_changes):
+            return {
+                "result": {
+                    "transaction_hash": transaction_hash(env, PUB),
+                    "result": {
+                        "fee_charged": 100,
+                        "code": 0,
+                        "op_results": [
+                            {"code": 0, "type": 1, "inner_code": 0}
+                        ],
+                    },
+                },
+                "fee_changes": fee_changes,
+                "meta": {
+                    "version": 2,
+                    "tx_changes_before": [],
+                    "operations": [{"changes": op_changes}],
+                    "tx_changes_after": [],
+                    "soroban": None,
+                },
+            }
+
+        # tx1's OP credits A to 990; tx2's FEE debits A to 1100 (applied
+        # FIRST in the fee phase, from A's pre-ledger 1200).  Core order:
+        # fee(1200->1100), then op(1100->990): A's FINAL state is 990.
+        proc1 = proc(
+            env1,
+            [],
+            [
+                {"change_type": 3, "entry": _acct_entry(A, 1_100)},
+                {"change_type": 1, "entry": _acct_entry(A, 990)},
+            ],
+        )
+        proc2 = proc(
+            env2,
+            [
+                {"change_type": 3, "entry": _acct_entry(A, 1_200)},
+                {"change_type": 1, "entry": _acct_entry(A, 1_100)},
+            ],
+            [],
+        )
+        # one ledger upgrade bumping B's account entry — must land LAST
+        upgrades = [
+            {
+                "upgrade": {"type": 1, "value": 21},
+                "changes": [
+                    {"change_type": 3, "entry": _acct_entry(B, 500)},
+                    {"change_type": 1, "entry": _acct_entry(B, 777)},
+                ],
+            }
+        ]
+        h = LedgerHeader(
+            ledger_version=20, close_time=1_704_067_210, ledger_seq=9,
+            total_coins=10**12,
+        )
+        raw = encode_ledger_close_meta_v0(
+            h, [env1, env2],
+            tx_processing=[proc1, proc2],
+            upgrades_processing=upgrades,
+        )
+        (tmp / "9.xdr").write_bytes(raw)
+        return decode_ledger_files(read_ledger_files(spark, str(tmp)))
+
+    def test_fee_phase_precedes_all_ops_and_upgrades_come_last(self, bronze):
+        from stellar_etl_spark.operators.compaction import compact_changes
+        from stellar_etl_spark.sources.silver import decode_changes
+
+        rows = sorted(
+            decode_changes(bronze).collect(), key=lambda r: r.change_index
+        )
+        balances = [
+            (r.change_index, float(r.post.balance) if r.post else None)
+            for r in rows
+        ]
+        # order: tx2's FEE pair first (fee phase), then tx1's OP pair,
+        # then the upgrade pair (balances are raw stroops here)
+        assert [b for _, b in balances] == [1100.0, 990.0, 777.0]
+        # compaction therefore keeps A's OP-phase state as final
+        from pyspark.sql import functions as F
+
+        batched = decode_changes(bronze).withColumn("batch_id", F.lit(0))
+        final = sorted(
+            float(r.post.balance)
+            for r in compact_changes(batched).collect()
+            if r.post is not None
+        )
+        assert final == [777.0, 990.0]
+
+    def test_upgrade_roundtrips_through_codec(self):
+        from stellar_etl_spark.sources.xdr import (
+            Reader,
+            Writer,
+            read_ledger_upgrade,
+            write_ledger_upgrade,
+        )
+
+        for u in (
+            {"type": 1, "value": 21},
+            {"type": 6, "contract_id": b"\x07" * 32,
+             "content_hash": b"\x08" * 32},
+        ):
+            w = Writer()
+            write_ledger_upgrade(w, u)
+            assert read_ledger_upgrade(Reader(w.bytes())) == u
+
+
 class TestContractEventsFromMeta:
     """Soroban apply meta → contract-events table → the event transforms."""
 
@@ -527,3 +653,111 @@ class TestContractEventsFromMeta:
         [t] = tt
         assert t.event_topic == "transfer"
         assert t.asset_code == "USD" and float(t.amount) == 4.0
+
+
+class TestSacClassification:
+    """_classify_sac_event unit behavior: muxed destination split and i128
+    amount clamping (the long-typed schema must not crash Arrow on a
+    SEP-41 amount with a nonzero hi limb)."""
+
+    def _ev(self, kind, addrs, amount_hi, amount_lo):
+        topics = [{"symbol": kind}]
+        topics += [{"address": a} for a in addrs]
+        topics += [{"string": "USD:GABC"}]
+        data = {"i128": {"hi": amount_hi, "lo": amount_lo}}
+        return topics, data
+
+    def test_muxed_destination_splits_into_g_plus_muxed(self):
+        from stellar_etl_spark.sources.silver import _classify_sac_event
+
+        frm = {"type": "account", "account_id": b"\x01" * 32}
+        to = {"type": "muxed_account", "ed25519": b"\x02" * 32, "id": 77}
+        topics, data = self._ev("transfer", [frm, to], 0, 5)
+        out = _classify_sac_event(topics, data)
+        assert out["sac_from"] == GA
+        assert out["sac_to"] == GB  # the BASE G-address, not the M-form
+        assert out["sac_to_muxed"].startswith("M")
+        assert out["sac_to_muxed_id"] == 77
+        assert out["sac_amount"] == 5
+
+    def test_i128_amount_clamps_to_int64(self):
+        from stellar_etl_spark.sources.silver import _classify_sac_event
+
+        to = {"type": "account", "account_id": b"\x02" * 32}
+        topics, data = self._ev("mint", [to], 2, 0)  # 2 << 64 > i64 max
+        out = _classify_sac_event(topics, data)
+        assert out["sac_amount"] == (1 << 63) - 1
+
+
+class TestInflationPayouts:
+    """Inflation (type 9) result payouts must reach body.payouts so
+    transform_effects emits one account_credited per payout
+    (effects.go:745-755) — the result is the ONLY place payouts exist."""
+
+    def test_payouts_flow_to_effects(self, spark, tmp_path):
+        from stellar_etl_spark.sources.bronze import (
+            decode_ledger_files,
+            read_ledger_files,
+        )
+        from stellar_etl_spark.sources.silver import (
+            decode_operations,
+            decode_transactions,
+        )
+        from stellar_etl_spark.sources.xdr import transaction_hash
+        from stellar_etl_spark.transforms.effects import transform_effects
+
+        PUB = "Public Global Stellar Network ; September 2015"
+        INFLATION = {"source": None, "type": 9, "body": {}}
+        env = _env(ops=[INFLATION], seq_num=31)
+        proc = {
+            "result": {
+                "transaction_hash": transaction_hash(env, PUB),
+                "result": {
+                    "fee_charged": 100,
+                    "code": 0,
+                    "op_results": [
+                        {
+                            "code": 0,
+                            "type": 9,
+                            "inner_code": 0,
+                            "payouts": [
+                                {"destination": A, "amount": 11_000_000},
+                                {"destination": B, "amount": 22_000_000},
+                            ],
+                        }
+                    ],
+                },
+            },
+            "fee_changes": [],
+            "meta": {
+                "version": 2,
+                "tx_changes_before": [],
+                "operations": [{"changes": []}],
+                "tx_changes_after": [],
+                "soroban": None,
+            },
+        }
+        h = LedgerHeader(
+            ledger_version=20, close_time=1_704_067_220, ledger_seq=12,
+            total_coins=10**12,
+        )
+        raw = encode_ledger_close_meta_v0(
+            h, [env], tx_processing=[proc]
+        )
+        store = tmp_path / "store"
+        store.mkdir()
+        (store / "12.xdr").write_bytes(raw)
+        bronze = decode_ledger_files(read_ledger_files(spark, str(store)))
+        ops = decode_operations(bronze)
+        txs = decode_transactions(bronze)
+        effs = transform_effects(ops, txs).collect()
+        credited = {
+            (r.address, r.details): r
+            for r in effs
+            if r.type_string == "account_credited"
+        }
+        assert {a for a, _ in credited} == {GA, GB}
+        amounts = sorted(d for _, d in credited)
+        assert any("1.1" in d for d in amounts) and any(
+            "2.2" in d for d in amounts
+        )
