@@ -215,7 +215,8 @@ CONTRACT_EVENTS_DDL = """
     data string, data_decoded string, contract_event_xdr string,
     sac_kind string, sac_from string, sac_to string,
     sac_to_muxed string, sac_to_muxed_id long,
-    sac_amount long, sac_asset string, sac_op_index int
+    sac_amount long, sac_asset string, sac_op_index int,
+    sac_amount_clamped boolean
 """
 
 # xdr.ContractEventType discriminants (Stellar-ledger.x): 0 system,

@@ -148,15 +148,17 @@ _MEMO_TYPES = {
 def _fee_account_refund(changes: list[dict] | None, fee_src: dict) -> int:
     """Balance delta of the fee account across a LedgerEntryChanges list —
     the reference's getAccountBalanceFromLedgerEntryChanges applied to
-    meta.txChangesAfter (transaction.go:173-175): STATE gives the start,
-    CREATED/UPDATED the end.  Mirrors the reference's muxed quirk exactly:
-    a muxed fee source's Address() is the M-form, which never equals the
-    account entry's G-address, so the scan finds nothing and the refund
-    is 0."""
+    meta.txChangesAfter (transaction.go:173-175, :277-305): STATE gives
+    the start, UPDATED the end; each missing side defaults to 0 and the
+    delta is end-start unconditionally (a one-sided changeset — e.g.
+    UPDATED with no STATE — therefore yields end, not 0).  Mirrors the
+    reference's muxed quirk exactly: a muxed fee source's Address() is
+    the M-form, which never equals the account entry's G-address, so the
+    scan finds nothing and the refund is 0."""
     if not changes or fee_src.get("id") is not None:
         return 0
     ed = fee_src["ed25519"]
-    start = end = None
+    start = end = 0
     for c in changes:
         entry = c.get("entry")
         if not entry or entry.get("type") != 0:
@@ -165,10 +167,8 @@ def _fee_account_refund(changes: list[dict] | None, fee_src: dict) -> int:
             continue
         if c["change_type"] == 3:  # STATE
             start = entry["data"]["balance"]
-        elif c["change_type"] in (0, 1):  # CREATED / UPDATED
+        elif c["change_type"] == 1:  # UPDATED (transaction.go:283-291)
             end = entry["data"]["balance"]
-    if start is None or end is None:
-        return 0
     return end - start
 
 
@@ -179,6 +179,7 @@ def _tx_row(
     env: dict,
     proc: dict | None = None,
     tx_hash: bytes | None = None,
+    ledger_version: int = 21,
 ) -> dict:
     is_bump = env["type"] == "fee_bump"
     inner = env["inner"]["tx"] if is_bump else env["tx"]
@@ -191,6 +192,31 @@ def _tx_row(
     max_fee = env["fee"] if is_bump else inner["fee"]
 
     result = proc["result"]["result"] if proc else None
+    soroban = inner.get("soroban_data")
+    # reference: refund computed whenever soroban data exists and the meta
+    # is V3+ (transaction.go:171-175), from the fee account's balance delta
+    # in txChangesAfter; it stays 0 (not None) inside the pre-P21 fix below
+    refund = (
+        _fee_account_refund(
+            proc["meta"].get("tx_changes_after"),
+            env["fee_source"] if is_bump else inner["source"],
+        )
+        if proc is not None
+        and soroban is not None
+        and proc["meta"].get("version", 0) >= 3
+        else None
+    )
+    fee_charged = result["fee_charged"] if result else max_fee
+    # Protocol 20 miscalculated FeeCharged for Soroban fee-bump txs
+    # (stellar-core#4188, fixed in P21); the reference overrides it with
+    # resource_fee - refund on those ledgers (transaction.go:185-190)
+    if (
+        proc is not None
+        and soroban is not None
+        and is_bump
+        and ledger_version < 21
+    ):
+        fee_charged = soroban["resource_fee"] - (refund or 0)
     blobs: dict = {}
     if proc is not None:
         from stellar_etl_spark.sources.xdr import write_transaction_envelope
@@ -219,7 +245,7 @@ def _tx_row(
         source_muxed=m,
         account_sequence=inner["seq_num"],
         max_fee=max_fee,
-        fee_charged=result["fee_charged"] if result else max_fee,
+        fee_charged=fee_charged,
         successful=_result_successful(result) if result else True,
         operation_count=len(inner["operations"]),
         memo_type=_MEMO_TYPES[memo["type"]],
@@ -254,30 +280,12 @@ def _tx_row(
         ),
         inner_transaction_hash=None,
         new_max_fee=env["fee"] if is_bump else None,
-        has_soroban=inner.get("soroban_data") is not None,
-        resource_fee=(inner.get("soroban_data") or {}).get("resource_fee"),
-        soroban_resources_instructions=(
-            (inner.get("soroban_data") or {}).get("instructions")
-        ),
-        soroban_resources_read_bytes=(
-            (inner.get("soroban_data") or {}).get("read_bytes")
-        ),
-        soroban_resources_write_bytes=(
-            (inner.get("soroban_data") or {}).get("write_bytes")
-        ),
-        # reference: refund computed whenever soroban data exists and the
-        # meta is V3+ (transaction.go:171-175), from the fee account's
-        # balance delta in txChangesAfter
-        fee_refund=(
-            _fee_account_refund(
-                proc["meta"].get("tx_changes_after"),
-                env["fee_source"] if is_bump else inner["source"],
-            )
-            if proc is not None
-            and inner.get("soroban_data") is not None
-            and proc["meta"].get("version", 0) >= 3
-            else None
-        ),
+        has_soroban=soroban is not None,
+        resource_fee=(soroban or {}).get("resource_fee"),
+        soroban_resources_instructions=(soroban or {}).get("instructions"),
+        soroban_resources_read_bytes=(soroban or {}).get("read_bytes"),
+        soroban_resources_write_bytes=(soroban or {}).get("write_bytes"),
+        fee_refund=refund,
         fee_nonrefundable=(
             (proc["meta"].get("soroban") or {}).get("fees") or {}
         ).get("total_non_refundable_resource_fee_charged")
@@ -633,7 +641,15 @@ def decode_transactions(
                     _match_processing(meta, passphrase), start=1
                 ):
                     rows.append(
-                        _tx_row(h.ledger_seq, h.close_time, i, env, proc, th)
+                        _tx_row(
+                            h.ledger_seq,
+                            h.close_time,
+                            i,
+                            env,
+                            proc,
+                            th,
+                            h.ledger_version,
+                        )
                     )
             yield _exact_int64_frame(
                 rows, _TX_INT64_COLS
@@ -1410,6 +1426,7 @@ def _classify_sac_event(topics: list[dict], data: dict) -> dict:
         "sac_kind": None, "sac_from": None, "sac_to": None,
         "sac_amount": None, "sac_asset": None,
         "sac_to_muxed": None, "sac_to_muxed_id": None,
+        "sac_amount_clamped": None,
     }
     if not topics:
         return out
@@ -1444,12 +1461,21 @@ def _classify_sac_event(topics: list[dict], data: dict) -> dict:
         # full i128 (hi signed); the long-typed schema clamps overflow the
         # same way _exact_int64_frame does for u64 protocol fields — an
         # unclamped Python int >= 2^63 would crash the Arrow conversion
-        # mid-job on one oversized SEP-41 amount
+        # mid-job on one oversized SEP-41 amount.  sac_amount_clamped
+        # flags the saturation so consumers can detect lossy rows (the
+        # exact value survives in data/data_decoded).
         full = (amount["hi"] << 64) | amount["lo"]
         sac_amount = max(-_I64_MAX - 1, min(full, _I64_MAX))
+        sac_clamped = sac_amount != full
     else:
         sac_amount = None
-    out.update(sac_kind=kind, sac_asset=asset, sac_amount=sac_amount)
+        sac_clamped = None
+    out.update(
+        sac_kind=kind,
+        sac_asset=asset,
+        sac_amount=sac_amount,
+        sac_amount_clamped=sac_clamped,
+    )
     if kind == "transfer" and len(addrs) >= 2:
         out["sac_from"] = addrs[0][0]
         out["sac_to"], out["sac_to_muxed"], out["sac_to_muxed_id"] = addrs[1]
@@ -1558,7 +1584,7 @@ def decode_contract_events(
                     "topics topics_decoded data data_decoded "
                     "contract_event_xdr sac_kind sac_from sac_to "
                     "sac_to_muxed sac_to_muxed_id sac_amount sac_asset "
-                    "sac_op_index".split()
+                    "sac_op_index sac_amount_clamped".split()
                 )
             )
 

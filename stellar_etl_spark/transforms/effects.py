@@ -1527,8 +1527,10 @@ def transform_sac_effects(
             F.posexplode(effects).alias("side_idx", "e"),
         )
     )
-    # DENSE per-tx index over the emitted effects (single-effect kinds must
-    # not leave gaps: ids are the reference's contiguous numbering)
+    # DENSE per-operation index over the emitted effects (the window keys
+    # on operation_id, which varies with sac_op_index — matching the
+    # reference's per-op EffectIndex, effects.go:161; single-effect kinds
+    # must not leave gaps: ids are the reference's contiguous numbering)
     wi = Window.partitionBy("operation_id").orderBy("_ev_idx", "side_idx")
     indexed = exploded.withColumn("index", F.row_number().over(wi) - 1)
     return indexed.select(

@@ -185,6 +185,9 @@ def derive_token_transfer_events(
             amount_c.cast("long").alias("sac_amount"),
             _canonical_asset(asset_c).alias("sac_asset"),
             F.col("op_index").alias("sac_op_index"),
+            # derived amounts are native int64 protocol fields — never
+            # saturated, unlike decode_contract_events' i128 clamp
+            F.lit(False).alias("sac_amount_clamped"),
         ]
 
     op_events = ops.where(t.isin(0, 1, 8, 19)).select(
@@ -280,6 +283,7 @@ def derive_token_transfer_events(
         F.col("fee_charged").cast("long").alias("sac_amount"),
         F.lit("native").alias("sac_asset"),
         F.lit(None).cast("int").alias("sac_op_index"),
+        F.lit(False).alias("sac_amount_clamped"),
     )
 
     out = op_events.unionByName(fee_events)

@@ -687,6 +687,131 @@ class TestSacClassification:
         topics, data = self._ev("mint", [to], 2, 0)  # 2 << 64 > i64 max
         out = _classify_sac_event(topics, data)
         assert out["sac_amount"] == (1 << 63) - 1
+        # saturation is flagged, not silent
+        assert out["sac_amount_clamped"] is True
+
+    def test_in_range_amount_is_not_flagged(self):
+        from stellar_etl_spark.sources.silver import _classify_sac_event
+
+        to = {"type": "account", "account_id": b"\x02" * 32}
+        topics, data = self._ev("mint", [to], 0, 5_000_000)
+        out = _classify_sac_event(topics, data)
+        assert out["sac_amount"] == 5_000_000
+        assert out["sac_amount_clamped"] is False
+
+
+class TestSorobanFeeRefundAndPreP21:
+    """transaction.go:167-190 parity: the refund is the fee account's
+    balance delta over txChangesAfter with each missing side defaulting to
+    0 (one-sided changesets count), and pre-P21 Soroban FEE-BUMP txs
+    override fee_charged with resource_fee - refund (stellar-core#4188)."""
+
+    REFUND = 1_500_000
+    RESOURCE_FEE = 4_000_000
+
+    def _bump_env(self, with_soroban=True):
+        inner = _env([PAYMENT], memo={"type": "none"}, seq_num=41)
+        if with_soroban:
+            inner["tx"]["soroban_data"] = {
+                "footprint": {"read_only": [], "read_write": []},
+                "instructions": 1_000,
+                "read_bytes": 64,
+                "write_bytes": 64,
+                "resource_fee": self.RESOURCE_FEE,
+            }
+        return {
+            "type": "fee_bump",
+            "fee_source": {"ed25519": B, "id": None},
+            "fee": 5_000_000,
+            "inner": inner,
+            "signatures": _sig(),
+        }
+
+    def _decode(self, spark, tmp_path, ledger_version, changes_after):
+        from stellar_etl_spark.sources.bronze import (
+            decode_ledger_files,
+            read_ledger_files,
+        )
+        from stellar_etl_spark.sources.xdr import transaction_hash
+
+        PUB = "Public Global Stellar Network ; September 2015"
+        env = self._bump_env()
+        proc = {
+            "result": {
+                "transaction_hash": transaction_hash(env, PUB),
+                "result": {
+                    "fee_charged": 3_999_999,
+                    "code": 1,  # txFeeBumpInnerSuccess
+                    "inner_hash": b"\x09" * 32,
+                    "inner_result": {
+                        "fee_charged": 3_999_999,
+                        "code": 0,
+                        "op_results": [
+                            {"code": 0, "type": 1, "inner_code": 0}
+                        ],
+                    },
+                },
+            },
+            "fee_changes": [],
+            "meta": {
+                "version": 3,
+                "tx_changes_before": [],
+                "operations": [{"changes": []}],
+                "tx_changes_after": changes_after,
+                "soroban": None,
+            },
+        }
+        h = LedgerHeader(
+            ledger_version=ledger_version, close_time=1_704_067_400,
+            ledger_seq=15, total_coins=10**12,
+        )
+        raw = encode_ledger_close_meta_v1(h, [[env]], tx_processing=[proc])
+        store = tmp_path / f"store{ledger_version}"
+        store.mkdir()
+        (store / "15.xdr").write_bytes(raw)
+        bronze = decode_ledger_files(read_ledger_files(spark, str(store)))
+        [row] = decode_transactions(bronze).collect()
+        return row
+
+    def _refund_pair(self):
+        return [
+            {"change_type": 3, "entry": _acct_entry(B, 1_000_000_000)},
+            {
+                "change_type": 1,
+                "entry": _acct_entry(B, 1_000_000_000 + self.REFUND),
+            },
+        ]
+
+    def test_p20_fee_bump_overrides_fee_charged(self, spark, tmp_path):
+        row = self._decode(spark, tmp_path, 20, self._refund_pair())
+        assert row.fee_refund == self.REFUND
+        # result says 3_999_999; the P20 fix recomputes it
+        assert row.fee_charged == self.RESOURCE_FEE - self.REFUND
+
+    def test_p21_fee_bump_keeps_result_fee_charged(self, spark, tmp_path):
+        row = self._decode(spark, tmp_path, 21, self._refund_pair())
+        assert row.fee_refund == self.REFUND
+        assert row.fee_charged == 3_999_999
+
+    def test_one_sided_updated_counts_as_refund(self, spark, tmp_path):
+        """UPDATED with no STATE: reference defaults start to 0 and
+        returns end-start = end (transaction.go:277-305)."""
+        one_sided = [
+            {"change_type": 1, "entry": _acct_entry(B, self.REFUND)},
+        ]
+        row = self._decode(spark, tmp_path, 20, one_sided)
+        assert row.fee_refund == self.REFUND
+        assert row.fee_charged == self.RESOURCE_FEE - self.REFUND
+
+    def test_created_entries_do_not_set_the_end_side(self, spark, tmp_path):
+        """The reference's end side matches only UPDATED entries
+        (transaction.go:283-291) — a CREATED entry is ignored."""
+        created_only = [
+            {"change_type": 0, "entry": _acct_entry(B, 2_000_000)},
+        ]
+        row = self._decode(spark, tmp_path, 20, created_only)
+        assert row.fee_refund == 0
+        assert row.fee_charged == self.RESOURCE_FEE
 
 
 class TestInflationPayouts:
