@@ -72,10 +72,14 @@ def build(sf_dir: str, out_dir: str, factor: int = 10) -> str:
     # circular-rotate each replica's vector by r positions: same norm and
     # distribution, but replicas are no longer exact-duplicate vectors (10
     # identical copies per point would make every similarity/near-dup probe
-    # output-quadratic by construction, hiding the plan signal)
+    # output-quadratic by construction, hiding the plan signal).  The
+    # rotation is modular in the vector length so factors above the
+    # embedding dimension still produce valid vectors (rotations repeat
+    # every dim replicas then — run similarity probes at factor <= dim).
     copy(
         f"SELECT d.* REPLACE (vec_id + r * {SHIFT} AS vec_id, "
-        "list_concat(embedding[r+1:], embedding[1:r]) AS embedding) "
+        "list_concat(embedding[(r % len(embedding))+1:], "
+        "embedding[1:(r % len(embedding))]) AS embedding) "
         f"FROM {src('embeddings')} d, {rep}",
         "embeddings",
     )

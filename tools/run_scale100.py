@@ -1,0 +1,88 @@
+"""One-off 100x data-proportionality probe (documentation evidence run).
+
+Builds a key-shifted 100x replica of sf0.1 (~60 M lineitem rows / 500 k
+docs) via tools/make_scale_probe.py and runs a LINEAR-ANSWER query subset
+once each, printing a JSON map of per-query seconds at 1x and 100x plus the
+scaling factor.  The near-dup/similarity families are excluded by design:
+on a replicated probe their OUTPUT grows quadratically with the replication
+factor (every salted replica of a doc is a near-dup of every other), which
+measures the answer, not the plan — the 10x probe in bench.py already
+covers them at a factor where the answer distortion is bounded (SCALE.md).
+
+Not part of bench.py: this takes ~10-20 min and exists to pin the numbers
+quoted in SCALE.md "100x probe".  Usage:
+
+    python tools/run_scale100.py [sf_dir] [probe_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# linear-answer, data-proportional picks across the operator families:
+# TPC-H aggregation/join shapes, text explode/agg, exact dedup (salted
+# texts stay distinct -> output linear), sessionization (windows bounded
+# per user), BM25 (fixed top-k answer), packing (one row per shard item),
+# and one heavy entity decode (effects fan-out).
+PROBE_QUERIES = [
+    "tpch_q1_pricing_summary",
+    "tpch_q5_region_revenue",
+    "tpch_q9_product_profit",
+    "word_explode_counts",
+    "token_stats",
+    "exact_dedup",
+    "sessionize_events",
+    "bm25_keyword_search",
+    "sequence_packing",
+    "effects_fanout",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    probe_dir = (
+        sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_probe_100x"
+    )
+    os.environ.setdefault("SPARK_GRAFT_CACHE_DERIVED", "1")
+
+    from tools.make_scale_probe import build as build_probe
+
+    t0 = time.time()
+    build_probe(sf_dir, probe_dir, 100)
+    build_sec = round(time.time() - t0, 1)
+
+    from stellar_etl_spark.queries import QUERIES
+    from stellar_etl_spark.session import get_spark
+
+    spark = get_spark("stellar-etl-scale100", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str, d: str) -> float:
+        t = time.time()
+        QUERIES[name](spark, d).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t, 2)
+
+    run("tpch_q5_region_revenue", sf_dir)  # warm-up
+
+    out: dict[str, dict[str, float]] = {}
+    for name in PROBE_QUERIES:
+        base = min(run(name, sf_dir), run(name, sf_dir))
+        big = run(name, probe_dir)
+        out[name] = {
+            "sec_1x": base,
+            "sec_100x": big,
+            "scaling": round(big / base, 1) if base else float("nan"),
+        }
+        print(json.dumps({name: out[name]}), flush=True)
+
+    print(json.dumps({"probe_build_sec": build_sec, "queries": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
