@@ -34,6 +34,7 @@ TRANSACTIONS_DDL = """
     has_soroban boolean, resource_fee long, soroban_resources_instructions long,
     soroban_resources_read_bytes long, soroban_resources_write_bytes long,
     fee_refund long, fee_nonrefundable long, fee_refundable long, rent_fee long,
+    fee_initial_charged long,
     result_code string, tx_signers array<string>,
     tx_envelope string, tx_result string, tx_meta string, tx_fee_meta string,
     tx_ledger_history string

@@ -80,6 +80,7 @@ _TX_INT64_COLS = (
     "fee_nonrefundable",
     "fee_refundable",
     "rent_fee",
+    "fee_initial_charged",
 )
 
 
@@ -206,6 +207,18 @@ def _tx_row(
         and proc["meta"].get("version", 0) >= 3
         else None
     )
+    # the inclusion-fee sweep (transaction.go:167-169): the fee account's
+    # balance delta over the FEE meta, start − end (same matching rules and
+    # muxed quirk as the refund scan) — transform_transaction subtracts the
+    # resource fee from it for inclusion_fee_charged
+    fee_initial_charged = (
+        -_fee_account_refund(
+            proc["fee_changes"],
+            env["fee_source"] if is_bump else inner["source"],
+        )
+        if proc is not None and soroban is not None
+        else None
+    )
     fee_charged = result["fee_charged"] if result else max_fee
     # Protocol 20 miscalculated FeeCharged for Soroban fee-bump txs
     # (stellar-core#4188, fixed in P21); the reference overrides it with
@@ -286,6 +299,7 @@ def _tx_row(
         soroban_resources_read_bytes=(soroban or {}).get("read_bytes"),
         soroban_resources_write_bytes=(soroban or {}).get("write_bytes"),
         fee_refund=refund,
+        fee_initial_charged=fee_initial_charged,
         fee_nonrefundable=(
             (proc["meta"].get("soroban") or {}).get("fees") or {}
         ).get("total_non_refundable_resource_fee_charged")

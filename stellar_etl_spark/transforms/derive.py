@@ -164,6 +164,10 @@ def _derived_transactions_cols() -> tuple:
         (k % 2048).alias("soroban_resources_read_bytes"),
         (k % 1024).alias("soroban_resources_write_bytes"),
         (k % 100).alias("fee_refund"),
+        # the fee-meta sweep equals fee_charged + refund on P21+ semantics
+        # (transaction.go:167-169) — keeps the oracle's
+        # fee_raw + refund - rfee spelling exact
+        (F.lit(100) + k % 400 + k % 100).alias("fee_initial_charged"),
         F.when(
             k % 10 == 0, F.concat(F.lit("FMUX"), (k % 997).cast("string"))
         ).alias("fee_account_muxed"),

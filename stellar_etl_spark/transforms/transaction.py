@@ -137,15 +137,22 @@ def transform_transaction(
         ).alias("soroban_resources_write_bytes"),
         # inclusion_fee_bid = envelope fee − resource fee
         # (transaction.go:165); charged = initial fee − resource fee where
-        # initial = fee_charged + refund (the fee-meta balance sweep,
-        # transaction.go:166-171, reconstructed from the decoded surface)
+        # initial is the fee account's FEE-meta balance sweep — silver
+        # carries it as fee_initial_charged (transaction.go:167-169),
+        # independent of the pre-P21 fee_charged override.  Fixture/synthetic
+        # frames without the sweep fall back to the P21 identity
+        # initial = fee_charged + refund.
         _z(
             F.when(F.col("has_soroban"), F.col("max_fee") - F.col("resource_fee"))
         ).alias("inclusion_fee_bid"),
         _z(
             F.when(
                 F.col("has_soroban"),
-                F.col("fee_charged") + F.col("fee_refund") - F.col("resource_fee"),
+                F.coalesce(
+                    F.col("fee_initial_charged"),
+                    F.col("fee_charged") + F.col("fee_refund"),
+                )
+                - F.col("resource_fee"),
             )
         ).alias("inclusion_fee_charged"),
         _z(F.when(F.col("has_soroban"), F.col("fee_refund"))).alias(

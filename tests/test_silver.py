@@ -727,7 +727,10 @@ class TestSorobanFeeRefundAndPreP21:
             "signatures": _sig(),
         }
 
-    def _decode(self, spark, tmp_path, ledger_version, changes_after):
+    # fee sweep: the fee account pays 4_200_000 up front in the FEE meta
+    INITIAL = 4_200_000
+
+    def _bronze(self, spark, tmp_path, ledger_version, changes_after):
         from stellar_etl_spark.sources.bronze import (
             decode_ledger_files,
             read_ledger_files,
@@ -752,7 +755,13 @@ class TestSorobanFeeRefundAndPreP21:
                     },
                 },
             },
-            "fee_changes": [],
+            "fee_changes": [
+                {"change_type": 3, "entry": _acct_entry(B, 2_000_000_000)},
+                {
+                    "change_type": 1,
+                    "entry": _acct_entry(B, 2_000_000_000 - self.INITIAL),
+                },
+            ],
             "meta": {
                 "version": 3,
                 "tx_changes_before": [],
@@ -769,7 +778,10 @@ class TestSorobanFeeRefundAndPreP21:
         store = tmp_path / f"store{ledger_version}"
         store.mkdir()
         (store / "15.xdr").write_bytes(raw)
-        bronze = decode_ledger_files(read_ledger_files(spark, str(store)))
+        return decode_ledger_files(read_ledger_files(spark, str(store)))
+
+    def _decode(self, spark, tmp_path, ledger_version, changes_after):
+        bronze = self._bronze(spark, tmp_path, ledger_version, changes_after)
         [row] = decode_transactions(bronze).collect()
         return row
 
@@ -812,6 +824,29 @@ class TestSorobanFeeRefundAndPreP21:
         row = self._decode(spark, tmp_path, 20, created_only)
         assert row.fee_refund == 0
         assert row.fee_charged == self.RESOURCE_FEE
+
+    def test_inclusion_fee_charged_uses_the_fee_sweep(self, spark, tmp_path):
+        """inclusion_fee_charged = (fee-meta start − end) − resource_fee
+        (transaction.go:167-169) — NOT reconstructed from the result's
+        fee_charged, which the pre-P21 override replaces on P20 bumps."""
+        from pyspark.sql import functions as F
+
+        from stellar_etl_spark.transforms.transaction import (
+            transform_transaction,
+        )
+
+        bronze = self._bronze(spark, tmp_path, 20, self._refund_pair())
+        [srow] = decode_transactions(bronze).collect()
+        assert srow.fee_initial_charged == self.INITIAL
+        ledgers = bronze.select(
+            F.col("sequence"), F.col("closed_at"), F.col("protocol_version")
+        )
+        [trow] = transform_transaction(
+            decode_transactions(bronze), ledgers
+        ).collect()
+        assert trow.inclusion_fee_charged == self.INITIAL - self.RESOURCE_FEE
+        # the override still governs fee_charged itself
+        assert trow.fee_charged == self.RESOURCE_FEE - self.REFUND
 
 
 class TestInflationPayouts:
