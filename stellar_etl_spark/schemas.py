@@ -83,7 +83,13 @@ OPERATIONS_DDL = f"""
         pool_id:string, max_amount_a:long, max_amount_b:long,
         min_amount_a:long, min_amount_b:long, shares:long,
         min_price_n:int, min_price_d:int, max_price_n:int, max_price_d:int,
-        fn_type:string, contract_id:string, args:array<string>, extend_to:long,
+        fn_type:string, contract_id:string, extend_to:long,
+        soroban_type:string,
+        params:array<struct<type:string, value:string, decoded:string,
+                            json:string>>,
+        preimage_from:string, preimage_address:string, preimage_asset:string,
+        ledger_key_hash:array<string>, footprint_contract_id:string,
+        contract_code_hash:string, asset_balance_changes:string,
         inflation_dest:string,
         payouts:array<struct<destination:string, amount:long>>,
         dest_min:long, source_amount:long,

@@ -551,25 +551,11 @@ def _op_body(t: int, b: dict) -> dict:
             "min_amount_b": b["min_amount_b"],
         }
     elif t == 24:
-        fn = b["host_function"]
-        kind = next(iter(fn))
-        contract = None
-        args: list[str] = []
-        if kind == "invoke_contract":
-            addr = fn[kind]["contract_address"]
-            if addr.get("type") == "contract":
-                contract = encode_strkey(VERSION_CONTRACT, addr["contract_id"])
-            args = [sc_val_json(a) for a in fn[kind]["args"]]
-        out = {
-            "fn_type": {
-                "invoke_contract": "HostFunctionTypeHostFunctionTypeInvokeContract",
-                "create_contract": "HostFunctionTypeHostFunctionTypeCreateContract",
-                "create_contract_v2": "HostFunctionTypeHostFunctionTypeCreateContractV2",
-                "upload_wasm": "HostFunctionTypeHostFunctionTypeUploadContractWasm",
-            }[kind],
-            "contract_id": contract,
-            "args": args,
-        }
+        # function name only; the rest of the soroban surface (sub-type,
+        # 4-way parameters, preimage, footprint hashes, balance changes)
+        # is filled by _soroban_op_extras, which needs the tx envelope +
+        # processing alongside the op body
+        out = {"fn_type": _HOST_FN_TYPE_NAMES[next(iter(b["host_function"]))]}
     elif t == 25:
         out = {"extend_to": b["extend_to"]}
     return out
@@ -674,6 +660,322 @@ def decode_transactions(
     return bronze.mapInPandas(gen, schema=schema)
 
 
+# Go union arm names for ScVal (stellar/go xdr ArmForSwitch) — the "type"
+# string serializeParameters emits (operation.go:2260-2262; pinned by the
+# reference's own operation_test.go:1863-1869 "Address"/"Sym"/"B" vectors).
+# Void and the ledger-key-contract-instance discriminant have no arm: "".
+_SC_ARM_NAMES = {
+    "bool": "B", "void": "", "error": "Error", "u32": "U32", "i32": "I32",
+    "u64": "U64", "i64": "I64", "timepoint": "Timepoint",
+    "duration": "Duration", "u128": "U128", "i128": "I128", "u256": "U256",
+    "i256": "I256", "bytes": "Bytes", "string": "Str", "symbol": "Sym",
+    "vec": "Vec", "map": "Map", "address": "Address", "instance": "Instance",
+    "ledger_key_contract_instance": "", "ledger_key_nonce": "NonceKey",
+}
+
+
+def _limbs_to_int(limbs: list[int], signed: bool) -> int:
+    v = 0
+    for x in limbs:
+        v = (v << 64) | x
+    if signed and limbs[0] >= 1 << 63:
+        v -= 1 << (64 * len(limbs))
+    return v
+
+
+def _sc_val_go_string(v: dict) -> str:
+    """ScVal.String() twin for parameters_decoded (operation.go:2265).
+
+    Exact per the reference's pinned vectors (operation_test.go:1871-1880,
+    2014-2019): Address → strkey, Sym → raw text, B → "true"/"false".
+    Scalars render as their natural decimal/text; composites fall back to
+    the compact xdrjson form (the stellar/go SDK source is not vendored in
+    the reference, so only the pinned arms are certain)."""
+    k, x = next(iter(v.items()))
+    if k == "bool":
+        return "true" if x else "false"
+    if k == "void":
+        return ""
+    if k in ("u32", "i32", "u64", "i64", "timepoint", "duration"):
+        return str(x)
+    if k in ("u128", "i128"):
+        return str((x["hi"] << 64) | x["lo"])
+    if k in ("u256", "i256"):
+        return str(_limbs_to_int(x, k == "i256"))
+    if k == "bytes":
+        return base64.b64encode(x).decode()
+    if k == "string":
+        return x.decode() if isinstance(x, bytes) else x
+    if k == "symbol":
+        return x
+    if k == "address":
+        return _addr_str(x) or ""
+    return sc_val_json(v)
+
+
+def _param_entry(v: dict) -> dict:
+    """One serialized host-function parameter: Go arm name, base64 XDR,
+    String() twin, and the xdrjson form (serializeParameters +
+    serializeScValArray, operation.go:2247-2273 / contract_events.go:154)."""
+    from stellar_etl_spark.sources.xdr_ledger import write_sc_val
+
+    w = Writer()
+    write_sc_val(w, v)
+    return {
+        "type": _SC_ARM_NAMES.get(next(iter(v)), ""),
+        "value": base64.b64encode(w.bytes()).decode(),
+        "decoded": _sc_val_go_string(v),
+        "json": sc_val_json(v),
+    }
+
+
+def _footprint_details(tx: dict) -> tuple:
+    """(ledger_key_hash, contract_id, contract_code_hash) from the tx's
+    soroban footprint, mirroring the reference's scan orders exactly:
+    hashes = read_only then read_write (operation.go:1859-1874); contract
+    id = first contract-data key, READ-WRITE first (operation.go:1808-1824);
+    code hash = first contract-code key, READ-ONLY first
+    (operation.go:1841-1857).  Missing values are EMPTY STRINGS, not nulls
+    (operation_test.go:1947-1948), and an empty footprint yields a null
+    hash list (Go nil slice)."""
+    import hashlib
+
+    from stellar_etl_spark.sources.xdr_ledger import (
+        ENTRY_CONTRACT_CODE,
+        ENTRY_CONTRACT_DATA,
+        write_ledger_key,
+    )
+
+    sd = tx.get("soroban_data")
+    if sd is None:
+        return None, "", ""
+    ro = list(sd["footprint"]["read_only"])
+    rw = list(sd["footprint"]["read_write"])
+    hashes = []
+    for k in ro + rw:
+        w = Writer()
+        write_ledger_key(w, k)
+        hashes.append(hashlib.sha256(w.bytes()).hexdigest())
+    contract_id = ""
+    for k in rw + ro:
+        if (
+            k["type"] == ENTRY_CONTRACT_DATA
+            and k["contract"]["type"] == "contract"
+        ):
+            contract_id = encode_strkey(
+                VERSION_CONTRACT, k["contract"]["contract_id"]
+            )
+            break
+    code_hash = ""
+    for k in ro + rw:
+        if k["type"] == ENTRY_CONTRACT_CODE:
+            code_hash = k["hash"].hex()
+            break
+    return (hashes or None), contract_id, code_hash
+
+
+def _sep11_asset(raw) -> dict | None:
+    """Parse a SEP-11 asset string ("native" or CODE:G...) into the
+    read_asset dict shape; None when it is not a valid asset string."""
+    from stellar_etl_spark.functions.strkey import decode_strkey
+
+    s = raw.decode() if isinstance(raw, bytes) else raw
+    if not isinstance(s, str):
+        return None
+    if s == "native":
+        return {"type": "native"}
+    code, sep, issuer = s.partition(":")
+    if not sep or not (1 <= len(code) <= 12):
+        return None
+    try:
+        ver, payload = decode_strkey(issuer)
+    except (ValueError, KeyError):
+        return None
+    if ver != VERSION_ACCOUNT or len(payload) != 32:
+        return None
+    t = "credit_alphanum4" if len(code) <= 4 else "credit_alphanum12"
+    return {"type": t, "code": code, "issuer": payload}
+
+
+def _sac_contract_id_py(asset: dict, passphrase: str) -> bytes:
+    """HashIDPreimage ENVELOPE_TYPE_CONTRACT_ID(16) || network id ||
+    CONTRACT_ID_PREIMAGE_FROM_ASSET(1) || asset XDR — the pure-Python twin
+    of transforms/changes._asset_contract_id (asset.ContractID in the
+    reference's SAC verification)."""
+    import hashlib
+
+    nid = hashlib.sha256(passphrase.encode()).digest()
+    if asset["type"] == "native":
+        axdr = bytes(4)
+    else:
+        n = 4 if asset["type"] == "credit_alphanum4" else 12
+        tag = b"\x00\x00\x00\x01" if n == 4 else b"\x00\x00\x00\x02"
+        axdr = (
+            tag
+            + asset["code"].encode().ljust(n, b"\x00")
+            + bytes(4)  # PUBLIC_KEY_TYPE_ED25519
+            + asset["issuer"]
+        )
+    pre = b"\x00\x00\x00\x10" + nid + b"\x00\x00\x00\x01" + axdr
+    return hashlib.sha256(pre).digest()
+
+
+def _string128(v: int) -> str:
+    """amount.String128: the i128 value scaled by 1e-7 with 7 decimals."""
+    sign = "-" if v < 0 else ""
+    v = abs(v)
+    return f"{sign}{v // 10**7}.{v % 10**7:07d}"
+
+
+# required topic counts per SAC event kind (stellar/go contractevents:
+# transfer [t, from, to, asset]; mint/clawback carry an admin topic;
+# burn [b, from, asset])
+_SAC_TOPIC_COUNTS = {"transfer": 4, "mint": 4, "clawback": 4, "burn": 3}
+
+
+def _sac_balance_change(ev: dict, passphrase: str) -> dict | None:
+    """One asset_balance_changes entry from a verified SAC event, or None
+    (parseAssetBalanceChangesFromContractEvents +
+    createSACBalanceChangeEntry, operation.go:1942-1998).  Verification
+    mirrors contractevents.NewStellarAssetContractEvent: kind symbol, exact
+    topic count, SEP-11 asset in the last topic, the event's contract id
+    re-derived from that asset, and an i128 amount."""
+    topics = ev["topics"]
+    if not topics:
+        return None
+    kind = topics[0].get("symbol")
+    want = _SAC_TOPIC_COUNTS.get(kind)
+    if want is None or len(topics) != want:
+        return None
+    asset = _sep11_asset(topics[-1].get("string"))
+    if asset is None:
+        return None
+    if ev["contract_id"] != _sac_contract_id_py(asset, passphrase):
+        return None
+    amt = ev["data"].get("i128")
+    if amt is None:
+        return None
+    addrs = [t.get("address") for t in topics[1:-1]]
+    if any(a is None for a in addrs):
+        return None
+    out = {
+        "type": kind,
+        "amount": _string128((amt["hi"] << 64) | amt["lo"]),
+        "asset_type": asset["type"],
+    }
+    if asset["type"] != "native":
+        out["asset_code"] = asset["code"]
+        out["asset_issuer"] = _acct(asset["issuer"])
+    # transfer: [from, to]; mint: [admin, to] -> to only; clawback:
+    # [admin, from] -> from only; burn: [from] (operation.go:1958-1970
+    # leaves the absent side out of the entry)
+    if kind == "transfer":
+        out["from"] = _addr_str(addrs[0])
+        out["to"] = _addr_str(addrs[1])
+    elif kind == "mint":
+        out["to"] = _addr_str(addrs[-1])
+    else:  # clawback / burn debit `from`
+        out["from"] = _addr_str(addrs[-1])
+    return out
+
+
+def _asset_balance_changes_json(proc: dict | None, passphrase: str) -> str:
+    """The invoke-host-function asset_balance_changes list as canonical
+    JSON (Go json.Marshal sorts map keys).  Diagnostic events filter:
+    in-successful-call AND contract type only (filterEvents,
+    operation.go:1886-1895); when the meta carries no diagnostics the bare
+    contract events stand in, wrapped with the tx's success flag — the
+    GetDiagnosticEvents shape decode_contract_events also mirrors."""
+    import json as _json
+
+    soroban = (
+        proc["meta"].get("soroban")
+        if proc is not None and proc["meta"].get("version", 0) >= 3
+        else None
+    )
+    entries = []
+    if soroban:
+        ok = _result_successful(proc["result"]["result"])
+        diags = soroban["diagnostic_events"] or [
+            {"in_successful_contract_call": ok, "event": e}
+            for e in soroban["events"]
+        ]
+        for d in diags:
+            if not d["in_successful_contract_call"]:
+                continue
+            if d["event"]["type"] != 1:  # contract events only
+                continue
+            entry = _sac_balance_change(d["event"], passphrase)
+            if entry is not None:
+                entries.append(entry)
+    return _json.dumps(entries, separators=(",", ":"), sort_keys=True)
+
+
+_HOST_FN_TYPE_NAMES = {
+    "invoke_contract": "HostFunctionTypeHostFunctionTypeInvokeContract",
+    "create_contract": "HostFunctionTypeHostFunctionTypeCreateContract",
+    "create_contract_v2": "HostFunctionTypeHostFunctionTypeCreateContractV2",
+    "upload_wasm": "HostFunctionTypeHostFunctionTypeUploadContractWasm",
+}
+
+
+def _soroban_op_extras(
+    t: int, b: dict, tx: dict, proc: dict | None, passphrase: str
+) -> dict:
+    """The soroban detail surface of operation.go:1063-1159 for op types
+    24/25/26: sub-type, 4-way serialized parameters (invoke args PREPEND
+    the contract address + function symbol ScVals, operation.go:1070-1073),
+    create-contract preimage fields, footprint-derived hashes/ids, and the
+    SAC balance-change list."""
+    hashes, fp_contract, fp_code = _footprint_details(tx)
+    out: dict = {
+        "ledger_key_hash": hashes,
+        "contract_code_hash": fp_code,
+        "footprint_contract_id": fp_contract,
+    }
+    if t == 25:
+        out["soroban_type"] = "extend_footprint_ttl"
+        return out
+    if t == 26:
+        out["soroban_type"] = "restore_footprint"
+        return out
+    fn = b["host_function"]
+    kind = next(iter(fn))
+    out["soroban_type"] = kind
+    if kind == "invoke_contract":
+        inv = fn[kind]
+        args = [
+            {"address": inv["contract_address"]},
+            {"symbol": inv["function_name"]},
+            *inv["args"],
+        ]
+        out["params"] = [_param_entry(a) for a in args]
+        # invokeArgs.ContractAddress.String() — any ScAddress arm, not
+        # just contracts (operation.go:1077)
+        out["contract_id"] = _addr_str(inv["contract_address"])
+        out["asset_balance_changes"] = _asset_balance_changes_json(
+            proc, passphrase
+        )
+    elif kind in ("create_contract", "create_contract_v2"):
+        pre = fn[kind]["preimage"]
+        if "asset" in pre:
+            a = pre["asset"]
+            out["preimage_from"] = "asset"
+            out["preimage_asset"] = (
+                "native"
+                if a["type"] == "native"
+                else f"{a['code']}:{_acct(a['issuer'])}"
+            )
+        else:
+            out["preimage_from"] = "address"
+            out["preimage_address"] = _addr_str(pre["address"])
+        if kind == "create_contract_v2":
+            out["params"] = [
+                _param_entry(a) for a in fn[kind]["constructor_args"]
+            ]
+    return out
+
+
 def decode_operations(
     bronze: DataFrame, passphrase: str = "Public Global Stellar Network ; September 2015"
 ) -> DataFrame:
@@ -711,6 +1013,13 @@ def decode_operations(
                     for oi, op in enumerate(tx["operations"]):
                         g, m = (
                             _muxed(op["source"]) if op["source"] else (None, None)
+                        )
+                        soroban_extras = (
+                            _soroban_op_extras(
+                                op["type"], op["body"], tx, proc, passphrase
+                            )
+                            if op["type"] in (24, 25, 26)
+                            else {}
                         )
                         res = op_results[oi] if oi < len(op_results) else None
                         atoms = []
@@ -761,13 +1070,16 @@ def decode_operations(
                                     else None
                                 ),
                                 result_offer_id=result_offer_id,
-                                body=_enrich_body(
-                                    _op_body(op["type"], op["body"]),
-                                    op["type"],
-                                    res,
-                                    atoms,
-                                    g or _muxed(tx["source"])[0],
-                                ),
+                                body={
+                                    **_enrich_body(
+                                        _op_body(op["type"], op["body"]),
+                                        op["type"],
+                                        res,
+                                        atoms,
+                                        g or _muxed(tx["source"])[0],
+                                    ),
+                                    **soroban_extras,
+                                },
                                 claim_atoms=atoms,
                                 changes=changes,
                             )

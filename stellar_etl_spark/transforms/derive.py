@@ -245,8 +245,19 @@ _BODY_FIELDS: list[tuple[str, str]] = [
     ("max_price_d", "int"),
     ("fn_type", "string"),
     ("contract_id", "string"),
-    ("args", "array<string>"),
     ("extend_to", "long"),
+    ("soroban_type", "string"),
+    (
+        "params",
+        "array<struct<type:string,value:string,decoded:string,json:string>>",
+    ),
+    ("preimage_from", "string"),
+    ("preimage_address", "string"),
+    ("preimage_asset", "string"),
+    ("ledger_key_hash", "array<string>"),
+    ("footprint_contract_id", "string"),
+    ("contract_code_hash", "string"),
+    ("asset_balance_changes", "string"),
     ("inflation_dest", "string"),
     ("payouts", "array<struct<destination:string,amount:long>>"),
     ("dest_min", "long"),

@@ -192,8 +192,13 @@ def _op_exprs() -> tuple[Column, Column]:
         F.when(body["authorize"], F.lit(1)).otherwise(F.lit(0)),
     )
 
+    st = body["soroban_type"]
+
     details = F.struct(
         F.when(t.isin(1, 2, 13), op_source)
+        # create_contract preimage "from": "address" | "asset"
+        # (switchContractIdPreimageType, operation.go:2275-2295)
+        .when(t == 24, body["preimage_from"])
         .otherwise(body["from"])
         .alias("from"),
         F.when(t.isin(1, 2, 13), src_muxed).alias("from_muxed"),
@@ -329,7 +334,11 @@ def _op_exprs() -> tuple[Column, Column]:
                     body["asset"]["asset_issuer"],
                 )
             ),
-        ).alias("asset"),
+        )
+        # create_contract from-asset preimage: the canonical asset string
+        # (operation.go:2287-2289)
+        .when(t == 24, body["preimage_asset"])
+        .alias("asset"),
         F.when(t == 15, op_source).alias("claimant"),
         F.when(t == 15, src_muxed).alias("claimant_muxed"),
         body["claimants"].alias("claimants"),
@@ -399,9 +408,69 @@ def _op_exprs() -> tuple[Column, Column]:
         ).alias("max_price_r"),
         *_lp_delta_cols(),
         body["fn_type"].alias("function"),
-        body["contract_id"].alias("contract_id"),
-        # host-fn args ride as serialized ScVal strings (operation.go:2247-2273)
-        body["args"].alias("parameters"),
+        # soroban sub-type: invoke_contract / create_contract[_v2] /
+        # upload_wasm / extend_footprint_ttl / restore_footprint
+        # (operation.go:1075-1154)
+        st.alias("type"),
+        # contract_id: the invoked address for invoke_contract
+        # (operation.go:1077-1084); the first footprint contract-data key
+        # otherwise, EMPTY STRING when absent (operation.go:1808-1824,
+        # operation_test.go:1947); upload_wasm carries no contract_id key
+        F.when((t == 24) & (st == "invoke_contract"), body["contract_id"])
+        .when(
+            (t == 24) & st.isin("create_contract", "create_contract_v2"),
+            F.coalesce(body["footprint_contract_id"], F.lit("")),
+        )
+        .when(
+            t.isin(25, 26) & st.isNotNull(),
+            F.coalesce(body["footprint_contract_id"], F.lit("")),
+        )
+        .otherwise(body["contract_id"])
+        .alias("contract_id"),
+        # first footprint contract-code key, "" when absent
+        # (operation.go:1841-1857)
+        F.when(
+            t.isin(24, 25, 26) & st.isNotNull(),
+            F.coalesce(body["contract_code_hash"], F.lit("")),
+        ).alias("contract_code_hash"),
+        body["ledger_key_hash"].alias("ledger_key_hash"),
+        # Go marshals the nil hash slice as an explicit null — spliced
+        # back to "ledger_key_hash":null post-to_json (the struct field
+        # itself would be dropped by ignoreNullFields)
+        F.when(
+            t.isin(24, 25, 26)
+            & st.isNotNull()
+            & body["ledger_key_hash"].isNull(),
+            F.lit("__NULL__"),
+        ).alias("ledger_key_hash_null"),
+        body["preimage_address"].alias("address"),
+        # serializeParameters' four shapes (operation.go:1087-1088,
+        # 2247-2273): arm-name+base64, arm-name+String(), bare base64
+        # list, and the xdrjson list (raw JSON via variant)
+        F.transform(
+            body["params"],
+            lambda p: F.struct(
+                p["type"].alias("type"), p["value"].alias("value")
+            ),
+        ).alias("parameters"),
+        F.transform(
+            body["params"],
+            lambda p: F.struct(
+                p["type"].alias("type"), p["decoded"].alias("value")
+            ),
+        ).alias("parameters_decoded"),
+        F.transform(body["params"], lambda p: p["value"]).alias(
+            "parameters_json"
+        ),
+        F.transform(body["params"], lambda p: F.parse_json(p["json"])).alias(
+            "parameters_json_decoded"
+        ),
+        # SAC balance changes re-derived from the tx's contract events
+        # (operation.go:1093-1097); pre-rendered canonical JSON in silver,
+        # embedded raw via variant
+        F.parse_json(body["asset_balance_changes"]).alias(
+            "asset_balance_changes"
+        ),
         body["extend_to"].alias("extend_to"),
     )
 
@@ -505,11 +574,16 @@ def transform_operation(
         # mutually exclusive by construction)
         F.replace(
             F.replace(
-                F.to_json(details, {"ignoreNullFields": "true"}),
-                F.lit('"source_amount_str":'),
-                F.lit('"source_amount":'),
+                F.replace(
+                    F.to_json(details, {"ignoreNullFields": "true"}),
+                    F.lit('"source_amount_str":'),
+                    F.lit('"source_amount":'),
+                ),
+                F.lit('"amount_str":'),
+                F.lit('"amount":'),
             ),
-            F.lit('"amount_str":'),
-            F.lit('"amount":'),
+            # Go marshals the nil footprint hash slice as an explicit null
+            F.lit('"ledger_key_hash_null":"__NULL__"'),
+            F.lit('"ledger_key_hash":null'),
         ).alias("details_json"),
     )

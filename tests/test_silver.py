@@ -849,6 +849,324 @@ class TestSorobanFeeRefundAndPreP21:
         assert trow.fee_charged == self.RESOURCE_FEE - self.REFUND
 
 
+class TestSorobanOpDetails:
+    """Soroban op details (operation.go:1063-1159) from wire bytes, pinned
+    to the reference's OWN vectors (operation_test.go:1848-2050): the
+    invoke parameter serializations prepend the contract address + function
+    symbol ScVals; create-contract preimage fields; footprint-derived
+    ledger_key_hash / contract_id / contract_code_hash with empty-string
+    (not null) defaults and an explicit null hash list; SAC
+    asset_balance_changes re-derived and VERIFIED against the asset's
+    contract id."""
+
+    CODE_HASH = b"\xab" * 32
+    DATA_CONTRACT = b"\xcd" * 32
+
+    @pytest.fixture(scope="class")
+    def tables(self, spark, tmp_path_factory):
+        import hashlib
+
+        from stellar_etl_spark.sources.bronze import (
+            decode_ledger_files,
+            read_ledger_files,
+        )
+        from stellar_etl_spark.sources.silver import _sac_contract_id_py
+        from stellar_etl_spark.sources.xdr import transaction_hash
+
+        PUB = "Public Global Stellar Network ; September 2015"
+        tmp = tmp_path_factory.mktemp("soroban_ops")
+
+        footprint = {
+            "read_only": [{"type": 7, "hash": self.CODE_HASH}],
+            "read_write": [
+                {
+                    "type": 6,
+                    "contract": {
+                        "type": "contract",
+                        "contract_id": self.DATA_CONTRACT,
+                    },
+                    "key": {"symbol": "k"},
+                    "durability": 1,
+                }
+            ],
+        }
+
+        def sdata(fp):
+            return {
+                "footprint": fp,
+                "instructions": 100,
+                "read_bytes": 1,
+                "write_bytes": 1,
+                "resource_fee": 100,
+            }
+
+        empty_fp = {"read_only": [], "read_write": []}
+
+        # one soroban tx per op, the protocol shape
+        zero_contract = {"type": "contract", "contract_id": bytes(32)}
+        ops = {
+            "invoke": (
+                24,
+                {
+                    "host_function": {
+                        "invoke_contract": {
+                            "contract_address": zero_contract,
+                            "function_name": "test",
+                            "args": [{"bool": True}],
+                        }
+                    },
+                    "auth": [],
+                },
+                footprint,
+            ),
+            "create": (
+                24,
+                {
+                    "host_function": {
+                        "create_contract": {
+                            "preimage": {
+                                "address": zero_contract,
+                                "salt": bytes(32),
+                            },
+                            "executable": {"wasm_hash": self.CODE_HASH},
+                        }
+                    },
+                    "auth": [],
+                },
+                empty_fp,
+            ),
+            "create_v2": (
+                24,
+                {
+                    "host_function": {
+                        "create_contract_v2": {
+                            "preimage": {
+                                "asset": {
+                                    "type": "credit_alphanum4",
+                                    "code": "USD",
+                                    "issuer": B,
+                                }
+                            },
+                            "executable": {"stellar_asset": None},
+                            "constructor_args": [{"bool": True}],
+                        }
+                    },
+                    "auth": [],
+                },
+                empty_fp,
+            ),
+            "upload": (
+                24,
+                {
+                    "host_function": {"upload_wasm": b"\x00asm"},
+                    "auth": [],
+                },
+                empty_fp,
+            ),
+            "extend": (25, {"extend_to": 1000}, footprint),
+            "restore": (26, {}, footprint),
+        }
+
+        usd_sac_id = _sac_contract_id_py(
+            {"type": "credit_alphanum4", "code": "USD", "issuer": B}, PUB
+        )
+        transfer_ev = {
+            "contract_id": usd_sac_id,
+            "type": 1,
+            "topics": [
+                {"symbol": "transfer"},
+                {"address": {"type": "account", "account_id": A}},
+                {"address": {"type": "account", "account_id": B}},
+                {"string": f"USD:{GB}".encode()},
+            ],
+            "data": {"i128": {"hi": 0, "lo": 40_000_000}},
+        }
+        # same shape but a FORGED contract id -> must be dropped by the
+        # SAC verification
+        forged_ev = dict(transfer_ev, contract_id=bytes(32))
+
+        envs, procs = [], []
+        for i, (name, (t, body, fp)) in enumerate(ops.items()):
+            env = _env(
+                [{"source": None, "type": t, "body": body}],
+                memo={"type": "none"},
+                seq_num=100 + i,
+            )
+            env["tx"]["soroban_data"] = sdata(fp)
+            res = {"code": 0, "type": t, "inner_code": 0}
+            if t == 24:
+                res["return_hash"] = bytes(32)
+            soroban_meta = None
+            if name == "invoke":
+                soroban_meta = {
+                    "fees": None,
+                    "events": [],
+                    "return_value": {"void": None},
+                    "diagnostic_events": [
+                        {
+                            "in_successful_contract_call": True,
+                            "event": transfer_ev,
+                        },
+                        {
+                            "in_successful_contract_call": True,
+                            "event": forged_ev,
+                        },
+                    ],
+                }
+            procs.append(
+                {
+                    "result": {
+                        "transaction_hash": transaction_hash(env, PUB),
+                        "result": {
+                            "fee_charged": 100,
+                            "code": 0,
+                            "op_results": [res],
+                        },
+                    },
+                    "fee_changes": [],
+                    "meta": {
+                        "version": 3,
+                        "tx_changes_before": [],
+                        "operations": [{"changes": []}],
+                        "tx_changes_after": [],
+                        "soroban": soroban_meta,
+                    },
+                }
+            )
+            envs.append(env)
+
+        h = LedgerHeader(
+            ledger_version=22, close_time=1_704_067_500, ledger_seq=20,
+            total_coins=10**12,
+        )
+        raw = encode_ledger_close_meta_v1(
+            h, [envs], tx_processing=procs
+        )
+        (tmp / "20.xdr").write_bytes(raw)
+        bronze = decode_ledger_files(read_ledger_files(spark, str(tmp)))
+
+        import json as _json
+
+        from stellar_etl_spark.transforms.operation import transform_operation
+
+        out = transform_operation(
+            decode_operations(bronze), decode_transactions(bronze)
+        ).collect()
+        rows = {}
+        for i, name in enumerate(ops):
+            [r] = [x for x in out if x.transaction_id == (20 << 32) | ((i + 1) << 12)]
+            rows[name] = _json.loads(r.details_json)
+
+        w_code = hashlib.sha256(
+            bytes([0, 0, 0, 7]) + self.CODE_HASH
+        ).hexdigest()
+        return rows, w_code
+
+    def test_invoke_contract_pinned_vectors(self, tables):
+        """The exact parameter serializations the reference's own test pins
+        (operation_test.go:1861-1892)."""
+        d, _ = tables
+        inv = d["invoke"]
+        assert inv["function"] == (
+            "HostFunctionTypeHostFunctionTypeInvokeContract"
+        )
+        assert inv["type"] == "invoke_contract"
+        ZERO_C = "CAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAABSC4"
+        assert inv["contract_id"] == ZERO_C
+        assert inv["parameters"] == [
+            {"type": "Address",
+             "value": "AAAAEgAAAAEAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA=="},
+            {"type": "Sym", "value": "AAAADwAAAAR0ZXN0"},
+            {"type": "B", "value": "AAAAAAAAAAE="},
+        ]
+        assert inv["parameters_decoded"] == [
+            {"type": "Address", "value": ZERO_C},
+            {"type": "Sym", "value": "test"},
+            {"type": "B", "value": "true"},
+        ]
+        assert inv["parameters_json"] == [
+            "AAAAEgAAAAEAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA==",
+            "AAAADwAAAAR0ZXN0",
+            "AAAAAAAAAAE=",
+        ]
+        assert inv["parameters_json_decoded"] == [
+            {"address": ZERO_C},
+            {"symbol": "test"},
+            {"bool": True},
+        ]
+
+    def test_invoke_footprint_and_balance_changes(self, tables):
+        d, w_code = tables
+        inv = d["invoke"]
+        assert inv["contract_code_hash"] == self.CODE_HASH.hex()
+        # read_only first, then read_write (operation.go:1859-1874)
+        assert len(inv["ledger_key_hash"]) == 2
+        assert inv["ledger_key_hash"][0] == w_code
+        # verified SAC transfer survives; the forged contract id is dropped
+        assert inv["asset_balance_changes"] == [
+            {
+                "amount": "4.0000000",
+                "asset_code": "USD",
+                "asset_issuer": GB,
+                "asset_type": "credit_alphanum4",
+                "from": GA,
+                "to": GB,
+                "type": "transfer",
+            }
+        ]
+
+    def test_create_contract_address_preimage(self, tables):
+        d, _ = tables
+        c = d["create"]
+        assert c["type"] == "create_contract"
+        assert c["from"] == "address"
+        assert c["address"] == (
+            "CAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAABSC4"
+        )
+        # empty footprint: "" ids and an EXPLICIT null hash list
+        # (operation_test.go:1947-1951)
+        assert c["contract_id"] == ""
+        assert c["contract_code_hash"] == ""
+        assert "ledger_key_hash" in c and c["ledger_key_hash"] is None
+        assert "parameters" not in c
+
+    def test_create_contract_v2_asset_preimage_and_ctor_args(self, tables):
+        d, _ = tables
+        c = d["create_v2"]
+        assert c["type"] == "create_contract_v2"
+        assert c["from"] == "asset"
+        assert c["asset"] == f"USD:{GB}"
+        assert c["parameters"] == [{"type": "B", "value": "AAAAAAAAAAE="}]
+        assert c["parameters_json_decoded"] == [{"bool": True}]
+
+    def test_upload_wasm_has_no_contract_id_key(self, tables):
+        d, _ = tables
+        u = d["upload"]
+        assert u["type"] == "upload_wasm"
+        assert "contract_id" not in u
+        assert u["contract_code_hash"] == ""
+
+    def test_extend_and_restore_footprint(self, tables):
+        d, w_code = tables
+        e = d["extend"]
+        assert e["type"] == "extend_footprint_ttl"
+        assert e["extend_to"] == 1000
+        assert "function" not in e  # only op 24 carries the function key
+        # footprint contract id: READ-WRITE first (operation.go:1808-1824)
+        from stellar_etl_spark.functions.strkey import (
+            VERSION_CONTRACT,
+            encode_strkey,
+        )
+
+        want_cid = encode_strkey(VERSION_CONTRACT, self.DATA_CONTRACT)
+        assert e["contract_id"] == want_cid
+        assert e["contract_code_hash"] == self.CODE_HASH.hex()
+        assert e["ledger_key_hash"][0] == w_code
+        r = d["restore"]
+        assert r["type"] == "restore_footprint"
+        assert r["contract_id"] == want_cid
+
+
 class TestInflationPayouts:
     """Inflation (type 9) result payouts must reach body.payouts so
     transform_effects emits one account_credited per payout
