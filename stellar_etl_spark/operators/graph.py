@@ -436,10 +436,13 @@ def harmonic_centrality_bounded(
         .distinct()
     )
     sym = lineage_cut(sym)
-    seeds = (
+    # tiny (|V|/seed_mod rows) but referenced in every BFS round's visited
+    # union and the final assembly — cut once instead of re-distincting sym
+    seeds = lineage_cut(
         sym.select(F.col("u").alias("s"))
         .distinct()
-        .where(F.col("s") % seed_mod == 0)
+        .where(F.col("s") % seed_mod == 0),
+        reliable=False,
     )
     visited = seeds.select("s", F.col("s").alias("node"))
     frontier = visited
@@ -450,16 +453,25 @@ def harmonic_centrality_bounded(
             .select("s", F.col("v").alias("node"))
             .distinct()
         )
-        new = lineage_cut(
-            nxt.join(visited, ["s", "node"], "left_anti"), round_no=d - 1
-        )
+        anti = nxt.join(visited, ["s", "node"], "left_anti")
+        last = d == max_depth
+        # the LAST round's frontier (the largest by far — reach grows
+        # geometrically) feeds only its own count aggregate, never another
+        # expansion: cutting it would materialize millions of (seed, node)
+        # rows nothing reuses.  Earlier rounds stay cut — both the next
+        # expansion and the visited anti-join replay them otherwise.
+        new = anti if last else lineage_cut(anti, round_no=d - 1)
         counts.append(
             new.groupBy("s").agg(
                 F.count(F.lit(1)).cast("long").alias(f"n_d{d}")
             )
         )
-        visited = lineage_cut(visited.unionByName(new), round_no=d - 1)
-        frontier = new
+        if not last:
+            # keep the consolidated visited set cut: the anti-join probes
+            # it every round, and an n-leg cached union measured slower
+            # (and less stable) than one re-materialized table here
+            visited = lineage_cut(visited.unionByName(new), round_no=d - 1)
+            frontier = new
     out = seeds
     for c in counts:
         out = out.join(c, "s", "left")

@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from stellar_etl_spark.operators.util import fixed_ln_micro
+from stellar_etl_spark.operators.util import fixed_ln_micro, lineage_cut
 
 
 def _as_double(vec: Column) -> Column:
@@ -388,16 +388,13 @@ def semdedup(
     the cap the result is EXACTLY uncapped SemDeDup — which is how the
     oracle-checked scales behave.
     """
-    q = F.transform(
-        _as_double(F.col(vec_col)), lambda x: F.round(x * scale).cast("long")
-    )
-    pts = embeddings.select(
-        F.col(id_col).cast("long").alias(id_col), q.alias("_q")
-    )
+    # keep_vec=True: the clustering pass already carries the quantized
+    # vector — re-deriving it via a corpus-sized self-join would add a
+    # full extra shuffle (and a second scan) for data the plan already has
     assigned = kmeans_fixed(
         embeddings, id_col=id_col, vec_col=vec_col, k=k,
-        iterations=iterations, scale=scale,
-    ).join(pts, id_col)
+        iterations=iterations, scale=scale, keep_vec=True,
+    )
 
     n2 = F.aggregate(
         F.col("_q"), F.lit(0).cast("long"), lambda a, x: a + x * x
@@ -514,6 +511,7 @@ def kmeans_fixed(
     k: int = 8,
     iterations: int = 2,
     scale: int = 1000,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Fixed-iteration Lloyd k-means over quantized embeddings — clustering
     for corpus curation (topic balancing, dedup-by-cluster sampling).
@@ -534,11 +532,23 @@ def kmeans_fixed(
     (tiny), one map-side assignment pass, one (k·d)-key partial-aggregated
     shuffle for the update — no driver-side collect; iterations bounded and
     unrolled into a single plan.
+
+    The quantized point table is lineage-cut once (lazy localCheckpoint):
+    it feeds the init cut, every assignment pass, and every update pass —
+    without the cut the unrolled plan re-reads and re-quantizes the corpus
+    O(iterations) times per action.  ``keep_vec=True`` carries the
+    quantized vector through to the result so callers that need it
+    (SemDeDup's within-cluster cosine) avoid a corpus-sized re-join.
     """
     q = F.transform(
         _as_double(F.col(vec_col)), lambda x: F.round(x * scale).cast("long")
     )
-    pts = embeddings.select(F.col(id_col).cast("long").alias(id_col), q.alias("_q"))
+    pts = lineage_cut(
+        embeddings.select(
+            F.col(id_col).cast("long").alias(id_col), q.alias("_q")
+        ),
+        reliable=False,
+    )
 
     w = Window.orderBy(id_col)
     cent = (
@@ -596,6 +606,8 @@ def kmeans_fixed(
             )
         )
         assigned = assign(pts, upd)
+    if keep_vec:
+        return assigned.select(F.col(id_col), "cid", "dist2", "_q")
     return assigned.select(F.col(id_col), "cid", "dist2")
 
 
@@ -642,9 +654,15 @@ def pq_ann(
         _as_double(F.col(vec_col)), lambda x: F.round(x * scale).cast("long")
     )
     subs = F.array(*[F.slice(q, j * dsub + 1, dsub) for j in range(m)])
-    pts = embeddings.select(
-        F.col(id_col).cast("long").alias("vid"),
-        F.posexplode(subs).alias("sub", "_q"),
+    # one lazy cut: the exploded sub-vector table feeds codebook init, every
+    # Lloyd assignment pass, the query-row extraction AND the final encode —
+    # uncut, the unrolled plan re-scans and re-explodes the corpus ~5x
+    pts = lineage_cut(
+        embeddings.select(
+            F.col(id_col).cast("long").alias("vid"),
+            F.posexplode(subs).alias("sub", "_q"),
+        ),
+        reliable=False,
     )
 
     # init = the k lowest-id vectors' subvectors.  TakeOrdered over the ids
@@ -712,6 +730,9 @@ def pq_ann(
                 ).alias("_c")
             )
         )
+        # m·k rows — but referenced twice (ADC table + final encode), and
+        # each reference would otherwise replay the previous Lloyd round
+        upd = lineage_cut(upd, reliable=False)
         final_cents = upd
         assigned = assign(pts, upd)
 

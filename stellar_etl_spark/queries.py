@@ -3020,29 +3020,46 @@ def bottom_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["bottom_k_sample"] = bottom_k_sample
 
 
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, dedup: bool = True
+) -> DataFrame:
+    """Part co-purchase edge list shared by the graph family (every 4th
+    order; parts sharing an order are adjacent; a < b).  One groupBy packs
+    each basket's DISTINCT parts sorted (collect_set == the per-basket
+    distinct), and the ≤7-per-basket pair expansion happens INSIDE the row
+    via nested transforms over the sorted array — the sorted order IS the
+    a < b rule.  Replaces the per-order self-join formulation: identical
+    row multiset, but one aggregate exchange instead of a distinct shuffle
+    + a second shuffle of the same table + a sort-merge join."""
+    sets = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 4 == 0)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("_ps"))
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_ps, (x, i) -> "
+                "transform(slice(_ps, i + 2, size(_ps)), y -> "
+                "struct(x AS a, y AS b))))"
+            )
+        ).alias("_e")
+    ).select(F.col("_e.a").alias("a"), F.col("_e.b").alias("b"))
+    return pairs.distinct() if dedup else pairs
+
+
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the part co-purchase graph (parts appearing in
     the same order are adjacent; every 4th order sampled so the graph has
-    a fixed measurable density).  Pair expansion is the per-order
-    self-join — bounded at 7 lines/order, so O(21)·|orders| edge rows —
-    and the census itself is the degree-ordered-orientation operator
-    (out-degree capped at O(√E), no hub-quadratic wedge blowup)."""
+    a fixed measurable density).  Pair expansion is the in-row basket
+    expansion of :func:`_copurchase_edges` — bounded at 7 lines/order, so
+    O(21)·|orders| edge rows — and the census itself is the
+    degree-ordered-orientation operator (out-degree capped at O(√E), no
+    hub-quadratic wedge blowup)."""
     from stellar_etl_spark.operators.graph import triangle_stats
 
-    lp = (
-        table(spark, sf_dir, "lineitem")
-        .where(F.col("l_orderkey") % 4 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    x, y = lp.alias("x"), lp.alias("y")
-    edges = x.join(
-        y,
-        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-    ).select(
-        F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-    )
+    edges = _copurchase_edges(spark, sf_dir, dedup=False)
     return triangle_stats(edges, "a", "b")
 
 
@@ -3422,34 +3439,35 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion is O(21)): support / confidence / lift for every directed rule
     a→b with pair support ≥ 2, each ratio computed with the exact
     scaled-integer division so both engines round the identical rational.
-    Shape: one basket self-join bounded per order, two hash aggregates, a
+    Shape: one basket-packing aggregate (pair expansion is an in-row HOF
+    over the packed basket — no self-join), two hash aggregates, a
     broadcast 1-row total."""
     from stellar_etl_spark.operators.util import exact_ratio_round6
 
     lp = (
         table(spark, sf_dir, "lineitem")
         .where(F.col("l_orderkey") % 4 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        # four consumers (both self-join sides, item counts, basket total):
-        # checkpoint the 2-column projection once instead of 4 scans
+        # one aggregate packs each basket's distinct parts; three consumers
+        # (directed pair stream, item counts, basket total) share the cut —
+        # replaces the distinct + self-join formulation, identical rows
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("_ps"))
         .localCheckpoint(eager=False)
     )
-    x, y = lp.alias("x"), lp.alias("y")
-    pairs = x.join(
-        y,
-        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        & (F.col("x.l_partkey") != F.col("y.l_partkey")),
-    ).select(
-        F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-    )
+    pairs = lp.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_ps, x -> "
+                "transform(filter(_ps, y -> y != x), y -> "
+                "struct(x AS a, y AS b))))"
+            )
+        ).alias("_e")
+    ).select(F.col("_e.a").alias("a"), F.col("_e.b").alias("b"))
     c_ab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
-    c_item = lp.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("c_item")
-    )
-    n = lp.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).cast("long").alias("n_baskets")
-    )
+    c_item = lp.select(F.explode("_ps").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c_item"))
+    n = lp.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
     ca = c_item.select(F.col("l_partkey").alias("a"), F.col("c_item").alias("c_a"))
     cb = c_item.select(F.col("l_partkey").alias("b"), F.col("c_item").alias("c_b"))
     out = (
@@ -3628,20 +3646,7 @@ def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrollable in the oracle.  Output: communities with ≥2 members."""
     from stellar_etl_spark.operators.graph import label_propagation
 
-    lp = (
-        table(spark, sf_dir, "lineitem")
-        .where(F.col("l_orderkey") % 4 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    x, y = lp.alias("x"), lp.alias("y")
-    edges = x.join(
-        y,
-        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-    ).select(
-        F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-    ).distinct()
+    edges = _copurchase_edges(spark, sf_dir)
     out = label_propagation(edges, iterations=3)
     return out.where(F.col("n_members") >= 2)
 
@@ -4083,20 +4088,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled-integer rounding.  Denominator under Newman's form: r =
     (S1·Sjk − Sj·Sk-ish) — we use the symmetric form with both edge
     directions, all integer."""
-    lp = (
-        table(spark, sf_dir, "lineitem")
-        .where(F.col("l_orderkey") % 4 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    x, y = lp.alias("x"), lp.alias("y")
-    e0 = x.join(
-        y,
-        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-    ).select(
-        F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-    ).distinct().localCheckpoint(eager=False)
+    e0 = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = (
         e0.select(F.col("a").alias("v"))
         .unionAll(e0.select(F.col("b").alias("v")))
@@ -5657,23 +5649,62 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     states = counts.select(F.col("a").alias("s")).union(
         counts.select("b")
     ).distinct()
-    pi = states.select("s", F.lit(200_000).cast("long").alias("w"))  # 1e6/5
-    for _ in range(12):
-        pi = (
-            p.join(pi.withColumnRenamed("s", "a"), "a")
-            .groupBy(F.col("b").alias("s"))
-            .agg(
-                # half-up re-quantization in PURE integer arithmetic
-                F.expr("(sum(w * p6) + 500000) div 1000000").cast("long").alias("w")
-            )
-        )
-    tot = pi.agg(F.sum("w").alias("_t"))
+    # The chain is a ≤|types|² cell table — running 12 power-iteration
+    # rounds as 12 joins+aggregates is pure scheduler latency on a frame
+    # this small.  Instead the whole fixed point runs INSIDE one
+    # expression: pack states and transition cells into a single row and
+    # fold over sequence(1,12); each fold step is a transform() emitting
+    # the next integer-quantized π vector.  Arithmetic is bit-identical to
+    # the join form ((sum(w·p6)+500000) div 1e6 over longs); a state's
+    # entry is NULL exactly when the join form would emit no row for it
+    # (no inbound edge from a present state), so row membership matches
+    # the unrolled oracle too.  Zero per-round exchanges.
+    wat = (
+        "CASE WHEN array_position(_ss, {x}) = 0 THEN cast(null as bigint) "
+        "ELSE element_at(w, cast(array_position(_ss, {x}) as int)) END"
+    )
+    step = (
+        "transform(_ss, s -> CASE WHEN exists(_es, e -> e.b = s AND ("
+        + wat.format(x="e.a")
+        + ") IS NOT NULL) THEN (aggregate(filter(_es, e -> e.b = s AND ("
+        + wat.format(x="e.a")
+        + ") IS NOT NULL), cast(0 as bigint), (acc, e) -> acc + e.p6 * ("
+        + wat.format(x="e.a")
+        + ")) + 500000) div 1000000 ELSE cast(null as bigint) END)"
+    )
+    iter_sql = (
+        "aggregate(sequence(1, 12), "
+        "transform(_ss, s0 -> cast(200000 as bigint)), "  # init: 1e6/5
+        f"(w, it) -> {step})"
+    )
     from stellar_etl_spark.operators.util import exact_ratio_round6_wide
 
-    return pi.crossJoin(F.broadcast(tot)).select(
-        F.col("s").alias("event_type"),
-        F.col("w").alias("pi_scaled"),
-        exact_ratio_round6_wide(F.col("w"), F.col("_t")).alias("pi_normalized"),
+    packed = (
+        p.groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct("a", "b", "p6"))).alias("_es"))
+        .crossJoin(
+            F.broadcast(
+                states.agg(F.sort_array(F.collect_list("s")).alias("_ss"))
+            )
+        )
+    )
+    row = (
+        packed.select("_ss", F.expr(iter_sql).alias("_w"))
+        .select(
+            F.explode(F.arrays_zip("_ss", "_w")).alias("_z"),
+            F.expr(
+                "aggregate(filter(_w, x -> x IS NOT NULL), "
+                "cast(0 as bigint), (a2, x) -> a2 + x)"
+            ).alias("_t"),
+        )
+        .where(F.col("_z._w").isNotNull())
+    )
+    return row.select(
+        F.col("_z._ss").alias("event_type"),
+        F.col("_z._w").alias("pi_scaled"),
+        exact_ratio_round6_wide(F.col("_z._w"), F.col("_t")).alias(
+            "pi_normalized"
+        ),
     )
 
 
@@ -5883,21 +5914,7 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         modularity_summary,
     )
 
-    lp = (
-        table(spark, sf_dir, "lineitem")
-        .where(F.col("l_orderkey") % 4 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    x, y = lp.alias("x"), lp.alias("y")
-    edges = x.join(
-        y,
-        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-    ).select(
-        F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-    ).distinct()
-    edges = edges.localCheckpoint(eager=False)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     # modularity_summary consumes the label frame THREE times (both edge
     # endpoints + the degree join) — cut the 3-round LPA lineage once or
     # every consumer re-derives it (the rfm/pareto plan-explosion lesson)
@@ -5919,20 +5936,7 @@ def k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive rows show convergence."""
     from stellar_etl_spark.operators.graph import k_core_peel
 
-    lp = (
-        table(spark, sf_dir, "lineitem")
-        .where(F.col("l_orderkey") % 4 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    x, y = lp.alias("x"), lp.alias("y")
-    edges = x.join(
-        y,
-        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-    ).select(
-        F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-    ).distinct()
+    edges = _copurchase_edges(spark, sf_dir)
     return k_core_peel(edges.localCheckpoint(eager=False), k=25, rounds=4)
 
 
@@ -6121,32 +6125,53 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     scen = spark.createDataFrame(
         [("none",)] + [(ch,) for ch in channels], "removed string"
     )
-    base = (
+    # 5 scenarios × ≤7² cells: the 10 value-iteration rounds fold INSIDE
+    # one expression per scenario row (the event_markov_stationary packing
+    # trick) instead of 10 tiny join+aggregate shuffles.  Arithmetic is
+    # bit-identical to the join form; a state's entry is NULL exactly when
+    # the join form would carry no row for it (the conv_rows union is the
+    # CONV special case in the lookup), so START-row presence matches too.
+    scen_pack = (
         p6.crossJoin(F.broadcast(scen))
         .where(
             (F.col("a") != F.col("removed")) & (F.col("b") != F.col("removed"))
         )
-        .localCheckpoint(eager=False)
-    )
-    conv_rows = scen.select(
-        "removed", F.lit("CONV").alias("s"), F.lit(1_000_000).cast("long").alias("w")
-    )
-    v = conv_rows
-    for i in range(10):
-        step = base.join(
-            v.select(F.col("removed").alias("_r"), F.col("s").alias("_s"), "w"),
-            (F.col("b") == F.col("_s")) & (F.col("removed") == F.col("_r")),
+        .groupBy("removed")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("a", "b", "p6"))).alias("_es"),
+            F.sort_array(F.collect_set("a")).alias("_ss"),
         )
-        nv = step.groupBy("removed", F.col("a").alias("s")).agg(
-            F.expr("(sum(p6 * w) + 500000) div 1000000").cast("long").alias("w")
+    )
+    wat = (
+        "CASE WHEN {x} = 'CONV' THEN cast(1000000 as bigint) "
+        "WHEN array_position(_ss, {x}) = 0 THEN cast(null as bigint) "
+        "ELSE element_at(w, cast(array_position(_ss, {x}) as int)) END"
+    )
+    step = (
+        "transform(_ss, s -> CASE WHEN exists(_es, e -> e.a = s AND ("
+        + wat.format(x="e.b")
+        + ") IS NOT NULL) THEN (aggregate(filter(_es, e -> e.a = s AND ("
+        + wat.format(x="e.b")
+        + ") IS NOT NULL), cast(0 as bigint), (acc, e) -> acc + e.p6 * ("
+        + wat.format(x="e.b")
+        + ")) + 500000) div 1000000 ELSE cast(null as bigint) END)"
+    )
+    iter_sql = (
+        "aggregate(sequence(1, 10), "
+        "transform(_ss, s0 -> cast(null as bigint)), "
+        f"(w, it) -> {step})"
+    )
+    pconv = (
+        scen_pack.select("removed", "_ss", F.expr(iter_sql).alias("_w"))
+        .select(
+            "removed",
+            F.expr(
+                "CASE WHEN array_position(_ss, 'START') = 0 THEN "
+                "cast(null as bigint) ELSE element_at(_w, "
+                "cast(array_position(_ss, 'START') as int)) END"
+            ).alias("p_scaled"),
         )
-        v = nv.unionByName(conv_rows)
-        if (i + 1) % 5 == 0:
-            from stellar_etl_spark.operators.util import lineage_cut
-
-            v = lineage_cut(v)
-    pconv = v.where(F.col("s") == "START").select(
-        "removed", F.col("w").alias("p_scaled")
+        .where(F.col("p_scaled").isNotNull())
     )
     full = pconv.where(F.col("removed") == "none").select(
         F.col("p_scaled").alias("p_full_scaled")
@@ -6446,20 +6471,7 @@ def harmonic_centrality_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     with MATERIALIZED CTEs."""
     from stellar_etl_spark.operators.graph import harmonic_centrality_bounded
 
-    lp = (
-        table(spark, sf_dir, "lineitem")
-        .where(F.col("l_orderkey") % 4 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    x, y = lp.alias("x"), lp.alias("y")
-    edges = x.join(
-        y,
-        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-    ).select(
-        F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-    ).distinct()
+    edges = _copurchase_edges(spark, sf_dir)
     return harmonic_centrality_bounded(edges, seed_mod=100, max_depth=3)
 
 
