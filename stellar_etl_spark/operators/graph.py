@@ -265,9 +265,19 @@ def label_propagation_labels(
     rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     # the symmetrized edge list appears in every iteration AND inside each
     # label frame's lineage — a lazy checkpoint caps the otherwise
-    # multiplicative logical-plan growth (the labels chain still unrolls)
-    sym = lineage_cut(fwd.union(rev).distinct(), reliable=False)
-    nodes = sym.select(F.col("u").alias("node")).distinct()
+    # multiplicative logical-plan growth (the labels chain still unrolls).
+    # Repartition by the join key BEFORE the cut: the checkpointed frame
+    # keeps its hash partitioning, so every round's edges⋈labels join
+    # shuffles only the (|V|-sized) label side, never the edge list again —
+    # the classic cached-adjacency layout for iterative graph ops.
+    sym = lineage_cut(
+        fwd.union(rev).distinct().repartition("v"), reliable=False
+    )
+    # |V| rows, referenced at init and in every round's isolated-node
+    # fill-in — cut once instead of re-distincting the edge list per round
+    nodes = lineage_cut(
+        sym.select(F.col("u").alias("node")).distinct(), reliable=False
+    )
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(iterations):
         neigh = sym.join(
