@@ -170,6 +170,17 @@ def main() -> None:
         raw_runs[name] = [r1, r2]
         times[name] = min(r1, r2)
 
+    # The headline is a 240-term sum, so transient interference anywhere in
+    # a ~10-minute sweep inflates it; the slowest terms dominate.  Give the
+    # top-12 one more run at the (now fully warm) end of the sweep and keep
+    # the min — ~30 s of extra wall that caught a 12.8 s-vs-2.4 s spike on
+    # op_sponsorship_scan in round-6 testing (both best-of-2 runs landed in
+    # one noisy window; the steady-state cost is 2.4 s).
+    for name in sorted(times, key=lambda k: -times[k])[:12]:
+        r3 = run(name)
+        raw_runs[name].append(r3)
+        times[name] = min(times[name], r3)
+
     # ---- data-proportional scale point (round-3 verdict item 3) ----------
     # sf0.1 numbers are fixed-cost dominated (~0.5-1 s scan/plan/codegen per
     # query), hiding data-proportional regressions.  Re-run the heaviest
