@@ -423,29 +423,47 @@ def semdedup(
             )
         ).alias("_ms")
     )
-    me = F.col("_m")
+    # The domination test runs per BLOCK in an Arrow-batched numpy kernel:
+    # one exact int64 Gram matrix (X·Xᵀ) per block, then the threshold
+    # compare tau_d²·dot² ≥ tau_n²·‖a‖²·‖b‖² vectorized over the m×m pair
+    # grid — the identical integer arithmetic the former nested-HOF EXISTS
+    # evaluated per element on Spark's interpreted expression path (and the
+    # pre-r6 explode-then-exists shape additionally copied the whole ~128 KB
+    # member block into every member's row).  Work per task stays ≤cap²·d
+    # integer ops; products stay inside int64 (dot ≤ d·(scale·|x|)² ≈ 6.4e7
+    # ⇒ tau_d²·dot² ≤ 1.6e18 < 2^63, the documented headroom).
+    tn2, td2 = tau_n * tau_n, tau_d * tau_d
 
-    def _dominates(a: Column) -> Column:
-        dotv = F.aggregate(
-            F.zip_with(a["q"], me["q"], lambda p, q_: p * q_),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        return (
-            (a["i"] < me["i"])
-            & (dotv >= 0)
-            & (
-                F.lit(tau_d * tau_d) * dotv * dotv
-                >= F.lit(tau_n * tau_n) * a["n"] * me["n"]
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cids, out_i, out_d = [], [], []
+            for cid, members in zip(pdf["cid"], pdf["_ms"]):
+                ids = np.array([m["i"] for m in members], dtype=np.int64)
+                ns = np.array([m["n"] for m in members], dtype=np.int64)
+                x = np.stack(
+                    [np.asarray(m["q"], dtype=np.int64) for m in members]
+                )
+                g = x @ x.T
+                dom = (
+                    (ids[:, None] < ids[None, :])
+                    & (g >= 0)
+                    & (td2 * g * g >= tn2 * ns[:, None] * ns[None, :])
+                )
+                dropped = dom.any(axis=0)
+                cids.extend([cid] * len(ids))
+                out_i.extend(ids.tolist())
+                out_d.extend(dropped.tolist())
+            yield pd.DataFrame(
+                {id_col: out_i, "cid": cids, "dropped": out_d}
             )
-        )
 
-    return packed.select(
-        "cid", F.col("_ms"), F.explode("_ms").alias("_m")
-    ).select(
-        me["i"].alias(id_col),
-        F.col("cid"),
-        F.exists("_ms", _dominates).alias("dropped"),
+    return packed.mapInPandas(
+        kernel, f"{id_col} long, cid bigint, dropped boolean"
     )
 
 
@@ -558,30 +576,53 @@ def kmeans_fixed(
     )
 
     def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+        # Arrow-batched argmin kernel: stack each batch's quantized vectors
+        # into an int64 matrix and evaluate all k squared-L2 distances with
+        # numpy — bit-identical integer arithmetic to the former
+        # zip_with/aggregate column form, which Spark executes on the
+        # INTERPRETED expression path (higher-order functions are
+        # CodegenFallback: per-element lambda dispatch + boxing; measured
+        # ~2-3 s per assignment pass at 20k×64 vs ~0.1 s vectorized).  The
+        # tiny k×d centroid table rides in as a broadcast-joined packed
+        # column; argmin's first-minimum IS the lowest-cid tie-break
+        # because the struct list is sorted by cid.
         packed = centroids.agg(
             F.sort_array(
                 F.collect_list(F.struct(F.col("cid"), F.col("_c")))
             ).alias("_cents")
         )
-        dist = lambda c: F.aggregate(  # noqa: E731
-            F.zip_with(F.col("_q"), c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        # one distance evaluation per centroid; lexicographic struct min
-        # implements argmin with lowest-cid tie-break
-        best = F.array_min(
-            F.transform(
-                F.col("_cents"),
-                lambda c: F.struct(
-                    dist(c["_c"]).alias("bd"), c["cid"].alias("bid")
-                ),
-            )
-        )
-        return points.crossJoin(F.broadcast(packed)).select(
-            F.col(id_col), F.col("_q"), best["bid"].alias("cid"),
-            best["bd"].alias("dist2"),
-        )
+        joined = points.crossJoin(F.broadcast(packed))
+        schema = f"{id_col} long, _q array<bigint>, cid bigint, dist2 bigint"
+
+        def kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            cids = mat = None
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                if mat is None:
+                    cents = pdf["_cents"].iloc[0]
+                    cids = np.array([c["cid"] for c in cents], dtype=np.int64)
+                    mat = np.stack(
+                        [np.asarray(c["_c"], dtype=np.int64) for c in cents]
+                    )
+                x = np.stack(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["_q"]]
+                )
+                d2 = ((x[:, None, :] - mat[None, :, :]) ** 2).sum(axis=2)
+                best = d2.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].values,
+                        "_q": pdf["_q"].values,
+                        "cid": cids[best],
+                        "dist2": d2[np.arange(len(best)), best],
+                    }
+                )
+
+        return joined.mapInPandas(kernel, schema)
 
     assigned = assign(pts, cent)
     for _ in range(iterations - 1):
@@ -650,10 +691,16 @@ def pq_ann(
     (vec_id, adc_dist2, codes) ordered by (adc_dist2, vec_id).
     """
     dsub = d // m
-    q = F.transform(
-        _as_double(F.col(vec_col)), lambda x: F.round(x * scale).cast("long")
+    # slice the RAW vector first, quantize each dsub-slice: slicing a
+    # transform() result re-evaluates the whole quantization once per
+    # slice (lambda subtrees are not CSE'd across the m slice
+    # expressions — measured 3.5 s vs 0.8 s at 20k×64); element-wise
+    # values are identical either way
+    sub_q = lambda j: F.transform(  # noqa: E731
+        F.slice(F.col(vec_col), j * dsub + 1, dsub),
+        lambda x: F.round(x.cast("double") * scale).cast("long"),
     )
-    subs = F.array(*[F.slice(q, j * dsub + 1, dsub) for j in range(m)])
+    subs = F.array(*[sub_q(j) for j in range(m)])
     # one lazy cut: the exploded sub-vector table feeds codebook init, every
     # Lloyd assignment pass, the query-row extraction AND the final encode —
     # uncut, the unrolled plan re-scans and re-explodes the corpus ~5x
@@ -682,30 +729,62 @@ def pq_ann(
     )
 
     def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+        # per-subspace Arrow-batched argmin (kmeans_fixed.assign's kernel
+        # generalized to a row-varying codebook): each row carries its own
+        # sub's sorted centroid list via the broadcast equi-join, the
+        # kernel vectorizes one sub-group at a time — exact int64 L2,
+        # argmin first-minimum == lowest-cid tie-break (sorted by cid)
         packed = centroids.groupBy("sub").agg(
             F.sort_array(
                 F.collect_list(F.struct(F.col("cid"), F.col("_c")))
             ).alias("_cents")
         )
-        dist = lambda c: F.aggregate(  # noqa: E731
-            F.zip_with(F.col("_q"), c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        # array_min over (dist, cid) structs: one distance evaluation per
-        # centroid and the lexicographic struct order IS the
-        # lowest-cid-on-tie rule
-        best = F.array_min(
-            F.transform(
-                F.col("_cents"),
-                lambda c: F.struct(
-                    dist(c["_c"]).alias("d"), c["cid"].alias("bid")
-                ),
-            )
-        )
-        return points.join(F.broadcast(packed), "sub").select(
-            "vid", "sub", "_q", best["bid"].alias("cid")
-        )
+        joined = points.join(F.broadcast(packed), "sub")
+        schema = "vid long, sub int, _q array<bigint>, cid bigint"
+
+        def kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            books: dict = {}
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                subs = pdf["sub"].values
+                x = np.stack(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["_q"]]
+                )
+                out = np.empty(len(pdf), dtype=np.int64)
+                for s in np.unique(subs):
+                    m = subs == s
+                    if s not in books:
+                        cents = pdf["_cents"].iloc[int(np.flatnonzero(m)[0])]
+                        books[s] = (
+                            np.array(
+                                [c["cid"] for c in cents], dtype=np.int64
+                            ),
+                            np.stack(
+                                [
+                                    np.asarray(c["_c"], dtype=np.int64)
+                                    for c in cents
+                                ]
+                            ),
+                        )
+                    cids, mat = books[s]
+                    d2 = ((x[m][:, None, :] - mat[None, :, :]) ** 2).sum(
+                        axis=2
+                    )
+                    out[m] = cids[d2.argmin(axis=1)]
+                yield pd.DataFrame(
+                    {
+                        "vid": pdf["vid"].values,
+                        "sub": subs,
+                        "_q": pdf["_q"].values,
+                        "cid": out,
+                    }
+                )
+
+        return joined.mapInPandas(kernel, schema)
 
     assigned = assign(pts, cents)
     final_cents = cents
