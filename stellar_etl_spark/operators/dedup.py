@@ -114,15 +114,26 @@ def minhash_lsh_candidates(
     sig_col: str = "minhash_sig",
     bands: int = 4,
     rows_per_band: int = 2,
+    size_col: str | None = None,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Band the signature and emit candidate pairs sharing any band bucket.
 
     Scale shape: explode to (bands × docs) rows, equi-join on band key.
     The join is the only shuffle; band keys are md5 digests so the key space
     is uniform unless documents genuinely collide.
+
+    When the caller will verify Jaccard ≥ ``threshold``, pass the
+    shingle-set size column as ``size_col``: Jaccard ≥ t forces
+    ``|A| ≤ |B|/t`` both ways, so size-incompatible band collisions are
+    pruned inside the join, before the pair-distinct and the exact verify
+    (measured 590k → fewer candidate rows at the 10× probe).  Callers that
+    study the raw collision stream (the calibration curve) leave it unset.
     """
+    extra = [F.col(size_col)] if size_col else []
     banded = df.select(
         F.col(id_col),
+        *extra,
         F.posexplode(
             F.array(
                 *[
@@ -143,13 +154,20 @@ def minhash_lsh_candidates(
     )
     left = banded.alias("l")
     right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    cond = (
+        (F.col("l.band_id") == F.col("r.band_id"))
+        & (F.col("l.band_key") == F.col("r.band_key"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    )
+    if size_col and threshold:
+        inv_t = 1.0 / threshold
+        cond = (
+            cond
+            & (F.col(f"l.{size_col}") <= F.col(f"r.{size_col}") * inv_t)
+            & (F.col(f"r.{size_col}") <= F.col(f"l.{size_col}") * inv_t)
         )
+    return (
+        left.join(right, cond)
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
@@ -194,6 +212,7 @@ def near_dup_pairs(
         .withColumn(
             "minhash_sig", minhash_from_hashes(F.col("_base_hashes"), num_perm)
         )
+        .withColumn("_n_sh", F.size("shingle_set"))
         .drop("_base_hashes")
     )
     # The signature subtree feeds 4 branches (both sides of the LSH self-join
@@ -205,7 +224,8 @@ def near_dup_pairs(
     with_sh = lineage_cut(with_sh, eager=True, reliable=False)
 
     cands = minhash_lsh_candidates(
-        with_sh, id_col, "minhash_sig", bands, rows_per_band
+        with_sh, id_col, "minhash_sig", bands, rows_per_band,
+        size_col="_n_sh", threshold=threshold,
     )
     a = with_sh.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("sh_a"))
     b = with_sh.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("sh_b"))
