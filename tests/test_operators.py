@@ -1428,6 +1428,85 @@ class TestPQAnn:
         assert got == {i: i * i + 4 * i * i for i in range(4)}
 
 
+class TestNumpyKernelParity:
+    """The Arrow-batched numpy kernels (round 6) must stay bit-identical
+    to the exact-integer column form they replaced: same quantization,
+    same integer L2, argmin with lowest-cid tie-break.  A python-side
+    replica recomputes every assignment from the SAME quantized inputs."""
+
+    def _quantize(self, vec, scale):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        # F.round(double) = HALF_UP on the double's shortest decimal repr
+        return [
+            int(
+                Decimal(repr(float(x) * scale)).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP
+                )
+            )
+            for x in vec
+        ]
+
+    def test_kmeans_assignment_matches_python_replica(self, spark):
+        from stellar_etl_spark.operators.similarity import kmeans_fixed
+
+        # ties on purpose: vectors equidistant to two centroids must take
+        # the LOWEST cid (vec 2 sits exactly between the two init points)
+        vecs = [
+            (0, [0.0, 0.0]),
+            (1, [4.0, 0.0]),
+            (2, [2.0, 0.0]),
+            (3, [0.1, -0.2]),
+            (4, [3.9, 0.3]),
+            (5, [2.0, 2.0]),
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        got = {
+            r.vec_id: (r.cid, r.dist2)
+            for r in kmeans_fixed(df, k=2, iterations=1, scale=10).collect()
+        }
+
+        q = {i: self._quantize(v, 10) for i, v in vecs}
+        cents = [q[0], q[1]]  # init: k lowest ids
+        for i, v in q.items():
+            d = [sum((a - b) ** 2 for a, b in zip(v, c)) for c in cents]
+            best = min(range(2), key=lambda j: (d[j], j))
+            assert got[i] == (best, d[best]), i
+        # the tie case really is a tie, and it went to cid 0
+        v2 = q[2]
+        assert sum((a - b) ** 2 for a, b in zip(v2, cents[0])) == sum(
+            (a - b) ** 2 for a, b in zip(v2, cents[1])
+        )
+        assert got[2][0] == 0
+
+    def test_semdedup_domination_matches_python_replica(self, spark):
+        from stellar_etl_spark.operators.similarity import semdedup
+
+        vecs = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 0 -> dropped
+            (2, [0.0, 1.0, 0.0, 0.0]),     # orthogonal -> kept
+            (3, [1.0, 0.001, 0.0, 0.0]),   # near-dup of 0 -> dropped
+            (4, [-1.0, 0.0, 0.0, 0.0]),    # negative dot -> kept
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        got = {
+            r.vec_id: r.dropped
+            for r in semdedup(df, k=1, iterations=1, tau_n=9, tau_d=10).collect()
+        }
+
+        q = {i: self._quantize(v, 1000) for i, v in vecs}
+        n2 = {i: sum(x * x for x in v) for i, v in q.items()}
+        for me, vme in q.items():
+            want = any(
+                a < me
+                and (dot := sum(p * r for p, r in zip(q[a], vme))) >= 0
+                and 100 * dot * dot >= 81 * n2[a] * n2[me]
+                for a in q
+            )
+            assert got[me] == want, me
+
+
 class TestBpeLearn:
     def test_merge_choice_and_chain_fixpoint(self, spark):
         from stellar_etl_spark.operators.text import bpe_learn
