@@ -240,14 +240,22 @@ def main() -> None:
             "harmonic_centrality_seeds", "k_core_decomposition",
             "community_modularity", "markov_removal_attribution",
         ]
-        # single run per query: the session is already warm from the sf0.1
-        # sweep, and the 10x stage must not double the bench wall time
+        # best-of-2, like the sweep: the 10x plans are NEW to the session
+        # (different input path), so a single run charges each query its
+        # Janino compile — the giant entity projections pay 5-10 s of
+        # codegen that says nothing about data-proportional cost (measured
+        # op_details_switch 10.9 s first-touch vs ~5 s steady at 10x).
+        # ~90 s extra wall; the sf0.1 record is already printed/flushed.
         for name in heavy:
-            t0 = time.time()
-            QUERIES[name](spark, probe_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            times_10x[name] = round(time.time() - t0, 3)
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                QUERIES[name](spark, probe_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                el = round(time.time() - t0, 3)
+                best = el if best is None else min(best, el)
+            times_10x[name] = best
 
     # Full per-query map goes to a sidecar file; stdout gets the compact
     # line LAST (the driver keeps only a bounded tail of output, so the
