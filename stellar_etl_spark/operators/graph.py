@@ -21,6 +21,8 @@ layout.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -485,6 +487,191 @@ def harmonic_centrality_bounded(
     out = seeds
     for c in counts:
         out = out.join(c, "s", "left")
+    filled = out.select(
+        "s",
+        *[
+            F.coalesce(F.col(f"n_d{d}"), F.lit(0)).cast("long").alias(f"n_d{d}")
+            for d in range(1, max_depth + 1)
+        ],
+    )
+    weights = {d: round(1_000_000 / d) for d in range(1, max_depth + 1)}
+    h_scaled = None
+    for d in range(1, max_depth + 1):
+        term = F.col(f"n_d{d}") * F.lit(weights[d])
+        h_scaled = term if h_scaled is None else h_scaled + term
+    return filled.select(
+        F.col("s").alias("seed"),
+        *[f"n_d{d}" for d in range(1, max_depth + 1)],
+        h_scaled.cast("long").alias("harmonic_scaled"),
+        exact_ratio_round6_wide(h_scaled, F.lit(1_000_000)).alias("harmonic"),
+    )
+
+def harmonic_centrality_bitset(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    seed_mod: int = 100,
+    max_depth: int = 3,
+) -> DataFrame:
+    """:func:`harmonic_centrality_bounded` with the multi-source BFS state
+    kept as per-NODE seed bitsets instead of (seed, node) pair rows.
+
+    With S seeds the frontier/visited state is one row per node carrying
+    ⌈S/64⌉ mask words; a BFS round is one edges⋈frontier join + one
+    per-node ``bit_or`` aggregate + a word-wise ``new & ~visited`` — the
+    (seed, node) DISTINCT and the pair anti-join (whose row count is
+    |seeds|·|reach|, millions at depth 3) disappear.  Per-seed depth
+    counts come from an Arrow-batched popcount histogram over the new-bit
+    masks.  Reach sets — and therefore every output value — are identical
+    to the pair form; the pair form's oracle still applies.
+
+    Scale contract: valid while the SEED SET is bounded (mask width is
+    S bits per node — S ≤ a few thousand keeps state per node tiny).
+    When S scales with |V|, use the pair form: both shapes are
+    O(S·reach) work, but the pair form never materializes per-node
+    S-bit state.  One tiny driver-side action (seed count + index map,
+    |seeds| rows) fixes the mask width at plan-build time.
+    """
+    from stellar_etl_spark.operators.util import exact_ratio_round6_wide
+
+    sym = lineage_cut(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .repartition("u"),
+        reliable=False,
+    )
+    from pyspark.sql.window import Window
+
+    seeds = lineage_cut(
+        sym.select(F.col("u").alias("s"))
+        .distinct()
+        .where(F.col("s") % seed_mod == 0),
+        reliable=False,
+    )
+    # ONE tiny driver-side aggregate (a count, no data collected) fixes the
+    # mask width; the seed→bit index map stays distributed (a global
+    # row_number over the |seeds|-row frame — bounded by contract)
+    n_seeds = seeds.count()
+    spark = edges.sparkSession
+    empty_schema = ", ".join(
+        ["seed long"]
+        + [f"n_d{d} long" for d in range(1, max_depth + 1)]
+        + ["harmonic_scaled long", "harmonic double"]
+    )
+    if n_seeds == 0:
+        return spark.createDataFrame([], empty_schema)
+    words = (n_seeds + 63) // 64
+    mcols = [f"m{w}" for w in range(words)]
+    seeds_idx = lineage_cut(
+        seeds.select(
+            "s",
+            (F.row_number().over(Window.orderBy("s")) - 1)
+            .cast("long")
+            .alias("si"),
+        ),
+        reliable=False,
+    )
+
+    mask_exprs = [
+        F.expr(
+            f"CASE WHEN si div 64 = {w} THEN "
+            "shiftleft(cast(1 as bigint), cast(si % 64 as int)) "
+            "ELSE cast(0 as bigint) END"
+        ).alias(f"m{w}")
+        for w in range(words)
+    ]
+    state0 = seeds_idx.select(F.col("s").alias("node"), *mask_exprs)
+    visited = lineage_cut(state0, reliable=False)
+    frontier = visited
+
+    def _popcount_counts(new_frame):
+        # Arrow-batched per-seed histogram: stack the mask words as uint64,
+        # unpack to a bit matrix, column-sum -> per-seed partial counts
+        def kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.stack(
+                    [pdf[c].values.astype(np.int64) for c in mcols], axis=1
+                ).view(np.uint64)
+                bits = np.unpackbits(
+                    mat.view(np.uint8), axis=1, bitorder="little"
+                )
+                per_seed = bits.sum(axis=0, dtype=np.int64)[:n_seeds]
+                nz = np.flatnonzero(per_seed)
+                if len(nz) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {"si": nz.astype("int64"), "cnt": per_seed[nz]}
+                )
+
+        return (
+            new_frame.select(*mcols)
+            .mapInPandas(kernel, "si long, cnt long")
+            .groupBy("si")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+
+    counts = []
+    for d in range(1, max_depth + 1):
+        inc = frontier.join(sym, frontier.node == sym.u).select(
+            F.col("v").alias("node"), *mcols
+        )
+        reach = inc.groupBy("node").agg(
+            *[F.bit_or(c).alias(c) for c in mcols]
+        )
+        r, v_ = reach.alias("r"), visited.alias("v")
+        new = (
+            r.join(v_, F.col("r.node") == F.col("v.node"), "left")
+            .select(
+                F.col("r.node").alias("node"),
+                *[
+                    F.col(f"r.{c}")
+                    .bitwiseAND(
+                        F.bitwise_not(
+                            F.coalesce(F.col(f"v.{c}"), F.lit(0).cast("long"))
+                        )
+                    )
+                    .alias(c)
+                    for c in mcols
+                ],
+            )
+            .where(
+                functools.reduce(
+                    lambda a, b: a | b,
+                    [F.col(c) != 0 for c in mcols],
+                )
+            )
+        )
+        last = d == max_depth
+        new = new if last else lineage_cut(new, round_no=d - 1, reliable=False)
+        counts.append(_popcount_counts(new).withColumnRenamed("cnt", f"n_d{d}"))
+        if not last:
+            nv, ov = new.alias("n"), visited.alias("o")
+            visited = lineage_cut(
+                ov.join(nv, F.col("o.node") == F.col("n.node"), "full").select(
+                    F.coalesce(F.col("o.node"), F.col("n.node")).alias("node"),
+                    *[
+                        F.coalesce(F.col(f"o.{c}"), F.lit(0).cast("long"))
+                        .bitwiseOR(
+                            F.coalesce(F.col(f"n.{c}"), F.lit(0).cast("long"))
+                        )
+                        .alias(c)
+                        for c in mcols
+                    ],
+                ),
+                round_no=d - 1,
+                reliable=False,
+            )
+            frontier = new
+
+    out = seeds_idx
+    for c in counts:
+        out = out.join(F.broadcast(c), "si", "left")
     filled = out.select(
         "s",
         *[

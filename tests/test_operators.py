@@ -2080,6 +2080,46 @@ class TestPeakConcurrency:
         assert out[d2].carry_in == 1 and out[d2].peak_concurrency == 2
 
 
+class TestHarmonicBitset:
+    """The bitset multi-source BFS must produce EXACTLY the pair-form
+    output — including a seed set wider than one 64-bit mask word, so the
+    multi-word bit indexing (si div 64 / si % 64) is exercised."""
+
+    def test_matches_pair_form_multiword_seeds(self, spark):
+        import random
+
+        from stellar_etl_spark.operators.graph import (
+            harmonic_centrality_bitset,
+            harmonic_centrality_bounded,
+        )
+
+        rng = random.Random(7)
+        # ~300 nodes, every node a seed (seed_mod=1) -> 5 mask words
+        edges = [(i, rng.randrange(300)) for i in range(300)] + [
+            (rng.randrange(300), rng.randrange(300)) for _ in range(500)
+        ]
+        df = spark.createDataFrame(
+            [(a, b) for a, b in edges if a != b], "a long, b long"
+        )
+        pair = harmonic_centrality_bounded(df, seed_mod=1, max_depth=2)
+        bits = harmonic_centrality_bitset(df, seed_mod=1, max_depth=2)
+        assert pair.exceptAll(bits).isEmpty()
+        assert bits.exceptAll(pair).isEmpty()
+
+    def test_empty_seed_set(self, spark):
+        from stellar_etl_spark.operators.graph import (
+            harmonic_centrality_bitset,
+        )
+
+        # no node id divides 1000 -> empty output, stable schema
+        df = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+        out = harmonic_centrality_bitset(df, seed_mod=1000, max_depth=2)
+        assert out.count() == 0
+        assert out.columns == [
+            "seed", "n_d1", "n_d2", "harmonic_scaled", "harmonic",
+        ]
+
+
 class TestTriangleStats:
     def test_hand_counted_census(self, spark):
         from stellar_etl_spark.operators.graph import triangle_stats
