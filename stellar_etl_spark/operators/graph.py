@@ -228,6 +228,7 @@ def label_propagation(
     src: str = "a",
     dst: str = "b",
     iterations: int = 3,
+    broadcast_labels: bool = False,
 ) -> DataFrame:
     """Synchronous label propagation (community detection): every node
     adopts the most frequent label among its neighbors each round, ties
@@ -245,7 +246,9 @@ def label_propagation(
     counts keep lineage shallow (checkpoint per-k-rounds only pays off
     past ~5 iterations, measured on pagerank).  Isolated nodes keep their
     own id via the final left join."""
-    labels = label_propagation_labels(edges, src, dst, iterations)
+    labels = label_propagation_labels(
+        edges, src, dst, iterations, broadcast_labels=broadcast_labels
+    )
     return labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.min("node").cast("long").alias("min_node"),
@@ -258,11 +261,19 @@ def label_propagation_labels(
     src: str = "a",
     dst: str = "b",
     iterations: int = 3,
+    broadcast_labels: bool = False,
 ) -> DataFrame:
     """Per-node (node, label) assignment from synchronous LPA — the label
     frame :func:`label_propagation` aggregates; exposed separately so
     partition-quality metrics (modularity) can reuse the identical
-    deterministic rounds."""
+    deterministic rounds.
+
+    ``broadcast_labels=True`` broadcast-joins the |V|-sized label frame
+    into every round (and the argmax result into the isolated-node fill),
+    making each round's big join map-side over the cached adjacency — the
+    pagerank ``broadcast_ranks`` contract: correct ONLY when the node set
+    is dimension-sized (a bounded catalog like the parts graph), never
+    when it scales with the data; hence opt-in, default shuffle."""
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     # the symmetrized edge list appears in every iteration AND inside each
@@ -281,9 +292,10 @@ def label_propagation_labels(
         sym.select(F.col("u").alias("node")).distinct(), reliable=False
     )
     labels = nodes.select("node", F.col("node").alias("label"))
+    bc = F.broadcast if broadcast_labels else (lambda df: df)
     for _ in range(iterations):
         neigh = sym.join(
-            labels.withColumnRenamed("node", "v"), "v"
+            bc(labels.withColumnRenamed("node", "v")), "v"
         ).select(F.col("u").alias("node"), "label")
         counted = neigh.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("_c")
@@ -291,7 +303,7 @@ def label_propagation_labels(
         picked = counted.groupBy("node").agg(
             F.max(F.struct(F.col("_c"), (-F.col("label")).alias("_nl"))).alias("_m")
         ).select("node", (-F.col("_m._nl")).alias("label"))
-        labels = nodes.join(picked, "node", "left").select(
+        labels = nodes.join(bc(picked), "node", "left").select(
             "node", F.coalesce("label", F.col("node")).alias("label")
         )
     return labels

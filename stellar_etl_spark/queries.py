@@ -3647,7 +3647,10 @@ def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stellar_etl_spark.operators.graph import label_propagation
 
     edges = _copurchase_edges(spark, sf_dir)
-    out = label_propagation(edges, iterations=3)
+    # the part graph's node set is the parts CATALOG — dimension-sized by
+    # construction — so the per-round label frame broadcasts (the pagerank
+    # broadcast_ranks contract; invalid for data-scaled node sets)
+    out = label_propagation(edges, iterations=3, broadcast_labels=True)
     return out.where(F.col("n_members") >= 2)
 
 
@@ -5917,10 +5920,11 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     # modularity_summary consumes the label frame THREE times (both edge
     # endpoints + the degree join) — cut the 3-round LPA lineage once or
-    # every consumer re-derives it (the rfm/pareto plan-explosion lesson)
-    labels = label_propagation_labels(edges, iterations=3).localCheckpoint(
-        eager=False
-    )
+    # every consumer re-derives it (the rfm/pareto plan-explosion lesson).
+    # broadcast_labels: parts-catalog node set (see copurchase_communities)
+    labels = label_propagation_labels(
+        edges, iterations=3, broadcast_labels=True
+    ).localCheckpoint(eager=False)
     return modularity_summary(edges, labels)
 
 
