@@ -30,6 +30,19 @@ from pyspark.sql.window import Window
 
 from stellar_etl_spark.operators.util import lineage_cut
 
+# Threshold bounds below are computed in float (e.g. ceil(t·|S|)); products
+# like 0.6*5 evaluate to 3.0000000000000004, so a plain ceil/comparison
+# overshoots and prunes a pair whose similarity is EXACTLY the threshold even
+# though the verify stage would emit it.  Every candidate-side bound therefore
+# subtracts this sub-integer epsilon first: candidates can only widen (the
+# exact verify re-checks), keeping generation provably complete.
+_BOUND_EPS = 1e-9
+
+
+def _ceil_bound(x: Column) -> Column:
+    """Conservative ``ceil`` for candidate-filter thresholds (see _BOUND_EPS)."""
+    return F.ceil(x - F.lit(_BOUND_EPS))
+
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup by content hash: keep the lowest id per md5(text).
@@ -160,11 +173,18 @@ def minhash_lsh_candidates(
         & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
     )
     if size_col and threshold:
-        inv_t = 1.0 / threshold
+        # max·t ≤ min, phrased as two one-sided bounds with the lenient
+        # epsilon on the comparison side (see _BOUND_EPS)
         cond = (
             cond
-            & (F.col(f"l.{size_col}") <= F.col(f"r.{size_col}") * inv_t)
-            & (F.col(f"r.{size_col}") <= F.col(f"l.{size_col}") * inv_t)
+            & (
+                F.col(f"l.{size_col}") * F.lit(threshold)
+                <= F.col(f"r.{size_col}") + F.lit(_BOUND_EPS)
+            )
+            & (
+                F.col(f"r.{size_col}") * F.lit(threshold)
+                <= F.col(f"l.{size_col}") + F.lit(_BOUND_EPS)
+            )
         )
     return (
         left.join(right, cond)
@@ -499,7 +519,7 @@ def ngram_jaccard_pairs(
     # prefix length |S| - ceil(t|S|) + 1; t=0.5 → n//2 + 1 in pure integers
     prefix_len = (
         F.col("_n")
-        - F.ceil(F.lit(threshold) * F.col("_n")).cast("long")
+        - _ceil_bound(F.lit(threshold) * F.col("_n")).cast("long")
         + F.lit(1)
     )
     rn = F.row_number().over(
@@ -512,7 +532,6 @@ def ngram_jaccard_pairs(
         .select(F.col(id_col), F.col("_s"), F.col("_n"), F.col("_rn"))
     )
     l, r = prefix.alias("l"), prefix.alias("r")
-    inv_t = 1.0 / threshold
     # PPJoin positional filter (Xiao et al. 2008, §3.2): a match on a
     # shared prefix shingle at ranks (i, j) can contribute an overlap of
     # at most 1 + min(|A|−i, |B|−j) (every other shared shingle sorts
@@ -522,7 +541,7 @@ def ngram_jaccard_pairs(
     # because the FIRST shared prefix shingle of any truly-similar pair
     # always passes (its bound upper-bounds the true overlap).  Measured
     # at sf0.1/t=0.5: 310k → far fewer candidate rows into the verify.
-    alpha = F.ceil(
+    alpha = _ceil_bound(
         F.lit(threshold / (1.0 + threshold))
         * (F.col("l._n") + F.col("r._n")).cast("double")
     )
@@ -534,8 +553,8 @@ def ngram_jaccard_pairs(
             r,
             (F.col("l._s") == F.col("r._s"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            & (F.col("l._n") <= F.col("r._n") * inv_t)
-            & (F.col("r._n") <= F.col("l._n") * inv_t)
+            & (F.col("l._n") * F.lit(threshold) <= F.col("r._n") + F.lit(_BOUND_EPS))
+            & (F.col("r._n") * F.lit(threshold) <= F.col("l._n") + F.lit(_BOUND_EPS))
             & (ubound >= alpha),
         )
         .select(
@@ -937,7 +956,7 @@ def ngram_containment_pairs(
     freq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_c"))
     prefix_len = (
         F.col("_n")
-        - F.ceil(F.lit(threshold) * F.col("_n")).cast("long")
+        - _ceil_bound(F.lit(threshold) * F.col("_n")).cast("long")
         + F.lit(1)
     )
     rn = F.row_number().over(Window.partitionBy(id_col).orderBy("_c", "_s"))
@@ -962,14 +981,17 @@ def ngram_containment_pairs(
     ubound = F.lit(1) + F.least(
         F.col("l._n") - F.col("l._rn"), F.col("_nb") - F.col("_rnb")
     )
-    alpha = F.ceil(F.lit(threshold) * F.col("l._n").cast("double"))
+    alpha = _ceil_bound(F.lit(threshold) * F.col("l._n").cast("double"))
     cands = (
         prefix.alias("l")
         .join(
             full,
             (F.col("l._s") == full["_s"])
             & (F.col(f"l.{id_col}") != F.col("id_b"))
-            & (full["_nb"] >= F.lit(threshold) * F.col("l._n"))
+            & (
+                full["_nb"] + F.lit(_BOUND_EPS)
+                >= F.lit(threshold) * F.col("l._n")
+            )
             & (ubound >= alpha),
         )
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col("id_b"))

@@ -17,6 +17,24 @@ from pyspark.sql.window import Window
 from stellar_etl_spark.operators.util import fixed_ln_micro, lineage_cut
 
 
+def _check_i64_headroom(bound: int, where: str) -> None:
+    """Fail loudly when a numpy int64 kernel would exceed 2^63 headroom.
+
+    numpy int64 arithmetic WRAPS silently on overflow, whereas the Spark
+    expression forms these kernels replaced raise under the project's
+    ANSI-survivability contract (tests/test_ansi_mode.py).  ``bound`` must be
+    an exact Python-int upper bound on the largest intermediate product; the
+    check costs one max() scan per batch — negligible next to the matmul it
+    protects.  Callers within the documented contract (quantization
+    scale=1000, bounded dims) never trip it; out-of-contract inputs get an
+    error instead of silently wrong results."""
+    if bound >= 2**63:
+        raise ArithmeticError(
+            f"{where}: int64 overflow risk (product bound {bound} >= 2^63) — "
+            "reduce the quantization scale or embedding magnitude/dims"
+        )
+
+
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
@@ -448,6 +466,12 @@ def semdedup(
                 x = np.stack(
                     [np.asarray(m["q"], dtype=np.int64) for m in members]
                 )
+                # dot ≤ d·max|x|²; the threshold compare then squares it
+                dot_max = x.shape[1] * int(np.abs(x).max(initial=0)) ** 2
+                _check_i64_headroom(
+                    max(int(tn2), int(td2)) * dot_max * dot_max,
+                    "semantic_dedup gram kernel",
+                )
                 g = x @ x.T
                 dom = (
                     (ids[:, None] < ids[None, :])
@@ -611,6 +635,15 @@ def kmeans_fixed(
                 x = np.stack(
                     [np.asarray(v, dtype=np.int64) for v in pdf["_q"]]
                 )
+                _check_i64_headroom(
+                    x.shape[1]
+                    * (
+                        int(np.abs(x).max(initial=0))
+                        + int(np.abs(mat).max(initial=0))
+                    )
+                    ** 2,
+                    "kmeans assign kernel",
+                )
                 d2 = ((x[:, None, :] - mat[None, :, :]) ** 2).sum(axis=2)
                 best = d2.argmin(axis=1)
                 yield pd.DataFrame(
@@ -771,6 +804,15 @@ def pq_ann(
                             ),
                         )
                     cids, mat = books[s]
+                    _check_i64_headroom(
+                        x.shape[1]
+                        * (
+                            int(np.abs(x[m]).max(initial=0))
+                            + int(np.abs(mat).max(initial=0))
+                        )
+                        ** 2,
+                        "pq_ann assign kernel",
+                    )
                     d2 = ((x[m][:, None, :] - mat[None, :, :]) ** 2).sum(
                         axis=2
                     )
@@ -901,6 +943,10 @@ def pca_top_component(
             if len(pdf) == 0:
                 continue
             M = np.stack(pdf["_q"].to_numpy()).astype(np.int64)
+            _check_i64_headroom(
+                len(pdf) * int(np.abs(M).max(initial=0)) ** 2,
+                "pca gram kernel",
+            )
             G = M.T @ M
             yield pd.DataFrame({"i": ii, "j": jj, "g": G.ravel()})
 

@@ -178,6 +178,41 @@ class TestDedup:
         assert (1, 3) in got and got[(1, 3)] == 1.0  # identical docs
         assert all(ia != 4 and ib != 4 for ia, ib in got)  # disjoint doc
 
+    def test_exact_boundary_pair_survives_float_ceil(self, spark):
+        """ADVICE r6: float products overshoot integer thresholds —
+        0.28*25 = 7.000000000000001, so plain ceil gives 8 where the exact
+        bound is 7, shortening A's prefix by one AND raising the positional
+        alpha by one; both prune a pair whose similarity is EXACTLY the
+        threshold.  Adversarial construction: |A| = 25 (18 unique rare words
+        + 7 shared), B = the 7 shared words, so the shared words sort LAST
+        in A's rarest-first order and only the correct prefix length (19)
+        reaches them.  Jaccard = containment = 7/25 = 0.28 exactly."""
+        from stellar_etl_spark.operators.dedup import (
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        uniq = " ".join(f"u{i:02d}" for i in range(18))
+        shared = " ".join(f"s{i}" for i in range(7))
+        df = spark.createDataFrame(
+            [(1, f"{uniq} {shared}"), (2, shared)], DOCS_SCHEMA
+        )
+        jac = ngram_jaccard_pairs(
+            df, "doc_id", "text", n=1, threshold=0.28
+        ).collect()
+        assert [(p.id_a, p.id_b) for p in jac] == [(1, 2)]
+        assert jac[0].jaccard == 7 / 25
+
+        cont = {
+            (p.id_a, p.id_b): p.containment
+            for p in ngram_containment_pairs(
+                df, "doc_id", "text", n=1, threshold=0.28
+            ).collect()
+        }
+        # directed: C(A→B) = 7/25 = 0.28 (boundary), C(B→A) = 7/7 = 1.0
+        assert (1, 2) in cont and cont[(1, 2)] == 7 / 25
+        assert (2, 1) in cont and cont[(2, 1)] == 1.0
+
     def test_simhash_identical_docs_equal_fingerprints(self, spark):
         df = spark.createDataFrame(
             [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zeta eta theta iota")],
@@ -1080,6 +1115,25 @@ class TestKmeansFixed:
         got = {r.vec_id: r for r in kmeans_fixed(df, k=1, iterations=1).collect()}
         # quantized to (3, 4) at scale 1000 -> dist2 = 25 from centroid (0,0)
         assert got[1].dist2 == 25 and got[0].dist2 == 0
+
+    def test_out_of_contract_magnitude_fails_loudly(self, spark):
+        """ADVICE r6: the Arrow numpy kernels do int64 math that WRAPS on
+        overflow; out-of-contract inputs must raise (like the ANSI
+        expression path they replaced), not return silently wrong results."""
+        import pytest
+
+        from stellar_etl_spark.operators.similarity import (
+            kmeans_fixed,
+            semdedup,
+        )
+
+        # |q| ≈ 2.5e18 after scale=1000 → (x−c)² alone exceeds 2^63
+        rows = [(0, [2.5e15, 0.0]), (1, [-2.5e15, 1.0]), (2, [1.0, 1.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        with pytest.raises(Exception, match="int64 overflow risk"):
+            kmeans_fixed(df, k=2, iterations=1).collect()
+        with pytest.raises(Exception, match="int64 overflow risk"):
+            semdedup(df, k=1, iterations=1, tau_n=19, tau_d=20).collect()
 
 
 class TestUpsertSnapshot:
