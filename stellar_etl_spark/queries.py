@@ -5658,22 +5658,27 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression: pack states and transition cells into a single row and
     # fold over sequence(1,12); each fold step is a transform() emitting
     # the next integer-quantized π vector.  Arithmetic is bit-identical to
-    # the join form ((sum(w·p6)+500000) div 1e6 over longs); a state's
-    # entry is NULL exactly when the join form would emit no row for it
-    # (no inbound edge from a present state), so row membership matches
-    # the unrolled oracle too.  Zero per-round exchanges.
+    # the join form ((sum(w·p6)+500000) div 1e6 over longs); a state with
+    # no inbound edge from a present state — i.e. one the join form would
+    # emit NO row for — carries the sentinel -1 (π is always ≥ 0) so row
+    # membership matches the unrolled oracle too.  The sentinel, not NULL:
+    # the fold's init array is built from non-null literals, so its type
+    # is array<bigint> containsNull=false, and Spark coerces the
+    # accumulator to that type each round — a NULL entry would silently
+    # read back as 0 and surface dropped states as spurious π=0 rows
+    # (pinned in tests/test_markov_fold.py).  Zero per-round exchanges.
     wat = (
-        "CASE WHEN array_position(_ss, {x}) = 0 THEN cast(null as bigint) "
+        "CASE WHEN array_position(_ss, {x}) = 0 THEN cast(-1 as bigint) "
         "ELSE element_at(w, cast(array_position(_ss, {x}) as int)) END"
     )
     step = (
         "transform(_ss, s -> CASE WHEN exists(_es, e -> e.b = s AND ("
         + wat.format(x="e.a")
-        + ") IS NOT NULL) THEN (aggregate(filter(_es, e -> e.b = s AND ("
+        + ") >= 0) THEN (aggregate(filter(_es, e -> e.b = s AND ("
         + wat.format(x="e.a")
-        + ") IS NOT NULL), cast(0 as bigint), (acc, e) -> acc + e.p6 * ("
+        + ") >= 0), cast(0 as bigint), (acc, e) -> acc + e.p6 * ("
         + wat.format(x="e.a")
-        + ")) + 500000) div 1000000 ELSE cast(null as bigint) END)"
+        + ")) + 500000) div 1000000 ELSE cast(-1 as bigint) END)"
     )
     iter_sql = (
         "aggregate(sequence(1, 12), "
@@ -5696,11 +5701,11 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.explode(F.arrays_zip("_ss", "_w")).alias("_z"),
             F.expr(
-                "aggregate(filter(_w, x -> x IS NOT NULL), "
+                "aggregate(filter(_w, x -> x >= 0), "
                 "cast(0 as bigint), (a2, x) -> a2 + x)"
             ).alias("_t"),
         )
-        .where(F.col("_z._w").isNotNull())
+        .where(F.col("_z._w") >= 0)
     )
     return row.select(
         F.col("_z._ss").alias("event_type"),
