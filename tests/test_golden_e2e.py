@@ -284,6 +284,58 @@ class TestTokenTransfersMainnetParity:
         assert monly == {}, f"mine-only: {list(monly)[:5]}"
 
 
+class TestTokenTransferSelfVerification:
+    def test_events_reconcile_against_balance_deltas(
+        self, spark, tmp_path_factory
+    ):
+        """VerifyEvents twin (token_transfer.go:15-25): on the mainnet
+        golden ledgers, the net balance movement implied by the derived
+        events must equal the account/trustline balance deltas the change
+        stream records — per (ledger, holder, asset), zero mismatches.
+        Two independent readings of the same meta bytes: events come from
+        the operations/transactions decode, deltas from decode_changes."""
+        from stellar_etl_spark.sources.bronze import (
+            decode_ledger_files,
+            read_ledger_files,
+        )
+        from stellar_etl_spark.sources.silver import (
+            decode_changes,
+            decode_operations,
+            decode_transactions,
+        )
+        from stellar_etl_spark.transforms.token_events import (
+            derive_token_transfer_events,
+        )
+        from stellar_etl_spark.transforms.token_verify import (
+            verify_token_transfers,
+        )
+
+        d = str(tmp_path_factory.mktemp("verify_lcm"))
+        write_golden_ledger_dir(d)
+        bronze = decode_ledger_files(read_ledger_files(spark, d)).cache()
+        events = derive_token_transfer_events(
+            decode_operations(bronze), decode_transactions(bronze)
+        )
+        audit = verify_token_transfers(events, decode_changes(bronze)).collect()
+
+        assert len(audit) > 100  # real movement reconciled, not vacuous
+        mismatched = [r.asDict() for r in audit if not r.matched]
+        assert mismatched == [], f"first mismatches: {mismatched[:5]}"
+
+        # negative control: corrupt every transfer amount by one stroop —
+        # the audit must flag mismatches (the check has teeth)
+        from pyspark.sql import functions as F
+
+        corrupted = events.withColumn(
+            "sac_amount",
+            F.when(
+                F.col("sac_kind") == "transfer", F.col("sac_amount") + 1
+            ).otherwise(F.col("sac_amount")),
+        )
+        bad = verify_token_transfers(corrupted, decode_changes(bronze))
+        assert bad.where(~F.col("matched")).limit(1).count() == 1
+
+
 class TestTradesGoldenParity:
     @pytest.fixture(scope="class")
     def trade_frames(self, spark, tmp_path_factory):
