@@ -209,6 +209,10 @@ def main() -> None:
     print(json.dumps(record), flush=True)
 
     times_10x: dict[str, float] = {}
+    # raw per-run arrays for the 10x stage too (round-6 verdict item 7):
+    # with only the min recorded, a one-off interference spike is
+    # indistinguishable from a plan regression post-hoc
+    raw_runs_10x: dict[str, list[float]] = {}
     sweep_elapsed = sum(times.values())
     if (
         os.environ.get("SPARK_GRAFT_10X", "1") != "0"
@@ -247,15 +251,15 @@ def main() -> None:
         # op_details_switch 10.9 s first-touch vs ~5 s steady at 10x).
         # ~90 s extra wall; the sf0.1 record is already printed/flushed.
         for name in heavy:
-            best = None
+            runs = []
             for _ in range(2):
                 t0 = time.time()
                 QUERIES[name](spark, probe_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                el = round(time.time() - t0, 3)
-                best = el if best is None else min(best, el)
-            times_10x[name] = best
+                runs.append(round(time.time() - t0, 3))
+            raw_runs_10x[name] = runs
+            times_10x[name] = min(runs)
 
     # Full per-query map goes to a sidecar file; stdout gets the compact
     # line LAST (the driver keeps only a bounded tail of output, so the
@@ -264,7 +268,7 @@ def main() -> None:
     with open(os.path.join(here, "bench_queries.json"), "w") as fh:
         json.dump(
             {"sf": sf_val, "queries": times, "queries_raw": raw_runs,
-             "queries_10x": times_10x},
+             "queries_10x": times_10x, "queries_raw_10x": raw_runs_10x},
             fh, indent=1, sort_keys=True,
         )
 

@@ -6477,7 +6477,14 @@ def harmonic_centrality_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth (≤3) harmonic centrality of hash-chosen seed parts in
     the co-purchase graph — multi-source frontier BFS with integer 1/d
     weights; the oracle unrolls the same three expansion/anti-join rounds
-    with MATERIALIZED CTEs."""
+    with MATERIALIZED CTEs.
+
+    Note: harmonic_centrality_bitset runs one Spark job at PLAN-construction
+    time (a seeds.count() that sizes the bitset mask width) — building this
+    DataFrame triggers cluster work, and the plan goes stale if the input
+    path contents change before execution.  Acceptable under the documented
+    bounded-seed contract; callers needing a fully-lazy plan should use
+    harmonic_centrality_bounded."""
     from stellar_etl_spark.operators.graph import harmonic_centrality_bitset
 
     edges = _copurchase_edges(spark, sf_dir)

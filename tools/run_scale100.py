@@ -42,6 +42,22 @@ PROBE_QUERIES = [
     "effects_fanout",
 ]
 
+# Round-6 verdict item 3: near-dup/similarity and iterative-graph
+# representatives at 100x.  These run against the NOVEL-content replica
+# (make_scale_probe.build_novel): word-prefixed replica texts keep replica
+# shingle spaces disjoint, so the true near-dup answer scales LINEARLY with
+# the factor instead of quadratically as it would with suffix-salted
+# replicas — the probe measures the plan, not the answer blow-up.  The
+# graph queries ride the same corpus (orders/lineitem are identical
+# key-shifted copies in both builders): 100 disjoint graph replicas →
+# linear answers for LPA/k-core too.
+NOVEL_PROBE_QUERIES = [
+    "minhash_near_dup",
+    "semantic_dedup",
+    "community_modularity",
+    "k_core_decomposition",
+]
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -72,15 +88,47 @@ def main() -> None:
     out: dict[str, dict[str, float]] = {}
     for name in PROBE_QUERIES:
         base = min(run(name, sf_dir), run(name, sf_dir))
-        big = run(name, probe_dir)
+        # {first, steady} at 100x (round-6 verdict item 4): the first touch
+        # pays Janino codegen + derived-cache builds (measured 182 s vs
+        # 77.6 s steady for effects_fanout) — conflating them misreads the
+        # data-proportional cost, so both are explicit in the artifact.
+        first = run(name, probe_dir)
+        steady = run(name, probe_dir)
         out[name] = {
             "sec_1x": base,
-            "sec_100x": big,
-            "scaling": round(big / base, 1) if base else float("nan"),
+            "sec_100x_first": first,
+            "sec_100x": steady,
+            "scaling": round(steady / base, 1) if base else float("nan"),
         }
         print(json.dumps({name: out[name]}), flush=True)
 
-    print(json.dumps({"probe_build_sec": build_sec, "queries": out}))
+    from tools.make_scale_probe import build_novel
+
+    novel_dir = probe_dir.rstrip("/") + "_novel"
+    t0 = time.time()
+    build_novel(sf_dir, novel_dir, 100)
+    novel_build_sec = round(time.time() - t0, 1)
+    for name in NOVEL_PROBE_QUERIES:
+        base = min(run(name, sf_dir), run(name, sf_dir))
+        first = run(name, novel_dir)
+        steady = run(name, novel_dir)
+        out[name] = {
+            "sec_1x": base,
+            "sec_100x_first": first,
+            "sec_100x": steady,
+            "scaling": round(steady / base, 1) if base else float("nan"),
+        }
+        print(json.dumps({name: out[name]}), flush=True)
+
+    print(
+        json.dumps(
+            {
+                "probe_build_sec": build_sec,
+                "novel_probe_build_sec": novel_build_sec,
+                "queries": out,
+            }
+        )
+    )
     spark.stop()
 
 
