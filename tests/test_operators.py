@@ -178,6 +178,69 @@ class TestDedup:
         assert (1, 3) in got and got[(1, 3)] == 1.0  # identical docs
         assert all(ia != 4 and ib != 4 for ia, ib in got)  # disjoint doc
 
+    def test_randomized_candidate_completeness_at_awkward_thresholds(
+        self, spark
+    ):
+        """Seeded random corpus × the thresholds whose float products
+        overshoot integers (0.28·25, 0.34·150, 0.55·20-multiples, …):
+        the prefix-filtered operators must equal a brute-force O(n²) scan
+        exactly — both the pair set and the similarity values."""
+        import itertools
+        import random
+
+        from stellar_etl_spark.operators.dedup import (
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        rng = random.Random(20260816)
+        vocab = [f"w{i:02d}" for i in range(30)]
+        docs = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(5, 30))))
+            for i in range(120)
+        ]
+        sets = {i: set(t.split()) for i, t in docs}
+        df = spark.createDataFrame(docs, DOCS_SCHEMA)
+
+        for t in (0.28, 0.34, 0.55):
+            got = {
+                (p.id_a, p.id_b): p.jaccard
+                for p in ngram_jaccard_pairs(
+                    df, "doc_id", "text", n=1, threshold=t
+                ).collect()
+            }
+            brute = {}
+            for ia, ib in itertools.combinations(sets, 2):
+                a, b = sets[ia], sets[ib]
+                j = len(a & b) / len(a | b)
+                if j >= t:
+                    brute[(ia, ib)] = j
+            assert got == brute, (
+                f"jaccard t={t}: missing={set(brute) - set(got)} "
+                f"extra={set(got) - set(brute)}"
+            )
+
+        for t in (0.28, 0.55):
+            got_c = {
+                (p.id_a, p.id_b)
+                for p in ngram_containment_pairs(
+                    df, "doc_id", "text", n=1, threshold=t
+                ).collect()
+            }
+            brute_c = set()
+            for ia, ib in itertools.permutations(sets, 2):
+                a, b = sets[ia], sets[ib]
+                # the operator's exact verify: half-up integer ratio at
+                # 1e-6, then a DOUBLE compare against the threshold literal
+                if a and (
+                    (len(a & b) * 2_000_000 + len(a)) // (2 * len(a))
+                ) / 1e6 >= t:
+                    brute_c.add((ia, ib))
+            assert got_c == brute_c, (
+                f"containment t={t}: missing={brute_c - got_c} "
+                f"extra={got_c - brute_c}"
+            )
+
     def test_exact_boundary_pair_survives_float_ceil(self, spark):
         """ADVICE r6: float products overshoot integer thresholds —
         0.28*25 = 7.000000000000001, so plain ceil gives 8 where the exact
