@@ -82,7 +82,12 @@ def exact_ratio_round6(num, den):
     a = F.abs(num) * F.lit(2_000_000) + den
     b = den * F.lit(2)
     trunc_div = (a - a % b).cast("double") / b.cast("double")  # exact multiple
-    return (sgn.cast("double") * trunc_div) / F.lit(1_000_000.0)
+    # den = 0 (empty child tables, zero-total groups) must yield NULL like
+    # the oracle twin (DuckDB `x % 0` is NULL), not an ANSI
+    # REMAINDER_BY_ZERO error — pinned by the empty-input sweep test
+    return F.when(
+        den == 0, F.lit(None).cast("double")
+    ).otherwise((sgn.cast("double") * trunc_div) / F.lit(1_000_000.0))
 
 
 def exact_ratio_round6_wide(num, den):
@@ -107,7 +112,10 @@ def exact_ratio_round6_wide(num, den):
     # ~10^16 numerator rounds past 2^53), and the final double cast of the
     # ≤2^53 quotient is exact.
     trunc = ((q - q % b) / b).cast("double")
-    return sgn * trunc / F.lit(1_000_000.0)
+    # den = 0 → NULL, matching DuckDB's `x % 0` (see exact_ratio_round6)
+    return F.when(den == 0, F.lit(None).cast("double")).otherwise(
+        sgn * trunc / F.lit(1_000_000.0)
+    )
 
 
 def fixed_ln_sql(a: str, b: str, scale: int = 1_000_000,

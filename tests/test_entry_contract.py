@@ -32,6 +32,35 @@ def test_query_runs(spark, sf_dir, name):
     assert df.count() >= 0
 
 
+def test_all_queries_survive_empty_inputs(spark, tmp_path_factory):
+    """Robustness gate (round 7): every registered query must run — not
+    crash — on ZERO-row inputs with the production schemas.  A 100 TB
+    pipeline sees empty partitions/days constantly; the sweep caught a real
+    ANSI REMAINDER_BY_ZERO in exact_ratio_round6 when a child table is
+    empty (den=0 now yields NULL, matching DuckDB's `x % 0`)."""
+    import duckdb
+
+    d = str(tmp_path_factory.mktemp("sf_empty"))
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.sql(
+            f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet' "
+            f"LIMIT 0) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+
+    failures = {}
+    for name, fn in QUERIES.items():
+        try:
+            fn(spark, d).limit(1).collect()
+        except Exception as ex:  # noqa: BLE001 — collecting all offenders
+            failures[name] = f"{type(ex).__name__}: {str(ex)[:120]}"
+    assert failures == {}
+
+
 def test_no_collect_in_operator_paths():
     """Scale guard: operator/query modules must not materialize to the driver."""
     import pathlib
