@@ -323,7 +323,7 @@ WITH e AS (
   SELECT event_id AS eid, user_id AS uid,
     event_id // 500 + 2 AS seq, event_id % 3 AS ct,
     CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END AS b
-  FROM events WHERE event_id % 4 = 0
+  FROM events WHERE user_id IS NOT NULL AND event_id % 4 = 0
 )
 SELECT
   'A' || CAST(uid AS VARCHAR) AS account_id,
@@ -355,7 +355,7 @@ WITH e AS (
     event_id // 500 + 2 AS seq, event_id % 3 AS ct,
     CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END AS b,
     (event_id % 5 = 0) AS pool
-  FROM events WHERE event_id % 4 = 1
+  FROM events WHERE user_id IS NOT NULL AND event_id % 4 = 1
 )
 SELECT
   'TA' || CAST(uid AS VARCHAR) AS account_id,
@@ -386,7 +386,7 @@ WITH e AS (
   SELECT event_id AS eid, user_id AS uid,
     event_id // 500 + 2 AS seq, event_id % 3 AS ct,
     CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END AS b
-  FROM events WHERE event_id % 4 = 2
+  FROM events WHERE user_id IS NOT NULL AND event_id % 4 = 2
 )
 SELECT
   'SEL' || CAST(uid AS VARCHAR) AS seller_id,
@@ -414,7 +414,7 @@ WITH e AS (
   SELECT event_id AS eid, user_id AS uid,
     event_id // 500 + 2 AS seq, event_id % 3 AS ct,
     CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END AS b
-  FROM events WHERE event_id % 4 = 3
+  FROM events WHERE user_id IS NOT NULL AND event_id % 4 = 3
 )
 SELECT
   'LP' || CAST(uid % 20 AS VARCHAR) AS liquidity_pool_id,
@@ -440,7 +440,7 @@ FROM e
 WITH e AS (
   SELECT event_id AS eid, user_id AS uid,
     event_id // 500 + 2 AS seq, event_id % 3 AS ct
-  FROM events WHERE event_id % 4 = 0
+  FROM events WHERE user_id IS NOT NULL AND event_id % 4 = 0
 ),
 s AS (
   -- SignerSummary(): the master key is a signer row at thresholds[0]
@@ -576,7 +576,7 @@ WITH e AS (
   SELECT event_id AS eid, user_id AS uid,
     event_id // 500 + 2 AS seq, event_id % 3 AS ct,
     CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END AS b
-  FROM events WHERE event_id % 5 = 0
+  FROM events WHERE user_id IS NOT NULL AND event_id % 5 = 0
 )
 SELECT
   md5('CB' || CAST(eid AS VARCHAR)) AS balance_id,
@@ -613,7 +613,7 @@ WITH e AS (
   SELECT event_id AS eid, user_id AS uid,
     event_id // 500 + 2 AS seq, event_id % 3 AS ct, event_id % 4 AS sub,
     CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END AS b
-  FROM events WHERE event_id % 5 = 1 AND event_id % 4 <> 3
+  FROM events WHERE user_id IS NOT NULL AND event_id % 5 = 1 AND event_id % 4 <> 3
 ), v AS (
   SELECT *,
     (uid % 5 = 0) AS is_native,
@@ -658,7 +658,7 @@ WITH e AS (
     event_id // 500 + 2 AS seq, event_id % 3 AS ct,
     CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END AS b,
     (event_id % 2 = 1) AS v1
-  FROM events WHERE event_id % 5 = 2
+  FROM events WHERE user_id IS NOT NULL AND event_id % 5 = 2
 )
 SELECT
   md5('CH' || CAST(uid % 40 AS VARCHAR)) AS contract_code_hash,
@@ -690,7 +690,7 @@ WITH e AS (
   SELECT event_id AS eid, user_id AS uid,
     event_id // 500 + 2 AS seq, event_id % 3 AS ct, event_id % 3 AS arm,
     CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END AS b
-  FROM events WHERE event_id % 5 = 3
+  FROM events WHERE user_id IS NOT NULL AND event_id % 5 = 3
 )
 SELECT
   CAST(CASE arm WHEN 0 THEN 0 WHEN 1 THEN 6 ELSE 11 END AS BIGINT)
@@ -720,7 +720,7 @@ WITH e AS (
   SELECT event_id AS eid, user_id AS uid,
     event_id // 500 + 2 AS seq, event_id % 3 AS ct,
     CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END AS b
-  FROM events WHERE event_id % 5 = 4
+  FROM events WHERE user_id IS NOT NULL AND event_id % 5 = 4
 )
 SELECT
   md5('TTL' || CAST(eid AS VARCHAR)) AS key_hash,
@@ -738,7 +738,7 @@ FROM e
 WITH e AS (
   SELECT event_id AS eid, user_id AS uid,
     event_id // 500 + 2 AS seq, event_id % 1024 AS txi
-  FROM events WHERE event_id % 3 = 1
+  FROM events WHERE user_id IS NOT NULL AND event_id % 3 = 1
 )
 SELECT
   (seq << 32) | (txi << 12) AS transaction_id,
@@ -814,7 +814,7 @@ WITH e AS (
   SELECT event_id AS eid, user_id AS uid,
     event_id // 500 + 2 AS seq,
     CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END AS b
-  FROM events WHERE event_id % 4 = 2
+  FROM events WHERE user_id IS NOT NULL AND event_id % 4 = 2
 ), o AS (
   SELECT seq AS ledger_sequence,
     'SEL' || CAST(uid AS VARCHAR) AS seller_id,

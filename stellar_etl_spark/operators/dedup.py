@@ -222,6 +222,10 @@ def near_dup_pairs(
     # codegen, one digest pass)
     with_sh = (
         df.select(F.col(id_col), shingles(F.col(text_col), n).alias("shingle_set"))
+        # empty/NULL shingle sets (docs under n words, NULL text) carry no
+        # signal and would all collide on the all-NULL signature band —
+        # then 0/0 in the verify.  The oracle filters them too.
+        .where(F.size("shingle_set") > 0)
         .withColumn(
             "_base_hashes",
             F.transform(
@@ -287,7 +291,9 @@ def simhash(
     """
     from stellar_etl_spark.operators.util import fan_out_small
 
-    base = fan_out_small(df).select(
+    # NULL text has no fingerprint — the row drops (matching the oracle,
+    # where unnest(split(NULL)) yields no rows for the doc)
+    base = fan_out_small(df.where(F.col(text_col).isNotNull())).select(
         F.col(id_col),
         F.transform(
             tokenize_words(F.col(text_col)), lambda w: _hex15_to_long(F.md5(w))
@@ -1037,6 +1043,9 @@ def minhash_calibration(
     base = fan_out_small(df)
     with_sh = (
         base.select(F.col(id_col), shingles(F.col(text_col), n).alias("shingle_set"))
+        # empty/NULL shingle sets carry no signal and would 0/0 in the
+        # exact-Jaccard column; the oracle's sig CTE filters them too
+        .where(F.size("shingle_set") > 0)
         .withColumn(
             "_base_hashes",
             F.transform(

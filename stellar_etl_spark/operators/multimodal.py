@@ -33,7 +33,10 @@ def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """documents → media table: payload = utf-8 bytes of the text (the
     deterministic stand-in for an image/audio blob), typed metadata struct."""
     payload = F.encode(F.col(text_col), "UTF-8")
-    return docs.select(
+    # a NULL source column means a missing/corrupt asset — a media pipeline
+    # skips it (the numpy kernels downstream require bytes, not None); the
+    # oracle twins filter the same rows
+    return docs.where(F.col(text_col).isNotNull()).select(
         F.col("doc_id"),
         F.lit("application/octet-stream").alias("media_type"),
         payload.alias("payload"),
@@ -318,8 +321,13 @@ def frame_sample(
     JVM-side, no UDF, partition-parallel at any corpus size.
     """
     n_frames = F.ceil(F.octet_length("payload") / F.lit(frame_bytes)).cast("int")
+    # guard n_frames = 0: sequence(0, -1) DESCENDS ([0, -1]) and would emit
+    # a phantom frame for an empty payload — 0 bytes is 0 frames
+    idx = F.when(
+        n_frames > 0, F.sequence(F.lit(0), n_frames - 1)
+    ).otherwise(F.array().cast("array<int>"))
     frames = F.transform(
-        F.sequence(F.lit(0), n_frames - 1),
+        idx,
         lambda i: F.md5(
             F.substring(F.col("payload"), i * frame_bytes + 1, F.lit(frame_bytes))
         ),

@@ -139,7 +139,7 @@ WITH ch AS (
          WHEN event_type = 'error' THEN 2
          ELSE 1 END AS change_type,
     event_id, event_type, value
-  FROM events
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
 ), agg AS (
   SELECT batch_id, ledger_key,
     max_by(event_id, event_id) AS last_event_id,
@@ -503,14 +503,19 @@ SELECT decile, COUNT(*) AS n_orders,
 FROM ranked GROUP BY decile
 """,
     "media_resize_signature": """
+-- resized_md5 samples CHARs, equal to byte sampling on ASCII corpora (the
+-- synthetic documents.text is); n_bytes is byte-exact for any text.  An
+-- empty payload has no samples: resized_len 0, NULL md5 (kernel parity).
 SELECT doc_id,
-  CAST(length(text) AS BIGINT) AS n_bytes,
-  CAST(32 AS BIGINT) AS resized_len,
-  md5(list_reduce(
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(CASE WHEN length(text) = 0 THEN 0 ELSE 32 END AS BIGINT)
+    AS resized_len,
+  CASE WHEN length(text) = 0 THEN NULL ELSE md5(list_reduce(
     [substr(text, 1 + CAST((i * length(text)) // 32 AS INTEGER), 1)
      FOR i IN generate_series(0, 31)],
-    (a, b) -> a || b)) AS resized_md5
-FROM documents
+    (a, b) -> a || b)) END AS resized_md5
+FROM documents WHERE text IS NOT NULL
+  AND octet_length(encode(text)) = length(text)
 """,
     "sliding_windows_15min": """
 WITH e AS (
@@ -540,7 +545,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 WITH h AS (
   SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
     CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 3) AS DOUBLE) AS v
-  FROM events GROUP BY event_type, hr
+  FROM events WHERE value IS NOT NULL GROUP BY event_type, hr
 ),
 b AS (SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi FROM h GROUP BY event_type),
 grid AS (
@@ -1029,21 +1034,30 @@ GROUP BY n_name
     # ASCII corpus (verified in tests): byte ops over encode(text) equal the
     # char-level recipe below bit-for-bit.
     "media_byte_features": """
+-- BYTE-level twin via hex(encode(text)): exact for any unicode text (the
+-- former ascii(char) form equals bytes only on ASCII corpora)
+WITH b AS (
+  SELECT doc_id, text, encode(text) AS p FROM documents
+  WHERE text IS NOT NULL
+)
 SELECT doc_id,
-  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-  CAST(ascii(text) AS BIGINT) AS first_byte,
+  CAST(octet_length(p) AS BIGINT) AS n_bytes,
+  CAST(CASE WHEN octet_length(p) = 0 THEN NULL
+       ELSE ('0x' || substr(hex(p), 1, 2))::INT END AS BIGINT) AS first_byte,
   CAST(list_reduce(
-    list_append(list_transform(split(text, ''), c -> ascii(c)), 0),
+    list_append(list_transform(range(octet_length(p)),
+      i -> ('0x' || substr(hex(p), CAST(2*i+1 AS BIGINT), 2))::BIGINT), 0),
     (acc, x) -> acc + x) % 2147483647 AS BIGINT) AS byte_sum,
   md5(text) AS checksum_md5
-FROM documents
+FROM b
 """,
     "media_frame_sample": """
 SELECT doc_id, CAST(i AS INT) AS frame_idx,
   md5(substring(text, CAST(i AS BIGINT) * 64 + 1, 64)) AS frame_md5
 FROM documents,
   LATERAL (SELECT unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS i) f
-WHERE i % 2 = 0
+WHERE i % 2 = 0 AND text IS NOT NULL
+  AND octet_length(encode(text)) = length(text)
 """,
     "bpe_token_stats": r"""
 WITH toks AS (
@@ -1059,10 +1073,10 @@ FROM toks
     "rolling_fingerprint": """
 SELECT doc_id,
   CAST(length(text) AS INT) AS n_chars,
-  CAST(list_reduce(
+  CAST(CASE WHEN text IS NULL THEN NULL ELSE list_reduce(
     list_append(list_transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)), 0),
     (acc, x) -> CASE WHEN x = 0 THEN acc ELSE (acc * 31 + x) % 2147483647 END
-  ) AS BIGINT) AS rolling_hash
+  ) END AS BIGINT) AS rolling_hash
 FROM documents
 """,
     "embedding_near_dup": """
@@ -1605,7 +1619,7 @@ FROM s
     "sequence_packing": """
 WITH RECURSIVE d AS (
   SELECT source, doc_id,
-    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS n_tokens,
     ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
   FROM documents
 ),
@@ -1815,7 +1829,8 @@ FROM events GROUP BY event_type
 WITH base_r AS (
   SELECT user_id, event_id, event_type, value,
     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-  FROM events WHERE event_id < 500
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND event_id < 500
 ),
 base AS (
   SELECT CAST(user_id AS VARCHAR) AS ledger_key, event_id, event_type, value
@@ -1826,7 +1841,8 @@ dch AS (
     CASE WHEN event_type = 'signup' THEN 0
          WHEN event_type = 'error' THEN 2 ELSE 1 END AS ct,
     event_id, event_type, value
-  FROM events WHERE event_id >= 500
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND event_id >= 500
 ),
 dagg AS (
   SELECT ledger_key,
@@ -1862,6 +1878,7 @@ WITH d AS (
   SELECT doc_id, text,
     ((length(text) - length(text) % 2) // 2) AS n_samp
   FROM documents WHERE length(text) >= 2
+    AND octet_length(encode(text)) = length(text)
 ),
 sm AS (
   SELECT doc_id, k,
@@ -2902,7 +2919,7 @@ ORACLES["shard_manifest"] = """
 WITH packed AS (
 WITH RECURSIVE d AS (
   SELECT source, doc_id,
-    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS n_tokens,
     ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
   FROM documents
 ),
@@ -3060,11 +3077,12 @@ JOIN sizes z2 ON z2.source = e.s2
 """
 
 ORACLES["peak_concurrency"] = """
-WITH pts AS (
-  SELECT epoch_us(ts) AS t, 1 AS delta FROM events
+WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL),
+pts AS (
+  SELECT epoch_us(ts) AS t, 1 AS delta FROM ev
   UNION ALL
   SELECT epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS t, -1 AS delta
-  FROM events
+  FROM ev
 ),
 d AS (SELECT t, delta, t // 86400000000 AS day FROM pts),
 run AS (
@@ -3269,7 +3287,7 @@ GROUP BY a.user_id, a.session_idx, a.session_start_us, a.session_end_us, a.n_eve
 ORACLES["quantile_normalized_tokens"] = """
 WITH d AS (
   SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 s AS (
   SELECT *,
@@ -3295,7 +3313,7 @@ ORACLES["mad_value_outliers"] = """
 WITH v AS (
   SELECT event_type,
     CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100, 0) AS BIGINT) AS c
-  FROM events
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
 ),
 m AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -3326,7 +3344,8 @@ GROUP BY m.event_type, m.n_rows, m.median_cents, md.mad4, md.max_abs_dev2
 ORACLES["lang_source_independence"] = f"""
 WITH cells AS (
   SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
-  FROM documents GROUP BY lang, source
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY lang, source
 ),
 r AS (SELECT lang, SUM(o) AS r_tot FROM cells GROUP BY lang),
 c AS (SELECT source, SUM(o) AS c_tot FROM cells GROUP BY source),
@@ -3349,7 +3368,8 @@ SELECT
   CAST(SUM(chi) AS BIGINT) AS chi2_scaled,
   CAST(SUM(mi) AS BIGINT) AS mi_scaled,
   (SELECT CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1)
-               AS BIGINT) FROM documents) AS dof
+               AS BIGINT) FROM documents
+   WHERE lang IS NOT NULL AND source IS NOT NULL) AS dof
 FROM per
 """
 
@@ -3569,7 +3589,7 @@ ORACLES["winsorized_value_stats"] = """
 WITH v AS (
   SELECT event_type,
     CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100, 0) AS BIGINT) AS c
-  FROM events
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
 ),
 freq AS (
   SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS f
@@ -4229,6 +4249,7 @@ FROM sl
 ORACLES["boolean_retrieval"] = """
 WITH d AS (
   SELECT source, string_split(text, ' ') AS toks FROM documents
+  WHERE text IS NOT NULL
 ),
 m AS (
   SELECT source,
@@ -4381,7 +4402,8 @@ WITH daily AS (
   SELECT event_type, epoch_us(ts) // 86400000000 AS day,
     CAST(SUM(CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100, 0) AS BIGINT))
          AS BIGINT) AS y
-  FROM events GROUP BY event_type, day
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY event_type, day
 ),
 pairs AS (
   SELECT a.event_type AS grp,
@@ -4514,7 +4536,7 @@ WITH per_user AS (
   SELECT user_id,
     MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS exposed,
     MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
-  FROM events GROUP BY user_id
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 ),
 cells AS (
   SELECT exposed, CAST(COUNT(*) AS BIGINT) AS n_users,
@@ -4719,7 +4741,7 @@ ORACLES["value_percentile_grid"] = """
 WITH v AS (
   SELECT event_type,
     CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100, 0) AS BIGINT) AS c
-  FROM events
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
 ),
 freq AS (
   SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS f
@@ -4874,6 +4896,7 @@ FROM f
 ORACLES["event_markov_stationary"] = """
 WITH RECURSIVE e AS (
   SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type IS NOT NULL
 ),
 tr AS (
   SELECT lag(event_type) OVER w AS a, event_type AS b

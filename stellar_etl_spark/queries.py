@@ -248,7 +248,13 @@ def snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from stellar_etl_spark.operators.merge import upsert_snapshot
 
-    ev = table(spark, sf_dir, "events")
+    # the synthetic change mapping needs a key and a type: NULL user_id /
+    # event_type rows are out of the change-stream contract (oracle
+    # filters identically; DuckDB's max_by also SKIPS null values, so a
+    # NULL event_type would diverge engines on "last" semantics)
+    ev = table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
     key = F.col("user_id").cast("string").alias("ledger_key")
 
     w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
@@ -295,7 +301,10 @@ def waveform_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         waveform_window_stats,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    # the byte-level oracle twin reads CHARs (ord/substr), valid only on
+    # pure-ASCII text — make that contract explicit: octet_length == char
+    # length holds iff ASCII (no-op on the synthetic corpus)
+    docs = table(spark, sf_dir, "documents").where(F.octet_length("text") == F.length("text"))
     return waveform_window_stats(attach_media(docs), window=256)
 
 
@@ -387,7 +396,10 @@ def change_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ChangeCompactor semantics (input/changes.go:104-151) applied to the
     events stream: signup=create, error=remove, else update; 250-event
     batches; last state per (batch, user) with create/remove annihilation."""
-    ev = table(spark, sf_dir, "events")
+    # keyed, typed events only (see snapshot_upsert; oracle matches)
+    ev = table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
     changes = ev.select(
         F.expr("event_id div 250").alias("batch_id"),
         F.col("user_id").cast("string").alias("ledger_key"),
@@ -966,7 +978,10 @@ def media_resize_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes (the image-resize slot, byte-level stand-in) + md5 of the result."""
     from stellar_etl_spark.operators.multimodal import attach_media, resize_signal
 
-    media = attach_media(table(spark, sf_dir, "documents"))
+    # ASCII contract (see waveform_windows): the oracle samples CHARs
+    media = attach_media(
+        table(spark, sf_dir, "documents").where(F.octet_length("text") == F.length("text"))
+    )
     return resize_signal(media, target_len=32)
 
 
@@ -974,7 +989,10 @@ def media_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary frame sampling 1→N fan-out: every 2nd 64-byte frame per doc."""
     from stellar_etl_spark.operators.multimodal import attach_media, frame_sample
 
-    media = attach_media(table(spark, sf_dir, "documents"))
+    # ASCII contract (see waveform_windows): the oracle slices CHARs
+    media = attach_media(
+        table(spark, sf_dir, "documents").where(F.octet_length("text") == F.length("text"))
+    )
     return frame_sample(media, frame_bytes=64, every_nth=2)
 
 
@@ -1387,7 +1405,9 @@ def hourly_value_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TimescaleDB time_bucket_gapfill + locf semantics)."""
     from stellar_etl_spark.operators.timeseries import gapfill_locf
 
-    ev = table(spark, sf_dir, "events")
+    # grid membership comes from VALUED events: a NULL-value row neither
+    # sums nor "un-gaps" an hour (oracle filters identically)
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     hourly = (
         ev.select(
             "event_type",
@@ -1977,7 +1997,11 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = docs.select(
         "source",
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        # NULL text packs as a 0-token doc (joins the current bin) — both
+        # engines coalesce identically; the fold kernel needs non-null sizes
+        F.coalesce(
+            F.size(F.split(F.col("text"), " ")), F.lit(0)
+        ).alias("n_tokens"),
     )
     return pack_next_fit(
         sized, group_col="source", order_col="doc_id", size_col="n_tokens",
@@ -2961,7 +2985,8 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived as floor(value * 1e6) microseconds: floor of an identical
     IEEE multiply is bit-deterministic across engines (no rounding-
     boundary trap)."""
-    ev = table(spark, sf_dir, "events")
+    # an event without a duration is not an interval (oracle filters too)
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     t_us = F.expr("ts div 1000")
     dur_us = F.floor(F.col("value") * F.lit(1000000.0)).cast("long")
     starts = ev.select(t_us.alias("t"), F.lit(1).alias("delta"))
@@ -3262,8 +3287,12 @@ def quantile_normalized_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from stellar_etl_spark.operators.ranking import distributed_row_number
 
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())  # oracle filters identically
+        .select(
+            "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+        )
     )
     ws = W.partitionBy("source").orderBy("n_tokens", "doc_id")
     ranked = docs.withColumn("src_rank", F.row_number().over(ws)).withColumn(
@@ -3308,7 +3337,9 @@ def mad_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles are exact halvings."""
     from stellar_etl_spark.operators.robust import mad_outlier_stats
 
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
     cents = F.round(F.col("value").cast("decimal(18,6)") * 100, 0).cast("long")
     return mad_outlier_stats(ev, "event_type", cents)
 
@@ -3327,7 +3358,10 @@ def lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (a long overflows at the 2e6 scale), and the MI cell uses the
     repo's integer-scaled-log convention — so the cross-cell sums are
     order-independent on both engines."""
-    docs = table(spark, sf_dir, "documents")
+    # NULL lang/source is not a category (oracle filters identically)
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
     # the contingency table is tiny (|langs|·|sources| cells) and feeds four
     # consumers — the lazy checkpoint keeps the corpus scan single-pass
     cells = docs.groupBy("lang", "source").agg(
@@ -3698,7 +3732,9 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled state — operators/robust.winsorized_stats)."""
     from stellar_etl_spark.operators.robust import winsorized_stats
 
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
     cents = F.round(F.col("value").cast("decimal(18,6)") * 100, 0).cast("long")
     return winsorized_stats(ev, "event_type", cents)
 
@@ -3997,11 +4033,15 @@ def daily_value_median_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     history length without per-group sorted buffers."""
     from stellar_etl_spark.operators.robust import _median2_from_freq
 
+    # NULL event_type is its own group in the oracle's GROUP BY; the packed
+    # key preserves it via a NUL-byte sentinel (concat_ws would silently
+    # DROP the null part, leaving a 1-element split → ANSI array-index error)
+    _null_t = "\x00"
     ev = table(spark, sf_dir, "events").select(
         F.concat_ws(
             "|",
             F.expr("ts div 86400000000000"),
-            F.col("event_type"),
+            F.coalesce(F.col("event_type"), F.lit(_null_t)),
         ).alias("grp"),
         F.round(F.col("value").cast("decimal(18,6)") * 100, 0)
         .cast("long")
@@ -4010,9 +4050,12 @@ def daily_value_median_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = ev.groupBy("grp", "_c").agg(F.count(F.lit(1)).alias("_f"))
     med = _median2_from_freq(freq, "grp", "_c", "_f")
     parts = F.split(F.col("grp"), "\\|")
+    t = parts.getItem(1)
     return med.select(
         parts.getItem(0).cast("long").alias("day"),
-        parts.getItem(1).alias("event_type"),
+        F.when(t == _null_t, F.lit(None).cast("string"))
+        .otherwise(t)
+        .alias("event_type"),
         F.col("_n").cast("long").alias("n_events"),
         (F.col("_median2").cast("double") / 2.0).alias("median_cents"),
     )
@@ -4255,16 +4298,24 @@ def stage_transition_times(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("ts_us") - F.lag("ts_us").over(w)))
         .alias("_gap_us"),
     ).where(F.col("from_type").isNotNull())
+    # NULL to_type stays a group (oracle GROUP BY semantics) — sentinel as
+    # in daily_value_median_trend; concat_ws would drop the null part
+    _null_t = "\x00"
     grp = tr.select(
-        F.concat_ws(">", "from_type", "to_type").alias("grp"),
+        F.concat_ws(
+            ">", "from_type", F.coalesce(F.col("to_type"), F.lit(_null_t))
+        ).alias("grp"),
         F.expr("_gap_us div 1000000").alias("_c"),
     )
     freq = grp.groupBy("grp", "_c").agg(F.count(F.lit(1)).alias("_f"))
     med = _median2_from_freq(freq, "grp", "_c", "_f")
     parts = F.split(F.col("grp"), ">")
+    t = parts.getItem(1)
     return med.select(
         parts.getItem(0).alias("from_type"),
-        parts.getItem(1).alias("to_type"),
+        F.when(t == _null_t, F.lit(None).cast("string"))
+        .otherwise(t)
+        .alias("to_type"),
         F.col("_n").cast("long").alias("n_transitions"),
         (F.col("_median2").cast("double") / 2.0).alias("median_gap_s"),
     )
@@ -4718,7 +4769,9 @@ def boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded."""
     from stellar_etl_spark.operators.util import exact_ratio_round6
 
-    docs = table(spark, sf_dir, "documents")
+    # a NULL-text doc matches no clause and must not poison the counts
+    # with NULL flags (oracle filters identically)
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = F.split(F.col("text"), " ")
     has = lambda w: F.array_contains(toks, w)  # noqa: E731
     clause_and = has("hash") & has("join")
@@ -4968,12 +5021,17 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery."""
     from stellar_etl_spark.operators.robust import _median2_from_freq
 
-    ev = table(spark, sf_dir, "events").select(
-        "event_type",
-        F.expr("ts div 86400000000000").alias("day"),
-        F.round(F.col("value").cast("decimal(18,6)") * 100, 0)
-        .cast("long")
-        .alias("cents"),
+    ev = (
+        table(spark, sf_dir, "events")
+        # typed, valued events only (oracle filters identically)
+        .where(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("ts div 86400000000000").alias("day"),
+            F.round(F.col("value").cast("decimal(18,6)") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
     )
     daily = ev.groupBy("event_type", "day").agg(
         F.sum("cents").cast("long").alias("y")
@@ -5164,7 +5222,9 @@ def error_exposure_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     risk ratio is one rational of four integers."""
     from stellar_etl_spark.operators.util import exact_ratio_round6, exact_ratio_round6_wide
 
-    ev = table(spark, sf_dir, "events")
+    # exposure is per USER: anonymous (NULL user_id) events have no user
+    # to attribute to (oracle filters identically)
+    ev = table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     per_user = ev.groupBy("user_id").agg(
         F.max((F.col("event_type") == "error").cast("int")).alias("exposed"),
         F.max((F.col("event_type") == "purchase").cast("int")).alias("converted"),
@@ -5401,11 +5461,16 @@ def value_percentile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceil(n·p/100)), all integer positions."""
     from pyspark.sql.window import Window as W
 
-    ev = table(spark, sf_dir, "events").select(
-        "event_type",
-        F.round(F.col("value").cast("decimal(18,6)") * 100, 0)
-        .cast("long")
-        .alias("_c"),
+    ev = (
+        table(spark, sf_dir, "events")
+        # typed, valued events only (oracle filters identically)
+        .where(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value").cast("decimal(18,6)") * 100, 0)
+            .cast("long")
+            .alias("_c"),
+        )
     )
     freq = ev.groupBy("event_type", "_c").agg(F.count(F.lit(1)).alias("_f"))
     w = W.partitionBy("event_type").orderBy("_c")
@@ -5628,11 +5693,18 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled oracle."""
     from pyspark.sql.window import Window as W
 
-    ev = table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        "event_id",
-        F.expr("ts div 1000").alias("ts_us"),
+    # NULL event_type is not a state: a lag() across it would also fuse its
+    # neighbors into a phantom transition, so drop those rows up front
+    # (oracle filters identically)
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.expr("ts div 1000").alias("ts_us"),
+        )
     )
     w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
     tr = ev.select(

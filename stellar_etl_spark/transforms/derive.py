@@ -597,8 +597,11 @@ _CHANGE_ENTRY_T = (
 
 
 def derived_changes(events: DataFrame) -> DataFrame:
-    """See _derived_changes_cols."""
-    return events.select(*_derived_changes_cols())
+    """See _derived_changes_cols.  A change row needs a KEY — events with
+    NULL user_id cannot synthesize one (oracle twins filter identically)."""
+    return events.where(F.col("user_id").isNotNull()).select(
+        *_derived_changes_cols()
+    )
 
 
 @_cached_cols
@@ -795,8 +798,11 @@ _SAC_NATIVE_ID, _SAC_ALPHANUM_IDS = _hashlib_sac_ids()
 
 
 def derived_soroban_changes(events: DataFrame) -> DataFrame:
-    """See _soroban_changes_cols."""
-    return events.select(*_soroban_changes_cols())
+    """See _soroban_changes_cols.  Keyed-events contract: NULL user_id rows
+    cannot synthesize an owner (oracle twins filter identically)."""
+    return events.where(F.col("user_id").isNotNull()).select(
+        *_soroban_changes_cols()
+    )
 
 
 @_cached_cols
@@ -1003,8 +1009,11 @@ def _soroban_changes_cols() -> tuple:
 
 
 def derived_contract_events(events: DataFrame) -> DataFrame:
-    """See _contract_events_cols."""
-    return events.select(*_contract_events_cols())
+    """See _contract_events_cols.  Keyed-events contract: NULL user_id rows
+    cannot synthesize an emitter (oracle twins filter identically)."""
+    return events.where(F.col("user_id").isNotNull()).select(
+        *_contract_events_cols()
+    )
 
 
 @_cached_cols

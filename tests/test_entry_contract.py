@@ -61,6 +61,28 @@ def test_all_queries_survive_empty_inputs(spark, tmp_path_factory):
     assert failures == {}
 
 
+def test_all_queries_survive_hostile_inputs(spark, tmp_path_factory):
+    """Robustness gate (round 7): every registered query must run on the
+    HOSTILE corpus — NULL/empty/whitespace/unicode text, NULL event
+    attributes (tools/make_hostile.py).  The sweep originally caught 13
+    hard crashes (ANSI divide-by-zero on empty shingle sets, array-index
+    on NULL-fused group keys, None payloads in Python kernels, a
+    descending sequence() phantom frame).  Cross-engine agreement on this
+    corpus is additionally provable with
+    `python tools/check_correctness.py /tmp/sf_hostile` (240/240, r7);
+    this test pins the no-crash half in the suite."""
+    from tools.make_hostile import build
+
+    d = build("/root/testdata/sf0.001", str(tmp_path_factory.mktemp("hostile")))
+    failures = {}
+    for name, fn in QUERIES.items():
+        try:
+            fn(spark, d).collect()
+        except Exception as ex:  # noqa: BLE001 — collecting all offenders
+            failures[name] = f"{type(ex).__name__}: {str(ex)[:120]}"
+    assert failures == {}
+
+
 def test_no_collect_in_operator_paths():
     """Scale guard: operator/query modules must not materialize to the driver."""
     import pathlib
