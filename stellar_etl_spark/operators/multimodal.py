@@ -319,6 +319,13 @@ def frame_sample(
 
     Pure column expressions: ``sequence`` + ``transform`` + ``posexplode`` —
     JVM-side, no UDF, partition-parallel at any corpus size.
+
+    The fingerprint is md5 over the UPPERCASE-HEX rendering of the frame
+    bytes, not the raw bytes: hex is a lossless, deterministic encoding,
+    and it keeps the fingerprint expressible in engines whose md5 only
+    accepts strings (DuckDB's md5 is VARCHAR-only — raw byte slices of
+    unicode payloads are not valid VARCHARs there).  Byte-correct for ANY
+    payload; no ASCII restriction.
     """
     n_frames = F.ceil(F.octet_length("payload") / F.lit(frame_bytes)).cast("int")
     # guard n_frames = 0: sequence(0, -1) DESCENDS ([0, -1]) and would emit
@@ -329,7 +336,11 @@ def frame_sample(
     frames = F.transform(
         idx,
         lambda i: F.md5(
-            F.substring(F.col("payload"), i * frame_bytes + 1, F.lit(frame_bytes))
+            F.hex(
+                F.substring(
+                    F.col("payload"), i * frame_bytes + 1, F.lit(frame_bytes)
+                )
+            )
         ),
     )
     return (
@@ -347,6 +358,10 @@ def resize_signal(
     Index map is the classic ``src = floor(i * n / target)``; output keeps
     the resampled md5 so downstream dedup can run on resized content.
     Narrow (no shuffle), Arrow-batched.
+
+    Like :func:`frame_sample`, the fingerprint is md5 over the
+    uppercase-hex rendering of the resized bytes (lossless; portable to
+    VARCHAR-only md5 engines).  Byte-correct for any payload.
     """
     import hashlib
 
@@ -366,9 +381,10 @@ def resize_signal(
                     rows.append((doc_id, 0, 0, None))
                     continue
                 res = a[idx_base * n // target_len]
-                rows.append(
-                    (doc_id, n, target_len, hashlib.md5(res.tobytes()).hexdigest())
-                )
+                digest = hashlib.md5(
+                    res.tobytes().hex().upper().encode("ascii")
+                ).hexdigest()
+                rows.append((doc_id, n, target_len, digest))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "n_bytes", "resized_len", "resized_md5"]
             )

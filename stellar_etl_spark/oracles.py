@@ -503,19 +503,23 @@ SELECT decile, COUNT(*) AS n_orders,
 FROM ranked GROUP BY decile
 """,
     "media_resize_signature": """
--- resized_md5 samples CHARs, equal to byte sampling on ASCII corpora (the
--- synthetic documents.text is); n_bytes is byte-exact for any text.  An
--- empty payload has no samples: resized_len 0, NULL md5 (kernel parity).
+-- BYTE-level twin via hex(encode(text)): the Spark kernel gathers BYTES
+-- src = (i*n)//32 and fingerprints md5(hex(bytes)) — rebuild the same
+-- uppercase-hex string from 2-char hex slices.  Exact for any unicode
+-- text.  An empty payload has no samples: resized_len 0, NULL md5.
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents WHERE text IS NOT NULL
+)
 SELECT doc_id,
-  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-  CAST(CASE WHEN length(text) = 0 THEN 0 ELSE 32 END AS BIGINT)
-    AS resized_len,
-  CASE WHEN length(text) = 0 THEN NULL ELSE md5(list_reduce(
-    [substr(text, 1 + CAST((i * length(text)) // 32 AS INTEGER), 1)
+  n AS n_bytes,
+  CAST(CASE WHEN n = 0 THEN 0 ELSE 32 END AS BIGINT) AS resized_len,
+  CASE WHEN n = 0 THEN NULL ELSE md5(list_reduce(
+    [substr(h, 1 + 2 * CAST((i * n) // 32 AS BIGINT), 2)
      FOR i IN generate_series(0, 31)],
-    (a, b) -> a || b)) END AS resized_md5
-FROM documents WHERE text IS NOT NULL
-  AND octet_length(encode(text)) = length(text)
+    (a, x) -> a || x)) END AS resized_md5
+FROM b
 """,
     "sliding_windows_15min": """
 WITH e AS (
@@ -1052,12 +1056,19 @@ SELECT doc_id,
 FROM b
 """,
     "media_frame_sample": """
+-- BYTE-level twin: each 64-byte frame is 128 hex chars of
+-- hex(encode(text)); the fingerprint is md5 over that uppercase-hex
+-- slice, matching the Spark md5(hex(substring(payload))) exactly for
+-- any unicode text (the final partial frame is just a shorter slice).
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents WHERE text IS NOT NULL
+)
 SELECT doc_id, CAST(i AS INT) AS frame_idx,
-  md5(substring(text, CAST(i AS BIGINT) * 64 + 1, 64)) AS frame_md5
-FROM documents,
-  LATERAL (SELECT unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS i) f
-WHERE i % 2 = 0 AND text IS NOT NULL
-  AND octet_length(encode(text)) = length(text)
+  md5(substr(h, CAST(i AS BIGINT) * 128 + 1, 128)) AS frame_md5
+FROM b,
+  LATERAL (SELECT unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS i) f
+WHERE i % 2 = 0
 """,
     "bpe_token_stats": r"""
 WITH toks AS (
@@ -1871,20 +1882,18 @@ WHERE NOT COALESCE(d.deleted, FALSE)
 -- Little-endian SIGNED int16 reinterpretation, mirroring the Spark
 -- operator exactly: s = u - 65536 when u >= 32768, peak = max(|s|),
 -- zero_crossings = sign flips between consecutive NONZERO samples within
--- a window.  (Char-position == byte-position requires the corpus to be
--- ASCII, which the synthetic documents.text is; the signed decode below
--- no longer depends on that for value semantics.)
+-- a window.  BYTE-level via hex(encode(text)) — sample k is bytes
+-- (2k, 2k+1) of the utf-8 payload, exact for any unicode text.
 WITH d AS (
-  SELECT doc_id, text,
-    ((length(text) - length(text) % 2) // 2) AS n_samp
-  FROM documents WHERE length(text) >= 2
-    AND octet_length(encode(text)) = length(text)
+  SELECT doc_id, hex(encode(text)) AS h,
+    (octet_length(encode(text)) // 2) AS n_samp
+  FROM documents WHERE octet_length(encode(text)) >= 2
 ),
 sm AS (
   SELECT doc_id, k,
-    ord(substr(text, 2 * k + 1, 1)) + 256 * ord(substr(text, 2 * k + 2, 1))
-      AS u
-  FROM (SELECT doc_id, text, unnest(generate_series(0, n_samp - 1)) AS k
+    ('0x' || substr(h, 4 * k + 1, 2))::INT
+      + 256 * ('0x' || substr(h, 4 * k + 3, 2))::INT AS u
+  FROM (SELECT doc_id, h, unnest(generate_series(0, n_samp - 1)) AS k
         FROM d)
 ),
 sg AS (

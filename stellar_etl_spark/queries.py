@@ -301,10 +301,9 @@ def waveform_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         waveform_window_stats,
     )
 
-    # the byte-level oracle twin reads CHARs (ord/substr), valid only on
-    # pure-ASCII text — make that contract explicit: octet_length == char
-    # length holds iff ASCII (no-op on the synthetic corpus)
-    docs = table(spark, sf_dir, "documents").where(F.octet_length("text") == F.length("text"))
+    # byte-correct for any unicode text: the oracle twin reconstructs the
+    # samples from hex(encode(text)) pairs, so no ASCII restriction
+    docs = table(spark, sf_dir, "documents")
     return waveform_window_stats(attach_media(docs), window=256)
 
 
@@ -978,10 +977,10 @@ def media_resize_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes (the image-resize slot, byte-level stand-in) + md5 of the result."""
     from stellar_etl_spark.operators.multimodal import attach_media, resize_signal
 
-    # ASCII contract (see waveform_windows): the oracle samples CHARs
-    media = attach_media(
-        table(spark, sf_dir, "documents").where(F.octet_length("text") == F.length("text"))
-    )
+    # byte-correct for any unicode text: the fingerprint hashes the hex
+    # rendering of the resampled bytes, which the oracle rebuilds from
+    # hex(encode(text)) — no ASCII restriction
+    media = attach_media(table(spark, sf_dir, "documents"))
     return resize_signal(media, target_len=32)
 
 
@@ -989,10 +988,9 @@ def media_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary frame sampling 1→N fan-out: every 2nd 64-byte frame per doc."""
     from stellar_etl_spark.operators.multimodal import attach_media, frame_sample
 
-    # ASCII contract (see waveform_windows): the oracle slices CHARs
-    media = attach_media(
-        table(spark, sf_dir, "documents").where(F.octet_length("text") == F.length("text"))
-    )
+    # byte-correct for any unicode text: frame fingerprints hash the hex
+    # rendering of each byte frame, oracle-expressible via hex(encode(text))
+    media = attach_media(table(spark, sf_dir, "documents"))
     return frame_sample(media, frame_bytes=64, every_nth=2)
 
 
@@ -4033,15 +4031,13 @@ def daily_value_median_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     history length without per-group sorted buffers."""
     from stellar_etl_spark.operators.robust import _median2_from_freq
 
-    # NULL event_type is its own group in the oracle's GROUP BY; the packed
-    # key preserves it via a NUL-byte sentinel (concat_ws would silently
-    # DROP the null part, leaving a 1-element split → ANSI array-index error)
-    _null_t = "\x00"
+    # STRUCT group key: NULL event_type stays its own group (grouping /
+    # struct-join semantics treat null fields as equal) with no sentinel
+    # or delimiter collision classes — any event_type value round-trips
     ev = table(spark, sf_dir, "events").select(
-        F.concat_ws(
-            "|",
-            F.expr("ts div 86400000000000"),
-            F.coalesce(F.col("event_type"), F.lit(_null_t)),
+        F.struct(
+            F.expr("ts div 86400000000000").alias("day"),
+            F.col("event_type"),
         ).alias("grp"),
         F.round(F.col("value").cast("decimal(18,6)") * 100, 0)
         .cast("long")
@@ -4049,13 +4045,9 @@ def daily_value_median_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = ev.groupBy("grp", "_c").agg(F.count(F.lit(1)).alias("_f"))
     med = _median2_from_freq(freq, "grp", "_c", "_f")
-    parts = F.split(F.col("grp"), "\\|")
-    t = parts.getItem(1)
     return med.select(
-        parts.getItem(0).cast("long").alias("day"),
-        F.when(t == _null_t, F.lit(None).cast("string"))
-        .otherwise(t)
-        .alias("event_type"),
+        F.col("grp.day").cast("long").alias("day"),
+        F.col("grp.event_type").alias("event_type"),
         F.col("_n").cast("long").alias("n_events"),
         (F.col("_median2").cast("double") / 2.0).alias("median_cents"),
     )
@@ -4298,24 +4290,17 @@ def stage_transition_times(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("ts_us") - F.lag("ts_us").over(w)))
         .alias("_gap_us"),
     ).where(F.col("from_type").isNotNull())
-    # NULL to_type stays a group (oracle GROUP BY semantics) — sentinel as
-    # in daily_value_median_trend; concat_ws would drop the null part
-    _null_t = "\x00"
+    # STRUCT group key (as in daily_value_median_trend): NULL to_type stays
+    # a group with no sentinel/delimiter collision classes
     grp = tr.select(
-        F.concat_ws(
-            ">", "from_type", F.coalesce(F.col("to_type"), F.lit(_null_t))
-        ).alias("grp"),
+        F.struct("from_type", "to_type").alias("grp"),
         F.expr("_gap_us div 1000000").alias("_c"),
     )
     freq = grp.groupBy("grp", "_c").agg(F.count(F.lit(1)).alias("_f"))
     med = _median2_from_freq(freq, "grp", "_c", "_f")
-    parts = F.split(F.col("grp"), ">")
-    t = parts.getItem(1)
     return med.select(
-        parts.getItem(0).alias("from_type"),
-        F.when(t == _null_t, F.lit(None).cast("string"))
-        .otherwise(t)
-        .alias("to_type"),
+        F.col("grp.from_type").alias("from_type"),
+        F.col("grp.to_type").alias("to_type"),
         F.col("_n").cast("long").alias("n_transitions"),
         (F.col("_median2").cast("double") / 2.0).alias("median_gap_s"),
     )

@@ -14,16 +14,18 @@ Scope (reference parity target input/ledgers.go:25-83):
   ``GeneralizedTransactionSet`` normalization (ledgers.go:33-50): both
   yield the header entry plus the flat transaction-envelope list.
 - ``TransactionEnvelope`` — v0 / v1 / fee-bump discriminants, muxed
-  accounts, preconditions (none / time / v2), memos, and the common
-  operation bodies (create_account, payment, path payments, manage
-  sell/buy/passive offer, set_options, change_trust, account_merge,
-  manage_data, bump_sequence).  Unknown operation types raise — XDR
-  cannot skip an unknown union arm, and silent misparses are worse.
+  accounts, preconditions (none / time / v2), memos, and ALL 27 operation
+  bodies (types 0–26: the classic set through clawback/trustline-flags
+  plus the Soroban invoke_host_function / extend_footprint_ttl / restore
+  arms, with their transaction-ext SorobanTransactionData).  Unknown
+  operation types (>26) still raise — XDR cannot skip an unknown union
+  arm, and silent misparses are worse.
 
-Everything after the tx set (txProcessing ledger-entry metas, upgrades,
-SCP info) is returned as an opaque tail blob: the bronze schema only needs
-the header + envelope surface, and the tail stays byte-preserved in
-``lcm_xdr`` for a future full decode.
+The post-tx-set stream (txProcessing ledger-entry metas, results, and
+upgrade metas) is decoded too — via the entry/result/meta surface in
+``sources/xdr_ledger.py`` (SCVal, LedgerEntry, LedgerEntryChanges,
+TransactionResult, TransactionMeta V0–V3 incl. Soroban events); the raw
+bytes additionally stay byte-preserved in ``lcm_xdr``.
 
 An encoder mirrors every decoder so tests can build real wire bytes and
 round-trip them (the reference's generated Go XDR is the behavioral spec).
@@ -75,7 +77,12 @@ class Reader:
         b = self._take(n)
         pad = (-n) % 4
         if pad:
-            self._take(pad)
+            # RFC 4506 §3: residual bytes are zero — reject nonzero padding
+            # like the reference's generated Go XDR does (a nonzero pad is
+            # either corruption or a parser desync; also keeps
+            # decode→encode byte-canonical for round-trip checks)
+            if self._take(pad) != b"\x00" * pad:
+                raise XdrError(f"nonzero XDR padding at {self.pos - pad}")
         return b
 
     def var_opaque(self, max_len: int | None = None) -> bytes:
@@ -85,7 +92,13 @@ class Reader:
         return self.opaque(n)
 
     def string(self, max_len: int | None = None) -> str:
-        return self.var_opaque(max_len).decode("utf-8")
+        b = self.var_opaque(max_len)
+        try:
+            return b.decode("utf-8")
+        except UnicodeDecodeError as e:
+            # corrupted bytes must surface as XdrError, never leak a
+            # UnicodeDecodeError past the codec boundary
+            raise XdrError(f"invalid utf-8 in XDR string: {e}") from e
 
     def array(self, fn, max_len: int | None = None) -> list:
         n = self.u32()
@@ -203,6 +216,16 @@ def write_muxed_account(w: Writer, m: dict):
         w.u32(KEY_TYPE_MUXED_ED25519).u64(m["id"]).opaque(m["ed25519"])
 
 
+def _asset_code_str(code: bytes) -> str:
+    """NUL-stripped asset code; corrupt (non-utf-8) bytes raise XdrError —
+    the codec's only allowed failure type (valid codes are ASCII per
+    SEP-11; the decode is the corruption tripwire)."""
+    try:
+        return code.rstrip(b"\x00").decode()
+    except UnicodeDecodeError as e:
+        raise XdrError(f"invalid asset code bytes: {e}") from e
+
+
 def read_asset(r: Reader) -> dict:
     t = r.u32()
     if t == ASSET_NATIVE:
@@ -211,14 +234,14 @@ def read_asset(r: Reader) -> dict:
         code = r.opaque(4)
         return {
             "type": "credit_alphanum4",
-            "code": code.rstrip(b"\x00").decode(),
+            "code": _asset_code_str(code),
             "issuer": read_account_id(r),
         }
     if t == ASSET_ALPHANUM12:
         code = r.opaque(12)
         return {
             "type": "credit_alphanum12",
-            "code": code.rstrip(b"\x00").decode(),
+            "code": _asset_code_str(code),
             "issuer": read_account_id(r),
         }
     raise XdrError(f"unsupported asset type {t}")
@@ -404,10 +427,13 @@ def read_operation(r: Reader) -> dict:
     elif t == OP_ALLOW_TRUST:
         trustor = read_account_id(r)
         at = r.u32()
+        if at not in (ASSET_ALPHANUM4, ASSET_ALPHANUM12):
+            # AllowTrustOpAsset union has no native arm
+            raise XdrError(f"bad AllowTrust asset type {at}")
         code = r.opaque(4 if at == ASSET_ALPHANUM4 else 12)
         body = {
             "trustor": trustor,
-            "asset_code": code.rstrip(b"\x00").decode(),
+            "asset_code": _asset_code_str(code),
             "authorize": r.u32(),
         }
     elif t == OP_ACCOUNT_MERGE:
@@ -604,7 +630,17 @@ def _write_host_function(w: Writer, f: dict):
         raise XdrError(f"bad HostFunction kind {k}")
 
 
-def _read_soroban_authorized_invocation(r: Reader) -> dict:
+# Recursion bound for the self-nesting invocation tree — same rationale as
+# xdr_ledger.SC_VAL_MAX_DEPTH: a crafted blob must fail with XdrError, not
+# blow the Python stack (real auth trees are a handful of levels deep).
+_AUTH_INVOCATION_MAX_DEPTH = 64
+
+
+def _read_soroban_authorized_invocation(r: Reader, _depth: int = 0) -> dict:
+    if _depth > _AUTH_INVOCATION_MAX_DEPTH:
+        raise XdrError(
+            f"authorized-invocation nesting exceeds {_AUTH_INVOCATION_MAX_DEPTH}"
+        )
     t = r.u32()
     if t == 0:
         fn = {"contract_fn": _read_invoke_contract_args(r)}
@@ -614,7 +650,9 @@ def _read_soroban_authorized_invocation(r: Reader) -> dict:
         fn = {"create_contract_v2": _read_create_contract_args(r, v2=True)}
     else:
         raise XdrError(f"bad SorobanAuthorizedFunction type {t}")
-    subs = r.array(lambda: _read_soroban_authorized_invocation(r))
+    subs = r.array(
+        lambda: _read_soroban_authorized_invocation(r, _depth + 1)
+    )
     return {"function": fn, "sub_invocations": subs}
 
 

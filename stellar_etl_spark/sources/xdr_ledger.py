@@ -97,7 +97,18 @@ def write_sc_address(w: Writer, a: dict):
         raise XdrError(f"bad SCAddress type {t}")
 
 
-def read_sc_val(r: Reader) -> dict:
+# Nesting bound for the recursive SCVal union — the reference's generated
+# Go XDR enforces a decode depth limit too; without one, a crafted ~12-byte-
+# per-level vec chain turns into a Python RecursionError instead of a clean
+# XdrError.  64 is far beyond any real SCVal (a handful of levels) while
+# keeping the worst-case Python stack (~5 frames/level, plus the auth-
+# invocation tree that can wrap SCVals) well under the interpreter limit.
+SC_VAL_MAX_DEPTH = 64
+
+
+def read_sc_val(r: Reader, _depth: int = 0) -> dict:
+    if _depth > SC_VAL_MAX_DEPTH:
+        raise XdrError(f"SCVal nesting exceeds {SC_VAL_MAX_DEPTH}")
     t = r.u32()
     if t == 0:
         return {"bool": r.bool()}
@@ -135,12 +146,19 @@ def read_sc_val(r: Reader) -> dict:
     if t == 15:
         return {"symbol": r.string(32)}
     if t == 16:
-        return {"vec": r.optional(lambda: r.array(lambda: read_sc_val(r)))}
+        return {
+            "vec": r.optional(
+                lambda: r.array(lambda: read_sc_val(r, _depth + 1))
+            )
+        }
     if t == 17:
         return {
             "map": r.optional(
                 lambda: r.array(
-                    lambda: {"key": read_sc_val(r), "val": read_sc_val(r)}
+                    lambda: {
+                        "key": read_sc_val(r, _depth + 1),
+                        "val": read_sc_val(r, _depth + 1),
+                    }
                 )
             )
         }
@@ -155,7 +173,12 @@ def read_sc_val(r: Reader) -> dict:
         else:
             raise XdrError(f"bad ContractExecutable {ex}")
         storage = r.optional(
-            lambda: r.array(lambda: {"key": read_sc_val(r), "val": read_sc_val(r)})
+            lambda: r.array(
+                lambda: {
+                    "key": read_sc_val(r, _depth + 1),
+                    "val": read_sc_val(r, _depth + 1),
+                }
+            )
         )
         return {"instance": {"executable": executable, "storage": storage}}
     if t == 20:

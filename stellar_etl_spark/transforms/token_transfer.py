@@ -5,13 +5,44 @@ lines 47-76, is the spec we re-derive)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from stellar_etl_spark.functions.scalars import stroops_to_real
 from stellar_etl_spark.functions.toid import toid
 
 EVENT_KINDS = ("transfer", "mint", "burn", "clawback", "fee")
+
+
+def canonical_asset_parts(
+    asset: Column,
+) -> tuple[Column, Column, Column, Column]:
+    """(asset_concat, asset_type, code, issuer) from an event asset string.
+
+    Canonical asset split (getAssetFromEvent, token_transfer.go:132-151):
+    classic-derived events carry the reference's THREE-part
+    "TYPE:CODE:ISSUER" concat, Soroban-decoded SAC events the two-part
+    SEP-41 "CODE:ISSUER" — accept both, emit the three-part form with the
+    type recomputed from the code length ('native' passes through)."""
+    is_native = asset == "native"
+    parts = F.split(asset, ":")
+    code = F.when(
+        ~is_native,
+        F.when(F.size(parts) == 3, parts[1]).otherwise(parts[0]),
+    )
+    issuer = F.when(
+        ~is_native,
+        F.when(F.size(parts) == 3, parts[2]).otherwise(parts[1]),
+    )
+    asset_type = F.when(is_native, F.lit("native")).otherwise(
+        F.when(F.length(code) <= 4, F.lit("credit_alphanum4")).otherwise(
+            F.lit("credit_alphanum12")
+        )
+    )
+    asset_concat = F.when(is_native, F.lit("native")).otherwise(
+        F.concat_ws(":", asset_type, code, issuer)
+    )
+    return asset_concat, asset_type, code, issuer
 
 
 def transform_token_transfer(events: DataFrame) -> DataFrame:
@@ -30,28 +61,8 @@ def transform_token_transfer(events: DataFrame) -> DataFrame:
         & F.col("tx_successful")
         & F.col("in_successful_contract_call")
     )
-    # canonical asset split (getAssetFromEvent, token_transfer.go:132-151):
-    # classic-derived events carry the reference's THREE-part
-    # "TYPE:CODE:ISSUER" concat, Soroban SAC events the two-part
-    # "CODE:ISSUER" — accept both, emit the three-part form
-    asset = F.col("sac_asset")
-    is_native = asset == "native"
-    parts = F.split(asset, ":")
-    code = F.when(
-        ~is_native,
-        F.when(F.size(parts) == 3, parts[1]).otherwise(parts[0]),
-    )
-    issuer = F.when(
-        ~is_native,
-        F.when(F.size(parts) == 3, parts[2]).otherwise(parts[1]),
-    )
-    asset_type = F.when(is_native, F.lit("native")).otherwise(
-        F.when(F.length(code) <= 4, F.lit("credit_alphanum4")).otherwise(
-            F.lit("credit_alphanum12")
-        )
-    )
-    asset_concat = F.when(is_native, F.lit("native")).otherwise(
-        F.concat_ws(":", asset_type, code, issuer)
+    asset_concat, asset_type, code, issuer = canonical_asset_parts(
+        F.col("sac_asset")
     )
     return src.select(
         toid(F.col("ledger_sequence"), F.col("tx_index"), 0).alias("transaction_id"),

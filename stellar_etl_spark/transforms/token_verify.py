@@ -27,7 +27,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from stellar_etl_spark.transforms.token_transfer import EVENT_KINDS
+from stellar_etl_spark.transforms.token_transfer import (
+    EVENT_KINDS,
+    canonical_asset_parts,
+)
 
 
 def _is_classic_account(c: Column) -> Column:
@@ -61,18 +64,35 @@ def verify_token_transfers(events: DataFrame, changes: DataFrame) -> DataFrame:
       - mint:     ``to`` +amount (supply enters — the issuer holds no
         trustline in its own asset, so no debit side exists)
       - burn / clawback / fee: ``from`` −amount
-    Op events only count for successful transactions; fee events always
-    (fees are charged on failed transactions too — the derivation stamps
-    them tx_successful, matching the meta's fee-processing changes)."""
+    Fee events always count — fees are charged on failed transactions too,
+    so the fee debit must stay even when tx_successful is false (the
+    classic-derived stream stamps fee rows successful; the Soroban-decoded
+    stream carries the real flag).  Op events count only for successful
+    transactions whose invocation succeeded, the same
+    ``tx_successful & in_successful_contract_call`` gate
+    ``transform_token_transfer`` applies.
+
+    Asset keys are canonicalized to the three-part 'TYPE:CODE:ISSUER'
+    form via :func:`canonical_asset_parts` before grouping — Soroban SAC
+    events carry the two-part SEP-41 'CODE:ISSUER' topic while the
+    change side builds the three-part concat."""
     ev = events.where(
-        F.col("sac_kind").isin(*EVENT_KINDS) & F.col("tx_successful")
+        F.col("sac_kind").isin(*EVENT_KINDS)
+        & (
+            (F.col("sac_kind") == "fee")
+            | (
+                F.col("tx_successful")
+                & F.col("in_successful_contract_call")
+            )
+        )
     )
+    ev_asset = canonical_asset_parts(F.col("sac_asset"))[0]
     debit = ev.where(
         (F.col("sac_kind") != "mint") & _is_classic_account(F.col("sac_from"))
     ).select(
         "ledger_sequence",
         F.col("sac_from").alias("holder"),
-        F.col("sac_asset").alias("asset"),
+        ev_asset.alias("asset"),
         (-F.col("sac_amount")).alias("_d"),
     )
     credit = ev.where(
@@ -81,7 +101,7 @@ def verify_token_transfers(events: DataFrame, changes: DataFrame) -> DataFrame:
     ).select(
         "ledger_sequence",
         F.col("sac_to").alias("holder"),
-        F.col("sac_asset").alias("asset"),
+        ev_asset.alias("asset"),
         F.col("sac_amount").alias("_d"),
     )
     event_net = (

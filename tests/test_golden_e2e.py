@@ -335,6 +335,85 @@ class TestTokenTransferSelfVerification:
         bad = verify_token_transfers(corrupted, decode_changes(bronze))
         assert bad.where(~F.col("matched")).limit(1).count() == 1
 
+    def test_soroban_two_part_asset_and_failed_tx_fee(self, spark):
+        """The Soroban-decoded half of the event union carries the two-part
+        SEP-41 'CODE:ISSUER' asset form and REAL success flags (unlike the
+        classic-derived stream, which stamps them).  The verifier must
+        (a) canonicalize the asset to the three-part change-side form and
+        (b) keep fee debits of FAILED transactions while dropping their op
+        events — else every Soroban SAC transfer touching a classic
+        trustline and every failed-tx fee reconciles as a false mismatch."""
+        import datetime as dt
+
+        from fixtures import _chrow, _entry
+
+        from stellar_etl_spark.schemas import CHANGES_DDL, CONTRACT_EVENTS_DDL
+        from stellar_etl_spark.transforms.token_verify import (
+            verify_token_transfers,
+        )
+
+        # strkey-length (56-char) classic accounts — the fixture constants
+        # are 60 chars and would fail _is_classic_account
+        ACCOUNT_A = "G" + "A" * 55
+        ACCOUNT_C = "G" + "C" * 55
+        issuer = "G" + "B" * 55
+        USD = ("credit_alphanum4", "USD", issuer)
+        contract = "C" + "D" * 55
+        two_part = f"USD:{issuer}"  # Soroban SEP-41 topic form
+
+        def ev(kind, frm, to, amount, asset, tx_ok, in_call, tx_index):
+            return (
+                5, dt.datetime(2024, 1, 1), tx_index, f"hash{tx_index}",
+                tx_ok, in_call, contract, "contract", [], [], None, None,
+                None, kind, frm, to, None, None, amount, asset, 0, False,
+            )
+
+        events = spark.createDataFrame(
+            [
+                # Soroban SAC transfer into a classic trustline holder
+                ev("transfer", contract, ACCOUNT_A, 100, two_part,
+                   True, True, 1),
+                # fee debit of a FAILED tx — must still count
+                ev("fee", ACCOUNT_C, None, 7, "native", False, False, 2),
+                # op events of failed txs / failed calls — must NOT count
+                ev("transfer", contract, ACCOUNT_A, 999, two_part,
+                   False, False, 3),
+                ev("transfer", contract, ACCOUNT_A, 888, two_part,
+                   True, False, 4),
+            ],
+            CONTRACT_EVENTS_DDL,
+        )
+        changes = spark.createDataFrame(
+            [
+                _chrow(5, "trustline", 1, 0, "tl",
+                       pre=_entry(account_id=ACCOUNT_A, asset=USD,
+                                  balance=50, limit=10**9, flags=1,
+                                  liabilities=(0, 0)),
+                       post=_entry(account_id=ACCOUNT_A, asset=USD,
+                                   balance=150, limit=10**9, flags=1,
+                                   liabilities=(0, 0))),
+                _chrow(5, "account", 1, 1, "acct",
+                       pre=_entry(account_id=ACCOUNT_C, balance=1000,
+                                  seq_num=1, num_subentries=0, flags=0,
+                                  thresholds=[1, 0, 0, 0], signers=[],
+                                  liabilities=(0, 0)),
+                       post=_entry(account_id=ACCOUNT_C, balance=993,
+                                   seq_num=2, num_subentries=0, flags=0,
+                                   thresholds=[1, 0, 0, 0], signers=[],
+                                   liabilities=(0, 0))),
+            ],
+            CHANGES_DDL,
+        )
+        audit = {
+            (r.holder, r.asset): r
+            for r in verify_token_transfers(events, changes).collect()
+        }
+        assert len(audit) == 2
+        tl = audit[(ACCOUNT_A, f"credit_alphanum4:USD:{issuer}")]
+        assert tl.matched and tl.event_net == 100 and tl.balance_delta == 100
+        fee = audit[(ACCOUNT_C, "native")]
+        assert fee.matched and fee.event_net == -7 and fee.balance_delta == -7
+
 
 class TestTradesGoldenParity:
     @pytest.fixture(scope="class")

@@ -55,8 +55,14 @@ class TestMultimodal:
         assert len(by_doc[2]) == 1  # 11 bytes → 1 frame
         assert len(by_doc[3]) == 3  # 129 bytes → 3 frames
         frames3 = sorted(by_doc[3], key=lambda r: r.frame_idx)
-        assert frames3[0].frame_md5 == hashlib.md5(b"b" * 64).hexdigest()
-        assert frames3[2].frame_md5 == hashlib.md5(b"b").hexdigest()
+
+        def hexmd5(bs: bytes) -> str:
+            # fingerprint = md5 of the UPPERCASE-HEX rendering (lossless;
+            # portable to VARCHAR-only md5 engines like DuckDB)
+            return hashlib.md5(bs.hex().upper().encode()).hexdigest()
+
+        assert frames3[0].frame_md5 == hexmd5(b"b" * 64)
+        assert frames3[2].frame_md5 == hexmd5(b"b")
         # every_nth sampling keeps frames 0, 2
         sampled = frame_sample(media, frame_bytes=64, every_nth=2)
         idx3 = sorted(

@@ -868,15 +868,20 @@ class TestResizeSignal:
             for r in resize_signal(attach_media(docs), target_len=4).collect()
         }
 
+        def hexmd5(bs: bytes) -> str:
+            # fingerprint = md5 of the UPPERCASE-HEX rendering (lossless;
+            # portable to VARCHAR-only md5 engines like DuckDB)
+            return hashlib.md5(bs.hex().upper().encode()).hexdigest()
+
         def ref(s, t=4):
             a = np.frombuffer(s.encode(), dtype=np.uint8)
             res = a[np.arange(t) * len(a) // t]
-            return hashlib.md5(res.tobytes()).hexdigest()
+            return hexmd5(res.tobytes())
 
         # n=8,t=4 -> indices 0,2,4,6 = 'aceg'; n=2 -> 0,0,1,1 = 'xxyy'
         assert out[1] == (8, 4, ref("abcdefgh"))
-        assert ref("abcdefgh") == hashlib.md5(b"aceg").hexdigest()
-        assert out[2] == (2, 4, hashlib.md5(b"xxyy").hexdigest())
+        assert ref("abcdefgh") == hexmd5(b"aceg")
+        assert out[2] == (2, 4, hexmd5(b"xxyy"))
 
 
 class TestCompactionRandomized:

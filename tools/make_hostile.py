@@ -5,8 +5,10 @@ Round-7 robustness program: sweeping all 240 registry queries against this
 corpus found 13 hard crashes (ANSI divide-by-zero on empty shingle sets,
 array-index on NULL-fused group keys, Python kernels on None payloads, a
 descending sequence() emitting phantom frames) and ~18 cross-engine NULL/
-unicode semantic divergences — all fixed or contracted explicitly (the
-byte-level media oracles carry an ASCII predicate on BOTH sides).  The
+unicode semantic divergences — all fixed or contracted explicitly.  Round 8
+removed the last ASCII predicates: the media fingerprints hash the
+uppercase-hex rendering of the bytes, so the oracles are byte-exact via
+hex(encode(text)) on any unicode corpus.  The
 differential gate is `python tools/check_correctness.py <hostile_dir>`:
 240/240 as of round 7.
 
@@ -33,14 +35,54 @@ def build(sf_dir: str, out_dir: str) -> str:
         "customer",
         "supplier",
         "part",
-        "orders",
-        "lineitem",
         "embeddings",
     ):
         con.sql(
             f"COPY (SELECT * FROM '{os.path.join(sf_dir, t)}.parquet') "
             f"TO '{os.path.join(out_dir, t)}.parquet' (FORMAT PARQUET)"
         )
+    # Hostile SILVER rows (round-8): orders/lineitem drive the derived
+    # stellar-entity inputs (transforms/derive.py), so adversarial rows here
+    # stress the 21 entity transforms AND their DuckDB twins end to end:
+    #   - orderkeys 200000-200003 have NO lineitem rows → 0-op transactions
+    #     on previously-empty ledgers (empty change sets for those seqs);
+    #   - NULL o_custkey → NULL account_sequence; NULL/'' o_orderstatus →
+    #     NULL/true successful flag through every result-code branch;
+    #   - lineitem 200000/200001 rows carry NULL l_partkey (NULL asset
+    #     struct), NULL l_suppkey (NULL accounts), NULL/0/negative/huge
+    #     l_quantity (NULL / zero-amount / sign / magnitude stroops);
+    #   - orderkey 300000 lineitems are ORPHAN ops (no parent order).
+    # Values stay inside the engines' shared decimal envelopes (no
+    # DECIMAL(12,2) overflow) so ANSI mode and DuckDB agree.
+    con.sql(
+        f"""COPY (
+  SELECT * FROM '{os.path.join(sf_dir, 'orders')}.parquet'
+  UNION ALL SELECT * FROM (VALUES
+    (200000, NULL, 'O', 1234.56, TIMESTAMP '2024-02-01', '1-URGENT'),
+    (200001, 7, NULL, NULL, NULL, NULL),
+    (200002, 7, '', 0.0, TIMESTAMP '2024-02-02', NULL),
+    (200003, NULL, NULL, NULL, NULL, NULL)
+  ) v(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+      o_orderpriority)
+) TO '{os.path.join(out_dir, 'orders')}.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (
+  SELECT * FROM '{os.path.join(sf_dir, 'lineitem')}.parquet'
+  UNION ALL SELECT * FROM (VALUES
+    (200000, NULL, 55, 1, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+    (200000, 3, NULL, 2, 0.0, 0.0, 0.0, 0.0, 'N', 'O',
+     TIMESTAMP '2024-02-03'),
+    (200001, 4, 5, 1, -5.0, -100.0, 0.1, 0.02, 'R', 'F',
+     TIMESTAMP '2024-02-04'),
+    (200001, 5, 6, 2, 9999999.99, 9999999.99, 0.0, 0.0, 'A', 'F', NULL),
+    (300000, 6, 7, 1, 1.0, 10.0, 0.0, 0.0, 'N', 'O',
+     TIMESTAMP '2024-02-05')
+  ) v(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+      l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+      l_shipdate)
+) TO '{os.path.join(out_dir, 'lineitem')}.parquet' (FORMAT PARQUET)"""
+    )
     con.sql(
         f"""COPY (
   SELECT * FROM '{os.path.join(sf_dir, 'documents')}.parquet'
@@ -61,7 +103,14 @@ def build(sf_dir: str, out_dir: str) -> str:
   UNION ALL SELECT * FROM (VALUES
     (9900001, TIMESTAMP '2024-03-01 00:00:00', NULL, NULL, NULL, NULL),
     (9900002, TIMESTAMP '2024-03-01 00:00:01', 42, 'purchase', NULL, '{{}}'),
-    (9900003, TIMESTAMP '2024-03-01 00:00:02', 42, NULL, 1.5, NULL)
+    (9900003, TIMESTAMP '2024-03-01 00:00:02', 42, NULL, 1.5, NULL),
+    -- round-8 silver hostiles: an isolated far ledger for the derived
+    -- soroban/state changes (eid//500+2) and a value at the top of the
+    -- shared DECIMAL(10,4) envelope (larger would overflow BOTH engines'
+    -- tightest oracle cast, which is its own contract)
+    (9900004, TIMESTAMP '2024-03-01 00:00:03', 314, 'purchase', 99999.1234,
+     '{{"k":"v"}}'),
+    (9900005, TIMESTAMP '2024-03-01 00:00:04', 0, 'view', -99999.9999, '[]')
   ) v(event_id, ts, user_id, event_type, value, props)
 ) TO '{os.path.join(out_dir, 'events')}.parquet' (FORMAT PARQUET)"""
     )
