@@ -103,6 +103,13 @@ WHERE NOT (tb_max IS NOT NULL AND tb_max <> 0 AND tb_max < tb_min)
 """,
     # ------------------------------------------------------------------
     "op_details_switch": f"""
+-- tx-JOINED columns (transaction_hash, the tx-source fallback) come from
+-- a LEFT JOIN to the orders-derived transactions, mirroring the
+-- transform's left tx join: an orphan op (no parent order) carries NULL
+-- for them — the previous md5(k)/formula shortcut assumed referential
+-- integrity the hostile corpus deliberately violates.
+-- transaction_successful stays the op-row stamp (derive.py k % 10), NOT a
+-- joined field: the transform reads the op's own tx_successful column
 WITH base AS (
   SELECT l_orderkey AS k, l_partkey AS pk, l_suppkey AS sk,
     CAST(l_linenumber AS BIGINT) AS ln,
@@ -111,15 +118,25 @@ WITH base AS (
       WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 6
       WHEN 4 THEN 10 ELSE 11 END AS t
   FROM lineitem
+),
+tx AS (
+  SELECT o_orderkey // 1024 + 2 AS tseq, o_orderkey % 1024 AS ttxi,
+    md5(CAST(o_orderkey AS VARCHAR)) AS tx_hash,
+    'GACC' || CAST(o_orderkey % 997 AS VARCHAR) AS tx_source,
+  FROM orders
+),
+b AS (
+  SELECT base.*, tx.tx_hash, tx.tx_source
+  FROM base LEFT JOIN tx ON base.seq = tx.tseq AND base.txi = tx.ttxi
 )
 SELECT
   (seq << 32) | (txi << 12) | (ln + 1) AS id,
   (seq << 32) | (txi << 12) AS transaction_id,
-  md5(CAST(k AS VARCHAR)) AS transaction_hash,
+  tx_hash AS transaction_hash,
   seq AS ledger_sequence,
   ln + 1 AS application_order,
   CASE WHEN pk % 3 <> 0 THEN 'GOP' || CAST(sk AS VARCHAR)
-       ELSE 'GACC' || CAST(k % 997 AS VARCHAR) END AS source_account,
+       ELSE tx_source END AS source_account,
   CAST(t AS BIGINT) AS type,
   CASE t WHEN 0 THEN 'create_account' WHEN 1 THEN 'payment'
     WHEN 3 THEN 'manage_sell_offer' WHEN 6 THEN 'change_trust'
@@ -128,7 +145,7 @@ SELECT
   CASE WHEN sk % 4 = 0 THEN 'SPN' || CAST(pk AS VARCHAR) END AS sponsor,
   CASE WHEN t = 1 THEN
        CASE WHEN pk % 3 <> 0 THEN 'GOP' || CAST(sk AS VARCHAR)
-            ELSE 'GACC' || CAST(k % 997 AS VARCHAR) END END AS d_from,
+            ELSE tx_source END END AS d_from,
   CASE WHEN t = 1 THEN 'B' || CAST(sk AS VARCHAR) END AS d_to,
   CASE WHEN t IN (1, 3)
        THEN CAST(pk * 100000 + 3 AS DOUBLE) / 10000000.0 END AS d_amount,
@@ -141,7 +158,7 @@ SELECT
   CASE WHEN t = 6 THEN {_ASSET_ISSUER.format(x="(pk + 2)")} END AS d_trustee,
   CASE WHEN t = 6 THEN
        CASE WHEN pk % 3 <> 0 THEN 'GOP' || CAST(sk AS VARCHAR)
-            ELSE 'GACC' || CAST(k % 997 AS VARCHAR) END END AS d_trustor,
+            ELSE tx_source END END AS d_trustor,
   CASE WHEN t = 0
        THEN CAST((pk % 1000) * 10000000 + 5 AS DOUBLE) / 10000000.0
        END AS d_starting_balance,
@@ -160,7 +177,7 @@ SELECT
   CASE WHEN t = 10 THEN 'k' || CAST(sk % 5 AS VARCHAR) END AS d_data_name,
   CASE WHEN t = 10 AND pk % 2 = 0 THEN 'djE=' END AS d_data_value,
   CASE WHEN t = 11 THEN CAST(pk + 100 AS VARCHAR) END AS d_bump_to
-FROM base
+FROM b
 """,
     # ------------------------------------------------------------------
     "op_sponsorship_scan": """

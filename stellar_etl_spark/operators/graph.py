@@ -524,6 +524,7 @@ def harmonic_centrality_bitset(
     dst: str = "b",
     seed_mod: int = 100,
     max_depth: int = 3,
+    max_seeds: int | None = None,
 ) -> DataFrame:
     """:func:`harmonic_centrality_bounded` with the multi-source BFS state
     kept as per-NODE seed bitsets instead of (seed, node) pair rows.
@@ -542,7 +543,14 @@ def harmonic_centrality_bitset(
     When S scales with |V|, use the pair form: both shapes are
     O(S·reach) work, but the pair form never materializes per-node
     S-bit state.  One tiny driver-side action (seed count + index map,
-    |seeds| rows) fixes the mask width at plan-build time.
+    |seeds| rows) fixes the mask width at plan-build time — UNLESS the
+    caller passes ``max_seeds``, an upper bound on the seed count: the
+    mask width is then fixed from the bound and the plan builds fully
+    lazily (no job until the result is consumed).  Unused high bits cost
+    ⌈overshoot/64⌉ extra long columns of zeros and contribute nothing to
+    the popcount histogram, so outputs are identical for any valid bound.
+    A bound BELOW the true seed count raises at execution time (bit
+    indices past the mask width), never silently truncates.
     """
     from stellar_etl_spark.operators.util import exact_ratio_round6_wide
 
@@ -561,18 +569,26 @@ def harmonic_centrality_bitset(
         .where(F.col("s") % seed_mod == 0),
         reliable=False,
     )
-    # ONE tiny driver-side aggregate (a count, no data collected) fixes the
-    # mask width; the seed→bit index map stays distributed (a global
-    # row_number over the |seeds|-row frame — bounded by contract)
-    n_seeds = seeds.count()
     spark = edges.sparkSession
-    empty_schema = ", ".join(
-        ["seed long"]
-        + [f"n_d{d} long" for d in range(1, max_depth + 1)]
-        + ["harmonic_scaled long", "harmonic double"]
-    )
-    if n_seeds == 0:
-        return spark.createDataFrame([], empty_schema)
+    if max_seeds is None:
+        # ONE tiny driver-side aggregate (a count, no data collected) fixes
+        # the mask width; the seed→bit index map stays distributed (a global
+        # row_number over the |seeds|-row frame — bounded by contract)
+        n_seeds = seeds.count()
+        empty_schema = ", ".join(
+            ["seed long"]
+            + [f"n_d{d} long" for d in range(1, max_depth + 1)]
+            + ["harmonic_scaled long", "harmonic double"]
+        )
+        if n_seeds == 0:
+            return spark.createDataFrame([], empty_schema)
+    else:
+        # fully-lazy plan: the caller's bound fixes the width; zero seeds
+        # degenerates to an empty seeds_idx → empty result, no early exit
+        # needed
+        if max_seeds < 1:
+            raise ValueError("max_seeds must be >= 1")
+        n_seeds = max_seeds
     words = (n_seeds + 63) // 64
     mcols = [f"m{w}" for w in range(words)]
     seeds_idx = lineage_cut(
@@ -593,6 +609,14 @@ def harmonic_centrality_bitset(
         ).alias(f"m{w}")
         for w in range(words)
     ]
+    if max_seeds is not None:
+        # an under-estimated bound must FAIL, not silently drop the seeds
+        # whose bit index falls past the mask width
+        guard = F.assert_true(
+            F.col("si") < F.lit(words * 64),
+            F.lit(f"max_seeds={max_seeds} is below the actual seed count"),
+        )
+        mask_exprs[0] = F.when(guard.isNull(), mask_exprs[0]).alias("m0")
     state0 = seeds_idx.select(F.col("s").alias("node"), *mask_exprs)
     visited = lineage_cut(state0, reliable=False)
     frontier = visited

@@ -101,8 +101,11 @@ WITH ranked AS (
 SELECT n_name, rnk, c_name, c_acctbal FROM ranked WHERE rnk <= 3
 """,
     "props_json_agg": """
+-- TRY_CAST: non-numeric props.k values are NULL (skipped by SUM), same
+-- as the Spark side's try_cast
 SELECT event_type,
-  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+    AS sum_k,
   COUNT(*) AS n_events
 FROM events GROUP BY event_type
 """,
@@ -589,7 +592,7 @@ FROM (
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
     SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS d
-  FROM orders GROUP BY day
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY day
 )
 SELECT CAST(day AS VARCHAR) AS day,
   CAST(ROUND(d, 3) AS DOUBLE) AS revenue,
@@ -844,13 +847,17 @@ FROM (
 GROUP BY supp_nation, cust_nation, l_year
 """,
     "tpch_q11_important_stock": """
+-- DECIMAL(19,4) on one operand forces DuckDB's int128 product path:
+-- 12,4 x 12,4 stays on the int64 DECIMAL(18) kernel and overflows on
+-- boundary-magnitude rows (Spark's 12,4 x 12,4 widens to 25,8 natively);
+-- values are identical, only the headroom changes
 WITH pv AS (
   SELECT l_partkey,
-    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4))), 3) AS DOUBLE) AS part_value
+    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(12,4))), 3) AS DOUBLE) AS part_value
   FROM lineitem GROUP BY l_partkey
 ),
 tot AS (
-  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) * 0.0005 AS threshold
+  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) * 0.0005 AS threshold
   FROM lineitem
 )
 SELECT l_partkey, part_value FROM pv, tot WHERE part_value > threshold
@@ -1653,6 +1660,7 @@ WITH e0 AS (
   SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
     's' || CAST(l_suppkey AS VARCHAR) AS dst
   FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
 ),
 e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
 deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
@@ -1829,11 +1837,12 @@ SELECT asg.vec_id, CAST(asg.cid AS BIGINT) AS cid,
 FROM asg LEFT JOIN dom ON asg.vec_id = dom.vec_id
 """,
     "variant_props_profile": """
+-- TRY_CAST matches the Spark side's try_variant_get (NULL on type miss)
 SELECT event_type, COUNT(*) AS n_events,
-  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
-  MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
-  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
-  COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_distinct_k
+  CAST(SUM(TRY_CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+  MIN(TRY_CAST(props->>'$.k' AS BIGINT)) AS min_k,
+  MAX(TRY_CAST(props->>'$.k' AS BIGINT)) AS max_k,
+  COUNT(DISTINCT TRY_CAST(props->>'$.k' AS BIGINT)) AS n_distinct_k
 FROM events GROUP BY event_type
 """,
     "snapshot_upsert": """
@@ -3642,8 +3651,12 @@ SELECT event_type,
   CAST(SUM(cents) AS BIGINT) AS total_cents,
   CAST(MIN(cents) AS BIGINT) AS min_cents,
   CAST(MAX(cents) AS BIGINT) AS max_cents,
-  CAST((SUM(cents) * 2000000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
-    / 1000000.0 AS avg_cents
+  -- sign-magnitude round-half-AWAY-FROM-ZERO, matching
+  -- exact_ratio_round6_wide: a signed floor-division rounds negative
+  -- halves toward +inf and diverges 1 ulp on negative sums
+  CASE WHEN SUM(cents) < 0 THEN -1.0 ELSE 1.0 END
+    * CAST((ABS(SUM(cents)) * 2000000 + COUNT(*)) // (2 * COUNT(*))
+           AS DOUBLE) / 1000000.0 AS avg_cents
 FROM v GROUP BY event_type
 """
 
@@ -5391,10 +5404,14 @@ FROM per_ch, td
 """
 
 ORACLES["orders_nested_export"] = """
+-- concat_ws (NULL parts skipped) + trunc-toward-zero quantity match the
+-- Spark side exactly on hostile NULL/fractional rows ('||' would NULL the
+-- whole item; CAST(DOUBLE AS BIGINT) rounds in DuckDB but truncates in
+-- Spark)
 WITH li AS (
   SELECT l_orderkey, l_linenumber,
-    l_linenumber || ':' || l_partkey || ':' || CAST(l_quantity AS BIGINT)
-      AS item
+    concat_ws(':', l_linenumber, l_partkey,
+              CAST(trunc(l_quantity) AS BIGINT)) AS item
   FROM lineitem WHERE l_orderkey % 50 = 0
 )
 SELECT l_orderkey,

@@ -232,8 +232,13 @@ def props_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured details column (the reference's OperationDetails JSON
     pattern, schema.go:137): extract + aggregate."""
     ev = table(spark, sf_dir, "events")
+    # try_cast: a props field holding a non-numeric value contributes NULL
+    # (sum skips it) instead of failing the scan — JSON blobs carry no
+    # schema promise (no-op on driver data; both engines agree)
     return ev.groupBy("event_type").agg(
-        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.sum(
+            F.get_json_object("props", "$.k").try_cast("long")
+        ).alias("sum_k"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -1474,7 +1479,12 @@ def revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     any SF; the heavy work (the daily aggregate) is fully parallel."""
     from pyspark.sql.window import Window
 
-    orders = table(spark, sf_dir, "orders")
+    # dateless orders cannot be placed on a daily series — and a NULL day
+    # group would sort NULLS FIRST in Spark's window ORDER BY vs NULLS LAST
+    # in DuckDB's, shifting every trailing frame (no-op on driver data)
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull()
+    )
     daily = orders.groupBy(
         F.to_date(_ts("o_orderdate")).alias("day")
     ).agg(F.sum(_dec("o_totalprice", 18, 4)).alias("d"))
@@ -2019,8 +2029,14 @@ def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cheaper hashing than strings; the "p123"/"s45" labels the oracle uses
     # are built only for the final 500 rows.  broadcast_ranks is valid here
     # because |V| = |part|+|supplier| is dimension-sized (bounded catalog).
+    # an edge needs BOTH endpoints: NULL part/supplier keys carry no graph
+    # information and would diverge engines (Spark's joins drop NULL keys,
+    # DuckDB's GROUP BY keeps a NULL node) — no-op on driver data
     fwd = (
-        li.select("l_partkey", "l_suppkey")
+        li.where(
+            F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+        )
+        .select("l_partkey", "l_suppkey")
         .distinct()
         .select(
             (F.col("l_partkey") * 2).alias("src"),

@@ -62,14 +62,21 @@ def test_all_queries_survive_empty_inputs(spark, tmp_path_factory):
 
 
 def test_all_queries_survive_hostile_inputs(spark, tmp_path_factory):
-    """Robustness gate (round 7): every registered query must run on the
-    HOSTILE corpus — NULL/empty/whitespace/unicode text, NULL event
-    attributes (tools/make_hostile.py).  The sweep originally caught 13
-    hard crashes (ANSI divide-by-zero on empty shingle sets, array-index
-    on NULL-fused group keys, None payloads in Python kernels, a
-    descending sequence() phantom frame).  Cross-engine agreement on this
-    corpus is additionally provable with
-    `python tools/check_correctness.py /tmp/sf_hostile` (240/240, r7);
+    """Robustness gate (round 7, widened round 8): every registered query
+    must run on the HOSTILE corpus — NULL/empty/whitespace/unicode text,
+    NULL event attributes, and (r8) adversarial orders/lineitem rows that
+    flow through the derived entity transforms: 0-op transactions, orphan
+    ops, NULL accounts/assets/amounts, zero/negative/boundary-magnitude
+    quantities (tools/make_hostile.py).  The r7 sweep caught 13 hard
+    crashes (ANSI divide-by-zero on empty shingle sets, array-index on
+    NULL-fused group keys, None payloads in Python kernels, a descending
+    sequence() phantom frame); the r8 extension caught 7 cross-engine
+    divergences (ANSI cast crash on non-numeric JSON, DECIMAL(18) product
+    overflow, NULL graph nodes, signed round-half divergence, NULL-day
+    window ordering, '||'-vs-concat_ws NULL handling, CAST-vs-trunc on
+    fractional doubles).  Cross-engine agreement on this corpus is
+    additionally provable with
+    `python tools/check_correctness.py /tmp/sf_hostile` (240/240, r8);
     this test pins the no-crash half in the suite."""
     from tools.make_hostile import build
 

@@ -2241,6 +2241,55 @@ class TestHarmonicBitset:
             "seed", "n_d1", "n_d2", "harmonic_scaled", "harmonic",
         ]
 
+    def test_max_seeds_bound_skips_plan_time_count(self, spark, monkeypatch):
+        """With a caller-supplied seed bound the builder must NOT run the
+        plan-time seeds.count() aggregate (proved by making count() raise
+        during the build), and must produce output identical to the
+        counted path — including a generous overshoot that adds unused
+        mask words.  (Lineage cuts may still run Spark jobs at build time
+        under AQE — that is localCheckpoint behavior, not a driver-side
+        aggregate, and both variants share it.)"""
+        from pyspark.sql import DataFrame
+
+        from stellar_etl_spark.operators.graph import (
+            harmonic_centrality_bitset,
+        )
+
+        df = spark.createDataFrame(
+            [(i, (i * 7 + 1) % 40) for i in range(40)], "a long, b long"
+        ).where("a != b")
+
+        def _boom(self):
+            raise AssertionError("plan-time count() with max_seeds set")
+
+        with monkeypatch.context() as m:
+            m.setattr(DataFrame, "count", _boom)
+            lazy = harmonic_centrality_bitset(
+                df, seed_mod=5, max_depth=2, max_seeds=200
+            )
+
+        counted = harmonic_centrality_bitset(df, seed_mod=5, max_depth=2)
+        assert lazy.exceptAll(counted).isEmpty()
+        assert counted.exceptAll(lazy).isEmpty()
+
+    def test_max_seeds_underestimate_raises(self, spark):
+        """A bound below the true seed count must FAIL at execution, never
+        silently drop the seeds whose bit index exceeds the mask width."""
+        import pytest
+
+        from stellar_etl_spark.operators.graph import (
+            harmonic_centrality_bitset,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(200)], "a long, b long"
+        )
+        out = harmonic_centrality_bitset(
+            df, seed_mod=1, max_depth=1, max_seeds=64
+        )
+        with pytest.raises(Exception, match="below the actual seed count"):
+            out.collect()
+
 
 class TestTriangleStats:
     def test_hand_counted_census(self, spark):
