@@ -22,10 +22,13 @@ Prints one JSON line per scale.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_scale(spark, batch_size: int, n_windows: int, per_ledger: int) -> dict:
