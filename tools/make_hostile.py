@@ -29,18 +29,43 @@ def build(sf_dir: str, out_dir: str) -> str:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
-    for t in (
-        "region",
-        "nation",
-        "customer",
-        "supplier",
-        "part",
-        "embeddings",
-    ):
+    for t in ("region", "nation", "embeddings"):
         con.sql(
             f"COPY (SELECT * FROM '{os.path.join(sf_dir, t)}.parquet') "
             f"TO '{os.path.join(out_dir, t)}.parquet' (FORMAT PARQUET)"
         )
+    # Hostile DIMENSION rows (round-8b): non-null keys, NULL/degenerate
+    # attributes, plus keys no fact row references (dangling dims) and a
+    # c_nationkey no nation has (dangling FK) — stressing join vs GROUP BY
+    # NULL semantics and aggregate NULL-skipping on both engines.
+    con.sql(
+        f"""COPY (
+  SELECT * FROM '{os.path.join(sf_dir, 'customer')}.parquet'
+  UNION ALL SELECT * FROM (VALUES
+    (910000, NULL, 0, NULL, NULL),
+    (910001, 'Hostile Cust', NULL, -999.99, ''),
+    (910002, '', 98, 0.0, 'BUILDING')
+  ) v(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+) TO '{os.path.join(out_dir, 'customer')}.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (
+  SELECT * FROM '{os.path.join(sf_dir, 'supplier')}.parquet'
+  UNION ALL SELECT * FROM (VALUES
+    (920000, NULL, NULL, NULL),
+    (920001, '', 0, -1.5)
+  ) v(s_suppkey, s_name, s_nationkey, s_acctbal)
+) TO '{os.path.join(out_dir, 'supplier')}.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (
+  SELECT * FROM '{os.path.join(sf_dir, 'part')}.parquet'
+  UNION ALL SELECT * FROM (VALUES
+    (930000, NULL, NULL, NULL, NULL, NULL),
+    (930001, '', 'Brand#00', '', 0, 0.0)
+  ) v(p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
+) TO '{os.path.join(out_dir, 'part')}.parquet' (FORMAT PARQUET)"""
+    )
     # Hostile SILVER rows (round-8): orders/lineitem drive the derived
     # stellar-entity inputs (transforms/derive.py), so adversarial rows here
     # stress the 21 entity transforms AND their DuckDB twins end to end:
