@@ -256,3 +256,54 @@ class TestCraftedHostiles:
         r = Reader(b"\xff\xff\xff\xff")
         with pytest.raises(XdrError, match="truncated"):
             r.array(lambda: r.u32())
+
+
+class TestBronzePathFailsLoudly:
+    """The production entry point: a corrupted ledger FILE in a bronze batch
+    must fail the Spark job with the XdrError surfaced — never silently
+    yield wrong or partial rows for that batch.  Mirrors the reference's
+    abort-on-decode-error (internal/input/ledgers.go:25)."""
+
+    def test_corrupted_ledger_file_fails_job(self, spark, tmp_path):
+        import os
+
+        from golden_lcm import write_golden_ledger_dir
+
+        from stellar_etl_spark.sources.bronze import (
+            decode_ledger_files,
+            read_ledger_files,
+        )
+        from stellar_etl_spark.sources.silver import decode_transactions
+
+        d = str(tmp_path / "ledgers")
+        lcms = write_golden_ledger_dir(d)
+        assert len(lcms) >= 2
+        # clean decode first: all ledgers come back
+        clean = decode_ledger_files(read_ledger_files(spark, d))
+        assert clean.count() == len(lcms)
+
+        victim = sorted(os.listdir(d))[0]
+        p = os.path.join(d, victim)
+        raw = open(p, "rb").read()
+
+        # (a) truncation INSIDE the envelope region → the bronze prefix
+        # decode itself must fail the job
+        with open(p, "wb") as fh:
+            fh.write(raw[: len(raw) // 16])
+        bad = decode_ledger_files(read_ledger_files(spark, d))
+        with pytest.raises(Exception) as ei:
+            bad.collect()
+        assert "XdrError" in str(ei.value) or "truncated" in str(ei.value)
+
+        # (b) truncation in the tx-processing TAIL: bronze is a prefix
+        # decode by design (tx_processing=False — silver owns the tail),
+        # so bronze still yields the header row, but the SILVER decode
+        # that consumes results/meta must fail loudly — never emit
+        # partial tx rows for the broken ledger
+        with open(p, "wb") as fh:
+            fh.write(raw[: len(raw) // 2])
+        bronze = decode_ledger_files(read_ledger_files(spark, d))
+        assert bronze.count() == len(lcms)  # prefix intact
+        with pytest.raises(Exception) as ei2:
+            decode_transactions(bronze).collect()
+        assert "XdrError" in str(ei2.value) or "truncated" in str(ei2.value)
