@@ -3529,8 +3529,10 @@ q AS (
 SELECT r_q, f_q, m_q,
   CAST(COUNT(*) AS BIGINT) AS n_customers,
   CAST(SUM(cents) AS BIGINT) AS segment_cents,
-  CAST((SUM(cents) * 2000000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
-    / 1000000.0 AS avg_cents
+  -- sign-magnitude round-half-away (exact_ratio twin; see incremental_agg_merge)
+  CASE WHEN SUM(cents) < 0 THEN -1.0 ELSE 1.0 END
+    * CAST((ABS(SUM(cents)) * 2000000 + COUNT(*)) // (2 * COUNT(*))
+           AS DOUBLE) / 1000000.0 AS avg_cents
 FROM q GROUP BY r_q, f_q, m_q
 """
 
@@ -3630,7 +3632,11 @@ q AS (
 SELECT f.event_type, q.n_rows,
   CAST(q.q_lo AS BIGINT) AS q_lo_cents,
   CAST(q.q_hi AS BIGINT) AS q_hi_cents,
-  CAST((SUM(f.f * greatest(least(f.c, q.q_hi), q.q_lo)) * 2000000 + q.n_rows)
+  -- sign-magnitude round-half-away (exact_ratio twin; see incremental_agg_merge)
+  CASE WHEN SUM(f.f * greatest(least(f.c, q.q_hi), q.q_lo)) < 0
+       THEN -1.0 ELSE 1.0 END
+    * CAST((ABS(SUM(f.f * greatest(least(f.c, q.q_hi), q.q_lo))) * 2000000
+            + q.n_rows)
        // (2 * q.n_rows) AS DOUBLE) / 1000000.0 AS winsorized_mean_cents,
   CAST(SUM(CASE WHEN f.c < q.q_lo THEN f.f ELSE 0 END) AS BIGINT)
     AS n_clamped_low,
@@ -4375,7 +4381,9 @@ anchor AS (SELECT MAX(l) AS now FROM cust)
 SELECT o_custkey, frequency, monetary_cents,
   CAST(now - l AS BIGINT) AS recency_days,
   CAST(l - f AS BIGINT) AS tenure_days,
-  CAST((CAST(monetary_cents AS HUGEINT) * 2000000 + frequency)
+  -- sign-magnitude round-half-away (exact_ratio twin; see incremental_agg_merge)
+  CASE WHEN monetary_cents < 0 THEN -1.0 ELSE 1.0 END
+    * CAST((ABS(CAST(monetary_cents AS HUGEINT)) * 2000000 + frequency)
        // (2 * CAST(frequency AS HUGEINT)) AS DOUBLE) / 1000000.0
     AS avg_order_cents,
   CASE WHEN frequency <= 1 THEN NULL
@@ -5423,8 +5431,10 @@ FROM li GROUP BY l_orderkey
 """
 
 ORACLES["benford_digit_audit"] = """
+-- abs() before the digit pull: Benford runs on magnitudes, and a leading
+-- '-' would crash the int cast on both engines
 WITH d AS (
-  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+  SELECT CAST(substr(CAST(ABS(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
               1, 1) AS INTEGER) AS digit
   FROM orders
 ),

@@ -6346,8 +6346,15 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         66946790, 57991947, 51152522, 45757491,
     ]
     orders = table(spark, sf_dir, "orders")
+    # Benford is defined on MAGNITUDES: abs() before the digit pull, else a
+    # negative total's leading '-' hits the int cast (ANSI crash) — both
+    # engines take the same abs
     digits = orders.select(
-        F.substring(F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1)
+        F.substring(
+            F.abs(F.col("o_totalprice")).cast("decimal(18,2)").cast("string"),
+            1,
+            1,
+        )
         .cast("int")
         .alias("digit")
     ).where(F.col("digit").between(1, 9))

@@ -86,7 +86,10 @@ def build(sf_dir: str, out_dir: str) -> str:
     (200000, NULL, 'O', 1234.56, TIMESTAMP '2024-02-01', '1-URGENT'),
     (200001, 7, NULL, NULL, NULL, NULL),
     (200002, 7, '', 0.0, TIMESTAMP '2024-02-02', NULL),
-    (200003, NULL, NULL, NULL, NULL, NULL)
+    (200003, NULL, NULL, NULL, NULL, NULL),
+    -- a customer whose order total SUM is negative (refund-heavy account):
+    -- signed cents averages must round half away from zero on both engines
+    (200004, 910001, 'O', -4444.445, TIMESTAMP '2024-02-06', '2-HIGH')
   ) v(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
       o_orderpriority)
 ) TO '{os.path.join(out_dir, 'orders')}.parquet' (FORMAT PARQUET)"""
@@ -135,7 +138,16 @@ def build(sf_dir: str, out_dir: str) -> str:
     -- tightest oracle cast, which is its own contract)
     (9900004, TIMESTAMP '2024-03-01 00:00:03', 314, 'purchase', 99999.1234,
      '{{"k":"v"}}'),
-    (9900005, TIMESTAMP '2024-03-01 00:00:04', 0, 'view', -99999.9999, '[]')
+    (9900005, TIMESTAMP '2024-03-01 00:00:04', 0, 'view', -99999.9999, '[]'),
+    -- a NEW event_type whose group sum is NEGATIVE: flushes out signed
+    -- floor-division rounding in any per-type cents average (the
+    -- incremental_agg_merge 1-ulp class) — round-half must go AWAY from
+    -- zero on both engines
+    (9900006, TIMESTAMP '2024-03-01 00:00:05', 7, 'refund', -11111.1115,
+     '{{}}'),
+    (9900007, TIMESTAMP '2024-03-01 00:00:06', 7, 'refund', -22222.2225,
+     NULL),
+    (9900008, TIMESTAMP '2024-03-01 00:00:07', 8, 'refund', 3.0, '{{}}')
   ) v(event_id, ts, user_id, event_type, value, props)
 ) TO '{os.path.join(out_dir, 'events')}.parquet' (FORMAT PARQUET)"""
     )
