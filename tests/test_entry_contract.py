@@ -90,6 +90,67 @@ def test_all_queries_survive_hostile_inputs(spark, tmp_path_factory):
     assert failures == {}
 
 
+def test_duplicate_key_inputs_run_and_dedup_remediates(
+    spark, tmp_path_factory
+):
+    """Input contract probe (round 8): the driver tables are KEYED
+    (doc_id/event_id unique — the reference's datastore cannot even hold a
+    duplicate ledger: the filename IS the sequence).  At-least-once
+    ingestion can still deliver full-row duplicates, so two properties are
+    pinned WITHOUT forcing a dedup shuffle into every operator (the wrong
+    trade at 100 TB):
+
+    1. no query CRASHES on duplicated keys — a round-8 sweep found 11
+       output-multiplicity differences vs the oracles (per-row operators ×
+       GROUP BY twins) but ZERO errors; per-row outputs for duplicated
+       inputs are duplicated, which downstream consumers dedupe by key;
+    2. the shipped remediation path works: ``exact_dedup`` collapses the
+       full-row duplicates back to one survivor per content, after which
+       the keyed contract holds again."""
+    import duckdb
+
+    from stellar_etl_spark.operators.dedup import exact_dedup
+
+    d = str(tmp_path_factory.mktemp("dups"))
+    src = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "embeddings"):
+        con.sql(f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    con.sql(f"""COPY (
+      SELECT * FROM '{src}/events.parquet'
+      UNION ALL SELECT * FROM
+        (SELECT * FROM '{src}/events.parquet' ORDER BY event_id LIMIT 3)
+    ) TO '{d}/events.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""COPY (
+      SELECT * FROM '{src}/documents.parquet'
+      UNION ALL SELECT * FROM
+        (SELECT * FROM '{src}/documents.parquet' ORDER BY doc_id LIMIT 2)
+    ) TO '{d}/documents.parquet' (FORMAT PARQUET)""")
+    n_docs = con.sql(
+        f"SELECT COUNT(*) FROM '{src}/documents.parquet'"
+    ).fetchone()[0]
+    con.close()
+
+    # (1) no crashes across the registry on duplicated keys
+    failures = {}
+    for name, fn in QUERIES.items():
+        try:
+            fn(spark, d).limit(1).collect()
+        except Exception as ex:  # noqa: BLE001 — collecting all offenders
+            failures[name] = f"{type(ex).__name__}: {str(ex)[:120]}"
+    assert failures == {}
+
+    # (2) exact_dedup restores one survivor per content
+    docs = spark.read.parquet(f"{d}/documents.parquet").where(
+        "text IS NOT NULL"
+    )
+    survivors = exact_dedup(docs, "doc_id", "text")
+    assert survivors.where("dup_count > 1").count() >= 2
+    assert survivors.groupBy("doc_id").count().where("count > 1").count() == 0
+
+
 def test_no_collect_in_operator_paths():
     """Scale guard: operator/query modules must not materialize to the driver."""
     import pathlib
