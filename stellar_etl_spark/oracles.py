@@ -525,11 +525,16 @@ SELECT doc_id,
 FROM b
 """,
     "sliding_windows_15min": """
+-- FLOOR-division window buckets: Spark's window() floors calendar
+-- windows, but integer '//' truncates toward zero on both engines, so
+-- pre-1970 (negative-epoch) events would land one window late.  The
+-- positive-mod subtraction makes the quotient an exact floor.
 WITH e AS (
   SELECT epoch_us(ts) AS us, event_type, value FROM events
 ),
 x AS (
-  SELECT ((us // 300000000) - k) * 300000000 AS window_start_us,
+  SELECT (((us - ((us % 300000000) + 300000000) % 300000000) // 300000000)
+          - k) * 300000000 AS window_start_us,
     event_type, value
   FROM e, (SELECT unnest(generate_series(0, 2)) AS k) ks(k)
 )

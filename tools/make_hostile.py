@@ -147,7 +147,15 @@ def build(sf_dir: str, out_dir: str) -> str:
      '{{}}'),
     (9900007, TIMESTAMP '2024-03-01 00:00:06', 7, 'refund', -22222.2225,
      NULL),
-    (9900008, TIMESTAMP '2024-03-01 00:00:07', 8, 'refund', 3.0, '{{}}')
+    (9900008, TIMESTAMP '2024-03-01 00:00:07', 8, 'refund', 3.0, '{{}}'),
+    -- extreme event times: pre-1970 (NEGATIVE epoch — integer '//'
+    -- truncates toward zero on both engines but Spark's window() FLOORS,
+    -- which caught sliding_windows_15min) and far-future within the ns
+    -- domain
+    (9920001, TIMESTAMP '1969-12-25 06:30:00', 21, 'view', 1.5, '{{}}'),
+    (9920002, TIMESTAMP '1969-12-31 23:59:59.999999', 21, 'purchase', 2.5,
+     '{{}}'),
+    (9920003, TIMESTAMP '2200-01-01 00:00:00', 22, 'view', 3.5, '{{}}')
   ) v(event_id, ts, user_id, event_type, value, props)
 ) TO '{os.path.join(out_dir, 'events')}.parquet' (FORMAT PARQUET)"""
     )
