@@ -400,7 +400,13 @@ SELECT doc_id, ROUND(score, 6) AS bm25
 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
 """,
     "hybrid_rrf_search": f"""
-WITH tok AS (
+-- valid-vector contract (shadowing CTE): NULL / all-zero vectors are
+-- outside every similarity/clustering/quantization operator's domain
+WITH emb_valid AS (
+  SELECT * FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x <> 0)) > 0
+), tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
 ),
 dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
@@ -470,7 +476,7 @@ lexr AS (
   SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
   FROM lex
 ),
-qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+qv AS (SELECT embedding AS v FROM emb_valid WHERE vec_id = 0),
 sem AS (
   SELECT CAST(e.vec_id AS BIGINT) AS doc_id,
     list_sum(list_transform(generate_series(1, len(e.embedding)),
@@ -479,7 +485,7 @@ sem AS (
         j -> CAST(e.embedding[j] AS DOUBLE) * e.embedding[j])))
      * sqrt(list_sum(list_transform(generate_series(1, len(qv.v)),
         j -> CAST(qv.v[j] AS DOUBLE) * qv.v[j])))) AS cos
-  FROM embeddings e, qv WHERE e.vec_id <> 0
+  FROM emb_valid e, qv WHERE e.vec_id <> 0
   ORDER BY cos DESC, doc_id LIMIT 50
 ),
 semr AS (
@@ -805,8 +811,14 @@ SELECT doc_id,
 FROM votes GROUP BY doc_id
 """,
     "knn_cosine_bruteforce": """
-WITH base AS (
-  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+-- valid-vector contract (shadowing CTE): NULL / all-zero vectors are
+-- outside every similarity/clustering/quantization operator's domain
+WITH emb_valid AS (
+  SELECT * FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x <> 0)) > 0
+), base AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM emb_valid
 ),
 q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id IN (0, 1, 2, 3, 4)),
 scored AS (
@@ -826,9 +838,16 @@ ranked AS (
 SELECT query_id, rnk, nbr_id, cosine_sim FROM ranked WHERE rnk <= 5
 """,
     "embedding_label_centroids": """
+-- valid-vector contract (shadowing CTE): NULL / all-zero vectors are
+-- outside every similarity/clustering/quantization operator's domain
+WITH emb_valid AS (
+  SELECT * FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x <> 0)) > 0
+)
 SELECT label, CAST(i - 1 AS BIGINT) AS dim,
   ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_val
-FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) AS dims(i)
+FROM emb_valid, (SELECT unnest(generate_series(1, 64)) AS i) AS dims(i)
 GROUP BY label, i
 """,
     "tpch_q7_nation_volume": f"""
@@ -1103,8 +1122,14 @@ SELECT doc_id,
 FROM documents
 """,
     "embedding_near_dup": """
-WITH base AS (
-  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+-- valid-vector contract (shadowing CTE): NULL / all-zero vectors are
+-- outside every similarity/clustering/quantization operator's domain
+WITH emb_valid AS (
+  SELECT * FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x <> 0)) > 0
+), base AS (
+  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM emb_valid
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   ROUND(
@@ -1122,8 +1147,14 @@ WHERE ROUND(
     # IVF probe selection is deterministic (exact per-label centroids, ties
     # broken by cell id), so the "approximate" path still has an exact twin.
     "ivf_knn_approx": """
-WITH base AS (
-  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+-- valid-vector contract (shadowing CTE): NULL / all-zero vectors are
+-- outside every similarity/clustering/quantization operator's domain
+WITH emb_valid AS (
+  SELECT * FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x <> 0)) > 0
+), base AS (
+  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM emb_valid
 ),
 cent AS (
   SELECT label, i, ROUND(AVG(v[i]), 6) AS cv
@@ -1312,8 +1343,14 @@ WHERE (('0x' || substring(md5(text), 1, 8))::BIGINT % 1000)
   < (CASE WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN 500 ELSE 50 END)
 """,
     "embedding_quantization": """
-WITH base AS (
-  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+-- valid-vector contract (shadowing CTE): NULL / all-zero vectors are
+-- outside every similarity/clustering/quantization operator's domain
+WITH emb_valid AS (
+  SELECT * FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x <> 0)) > 0
+), base AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM emb_valid
 ),
 s AS (
   SELECT vec_id, v,
@@ -1696,11 +1733,17 @@ SELECT node, ROUND(r, 6) AS rank FROM r3
 ORDER BY ROUND(r, 6) DESC, node LIMIT 500
 """,
     "kmeans_clusters": """
-WITH pts AS (
+-- valid-vector contract (shadowing CTE): NULL / all-zero vectors are
+-- outside every similarity/clustering/quantization operator's domain
+WITH emb_valid AS (
+  SELECT * FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x <> 0)) > 0
+), pts AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
     list_transform(embedding,
       x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-  FROM embeddings
+  FROM emb_valid
 ),
 init AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
@@ -1786,11 +1829,17 @@ SELECT lang, source, COUNT(*) AS n_docs,
 FROM per_doc GROUP BY lang, source
 """,
     "semantic_dedup": """
-WITH pts AS (
+-- valid-vector contract (shadowing CTE): NULL / all-zero vectors are
+-- outside every similarity/clustering/quantization operator's domain
+WITH emb_valid AS (
+  SELECT * FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x <> 0)) > 0
+), pts AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
     list_transform(embedding,
       x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-  FROM embeddings
+  FROM emb_valid
 ),
 init AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
@@ -2173,11 +2222,17 @@ FROM d
 """
 
 ORACLES["pq_ann_search"] = """
-WITH pts AS (
+-- valid-vector contract (shadowing CTE): NULL / all-zero vectors are
+-- outside every similarity/clustering/quantization operator's domain
+WITH emb_valid AS (
+  SELECT * FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x <> 0)) > 0
+), pts AS (
   SELECT CAST(vec_id AS BIGINT) AS vid,
     list_transform(embedding,
       x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-  FROM embeddings
+  FROM emb_valid
 ),
 spts AS (
   SELECT vid, s.sub, q[s.sub*8+1 : s.sub*8+8] AS sq
@@ -2558,9 +2613,15 @@ SELECT cluster_id, survivor_doc_id, survivor_chars, cluster_size FROM (
 """
 
 ORACLES["pca_power_iteration"] = """
-WITH base AS (
+-- valid-vector contract (shadowing CTE): NULL / all-zero vectors are
+-- outside every similarity/clustering/quantization operator's domain
+WITH emb_valid AS (
+  SELECT * FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x <> 0)) > 0
+), base AS (
   SELECT [CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT) FOR x IN embedding] AS q
-  FROM embeddings WHERE len(embedding) = 64
+  FROM emb_valid WHERE len(embedding) = 64
 ),
 dims AS (SELECT unnest(generate_series(1, 64)) AS i),
 g AS (
@@ -2698,13 +2759,19 @@ FROM j GROUP BY source, status
 """
 
 ORACLES["label_balanced_sample"] = """
-WITH counts AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+-- valid-vector contract (shadowing CTE): NULL / all-zero vectors are
+-- outside every similarity/clustering/quantization operator's domain
+WITH emb_valid AS (
+  SELECT * FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x <> 0)) > 0
+), counts AS (SELECT label, COUNT(*) AS n FROM emb_valid GROUP BY label),
 m AS (SELECT MIN(n) AS m FROM counts),
 ranked AS (
   SELECT label, vec_id,
     CAST(row_number() OVER (PARTITION BY label
       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
-  FROM embeddings
+  FROM emb_valid
 )
 SELECT label, vec_id, rk FROM ranked, m WHERE rk <= m.m
 """
@@ -2837,8 +2904,14 @@ FROM staged
 """
 
 ORACLES["embedding_truncation_audit"] = """
-WITH base AS (
-  SELECT label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+-- valid-vector contract (shadowing CTE): NULL / all-zero vectors are
+-- outside every similarity/clustering/quantization operator's domain
+WITH emb_valid AS (
+  SELECT * FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x <> 0)) > 0
+), base AS (
+  SELECT label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM emb_valid
 ),
 e AS (
   SELECT label, k,
@@ -2861,8 +2934,14 @@ FROM agg
 """
 
 ORACLES["ann_recall_audit"] = """
-WITH base AS (
-  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+-- valid-vector contract (shadowing CTE): NULL / all-zero vectors are
+-- outside every similarity/clustering/quantization operator's domain
+WITH emb_valid AS (
+  SELECT * FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x <> 0)) > 0
+), base AS (
+  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM emb_valid
 ),
 q AS (
   SELECT vec_id AS query_id, v AS qv,
@@ -2997,8 +3076,14 @@ FROM agg
 """
 
 ORACLES["hard_negatives"] = """
-WITH base AS (
-  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+-- valid-vector contract (shadowing CTE): NULL / all-zero vectors are
+-- outside every similarity/clustering/quantization operator's domain
+WITH emb_valid AS (
+  SELECT * FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x <> 0)) > 0
+), base AS (
+  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM emb_valid
 ),
 a AS (
   SELECT vec_id AS anchor_id, label AS anchor_label, v AS av,
@@ -4329,10 +4414,16 @@ FROM s
 """
 
 ORACLES["embedding_drift_by_label"] = """
-WITH base AS (
+-- valid-vector contract (shadowing CTE): NULL / all-zero vectors are
+-- outside every similarity/clustering/quantization operator's domain
+WITH emb_valid AS (
+  SELECT * FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x <> 0)) > 0
+), base AS (
   SELECT label, vec_id % 2 AS half,
     [CAST(x AS DOUBLE) FOR x IN embedding] AS v
-  FROM embeddings
+  FROM emb_valid
 ),
 cent AS (
   SELECT label, half, i AS dim, ROUND(AVG(v[i]), 6) AS cv
@@ -4487,8 +4578,14 @@ _KC_D2 = (
 )
 
 ORACLES["kcenter_coreset"] = f"""
-WITH base AS (
-  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+-- valid-vector contract (shadowing CTE): NULL / all-zero vectors are
+-- outside every similarity/clustering/quantization operator's domain
+WITH emb_valid AS (
+  SELECT * FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x <> 0)) > 0
+), base AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM emb_valid
 ),
 c1 AS (SELECT vec_id AS center_id, v AS cv FROM base ORDER BY vec_id LIMIT 1),
 m1 AS (

@@ -62,6 +62,20 @@ def _dec(col, p: int = 12, s: int = 4):
     )
 
 
+def emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings under the VALID-VECTOR contract: similarity, clustering,
+    and quantization all need a non-NULL vector, and cosine needs a
+    direction — a zero-norm row divides by zero under ANSI.  Both engine
+    sides exclude NULL and all-zero vectors (a shadowing CTE in the
+    oracles); a no-op on driver data, which has no degenerate vectors.
+    The filter is a scan-adjacent predicate — no shuffle."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.where(
+        F.col("embedding").isNotNull()
+        & F.exists("embedding", lambda x: x != 0)
+    )
+
+
 def _ntz(s: str):
     """Date-string literal → epoch-nanos long, matching catalog.table()'s
     timestamp contract (every time column is an epoch-nanos long)."""
@@ -577,12 +591,12 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(
-        table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
+        emb_table(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5
     ).select("query_id", F.col("rank").cast("long").alias("rnk"), "nbr_id", "cosine_sim")
 
 
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = label_centroids(table(spark, sf_dir, "embeddings"))
+    out = label_centroids(emb_table(spark, sf_dir))
     return out.select(
         "label", F.col("dim").cast("long").alias("dim"), "centroid_val"
     )
@@ -593,7 +607,7 @@ def ivf_knn_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     (probes nprobe/ncells of the corpus). Deterministic end to end (exact
     centroids, tie-broken probe ranking), so it still has an exact oracle."""
     return lsh_bucket_topk(
-        table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5, nprobe=3
+        emb_table(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5, nprobe=3
     ).select("query_id", F.col("rank").cast("long").alias("rnk"), "nbr_id", "cosine_sim")
 
 
@@ -1010,7 +1024,7 @@ def rolling_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs blocked by coarse cell (label)."""
     return embedding_near_dup_pairs(
-        table(spark, sf_dir, "embeddings"), threshold=0.42
+        emb_table(spark, sf_dir), threshold=0.42
     )
 
 
@@ -1104,7 +1118,7 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding keeps codes engine-deterministic."""
     from stellar_etl_spark.operators.similarity import quantize_embeddings
 
-    return quantize_embeddings(table(spark, sf_dir, "embeddings"))
+    return quantize_embeddings(emb_table(spark, sf_dir))
 
 
 def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2067,7 +2081,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the full assignment hash-matches the unrolled SQL oracle."""
     from stellar_etl_spark.operators.similarity import kmeans_fixed
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     return kmeans_fixed(emb, k=8, iterations=2)
 
 
@@ -2083,7 +2097,7 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stellar_etl_spark.operators.text import bm25_search
 
     docs = table(spark, sf_dir, "documents")
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
 
     lex = bm25_search(docs, "doc_id", "text", BM25_TERMS, limit=50)
 
@@ -2168,7 +2182,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never an all-pairs join)."""
     from stellar_etl_spark.operators.similarity import semdedup
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     return semdedup(emb, k=8, iterations=2, tau_n=7, tau_d=20)
 
 
@@ -2378,7 +2392,7 @@ def pq_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical integer pipeline in SQL."""
     from stellar_etl_spark.operators.similarity import pq_ann
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     return pq_ann(emb, d=64, m=8, k=16, iterations=2, query_id=0, top=20)
 
 
@@ -2589,7 +2603,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     + correctly-rounded sqrt).  No collect, no normalization drift."""
     from stellar_etl_spark.operators.similarity import pca_top_component
 
-    return pca_top_component(table(spark, sf_dir, "embeddings"))
+    return pca_top_component(emb_table(spark, sf_dir))
 
 
 QUERIES["pca_power_iteration"] = pca_power_iteration
@@ -2728,7 +2742,7 @@ def label_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     RNG state) — the class-rebalancing step before training a classifier
     head.  The min count is a 1-row broadcast; ranking windows partition by
     label so the selection parallelizes across classes."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     from pyspark.sql.window import Window
 
     counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("_n"))
@@ -2838,7 +2852,7 @@ def embedding_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     one (k, label) hash aggregate."""
     from stellar_etl_spark.operators.similarity import truncation_energy_audit
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     return truncation_energy_audit(emb)
 
 
@@ -2858,7 +2872,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_bucket_topk,
     )
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     qids = [0, 1, 2, 3, 4]
     exact = cosine_topk(emb, query_ids=qids, k=5).select(
         "query_id", "nbr_id"
@@ -2941,7 +2955,7 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality as a pair-stream predicate."""
     from stellar_etl_spark.operators.similarity import hard_negative_mining
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     return hard_negative_mining(emb, anchor_ids=list(range(20)), k=3)
 
 
@@ -4857,7 +4871,7 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension (the repo's residual-double rule); the cosine folds the
     ROUNDED 64-dim vectors left-to-right with ``F.aggregate`` from zero
     init, so both engines execute the identical IEEE sequence."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     cent = (
         emb.select(
             "label",
@@ -5110,7 +5124,7 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame is lazily checkpointed so the unrolled plan stays shallow.
     Output: the 4 centers in selection order plus the final coverage
     radius (max over the corpus of min-distance-to-set)."""
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = emb_table(spark, sf_dir).select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     ).localCheckpoint(eager=False)

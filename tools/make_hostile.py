@@ -29,11 +29,26 @@ def build(sf_dir: str, out_dir: str) -> str:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
-    for t in ("region", "nation", "embeddings"):
+    for t in ("region", "nation"):
         con.sql(
             f"COPY (SELECT * FROM '{os.path.join(sf_dir, t)}.parquet') "
             f"TO '{os.path.join(out_dir, t)}.parquet' (FORMAT PARQUET)"
         )
+    # Hostile EMBEDDING rows (round-8): a zero vector (no cosine direction —
+    # divides by zero under ANSI without the valid-vector contract), a NULL
+    # embedding (crashes numpy kernels), and a NULL label.  Both engine
+    # sides exclude NULL/all-zero vectors (queries.emb_table / the
+    # shadowing CTE in the oracles).
+    con.sql(
+        f"""COPY (
+  SELECT * FROM '{os.path.join(sf_dir, 'embeddings')}.parquet'
+  UNION ALL SELECT * FROM (VALUES
+    (990001, [CAST(0.0 AS FLOAT) FOR i IN range(64)], 3),
+    (990002, NULL, 4),
+    (990003, [CAST(0.1 AS FLOAT) FOR i IN range(64)], NULL)
+  ) v(vec_id, embedding, label)
+) TO '{os.path.join(out_dir, 'embeddings')}.parquet' (FORMAT PARQUET)"""
+    )
     # Hostile DIMENSION rows (round-8b): non-null keys, NULL/degenerate
     # attributes, plus keys no fact row references (dangling dims) and a
     # c_nationkey no nation has (dangling FK) — stressing join vs GROUP BY
