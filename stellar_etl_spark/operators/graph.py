@@ -611,9 +611,12 @@ def harmonic_centrality_bitset(
     ]
     if max_seeds is not None:
         # an under-estimated bound must FAIL, not silently drop the seeds
-        # whose bit index falls past the mask width
+        # whose bit index falls past the bound — guard against the exact
+        # bound, not the word-aligned mask width: the popcount kernel
+        # slices per_seed[:n_seeds], so indices in [max_seeds, words*64)
+        # would otherwise truncate silently within the 64-bit slack
         guard = F.assert_true(
-            F.col("si") < F.lit(words * 64),
+            F.col("si") < F.lit(n_seeds),
             F.lit(f"max_seeds={max_seeds} is below the actual seed count"),
         )
         mask_exprs[0] = F.when(guard.isNull(), mask_exprs[0]).alias("m0")

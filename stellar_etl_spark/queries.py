@@ -68,11 +68,23 @@ def emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction — a zero-norm row divides by zero under ANSI.  Both engine
     sides exclude NULL and all-zero vectors (a shadowing CTE in the
     oracles); a no-op on driver data, which has no degenerate vectors.
-    The filter is a scan-adjacent predicate — no shuffle."""
+    The filter is a scan-adjacent predicate — no shuffle, and written
+    with codegen-friendly array_min/array_max (not an ``exists`` HOF,
+    which is CodegenFallback and would interpret a per-row lambda on the
+    hot embeddings scan feeding 9+ similarity queries at 100 TB).
+    Equivalence with ``exists(x -> x != 0)`` under WHERE semantics:
+    array_min/array_max skip NULL elements, so a vector with some
+    non-NULL nonzero element forces min != 0 or max != 0; all-zero /
+    all-NULL-element / empty vectors coalesce to (0, 0) and are
+    excluded, exactly as the NULL-propagating HOF was."""
     e = table(spark, sf_dir, "embeddings")
+    zero = F.lit(0.0)
     return e.where(
         F.col("embedding").isNotNull()
-        & F.exists("embedding", lambda x: x != 0)
+        & ~(
+            (F.coalesce(F.array_min("embedding"), zero) == zero)
+            & (F.coalesce(F.array_max("embedding"), zero) == zero)
+        )
     )
 
 

@@ -55,11 +55,24 @@ def transform_token_transfer(events: DataFrame) -> DataFrame:
       - clawback: admin removes from ``from``
       - fee: ``from`` pays the network
     Amounts are stroops × 1e-7 (lines 52-73).
+
+    Fee events always count — the network charges fees on FAILED
+    transactions too (the reference EventsProcessor emits FeeEvents
+    unconditionally); op events count only when the transaction AND the
+    contract invocation succeeded.  The classic-derived stream stamps fee
+    rows successful, so the gate is a no-op there; the Soroban-decoded
+    stream carries the real flags and must keep failed-tx fee debits —
+    the same gate ``verify_token_transfers`` applies.
     """
     src = events.where(
         F.col("sac_kind").isin(*EVENT_KINDS)
-        & F.col("tx_successful")
-        & F.col("in_successful_contract_call")
+        & (
+            (F.col("sac_kind") == "fee")
+            | (
+                F.col("tx_successful")
+                & F.col("in_successful_contract_call")
+            )
+        )
     )
     asset_concat, asset_type, code, issuer = canonical_asset_parts(
         F.col("sac_asset")

@@ -414,6 +414,23 @@ class TestTokenTransferSelfVerification:
         fee = audit[(ACCOUNT_C, "native")]
         assert fee.matched and fee.event_net == -7 and fee.balance_delta == -7
 
+        # classify must apply the SAME gate: the failed-tx fee debit stays
+        # in the exported token_transfers table (the reference
+        # EventsProcessor emits FeeEvents for failed transactions), while
+        # the failed-tx / failed-call op events are dropped — otherwise
+        # classify and verify disagree on identical input
+        from stellar_etl_spark.transforms.token_transfer import (
+            transform_token_transfer,
+        )
+
+        rows = transform_token_transfer(events).collect()
+        assert {(r.event_type, r["from"], r.amount_raw) for r in rows} == {
+            ("transfer", contract, "100"),
+            ("fee", ACCOUNT_C, "7"),
+        }
+        fee_row = next(r for r in rows if r.event_type == "fee")
+        assert fee_row.operation_id is None  # fee events are tx-level
+
 
 class TestTradesGoldenParity:
     @pytest.fixture(scope="class")

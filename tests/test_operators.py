@@ -2290,6 +2290,29 @@ class TestHarmonicBitset:
         with pytest.raises(Exception, match="below the actual seed count"):
             out.collect()
 
+    def test_max_seeds_underestimate_raises_non_word_aligned(self, spark):
+        """A bound that is below the true seed count but WITHIN the 64-bit
+        word-rounding slack (e.g. 70 vs ~100 seeds: both round to a 2-word
+        mask) must still fail — the popcount kernel slices per_seed[:70],
+        so a width-based guard would silently emit zeros for the
+        truncated seeds."""
+        import pytest
+
+        from stellar_etl_spark.operators.graph import (
+            harmonic_centrality_bitset,
+        )
+
+        # chain of 101 nodes, seed_mod=1 -> 101 seeds; 70 < 101 but
+        # ceil(70/64) == ceil(101/64) == 2 mask words
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(100)], "a long, b long"
+        )
+        out = harmonic_centrality_bitset(
+            df, seed_mod=1, max_depth=1, max_seeds=70
+        )
+        with pytest.raises(Exception, match="below the actual seed count"):
+            out.collect()
+
 
 class TestTriangleStats:
     def test_hand_counted_census(self, spark):

@@ -132,6 +132,22 @@ class TestPushdown:
             "o_orderdate" in plan
         )
 
+    def test_emb_table_valid_vector_filter_is_codegen(self, spark, sf_dir):
+        """The valid-vector contract filter on the embeddings scan (feeding
+        9+ similarity queries) must stay scan-adjacent AND codegen-friendly:
+        array_min/array_max, not an `exists` HOF — a CodegenFallback lambda
+        interpreted per row on the hottest scan in the catalog at 100 TB."""
+        from stellar_etl_spark.queries import emb_table
+
+        plan = emb_table(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "exists(" not in plan, "valid-vector filter regressed to a HOF"
+        assert "array_min" in plan and "array_max" in plan
+        # scan-adjacent: a Filter directly over the parquet scan, no exchange
+        assert "Exchange" not in plan
+        # the isNotNull half reaches the parquet reader as a pushed filter
+        full = plan_of(spark, sf_dir, "semantic_dedup")
+        assert "exists(" not in full
+
 
 class TestJoinStrategy:
     def test_q5_broadcasts_all_dims(self, spark, sf_dir):

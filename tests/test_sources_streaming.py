@@ -165,6 +165,99 @@ class TestStreaming:
             assert s_rows[k].deleted == b_rows[k].deleted
 
 
+class TestStreamingHostileChanges:
+    """Round-9 verdict item 4: the hostile differential program reaches the
+    streaming path.  The batch compaction of the same rows is the oracle
+    (one code path — stream_compacted_changes runs compact_changes inside
+    foreachBatch — but the STREAM adds file-source batching, checkpointing
+    and per-epoch sinks, which is exactly where hostile rows could diverge).
+
+    Hostile classes (reference semantics internal/input/changes.go:104-151):
+      - NULL ledger keys (group-by-NULL rows must compact, not crash);
+      - duplicate (seq, change_index) order keys as FULL-ROW duplicates
+        (the round-8 at-least-once contract: identical payloads, so the
+        max_by tie is value-identical on both paths);
+      - a NULL change_index (NULL order key — max_by skips NULL ordering
+        on both paths);
+      - create→remove chains SPLIT ACROSS WINDOW boundaries (seq 63 / 64):
+        no annihilation — the create survives in window 0 and the remove
+        surfaces deleted=true in window 1;
+      - create→update→remove inside one window (annihilates entirely);
+      - remove→create re-creation inside one window.
+    """
+
+    def _hostile_rows(self):
+        return [
+            # NULL keys, two windows, multiple changes per window
+            (10, 0, None, 0, 1),
+            (11, 0, None, 1, 2),
+            (70, 0, None, 1, 9),
+            # full-row duplicate order keys (at-least-once delivery)
+            (12, 0, "dup", 1, 4),
+            (12, 0, "dup", 1, 4),
+            # NULL change_index on a key that also has a real change
+            (13, None, "nullidx", 1, 5),
+            (14, 0, "nullidx", 1, 6),
+            # create→remove split across the 64-ledger window boundary
+            (63, 0, "xwin", 0, 7),
+            (64, 0, "xwin", 2, 7),
+            # create→update→remove inside one window: annihilates
+            (20, 0, "gone", 0, 1),
+            (21, 0, "gone", 1, 2),
+            (22, 0, "gone", 2, 2),
+            # remove→create re-creation inside one window
+            (30, 0, "reborn", 2, 0),
+            (31, 0, "reborn", 0, 8),
+        ]
+
+    def test_hostile_stream_equals_batch(self, spark, tmp_path):
+        src = str(tmp_path / "landing")
+        changes = spark.createDataFrame(self._hostile_rows(), CHANGE_DDL)
+        # two landing files, windows kept whole per file (the reference's
+        # sequential-64-ledger contract: a window never splits across
+        # ChangeBatches) — maxFilesPerTrigger=1 forces two micro-batches
+        changes.where("ledger_sequence < 64").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        changes.where("ledger_sequence >= 64").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        out_dir = str(tmp_path / "out")
+
+        def sink(df, epoch_id):
+            df.write.mode("append").parquet(out_dir)
+
+        q = stream_compacted_changes(
+            read_change_stream(spark, src, CHANGE_DDL, max_files_per_trigger=1),
+            sink,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+        streamed = spark.read.parquet(out_dir)
+        batch = compact_changes(
+            changes.withColumn(
+                "batch_id", F.expr("cast(ledger_sequence / 64 as long)")
+            )
+        )
+        key = lambda r: (r["batch_id"], r["ledger_key"])  # noqa: E731
+        s_rows = {key(r): r.asDict() for r in streamed.collect()}
+        b_rows = {key(r): r.asDict() for r in batch.collect()}
+        assert s_rows == b_rows  # full-row parity, hostile classes included
+
+        # and the hostile semantics themselves (pinned on the batch oracle):
+        assert (0, "gone") not in b_rows          # in-window annihilation
+        assert b_rows[(0, "xwin")]["deleted"] is False   # create survives
+        assert b_rows[(1, "xwin")]["deleted"] is True    # remove surfaces
+        assert b_rows[(0, None)]["value"] == 2           # NULL key compacts
+        assert b_rows[(1, None)]["value"] == 9
+        assert b_rows[(0, "dup")]["value"] == 4          # dup rows collapse
+        assert b_rows[(0, "reborn")]["effective_change_type"] == 0
+        assert b_rows[(0, "nullidx")]["value"] == 6      # NULL ord skipped
+
+
 class TestUnboundedChangeExportSoak:
     """Round-6 verdict item 6: LONG-RUN soak of the unbounded (``end=0``)
     change export — 1,024 64-ledger batch windows (65,536 ledgers of

@@ -157,6 +157,73 @@ class TestComponentBlobFuzz:
         assert failures == [], failures[:5]
 
 
+class _TracingReader(Reader):
+    """Records the byte offset of every 4-byte word read (u32/i32 — every
+    union discriminant, length prefix, bool and enum goes through these),
+    so the swap fuzz can target exactly the positions the parser actually
+    interprets as structure."""
+
+    __slots__ = ("word_positions",)
+
+    def __init__(self, buf: bytes):
+        super().__init__(buf)
+        self.word_positions: list[int] = []
+
+    def u32(self) -> int:
+        self.word_positions.append(self.pos)
+        return super().u32()
+
+    def i32(self) -> int:
+        self.word_positions.append(self.pos)
+        return super().i32()
+
+
+class TestDiscriminantSwapFuzz:
+    """Round-9 verdict item 6: structure-aware union-arm swaps.  Random byte
+    flips almost always turn a discriminant into an INVALID value (clean
+    XdrError); rewriting each structurally-read word to each *valid other*
+    arm (op types 0–26 — covering memo kinds 0–4, change types 0–3, meta
+    versions, SCVal tags as subsets) steers the decode INTO a different
+    arm's parser, where arm-confusion bugs live: two arms sharing a parse
+    path with subtly different field order, padding, or sign would decode
+    "successfully" but re-encode differently — the canonical re-encode
+    check (same contract as the byte-flip fuzz) catches exactly that.
+    Spec: the reference's generated-Go strict decode over
+    internal/transform/operation.go:584-1173's 27-arm switch."""
+
+    ARMS = list(range(27))
+    MAX_POSITIONS = 200
+
+    @pytest.mark.parametrize("column", sorted(PAIRS))
+    def test_valid_arm_swaps_canonical(self, column):
+        decode, encode = PAIRS[column]
+        failures = []
+        for blob in _golden_blobs(column, limit=6):
+            tr = _TracingReader(blob)
+            decode(tr)  # clean golden must decode; collect word offsets
+            positions = tr.word_positions
+            if len(positions) > self.MAX_POSITIONS:
+                # even stride sample keeps deep tx_meta blobs affordable
+                stride = len(positions) / self.MAX_POSITIONS
+                positions = [
+                    positions[int(i * stride)]
+                    for i in range(self.MAX_POSITIONS)
+                ]
+            for pos in positions:
+                orig = int.from_bytes(blob[pos : pos + 4], "big")
+                for arm in self.ARMS:
+                    if arm == orig:
+                        continue
+                    m = bytearray(blob)
+                    m[pos : pos + 4] = arm.to_bytes(4, "big")
+                    msg = _check(decode, encode, bytes(m))
+                    if msg:
+                        failures.append(
+                            f"{column} pos={pos} {orig}->{arm}: {msg}"
+                        )
+        assert failures == [], failures[:5]
+
+
 class TestLcmFuzz:
     """Top-level real_lcm_decoder: corrupted LedgerCloseMeta must raise
     XdrError or decode cleanly — never leak another exception type."""

@@ -45,7 +45,13 @@ def build(sf_dir: str, out_dir: str) -> str:
   UNION ALL SELECT * FROM (VALUES
     (990001, [CAST(0.0 AS FLOAT) FOR i IN range(64)], 3),
     (990002, NULL, 4),
-    (990003, [CAST(0.1 AS FLOAT) FOR i IN range(64)], NULL)
+    (990003, [CAST(0.1 AS FLOAT) FOR i IN range(64)], NULL),
+    -- round-9: the codegen-friendly array_min/array_max filter must agree
+    -- with DuckDB's list_filter on the degenerate shapes where a naive
+    -- null-safe-equality rewrite would diverge: an all-NULL-element
+    -- vector and an empty vector (both excluded on both sides)
+    (990004, [CAST(NULL AS FLOAT) FOR i IN range(64)], 5),
+    (990005, CAST([] AS FLOAT[]), 6)
   ) v(vec_id, embedding, label)
 ) TO '{os.path.join(out_dir, 'embeddings')}.parquet' (FORMAT PARQUET)"""
     )

@@ -17,6 +17,16 @@ overhead (offset log, file listing, planning) amortizes with window size.
 
 Usage: python tools/run_stream_scale.py [changes_per_ledger] [n_windows]
 Prints one JSON line per scale.
+
+Round-9 addition: ``python tools/run_stream_scale.py soak`` runs the
+KILL/RESTART soak at the 100x window size (verdict item 5) — the 6,400-
+ledger window drained through repeated mid-stream kills (q.stop() after the
+first in-flight micro-batch, i.e. between epoch sink-write and offset
+commit is fair game) with an epoch-idempotent sink (overwrite per
+``epoch=<id>`` dir — the same replay-safe layout streaming/ingest and
+agg_maintenance use).  Final audit: full-row parity with the batch
+``compact_changes`` twin — exactly-once (no doubled epochs), gap-free
+(every window present), value-correct (last-wins per key per window).
 """
 
 from __future__ import annotations
@@ -99,7 +109,110 @@ def run_scale(spark, batch_size: int, n_windows: int, per_ledger: int) -> dict:
     }
 
 
+def soak_kill_restart(
+    spark, batch_size: int = 6400, n_windows: int = 16, per_ledger: int = 20
+) -> dict:
+    """Mid-stream kill/restart soak at the scaled window size."""
+    import glob
+
+    from stellar_etl_spark.operators.compaction import compact_changes
+    from stellar_etl_spark.streaming.micro_batch import (
+        batch_id_col,
+        read_change_stream,
+        stream_compacted_changes,
+    )
+
+    root = tempfile.mkdtemp(prefix=f"stream_soak_{batch_size}_")
+    src, out, ckpt = f"{root}/landing", f"{root}/out", f"{root}/ckpt"
+    total_ledgers = batch_size * n_windows
+    ddl = (
+        "ledger_sequence long, change_index long, ledger_key string, "
+        "change_type int, value long"
+    )
+    changes = spark.range(total_ledgers * per_ledger).selectExpr(
+        f"id div {per_ledger} as ledger_sequence",
+        f"id % {per_ledger} as change_index",
+        "concat('k', (id * 2654435761) % 10000) as ledger_key",
+        "cast(1 as int) as change_type",
+        "id as value",
+    )
+    changes.repartition(32).write.mode("overwrite").parquet(src)
+
+    # epoch-idempotent sink: a replayed epoch overwrites its own dir, so a
+    # kill between sink write and offset commit cannot double rows
+    def sink(df, epoch_id):
+        df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+    def start():
+        return stream_compacted_changes(
+            read_change_stream(spark, src, ddl, max_files_per_trigger=4),
+            sink,
+            checkpoint_dir=ckpt,
+            batch_size=batch_size,
+            available_now=True,
+        )
+
+    kills = 0
+    t0 = time.time()
+    for _kill in range(3):  # three mid-stream kills before the final drain
+        q = start()
+        # kill as soon as at least one micro-batch has gone through —
+        # q.stop() interrupts whatever epoch is in flight at that moment
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            if any(p["numInputRows"] for p in (q.recentProgress or [])):
+                break
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination(120)
+        kills += 1
+    q = start()
+    q.awaitTermination(1800)  # final drain to completion
+    wall = time.time() - t0
+
+    streamed = spark.read.parquet(out).drop("epoch")
+    batch_twin = compact_changes(
+        changes.withColumn("batch_id", batch_id_col(batch_size=batch_size))
+    )
+    extra = streamed.exceptAll(batch_twin).count()
+    missing = batch_twin.exceptAll(streamed).count()
+    n_windows_out = streamed.select("batch_id").distinct().count()
+    n_rows = streamed.count()
+    n_epochs = len(glob.glob(f"{out}/epoch=*"))
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "soak": "kill_restart_100x_window",
+        "batch_size_ledgers": batch_size,
+        "n_windows": n_windows,
+        "total_change_rows": total_ledgers * per_ledger,
+        "mid_stream_kills": kills,
+        "epoch_dirs": n_epochs,
+        "compacted_rows": n_rows,
+        "windows_present": n_windows_out,
+        "rows_extra_vs_batch": extra,
+        "rows_missing_vs_batch": missing,
+        "exactly_once_gap_free": extra == 0
+        and missing == 0
+        and n_windows_out == n_windows,
+        "wall_s": round(wall, 2),
+    }
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "soak":
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.ui.enabled", "false")
+            .appName("stream-soak-kill-restart")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps(soak_kill_restart(spark)))
+        spark.stop()
+        return
     per_ledger = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     n_windows = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     from pyspark.sql import SparkSession
