@@ -61,10 +61,20 @@ def export_batches(
     fmt: str = "json",
 ) -> None:
     """One output directory per batch id, all written in ONE distributed job
-    via ``partitionBy`` (no driver-side loop over batches)."""
+    via ``partitionBy`` (no driver-side loop over batches).
+
+    DYNAMIC partition overwrite: only the batch ids present in ``df`` are
+    replaced — static overwrite would wipe every previously written batch
+    dir, which silently destroys prior epochs when this is the
+    ``foreachBatch`` sink of ``stream_compacted_changes``.  Per-window
+    overwrite is also exactly the idempotency the streaming path's
+    fingerprint guard assumes: a whole-window re-delivery after crash
+    recovery rewrites that window's dir with identical deterministic
+    content instead of duplicating it."""
     writer = (
         df.withColumn("_batch", F.col(batch_col))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("_batch")
     )
     path = os.path.join(out_dir, entity)

@@ -101,6 +101,26 @@ class TestSinks:
         }
         assert dirs == {"_batch=0", "_batch=1"}
 
+    def test_export_batches_overwrite_is_per_batch(self, spark, tmp_path):
+        """Dynamic partition overwrite: a later epoch's export must only
+        replace ITS batch dirs — static overwrite would delete every
+        previously exported batch when export_batches is the foreachBatch
+        sink, and a re-delivered batch must rewrite (not duplicate) its
+        own dir."""
+        df1 = spark.createDataFrame(
+            [(0, "a"), (1, "b")], "batch_id long, v string"
+        )
+        export_batches(df1, str(tmp_path), "accounts")
+        # next epoch: new batch 2 + re-delivery of batch 1 with the same
+        # deterministic content
+        df2 = spark.createDataFrame(
+            [(1, "b"), (2, "c")], "batch_id long, v string"
+        )
+        export_batches(df2, str(tmp_path), "accounts")
+        got = spark.read.json(str(tmp_path / "accounts"))
+        rows = {(r["_batch"], r["v"]) for r in got.collect()}
+        assert rows == {(0, "a"), (1, "b"), (2, "c")}  # 0 kept, 1 not doubled
+
     def test_transform_stats_single_pass(self, spark):
         from pyspark.sql import functions as F
 
@@ -256,6 +276,111 @@ class TestStreamingHostileChanges:
         assert b_rows[(0, "dup")]["value"] == 4          # dup rows collapse
         assert b_rows[(0, "reborn")]["effective_change_type"] == 0
         assert b_rows[(0, "nullidx")]["value"] == 6      # NULL ord skipped
+
+    def test_split_window_landing_fails_loudly(self, spark, tmp_path):
+        """A landing layout that scatters one window's ledgers across
+        trigger boundaries would silently emit two partial compactions of
+        the same (window, key) — at-least-once-per-window duplication the
+        downstream reader cannot detect.  The round-9 kill/restart soak
+        caught exactly this (781,930 duplicate rows from a hash-scattered
+        landing).  The window-alignment guard must fail the stream loudly
+        instead (reference contract: strictly sequential ChangeBatches,
+        input/changes.go:61-64)."""
+        import pytest
+
+        src = str(tmp_path / "landing")
+        rows = [(10, 0, "k1", 1, 1), (11, 0, "k1", 1, 2),
+                (12, 0, "k2", 1, 3)]
+        changes = spark.createDataFrame(rows, CHANGE_DDL)
+        # window 0 deliberately split across two files → two triggers
+        changes.where("ledger_sequence <= 10").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        changes.where("ledger_sequence > 10").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        out_dir = str(tmp_path / "out")
+
+        def sink(df, epoch_id):
+            df.write.mode("append").parquet(out_dir)
+
+        q = stream_compacted_changes(
+            read_change_stream(spark, src, CHANGE_DDL, max_files_per_trigger=1),
+            sink,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        with pytest.raises(Exception, match="window-alignment violation"):
+            q.awaitTermination(120)
+            if q.exception():
+                raise q.exception()
+
+        # opt-out keeps the old behavior for callers that re-compact
+        # downstream: both partial rows emit, no error
+        out_dir2 = str(tmp_path / "out2")
+
+        def sink2(df, epoch_id):
+            df.write.mode("append").parquet(out_dir2)
+
+        q2 = stream_compacted_changes(
+            read_change_stream(spark, src, CHANGE_DDL, max_files_per_trigger=1),
+            sink2,
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+            available_now=True,
+            enforce_window_alignment=False,
+        )
+        q2.awaitTermination(120)
+        got = spark.read.parquet(out_dir2).where("ledger_key = 'k1'")
+        assert got.count() == 2  # two partials — why the default guards
+
+    def test_fingerprint_guard_survives_restart(self, spark, tmp_path):
+        """The per-window fingerprint log persists under the checkpoint, so
+        a LATE partial arrival for an already-emitted window is rejected
+        even across a query restart (where the in-memory tracker resets) —
+        and a whole-window re-delivery with a MATCHING fingerprint is
+        accepted as an idempotent replay, not an error."""
+        import pytest
+
+        src = str(tmp_path / "landing")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def sink(df, epoch_id):
+            (
+                df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
+
+        def drain():
+            q = stream_compacted_changes(
+                read_change_stream(spark, src, CHANGE_DDL),
+                sink,
+                checkpoint_dir=ckpt,
+                available_now=True,
+            )
+            q.awaitTermination(120)
+
+        # run 1: window 0 lands whole and is emitted + fingerprinted
+        spark.createDataFrame(
+            [(10, 0, "k1", 1, 1), (11, 0, "k1", 1, 2)], CHANGE_DDL
+        ).coalesce(1).write.mode("append").parquet(src)
+        drain()
+
+        # run 2 (restart): a late file adds MORE rows to window 0 — a
+        # split the reset in-memory set could not catch; the durable log
+        # must
+        spark.createDataFrame(
+            [(12, 0, "k1", 1, 3)], CHANGE_DDL
+        ).coalesce(1).write.mode("append").parquet(src)
+        with pytest.raises(Exception, match="window-alignment violation"):
+            drain()
+
+        # the window's output is untouched by the rejected partial
+        got = spark.read.parquet(out_dir).collect()
+        assert len(got) == 1 and got[0].value == 2
 
 
 class TestUnboundedChangeExportSoak:

@@ -58,14 +58,23 @@ def run_scale(spark, batch_size: int, n_windows: int, per_ledger: int) -> dict:
     )
 
     # per_ledger changes per ledger over a 10k-key universe: windows carry
-    # real per-key multiplicity so compaction does actual last-wins work
+    # real per-key multiplicity so compaction does actual last-wins work.
+    # WINDOW-ALIGNED landing: coalesce merges spark.range's CONTIGUOUS id
+    # partitions without a shuffle, ONE WHOLE WINDOW PER FILE — the
+    # reference's sequential-ChangeBatch contract, now enforced by
+    # stream_compacted_changes' fingerprint guard.  (A hash-scattered
+    # repartition here used to make the probe silently measure a
+    # duplicating stream — each trigger emitted its own partial compaction
+    # of the same windows — and even same-size CONTIGUOUS sub-window files
+    # split windows across triggers, because the file source's delivery
+    # order for same-mtime files is arbitrary.)
     spark.range(total_ledgers * per_ledger).selectExpr(
         f"id div {per_ledger} as ledger_sequence",
         f"id % {per_ledger} as change_index",
         "concat('k', (id * 2654435761) % 10000) as ledger_key",
         "cast(1 as int) as change_type",
         "id as value",
-    ).repartition(32).write.mode("overwrite").parquet(src)
+    ).coalesce(n_windows).write.mode("overwrite").parquet(src)
 
     def sink(df, epoch_id):
         df.write.mode("append").parquet(out)
@@ -74,7 +83,7 @@ def run_scale(spark, batch_size: int, n_windows: int, per_ledger: int) -> dict:
     # availableNow drain takes several micro-batches (per-epoch timings)
     t0 = time.time()
     q = stream_compacted_changes(
-        read_change_stream(spark, src, ddl, max_files_per_trigger=8),
+        read_change_stream(spark, src, ddl, max_files_per_trigger=2),
         sink,
         checkpoint_dir=ckpt,
         batch_size=batch_size,
@@ -136,12 +145,23 @@ def soak_kill_restart(
         "cast(1 as int) as change_type",
         "id as value",
     )
-    changes.repartition(32).write.mode("overwrite").parquet(src)
+    # window-aligned landing: coalesce keeps spark.range's contiguous id
+    # partitions, one whole window per file (see run_scale's note)
+    changes.coalesce(n_windows).write.mode("overwrite").parquet(src)
 
-    # epoch-idempotent sink: a replayed epoch overwrites its own dir, so a
-    # kill between sink write and offset commit cannot double rows
+    # WINDOW-idempotent sink (dynamic partition overwrite on batch_id):
+    # hard-kill recovery can re-deliver committed windows in differently-
+    # shaped epochs (observed — see micro_batch.py's fingerprint guard),
+    # so idempotency must key on the WINDOW, not the epoch id; the
+    # compacted content per window is deterministic, so any replay
+    # overwrites a window with identical rows
     def sink(df, epoch_id):
-        df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
 
     def start():
         return stream_compacted_changes(
@@ -152,33 +172,47 @@ def soak_kill_restart(
             available_now=True,
         )
 
+    # q.stop() joins the stream thread, which may itself be blocked inside
+    # the foreachBatch Python callback — an unbounded stop (the default
+    # stopTimeout=0) deadlocks; bound it so the kill is a hard interrupt,
+    # which is the crash semantics the soak wants anyway
+    spark.conf.set("spark.sql.streaming.stopTimeout", "15s")
     kills = 0
     t0 = time.time()
     for _kill in range(3):  # three mid-stream kills before the final drain
         q = start()
         # kill as soon as at least one micro-batch has gone through —
         # q.stop() interrupts whatever epoch is in flight at that moment
-        deadline = time.time() + 600
-        while time.time() < deadline:
+        deadline = time.time() + 300
+        while time.time() < deadline and q.isActive:
             if any(p["numInputRows"] for p in (q.recentProgress or [])):
                 break
             time.sleep(0.2)
-        q.stop()
-        q.awaitTermination(120)
+        try:
+            q.stop()
+        except Exception:  # noqa: BLE001 — bounded stop may raise on join
+            pass
+        q.awaitTermination(60)
         kills += 1
     q = start()
     q.awaitTermination(1800)  # final drain to completion
     wall = time.time() - t0
 
-    streamed = spark.read.parquet(out).drop("epoch")
+    from pyspark.sql import functions as F
+
     batch_twin = compact_changes(
         changes.withColumn("batch_id", batch_id_col(batch_size=batch_size))
     )
+    # partition-column inference reads batch_id back as int; realign to the
+    # twin's long before the full-row diff
+    streamed = spark.read.parquet(out).withColumn(
+        "batch_id", F.col("batch_id").cast("long")
+    ).select(*batch_twin.columns)
     extra = streamed.exceptAll(batch_twin).count()
     missing = batch_twin.exceptAll(streamed).count()
     n_windows_out = streamed.select("batch_id").distinct().count()
     n_rows = streamed.count()
-    n_epochs = len(glob.glob(f"{out}/epoch=*"))
+    n_window_dirs = len(glob.glob(f"{out}/batch_id=*"))
     shutil.rmtree(root, ignore_errors=True)
     return {
         "soak": "kill_restart_100x_window",
@@ -186,7 +220,7 @@ def soak_kill_restart(
         "n_windows": n_windows,
         "total_change_rows": total_ledgers * per_ledger,
         "mid_stream_kills": kills,
-        "epoch_dirs": n_epochs,
+        "window_dirs": n_window_dirs,
         "compacted_rows": n_rows,
         "windows_present": n_windows_out,
         "rows_extra_vs_batch": extra,
