@@ -172,7 +172,10 @@ def stream_compacted_changes(
                     F.min(ord_key).alias("mn"),
                     F.max(ord_key).alias("mx"),
                 )
-                .collect()
+                # one row per window in THIS trigger (ledgers-per-trigger /
+                # batch_size, typically 1-100); the fingerprint check is
+                # inherently driver-side
+                .collect()  # bounded-driver-action: rows ≤ windows/trigger
             )
             fresh = []
             for r in stats:

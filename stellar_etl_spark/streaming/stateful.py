@@ -39,16 +39,39 @@ def _fold_state(key, pdf_iter: Iterator, state: GroupState) -> Iterator[Any]:
         ord_key, ctype, seq, idx, payload = -1, -1, -1, -1, None
 
     for pdf in pdf_iter:
-        ords = pdf["ledger_sequence"].astype("int64") * (1 << 20) + pdf[
+        # nullable Int64: a NULL sequence/index makes the ORDER KEY null and
+        # the row is skipped, exactly like the batch twin's max_by (a plain
+        # astype("int64") raised on the NaN instead — found by the hostile
+        # streaming program; Int64 keeps 2^51-scale ords exact, no float)
+        ords = pdf["ledger_sequence"].astype("Int64") * (1 << 20) + pdf[
             "change_index"
-        ].astype("int64")
-        best = int(ords.idxmax())
+        ].astype("Int64")
+        if not ords.notna().any():
+            continue
+        best = int(ords.idxmax())  # idxmax skips NA
         if int(ords.loc[best]) > ord_key:
             ord_key = int(ords.loc[best])
             ctype = int(pdf["change_type"].loc[best])
             seq = int(pdf["ledger_sequence"].loc[best])
             idx = int(pdf["change_index"].loc[best])
-            payload = pdf["payload"].loc[best]
+            val = pdf["payload"].loc[best]
+            payload = None if pd.isna(val) else val
+
+    if ord_key == -1:
+        # only NULL-order rows ever seen for this key: the batch twin's
+        # max_by group carries all-NULL columns and its tombstone filter
+        # drops the row — emit nothing, keep no state
+        yield pd.DataFrame(
+            {
+                "ledger_key": pd.Series([], dtype="object"),
+                "ledger_sequence": pd.Series([], dtype="int64"),
+                "change_index": pd.Series([], dtype="int64"),
+                "change_type": pd.Series([], dtype="int32"),
+                "payload": pd.Series([], dtype="object"),
+                "deleted": pd.Series([], dtype="bool"),
+            }
+        )
+        return
 
     state.update((ord_key, ctype, seq, idx, payload))
     yield pd.DataFrame(
@@ -107,6 +130,12 @@ def _make_session_fold(gap_us: int):
             s0, last, n = None, None, 0
 
         rows = pd.concat(list(pdf_iter), ignore_index=True)
+        # a NULL event time has no place on a gap timeline — drop it, the
+        # same way the watermark machinery treats null event time (NaT
+        # would otherwise become int64-min here, poisoning `last` and
+        # making setTimeoutTimestamp reject the negative value — found by
+        # the hostile streaming program)
+        rows = rows[rows["ts"].notna()]
         rows["ts_us"] = rows["ts"].astype("int64") // 1000
         rows = rows.sort_values(["ts_us", "event_id"])
 
@@ -127,6 +156,11 @@ def _make_session_fold(gap_us: int):
                 last = max(last, ts_us)
                 n += 1
 
+        if last is None:
+            # nothing but NULL-time rows and no prior session: no state to
+            # keep, no timeout to arm
+            yield pd.DataFrame(closed, columns=cols)
+            return
         state.update((s0, last, n))
         # finalize the open session when the event-time watermark passes
         # last event + gap (ms granularity)

@@ -505,6 +505,156 @@ class TestStatefulStreaming:
         assert last["k2"].deleted  # removed in the second batch
 
 
+class TestStatefulStreamingHostile:
+    """Hostile rows through the applyInPandasWithState running-state path
+    (round-9 extension of the streaming hostile program): NULL order-key
+    components crashed the Arrow fold with a non-finite astype before the
+    fix; the contract is the batch twin's max_by semantics — NULL
+    (sequence, change_index) order keys are SKIPPED, a key with only
+    NULL-order rows emits nothing, NULL keys and NULL payloads flow, and
+    full-row duplicates collapse."""
+
+    DDL = (
+        "ledger_key string, ledger_sequence long, change_index long, "
+        "change_type int, payload string"
+    )
+
+    def test_hostile_running_state_matches_maxby_oracle(self, spark, tmp_path):
+        import time
+
+        from stellar_etl_spark.streaming.stateful import stream_running_state
+
+        rows_b1 = [
+            ("k1", 10, 0, 1, "a"),
+            ("k2", 11, None, 1, "y"),     # NULL idx: skipped
+            ("k3", None, None, 1, None),  # only NULL ords: no emission
+            (None, 13, 0, 1, "p"),        # NULL key: its own state
+            ("k4", 14, 0, 1, "q"),
+            ("k4", 14, 0, 1, "q"),        # full-row duplicate
+        ]
+        rows_b2 = [
+            ("k1", None, 0, 2, "x"),      # NULL seq: must NOT remove k1
+            ("k2", 12, 0, 1, "z"),
+            ("k5", 15, 0, 2, "r"),        # tombstone state
+            ("k5", 15, 1, 2, None),       # NULL payload on the winner
+        ]
+        src = str(tmp_path / "landing")
+        spark.createDataFrame(rows_b1, self.DDL).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        spark.createDataFrame(rows_b2, self.DDL).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        stream = (
+            spark.readStream.schema(self.DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream_running_state(stream)
+            .writeStream.format("memory")
+            .queryName("hostile_running_state")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        time.sleep(0.5)
+
+        last = {}
+        for r in spark.sql(
+            "SELECT * FROM hostile_running_state ORDER BY ledger_sequence"
+        ).collect():
+            last[r.ledger_key] = r
+
+        # batch max_by oracle over the same rows: skip NULL ords, last wins
+        batch = spark.createDataFrame(rows_b1 + rows_b2, self.DDL)
+        oracle = {
+            r.ledger_key: r
+            for r in batch.selectExpr(
+                "*",
+                "shiftleft(ledger_sequence, 20) + change_index as _ord",
+            )
+            .groupBy("ledger_key")
+            .agg(
+                F.max_by(F.struct("ledger_sequence", "change_index",
+                                  "change_type", "payload"), F.col("_ord"))
+                .alias("s"),
+                F.max("_ord").alias("_m"),
+            )
+            .where(F.col("_m").isNotNull())
+            .select("ledger_key", "s.*")
+            .collect()
+        }
+        assert set(last) == set(oracle)  # k3 absent from BOTH
+        for k, o in oracle.items():
+            s = last[k]
+            assert (s.ledger_sequence, s.change_index, s.change_type,
+                    s.payload) == (o.ledger_sequence, o.change_index,
+                                   o.change_type, o.payload), k
+            assert s.deleted == (o.change_type == 2)
+        # the NULL-seq removal did not clobber k1's real state
+        assert last["k1"].payload == "a" and not last["k1"].deleted
+        assert last[None].payload == "p"
+        assert last["k5"].deleted and last["k5"].payload is None
+
+    def test_hostile_sessionize_null_user_and_null_ts(self, spark, tmp_path):
+        """stream_sessionize hostiles: a NULL event time must be dropped
+        (pre-fix: NaT became int64-min in the Arrow fold, poisoning the
+        session end and making setTimeoutTimestamp reject the negative
+        value — a hard crash), a NULL user_id sessionizes as its own key,
+        exact duplicate events fold without error, and a key whose batch
+        holds ONLY null-time rows keeps no state."""
+        import datetime as dt
+        import time
+
+        from stellar_etl_spark.streaming.stateful import stream_sessionize
+
+        DDL = "user_id long, event_id long, ts timestamp"
+        t = lambda h, m: dt.datetime(2024, 1, 1, h, m, 0)  # noqa: E731
+        rows = [
+            (1, 1, t(10, 0)), (1, 2, t(10, 5)),
+            (1, 2, t(10, 5)),            # exact duplicate event
+            (None, 3, t(10, 1)),         # NULL user key
+            (2, 4, None),                # NULL event time: dropped
+            (3, 5, t(15, 0)),            # advances watermark to 14:30
+        ]
+        src = str(tmp_path / "landing")
+        spark.createDataFrame(rows, DDL).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(DDL).parquet(src)
+        q = (
+            stream_sessionize(stream, gap_seconds=1800,
+                              watermark="30 minutes")
+            .writeStream.format("memory")
+            .queryName("hostile_sessions")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        time.sleep(0.5)
+
+        def us(dtv):
+            return int(
+                dtv.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+            )
+
+        got = {
+            (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+            for r in spark.sql("SELECT * FROM hostile_sessions").collect()
+        }
+        # watermark 14:30 finalizes user 1 (10:00-10:05, 3 events incl. the
+        # duplicate — at-least-once folds per delivered row) and the NULL
+        # user's singleton; user 2 contributed nothing; user 3 stays open
+        assert got == {
+            (1, us(t(10, 0)), us(t(10, 5)), 3),
+            (None, us(t(10, 1)), us(t(10, 1)), 1),
+        }
+
+
 class TestBucketedLayout:
     def test_bucketed_join_has_no_shuffle(self, spark, sf_dir):
         import contextlib
