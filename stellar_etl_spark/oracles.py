@@ -405,6 +405,7 @@ FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
 WITH emb_valid AS (
   SELECT * FROM embeddings
   WHERE embedding IS NOT NULL
+    AND len(embedding) = 64
     AND len(list_filter(embedding, x -> x <> 0)) > 0
 ), tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
@@ -816,6 +817,7 @@ FROM votes GROUP BY doc_id
 WITH emb_valid AS (
   SELECT * FROM embeddings
   WHERE embedding IS NOT NULL
+    AND len(embedding) = 64
     AND len(list_filter(embedding, x -> x <> 0)) > 0
 ), base AS (
   SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM emb_valid
@@ -843,6 +845,7 @@ SELECT query_id, rnk, nbr_id, cosine_sim FROM ranked WHERE rnk <= 5
 WITH emb_valid AS (
   SELECT * FROM embeddings
   WHERE embedding IS NOT NULL
+    AND len(embedding) = 64
     AND len(list_filter(embedding, x -> x <> 0)) > 0
 )
 SELECT label, CAST(i - 1 AS BIGINT) AS dim,
@@ -1127,6 +1130,7 @@ FROM documents
 WITH emb_valid AS (
   SELECT * FROM embeddings
   WHERE embedding IS NOT NULL
+    AND len(embedding) = 64
     AND len(list_filter(embedding, x -> x <> 0)) > 0
 ), base AS (
   SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM emb_valid
@@ -1152,6 +1156,7 @@ WHERE ROUND(
 WITH emb_valid AS (
   SELECT * FROM embeddings
   WHERE embedding IS NOT NULL
+    AND len(embedding) = 64
     AND len(list_filter(embedding, x -> x <> 0)) > 0
 ), base AS (
   SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM emb_valid
@@ -1348,6 +1353,7 @@ WHERE (('0x' || substring(md5(text), 1, 8))::BIGINT % 1000)
 WITH emb_valid AS (
   SELECT * FROM embeddings
   WHERE embedding IS NOT NULL
+    AND len(embedding) = 64
     AND len(list_filter(embedding, x -> x <> 0)) > 0
 ), base AS (
   SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM emb_valid
@@ -1738,6 +1744,7 @@ ORDER BY ROUND(r, 6) DESC, node LIMIT 500
 WITH emb_valid AS (
   SELECT * FROM embeddings
   WHERE embedding IS NOT NULL
+    AND len(embedding) = 64
     AND len(list_filter(embedding, x -> x <> 0)) > 0
 ), pts AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
@@ -1834,6 +1841,7 @@ FROM per_doc GROUP BY lang, source
 WITH emb_valid AS (
   SELECT * FROM embeddings
   WHERE embedding IS NOT NULL
+    AND len(embedding) = 64
     AND len(list_filter(embedding, x -> x <> 0)) > 0
 ), pts AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
@@ -2227,6 +2235,7 @@ ORACLES["pq_ann_search"] = """
 WITH emb_valid AS (
   SELECT * FROM embeddings
   WHERE embedding IS NOT NULL
+    AND len(embedding) = 64
     AND len(list_filter(embedding, x -> x <> 0)) > 0
 ), pts AS (
   SELECT CAST(vec_id AS BIGINT) AS vid,
@@ -2618,6 +2627,7 @@ ORACLES["pca_power_iteration"] = """
 WITH emb_valid AS (
   SELECT * FROM embeddings
   WHERE embedding IS NOT NULL
+    AND len(embedding) = 64
     AND len(list_filter(embedding, x -> x <> 0)) > 0
 ), base AS (
   SELECT [CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT) FOR x IN embedding] AS q
@@ -2764,6 +2774,7 @@ ORACLES["label_balanced_sample"] = """
 WITH emb_valid AS (
   SELECT * FROM embeddings
   WHERE embedding IS NOT NULL
+    AND len(embedding) = 64
     AND len(list_filter(embedding, x -> x <> 0)) > 0
 ), counts AS (SELECT label, COUNT(*) AS n FROM emb_valid GROUP BY label),
 m AS (SELECT MIN(n) AS m FROM counts),
@@ -2909,6 +2920,7 @@ ORACLES["embedding_truncation_audit"] = """
 WITH emb_valid AS (
   SELECT * FROM embeddings
   WHERE embedding IS NOT NULL
+    AND len(embedding) = 64
     AND len(list_filter(embedding, x -> x <> 0)) > 0
 ), base AS (
   SELECT label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM emb_valid
@@ -2939,6 +2951,7 @@ ORACLES["ann_recall_audit"] = """
 WITH emb_valid AS (
   SELECT * FROM embeddings
   WHERE embedding IS NOT NULL
+    AND len(embedding) = 64
     AND len(list_filter(embedding, x -> x <> 0)) > 0
 ), base AS (
   SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM emb_valid
@@ -3081,6 +3094,7 @@ ORACLES["hard_negatives"] = """
 WITH emb_valid AS (
   SELECT * FROM embeddings
   WHERE embedding IS NOT NULL
+    AND len(embedding) = 64
     AND len(list_filter(embedding, x -> x <> 0)) > 0
 ), base AS (
   SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM emb_valid
@@ -4419,6 +4433,7 @@ ORACLES["embedding_drift_by_label"] = """
 WITH emb_valid AS (
   SELECT * FROM embeddings
   WHERE embedding IS NOT NULL
+    AND len(embedding) = 64
     AND len(list_filter(embedding, x -> x <> 0)) > 0
 ), base AS (
   SELECT label, vec_id % 2 AS half,
@@ -4583,6 +4598,7 @@ ORACLES["kcenter_coreset"] = f"""
 WITH emb_valid AS (
   SELECT * FROM embeddings
   WHERE embedding IS NOT NULL
+    AND len(embedding) = 64
     AND len(list_filter(embedding, x -> x <> 0)) > 0
 ), base AS (
   SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM emb_valid

@@ -62,12 +62,19 @@ def _dec(col, p: int = 12, s: int = 4):
     )
 
 
+EMB_DIM = 64  # the corpus's embedding dimensionality (TESTDATA.md)
+
+
 def emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings under the VALID-VECTOR contract: similarity, clustering,
-    and quantization all need a non-NULL vector, and cosine needs a
-    direction — a zero-norm row divides by zero under ANSI.  Both engine
-    sides exclude NULL and all-zero vectors (a shadowing CTE in the
-    oracles); a no-op on driver data, which has no degenerate vectors.
+    and quantization all need a non-NULL vector OF THE CORPUS DIMENSION,
+    and cosine needs a direction — a zero-norm row divides by zero under
+    ANSI, and a dimension-mismatched row (ingestion bug, wrong model)
+    would feed ragged sub-vectors into the PQ/IVF numpy kernels and
+    truncated dot products into the HOF scorers.  Both engine sides
+    exclude NULL, all-zero, and wrong-dimension vectors (a shadowing CTE
+    in the oracles); a no-op on driver data, which has no degenerate
+    vectors.
     The filter is a scan-adjacent predicate — no shuffle, and written
     with codegen-friendly array_min/array_max (not an ``exists`` HOF,
     which is CodegenFallback and would interpret a per-row lambda on the
@@ -81,6 +88,7 @@ def emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0.0)
     return e.where(
         F.col("embedding").isNotNull()
+        & (F.size("embedding") == EMB_DIM)
         & ~(
             (F.coalesce(F.array_min("embedding"), zero) == zero)
             & (F.coalesce(F.array_max("embedding"), zero) == zero)

@@ -51,7 +51,13 @@ def build(sf_dir: str, out_dir: str) -> str:
     -- null-safe-equality rewrite would diverge: an all-NULL-element
     -- vector and an empty vector (both excluded on both sides)
     (990004, [CAST(NULL AS FLOAT) FOR i IN range(64)], 5),
-    (990005, CAST([] AS FLOAT[]), 6)
+    (990005, CAST([] AS FLOAT[]), 6),
+    -- round-9b: DIMENSION-mismatched vectors (ingestion bug / wrong
+    -- model) — nonzero, so only the len(embedding)=64 contract excludes
+    -- them; unfiltered they feed ragged sub-vectors into the PQ/IVF
+    -- numpy kernels and truncated dot products into the HOF scorers
+    (990006, [CAST(0.5 AS FLOAT) FOR i IN range(10)], 7),
+    (990007, [CAST(0.25 AS FLOAT) FOR i IN range(100)], 8)
   ) v(vec_id, embedding, label)
 ) TO '{os.path.join(out_dir, 'embeddings')}.parquet' (FORMAT PARQUET)"""
     )
