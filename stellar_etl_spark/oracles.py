@@ -102,9 +102,12 @@ SELECT n_name, rnk, c_name, c_acctbal FROM ranked WHERE rnk <= 3
 """,
     "props_json_agg": """
 -- TRY_CAST: non-numeric props.k values are NULL (skipped by SUM), same
--- as the Spark side's try_cast
+-- as the Spark side's try_cast.  json_valid guard: DuckDB's extraction
+-- hard-errors on MALFORMED json where Spark's get_json_object yields
+-- NULL — the shared contract is NULL
 SELECT event_type,
-  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+  CAST(SUM(TRY_CAST(CASE WHEN json_valid(props)
+        THEN json_extract_string(props, '$.k') END AS BIGINT)) AS BIGINT)
     AS sum_k,
   COUNT(*) AS n_events
 FROM events GROUP BY event_type
@@ -1899,13 +1902,20 @@ SELECT asg.vec_id, CAST(asg.cid AS BIGINT) AS cid,
 FROM asg LEFT JOIN dom ON asg.vec_id = dom.vec_id
 """,
     "variant_props_profile": """
--- TRY_CAST matches the Spark side's try_variant_get (NULL on type miss)
+-- TRY_CAST matches the Spark side's try_variant_get (NULL on type miss);
+-- the json_valid shadow matches try_parse_json's NULL variant on
+-- MALFORMED json (DuckDB's ->> hard-errors there)
+WITH ev AS (
+  SELECT event_type,
+    CASE WHEN json_valid(props) THEN props END AS props
+  FROM events
+)
 SELECT event_type, COUNT(*) AS n_events,
   CAST(SUM(TRY_CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
   MIN(TRY_CAST(props->>'$.k' AS BIGINT)) AS min_k,
   MAX(TRY_CAST(props->>'$.k' AS BIGINT)) AS max_k,
   COUNT(DISTINCT TRY_CAST(props->>'$.k' AS BIGINT)) AS n_distinct_k
-FROM events GROUP BY event_type
+FROM ev GROUP BY event_type
 """,
     "snapshot_upsert": """
 WITH base_r AS (

@@ -370,10 +370,17 @@ def variant_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the binary variant encoding, then typed ``try_variant_get`` path
     extractions — the scale answer when several fields are pulled from the
     same JSON blob (one parse, not one per ``get_json_object`` path).
-    Same OperationDetails pattern as props_json_agg (schema.go:137)."""
+    Same OperationDetails pattern as props_json_agg (schema.go:137).
+
+    MALFORMED-JSON contract: ``try_parse_json`` yields a NULL variant for
+    a syntactically invalid blob (plain ``parse_json`` throws), so a
+    malformed props row still counts in n_events and contributes NULL to
+    the typed extractions — matching get_json_object's NULL and the
+    oracle's ``json_valid`` guard (DuckDB's ``->>`` hard-errors on
+    malformed JSON).  A no-op on driver data, whose props are valid."""
     ev = table(spark, sf_dir, "events")
     parsed = ev.select(
-        "event_type", F.parse_json("props").alias("v")
+        "event_type", F.try_parse_json("props").alias("v")
     ).select(
         "event_type",
         F.try_variant_get("v", "$.k", "long").alias("k"),

@@ -10,7 +10,12 @@ removed the last ASCII predicates: the media fingerprints hash the
 uppercase-hex rendering of the bytes, so the oracles are byte-exact via
 hex(encode(text)) on any unicode corpus.  The
 differential gate is `python tools/check_correctness.py <hostile_dir>`:
-240/240 as of round 7.
+240/240 as of round 7.  Round 9 added the degenerate-embedding shapes the
+codegen predicate must agree on (all-NULL-element, empty), DIMENSION-
+mismatched vectors (excluded by the size-64 half of the valid-vector
+contract — unfiltered they hard-crash the PQ kernels), and MALFORMED JSON
+props (Spark json functions yield NULL where DuckDB's hard-error; the
+shared contract is NULL extraction via try_parse_json / json_valid).
 
 Usage: python tools/make_hostile.py [sf_dir] [out_dir]
 """
@@ -182,7 +187,18 @@ def build(sf_dir: str, out_dir: str) -> str:
     (9920001, TIMESTAMP '1969-12-25 06:30:00', 21, 'view', 1.5, '{{}}'),
     (9920002, TIMESTAMP '1969-12-31 23:59:59.999999', 21, 'purchase', 2.5,
      '{{}}'),
-    (9920003, TIMESTAMP '2200-01-01 00:00:00', 22, 'view', 3.5, '{{}}')
+    (9920003, TIMESTAMP '2200-01-01 00:00:00', 22, 'view', 3.5, '{{}}'),
+    -- round-9b: MALFORMED JSON props — Spark's get_json_object /
+    -- try_parse_json yield NULL where DuckDB's json functions hard-error;
+    -- the shared contract is NULL extraction (json_valid guard in the
+    -- oracles), plus a valid-scalar and a truncated-object blob
+    (9930001, TIMESTAMP '2024-03-02 00:00:00', 30, 'view', 1.0, '{{'),
+    (9930002, TIMESTAMP '2024-03-02 00:00:01', 30, 'view', 2.0, 'not json'),
+    (9930003, TIMESTAMP '2024-03-02 00:00:02', 30, 'purchase', 3.0,
+     '{{"k":'),
+    (9930004, TIMESTAMP '2024-03-02 00:00:03', 30, 'purchase', 4.0, '123'),
+    (9930005, TIMESTAMP '2024-03-02 00:00:04', 30, 'view', 5.0,
+     '{{"k": "7"}}')
   ) v(event_id, ts, user_id, event_type, value, props)
 ) TO '{os.path.join(out_dir, 'events')}.parquet' (FORMAT PARQUET)"""
     )
