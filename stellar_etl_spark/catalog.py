@@ -59,6 +59,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             repl.append(F.col(f.name))
     if any(isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)) for f in df.schema.fields):
         df = df.select(*repl)
+    if name == "events" and "value" in df.columns:
+        # FINITE-VALUE contract (round 9): NaN/±Inf in the measure column
+        # behave as NULL (unmeasurable) on BOTH engine sides.  Spark's
+        # ANSI decimal cast silently turns NaN into NULL while DuckDB's
+        # hard-errors — a 23-query divergence under a NaN-hostile corpus;
+        # long-typed paths even overflow (peak_concurrency).  The oracle
+        # twin is the FROM-events rewrite in oracles.py (isfinite CASE).
+        # A scan-level codegen projection — no shuffle, no-op on driver
+        # data, and column pruning still reaches the scan.
+        c = F.col("value")
+        df = df.withColumn(
+            "value",
+            F.when(
+                F.isnan(c) | (F.abs(c) == F.lit(float("inf"))),
+                F.lit(None).cast("double"),
+            ).otherwise(c),
+        )
     return df
 
 

@@ -5743,3 +5743,38 @@ SELECT s AS seed, n_d1, n_d2, n_d3,
     AS harmonic
 FROM o
 """
+
+# ---------------------------------------------------------------------------
+# FINITE-VALUE contract (round 9): NaN/±Inf in events.value behave as NULL
+# on both engine sides.  The Spark twin normalizes at the scan
+# (catalog.table); here every oracle's `FROM events` is rewritten to an
+# inline subquery that NULLs non-finite values — DuckDB's DECIMAL/BIGINT
+# casts hard-error on NaN/Inf where Spark's ANSI cast yields NULL (a
+# 23-query divergence under the NaN-hostile corpus).  The subquery keeps
+# the base column order, so `SELECT *` and the `events` alias still work;
+# a no-op on driver data, whose values are finite.
+# ---------------------------------------------------------------------------
+import re as _re  # noqa: E402
+
+_EVENTS_FINITE = (
+    "(SELECT event_id, ts, user_id, event_type, "
+    "CASE WHEN isfinite(value) THEN value END AS value, props FROM events)"
+)
+
+
+def _finite_events(sql: str) -> str:
+    if not _re.search(r"\bFROM events\b", sql):
+        return sql
+    # aliased references keep their alias; bare references get the alias
+    # `events` so qualified column names keep resolving
+    out = _re.sub(
+        r"\bFROM events\b(\s+(?!WHERE\b|GROUP\b|JOIN\b|ORDER\b|LEFT\b|"
+        r"RIGHT\b|FULL\b|INNER\b|CROSS\b|ON\b|USING\b|LIMIT\b|UNION\b|"
+        r"HAVING\b|WINDOW\b|AS\b)[A-Za-z_]\w*)?",
+        lambda m: "FROM " + _EVENTS_FINITE + (m.group(1) or " events"),
+        sql,
+    )
+    return out
+
+
+ORACLES = {k: _finite_events(v) for k, v in ORACLES.items()}

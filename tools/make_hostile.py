@@ -198,7 +198,18 @@ def build(sf_dir: str, out_dir: str) -> str:
      '{{"k":'),
     (9930004, TIMESTAMP '2024-03-02 00:00:03', 30, 'purchase', 4.0, '123'),
     (9930005, TIMESTAMP '2024-03-02 00:00:04', 30, 'view', 5.0,
-     '{{"k": "7"}}')
+     '{{"k": "7"}}'),
+    -- round-9c: NON-FINITE measures — NaN/±Inf value hard-errored 22
+    -- DuckDB oracles (DECIMAL/BIGINT casts) and long-overflowed one Spark
+    -- path while Spark's ANSI decimal cast silently NULLed; the shared
+    -- FINITE-VALUE contract (catalog.table normalization + the
+    -- FROM-events isfinite rewrite in oracles.py) treats them as NULL
+    (9950001, TIMESTAMP '2024-03-03 00:00:00', 40, 'view',
+     'nan'::DOUBLE, '{{}}'),
+    (9950002, TIMESTAMP '2024-03-03 00:00:01', 40, 'purchase',
+     'inf'::DOUBLE, '{{}}'),
+    (9950003, TIMESTAMP '2024-03-03 00:00:02', 41, 'view',
+     '-inf'::DOUBLE, '{{}}')
   ) v(event_id, ts, user_id, event_type, value, props)
 ) TO '{os.path.join(out_dir, 'events')}.parquet' (FORMAT PARQUET)"""
     )
