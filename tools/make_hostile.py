@@ -203,7 +203,14 @@ def build(sf_dir: str, out_dir: str) -> str:
     -- DuckDB oracles (DECIMAL/BIGINT casts) and long-overflowed one Spark
     -- path while Spark's ANSI decimal cast silently NULLed; the shared
     -- FINITE-VALUE contract (catalog.table normalization + the
-    -- FROM-events isfinite rewrite in oracles.py) treats them as NULL
+    -- FROM-events isfinite rewrite in oracles.py) treats them as NULL.
+    -- SCOPE: the contract covers the MEASURE column (events.value) only.
+    -- TPC-H money columns (l_extendedprice etc.) stay under the round-8
+    -- decimal-envelope contract — non-finite there fails the DIFFERENTIAL
+    -- GATE loudly (oracle error) rather than paying the scan-level
+    -- normalization that would strip their predicate pushdown
+    -- (tpch_q6's l_discount/l_quantity row-group skipping, a real 100 TB
+    -- asset the plan pins protect)
     (9950001, TIMESTAMP '2024-03-03 00:00:00', 40, 'view',
      'nan'::DOUBLE, '{{}}'),
     (9950002, TIMESTAMP '2024-03-03 00:00:01', 40, 'purchase',
