@@ -262,6 +262,58 @@ class TestLcmFuzz:
                     failures.append(f"truncate: {msg}")
         assert failures == [], failures[:5]
 
+    def test_discriminant_swaps_no_leak(self, lcms, monkeypatch):
+        """Round-9 extension of the swap fuzz to the TOP-LEVEL decoder:
+        every word the full LCM parse (tx_processing included) actually
+        reads, rewritten to each valid other arm 0-26 — steering the parse
+        into sibling arms deep in the result/meta stream where foreign
+        exceptions (struct.error, KeyError, RecursionError) could lurk.
+        Contract: XdrError or clean decode, nothing else escapes.  (The
+        component fuzz adds the stronger canonical re-encode check; the
+        assembled LCM has no single re-encoder, so the leak contract is
+        the bar here.)"""
+        from stellar_etl_spark.sources import xdr as xdr_mod
+        from stellar_etl_spark.sources.xdr import parse_ledger_close_meta
+
+        captured: list = []
+
+        class _Capture(_TracingReader):
+            def __init__(self, buf: bytes):
+                super().__init__(buf)
+                captured.append(self)
+
+        failures = []
+        for blob in lcms[:2]:
+            captured.clear()
+            with monkeypatch.context() as m:
+                m.setattr(xdr_mod, "Reader", _Capture)
+                parse_ledger_close_meta(blob, tx_processing=True)
+            # captured[0] is the top-level reader over the original blob;
+            # nested readers (if any) index other buffers — skip them
+            positions = captured[0].word_positions
+            if len(positions) > 200:
+                stride = len(positions) / 200
+                positions = [positions[int(i * stride)] for i in range(200)]
+            for pos in positions:
+                orig = int.from_bytes(blob[pos : pos + 4], "big")
+                for arm in range(27):
+                    if arm == orig:
+                        continue
+                    mblob = bytearray(blob)
+                    mblob[pos : pos + 4] = arm.to_bytes(4, "big")
+                    try:
+                        parse_ledger_close_meta(
+                            bytes(mblob), tx_processing=True
+                        )
+                    except ALLOWED:
+                        pass
+                    except Exception as e:  # noqa: BLE001 — the contract
+                        failures.append(
+                            f"pos={pos} {orig}->{arm}: leaked "
+                            f"{type(e).__name__}: {e!r}"
+                        )
+        assert failures == [], failures[:5]
+
     def test_version_discriminant_sweep(self, lcms):
         """Every possible LCM version word: only 0/1 decode (V2+ unknown
         arms raise), and nothing leaks."""
