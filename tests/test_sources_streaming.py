@@ -334,6 +334,63 @@ class TestStreamingHostileChanges:
         got = spark.read.parquet(out_dir2).where("ledger_key = 'k1'")
         assert got.count() == 2  # two partials — why the default guards
 
+    def test_export_batches_is_a_correct_streaming_sink(self, spark, tmp_path):
+        """The docstring-recommended production wiring, end to end:
+        stream_compacted_changes → export_batches (dynamic partition
+        overwrite on batch_id) over multiple micro-batches AND a
+        restart-with-nothing-new.  Output dirs must hold exactly the batch
+        compaction of all landed rows — no window doubled by the second
+        drain, no prior window wiped by a later epoch's overwrite."""
+        import glob
+        import os
+
+        src = str(tmp_path / "landing")
+        out = str(tmp_path / "export")
+        ckpt = str(tmp_path / "ckpt")
+        changes = spark.createDataFrame(
+            [
+                (10, 0, "k1", 0, 1), (11, 0, "k1", 1, 2),
+                (70, 0, "k2", 1, 5), (130, 0, "k1", 1, 7),
+            ],
+            CHANGE_DDL,
+        )
+        for lo, hi in ((0, 64), (64, 128), (128, 192)):
+            changes.where(
+                f"ledger_sequence >= {lo} AND ledger_sequence < {hi}"
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        def sink(df, epoch_id):
+            export_batches(df, out, "changes", fmt="parquet")
+
+        def drain():
+            q = stream_compacted_changes(
+                read_change_stream(spark, src, CHANGE_DDL,
+                                   max_files_per_trigger=1),
+                sink,
+                checkpoint_dir=ckpt,
+                available_now=True,
+            )
+            q.awaitTermination(120)
+
+        drain()
+        drain()  # restart with nothing new — must change nothing
+
+        dirs = sorted(
+            os.path.basename(p)
+            for p in glob.glob(out + "/changes/_batch=*")
+        )
+        assert dirs == ["_batch=0", "_batch=1", "_batch=2"]
+        got = spark.read.parquet(out + "/changes")
+        batch = compact_changes(
+            changes.withColumn(
+                "batch_id", F.expr("cast(ledger_sequence / 64 as long)")
+            )
+        )
+        # the data files keep batch_id; _batch is only the partition dir
+        aligned = got.select(*batch.columns)
+        assert aligned.exceptAll(batch).isEmpty()
+        assert batch.exceptAll(aligned).isEmpty()
+
     def test_fingerprint_guard_survives_restart(self, spark, tmp_path):
         """The per-window fingerprint log persists under the checkpoint, so
         a LATE partial arrival for an already-emitted window is rejected
@@ -1694,6 +1751,77 @@ class TestStreamingIngest:
         assert streamed == admitted_all
         # the re-landed exact copies were rejected
         assert not {d for d in streamed if d >= 100000}
+
+    def test_hostile_docs_stream_equals_loop_replay(self, spark, tmp_path):
+        """Round-9 hostile extension for the ingestion stream: NULL /
+        empty / whitespace / unicode / one-word texts and re-landed exact
+        duplicates flow through stream_ingest_corpus without crashing, and
+        the admitted set equals the batch loop-replay twin's (the
+        streaming layer adds no semantics to the hostile classes the batch
+        operators already contract)."""
+        import time as _time
+
+        from stellar_etl_spark.streaming.ingest import (
+            ingest_batch,
+            stream_ingest_corpus,
+        )
+
+        base = [
+            (1, None),                      # NULL text
+            (2, ""),                        # empty
+            (3, "   "),                     # whitespace
+            (4, "émoji 🎉 ünïcode tëxt wörds " * 4),
+            (5, "one"),                     # single word
+            (6, "a perfectly ordinary document with plenty of words "
+                "to score and shingle for the near dup screen"),
+        ]
+        batches = [
+            base,
+            # re-land the unicode and ordinary docs verbatim (new ids):
+            # the screen must reject them as near-dups
+            [(104, base[3][1]), (106, base[5][1]),
+             # scores keep=true under the deterministic weight table AND
+             # shares no shingles with the corpus -> must be admitted
+             (107, "data pipelines transform raw records into curated "
+                   "tables for downstream training")],
+        ]
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(
+                rows, "doc_id long, text string"
+            ).coalesce(1).write.parquet(str(landing / f"b{i}"))
+            _time.sleep(1.1)  # distinct mtimes -> deterministic order
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(landing / "b*"))
+        )
+        index_dir = str(tmp_path / "corpus")
+        q = stream_ingest_corpus(
+            stream, index_dir, checkpoint_dir=str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(180)
+        streamed = {
+            r.doc_id for r in spark.read.parquet(index_dir).collect()
+        }
+
+        # loop-replay twin over the same batch boundaries
+        index = None
+        admitted: set[int] = set()
+        all_rows = {r[0]: r[1] for rows in batches for r in rows}
+        for rows in batches:
+            bdf = spark.createDataFrame(rows, "doc_id long, text string")
+            adm = ingest_batch(bdf, index)
+            admitted |= {r.doc_id for r in adm.collect()}
+            index = spark.createDataFrame(
+                [(d, all_rows[d]) for d in admitted],
+                "doc_id long, text string",
+            )
+        assert streamed == admitted
+        assert 104 not in streamed and 106 not in streamed  # dups rejected
+        assert 107 in streamed                              # fresh admitted
 
     def test_checkpoint_reset_does_not_clobber_prior_admissions(
         self, spark, tmp_path
