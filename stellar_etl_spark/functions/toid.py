@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 TX_MASK = (1 << 20) - 1  # ≤1_048_575 txs/ledger (toid/main.go:37-47)
 OP_MASK = (1 << 12) - 1  # ≤4_095 ops/tx
+LEDGER_MAX = (1 << 31) - 1  # int32 ledger (toid/main.go New() signature)
 OFFER_TYPE_SHIFT = 62  # synt_offer_id.go: 2nd-highest bit
 
 
@@ -23,9 +24,26 @@ def _c(x) -> Column:
 
 
 def toid(ledger, tx=0, op=0) -> Column:
-    """Pack (ledger, tx, op) into the 64-bit total-order id."""
+    """Pack (ledger, tx, op) into the 64-bit total-order id.
+
+    The ledger input is domain-guarded to the reference's int32 (the id
+    is a SIGNED 64-bit total order, so ledger bits live in 32..62 —
+    toid/main.go New() takes int32): the reference gets this for free
+    from Go's type system, but a Spark long outside [0, 2^31) would make
+    ``shiftleft(_, 32)`` WRAP SILENTLY into the sign bit or beyond (Spark
+    shifts discard overflow bits with no ANSI error — measured:
+    shiftleft(2^61, 20) = 0 while DuckDB's ``<<`` raises), producing
+    corrupt ids that collide with or mis-sort against real ones.  A
+    garbage upstream id now fails loudly instead.  tx/op are masked,
+    matching the reference."""
+    led = _c(ledger).cast("long")
+    guard = F.assert_true(
+        (led >= 0) & (led <= F.lit(LEDGER_MAX)),
+        F.lit("TOID ledger sequence outside the int32 domain"),
+    )
+    led = F.when(guard.isNull(), led)
     return (
-        F.shiftleft(_c(ledger).cast("long"), 32)
+        F.shiftleft(led, 32)
         .bitwiseOR(F.shiftleft(_c(tx).cast("long").bitwiseAND(F.lit(TX_MASK)), 12))
         .bitwiseOR(_c(op).cast("long").bitwiseAND(F.lit(OP_MASK)))
     )

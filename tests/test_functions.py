@@ -129,6 +129,28 @@ class TestToid:
             assert row.id == (row.ledger << 32) | (row.tx << 12) | row.op
             assert (row.dl, row.dt, row.dop) == (row.ledger, row.tx, row.op)
 
+    def test_out_of_domain_ledger_fails_loudly(self, spark):
+        """A ledger outside the reference's int32 domain must RAISE, never
+        wrap: Spark's shiftleft silently discards overflow bits (measured
+        shiftleft(2^61, 20) = 0), so a garbage upstream id would pack into
+        a corrupt TOID colliding with or mis-sorting against real ones.
+        The guard mirrors the reference's Go type-level int32 guarantee
+        (toid/main.go New())."""
+        import pytest
+
+        for bad in (1 << 31, 1 << 61, -1):
+            df = spark.createDataFrame([(bad, 0, 0)], "ledger long, tx long, op long")
+            with pytest.raises(Exception, match="int32 domain"):
+                df.select(
+                    toid(F.col("ledger"), F.col("tx"), F.col("op")).alias("id")
+                ).collect()
+        # the int32 max still packs, positive
+        df = spark.createDataFrame(
+            [((1 << 31) - 1, 0, 0)], "ledger long, tx long, op long"
+        )
+        row = df.select(toid(F.col("ledger")).alias("id")).collect()[0]
+        assert row.id == ((1 << 31) - 1) << 32 and row.id > 0
+
     def test_synthetic_offer_id(self, spark):
         df = spark.createDataFrame([(12345, 67, 3)], "ledger long, tx long, op long")
         base = toid(F.col("ledger"), F.col("tx"), F.col("op"))
