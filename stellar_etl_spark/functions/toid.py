@@ -35,10 +35,13 @@ def toid(ledger, tx=0, op=0) -> Column:
     shiftleft(2^61, 20) = 0 while DuckDB's ``<<`` raises), producing
     corrupt ids that collide with or mis-sort against real ones.  A
     garbage upstream id now fails loudly instead.  tx/op are masked,
-    matching the reference."""
+    matching the reference.  A NULL ledger PROPAGATES NULL (unknown id,
+    matching the oracle's NULL << 32) — only a present-but-out-of-domain
+    value raises; assert_true treats a NULL condition as failure, so the
+    NULL case must be explicitly allowed in the guard."""
     led = _c(ledger).cast("long")
     guard = F.assert_true(
-        (led >= 0) & (led <= F.lit(LEDGER_MAX)),
+        led.isNull() | ((led >= 0) & (led <= F.lit(LEDGER_MAX))),
         F.lit("TOID ledger sequence outside the int32 domain"),
     )
     led = F.when(guard.isNull(), led)

@@ -58,10 +58,8 @@ def stream_maintain_aggregate(
     token_cache: dict[str, str] = {}
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        from stellar_etl_spark.streaming.ingest import (
-            _hadoop_path,
-            _run_token,
-        )
+        from stellar_etl_spark.streaming.fsutil import hadoop_fs
+        from stellar_etl_spark.streaming.ingest import _run_token
 
         spark = batch_df.sparkSession
         if "run" not in token_cache:
@@ -73,7 +71,7 @@ def stream_maintain_aggregate(
             # silently corrupts).  Refuse anything in state_dir not owned
             # by THIS query id — same failure-at-start contract as
             # ingest's layout guard.
-            path, fs = _hadoop_path(spark, state_dir)
+            fs, path = hadoop_fs(spark, state_dir)
             if fs.exists(path):
                 foreign = [
                     st.getPath().getName()

@@ -64,13 +64,7 @@ def ingest_batch(
     )
 
 
-def _hadoop_path(spark: SparkSession, uri: str):
-    """(Path, FileSystem) for any Hadoop-supported scheme — local fs in
-    tests, the cluster FS in deployment."""
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(uri)
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    return path, fs
+from stellar_etl_spark.streaming.fsutil import hadoop_fs, read_utf8
 
 
 def _run_token(spark: SparkSession, checkpoint_dir: str) -> str:
@@ -83,15 +77,8 @@ def _run_token(spark: SparkSession, checkpoint_dir: str) -> str:
     writes ``<checkpoint>/metadata`` at query start, before the first
     batch, so it is always present inside ``foreachBatch``.
     """
-    path, fs = _hadoop_path(spark, f"{checkpoint_dir}/metadata")
-    stream = fs.open(path)
-    try:
-        raw = bytes(
-            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        )
-    finally:
-        stream.close()
-    return str(json.loads(raw.decode("utf-8"))["id"])
+    fs, path = hadoop_fs(spark, f"{checkpoint_dir}/metadata")
+    return str(json.loads(read_utf8(spark, fs, path))["id"])
 
 
 def _validate_index_layout(spark: SparkSession, index_dir: str) -> None:
@@ -102,7 +89,7 @@ def _validate_index_layout(spark: SparkSession, index_dir: str) -> None:
     with "conflicting directory structures" at read time — deep inside a
     micro-batch.  Failing at start() with an actionable message is the
     contract instead."""
-    path, fs = _hadoop_path(spark, index_dir)
+    fs, path = hadoop_fs(spark, index_dir)
     if not fs.exists(path):
         return
     bad = []

@@ -98,34 +98,20 @@ def stream_compacted_changes(
     """
     import json as _json
 
+    from stellar_etl_spark.streaming.fsutil import hadoop_fs, read_utf8
+
     fp_dir = checkpoint_dir.rstrip("/") + "/window_fingerprints"
     state: dict[str, dict | None] = {"fp": None}
 
-    def _fs_path(spark, p: str):
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(p)
-        return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
-
-    def _read_utf8(spark, fs, jpath) -> str:
-        stream = fs.open(jpath)
-        try:
-            # one py4j round-trip for the whole file (commons-io ships on
-            # Spark's classpath); a per-byte loop would be minutes at py4j
-            # call latency once the log grows
-            data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(
-                stream
-            )
-            return bytes(data).decode("utf-8")
-        finally:
-            stream.close()
-
     def _load_fps(spark) -> dict:
-        fs, jpath = _fs_path(spark, fp_dir)
+        fs, jpath = hadoop_fs(spark, fp_dir)
         if not fs.exists(jpath):
             return {}
         out: dict = {}
         for st in fs.listStatus(jpath):
-            for line in _read_utf8(spark, fs, st.getPath()).splitlines():
+            if st.getPath().getName().endswith(".tmp"):
+                continue  # a crash mid-write leaves only .tmp debris
+            for line in read_utf8(spark, fs, st.getPath()).splitlines():
                 if line.strip():
                     r = _json.loads(line)
                     out[r["window"]] = (r["n"], r["mn"], r["mx"])
@@ -139,69 +125,103 @@ def stream_compacted_changes(
         # previous attempt's record and lose other windows' fingerprints;
         # duplicate window lines across attempts are harmless (identical
         # fingerprints — a conflicting one can never be written, the guard
-        # raises first)
-        fs, jpath = _fs_path(
-            spark, f"{fp_dir}/epoch-{epoch_id}-{uuid.uuid4().hex[:8]}.json"
-        )
+        # raises first).  Written .tmp-then-rename so a crash mid-write
+        # can never leave a truncated JSON line that would wedge
+        # _load_fps on every subsequent restart.
+        name = f"{fp_dir}/epoch-{epoch_id}-{uuid.uuid4().hex[:8]}.json"
+        fs, jtmp = hadoop_fs(spark, name + ".tmp")
         payload = "".join(
             _json.dumps({"window": w, "n": n, "mn": mn, "mx": mx}) + "\n"
             for (w, n, mn, mx) in rows
         ).encode("utf-8")
-        stream = fs.create(jpath, False)
+        stream = fs.create(jtmp, False)
         try:
             stream.write(payload)
         finally:
             stream.close()
+        _, jfinal = hadoop_fs(spark, name)
+        if not fs.rename(jtmp, jfinal):
+            raise OSError(f"fingerprint log rename failed: {name}")
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if not enforce_window_alignment:
+            sink(
+                compact_changes(
+                    batch_df.withColumn(
+                        "batch_id", batch_id_col(batch_size=batch_size)
+                    )
+                ),
+                epoch_id,
+            )
+            return
+        # the guard's stats aggregate and the sink would otherwise each
+        # scan the landed files — persist so the trigger reads its input
+        # once (MEMORY_AND_DISK: a window's rows are bounded, but never
+        # OOM on an oversized one); unpersist on EVERY exit, including
+        # the guard's violation raise
+        from pyspark import StorageLevel
+
+        batch_df = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            _guarded_process(batch_df, epoch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _guarded_process(batch_df: DataFrame, epoch_id: int) -> None:
         with_batch = batch_df.withColumn(
             "batch_id", batch_id_col(batch_size=batch_size)
         )
-        if enforce_window_alignment:
-            spark = batch_df.sparkSession
-            if state["fp"] is None:
-                state["fp"] = _load_fps(spark)
-            ord_key = (
-                F.shiftleft(F.col("ledger_sequence").cast("long"), 20)
-                + F.col("change_index").cast("long")
+        spark = batch_df.sparkSession
+        if state["fp"] is None:
+            state["fp"] = _load_fps(spark)
+        ord_key = (
+            F.shiftleft(F.col("ledger_sequence").cast("long"), 20)
+            + F.col("change_index").cast("long")
+        )
+        stats = (
+            with_batch.groupBy("batch_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(ord_key).alias("mn"),
+                F.max(ord_key).alias("mx"),
             )
-            stats = (
-                with_batch.groupBy("batch_id")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.min(ord_key).alias("mn"),
-                    F.max(ord_key).alias("mx"),
+            # one row per window in THIS trigger (ledgers-per-trigger /
+            # batch_size, typically 1-100); the fingerprint check is
+            # inherently driver-side
+            .collect()  # bounded-driver-action: rows ≤ windows/trigger
+        )
+        fresh = []
+        for r in stats:
+            w = r["batch_id"]
+            if w is None:
+                continue
+            fp = (r["n"], r["mn"], r["mx"])
+            prev = state["fp"].get(w)
+            if prev is None:
+                fresh.append((w, *fp))
+            elif prev != fp:
+                raise ValueError(
+                    f"window-alignment violation in epoch {epoch_id}: "
+                    f"window {w} re-presented with fingerprint {fp} != "
+                    f"recorded {prev} — the landing layout splits a "
+                    f"{batch_size}-ledger window across trigger "
+                    "boundaries (land window-aligned file batches, or "
+                    "pass enforce_window_alignment=False and re-compact "
+                    "downstream); a matching fingerprint would have "
+                    "been accepted as a whole-window replay"
                 )
-                # one row per window in THIS trigger (ledgers-per-trigger /
-                # batch_size, typically 1-100); the fingerprint check is
-                # inherently driver-side
-                .collect()  # bounded-driver-action: rows ≤ windows/trigger
-            )
-            fresh = []
-            for r in stats:
-                w = r["batch_id"]
-                if w is None:
-                    continue
-                fp = (r["n"], r["mn"], r["mx"])
-                prev = state["fp"].get(w)
-                if prev is None:
-                    state["fp"][w] = fp
-                    fresh.append((w, *fp))
-                elif prev != fp:
-                    raise ValueError(
-                        f"window-alignment violation in epoch {epoch_id}: "
-                        f"window {w} re-presented with fingerprint {fp} != "
-                        f"recorded {prev} — the landing layout splits a "
-                        f"{batch_size}-ledger window across trigger "
-                        "boundaries (land window-aligned file batches, or "
-                        "pass enforce_window_alignment=False and re-compact "
-                        "downstream); a matching fingerprint would have "
-                        "been accepted as a whole-window replay"
-                    )
-                # prev == fp: whole-window re-delivery after recovery —
-                # idempotent under a per-window overwrite sink, proceed
-            if fresh:
-                _append_fps(spark, epoch_id, fresh)
+            # prev == fp: whole-window re-delivery after recovery —
+            # idempotent under a per-window overwrite sink, proceed
+        if fresh:
+            # durable append FIRST, in-memory record only on success: if
+            # the append fails and the epoch retries, the windows must
+            # still be "fresh" so the retry re-attempts the durable
+            # write — recording them in memory first would make the retry
+            # skip persistence and leave the guard blind to those windows
+            # after the next restart
+            _append_fps(spark, epoch_id, fresh)
+            for (w, n, mn, mx) in fresh:
+                state["fp"][w] = (n, mn, mx)
         sink(compact_changes(with_batch), epoch_id)
 
     writer = (

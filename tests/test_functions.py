@@ -150,6 +150,15 @@ class TestToid:
         )
         row = df.select(toid(F.col("ledger")).alias("id")).collect()[0]
         assert row.id == ((1 << 31) - 1) << 32 and row.id > 0
+        # NULL ledger PROPAGATES (unknown, not out-of-domain) — matching
+        # the DuckDB oracle's NULL << 32 = NULL; the guard must not fire
+        df = spark.createDataFrame(
+            [(None, 1, 1)], "ledger long, tx long, op long"
+        )
+        row = df.select(
+            toid(F.col("ledger"), F.col("tx"), F.col("op")).alias("id")
+        ).collect()[0]
+        assert row.id is None
 
     def test_synthetic_offer_id(self, spark):
         df = spark.createDataFrame([(12345, 67, 3)], "ledger long, tx long, op long")

@@ -59,22 +59,27 @@ def run_scale(spark, batch_size: int, n_windows: int, per_ledger: int) -> dict:
 
     # per_ledger changes per ledger over a 10k-key universe: windows carry
     # real per-key multiplicity so compaction does actual last-wins work.
-    # WINDOW-ALIGNED landing: coalesce merges spark.range's CONTIGUOUS id
-    # partitions without a shuffle, ONE WHOLE WINDOW PER FILE — the
-    # reference's sequential-ChangeBatch contract, now enforced by
+    # WINDOW-ALIGNED landing: repartition BY THE WINDOW ID, so every
+    # window's rows land wholly in one file regardless of how the CLI's
+    # n_windows divides spark.range's parallelism — the reference's
+    # sequential-ChangeBatch contract, now enforced by
     # stream_compacted_changes' fingerprint guard.  (A hash-scattered
-    # repartition here used to make the probe silently measure a
+    # repartition by nothing used to make the probe silently measure a
     # duplicating stream — each trigger emitted its own partial compaction
-    # of the same windows — and even same-size CONTIGUOUS sub-window files
-    # split windows across triggers, because the file source's delivery
-    # order for same-mtime files is arbitrary.)
+    # of the same windows — and a plain coalesce only aligns when the
+    # range partition count divides n_windows, because the file source's
+    # delivery order for same-mtime files is arbitrary.)
+    from pyspark.sql import functions as F  # noqa: F811
+
     spark.range(total_ledgers * per_ledger).selectExpr(
         f"id div {per_ledger} as ledger_sequence",
         f"id % {per_ledger} as change_index",
         "concat('k', (id * 2654435761) % 10000) as ledger_key",
         "cast(1 as int) as change_type",
         "id as value",
-    ).coalesce(n_windows).write.mode("overwrite").parquet(src)
+    ).repartition(
+        n_windows, F.expr(f"ledger_sequence div {batch_size}")
+    ).write.mode("overwrite").parquet(src)
 
     def sink(df, epoch_id):
         df.write.mode("append").parquet(out)
@@ -145,9 +150,13 @@ def soak_kill_restart(
         "cast(1 as int) as change_type",
         "id as value",
     )
-    # window-aligned landing: coalesce keeps spark.range's contiguous id
-    # partitions, one whole window per file (see run_scale's note)
-    changes.coalesce(n_windows).write.mode("overwrite").parquet(src)
+    # window-aligned landing: repartition by the window id, every window
+    # wholly in one file (see run_scale's note)
+    from pyspark.sql import functions as F  # noqa: F811
+
+    changes.repartition(
+        n_windows, F.expr(f"ledger_sequence div {batch_size}")
+    ).write.mode("overwrite").parquet(src)
 
     # WINDOW-idempotent sink (dynamic partition overwrite on batch_id):
     # hard-kill recovery can re-deliver committed windows in differently-
