@@ -222,10 +222,6 @@ def near_dup_pairs(
     # codegen, one digest pass)
     with_sh = (
         df.select(F.col(id_col), shingles(F.col(text_col), n).alias("shingle_set"))
-        # empty/NULL shingle sets (docs under n words, NULL text) carry no
-        # signal and would all collide on the all-NULL signature band —
-        # then 0/0 in the verify.  The oracle filters them too.
-        .where(F.size("shingle_set") > 0)
         .withColumn(
             "_base_hashes",
             F.transform(
@@ -246,6 +242,17 @@ def near_dup_pairs(
     # measured +20% on the bench).  lineage_cut: localCheckpoint here,
     # reliable checkpoint when the session has a checkpoint dir.
     with_sh = lineage_cut(with_sh, eager=True, reliable=False)
+    # empty/NULL shingle sets (docs under n words, NULL text) carry no
+    # signal and would all collide on the all-NULL signature band — then
+    # 0/0 in the verify.  The oracle filters them too.  The filter sits
+    # ABOVE the lineage cut on purpose (round-9): below it, Catalyst
+    # pushes the predicate through the projection into the scan stage,
+    # re-deriving the whole shingle HOF chain per row at raw-scan
+    # parallelism BEFORE the fan-out repartition — measured 3.5 s of a
+    # 2-task straggler stage at the 10× probe vs 0.6 s for the same
+    # shingling done once, 32-way, above the exchange.  Post-cut the
+    # predicate reads the materialized array column: O(1) per row.
+    with_sh = with_sh.where(F.col("_n_sh") > 0)
 
     cands = minhash_lsh_candidates(
         with_sh, id_col, "minhash_sig", bands, rows_per_band,
@@ -341,6 +348,15 @@ def simhash_near_dup_pairs(
     measured the unguarded shape at 32× wall for 10× data — a 5-bit band
     over a 500 k corpus put ~15 k docs in every bucket).  Buckets under
     the cap — every oracle-checked scale — pair exactly as before.
+
+    The Hamming verify is FUSED into the candidate join (round-9): the
+    banded rows carry the 8-byte fingerprint, ``bit_count(l ⊕ r) ≤ d``
+    is one more codegen'd conjunct on the join, and only survivors reach
+    the pair-distinct.  The former shape materialized EVERY raw band
+    collision (≈ n·cap/2 rows) through a distinct aggregate and two id
+    joins back to the fingerprint table before filtering; fusing removes
+    both verify joins and shrinks the distinct to the answer size
+    (measured 3.2 s → 1.7 s at sf0.1, byte-identical 981 k pairs).
     """
     fp = lineage_cut(
         simhash(df, id_col, text_col, bits), eager=True, reliable=False
@@ -361,8 +377,12 @@ def simhash_near_dup_pairs(
         )
         start += w
     banded = (
-        fp.select(F.col(id_col), F.explode(F.array(*bands)).alias("b"))
-        .select(id_col, "b.band", "b.val")
+        fp.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.explode(F.array(*bands)).alias("b"),
+        )
+        .select(id_col, "simhash", "b.band", "b.val")
         .withColumn(
             "blk",
             F.floor(
@@ -376,34 +396,29 @@ def simhash_near_dup_pairs(
             ),
         )
     )
-    cands = (
+    pairs = (
         banded.alias("l")
         .join(
             banded.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.val") == F.col("r.val"))
             & (F.col("l.blk") == F.col("r.blk"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            & (
+                F.bit_count(
+                    F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+                )
+                <= F.lit(max_distance)
+            ),
         )
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
-    a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"))
-    b = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"))
-    pairs = (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
             .cast("long")
             .alias("hamming"),
         )
-        .where(F.col("hamming") <= F.lit(max_distance))
+        .distinct()
     )
     return pairs
 
@@ -507,14 +522,17 @@ def ngram_jaccard_pairs(
 
     from stellar_etl_spark.operators.util import fan_out_small
 
-    sh = (
-        fan_out_small(df)
-        .select(F.col(id_col), shingles(F.col(text_col), n).alias("shingle_set"))
-        .where(F.size("shingle_set") > 0)
+    sh = fan_out_small(df).select(
+        F.col(id_col), shingles(F.col(text_col), n).alias("shingle_set")
     )
     # shingle sets feed the frequency pass, the prefix pass and both verify
-    # sides: one eager cut, lazy result (see near_dup_pairs)
-    sh = lineage_cut(sh, eager=True, reliable=False)
+    # sides: one eager cut, lazy result (see near_dup_pairs).  The
+    # empty-set filter applies ABOVE the cut so it cannot push into the
+    # scan stage and re-derive the shingle chain pre-fan-out (see
+    # near_dup_pairs for the measured cost of that shape).
+    sh = lineage_cut(sh, eager=True, reliable=False).where(
+        F.size("shingle_set") > 0
+    )
 
     ex = sh.select(
         F.col(id_col),
@@ -711,9 +729,13 @@ def dedup_against_index(
             "minhash_sig", minhash_from_hashes(F.col("_base_hashes"), num_perm)
         )
         .drop("_base_hashes")
-        .where(F.size("shingle_set") > 0)
     )
-    with_sh = lineage_cut(with_sh, eager=True, reliable=False)
+    # empty-set filter above the cut — below it the predicate pushes into
+    # the scan stage and re-derives the shingle chain pre-fan-out (see
+    # near_dup_pairs)
+    with_sh = lineage_cut(with_sh, eager=True, reliable=False).where(
+        F.size("shingle_set") > 0
+    )
 
     banded = with_sh.select(
         F.col(id_col),
@@ -947,13 +969,16 @@ def ngram_containment_pairs(
 
     from stellar_etl_spark.operators.util import exact_ratio_round6, fan_out_small
 
+    # empty-set filter above the cut — below it the predicate pushes into
+    # the scan stage and re-derives the shingle chain pre-fan-out (see
+    # near_dup_pairs)
     sh = lineage_cut(
-        fan_out_small(df)
-        .select(F.col(id_col), shingles(F.col(text_col), n).alias("shingle_set"))
-        .where(F.size("shingle_set") > 0),
+        fan_out_small(df).select(
+            F.col(id_col), shingles(F.col(text_col), n).alias("shingle_set")
+        ),
         eager=True,
         reliable=False,
-    )
+    ).where(F.size("shingle_set") > 0)
     ex = sh.select(
         F.col(id_col),
         F.size("shingle_set").alias("_n"),
@@ -1043,9 +1068,6 @@ def minhash_calibration(
     base = fan_out_small(df)
     with_sh = (
         base.select(F.col(id_col), shingles(F.col(text_col), n).alias("shingle_set"))
-        # empty/NULL shingle sets carry no signal and would 0/0 in the
-        # exact-Jaccard column; the oracle's sig CTE filters them too
-        .where(F.size("shingle_set") > 0)
         .withColumn(
             "_base_hashes",
             F.transform(
@@ -1058,7 +1080,13 @@ def minhash_calibration(
         )
         .drop("_base_hashes")
     )
-    with_sh = lineage_cut(with_sh, eager=True, reliable=False)
+    # empty/NULL shingle sets carry no signal and would 0/0 in the
+    # exact-Jaccard column; the oracle's sig CTE filters them too.  Filter
+    # above the cut so it cannot push into the scan stage and re-derive
+    # the shingle chain pre-fan-out (see near_dup_pairs).
+    with_sh = lineage_cut(with_sh, eager=True, reliable=False).where(
+        F.size("shingle_set") > 0
+    )
     cands = minhash_lsh_candidates(
         with_sh, id_col, "minhash_sig", bands, rows_per_band
     )
