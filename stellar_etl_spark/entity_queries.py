@@ -178,7 +178,17 @@ def op_details_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = transform_operation(
         _cached_input(spark, sf_dir, "ops_details",
                       lambda: derived_operations_details(_wide(li))),
-        derived_transactions(orders)
+        derived_transactions(orders),
+        # round-9: only the detail fields this projection reads — prunes
+        # the other ~70 (incl. the 4 asset-id ArrowEvalPython UDFs) and
+        # skips the begin-ops second scan (see transform_operation)
+        detail_fields=[
+            "from", "to", "amount", "asset_type", "asset_code",
+            "asset_issuer", "trustee", "trustor", "starting_balance",
+            "account", "offer_id", "selling_asset_type",
+            "buying_asset_type", "price", "price_r", "limit",
+            "data_name", "data_value", "bump_to",
+        ],
     )
     d = F.col("details")
     return out.select(
@@ -226,7 +236,10 @@ def op_sponsorship_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = transform_operation(
         _cached_input(spark, sf_dir, "ops_sponsorship",
                       lambda: derived_operations_sponsorship(_wide(li))),
-        derived_transactions(orders)
+        derived_transactions(orders),
+        # round-9: this projection reads exactly two detail fields; the
+        # begin-ops back-scan stays (begin_sponsor needs it)
+        detail_fields=["sponsored_id", "begin_sponsor"],
     )
     d = F.col("details")
     return out.select(

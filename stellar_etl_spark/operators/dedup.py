@@ -263,17 +263,24 @@ def near_dup_pairs(
     pairs = (
         cands.join(a, "id_a")
         .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
-            ).alias("jaccard"),
-        )
+        .select("id_a", "id_b", _jaccard_expr().alias("jaccard"))
         .where(F.col("jaccard") >= F.lit(threshold))
     )
     return pairs
+
+
+def _jaccard_expr() -> Column:
+    """Exact Jaccard of two DISTINCT shingle arrays ``sh_a``/``sh_b``:
+    ``|∩| / (|A| + |B| − |∩|)``.  One hash-set pass (array_intersect)
+    instead of two — ``array_union`` would rebuild the same set to count
+    ``|∪| = |A| + |B| − |∩|``, an identity that holds exactly because
+    shingle sets are duplicate-free (array_distinct upstream), so the
+    integer denominator and hence the double ratio are bit-identical to
+    the two-pass form (round-9, guide §1.2 per-task work)."""
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - inter
+    ).cast("double")
 
 
 def _hex15_to_long(hex_col: Column) -> Column:
@@ -592,14 +599,7 @@ def ngram_jaccard_pairs(
     pairs = (
         cands.join(a, "id_a")
         .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
-            ).alias("jaccard"),
-        )
+        .select("id_a", "id_b", _jaccard_expr().alias("jaccard"))
         .where(F.col("jaccard") >= F.lit(threshold))
     )
     return pairs
@@ -782,9 +782,14 @@ def dedup_against_index(
         .select(
             "_nid",
             "_iid",
+            # |∩|/(|A|+|B|−|∩|): one set pass, identical ratio — see
+            # _jaccard_expr (arrays are distinct by construction)
             (
                 F.size(F.array_intersect("sh_n", "sh_i")).cast("double")
-                / F.size(F.array_union("sh_n", "sh_i")).cast("double")
+                / (
+                    F.size("sh_n") + F.size("sh_i")
+                    - F.size(F.array_intersect("sh_n", "sh_i"))
+                ).cast("double")
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= F.lit(threshold))
@@ -1106,7 +1111,9 @@ def minhash_calibration(
         )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("long")
+    # |∪| = |A|+|B|−|∩| exactly (distinct shingle arrays) — one set pass
+    # instead of two, bit-identical counts (see _jaccard_expr)
+    union = (F.size("sh_a") + F.size("sh_b")).cast("long") - inter
     j_scaled = F.expr(
         "(( _inter * 2000000 + _union) div (2 * _union))"
     )

@@ -86,12 +86,23 @@ def _amount_string(col: Column) -> Column:
     ).cast("decimal(20,7)").cast("string")
 
 
+def _alias_name(c: Column) -> str:
+    """Alias name of a ``col.alias(name)`` column.  ``Alias.toString`` is
+    ``<child> AS <name>`` — the outer alias is always the final suffix, and
+    every detail field name here is a plain identifier (never containing
+    ``" AS "``), so the rsplit is exact.  test_transforms pins the
+    extracted names against the built struct's schema so drift is loud."""
+    return str(c._jc).rsplit(" AS ", 1)[1]
+
+
 @lru_cache(maxsize=1)
-def _op_exprs() -> tuple[Column, Column]:
-    """(details struct, sponsor) as cached unresolved expressions — the
-    ~70-field details switch costs thousands of py4j round trips to
-    build; it references only column names, so one instance serves
-    every transform_operation call."""
+def _op_exprs() -> tuple[tuple[tuple[str, Column], ...], Column]:
+    """((name, aliased column) detail pairs, sponsor) as cached unresolved
+    expressions — the ~70-field details switch costs thousands of py4j
+    round trips to build; it references only column names, so one instance
+    serves every transform_operation call.  Pairs (not a pre-built struct)
+    so ``transform_operation(detail_fields=...)`` can assemble a pruned
+    struct without re-deriving any expression."""
     body = F.col("body")
     sponsoring = F.filter(
         F.col("changes"), lambda c: c["post"]["sponsor"].isNotNull()
@@ -194,7 +205,7 @@ def _op_exprs() -> tuple[Column, Column]:
 
     st = body["soroban_type"]
 
-    details = F.struct(
+    detail_args = [
         F.when(t.isin(1, 2, 13), op_source)
         # create_contract preimage "from": "address" | "asset"
         # (switchContractIdPreimageType, operation.go:2275-2295)
@@ -472,15 +483,16 @@ def _op_exprs() -> tuple[Column, Column]:
             "asset_balance_changes"
         ),
         body["extend_to"].alias("extend_to"),
-    )
+    ]
 
-    return details, sponsor
+    return tuple((_alias_name(c), c) for c in detail_args), sponsor
 
 
 def transform_operation(
     operations: DataFrame,
     transactions: DataFrame,
     ledgers: DataFrame | None = None,
+    detail_fields: list[str] | None = None,
 ) -> DataFrame:
     """One output row per operation.
 
@@ -490,6 +502,21 @@ def transform_operation(
       (operation.go:287-294)
     - sponsor = sponsor of the last change whose post carries one
       (operation.go:296-358 change scan)
+
+    ``detail_fields`` (optimization knob, round-9): callers that consume
+    only a subset of the details struct pass the field names they read and
+    the struct is assembled from just those pairs.  The full struct's
+    unused fields are NOT free to skip via column pruning — Catalyst's
+    CollapseProject refuses to inline a struct alias referenced many
+    times, so every field (including the four ArrowEvalPython asset-id
+    UDFs and the parse_json variants) is otherwise evaluated per row and
+    thrown away.  When ``begin_sponsor`` is not requested the begin-ops
+    back-scan (a second full scan + shuffle aggregate + join over
+    ``operations``) is skipped outright.  Field EXPRESSIONS are identical
+    to the default path — only presence changes.  ``details_json`` is
+    serialized from the same pruned struct, so callers that read it must
+    not pass ``detail_fields``.  Default ``None`` = full struct, exactly
+    the pre-round-9 behavior.
     """
     tx_src = transactions.select(
         F.col("ledger_sequence").alias("_ls"),
@@ -498,39 +525,51 @@ def transform_operation(
         F.col("transaction_hash").alias("_tx_hash"),
     )
 
-    # in-tx back-scan for end_sponsoring_future_reserves: the matching
-    # begin op's source (findInitatingBeginSponsoringOp, operation.go:533-553).
-    # Begin ops are rare, so the aggregate is tiny; the join key matches the
-    # tx join, so AQE coalesces both into one co-partitioned exchange.
-    begin_ops = (
-        operations.where(F.col("type") == 16)
-        .groupBy("ledger_sequence", "tx_index")
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("op_index").alias("op_index"),
-                        F.col("body")["sponsored_id"].alias("sponsored_id"),
-                        F.col("source_account").alias("source_account"),
-                    )
-                )
-            ).alias("_begins")
-        )
-        .withColumnRenamed("ledger_sequence", "_bls")
-        .withColumnRenamed("tx_index", "_bti")
-    )
-
     ops = operations.join(
         tx_src,
         (operations.ledger_sequence == tx_src._ls)
         & (operations.tx_index == tx_src._ti),
         "left",
-    ).join(
-        begin_ops,
-        (operations.ledger_sequence == begin_ops._bls)
-        & (operations.tx_index == begin_ops._bti),
-        "left",
     )
+
+    # in-tx back-scan for end_sponsoring_future_reserves: the matching
+    # begin op's source (findInitatingBeginSponsoringOp, operation.go:533-553).
+    # Begin ops are rare, so the aggregate is tiny; the join key matches the
+    # tx join, so AQE coalesces both into one co-partitioned exchange.
+    # Skipped entirely (second scan + aggregate + join) when the caller's
+    # detail_fields excludes begin_sponsor, the only consumer of _begins.
+    if detail_fields is None or "begin_sponsor" in detail_fields:
+        begin_ops = (
+            operations.where(F.col("type") == 16)
+            .groupBy("ledger_sequence", "tx_index")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("op_index").alias("op_index"),
+                            F.col("body")["sponsored_id"].alias("sponsored_id"),
+                            F.col("source_account").alias("source_account"),
+                        )
+                    )
+                ).alias("_begins")
+            )
+            .withColumnRenamed("ledger_sequence", "_bls")
+            .withColumnRenamed("tx_index", "_bti")
+        )
+        ops = ops.join(
+            begin_ops,
+            (ops.ledger_sequence == begin_ops._bls)
+            & (ops.tx_index == begin_ops._bti),
+            "left",
+        )
+    else:
+        ops = ops.withColumn(
+            "_begins",
+            F.lit(None).cast(
+                "array<struct<op_index:int,sponsored_id:string,"
+                "source_account:string>>"
+            ),
+        )
     if ledgers is not None:
         hdr = F.broadcast(
             ledgers.select(
@@ -542,7 +581,16 @@ def transform_operation(
     else:
         ops = ops.withColumn("_closed_at", F.lit(None).cast("timestamp"))
 
-    details, sponsor = _op_exprs()
+    pairs, sponsor = _op_exprs()
+    if detail_fields is not None:
+        want = set(detail_fields)
+        unknown = want - {n for n, _ in pairs}
+        if unknown:
+            raise ValueError(
+                f"unknown detail_fields: {sorted(unknown)}"
+            )
+        pairs = tuple(p for p in pairs if p[0] in want)
+    details = F.struct(*[c for _, c in pairs])
 
     return ops.select(
         toid(F.col("ledger_sequence"), F.col("tx_index"), F.col("op_index") + 1).alias(

@@ -163,6 +163,61 @@ class TestOperation:
         assert so["set_flags_s"] == ["auth_required", "auth_revocable"]
         assert so["clear_flags_s"] == ["auth_clawback_enabled"]
 
+    def test_detail_fields_pruning(self, data):
+        """round-9 optimization knob: detail_fields builds a struct of just
+        the requested fields with IDENTICAL per-field values, and the alias
+        introspection that powers it stays in sync with the schema."""
+        from stellar_etl_spark.transforms.operation import _op_exprs
+
+        full = transform_operation(data["operations"], data["transactions"])
+        # _alias_name-extracted pair names == the built struct's field names
+        pair_names = [n for n, _ in _op_exprs()[0]]
+        schema_names = [
+            f.name for f in full.schema["details"].dataType.fields
+        ]
+        assert pair_names == schema_names
+
+        fields = ["from", "to", "amount", "asset_type", "price_r"]
+        pruned = transform_operation(
+            data["operations"], data["transactions"], detail_fields=fields
+        )
+        # pruned struct holds exactly the requested fields, in struct order
+        assert [
+            f.name for f in pruned.schema["details"].dataType.fields
+        ] == [n for n in schema_names if n in fields]
+        f_rows = {r.id: r for r in full.collect()}
+        p_rows = {r.id: r for r in pruned.collect()}
+        assert set(f_rows) == set(p_rows)
+        for rid, pr in p_rows.items():
+            fr = f_rows[rid]
+            assert pr.sponsor == fr.sponsor
+            for f in fields:
+                assert pr.details[f] == fr.details[f], (rid, f)
+
+    def test_detail_fields_unknown_raises(self, data):
+        with pytest.raises(ValueError, match="unknown detail_fields"):
+            transform_operation(
+                data["operations"],
+                data["transactions"],
+                detail_fields=["no_such_field"],
+            )
+
+    def test_detail_fields_begin_sponsor_kept(self, spark, data):
+        """The begin-ops back-scan still resolves when begin_sponsor IS
+        requested through the pruning knob."""
+        out = {
+            r.id: r.details
+            for r in transform_operation(
+                fx.operation_details_ops_df(spark),
+                data["transactions"],
+                detail_fields=["sponsored_id", "begin_sponsor"],
+            ).collect()
+        }
+        eid = (8 << 32) | (2 << 12) | 2
+        bid = (8 << 32) | (2 << 12) | 1
+        assert out[eid]["begin_sponsor"] == fx.ACCOUNT_B
+        assert out[bid]["sponsored_id"] == fx.ACCOUNT_C
+
 
 class TestOperationDetailMaps:
     """Per-type details coverage (operation.go:584-1173): revoke ledger-key
