@@ -131,15 +131,6 @@ def derive_token_transfer_events(
         .when(t == 19, body["asset"])
         .otherwise(native)
     )
-    # issuer-side classification for payments (EventsProcessor rules)
-    is_issuer_src = (t == 1) & (asset["asset_issuer"] == source)
-    is_issuer_dst = (t == 1) & (asset["asset_issuer"] == body["to"])
-    kind = (
-        F.when(t == 19, F.lit("clawback"))
-        .when(is_issuer_src & ~is_issuer_dst, F.lit("mint"))
-        .when(is_issuer_dst & ~is_issuer_src, F.lit("burn"))
-        .otherwise(F.lit("transfer"))
-    )
     frm = (
         F.when(t == 0, source)
         .when(t == 1, source)
@@ -159,97 +150,97 @@ def derive_token_transfer_events(
         .otherwise(body["amount"])
     )
 
-    def _event_cols(
-        kind_c: Column, frm_c: Column, to_c: Column, asset_c: Column,
-        amount_c: Column,
-    ) -> list[Column]:
-        return [
-            F.col("ledger_sequence"),
-            F.lit(None).cast("timestamp").alias("closed_at"),
-            F.col("tx_index"),
-            F.col("_tx_hash").alias("transaction_hash"),
-            F.col("tx_successful"),
-            F.lit(True).alias("in_successful_contract_call"),
-            _sac_id(asset_c, passphrase).alias("contract_id"),
-            F.lit("contract").alias("event_type"),
-            F.array().cast("array<string>").alias("topics"),
-            F.array().cast("array<string>").alias("topics_decoded"),
-            F.lit(None).cast("string").alias("data"),
-            F.lit(None).cast("string").alias("data_decoded"),
-            F.lit(None).cast("string").alias("contract_event_xdr"),
-            kind_c.alias("sac_kind"),
-            frm_c.alias("sac_from"),
-            to_c.alias("sac_to"),
-            F.lit(None).cast("string").alias("sac_to_muxed"),
-            F.lit(None).cast("long").alias("sac_to_muxed_id"),
-            amount_c.cast("long").alias("sac_amount"),
-            _canonical_asset(asset_c).alias("sac_asset"),
-            F.col("op_index").alias("sac_op_index"),
-            # derived amounts are native int64 protocol fields — never
-            # saturated, unlike decode_contract_events' i128 clamp
-            F.lit(False).alias("sac_amount_clamped"),
-        ]
+    # ---- single scan: every op row builds its MOVEMENT ARRAY in-row, then
+    # one explode (round-9: replaces the 3-branch union — op events, offer
+    # fills, final path payment — that scanned the ops table three times and
+    # re-paid the tx broadcast join per branch; rows are identical).
+    def _mv(frm_c: Column, to_c: Column, asset_c: Column, amount_c: Column) -> Column:
+        return F.struct(
+            frm_c.cast("string").alias("mf"),
+            to_c.cast("string").alias("mt"),
+            F.struct(
+                asset_c["asset_type"].alias("asset_type"),
+                asset_c["asset_code"].alias("asset_code"),
+                asset_c["asset_issuer"].alias("asset_issuer"),
+            ).alias("ma"),
+            amount_c.cast("long").alias("mv"),
+        )
 
-    op_events = ops.where(t.isin(0, 1, 8, 19)).select(
-        *_event_cols(kind, frm, to, asset, amount)
-    )
-
-    # ---- offer fills: a transfer PAIR per claimed atom (EventsProcessor
-    # trade rules) — seller → taker of the asset the seller sold, then
-    # taker → seller of the asset the seller bought.  ALL atoms emit, even
-    # 0/0 rounding fills (the 0-skip rule is a TRADES-table rule, not a
-    # token-event rule — verified against the mainnet goldens).  explode of
-    # a null atom list yields no rows, so offer ops that crossed nothing
-    # vanish here without an extra filter.
-    trade_ops = ops.where(t.isin(*TRADE_OP_TYPES))
+    # offer fills: a transfer PAIR per claimed atom (EventsProcessor trade
+    # rules) — seller → taker of the asset the seller sold, then taker →
+    # seller of the asset the seller bought.  ALL atoms emit, even 0/0
+    # rounding fills (the 0-skip rule is a TRADES-table rule, not a
+    # token-event rule — verified against the mainnet goldens).  A null
+    # atom list coalesces to no movements, so offer ops that crossed
+    # nothing vanish at the explode without an extra filter.
     seller = lambda a: F.coalesce(a["seller_id"], a["pool_id"])  # noqa: E731
-    pair_rows = F.explode(
+    pair_movements = F.coalesce(
         F.flatten(
             F.transform(
                 F.col("claim_atoms"),
                 lambda a: F.array(
-                    F.struct(
-                        seller(a).alias("ev_from"),
-                        source.alias("ev_to"),
-                        a["asset_sold"].alias("ev_asset"),
-                        a["amount_sold"].alias("ev_amount"),
-                    ),
-                    F.struct(
-                        source.alias("ev_from"),
-                        seller(a).alias("ev_to"),
-                        a["asset_bought"].alias("ev_asset"),
-                        a["amount_bought"].alias("ev_amount"),
-                    ),
+                    _mv(seller(a), source, a["asset_sold"], a["amount_sold"]),
+                    _mv(source, seller(a), a["asset_bought"], a["amount_bought"]),
                 ),
             )
-        )
+        ),
+        F.array().cast(
+            "array<struct<mf:string,mt:string,"
+            "ma:struct<asset_type:string,asset_code:string,asset_issuer:string>,"
+            "mv:bigint>>"
+        ),
     )
+    # path payments additionally emit the final source → destination
+    # movement of the destination asset (strict receive fixes
+    # op.dest_amount; strict send delivers the RESULT amount,
+    # silver-enriched into body.amount) — appended after the fills even
+    # when the op crossed no offers.
+    final_path_movement = _mv(
+        source,
+        body["to"],
+        body["dest_asset"],
+        F.when(t == 2, body["dest_amount"]).otherwise(body["amount"]),
+    )
+    movements = (
+        F.when(t.isin(0, 1, 8, 19), F.array(_mv(frm, to, asset, amount)))
+        .when(t.isin(2, 13), F.concat(pair_movements, F.array(final_path_movement)))
+        .otherwise(pair_movements)
+    )
+
     ev = F.col("_ev")
-    fill_events = trade_ops.withColumn("_ev", pair_rows).select(
-        *_event_cols(
-            _issuer_kind(ev["ev_from"], ev["ev_to"], ev["ev_asset"]),
-            ev["ev_from"],
-            ev["ev_to"],
-            ev["ev_asset"],
-            ev["ev_amount"],
-        )
-    )
-
-    # ---- path payments: the final source → destination movement of the
-    # destination asset (strict receive fixes op.dest_amount; strict send
-    # delivers the RESULT amount, silver-enriched into body.amount)
-    final_path_events = trade_ops.where(t.isin(2, 13)).select(
-        *_event_cols(
-            _issuer_kind(source, body["to"], body["dest_asset"]),
-            source,
-            body["to"],
-            body["dest_asset"],
-            F.when(t == 2, body["dest_amount"]).otherwise(body["amount"]),
-        )
-    )
-
-    op_events = op_events.unionByName(fill_events).unionByName(
-        final_path_events
+    # issuer-side classification (EventsProcessor rules): clawback is the
+    # op-type special case; everything else is the mint/burn/transfer
+    # issuer test on the movement's own endpoints — for payments this is
+    # exactly the source/destination comparison (the movement carries
+    # them), and native movements (create_account / account_merge) have a
+    # NULL issuer, so they always classify as transfer.
+    op_events = ops.withColumn("_ev", F.explode(movements)).select(
+        F.col("ledger_sequence"),
+        F.lit(None).cast("timestamp").alias("closed_at"),
+        F.col("tx_index"),
+        F.col("_tx_hash").alias("transaction_hash"),
+        F.col("tx_successful"),
+        F.lit(True).alias("in_successful_contract_call"),
+        _sac_id(ev["ma"], passphrase).alias("contract_id"),
+        F.lit("contract").alias("event_type"),
+        F.array().cast("array<string>").alias("topics"),
+        F.array().cast("array<string>").alias("topics_decoded"),
+        F.lit(None).cast("string").alias("data"),
+        F.lit(None).cast("string").alias("data_decoded"),
+        F.lit(None).cast("string").alias("contract_event_xdr"),
+        F.when(t == 19, F.lit("clawback"))
+        .otherwise(_issuer_kind(ev["mf"], ev["mt"], ev["ma"]))
+        .alias("sac_kind"),
+        ev["mf"].alias("sac_from"),
+        ev["mt"].alias("sac_to"),
+        F.lit(None).cast("string").alias("sac_to_muxed"),
+        F.lit(None).cast("long").alias("sac_to_muxed_id"),
+        ev["mv"].alias("sac_amount"),
+        _canonical_asset(ev["ma"]).alias("sac_asset"),
+        F.col("op_index").alias("sac_op_index"),
+        # derived amounts are native int64 protocol fields — never
+        # saturated, unlike decode_contract_events' i128 clamp
+        F.lit(False).alias("sac_amount_clamped"),
     )
 
     fee_events = transactions.where(F.col("fee_charged") > 0).select(
