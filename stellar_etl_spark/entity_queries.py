@@ -299,7 +299,14 @@ def effects_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = transform_effects(
         _cached_input(spark, sf_dir, "ops_effects",
                       lambda: derived_operations_effects(_wide(li))),
-        derived_transactions(orders)
+        derived_transactions(orders),
+        # the 6 details keys _select_jfields parses below — the transform
+        # skips serializing every other detail field (values of the kept
+        # keys are bit-identical to the full build)
+        detail_fields=[
+            "amount", "asset_type", "asset_code", "starting_balance",
+            "name", "new_seq",
+        ],
     )
     return _select_jfields(
         out,

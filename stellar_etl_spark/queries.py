@@ -6193,11 +6193,11 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e6 (the markov_stationary convention) and the 10 value-iteration
     rounds per scenario are pure integer arithmetic, so the fixed point is
     engine-independent; the 5 scenarios (none + 4 channels) ride as a key
-    column through ONE shared iteration loop.  Scale: journeys are two
-    windows over (user, day); the chain itself is a ≤7² cell broadcast
-    frame — iteration cost is independent of data size."""
-    from pyspark.sql.window import Window as W
-
+    column through ONE shared iteration loop.  Scale: journeys pack into
+    ONE (user, day) aggregate (transitions, terminal state and conversion
+    flag all derive in-row from the sorted journey array); the chain
+    itself is a ≤7² cell broadcast frame — iteration cost is independent
+    of data size."""
     from stellar_etl_spark.operators.util import exact_ratio_round6_wide
 
     ev = table(spark, sf_dir, "events").select(
@@ -6207,34 +6207,61 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(ts div 1000) div 86400000000").alias("day"),
         F.expr("ts div 1000").alias("ts_us"),
     )
-    w = W.partitionBy("user_id", "day").orderBy("ts_us", "event_id")
-    rn = ev.withColumn("rn", F.row_number().over(w))
-    fp = rn.where(F.col("event_type") == "purchase").groupBy(
-        "user_id", "day"
-    ).agg(F.min("rn").alias("fp_rn"))
-    j = rn.join(fp, ["user_id", "day"], "left")
-    pre = j.where(
-        (F.col("event_type") != "purchase")
-        & (F.col("fp_rn").isNull() | (F.col("rn") < F.col("fp_rn")))
+    # ONE (user, day) aggregate packs each journey sorted in-row (round-9:
+    # replaces two windows + a self-join whose shared (user, day) subtree
+    # was physically evaluated three times — inner transitions, last-pre,
+    # conversion flag).  sort_array over struct(ts_us, event_id, ...) IS
+    # the row_number order (ts_us, event_id); transitions, the terminal
+    # state and the conversion flag all derive from the packed array, so
+    # the (a, b) multiset — and every count downstream — is unchanged.
+    seq = (
+        ev.groupBy("user_id", "day")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+            ).alias("_seq")
+        )
+        .select(
+            F.transform(F.col("_seq"), lambda s: s["event_type"]).alias("_ts")
+        )
     )
-    w2 = W.partitionBy("user_id", "day").orderBy("rn")
-    inner = pre.select(
-        F.coalesce(F.lag("event_type").over(w2), F.lit("START")).alias("a"),
-        F.col("event_type").alias("b"),
+    # events strictly before the first purchase (all events when the
+    # journey never converts) — purchases can't precede the first purchase,
+    # so the slice needs no extra filter
+    fp_pos = F.array_position(F.col("_ts"), "purchase")
+    journeys = seq.select(
+        F.when(fp_pos > 0, F.slice(F.col("_ts"), 1, (fp_pos - 1).cast("int")))
+        .otherwise(F.col("_ts"))
+        .alias("_pre"),
+        (fp_pos > 0).alias("_conv"),
     )
-    last_pre = pre.groupBy("user_id", "day").agg(
-        F.max_by("event_type", F.col("rn")).alias("last_t")
-    )
-    journeys = j.groupBy("user_id", "day").agg(
-        F.max(F.col("fp_rn").isNotNull()).alias("conv")
-    )
-    terminal = journeys.join(last_pre, ["user_id", "day"], "left").select(
-        F.coalesce(F.col("last_t"), F.lit("START")).alias("a"),
-        F.when(F.col("conv"), F.lit("CONV")).otherwise(F.lit("NULL")).alias("b"),
+    pre = F.col("_pre")
+    pairs = F.concat(
+        # inner transitions: (lag-or-START, event)
+        F.transform(
+            pre,
+            lambda x, i: F.struct(
+                F.when(i == 0, F.lit("START"))
+                .otherwise(F.element_at(pre, i.cast("int")))
+                .alias("a"),
+                x.alias("b"),
+            ),
+        ),
+        # terminal transition: (last-pre-or-START, CONV/NULL)
+        F.array(
+            F.struct(
+                F.when(F.size(pre) > 0, F.element_at(pre, -1))
+                .otherwise(F.lit("START"))
+                .alias("a"),
+                F.when(F.col("_conv"), F.lit("CONV"))
+                .otherwise(F.lit("NULL"))
+                .alias("b"),
+            )
+        ),
     )
     counts = (
-        inner.unionByName(terminal)
-        .groupBy("a", "b")
+        journeys.select(F.explode(pairs).alias("_t"))
+        .groupBy(F.col("_t.a").alias("a"), F.col("_t.b").alias("b"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .localCheckpoint(eager=False)
     )

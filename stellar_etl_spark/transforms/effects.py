@@ -119,7 +119,19 @@ def _effect_dyn(kind_col: Column, address: Column, details: Column) -> Column:
     )
 
 
+# When set (by _effects_array_expr, from transform_effects'
+# ``detail_fields``), _j drops detail keys outside the set at expression-
+# BUILD time: callers that parse only a known field subset out of
+# details_json skip paying for the serialization of every other field.
+# None = build the reference's full details (the default everywhere).
+_DETAIL_KEEP: frozenset | None = None
+
+
 def _j(**kv) -> Column:
+    if _DETAIL_KEEP is not None:
+        kv = {k: v for k, v in kv.items() if k in _DETAIL_KEEP}
+        if not kv:
+            return F.lit("{}")
     return F.to_json(
         F.struct(*[v.alias(k) for k, v in kv.items()]), {"ignoreNullFields": "true"}
     )
@@ -150,6 +162,7 @@ def _effects_array_expr(
     present: frozenset | None = None,
     has_changes: bool = True,
     has_atoms: bool = True,
+    detail_fields: frozenset | None = None,
 ) -> Column:
     """The full per-operation effects array as ONE unresolved column
     expression.  Building it costs thousands of py4j round trips
@@ -167,7 +180,29 @@ def _effects_array_expr(
     produce empty arrays), but the expression tree shrinks from ~350 KB of
     generated code (beyond JIT's compilable-method size, so it ran
     interpreted) to just the families the data can hit.  transform_effects
-    derives the pruning context with one column-pruned probe aggregate."""
+    derives the pruning context with one column-pruned probe aggregate.
+
+    ``detail_fields`` (None = full): build details_json with only these
+    keys — for callers that extract a known field subset out of the JSON
+    and never surface the blob itself (transform_effects' knob)."""
+    global _DETAIL_KEEP
+    prev = _DETAIL_KEEP
+    _DETAIL_KEEP = detail_fields
+    try:
+        return _effects_array_expr_impl(
+            changes_type, atoms_type, present, has_changes, has_atoms
+        )
+    finally:
+        _DETAIL_KEEP = prev
+
+
+def _effects_array_expr_impl(
+    changes_type: str,
+    atoms_type: str,
+    present: frozenset | None,
+    has_changes: bool,
+    has_atoms: bool,
+) -> Column:
     body = F.col("body")
     source = F.coalesce(F.col("source_account"), F.col("_tx_source"))
     t = F.col("type")
@@ -243,6 +278,10 @@ def _effects_array_expr(
         effect addressed to the op source.  The liquidity_pool sub-object
         carries the pool id; the reserve/fee details need the pool entry
         delta from changes and are filled by the change-driven pass."""
+        if _DETAIL_KEEP is not None and not (
+            {"liquidity_pool", "sold", "bought"} & _DETAIL_KEEP
+        ):
+            return _effect("liquidity_pool_trade", source, F.lit("{}"))
         return _effect(
             "liquidity_pool_trade",
             source,
@@ -1335,6 +1374,7 @@ def transform_effects(
     transactions: DataFrame,
     ledgers: DataFrame | None = None,
     prune: bool = True,
+    detail_fields: list[str] | None = None,
 ) -> DataFrame:
     """One row per emitted effect; only successful txs emit (effects.go:55-57).
 
@@ -1347,6 +1387,12 @@ def transform_effects(
     inputs pass ``prune=False`` (or cache/checkpoint the frame before
     calling) — the full 52-family expression is built unconditionally, the
     same path streaming inputs always take.
+
+    ``detail_fields`` (None = the reference's full details, the default):
+    build each effect's details_json with only these top-level keys — for
+    callers that parse a fixed field subset out of the JSON and never
+    surface the blob itself.  The kept fields' values are bit-identical
+    to the full build; only key presence changes.
     """
     tx_src = transactions.select(
         F.col("ledger_sequence").alias("_ls"),
@@ -1371,22 +1417,23 @@ def transform_effects(
         ops = ops.withColumn("_closed_at", F.lit(None).cast("timestamp"))
 
     # One column-pruned probe derives the pruning context: which op types
-    # occur, and whether ANY row carries changes / claim atoms.  The builder
-    # then skips families that provably emit nothing, collapsing the
-    # generated projection from ~350 KB (beyond JIT's compile threshold →
-    # interpreted) to just the reachable families.  Streams can't be
-    # probed — they get the full expression.
+    # occur.  The builder then skips families whose type cannot appear,
+    # collapsing the generated projection from ~350 KB (beyond JIT's
+    # compile threshold → interpreted) to just the reachable families.
+    # The probe reads ONLY the narrow ``type`` column (round-9: it used
+    # to also scan the wide nested changes / claim-atoms columns for a
+    # max(size(...)) emptiness check — a second full read of the table's
+    # heaviest columns per call, buying codegen shrinkage only on inputs
+    # whose type mix implies those columns but whose arrays are all empty;
+    # change/atom scans over empty arrays emit nothing either way, so
+    # has_changes/has_atoms now probe-default to True and rows are
+    # identical).  Streams can't be probed — they get the full expression.
     if operations.isStreaming or not prune:
-        present, has_changes, has_atoms = None, True, True
+        present = None
     else:
-        prow = operations.agg(
-            F.collect_set("type").alias("_ts"),
-            F.max(F.size("changes")).alias("_mc"),
-            F.max(F.size("claim_atoms")).alias("_ma"),
-        ).first()
+        prow = operations.agg(F.collect_set("type").alias("_ts")).first()
         present = frozenset(int(x) for x in (prow["_ts"] or []))
-        has_changes = (prow["_mc"] or 0) > 0
-        has_atoms = (prow["_ma"] or 0) > 0
+    has_changes, has_atoms = True, True
 
     effects_array = _effects_array_expr(
         operations.schema["changes"].dataType.simpleString(),
@@ -1394,6 +1441,7 @@ def transform_effects(
         present,
         has_changes,
         has_atoms,
+        None if detail_fields is None else frozenset(detail_fields),
     )
     source = F.coalesce(F.col("source_account"), F.col("_tx_source"))
 
