@@ -3735,7 +3735,10 @@ def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrollable in the oracle.  Output: communities with ≥2 members."""
     from stellar_etl_spark.operators.graph import label_propagation
 
-    edges = _copurchase_edges(spark, sf_dir)
+    # dedup=False: label_propagation symmetrizes and DISTINCTs the edge
+    # list itself (fwd ∪ rev → distinct), so a pre-deduped input would pay
+    # the pair-stream distinct exchange twice for identical labels
+    edges = _copurchase_edges(spark, sf_dir, dedup=False)
     # the part graph's node set is the parts CATALOG — dimension-sized by
     # construction — so the per-round label frame broadcasts (the pagerank
     # broadcast_ranks contract; invalid for data-scaled node sets)
