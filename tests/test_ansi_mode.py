@@ -16,6 +16,30 @@ def ansi_spark(spark):
     spark.conf.set("spark.sql.ansi.enabled", "false")
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+# Fast-tier representatives: one query per operator family, biased to the
+# expression-heavy paths where ANSI overflow/index bugs actually live
+# (entity transforms, effects fan-out, dedup hashing, graph iteration,
+# text HOFs, clustering kernels, packing fold, TPC-H decimals, streaming
+# ops' batch twins).  The full registry still runs under
+# SPARK_GRAFT_FULL_TESTS=1 — the remaining queries are marked slow, not
+# dropped.
+_ANSI_FAST = {
+    "tpch_q1_pricing_summary", "tpch_q21_waiting_supplier",
+    "op_details_switch", "effects_fanout", "token_transfer_classify",
+    "trade_atoms", "changes_contract_data", "toid_pack_roundtrip",
+    "minhash_near_dup", "exact_dedup", "harmonic_centrality_seeds",
+    "kmeans_clusters", "pq_ann_search", "token_stats",
+    "sequence_packing", "sessionize_events",
+    "markov_removal_attribution", "word_explode_counts",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        n if n in _ANSI_FAST else pytest.param(n, marks=pytest.mark.slow)
+        for n in sorted(QUERIES)
+    ],
+)
 def test_query_survives_ansi(ansi_spark, sf_dir, name):
     assert QUERIES[name](ansi_spark, sf_dir).count() >= 0

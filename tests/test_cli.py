@@ -53,6 +53,7 @@ class TestCli:
         # per-ledger counts computed from the decoded tx set (5 tx x 3 ops)
         assert all(r["tx_set_operation_count"] == "15" for r in rows)
 
+    @pytest.mark.slow
     def test_streamed_changes_equal_batch(self, xdr_dir, tmp_path):
         """--stream (unbounded end=0 mode) over the same XDR dir must
         produce the same per-entity rows as the batch subcommand — one
@@ -81,6 +82,7 @@ class TestCli:
         for entity in ("accounts", "offers"):
             assert rows(batch_out, entity) == rows(stream_out, entity)
 
+    @pytest.mark.slow
     def test_get_ledger_range_from_times(self, xdr_dir):
         out = _run([
             "get_ledger_range_from_times", "--ledgers-dir", xdr_dir,
@@ -89,6 +91,7 @@ class TestCli:
         rng = json.loads(out.strip().splitlines()[-1])
         assert (rng["start"], rng["end"]) == (3, 5)
 
+    @pytest.mark.slow
     def test_streamed_transactions_equal_batch(self, xdr_dir, tmp_path):
         """--stream now generalizes to every export subcommand: the
         streaming tail feeds the identical transactions pipeline per

@@ -4,6 +4,8 @@ similarity search, and range lookup."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from stellar_etl_spark.operators.compaction import (
@@ -2847,6 +2849,7 @@ class TestFixedLnMicro:
             == [None, None]
 
 
+@pytest.mark.slow
 class TestReliableCheckpoint:
     """lineage_cut switches the iterative operators' lazy localCheckpoint
     to a RELIABLE checkpoint() when the session has a checkpoint dir —

@@ -524,3 +524,26 @@ class TestIterativeLineageBudget:
             f"budget {self.BUDGETS[name]} — a lineage cut was probably "
             "dropped or a shared subtree re-multiplied"
         )
+
+
+class TestCodebookAttachAdjacency:
+    """_attach_to_first_row ordering contract (round-9 verdict item 5):
+    correctness depends on the Arrow kernel sitting DIRECTLY on the payload
+    projection over the broadcast cross join — a filter between them would
+    fail loudly (dropped partition row 0), but a repartition would silently
+    strand partitions without a codebook and only crash at scale.  Pin the
+    MapInPandas -> Project -> BroadcastNestedLoopJoin adjacency for every
+    kernel in the codebook-consuming queries."""
+
+    @pytest.mark.parametrize("name", ["kmeans_clusters", "pq_ann_search"])
+    def test_kernel_sits_on_payload_projection(self, spark, sf_dir, name):
+        tree = plan_of(spark, sf_dir, name).split("\n\n")[0].splitlines()
+        kernels = [i for i, ln in enumerate(tree) if "MapInPandas" in ln]
+        assert kernels, f"{name}: no MapInPandas node found"
+        for i in kernels:
+            child = tree[i + 1] if i + 1 < len(tree) else ""
+            grand = tree[i + 2] if i + 2 < len(tree) else ""
+            assert "Project" in child and "BroadcastNestedLoopJoin" in grand, (
+                f"{name}: operator inserted between the codebook payload "
+                f"projection and the kernel:\n" + "\n".join(tree[i : i + 3])
+            )

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import json
 import os
@@ -185,6 +187,7 @@ class TestStreaming:
             assert s_rows[k].deleted == b_rows[k].deleted
 
 
+@pytest.mark.slow
 class TestStreamingHostileChanges:
     """Round-9 verdict item 4: the hostile differential program reaches the
     streaming path.  The batch compaction of the same rows is the oracle
@@ -440,6 +443,7 @@ class TestStreamingHostileChanges:
         assert len(got) == 1 and got[0].value == 2
 
 
+@pytest.mark.slow
 class TestUnboundedChangeExportSoak:
     """Round-6 verdict item 6: LONG-RUN soak of the unbounded (``end=0``)
     change export — 1,024 64-ledger batch windows (65,536 ledgers of
@@ -1603,6 +1607,7 @@ class TestStreamCrashRecovery:
         assert third == [2, 3, 4, 5, 6]
 
 
+@pytest.mark.slow
 class TestStreamBatchFileSoak:
     """Soak matrix (round-3 verdict item 7): N land→run→replay cycles of
     the ledger stream feeding the reference-shaped ``{start}-{end}-{type}``
@@ -1752,6 +1757,7 @@ class TestStreamingIngest:
         # the re-landed exact copies were rejected
         assert not {d for d in streamed if d >= 100000}
 
+    @pytest.mark.slow
     def test_hostile_docs_stream_equals_loop_replay(self, spark, tmp_path):
         """Round-9 hostile extension for the ingestion stream: NULL /
         empty / whitespace / unicode / one-word texts and re-landed exact

@@ -928,6 +928,7 @@ class TestEffectExhaustiveness:
         26: dict(),
     }
 
+    @pytest.mark.slow
     def test_every_type_emits_or_documented(self, spark, data):
         from fixtures import _body, _op
         from stellar_etl_spark.schemas import OPERATION_TYPE_NAMES, OPERATIONS_DDL

@@ -23,6 +23,8 @@ from __future__ import annotations
 import base64
 
 import pytest
+
+
 from golden_lcm import assemble_golden_lcms, golden_rows, have_goldens
 
 from stellar_etl_spark.sources.xdr import (
@@ -44,9 +46,13 @@ from stellar_etl_spark.sources.xdr_ledger import (
     write_transaction_result,
 )
 
-pytestmark = pytest.mark.skipif(
-    not have_goldens(), reason="reference goldens unavailable"
-)
+# deep fuzz corpus: slow tier (fast XDR coverage: test_xdr.py, test_xdr_golden.py)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not have_goldens(), reason="reference goldens unavailable"
+    ),
+]
 
 # (decode, encode) pairs fuzzable with the canonical re-encode property.
 PAIRS = {

@@ -55,7 +55,12 @@ def main() -> None:
     from stellar_etl_spark.queries import QUERIES
     from stellar_etl_spark.session import get_spark
 
-    spark = get_spark("graph-aging-profile", cpus=cpus)
+    # UI on for REST stage attribution (the bench session runs UI-off;
+    # phase walls are still comparable — attribution, not certification)
+    spark = get_spark(
+        "graph-aging-profile", cpus=cpus,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     sc = spark.sparkContext
     sc.setLogLevel("ERROR")
     ui = sc.uiWebUrl
